@@ -1,0 +1,92 @@
+"""Shared fixtures: one SparkSession per test run + DuckDB oracle helper.
+
+Mirrors the driver's correctness gate (README/driver contract): each
+``queries()`` entry runs on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet; results compare as unordered row multisets after
+column-name sort, with float tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pinot_spark.session import get_spark
+from pinot_spark.catalog import TABLE_NAMES, load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("pinot-spark-tests", extra_confs={"spark.sql.shuffle.partitions": "8"})
+    load_tables(spark, SF_DIR)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for comparison (floats rounded, timestamps → iso)."""
+    if v is None:
+        return None
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()  # numpy scalar → python scalar
+        except (AttributeError, ValueError):
+            pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None  # pandas NULL floats surface as NaN
+        return round(v, 4)
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()[:26]
+        # date vs midnight-timestamp representational difference
+        return s[:-9] if s.endswith("T00:00:00") else s
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def assert_same_rows(spark_df, duck_rel, ordered: bool = False):
+    """Compare a Spark DataFrame against a DuckDB relation.
+
+    Columns are matched by (sorted) name like the driver does; rows
+    compare as multisets unless ``ordered``.
+    """
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_rel.columns)
+    assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (
+        f"column mismatch: spark={s_cols} duck={d_cols}"
+    )
+    s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()]
+    d_df = duck_rel.df()
+    # align duckdb column order to sorted-name order (case-insensitive match)
+    d_map = {c.lower(): c for c in d_df.columns}
+    d_df = d_df[[d_map[c.lower()] for c in s_cols]]
+    d_rows = [tuple(_norm(v) for v in row) for row in d_df.itertuples(index=False, name=None)]
+    assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duck={len(d_rows)}"
+    if not ordered:
+        s_rows = sorted(s_rows, key=repr)
+        d_rows = sorted(d_rows, key=repr)
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    assert not mismatches, f"first mismatches: {mismatches[:5]}"
