@@ -11,10 +11,24 @@ import sys
 import time
 
 HEADLINE = [
+    # TPC-H core (scan/filter/agg/join/top-k)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    # windows / distinct
+    "window_rank_topn_per_group",
+    "agg_distinct_family",
+    # temporal composites
+    "asof_join_backward",
+    "events_time_bucket_agg",
+    "funnel_max_step",
+    # pipeline operators
+    "dedup_exact_documents",
+    "similarity_topk_cosine",
+    "text_token_stats",
 ]
 
 

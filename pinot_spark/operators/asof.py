@@ -1,0 +1,86 @@
+"""AS-OF join: for each left row, the latest right row at-or-before (or
+strictly-before / at-or-after / strictly-after) the left row's time, per
+join key.
+
+Reference semantics: pinot-query-runtime/.../operator/AsofJoinOperator.java:37
+(match-condition types at :59-64) — LEFT_ASOF join with one equi-key set
+plus one time inequality.
+
+Spark-first design (scales to 100 TB): instead of a range join (which
+explodes) or a per-key collect, we UNION the two sides tagged by origin,
+sort within each key partition once, and carry the right-side payload
+forward with ``last(..., ignorenulls=True)`` over a running window.
+Cost: one shuffle on the join keys + one sort — the same cost as the
+underlying window aggregation; no row explosion, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_TAG = "__asof_tag"
+_T = "__asof_t"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    strict: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """LEFT AS-OF join ``left`` with ``right`` on equi-keys ``on`` and the
+    time inequality implied by ``direction``/``strict``:
+
+    - backward, strict=False: right_time <= left_time (latest such row)
+    - backward, strict=True : right_time <  left_time
+    - forward,  strict=False: right_time >= left_time (earliest such row)
+    - forward,  strict=True : right_time >  left_time
+
+    Right payload columns (everything except keys + right_time) are
+    appended, ``suffix``-renamed, NULL when no match (LEFT semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    # matched right_time is part of the output payload (like DuckDB ASOF)
+    payload = [c for c in right.columns if c not in on]
+    out_names = [c + suffix for c in payload]
+
+    # Tag ordering decides tie behavior at equal timestamps:
+    #   backward inclusive → right row sorts BEFORE left (visible to it)
+    #   backward strict    → right row sorts AFTER  left (invisible)
+    # forward is the mirror image under a descending scan.
+    right_first = not strict
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_TAG),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(payload, out_names)],
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        F.col(right_time).alias(_T),
+        F.lit(0 if right_first else 2).alias(_TAG),
+        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+    ).select(*left.columns, _T, _TAG, *out_names)
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        order = [F.col(_T).asc(), F.col(_TAG).asc()]
+    else:
+        order = [F.col(_T).desc(), F.col(_TAG).asc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+
+    filled = unioned.select(
+        *left.columns,
+        F.col(_TAG).alias(_TAG),
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+    )
+    return filled.filter(F.col(_TAG) == 1).drop(_TAG)

@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup (BASELINE.json north star; complements the ingestion-time
+primary-key dedup in operators.upsert).
+
+Scale design notes (100 TB):
+- Exact dedup: hash-groupBy on a content fingerprint — one shuffle keyed
+  by a uniformly distributed hash (no skew).
+- MinHash/LSH: per-doc signature is computed JVM-side with higher-order
+  functions over shingle arrays (xxhash64 per permutation), then docs
+  shuffle once per LSH band keyed by the band hash; candidate pairs only
+  materialize within same-bucket groups (the classic banding bound on
+  candidate count). No N² comparison ever happens.
+- SimHash: 64-bit signature via per-token hashes; near-dup = signatures
+  equal on all but k rotated prefixes (here: exact-signature buckets).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from pinot_spark.operators.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact-normalized-content group."""
+    fp = fingerprint(text_col).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Pure higher-order expressions — stays in
+    whole-stage codegen."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct over all bands.
+    rows = num_hashes // bands hashes per band; two docs are candidates
+    iff some band of their signatures is identical.
+    """
+    rows = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("pos", "bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, left_sh: str, right_sh: str) -> Column:
+    """Jaccard similarity between two shingle-array columns (verification
+    stage after LSH candidate generation)."""
+    inter = F.size(F.array_intersect(F.col(left_sh), F.col(right_sh)))
+    union = F.size(F.array_union(F.col(left_sh), F.col(right_sh)))
+    return inter / F.nullif(union.cast("double"), F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by true n-gram Jaccard ≥ threshold.
+    Returns (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    joined = (
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    jac = ngram_jaccard(joined, "sh_a", "sh_b").alias("jaccard")
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: str | Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: sign(sum over tokens of
+    ±1 per bit of xxhash64(token)). Expressed with higher-order functions;
+    no Python in the loop."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # per bit: count of tokens with bit set, vs total
+    n = F.size(toks)
+    bit_cols = []
+    for b in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bit_cols.append(F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out.bitwiseOR(bc)
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-SimHash-bucket dedup: keep min-id per simhash value.
+    (Hamming-distance banding slots in like MinHash LSH bands.)"""
+    sh = df.select(F.col(id_col), simhash(text_col).alias("__sh"))
+    keep = sh.groupBy("__sh").agg(F.min(id_col).alias(id_col)).drop("__sh")
+    return df.join(keep, on=id_col, how="left_semi")

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow batches via ``mapInPandas``.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (seeded by the
+content hash) produces stable "features" so the Spark-side plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+testable end-to-end.
+
+Scale design: mapInPandas streams Arrow record batches; binary payloads
+never round-trip through Python objects row-at-a-time. Batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor
+memory stays flat regardless of table size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# canonical multimodal column schema: payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image/audio decoder: features are
+    a seeded hash expansion of the content, stable across runs/executors."""
+    digest = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decoder slot (PIL/libvips at deploy time)."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; use extract_features(..., fake=True) for plumbing tests"
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media table → (media_id, features[FEATURE_DIM], decode_ok), Arrow
+    batch at a time via mapInPandas."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    vec = _fake_decode(payload) if fake else decode_image(payload)
+                    feats.append([float(x) for x in vec])
+                    ok.append("ok")
+                except NotImplementedError:
+                    feats.append(None)
+                    ok.append("decoder_unavailable")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats, "decode_ok": ok}
+            )
+
+    return df.mapInPandas(_batches, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled frame offset
+    (JVM-side sequence/explode — the actual frame extraction is the
+    decoder stub's job). Demonstrates the fan-out schema."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_offset_ms"),
+    )

@@ -1,0 +1,79 @@
+"""Text-analysis operators for large-scale document pipelines: token
+counting, quality scoring, language-ID heuristic, document fingerprinting.
+
+These are first-class pipeline operators (BASELINE.json north star), all
+expressed as JVM-side Column expressions — no Python UDFs in the hot
+path, so they stay inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# tiny English stopword list for the language-ID / quality heuristics
+STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def avg_token_length(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    no_space = F.regexp_replace(c, r"\s+", "")
+    return F.length(no_space) / F.nullif(token_count(c).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(text: str | Column) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(c))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / F.nullif(F.length(c).cast("double"), F.lit(0.0))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality score: length band + stopword presence +
+    low punctuation (heuristic quality classifier for pretraining data)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    length_ok = (n >= 10) & (n <= 100000)
+    stop = stopword_ratio(c)
+    return F.round(
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.least(stop * 2, F.lit(0.4))
+        + F.when(punct_ratio(c) < 0.2, 0.2).otherwise(0.0),
+        4,
+    )
+
+
+def lang_id(text: str | Column) -> Column:
+    """N-gram/stopword language-ID heuristic: 'en' when English stopwords
+    are frequent, 'unknown' otherwise. (A real model slots in here as a
+    pandas UDF; the heuristic keeps the hot path JVM-side.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(stopword_ratio(c) > 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace/case-normalized text (content-defined identity for exact
+    dedup across formatting differences)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,77 @@
+"""Upsert / dedup view semantics over an append-only table.
+
+Reference semantics:
+- Upsert FULL: queries see only the latest row per primary key, resolved
+  by a comparison column (pinot-spi/.../config/table/UpsertConfig.java:36,
+  pinot-segment-local/.../upsert/ConcurrentMapPartitionUpsertMetadataManager.java).
+- Upsert PARTIAL: per-column mergers (OVERWRITE / SUM / MAX / ...) applied
+  across a key's rows (upsert/merger/PartialUpsertMerger.java).
+- Dedup: first row per primary key wins at ingestion
+  (pinot-segment-local/.../dedup/ConcurrentMapPartitionDedupMetadataManager.java).
+
+Spark-first design: these are window/groupBy views over the raw table —
+`row_number() OVER (PARTITION BY pk ORDER BY cmp DESC) = 1`. One shuffle
+on the pk; at 100 TB the pk partitioning of the underlying storage makes
+this shuffle-free with storage-partitioned reads.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _order(cols: list[str], desc: bool) -> list[Column]:
+    return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+
+
+def upsert_view(df: DataFrame, keys: list[str], comparison: list[str]) -> DataFrame:
+    """Latest-row-per-key view (upsert FULL mode). ``comparison`` is the
+    ordered list of tie-breaking columns, highest wins (include a unique
+    id last for determinism)."""
+    w = Window.partitionBy(*keys).orderBy(*_order(comparison, desc=True))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_view(df: DataFrame, keys: list[str], comparison: list[str]) -> DataFrame:
+    """First-row-per-key view (ingestion dedup). Earliest comparison wins."""
+    w = Window.partitionBy(*keys).orderBy(*_order(comparison, desc=False))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def partial_upsert_view(
+    df: DataFrame,
+    keys: list[str],
+    comparison: str,
+    mergers: dict[str, str],
+) -> DataFrame:
+    """Partial-upsert view: per-column merge across each key's rows.
+
+    ``mergers``: column → one of OVERWRITE (latest non-null wins, by
+    ``comparison``), SUM, MAX, MIN, UNION (collect_set).
+    """
+    aggs = []
+    for col, how in mergers.items():
+        how = how.upper()
+        if how == "OVERWRITE":
+            aggs.append(F.max_by(col, comparison).alias(col))
+        elif how == "SUM":
+            aggs.append(F.sum(col).alias(col))
+        elif how == "MAX":
+            aggs.append(F.max(col).alias(col))
+        elif how == "MIN":
+            aggs.append(F.min(col).alias(col))
+        elif how == "UNION":
+            aggs.append(F.array_sort(F.collect_set(col)).alias(col))
+        else:
+            raise ValueError(f"unknown merger {how} for {col}")
+    aggs.append(F.max(comparison).alias(comparison))
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,413 @@
+"""Aggregation-function surface (AggregationFunctionType.java:52-242 →
+Spark mapping per SURVEY.md §2.4): exact + approximate distinct counts,
+order statistics, moments, min/max-by, array aggs, histogram, MV variants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.queries import query, _r2, _r4, dsum2
+
+
+@query(
+    "agg_basic_family",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt, round(min(l_quantity), 2) AS min_q, round(max(l_quantity), 2) AS max_q,
+           round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2)::DOUBLE AS sum_q, round(avg(l_quantity), 4) AS avg_q,
+           round(max(l_quantity) - min(l_quantity), 2) AS minmaxrange_q,
+           min(l_returnflag || l_linestatus) AS min_str, max(l_returnflag || l_linestatus) AS max_str
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_basic_family(spark, sf_dir):
+    """COUNT/MIN/MAX/SUM/AVG + MINMAXRANGE + MINSTRING/MAXSTRING
+    (AggregationFunctionType.java:52-72)."""
+    t = load_tables(spark, sf_dir)
+    cc = F.concat(F.col("l_returnflag"), F.col("l_linestatus"))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            _r2(F.min("l_quantity")).alias("min_q"),
+            _r2(F.max("l_quantity")).alias("max_q"),
+            dsum2("l_quantity").alias("sum_q"),
+            _r4(F.avg("l_quantity")).alias("avg_q"),
+            _r2(F.max("l_quantity") - F.min("l_quantity")).alias("minmaxrange_q"),
+            F.min(cc).alias("min_str"),
+            F.max(cc).alias("max_str"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_distinct_family",
+    oracle="""
+    SELECT count(DISTINCT l_suppkey) AS dc_supp,
+           count(DISTINCT l_returnflag || l_linestatus) AS dc_flagstatus,
+           round(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))), 2)::DOUBLE AS dsum_qty,
+           round(avg(DISTINCT l_quantity), 4) AS davg_qty
+    FROM lineitem
+    """,
+)
+def agg_distinct_family(spark, sf_dir):
+    """DISTINCTCOUNT (exact) / DISTINCTSUM / DISTINCTAVG
+    (AggregationFunctionType.java:77-87)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count_distinct("l_suppkey").alias("dc_supp"),
+        F.count_distinct(F.concat("l_returnflag", "l_linestatus")).alias("dc_flagstatus"),
+        F.round(F.sum_distinct(F.col("l_quantity").cast("decimal(38,6)")), 2).cast("double").alias("dsum_qty"),
+        F.expr("round(avg(DISTINCT l_quantity), 4)").alias("davg_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate — no exact oracle; rows-only check
+def agg_approx_distinct(spark, sf_dir):
+    """DISTINCTCOUNTHLL / HLLPLUS / ULL → approx_count_distinct (HLL++),
+    plus Spark 3.5 hll_sketch_agg bytes (RAW-sketch analog)
+    (AggregationFunctionType.java:88-106)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_suppkey").alias("adc_supp"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_sketch_partkey"),
+    )
+
+
+@query(
+    "agg_firstlast_withtime",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, ts) AS last_value,
+           arg_min(value, ts) AS first_value,
+           arg_max(event_type, ts) AS last_type
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 50
+    """,
+)
+def agg_firstlast_withtime(spark, sf_dir):
+    """FIRSTWITHTIME / LASTWITHTIME → min_by/max_by over the time column
+    (AggregationFunctionType.java:68-71; ts is unique per user in this
+    dataset so the result is deterministic)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("event_type", "ts").alias("last_type"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+@query(
+    "agg_exprminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_exprminmax(spark, sf_dir):
+    """EXPRMIN / EXPRMAX → min_by/max_by (AggregationFunctionType.java:173-182;
+    o_totalprice ties broken identically because keys are unique floats)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT mode_val FROM (
+      SELECT l_quantity AS mode_val, count(*) AS c FROM lineitem GROUP BY l_quantity
+      ORDER BY c DESC, mode_val ASC LIMIT 1)
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """MODE (AggregationFunctionType.java:66) — implemented as group-count
+    + deterministic tie-break (smallest value), the same resolution Pinot
+    documents for MODE ties."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy(F.col("l_quantity").alias("mode_val"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("mode_val"))
+        .limit(1)
+        .select("mode_val")
+    )
+
+
+@query(
+    "agg_stats_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_samp,
+           round(stddev_pop(l_extendedprice), 2)  AS sd_pop,
+           round(var_samp(l_extendedprice), 2)    AS v_samp,
+           round(var_pop(l_extendedprice), 2)     AS v_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+           round(covar_pop(l_quantity, l_extendedprice), 2)  AS cov_p,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats_family(spark, sf_dir):
+    """STDDEV/VAR/COVAR pop+samp, CORR (AggregationFunctionType.java:146-151)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _r2(F.stddev_samp("l_extendedprice")).alias("sd_samp"),
+            _r2(F.stddev_pop("l_extendedprice")).alias("sd_pop"),
+            _r2(F.var_samp("l_extendedprice")).alias("v_samp"),
+            _r2(F.var_pop("l_extendedprice")).alias("v_pop"),
+            _r2(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_s"),
+            _r2(F.covar_pop("l_quantity", "l_extendedprice")).alias("cov_p"),
+            _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)::DOUBLE AS n,
+             avg(value) AS mu,
+             sum(pow(value, 2)) AS s2, sum(pow(value, 3)) AS s3, sum(pow(value, 4)) AS s4
+      FROM events)
+    SELECT round((s3/n - 3*mu*(s2/n) + 2*pow(mu,3)) / pow(s2/n - mu*mu, 1.5), 4) AS skew_pop,
+           round((s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*pow(mu,4)) / pow(s2/n - mu*mu, 2) - 3, 4) AS kurt_pop
+    FROM m
+    """,
+)
+def agg_skew_kurt(spark, sf_dir):
+    """SKEWNESS / KURTOSIS (AggregationFunctionType.java:153-155). Spark's
+    skewness/kurtosis are population-moment based; the oracle recomputes
+    the same definition from raw moments (DuckDB's built-ins are
+    sample-adjusted and would not match)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].agg(
+        _r4(F.skewness("value")).alias("skew_pop"),
+        _r4(F.kurtosis("value")).alias("kurt_pop"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           round(median(l_extendedprice), 4) AS med
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """PERCENTILE exact (AggregationFunctionType.java:122); PERCENTILEEST/
+    TDIGEST/KLL are the approximate variants (percentile_approx — separate
+    rows-only entry)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _r4(F.percentile("l_extendedprice", 0.5)).alias("p50"),
+            _r4(F.percentile("l_extendedprice", 0.9)).alias("p90"),
+            _r4(F.percentile("l_extendedprice", 0.99)).alias("p99"),
+            _r4(F.median("l_extendedprice")).alias("med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_percentile_approx")  # approximate — rows-only check
+def agg_percentile_approx(spark, sf_dir):
+    """PERCENTILEEST / PERCENTILETDIGEST / PERCENTILEKLL →
+    percentile_approx (AggregationFunctionType.java:123-134)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_est"),
+        F.percentile_approx("l_extendedprice", [0.9, 0.99], 10000).alias("p_hi_est"),
+    )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount < 0.1) AS all_low_disc,
+           bool_or(l_quantity > 45)   AS any_big_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bool_and_or(spark, sf_dir):
+    """BOOLAND / BOOLOR (AggregationFunctionType.java:168-169)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_discount") < 0.1).alias("all_low_disc"),
+            F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_listagg_arrayagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+           array_to_string(array_agg(n_name ORDER BY n_name), '|') AS names_arr
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_listagg_arrayagg(spark, sf_dir):
+    """ARRAYAGG / LISTAGG (AggregationFunctionType.java:185-186) with
+    deterministic ordering via array_sort(collect_list)."""
+    t = load_tables(spark, sf_dir)
+    sorted_names = F.array_sort(F.collect_list("n_name"))
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(sorted_names, ",").alias("names_csv"),
+            F.array_join(sorted_names, "|").alias("names_arr"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """HISTOGRAM with fixed-width buckets (AggregationFunctionType.java:144)
+    — bucket expression + group-count (the scalable form of width_bucket)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_sum_precision_decimal",
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(38, 6))), 2) AS sum_dec
+    FROM lineitem
+    """,
+)
+def agg_sum_precision_decimal(spark, sf_dir):
+    """SUMPRECISION → decimal-typed sum (AggregationFunctionType.java:64;
+    BIG_DECIMAL stored type per FieldSpec.java)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2).cast("double").alias("sum_dec")
+    )
+
+
+@query(
+    "agg_mv_variants",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS count_mv,
+           round(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)::DOUBLE), 'sum'), 2) AS sum_mv,
+           list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'max') AS max_mv,
+           list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'min') AS min_mv
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """,
+)
+def agg_mv_variants(spark, sf_dir):
+    """MV aggregation variants COUNTMV/SUMMV/MINMV/MAXMV
+    (AggregationFunctionType.java:205-240): systematic rule aggMV(x) =
+    agg over the flattened array, computed JVM-side with higher-order
+    functions (no explode/shuffle needed for per-row MV aggs)."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    lensd = F.transform(toks, lambda x: F.length(x).cast("double"))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.size(toks).alias("count_mv"),
+            _r2(F.aggregate(lensd, F.lit(0.0), lambda a, x: a + x)).alias("sum_mv"),
+            F.array_max(lens).alias("max_mv"),
+            F.array_min(lens).alias("min_mv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "agg_sum_array",
+    oracle="""
+    SELECT lab AS label, round(list_aggregate(list_transform(sum_vec, x -> round(x, 3)), 'sum'), 2) AS checksum, n
+    FROM (
+      SELECT label AS lab, count(*) AS n,
+             [sum(embedding[1]), sum(embedding[2]), sum(embedding[3]), sum(embedding[4])] AS sum_vec
+      FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings)
+      GROUP BY label)
+    ORDER BY label
+    """,
+)
+def agg_sum_array(spark, sf_dir):
+    """SUMARRAYLONG / SUMARRAYDOUBLE — element-wise array sum
+    (AggregationFunctionType.java:188-189): partial/final element-wise
+    vector addition via zip_with in an aggregate (first 4 dims checked)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    summed = emb.groupBy(F.col("label")).agg(
+        F.count("*").alias("n"),
+        F.array(*[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(4)]).alias("sum_vec"),
+    )
+    checksum = F.aggregate(
+        F.transform("sum_vec", lambda x: F.round(x, 3)), F.lit(0.0), lambda a, x: a + x
+    )
+    return summed.select("label", _r2(checksum).alias("checksum"), "n").orderBy("label")
+
+
+@query(
+    "agg_count_by_segment_partition",
+    oracle="""
+    SELECT count(DISTINCT l_orderkey) AS dc_order FROM lineitem
+    """,
+)
+def agg_count_by_segment_partition(spark, sf_dir):
+    """SEGMENTPARTITIONEDDISTINCTCOUNT (AggregationFunctionType.java:87):
+    when data is partitioned by the key, distinct-count = sum of per-
+    partition distinct counts. Spark: exact count_distinct — AQE handles
+    the partial/final split; on a bucketed table the shuffle disappears."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(F.count_distinct("l_orderkey").alias("dc_order"))

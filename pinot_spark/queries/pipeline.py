@@ -1,0 +1,300 @@
+"""Training-data pipeline operators as queries (BASELINE.json north star):
+deduplication (exact / MinHash-LSH / SimHash), similarity search,
+text analysis, multimodal plumbing — over documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.operators import text as T
+from pinot_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    simhash_dedup,
+)
+from pinot_spark.operators.similarity import (
+    cosine_similarity,
+    topk_cosine,
+    topk_cosine_ivf,
+)
+from pinot_spark.queries import query, _r2, _r4
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_unique
+    FROM (
+      SELECT d.doc_id FROM documents d
+      JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, min(doc_id) AS keep_id
+            FROM documents GROUP BY fp) k
+        ON d.doc_id = k.keep_id)
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint: hash-groupBy keeps
+    min-id per group (operators/dedup.py dedup_exact)."""
+    t = load_tables(spark, sf_dir)
+    kept = dedup_exact(t["documents"], "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_docs"), F.count_distinct("doc_id").alias("n_unique")
+    )
+
+
+@query("dedup_minhash_lsh_pairs")  # LSH banding is engine-specific — rows-only check
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket-join),
+    verified by true n-gram Jaccard ≥ 0.8 (operators/dedup.py). The word-
+    soup corpus has no true near-dups, so this exercises the full plan and
+    returns the (possibly empty) verified pair set plus candidate stats."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        _r4(F.avg("jaccard")).alias("avg_jaccard"),
+    )
+
+
+@query("dedup_simhash_buckets")  # hash-specific — rows-only check
+def dedup_simhash_buckets(spark, sf_dir):
+    """SimHash signature dedup (operators/dedup.py simhash): count of
+    surviving docs after exact-signature bucketing."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    return simhash_dedup(docs, "text", "doc_id").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+                FROM documents WHERE doc_id < 60)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+          len(list_distinct(list_concat(a.toks, b.toks))) > 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard similarity pairs above threshold (the verification
+    stage of near-dup detection, exact form; 1-gram shingles so the oracle
+    is SQL-expressible)."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias("toks"))
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac > 0.9)
+        .select("id_a", "id_b", _r4(jac).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS sim
+      FROM embeddings e CROSS JOIN q)
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-k over array<float> embeddings
+    (VECTOR_SIMILARITY predicate / VectorFunctions — SURVEY.md §2.3):
+    JVM-side zip_with/aggregate math + TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return topk_cosine(t["embeddings"], "embedding", "vec_id", qvec, k=10)
+
+
+@query("similarity_topk_ivf")  # approximate (bucketed probe) — rows-only check
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-k (the 100 TB scale path: probe only
+    nearest coarse-quantizer buckets; bucket = storage partition key)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select("embedding").collect()
+    ]
+    return topk_cosine_ivf(emb, "embedding", "vec_id", qvec, cents, k=5, nprobe=2)
+
+
+@query(
+    "similarity_pairwise_label",
+    oracle="""
+    SELECT e1.label AS label_a, e2.label AS label_b,
+           round(avg(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[])))), 4) AS avg_sim
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+    WHERE e1.vec_id < 40 AND e2.vec_id < 40
+    GROUP BY label_a, label_b ORDER BY label_a, label_b
+    """,
+)
+def similarity_pairwise_label(spark, sf_dir):
+    """Pairwise cosine between labeled groups (embedding-cosine near-dup
+    verification shape — avg similarity per label pair)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 40)
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("label").alias("label_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("label").alias("label_b"), F.col("embedding").alias("eb"))
+    sim = cosine_similarity("ea", "eb")
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .groupBy("label_a", "label_b")
+        .agg(_r4(F.avg(sim)).alias("avg_sim"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+           max(len(string_split(trim(text), ' '))) AS max_tokens,
+           round(avg(length(replace(text, ' ', ''))::DOUBLE / len(string_split(trim(text), ' '))), 4) AS avg_tok_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + length stats per language (operators/text.py —
+    whitespace tokenizer, JVM-side). The tokenization is projected ONCE
+    before the aggregate — expressions like avg(size(split(..))) would
+    otherwise re-split the document per referencing expression (no CSE
+    across aggregate children), a 10× cost on long documents."""
+    t = load_tables(spark, sf_dir)
+    per_doc = t["documents"].select(
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _r4(F.avg("n_tok")).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            _r4(F.avg(F.col("n_nonspace") / F.col("n_tok"))).alias("avg_tok_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('a','an','the','and','or','of','to','in','is','it')))::DOUBLE /
+               len(string_split(lower(text), ' ')) AS stop_ratio
+      FROM documents)
+    SELECT doc_id,
+           round((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+                 + least(stop_ratio * 2, 0.4) + 0.2, 4) AS quality
+    FROM scored WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Heuristic quality scoring (length band + stopword ratio + punct;
+    operators/text.py quality_score — all codegen'd expressions)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", T.quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('a','an','the','and','or','of','to','in','is','it')))::DOUBLE /
+                  len(string_split(lower(text), ' ')) > 0.05
+                THEN 'en' ELSE 'unknown' END AS detected,
+           count(*) AS n
+    FROM documents GROUP BY detected ORDER BY detected
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic distribution (operators/text.py lang_id)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(T.lang_id("text").alias("detected"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("detected")
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    """Content-defined document fingerprint (operators/text.py fingerprint:
+    md5 over normalized text — identical hex across engines)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", T.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query("multimodal_feature_extract")  # stubbed decoder — rows-only check
+def multimodal_feature_extract(spark, sf_dir):
+    """Multimodal plumbing end-to-end (operators/multimodal.py): binary
+    payload column + typed metadata → mapInPandas feature extraction with
+    the deterministic fake decoder (real decoder is a stub —
+    NotImplementedError — since no imaging libs ship in this container)."""
+    from pinot_spark.operators.multimodal import extract_features
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+        "decode_ok",
+    ).orderBy(F.col("media_id").cast("int"))

@@ -1,0 +1,386 @@
+"""Scalar/transform function surface (SURVEY.md §2.8,
+TransformFunctionType.java:46-258 + @ScalarFunction library): string,
+datetime, math, JSON, regex, hash, MV/array filter semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.queries import query, _r2, _r4
+
+
+@query(
+    "fn_string_family",
+    oracle="""
+    SELECT n_name,
+           upper(n_name) AS up, lower(n_name) AS lo,
+           substr(n_name, 1, 3) AS sub3,
+           length(n_name) AS len,
+           strpos(n_name, 'A') AS pos_a,
+           concat(n_name, '-', CAST(n_nationkey AS VARCHAR)) AS tagged,
+           reverse(n_name) AS rev,
+           replace(n_name, 'A', '@') AS repl,
+           lpad(n_name, 12, '.') AS pad,
+           trim('  ' || n_name || ' ') AS trimmed,
+           split_part(n_name, 'A', 1) AS first_part,
+           levenshtein(n_name, 'CHINA') AS lev_china,
+           starts_with(n_name, 'C') AS starts_c,
+           contains(n_name, 'AN') AS has_an
+    FROM nation ORDER BY n_name
+    """,
+)
+def fn_string_family(spark, sf_dir):
+    """StringFunctions.java (72 fns @ 1192 LoC): upper/lower/substr/strpos/
+    concat/reverse/replace/lpad/trim/splitPart/levenshtein/startsWith/contains."""
+    t = load_tables(spark, sf_dir)
+    n = F.col("n_name")
+    return (
+        t["nation"]
+        .select(
+            "n_name",
+            F.upper(n).alias("up"),
+            F.lower(n).alias("lo"),
+            F.substring(n, 1, 3).alias("sub3"),
+            F.length(n).alias("len"),
+            F.instr(n, "A").alias("pos_a"),
+            F.concat(n, F.lit("-"), F.col("n_nationkey").cast("string")).alias("tagged"),
+            F.reverse(n).alias("rev"),
+            F.replace(n, F.lit("A"), F.lit("@")).alias("repl"),
+            F.lpad(n, 12, ".").alias("pad"),
+            F.trim(F.concat(F.lit("  "), n, F.lit(" "))).alias("trimmed"),
+            F.split_part(n, F.lit("A"), F.lit(1)).alias("first_part"),
+            F.levenshtein(n, F.lit("CHINA")).alias("lev_china"),
+            F.startswith(n, F.lit("C")).alias("starts_c"),
+            F.contains(n, F.lit("AN")).alias("has_an"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "fn_datetime_family",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow, quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('week', o_orderdate)  AS DATE) AS week_start,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_millis,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_family(spark, sf_dir):
+    """DateTimeFunctions.java (134 fns): year/month/day/dayOfWeek/quarter,
+    dateTrunc, toEpochMillis, dateAdd, dateDiff (epoch conversions are the
+    Pinot-critical path since TIMESTAMP stores epoch-millis)."""
+    t = load_tables(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.year(od).alias("y"),
+            F.month(od).alias("m"),
+            F.dayofmonth(od).alias("d"),
+            F.dayofweek(od).alias("dow"),
+            F.quarter(od).alias("q"),
+            F.date_trunc("month", od).cast("date").alias("month_start"),
+            F.date_trunc("week", od).cast("date").alias("week_start"),
+            (F.unix_timestamp(od) * 1000).alias("epoch_millis"),
+            F.date_add(od.cast("date"), 30).alias("plus_30d"),
+            F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fn_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_quantity - 25), 2) AS abs_dev,
+           ceil(l_discount * 100) AS ceil_disc, floor(l_tax * 100) AS floor_tax,
+           round(sqrt(l_quantity), 4) AS sqrt_q,
+           round(exp(l_discount), 4) AS exp_d,
+           round(ln(l_extendedprice), 4) AS ln_p,
+           round(pow(l_quantity, 2), 2) AS q_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS mod7,
+           least(l_quantity, 25.0) AS least_q, greatest(l_quantity, 25.0) AS greatest_q,
+           sign(l_quantity - 25) AS sgn
+    FROM lineitem WHERE l_orderkey < 30 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math_family(spark, sf_dir):
+    """ArithmeticFunctions.java (38 fns): abs/ceil/floor/sqrt/exp/ln/power/
+    mod/least/greatest/sign."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 30)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _r2(F.abs(q - 25)).alias("abs_dev"),
+            F.ceil(F.col("l_discount") * 100).alias("ceil_disc"),
+            F.floor(F.col("l_tax") * 100).alias("floor_tax"),
+            _r4(F.sqrt(q)).alias("sqrt_q"),
+            _r4(F.exp("l_discount")).alias("exp_d"),
+            _r4(F.log("l_extendedprice")).alias("ln_p"),
+            _r2(F.pow(q, 2)).alias("q_sq"),
+            (q.cast("bigint") % 7).alias("mod7"),
+            F.least(q, F.lit(25.0)).alias("least_q"),
+            F.greatest(q, F.lit(25.0)).alias("greatest_q"),
+            F.signum(q - 25).alias("sgn"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events WHERE event_id < 50 ORDER BY event_id
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """jsonExtractScalar with type coercion + default-on-missing
+    (JsonFunctions.java, TransformFunctionType:104-118) →
+    get_json_object / from_json."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 50)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+            F.get_json_object("props", "$.missing").alias("missing_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_json_match_rewrite",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 20
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_json_match_rewrite(spark, sf_dir):
+    """JSON_MATCH predicate → json-path extraction + comparison rewrite
+    (JsonMatchFilterOperator.java; SURVEY.md §2.3 'custom rewrite,
+    built-in eval')."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.get_json_object("props", "$.k").cast("int").between(10, 20))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "fn_regex_family",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^p.*[0-9]$') AS like_pat
+    FROM part WHERE p_partkey < 50 ORDER BY p_partkey
+    """,
+)
+def fn_regex_family(spark, sf_dir):
+    """REGEXP_LIKE / regexpExtract / regexpReplace
+    (TransformFunctionType:190, RegexpLikePredicateEvaluator)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+            F.col("p_name").rlike(r"^p.*[0-9]$").alias("like_pat"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+    SELECT n_name,
+           md5(n_name) AS md5_hex,
+           sha256(n_name) AS sha256_hex
+    FROM nation ORDER BY n_name
+    """,
+)
+def fn_hash_family(spark, sf_dir):
+    """HashFunctions.java (33 fns): md5/sha256 (hex-string outputs match
+    across engines; murmur/crc are engine-specific — covered by xxhash64
+    in the dedup operators)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .select(
+            "n_name",
+            F.md5(F.col("n_name").cast("binary")).alias("md5_hex"),
+            F.sha2(F.col("n_name").cast("binary"), 256).alias("sha256_hex"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "fn_conditional_null",
+    oracle="""
+    SELECT e1.event_id,
+           coalesce(nullif(e1.event_type, 'error'), 'unknown') AS clean_type,
+           CASE WHEN e1.value IS NULL THEN -1.0 ELSE e1.value END AS value_or_neg,
+           (e1.event_type IS NOT DISTINCT FROM 'view') AS is_view_nsafe
+    FROM events e1 WHERE e1.event_id < 40 ORDER BY e1.event_id
+    """,
+)
+def fn_conditional_null(spark, sf_dir):
+    """COALESCE / NULLIF / IS NOT DISTINCT FROM (ObjectFunctions.java,
+    TransformFunctionType:79-96 null-safe comparisons)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias("clean_type"),
+            F.when(F.col("value").isNull(), -1.0).otherwise(F.col("value")).alias("value_or_neg"),
+            F.col("event_type").eqNullSafe("view").alias("is_view_nsafe"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "mv_any_match_filter",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark') AND doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def mv_any_match_filter(spark, sf_dir):
+    """MV inclusive-predicate semantics: row matches if ANY element matches
+    (BaseRawValueBasedPredicateEvaluator.java:72-85,
+    MVScanDocIdIterator.java:170-260) → exists()/array_contains, NOT a
+    plain equality on the array."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    return (
+        t["documents"]
+        .filter(F.exists(toks, lambda x: x == "spark") & (F.col("doc_id") < 200))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mv_all_match_exclusive_filter",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x = 'spark')) = 0 AND doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def mv_all_match_exclusive_filter(spark, sf_dir):
+    """MV exclusive-predicate semantics (NOT_EQ): row matches only if ALL
+    elements differ → forall() (the dual of any-match)."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    return (
+        t["documents"]
+        .filter(F.forall(toks, lambda x: x != "spark") & (F.col("doc_id") < 100))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mv_array_functions",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS first_distinct,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+           coalesce(list_position(string_split(text, ' '), 'value'), 0) AS value_pos
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """,
+)
+def mv_array_functions(spark, sf_dir):
+    """ArrayFunctions.java (52 fns): arrayDistinct/arraySlice/arrayContains/
+    arrayIndexOf/arraySort via Spark array_* + higher-order functions."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.array_sort(F.array_distinct(toks))[0].alias("first_distinct"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+            F.array_position(toks, "value").alias("value_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fn_in_not_in_range",
+    oracle="""
+    SELECT count(*) FILTER (WHERE l_returnflag IN ('A', 'R')) AS n_in,
+           count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'R')) AS n_not_in,
+           count(*) FILTER (WHERE l_quantity BETWEEN 10 AND 20) AS n_range,
+           count(*) FILTER (WHERE l_shipdate IS NOT NULL) AS n_notnull
+    FROM lineitem
+    """,
+)
+def fn_in_not_in_range(spark, sf_dir):
+    """Predicate types EQ/IN/NOT_IN/RANGE/IS_NULL
+    (pinot-common/.../predicate/ — SURVEY.md §2.3)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.agg(
+        F.count(F.when(F.col("l_returnflag").isin("A", "R"), 1)).alias("n_in"),
+        F.count(F.when(~F.col("l_returnflag").isin("A", "R"), 1)).alias("n_not_in"),
+        F.count(F.when(F.col("l_quantity").between(10, 20), 1)).alias("n_range"),
+        F.count(F.when(F.col("l_shipdate").isNotNull(), 1)).alias("n_notnull"),
+    )
+
+
+@query(
+    "fn_text_match_like",
+    oracle="""
+    SELECT count(*) AS n_match FROM documents
+    WHERE text LIKE '%spark%fast%' OR regexp_matches(text, 'join.*merge')
+    """,
+)
+def fn_text_match_like(spark, sf_dir):
+    """TEXT_MATCH predicate (TextMatchFilterOperator, Lucene) → LIKE/rlike
+    scan path (SURVEY.md §2.3: text search maps to rlike/UDF)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].filter(
+        F.col("text").like("%spark%fast%") | F.col("text").rlike("join.*merge")
+    ).agg(F.count("*").alias("n_match"))

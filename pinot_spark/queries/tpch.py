@@ -1,50 +1,15 @@
-"""Query inventory: the SURVEY.md §2 operator coverage, one named query per
-operator/capability, each with a DuckDB oracle SQL twin.
-
-This module is the registry behind ``__spark_entry__.queries()`` /
-``oracle_sql()`` and the pytest correctness gate. Every query:
-- takes (spark, sf_dir) and returns a DataFrame (lazy — caller collects);
-- aliases every computed column identically to its oracle;
-- rounds float aggregates (2dp for money sums, 4dp for ratios/avgs) so
-  Spark's partial/final aggregation order vs DuckDB's does not flip the
-  driver's value hash.
-
-Scale note: all queries are pure DataFrame/SQL plans — Catalyst handles
-pushdown/pruning/broadcast; nothing here collects to the driver.
+"""TPC-H-shaped core relational queries (SSE+MSE parity: scan, filter,
+agg, group-by, order-by, join — reference: TPCHQueryIntegrationTest.java:56).
+Adapted to the driver's synthetic star schema (dates span 1995-2001).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from pinot_spark.catalog import load_tables
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle SQL)."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
-
-
-def _r2(c):  # money-sum rounding
-    return F.round(c, 2)
-
-
-def _r4(c):  # ratio/avg rounding
-    return F.round(c, 4)
-
+from pinot_spark.queries import query, _r2, _r4, dsum2
 
 # ---------------------------------------------------------------------------
 # TPC-H-shaped core relational queries (SSE+MSE parity: scan, filter, agg,
@@ -56,10 +21,10 @@ def _r4(c):  # ratio/avg rounding
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2)::DOUBLE                                          AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)::DOUBLE                                     AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2)::DOUBLE                  AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2)::DOUBLE    AS sum_charge,
            round(avg(l_quantity), 4)                                          AS avg_qty,
            round(avg(l_extendedprice), 4)                                     AS avg_price,
            round(avg(l_discount), 4)                                          AS avg_disc,
@@ -84,10 +49,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(charge)).alias("sum_charge"),
+            dsum2("l_quantity").alias("sum_qty"),
+            dsum2("l_extendedprice").alias("sum_base_price"),
+            dsum2(disc_price).alias("sum_disc_price"),
+            dsum2(charge).alias("sum_charge"),
             _r4(F.avg("l_quantity")).alias("avg_qty"),
             _r4(F.avg("l_extendedprice")).alias("avg_price"),
             _r4(F.avg("l_discount")).alias("avg_disc"),
@@ -100,7 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -118,7 +83,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -126,7 +91,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            CAST(o_orderdate AS DATE)                         AS orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -150,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -164,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2)::DOUBLE AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -197,6 +162,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )

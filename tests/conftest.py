@@ -56,6 +56,8 @@ def _norm(v):
         if math.isnan(v):
             return None  # pandas NULL floats surface as NaN
         return round(v, 4)
+    if v != v or repr(v) == "NaT":  # pandas NaT / other NA sentinels
+        return None
     if hasattr(v, "isoformat"):
         s = v.isoformat()[:26]
         # date vs midnight-timestamp representational difference
