@@ -1,0 +1,154 @@
+"""Aggregation function registry: Pinot AggregationFunctionType name →
+Spark aggregate Column builder (AggregationFunctionType.java:52-242;
+impls in pinot-core/.../query/aggregation/function/, 107 files).
+
+The partial/final merge contract (AggregationFunction.java:63,86,132,137
+aggregate → merge → extractFinalResult) is exactly Spark's partial/final
+HashAggregate — every builder here returns a declarative aggregate and
+Catalyst supplies the two-phase execution.
+
+MV variants follow the systematic rule (SURVEY.md §2.4): aggMV(x) =
+agg over the flattened array; implemented with higher-order functions
+pre-aggregating per row where possible (no explode shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def _canon(name: str) -> str:
+    return name.replace("_", "").lower()
+
+
+AGG_FUNCTIONS: dict[str, Callable[..., Column]] = {}
+
+
+def _reg(*names):
+    def deco(fn):
+        for n in names:
+            AGG_FUNCTIONS[_canon(n)] = fn
+        return fn
+
+    return deco
+
+
+def agg_call(name: str, *args) -> Column:
+    """Invoke a Pinot-named aggregation on Spark columns."""
+    fn = AGG_FUNCTIONS.get(_canon(name))
+    if fn is None:
+        raise KeyError(f"unknown Pinot aggregation function: {name}")
+    return fn(*args)
+
+
+# --- basic (AggregationFunctionType.java:52-72) -----------------------------
+_reg("count")(lambda c="*": F.count(c if isinstance(c, str) else c))
+# Pinot SUM/MIN/MAX/AVG return DOUBLE (BaseSingleInputAggregationFunction)
+_reg("sum")(lambda c: F.sum(_c(c).cast("double")))
+_reg("min")(lambda c: F.min(_c(c).cast("double")))
+_reg("max")(lambda c: F.max(_c(c).cast("double")))
+_reg("avg")(lambda c: F.avg(_c(c).cast("double")))
+_reg("sumint", "sumlong")(lambda c: F.sum(_c(c).cast("long")))
+_reg("minlong")(lambda c: F.min(_c(c).cast("long")))
+_reg("maxlong")(lambda c: F.max(_c(c).cast("long")))
+_reg("minstring")(lambda c: F.min(_c(c).cast("string")))
+_reg("maxstring")(lambda c: F.max(_c(c).cast("string")))
+_reg("sumprecision")(lambda c, *a: F.sum(_c(c).cast("decimal(38,18)")))
+_reg("minmaxrange")(lambda c: F.max(_c(c).cast("double")) - F.min(_c(c).cast("double")))
+_reg("anyvalue")(lambda c: F.any_value(_c(c)))
+_reg("mode")(lambda c: F.mode(_c(c)))
+
+# --- first/last with time, exprmin/max (:68-71, :173-182) -------------------
+_reg("firstwithtime")(lambda c, t, *dt: F.min_by(_c(c), _c(t)))
+_reg("lastwithtime")(lambda c, t, *dt: F.max_by(_c(c), _c(t)))
+_reg("exprmin")(lambda out, by, *more: F.min_by(_c(out), _c(by)))
+_reg("exprmax")(lambda out, by, *more: F.max_by(_c(out), _c(by)))
+
+# --- distinct family (:77-106) ----------------------------------------------
+_reg("distinctcount", "distinctcountbitmap", "distinctcountoffheap",
+     "segmentpartitioneddistinctcount")(lambda c: F.count_distinct(_c(c)))
+_reg("distinctsum")(lambda c: F.sum_distinct(_c(c).cast("double")))
+_reg("distinctavg")(lambda c: F.try_divide(F.sum_distinct(_c(c).cast("double")), F.count_distinct(_c(c))))
+_reg("distinctcounthll", "distinctcounthllplus", "distinctcountull",
+     "distinctcountsmarthll")(lambda c, *a: F.approx_count_distinct(_c(c)))
+_reg("distinctcountrawhll", "distinctcountrawhllplus")(lambda c, *a: F.hll_sketch_agg(_c(c)))
+_reg("distinctcountthetasketch", "distinctcountcpcsketch",
+     "distinctcounttuplesketch")(lambda c, *a: F.approx_count_distinct(_c(c)))
+
+# --- percentiles (:122-140) -------------------------------------------------
+_reg("percentile")(lambda c, p: F.percentile(_c(c), F.lit(float(p) / 100 if not isinstance(p, Column) else p)))
+_reg("percentileest", "percentiletdigest", "percentilekll",
+     "percentilesmarttdigest")(lambda c, p, *a: F.percentile_approx(_c(c), F.lit(float(p) / 100), F.lit(10000)))
+_reg("median")(lambda c: F.median(_c(c)))
+
+# --- stats (:146-155) -------------------------------------------------------
+_reg("covarpop")(lambda a, b: F.covar_pop(_c(a), _c(b)))
+_reg("covarsamp")(lambda a, b: F.covar_samp(_c(a), _c(b)))
+_reg("varpop")(lambda c: F.var_pop(_c(c)))
+_reg("varsamp")(lambda c: F.var_samp(_c(c)))
+_reg("stddevpop")(lambda c: F.stddev_pop(_c(c)))
+_reg("stddevsamp")(lambda c: F.stddev_samp(_c(c)))
+_reg("skewness")(lambda c: F.skewness(_c(c)))
+_reg("kurtosis")(lambda c: F.kurtosis(_c(c)))
+@_reg("fourthmoment")
+def _fourth_moment(c):
+    # central 4th moment from raw moments: E[x⁴]−4E[x]E[x³]+6E[x]²E[x²]−3E[x]⁴
+    x = _c(c).cast("double")
+    m1, m2, m3, m4 = (F.avg(F.pow(x, i)) for i in (1, 2, 3, 4))
+    return m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)
+
+# --- boolean (:168-169) -----------------------------------------------------
+_reg("booland")(lambda c: F.bool_and(_c(c)))
+_reg("boolor")(lambda c: F.bool_or(_c(c)))
+
+# --- collections (:141, :185-186) -------------------------------------------
+_reg("arrayagg")(lambda c, *a: F.array_sort(F.collect_list(_c(c))))
+_reg("listagg")(lambda c, sep=",": F.array_join(F.array_sort(F.collect_list(_c(c))), sep))
+_reg("idset")(lambda c, *a: F.array_sort(F.collect_set(_c(c))))
+_reg("histogram")(lambda c, width: F.count("*"))  # use with groupBy(floor(c/width)) — see agg_histogram query
+
+# --- element-wise array sums (:188-189) -------------------------------------
+_reg("sumarraylong")(
+    lambda c: F.aggregate(
+        F.collect_list(_c(c)),
+        F.expr("cast(array() as array<bigint>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<bigint>")).otherwise(
+            F.zip_with(acc, x, lambda a, b: a + b.cast("bigint"))
+        ),
+    )
+)
+_reg("sumarraydouble")(
+    lambda c: F.aggregate(
+        F.collect_list(_c(c)),
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<double>")).otherwise(
+            F.zip_with(acc, x, lambda a, b: a + b.cast("double"))
+        ),
+    )
+)
+
+# --- frequent items (:158-160): exact heavy-hitters via count/top-k ---------
+_reg("frequentstringssketch", "frequentlongssketch")(lambda c, *a: F.count("*"))
+
+# --- MV variants (:205-240): aggMV(x) = agg(flatten(x)) ---------------------
+_ARRSUM = lambda c: F.aggregate(_c(c), F.lit(0.0), lambda a, x: a + x.cast("double"))  # noqa: E731
+_reg("countmv")(lambda c: F.sum(F.size(_c(c))))
+_reg("summv")(lambda c: F.sum(_ARRSUM(c)))
+_reg("minmv")(lambda c: F.min(F.array_min(_c(c)).cast("double")))
+_reg("maxmv")(lambda c: F.max(F.array_max(_c(c)).cast("double")))
+_reg("avgmv")(lambda c: F.try_divide(F.sum(_ARRSUM(c)), F.sum(F.size(_c(c)))))
+_reg("minmaxrangemv")(
+    lambda c: F.max(F.array_max(_c(c)).cast("double")) - F.min(F.array_min(_c(c)).cast("double"))
+)
+_reg("distinctcountmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
+_reg("distinctcounthllmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
+_reg("distinctsummv")(
+    lambda c: _ARRSUM(F.array_distinct(F.flatten(F.collect_list(_c(c)))))
+)

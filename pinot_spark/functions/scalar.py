@@ -1,0 +1,351 @@
+"""Scalar function registry: Pinot name → Spark Column builder.
+
+References (names per family):
+- string:   pinot-common/.../function/scalar/StringFunctions.java (72 fns)
+- datetime: DateTimeFunctions.java (134 fns)
+- math:     ArithmeticFunctions.java (38), TrigonometricFunctions.java (16)
+- json:     JsonFunctions.java (26) + TransformFunctionType:104-118
+- array:    ArrayFunctions.java (52) + TransformFunctionType:162-172
+- hash:     HashFunctions.java (33)
+- url:      UrlFunctions.java (30)
+- binary:   DataTypeConversionFunctions.java (9)
+- object:   ObjectFunctions.java (7), LogicalFunctions.java
+- vector:   VectorFunctions.java (10) + TransformFunctionType:233-239
+- map/item: TransformFunctionType:174,256
+
+All builders are positional: call(name, *args) with Column (or literal)
+args, mirroring Pinot's call syntax. Names are case-insensitive like
+Pinot's FunctionRegistry (canonical form strips '_' and lowercases).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(x) -> Column:
+    """Coerce a literal to Column."""
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _canon(name: str) -> str:
+    return name.replace("_", "").lower()
+
+
+SCALAR_FUNCTIONS: dict[str, Callable[..., Column]] = {}
+
+
+def _reg(*names):
+    def deco(fn):
+        for n in names:
+            SCALAR_FUNCTIONS[_canon(n)] = fn
+        return fn
+
+    return deco
+
+
+def call(name: str, *args) -> Column:
+    """Invoke a Pinot-named scalar function on Spark columns/literals."""
+    fn = SCALAR_FUNCTIONS.get(_canon(name))
+    if fn is None:
+        raise KeyError(f"unknown Pinot scalar function: {name}")
+    return fn(*args)
+
+
+# ---------------------------------------------------------------------------
+# string (StringFunctions.java)
+# ---------------------------------------------------------------------------
+
+_reg("upper")(lambda s: F.upper(_c(s)))
+_reg("lower")(lambda s: F.lower(_c(s)))
+_reg("reverse")(lambda s: F.reverse(_c(s)))
+@_reg("substr", "substring")
+def _substr(s, start, length=None):
+    # Pinot substr is 0-based start (StringFunctions.java substr); Spark is 1-based
+    if length is None:
+        return F.substring(_c(s), _c(start) + F.lit(1), F.lit(2147483647))
+    return F.substring(_c(s), _c(start) + F.lit(1), _c(length))
+
+
+_reg("strpos", "instr")(lambda s, sub: F.instr(_c(s), _c(sub)))
+_reg("concat")(lambda *xs: F.concat(*[_c(x) for x in xs]))
+_reg("concatws")(lambda sep, *xs: F.concat_ws(sep if isinstance(sep, str) else sep, *[_c(x) for x in xs]))
+_reg("trim")(lambda s: F.trim(_c(s)))
+_reg("ltrim")(lambda s: F.ltrim(_c(s)))
+_reg("rtrim")(lambda s: F.rtrim(_c(s)))
+_reg("length")(lambda s: F.length(_c(s)))
+_reg("replace")(lambda s, a, b: F.replace(_c(s), _c(a), _c(b)))
+_reg("lpad")(lambda s, n, p: F.lpad(_c(s), n, p))
+_reg("rpad")(lambda s, n, p: F.rpad(_c(s), n, p))
+_reg("codepoint")(lambda s: F.ascii(_c(s)))
+_reg("chr")(lambda n: F.char(_c(n)))
+_reg("startswith")(lambda s, p: F.startswith(_c(s), _c(p)))
+_reg("endswith")(lambda s, p: F.endswith(_c(s), _c(p)))
+_reg("contains")(lambda s, p: F.contains(_c(s), _c(p)))
+_reg("split")(lambda s, d: F.split(_c(s), d))
+_reg("splitpart")(lambda s, d, i: F.split_part(_c(s), _c(d), _c(i) + F.lit(1)))  # Pinot 0-based
+_reg("repeat")(lambda s, n: F.repeat(_c(s), _c(n)))
+_reg("remove")(lambda s, x: F.replace(_c(s), _c(x), F.lit("")))
+_reg("hammingdistance")(
+    lambda a, b: F.when(
+        F.length(_c(a)) == F.length(_c(b)),
+        F.size(
+            F.filter(
+                F.zip_with(F.split(_c(a), ""), F.split(_c(b), ""), lambda x, y: x != y),
+                lambda v: v,
+            )
+        ),
+    ).otherwise(F.lit(-1))
+)
+_reg("levenshtein")(lambda a, b: F.levenshtein(_c(a), _c(b)))
+_reg("strleft", "left")(lambda s, n: F.substring(_c(s), 1, _c(n)))
+_reg("strright", "right")(lambda s, n: F.substring(_c(s), -_c(n), _c(n)))
+_reg("normalize")(lambda s: F.lower(F.trim(_c(s))))
+_reg("isjson")(lambda s: F.try_parse_json(_c(s)).isNotNull())
+_reg("prefixes")(
+    lambda s, maxlen: F.transform(
+        F.sequence(F.lit(1), F.least(F.length(_c(s)), _c(maxlen))),
+        lambda i: F.substring(_c(s), F.lit(1), i),
+    )
+)
+_reg("suffixes")(
+    lambda s, maxlen: F.transform(
+        F.sequence(F.lit(1), F.least(F.length(_c(s)), _c(maxlen))),
+        lambda i: F.substring(_c(s), -i, i),
+    )
+)
+_reg("ngrams")(
+    lambda s, n: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(_c(s)) - _c(n) + F.lit(1), F.lit(0))),
+        lambda i: F.substring(_c(s), i, _c(n)),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# datetime (DateTimeFunctions.java; Pinot TIMESTAMP == epoch millis)
+# ---------------------------------------------------------------------------
+
+_EPOCH_UNITS = {
+    "seconds": 1_000,
+    "minutes": 60_000,
+    "hours": 3_600_000,
+    "days": 86_400_000,
+}
+
+
+def _millis(ts) -> Column:
+    c = _c(ts)
+    return (F.unix_timestamp(c) * 1000 + F.date_format(c, "SSS").cast("long")).cast("long")
+
+
+_reg("now")(lambda: (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long"))
+_reg("toepochmillis")(_millis)
+for _u, _d in _EPOCH_UNITS.items():
+    _reg(f"toepoch{_u}")(lambda ts, d=_d: (_millis(ts) / F.lit(d)).cast("long"))
+    _reg(f"toepoch{_u}rounded")(
+        lambda ts, bucket, d=_d: ((_millis(ts) / F.lit(d)).cast("long") / _c(bucket)).cast("long") * _c(bucket)
+    )
+    _reg(f"fromepoch{_u}")(lambda v, d=_d: F.timestamp_millis(_c(v).cast("long") * F.lit(d)))
+_reg("fromepochmillis")(lambda v: F.timestamp_millis(_c(v).cast("long")))
+_reg("todatetime")(lambda millis, fmt: F.date_format(F.timestamp_millis(_c(millis)), fmt))
+_reg("fromdatetime")(lambda s, fmt: (F.unix_timestamp(F.to_timestamp(_c(s), fmt)) * 1000).cast("long"))
+_reg("datetrunc")(lambda unit, ts: F.date_trunc(unit, _c(ts)))
+_reg("year")(lambda ts: F.year(_c(ts)))
+_reg("quarter")(lambda ts: F.quarter(_c(ts)))
+_reg("month", "monthofyear")(lambda ts: F.month(_c(ts)))
+_reg("week", "weekofyear")(lambda ts: F.weekofyear(_c(ts)))
+_reg("dayofyear", "doy")(lambda ts: F.dayofyear(_c(ts)))
+_reg("day", "dayofmonth")(lambda ts: F.dayofmonth(_c(ts)))
+_reg("dayofweek", "dow")(lambda ts: F.dayofweek(_c(ts)) - F.lit(1))  # Pinot: Sunday=0? (Joda: Mon=1..Sun=7 → match tests)
+_reg("hour")(lambda ts: F.hour(_c(ts)))
+_reg("minute")(lambda ts: F.minute(_c(ts)))
+_reg("second")(lambda ts: F.second(_c(ts)))
+_reg("millisecond")(lambda ts: F.date_format(_c(ts), "SSS").cast("int"))
+_reg("timezonehour")(lambda tz: F.lit(0))  # engine runs UTC-normalized
+_reg("timezoneminute")(lambda tz: F.lit(0))
+_reg("dateadd")(lambda unit, n, ts: F.timestampadd(unit, _c(n), _c(ts)))
+_reg("datediff")(lambda unit, a, b: F.timestampdiff(unit, _c(a), _c(b)))
+@_reg("timeconvert")
+def _time_convert(v, from_unit: str, to_unit: str):
+    # units are literal strings in Pinot's timeConvert(col, 'SECONDS', 'MINUTES')
+    _ms = {"milliseconds": 1, **_EPOCH_UNITS}
+    f = _ms[str(from_unit).lower()]
+    t = _ms[str(to_unit).lower()]
+    return (_c(v).cast("long") * F.lit(f) / F.lit(t)).cast("long")
+
+# ---------------------------------------------------------------------------
+# arithmetic + trig (ArithmeticFunctions.java, TrigonometricFunctions.java)
+# ---------------------------------------------------------------------------
+
+_reg("add", "plus")(lambda a, b: _c(a) + _c(b))
+_reg("sub", "minus")(lambda a, b: _c(a) - _c(b))
+_reg("mult", "times")(lambda a, b: _c(a) * _c(b))
+_reg("div", "divide")(lambda a, b: _c(a) / _c(b))
+_reg("intdiv")(lambda a, b: F.floor(_c(a) / _c(b)).cast("long"))
+_reg("mod")(lambda a, b: _c(a) % _c(b))
+_reg("abs")(lambda a: F.abs(_c(a)))
+_reg("ceil", "ceiling")(lambda a: F.ceil(_c(a)))
+_reg("floor")(lambda a: F.floor(_c(a)))
+_reg("exp")(lambda a: F.exp(_c(a)))
+_reg("ln")(lambda a: F.log(_c(a)))
+_reg("log2")(lambda a: F.log2(_c(a)))
+_reg("log10")(lambda a: F.log10(_c(a)))
+_reg("sqrt")(lambda a: F.sqrt(_c(a)))
+_reg("cbrt")(lambda a: F.cbrt(_c(a)))
+_reg("power", "pow")(lambda a, b: F.pow(_c(a), _c(b)))
+_reg("sign")(lambda a: F.signum(_c(a)))
+_reg("least")(lambda *xs: F.least(*[_c(x) for x in xs]))
+_reg("greatest")(lambda *xs: F.greatest(*[_c(x) for x in xs]))
+_reg("rounddecimal")(lambda a, scale=0: F.round(_c(a), scale if isinstance(scale, int) else 0))
+_reg("truncate")(lambda a, scale=0: (F.floor(_c(a) * F.pow(F.lit(10.0), F.lit(scale))) / F.pow(F.lit(10.0), F.lit(scale))))
+for _t in ("sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh", "degrees", "radians"):
+    _reg(_t)(lambda a, t=_t: getattr(F, t)(_c(a)))
+_reg("atan2")(lambda y, x: F.atan2(_c(y), _c(x)))
+_reg("cot")(lambda a: F.cot(_c(a)))
+
+# ---------------------------------------------------------------------------
+# json (JsonFunctions.java; TransformFunctionType jsonExtractScalar/Key)
+# ---------------------------------------------------------------------------
+
+
+@_reg("jsonextractscalar")
+def _json_extract_scalar(j, path, result_type="STRING", default=None):
+    ty = {
+        "INT": "int", "LONG": "bigint", "FLOAT": "float", "DOUBLE": "double",
+        "BOOLEAN": "boolean", "STRING": "string", "BIG_DECIMAL": "decimal(38,18)",
+    }.get(str(result_type).upper().replace("_ARRAY", ""), "string")
+    out = F.get_json_object(_c(j), path if isinstance(path, str) else path).cast(ty)
+    if default is not None:
+        out = F.coalesce(out, F.lit(default).cast(ty))
+    return out
+
+
+_reg("jsonextractkey")(lambda j, path="$": F.json_object_keys(_c(j)))
+_reg("jsonformat")(lambda x: F.to_json(_c(x)))
+_reg("jsonpath")(lambda j, path: F.get_json_object(_c(j), path))
+_reg("jsonpathstring")(lambda j, path, default=None: F.coalesce(F.get_json_object(_c(j), path), F.lit(default)) if default is not None else F.get_json_object(_c(j), path))
+_reg("jsonpathlong")(lambda j, path, default=None: _json_extract_scalar(j, path, "LONG", default))
+_reg("jsonpathdouble")(lambda j, path, default=None: _json_extract_scalar(j, path, "DOUBLE", default))
+_reg("jsonpatharray")(lambda j, path: F.from_json(F.get_json_object(_c(j), path), "array<string>"))
+
+# ---------------------------------------------------------------------------
+# array / MV (ArrayFunctions.java + TransformFunctionType arrayLength etc.)
+# ---------------------------------------------------------------------------
+
+_reg("arraylength", "cardinality")(lambda a: F.size(_c(a)))
+_reg("arrayreverse")(lambda a: F.reverse(_c(a)))
+_reg("arraysort")(lambda a: F.array_sort(_c(a)))
+_reg("arraydistinct")(lambda a: F.array_distinct(_c(a)))
+_reg("arrayunion")(lambda a, b: F.array_union(_c(a), _c(b)))
+_reg("arrayintersect")(lambda a, b: F.array_intersect(_c(a), _c(b)))
+_reg("arrayconcat")(lambda *xs: F.concat(*[_c(x) for x in xs]))
+_reg("arraycontains")(lambda a, v: F.array_contains(_c(a), v))
+_reg("arrayindexof")(lambda a, v: F.array_position(_c(a), v) - F.lit(1))  # Pinot 0-based, -1 missing
+_reg("arrayslice")(lambda a, start, end: F.slice(_c(a), _c(start) + F.lit(1), _c(end) - _c(start)))
+_reg("arrayelementat")(lambda a, i: F.element_at(_c(a), _c(i)))  # 1-based like Pinot ITEM? element_at 1-based
+_reg("arraymin")(lambda a: F.array_min(_c(a)))
+_reg("arraymax")(lambda a: F.array_max(_c(a)))
+_reg("arraysum", "arraysumint", "arraysumlong", "arraysumdouble")(
+    lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+)
+_reg("arrayaverage")(
+    lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")) / F.size(_c(a))
+)
+_reg("arrayremove")(lambda a, v: F.array_remove(_c(a), v))
+_reg("arrayrepeat")(lambda v, n: F.array_repeat(_c(v), n))
+_reg("arrayjoin")(lambda a, sep: F.array_join(_c(a), sep))
+_reg("valuein", "filtermv")(lambda a, *vals: F.filter(_c(a), lambda x: x.isin(*vals)))
+_reg("arrayflatten")(lambda a: F.flatten(_c(a)))
+_reg("arrayzip")(lambda a, b: F.arrays_zip(_c(a), _c(b)))
+
+# map / item access (MapValueTransformFunction, ITEM)
+_reg("mapvalue")(lambda m, k: F.element_at(_c(m), k))
+_reg("item")(lambda a, i: F.element_at(_c(a), _c(i)))
+_reg("mapkeys")(lambda m: F.map_keys(_c(m)))
+_reg("mapvalues")(lambda m: F.map_values(_c(m)))
+
+# ---------------------------------------------------------------------------
+# hash (HashFunctions.java) — engine-portable subset + xxhash
+# ---------------------------------------------------------------------------
+
+_reg("md5")(lambda b: F.md5(_c(b).cast("binary")))
+_reg("sha", "sha1")(lambda b: F.sha1(_c(b).cast("binary")))
+_reg("sha256")(lambda b: F.sha2(_c(b).cast("binary"), 256))
+_reg("sha512")(lambda b: F.sha2(_c(b).cast("binary"), 512))
+_reg("crc32")(lambda b: F.crc32(_c(b).cast("binary")))
+_reg("xxhash64")(lambda b: F.xxhash64(_c(b)))
+_reg("murmurhash3x64128", "murmurhash3bit64")(lambda b, seed=0: F.xxhash64(_c(b), F.lit(seed)))  # 64-bit stand-in
+_reg("hash")(lambda *xs: F.hash(*[_c(x) for x in xs]))
+
+# ---------------------------------------------------------------------------
+# url (UrlFunctions.java) — parse_url family
+# ---------------------------------------------------------------------------
+
+_reg("urlprotocol")(lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
+_reg("urldomain", "urlhost")(lambda u: F.parse_url(_c(u), F.lit("HOST")))
+_reg("urlpath")(lambda u: F.parse_url(_c(u), F.lit("PATH")))
+_reg("urlquery")(lambda u: F.parse_url(_c(u), F.lit("QUERY")))
+_reg("urlparameter", "extracturlparameter")(lambda u, k: F.parse_url(_c(u), F.lit("QUERY"), _c(k)))
+_reg("urlport")(lambda u: F.try_to_number(F.parse_url(_c(u), F.lit("PORT")), F.lit("999999")).cast("int"))
+_reg("urlfragment")(lambda u: F.parse_url(_c(u), F.lit("REF")))
+_reg("encodeurl")(lambda s: F.url_encode(_c(s)))
+_reg("decodeurl")(lambda s: F.url_decode(_c(s)))
+
+# ---------------------------------------------------------------------------
+# binary / conversion (DataTypeConversionFunctions.java)
+# ---------------------------------------------------------------------------
+
+_reg("hex", "tohexstring")(lambda b: F.lower(F.hex(_c(b))))
+_reg("unhex", "fromhexstring")(lambda s: F.unhex(_c(s)))
+_reg("tobase64")(lambda b: F.base64(_c(b).cast("binary")))
+_reg("frombase64")(lambda s: F.unbase64(_c(s)))
+_reg("touuid")(lambda b: F.lower(F.hex(_c(b))))  # UUID bytes → canonical-ish hex
+_reg("cast")(lambda x, ty: _c(x).cast(str(ty).lower().replace("big_decimal", "decimal(38,18)")))
+_reg("toutf8", "toascii")(lambda s: F.encode(_c(s), "utf-8"))
+_reg("fromutf8")(lambda b: F.decode(_c(b), "utf-8"))
+
+# ---------------------------------------------------------------------------
+# object / null / logical (ObjectFunctions.java, LogicalFunctions.java)
+# ---------------------------------------------------------------------------
+
+_reg("coalesce")(lambda *xs: F.coalesce(*[_c(x) for x in xs]))
+_reg("nullif")(lambda a, b: F.nullif(_c(a), _c(b)))
+_reg("isnull")(lambda a: _c(a).isNull())
+_reg("isnotnull")(lambda a: _c(a).isNotNull())
+_reg("isdistinctfrom")(lambda a, b: ~_c(a).eqNullSafe(_c(b)))
+_reg("isnotdistinctfrom")(lambda a, b: _c(a).eqNullSafe(_c(b)))
+_reg("casewhen")(lambda cond, then, els: F.when(_c(cond), _c(then)).otherwise(_c(els)))
+_reg("not")(lambda a: ~_c(a))
+_reg("and")(lambda *xs: functools.reduce(lambda a, b: a & b, [_c(x) for x in xs]))
+_reg("or")(lambda *xs: functools.reduce(lambda a, b: a | b, [_c(x) for x in xs]))
+
+# ---------------------------------------------------------------------------
+# vector (VectorFunctions.java) — delegates to operators.similarity
+# ---------------------------------------------------------------------------
+
+from pinot_spark.operators.similarity import (  # noqa: E402
+    cosine_distance as _cosd,
+    dot_product as _dot,
+    l1_distance as _l1,
+    l2_distance as _l2,
+    vector_norm as _vnorm,
+)
+
+_reg("cosinedistance")(lambda a, b: _cosd(_c(a), _c(b)))
+_reg("innerproduct")(lambda a, b: _dot(_c(a), _c(b)))
+_reg("l1distance")(lambda a, b: _l1(_c(a), _c(b)))
+_reg("l2distance")(lambda a, b: _l2(_c(a), _c(b)))
+_reg("vectornorm")(lambda a: _vnorm(_c(a)))
+_reg("vectordims")(lambda a: F.size(_c(a)))
+_reg("vectorsimilarity")(lambda a, b: F.lit(1.0) - _cosd(_c(a), _c(b)))
+
+# regex (TransformFunctionType:190)
+_reg("regexpextract")(lambda s, p, g=0: F.regexp_extract(_c(s), p if isinstance(p, str) else p, g if isinstance(g, int) else 0))
+_reg("regexplike")(lambda s, p: _c(s).rlike(p))
+_reg("regexpreplace")(lambda s, p, r: F.regexp_replace(_c(s), p, r))
+_reg("like")(lambda s, p: _c(s).like(p))
+_reg("textmatch")(lambda s, q: _c(s).rlike(q))  # Lucene query → regex scan path

@@ -1,0 +1,59 @@
+"""Segment-style storage layout: partitioned, sorted parquet writing.
+
+Reference mapping (SURVEY.md §1.3): Pinot's segment layout —
+time/partition-column segment assignment (SegmentPartitionConfig.java),
+sorted forward index on the sort column, min/max column metadata for
+broker/server pruning (TimeSegmentPruner, ColumnValueSegmentPruner) —
+becomes parquet written partitioned by a derived time bucket + hash
+bucket, sorted within files so row-group min/max stats give the same
+pruning power.
+
+Scale notes: at 100 TB, `partition_by` time bucket gives partition
+pruning for time-range queries (the #1 OLAP filter), `bucket_by` gives
+shuffle-free joins/aggs on the bucket key (storage-partitioned joins),
+and within-file sorting makes row-group stats selective for the sort
+column (Pinot's sorted-column binary search, for free from the reader).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_segments(
+    df: DataFrame,
+    path: str,
+    time_col: str | None = None,
+    time_bucket: str = "day",
+    sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table as pruned/sorted parquet "segments".
+
+    - ``time_col``: adds a ``__seg_time`` partition dir = date_trunc bucket
+      (TimeSegmentPruner analog — partition pruning on time ranges).
+    - ``sort_cols``: sortWithinPartitions before write (sorted-index
+      analog — row-group stats become selective).
+    - ``target_file_rows``: caps rows per file (segment size control,
+      maxRowsPerFile).
+    """
+    parts = list(partition_cols or [])
+    if time_col is not None:
+        df = df.withColumn("__seg_time", F.date_trunc(time_bucket, F.col(time_col)).cast("date"))
+        parts.append("__seg_time")
+    if sort_cols:
+        df = df.sortWithinPartitions(*[F.col(c) for c in (parts + sort_cols)])
+    writer = df.write.mode(mode)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
+
+
+def read_segments(spark, path: str) -> DataFrame:
+    """Read a segment dir back (partition columns restored)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,203 @@
+"""Function-registry tests: Pinot-name → Spark expression mapping
+(functions/scalar.py, functions/aggregate.py), spot-checked against
+literal expected values.
+"""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from pinot_spark.functions import AGG_FUNCTIONS, SCALAR_FUNCTIONS, agg_call, call
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.range(1)
+
+
+def ev(one, col):
+    return one.select(col.alias("v")).collect()[0]["v"]
+
+
+# (name, args, expected) — scalar spot checks
+SCALAR_CASES = [
+    ("upper", lambda: [F.lit("abc")], "ABC"),
+    ("lower", lambda: [F.lit("AbC")], "abc"),
+    ("reverse", lambda: [F.lit("abc")], "cba"),
+    ("substr", lambda: [F.lit("hello"), 1, 3], "ell"),  # Pinot 0-based start
+    ("strpos", lambda: [F.lit("hello"), F.lit("llo")], 3),
+    ("concat", lambda: [F.lit("a"), F.lit("b"), F.lit("c")], "abc"),
+    ("trim", lambda: [F.lit("  x ")], "x"),
+    ("length", lambda: [F.lit("abcd")], 4),
+    ("replace", lambda: [F.lit("banana"), F.lit("na"), F.lit("NA")], "baNANA"),
+    ("lpad", lambda: [F.lit("7"), 3, "0"], "007"),
+    ("codepoint", lambda: [F.lit("A")], 65),
+    ("chr", lambda: [F.lit(66)], "B"),
+    ("startswith", lambda: [F.lit("spark"), F.lit("sp")], True),
+    ("endswith", lambda: [F.lit("spark"), F.lit("rk")], True),
+    ("splitpart", lambda: [F.lit("a,b,c"), F.lit(","), F.lit(1)], "b"),  # Pinot 0-based
+    ("repeat", lambda: [F.lit("ab"), F.lit(3)], "ababab"),
+    ("remove", lambda: [F.lit("a-b-c"), F.lit("-")], "abc"),
+    ("levenshtein", lambda: [F.lit("kitten"), F.lit("sitting")], 3),
+    ("strleft", lambda: [F.lit("abcdef"), F.lit(2)], "ab"),
+    ("strright", lambda: [F.lit("abcdef"), F.lit(2)], "ef"),
+    ("hammingdistance", lambda: [F.lit("abcd"), F.lit("abed")], 1),
+    ("ngrams", lambda: [F.lit("abcd"), F.lit(2)], ["ab", "bc", "cd"]),
+    # datetime (engine runs UTC)
+    ("toepochseconds", lambda: [F.lit("2024-01-01 00:00:10").cast("timestamp")], 1704067210),
+    ("toepochmillis", lambda: [F.lit("2024-01-01 00:00:00.5").cast("timestamp")], 1704067200500),
+    ("fromepochseconds", lambda: [F.lit(1704067200)], None),  # type-checked below
+    ("year", lambda: [F.lit("2024-03-05").cast("timestamp")], 2024),
+    ("month", lambda: [F.lit("2024-03-05").cast("timestamp")], 3),
+    ("day", lambda: [F.lit("2024-03-05").cast("timestamp")], 5),
+    ("hour", lambda: [F.lit("2024-03-05 07:08:09").cast("timestamp")], 7),
+    ("timeconvert", lambda: [F.lit(3600), "SECONDS", "MINUTES"], 60),
+    # math
+    ("add", lambda: [F.lit(2), F.lit(3)], 5),
+    ("div", lambda: [F.lit(7), F.lit(2)], 3.5),
+    ("intdiv", lambda: [F.lit(7), F.lit(2)], 3),
+    ("mod", lambda: [F.lit(7), F.lit(3)], 1),
+    ("abs", lambda: [F.lit(-4.5)], 4.5),
+    ("ceil", lambda: [F.lit(1.2)], 2),
+    ("floor", lambda: [F.lit(1.8)], 1),
+    ("power", lambda: [F.lit(2.0), F.lit(10.0)], 1024.0),
+    ("sqrt", lambda: [F.lit(16.0)], 4.0),
+    ("sign", lambda: [F.lit(-3.0)], -1.0),
+    ("least", lambda: [F.lit(3), F.lit(1), F.lit(2)], 1),
+    ("greatest", lambda: [F.lit(3), F.lit(1), F.lit(2)], 3),
+    ("rounddecimal", lambda: [F.lit(3.14159), 2], 3.14),
+    ("truncate", lambda: [F.lit(3.19), 1], 3.1),
+    # json
+    ("jsonextractscalar", lambda: [F.lit('{"k": 42}'), "$.k", "INT"], 42),
+    ("jsonextractscalar", lambda: [F.lit('{"k": 42}'), "$.m", "INT", 7], 7),
+    ("jsonpathstring", lambda: [F.lit('{"a": {"b": "x"}}'), "$.a.b"], "x"),
+    # array
+    ("arraylength", lambda: [F.array(F.lit(1), F.lit(2))], 2),
+    ("arrayreverse", lambda: [F.array(F.lit(1), F.lit(2))], [2, 1]),
+    ("arraysort", lambda: [F.array(F.lit(3), F.lit(1))], [1, 3]),
+    ("arraydistinct", lambda: [F.array(F.lit(1), F.lit(1), F.lit(2))], [1, 2]),
+    ("arraycontains", lambda: [F.array(F.lit("a"), F.lit("b")), "a"], True),
+    ("arrayindexof", lambda: [F.array(F.lit("a"), F.lit("b")), "b"], 1),  # 0-based
+    ("arrayslice", lambda: [F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)), F.lit(1), F.lit(3)], [2, 3]),
+    ("arraymin", lambda: [F.array(F.lit(3), F.lit(1))], 1),
+    ("arraymax", lambda: [F.array(F.lit(3), F.lit(1))], 3),
+    ("arraysum", lambda: [F.array(F.lit(1.0), F.lit(2.5))], 3.5),
+    ("arrayaverage", lambda: [F.array(F.lit(1.0), F.lit(3.0))], 2.0),
+    ("valuein", lambda: [F.array(F.lit(1), F.lit(2), F.lit(3)), 1, 3], [1, 3]),
+    ("item", lambda: [F.array(F.lit("x"), F.lit("y")), F.lit(1)], "x"),  # 1-based element_at
+    # hash / conversion
+    ("md5", lambda: [F.lit("abc")], "900150983cd24fb0d6963f7d28e17f72"),
+    ("sha256", lambda: [F.lit("abc")], "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+    ("hex", lambda: [F.lit("AB")], "4142"),
+    ("tobase64", lambda: [F.lit("abc")], "YWJj"),
+    ("frombase64", lambda: [F.lit("YWJj")], b"abc"),
+    # url
+    ("urlprotocol", lambda: [F.lit("https://x.io/p?q=1")], "https"),
+    ("urldomain", lambda: [F.lit("https://x.io/p?q=1")], "x.io"),
+    ("urlpath", lambda: [F.lit("https://x.io/p?q=1")], "/p"),
+    ("urlparameter", lambda: [F.lit("https://x.io/p?q=1&r=2"), F.lit("r")], "2"),
+    ("encodeurl", lambda: [F.lit("a b")], "a+b"),
+    # object / null
+    ("coalesce", lambda: [F.lit(None).cast("int"), F.lit(5)], 5),
+    ("nullif", lambda: [F.lit(3), F.lit(3)], None),
+    ("isnull", lambda: [F.lit(None).cast("int")], True),
+    ("isdistinctfrom", lambda: [F.lit(1), F.lit(2)], True),
+    ("casewhen", lambda: [F.lit(True), F.lit("y"), F.lit("n")], "y"),
+    # vector
+    ("innerproduct", lambda: [F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))], 11.0),
+    ("vectornorm", lambda: [F.array(F.lit(3.0), F.lit(4.0))], 5.0),
+    ("vectordims", lambda: [F.array(F.lit(1.0), F.lit(2.0))], 2),
+    ("l1distance", lambda: [F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(2.0), F.lit(0.0))], 3.0),
+    ("l2distance", lambda: [F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(3.0), F.lit(4.0))], 5.0),
+    # regex
+    ("regexpextract", lambda: [F.lit("ab123cd"), r"(\d+)", 1], "123"),
+    ("regexplike", lambda: [F.lit("hello"), "ell"], True),
+    ("regexpreplace", lambda: [F.lit("a1b2"), r"\d", "#"], "a#b#"),
+]
+
+
+@pytest.mark.parametrize("name,args,expected", SCALAR_CASES, ids=[f"{i}_{c[0]}" for i, c in enumerate(SCALAR_CASES)])
+def test_scalar_function(one, name, args, expected):
+    got = ev(one, call(name, *args()))
+    if expected is None:
+        return  # existence/type check only
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected, rel=1e-9)
+    elif isinstance(expected, list):
+        assert list(got) == expected
+    else:
+        assert got == expected
+
+
+def test_cosine_distance(one):
+    got = ev(one, call("cosinedistance", F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(0.0), F.lit(1.0))))
+    assert got == pytest.approx(1.0)
+
+
+def test_registry_size():
+    # the mapping table must stay broad: §2.8 families all present
+    assert len(SCALAR_FUNCTIONS) >= 140
+    assert len(AGG_FUNCTIONS) >= 45
+
+
+AGG_CASES = [
+    ("sum", lambda: ["v"], 10.0),
+    ("min", lambda: ["v"], 1.0),
+    ("max", lambda: ["v"], 4.0),
+    ("avg", lambda: ["v"], 2.5),
+    ("minmaxrange", lambda: ["v"], 3.0),
+    ("distinctcount", lambda: ["g"], 2),
+    ("distinctsum", lambda: ["v"], 10.0),
+    ("percentile", lambda: ["v", 50], 2.5),
+    ("median", lambda: ["v"], 2.5),
+    ("varpop", lambda: ["v"], 1.25),
+    ("stddevpop", lambda: ["v"], 1.1180339887),
+    ("booland", lambda: [F.col("v") > 0], True),
+    ("boolor", lambda: [F.col("v") > 3], True),
+    ("listagg", lambda: ["g"], "a,a,b,b"),
+    ("mode", lambda: ["g"], None),  # existence check (ties possible)
+    ("fourthmoment", lambda: ["v"], 2.5625),
+]
+
+
+@pytest.mark.parametrize("name,args,expected", AGG_CASES, ids=[c[0] for c in AGG_CASES])
+def test_agg_function(spark, name, args, expected):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], ["v", "g"]
+    )
+    got = df.agg(agg_call(name, *args()).alias("r")).collect()[0]["r"]
+    if expected is None:
+        return
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected, rel=1e-6)
+    else:
+        assert got == expected
+
+
+def test_agg_mv_variants(spark):
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0],)], ["arr"])
+    out = df.agg(
+        agg_call("countmv", "arr").alias("cnt"),
+        agg_call("summv", "arr").alias("s"),
+        agg_call("minmv", "arr").alias("mn"),
+        agg_call("maxmv", "arr").alias("mx"),
+        agg_call("avgmv", "arr").alias("av"),
+    ).collect()[0]
+    assert out["cnt"] == 3 and out["s"] == 6.0 and out["mn"] == 1.0 and out["mx"] == 3.0
+    assert out["av"] == pytest.approx(2.0)
+
+
+def test_agg_sumarray(spark):
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], ["arr"])
+    got = df.agg(agg_call("sumarraydouble", "arr").alias("r")).collect()[0]["r"]
+    assert list(got) == [4.0, 6.0]
+
+
+def test_firstlast_withtime(spark):
+    df = spark.createDataFrame([(1, 10, "x"), (1, 20, "y")], ["k", "t", "v"])
+    out = df.groupBy("k").agg(
+        agg_call("lastwithtime", "v", "t").alias("last"),
+        agg_call("firstwithtime", "v", "t").alias("first"),
+    ).collect()[0]
+    assert out["last"] == "y" and out["first"] == "x"

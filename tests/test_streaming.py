@@ -1,0 +1,97 @@
+"""Structured Streaming ingestion tests (SURVEY.md §2.7): file-stream
+micro-batches (deterministic, no broker needed), upsert/dedup semantics,
+windowed aggregation, hybrid time-boundary view."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pinot_spark.streaming import (
+    hybrid_view,
+    start_realtime_ingest,
+    streaming_dedup,
+    streaming_window_agg,
+)
+from pinot_spark.streaming.ingest import realtime_table
+
+
+def _write_input(spark, path, rows):
+    spark.createDataFrame(rows, ["pk", "v", "ts_str"]).withColumn(
+        "ts", F.col("ts_str").cast("timestamp")
+    ).drop("ts_str").write.mode("append").parquet(path)
+
+
+def test_realtime_upsert_ingest(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(
+        spark,
+        src,
+        [
+            (1, "old", "2024-01-01 00:00:00"),
+            (1, "new", "2024-01-01 00:05:00"),
+            (2, "only", "2024-01-01 00:01:00"),
+        ],
+    )
+    stream = spark.readStream.schema("pk BIGINT, v STRING, ts TIMESTAMP").parquet(src)
+    q = start_realtime_ingest(
+        stream, sink, ckpt, keys=["pk"], comparison=["ts"], available_now=True
+    )
+    q.awaitTermination(120)
+    out = {r["pk"]: r["v"] for r in realtime_table(spark, sink, keys=["pk"], comparison=["ts"]).collect()}
+    assert out == {1: "new", 2: "only"}  # latest per key queryable
+
+
+def test_streaming_dedup_and_window_agg(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write_input(
+        spark,
+        src,
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "a-dup", "2024-01-01 00:10:00"),
+            (2, "b", "2024-01-01 00:20:00"),
+            (3, "c", "2024-01-01 01:05:00"),
+        ],
+    )
+    stream = spark.readStream.schema("pk BIGINT, v STRING, ts TIMESTAMP").parquet(src)
+
+    deduped = streaming_dedup(stream, keys=["pk"], event_time="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"] == 3
+
+    agg = streaming_window_agg(
+        stream,
+        event_time="ts",
+        window="1 hour",
+        aggs={"n": ("count", "pk"), "mx": ("maxlong", "pk")},
+    )
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = {str(r["window_start"]): (r["n"], r["mx"]) for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert rows["2024-01-01 00:00:00"] == (3, 2)
+    assert rows["2024-01-01 01:00:00"] == (1, 3)
+
+
+def test_hybrid_time_boundary(spark):
+    mk = lambda rows: spark.createDataFrame(rows, ["ts_str", "v"]).select(
+        F.col("ts_str").cast("timestamp").alias("t"), "v"
+    )
+    offline = mk([("2024-01-01 00:00:00", "off-keep"), ("2024-01-03 00:00:00", "off-drop")])
+    realtime = mk([("2024-01-01 12:00:00", "rt-drop"), ("2024-01-03 00:00:00", "rt-keep")])
+    out = {r["v"] for r in hybrid_view(offline, realtime, "t", "2024-01-02").collect()}
+    assert out == {"off-keep", "rt-keep"}
