@@ -349,3 +349,221 @@ _reg("regexplike")(lambda s, p: _c(s).rlike(p))
 _reg("regexpreplace")(lambda s, p, r: F.regexp_replace(_c(s), p, r))
 _reg("like")(lambda s, p: _c(s).like(p))
 _reg("textmatch")(lambda s, q: _c(s).rlike(q))  # Lucene query → regex scan path
+
+# ---------------------------------------------------------------------------
+# IP address (IpAddressFunctions.java — 17 fns; IPv4 subset as pure
+# Column arithmetic so it stays JVM-side and DuckDB-oracle-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _ipv4_to_long(addr) -> Column:
+    """Dotted-quad string → unsigned 32-bit value in a LongType."""
+    parts = F.split(_c(addr), r"\.")
+    return (
+        parts.getItem(0).cast("long") * F.lit(16777216)
+        + parts.getItem(1).cast("long") * F.lit(65536)
+        + parts.getItem(2).cast("long") * F.lit(256)
+        + parts.getItem(3).cast("long")
+    )
+
+
+@_reg("ipv4ToLong")
+def _ipv4_to_long_fn(addr):
+    return _ipv4_to_long(addr)
+
+
+@_reg("isSubnetOf")
+def _is_subnet_of(prefix, addr):
+    """isSubnetOf('10.1.0.0/16', ip) — IPv4 CIDR containment
+    (reference: pinot-common/.../function/scalar/IpAddressFunctions.java)."""
+    cidr = F.split(_c(prefix), "/")
+    base = _ipv4_to_long(cidr.getItem(0))
+    bits = cidr.getItem(1).cast("int")
+    # drop the host bits by integer-dividing with 2^(32-bits); shiftright
+    # needs a literal shift, and 32-bit values are exact in double
+    divisor = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double"))
+    return F.floor(_ipv4_to_long(addr) / divisor) == F.floor(base / divisor)
+
+
+# ---------------------------------------------------------------------------
+# extra hashes (HashFunctions.java: adler32, murmur2) — Arrow-batched
+# pandas UDFs (not hot-path; exact algorithm parity matters more here)
+# ---------------------------------------------------------------------------
+
+import pandas as _pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
+
+# pandas_udf needs an active SparkSession → build lazily, cache per-process
+_UDF_CACHE: dict[str, Callable] = {}
+
+
+def _lazy_udf(key: str, factory: Callable[[], Callable]) -> Callable:
+    udf = _UDF_CACHE.get(key)
+    if udf is None:
+        udf = _UDF_CACHE[key] = factory()
+    return udf
+
+
+def _make_adler32():
+    @_pandas_udf("long")
+    def _adler32_udf(s: _pd.Series) -> _pd.Series:
+        import zlib
+
+        return s.map(lambda v: None if v is None else zlib.adler32(str(v).encode("utf-8")))
+
+    return _adler32_udf
+
+
+def _murmur2_py(data: bytes, seed: int = -1756908916) -> int:
+    """Kafka-compatible 32-bit murmur2 (public algorithm; matches
+    org.apache.kafka.common.utils.Utils.murmur2 used by Pinot's
+    murmur partition function)."""
+    length = len(data)
+    M = 0x5BD1E995
+    mask = 0xFFFFFFFF
+    h = (seed ^ length) & mask
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * M) & mask
+        k ^= k >> 24
+        k = (k * M) & mask
+        h = (h * M) & mask
+        h ^= k
+    rem = length & 3
+    if rem >= 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * M) & mask
+    h ^= h >> 13
+    h = (h * M) & mask
+    h ^= h >> 15
+    # Java int semantics
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _make_murmur2():
+    @_pandas_udf("int")
+    def _murmur2_udf(s: _pd.Series) -> _pd.Series:
+        return s.map(lambda v: None if v is None else _murmur2_py(str(v).encode("utf-8")))
+
+    return _murmur2_udf
+
+
+_reg("adler32")(
+    lambda s: _lazy_udf("adler32", _make_adler32)(_c(s).cast("string"))
+)
+_reg("murmurhash2", "murmur2")(
+    lambda s: _lazy_udf("murmur2", _make_murmur2)(_c(s).cast("string"))
+)
+
+# ---------------------------------------------------------------------------
+# geospatial (GeohashFunctions.java, ScalarFunctions ST_* —
+# TransformFunctionType:195-229). Points as (x, y) WKT text / struct;
+# planar + haversine distance as Column arithmetic. Full geometry algebra
+# (polygons, contains/within) is out of scope — documented stub.
+# ---------------------------------------------------------------------------
+
+_EARTH_RADIUS_M = 6371008.8
+
+
+@_reg("stPoint")
+def _st_point(x, y, *_geog):
+    return F.concat(
+        F.lit("POINT ("), _c(x).cast("string"), F.lit(" "), _c(y).cast("string"), F.lit(")")
+    )
+
+
+def _wkt_x(p) -> Column:
+    return F.regexp_extract(_c(p), r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", 1).cast("double")
+
+
+def _wkt_y(p) -> Column:
+    return F.regexp_extract(_c(p), r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", 2).cast("double")
+
+
+_reg("stX")(_wkt_x)
+_reg("stY")(_wkt_y)
+_reg("stAsText")(lambda p: _c(p))
+
+
+@_reg("stDistance")
+def _st_distance(a, b):
+    """Planar euclidean distance between POINT WKTs (Pinot geometry mode)."""
+    dx = _wkt_x(a) - _wkt_x(b)
+    dy = _wkt_y(a) - _wkt_y(b)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+@_reg("stDistanceHaversine", "haversineDistance")
+def _st_haversine(a, b):
+    """Great-circle metres between POINT(lng lat) WKTs (Pinot geography
+    mode of ST_Distance)."""
+    lng1, lat1 = F.radians(_wkt_x(a)), F.radians(_wkt_y(a))
+    lng2, lat2 = F.radians(_wkt_x(b)), F.radians(_wkt_y(b))
+    dlat, dlng = lat2 - lat1, lng2 - lng1
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlng / 2), 2)
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _make_geohash():
+    @_pandas_udf("string")
+    def _geohash_udf(lng: _pd.Series, lat: _pd.Series, precision: _pd.Series) -> _pd.Series:
+        def enc(lo, la, pr):
+            if lo is None or la is None:
+                return None
+            pr = int(pr)
+            lat_iv, lng_iv = [-90.0, 90.0], [-180.0, 180.0]
+            bits, ch, even, out = 0, 0, True, []
+            while len(out) < pr:
+                if even:
+                    mid = (lng_iv[0] + lng_iv[1]) / 2
+                    if lo >= mid:
+                        ch = (ch << 1) | 1
+                        lng_iv[0] = mid
+                    else:
+                        ch <<= 1
+                        lng_iv[1] = mid
+                else:
+                    mid = (lat_iv[0] + lat_iv[1]) / 2
+                    if la >= mid:
+                        ch = (ch << 1) | 1
+                        lat_iv[0] = mid
+                    else:
+                        ch <<= 1
+                        lat_iv[1] = mid
+                even = not even
+                bits += 1
+                if bits == 5:
+                    out.append(_GEOHASH32[ch])
+                    bits, ch = 0, 0
+            return "".join(out)
+
+        return _pd.Series([enc(lo, la, pr) for lo, la, pr in zip(lng, lat, precision)])
+
+    return _geohash_udf
+
+
+_reg("encodeGeohash", "stGeohash")(
+    lambda lng, lat, precision=7: _lazy_udf("geohash", _make_geohash)(
+        _c(lng).cast("double"), _c(lat).cast("double"), _c(precision).cast("int")
+    )
+)
+
+
+def _geo_stub(*_a):
+    raise NotImplementedError(
+        "polygon/geometry-algebra ST_* functions (ST_Contains, ST_Within, "
+        "ST_Area, geoToH3) need a geometry library not present in this "
+        "environment; point constructors/distance above are implemented"
+    )
+
+
+for _n in ("stContains", "stWithin", "stArea", "stUnion", "geoToH3"):
+    _reg(_n)(_geo_stub)

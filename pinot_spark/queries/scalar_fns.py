@@ -8,6 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pinot_spark.catalog import load_tables
+from pinot_spark.functions import scalar
 from pinot_spark.queries import query, _r2, _r4
 
 
@@ -384,3 +385,191 @@ def fn_text_match_like(spark, sf_dir):
     return t["documents"].filter(
         F.col("text").like("%spark%fast%") | F.col("text").rlike("join.*merge")
     ).agg(F.count("*").alias("n_match"))
+
+
+@query(
+    "fn_url_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z0-9+.-]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z0-9+.-]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z0-9+.-]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                 || '?lang=' || lang || '&v=2#sec1' AS url
+        FROM documents WHERE doc_id < 50
+    ) u
+    ORDER BY doc_id
+    """,
+)
+def fn_url_family(spark, sf_dir):
+    """UrlFunctions.java (30 fns): protocol/host/path/parameter/fragment
+    extraction via Spark parse_url (JVM-side; oracle uses equivalent
+    regexes)."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2#sec1"),
+    )
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .withColumn("url", url)
+        .select(
+            "doc_id",
+            scalar.call("urlProtocol", F.col("url")).alias("proto"),
+            scalar.call("urlHost", F.col("url")).alias("host"),
+            scalar.call("urlPath", F.col("url")).alias("path"),
+            scalar.call("urlParameter", F.col("url"), "lang").alias("lang_param"),
+            scalar.call("urlFragment", F.col("url")).alias("fragment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fn_ip_subnet_family",
+    oracle="""
+    SELECT event_id, ip,
+           (CAST(string_split(ip, '.')[1] AS BIGINT) = 10) AS in_10_8,
+           ((CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT)) // 65536
+             = (10 * 16777216 + 7 * 65536) // 65536) AS in_10_7_16
+    FROM (
+        SELECT event_id,
+               '10.' || (user_id % 16) || '.' || (user_id % 256)
+                 || '.' || (event_id % 256) AS ip
+        FROM events WHERE event_id < 60
+    ) t
+    ORDER BY event_id
+    """,
+)
+def fn_ip_subnet_family(spark, sf_dir):
+    """IpAddressFunctions.java: isSubnetOf CIDR containment as pure
+    Column arithmetic (split + shifts — stays in whole-stage codegen)."""
+    t = load_tables(spark, sf_dir)
+    ip = F.concat(
+        F.lit("10."), (F.col("user_id") % 16).cast("string"),
+        F.lit("."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 60)
+        .withColumn("ip", ip)
+        .select(
+            "event_id",
+            "ip",
+            scalar.call("isSubnetOf", F.lit("10.0.0.0/8"), F.col("ip")).alias("in_10_8"),
+            scalar.call("isSubnetOf", F.lit("10.7.0.0/16"), F.col("ip")).alias("in_10_7_16"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_trig_family",
+    oracle="""
+    SELECT l_linenumber,
+           round(avg(round(sin(l_quantity), 8)), 6)  AS avg_sin,
+           round(avg(round(cos(l_discount), 8)), 6)  AS avg_cos,
+           round(avg(round(atan2(l_discount, l_tax + 0.01), 8)), 6) AS avg_atan2,
+           round(avg(round(degrees(l_discount), 8)), 6) AS avg_deg
+    FROM lineitem
+    GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+def fn_trig_family(spark, sf_dir):
+    """TrigonometricFunctions.java (16 fns): per-row results rounded to
+    8dp before averaging so libm last-ulp differences between JVM and
+    DuckDB cannot reach the 6dp aggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_linenumber")
+        .agg(
+            F.round(F.avg(F.round(F.sin("l_quantity"), 8)), 6).alias("avg_sin"),
+            F.round(F.avg(F.round(F.cos("l_discount"), 8)), 6).alias("avg_cos"),
+            F.round(
+                F.avg(F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 8)), 6
+            ).alias("avg_atan2"),
+            F.round(F.avg(F.round(F.degrees("l_discount"), 8)), 6).alias("avg_deg"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@query(
+    "fn_binary_conversion",
+    oracle="""
+    SELECT r_name,
+           hex(encode(r_name)) AS hex_bytes,
+           base64(encode(r_name)) AS b64,
+           decode(from_base64(base64(encode(r_name)))) AS roundtrip
+    FROM region ORDER BY r_name
+    """,
+)
+def fn_binary_conversion(spark, sf_dir):
+    """DataTypeConversionFunctions.java (9 fns): hex / toBase64 /
+    fromBase64 round-trip (BYTES columns render as hex, SURVEY.md §1.2)."""
+    t = load_tables(spark, sf_dir)
+    b = F.col("r_name").cast("binary")
+    return (
+        t["region"]
+        .select(
+            "r_name",
+            F.hex(b).alias("hex_bytes"),
+            F.base64(b).alias("b64"),
+            F.unbase64(F.base64(b)).cast("string").alias("roundtrip"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "fn_geo_point_family",
+    oracle="""
+    SELECT event_id,
+           'POINT (' || lng || ' ' || lat || ')' AS wkt,
+           round(sqrt((lng - 8.5) * (lng - 8.5) + (lat - 47.4) * (lat - 47.4)), 6)
+             AS planar_dist,
+           round(2.0 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(lat - 47.4) / 2), 2)
+               + cos(radians(47.4)) * cos(radians(lat))
+                 * pow(sin(radians(lng - 8.5) / 2), 2))), 2) AS meters_to_zrh
+    FROM (
+        SELECT event_id,
+               CAST(user_id % 360 - 180 AS DOUBLE) / 2 AS lng,
+               CAST(event_id % 180 - 90 AS DOUBLE) / 2 AS lat
+        FROM events WHERE event_id < 40
+    ) pts
+    ORDER BY event_id
+    """,
+)
+def fn_geo_point_family(spark, sf_dir):
+    """Geospatial point functions (TransformFunctionType:195-229 subset):
+    ST_Point WKT construction, planar ST_Distance, haversine geography
+    distance. Polygon algebra is stubbed (no geometry lib in env)."""
+    t = load_tables(spark, sf_dir)
+    lng = (F.col("user_id") % 360 - 180).cast("double") / 2
+    lat = (F.col("event_id") % 180 - 90).cast("double") / 2
+    zrh = scalar.call("stPoint", F.lit(8.5), F.lit(47.4))
+    pts = (
+        t["events"]
+        .filter(F.col("event_id") < 40)
+        .withColumn("pt", scalar.call("stPoint", lng, lat))
+    )
+    return pts.select(
+        "event_id",
+        F.col("pt").alias("wkt"),
+        F.round(scalar.call("stDistance", F.col("pt"), zrh), 6).alias("planar_dist"),
+        F.round(scalar.call("stDistanceHaversine", F.col("pt"), zrh), 2).alias(
+            "meters_to_zrh"
+        ),
+    ).orderBy("event_id")

@@ -201,3 +201,44 @@ def test_firstlast_withtime(spark):
         agg_call("firstwithtime", "v", "t").alias("first"),
     ).collect()[0]
     assert out["last"] == "y" and out["first"] == "x"
+
+
+def test_ip_subnet(one):
+    assert ev(one, call("isSubnetOf", F.lit("10.1.0.0/16"), F.lit("10.1.200.3"))) is True
+    assert ev(one, call("isSubnetOf", F.lit("10.1.0.0/16"), F.lit("10.2.0.1"))) is False
+    assert ev(one, call("isSubnetOf", F.lit("0.0.0.0/0"), F.lit("200.1.2.3"))) is True
+    assert ev(one, call("isSubnetOf", F.lit("192.168.1.8/32"), F.lit("192.168.1.8"))) is True
+    assert ev(one, call("ipv4ToLong", F.lit("0.0.1.0"))) == 256
+
+
+def test_adler32_murmur2(one):
+    import zlib
+
+    assert ev(one, call("adler32", F.lit("hello"))) == zlib.adler32(b"hello")
+    # Kafka reference value: murmur2("21".getBytes) with default seed = -973932308
+    assert ev(one, call("murmur2", F.lit("21"))) == -973932308
+
+
+def test_geohash_encode(one):
+    # canonical example from the public geohash spec
+    assert ev(one, call("encodeGeohash", F.lit(-5.6), F.lit(42.6), F.lit(5))) == "ezs42"
+    assert ev(
+        one, call("encodeGeohash", F.lit(-74.006), F.lit(40.7128), F.lit(7))
+    ) == "dr5regw"
+
+
+def test_geo_points(one):
+    assert ev(one, call("stPoint", F.lit(1.5), F.lit(-2.0))) == "POINT (1.5 -2.0)"
+    p1 = call("stPoint", F.lit(0.0), F.lit(0.0))
+    p2 = call("stPoint", F.lit(3.0), F.lit(4.0))
+    assert ev(one, call("stDistance", p1, p2)) == 5.0
+    assert ev(one, call("stX", p2)) == 3.0 and ev(one, call("stY", p2)) == 4.0
+    # spherical quarter meridian = R*pi/2 ≈ 10,007.54 km
+    q = call("stDistanceHaversine", call("stPoint", F.lit(0.0), F.lit(0.0)),
+             call("stPoint", F.lit(0.0), F.lit(90.0)))
+    assert abs(ev(one, q) - 10_007_543) < 1_000
+
+
+def test_geo_stub_raises(one):
+    with pytest.raises(NotImplementedError):
+        call("stContains", F.lit("x"), F.lit("y"))
