@@ -125,3 +125,31 @@ def funnel_complete_count(
     return ms.agg(
         F.count(F.when(F.col("max_step") == len(steps), 1)).alias("complete_count")
     )
+
+
+def funnel_step_times(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    steps: list[Column],
+) -> DataFrame:
+    """Per key: the match timestamp of each funnel step (t1..tN, NULL once
+    the chain breaks), same strictly-after cascade as funnel_max_step.
+    Feeds FUNNELSTEPDURATIONSTATS (AggregationFunctionType.java:197)."""
+    slim = _step_tagged(df, key, time_col, steps)
+    out = slim.select("k").distinct()
+    prev = None
+    for i in range(1, len(steps) + 1):
+        cand = slim.filter(F.col("s") == i)
+        if prev is None:
+            cur = cand.groupBy("k").agg(F.min("t").alias(f"t{i}"))
+        else:
+            cur = (
+                cand.join(prev, "k")
+                .filter(F.col("t") > F.col(f"t{i - 1}"))
+                .groupBy("k")
+                .agg(F.min("t").alias(f"t{i}"))
+            )
+        out = out.join(cur, "k", "left")
+        prev = cur.select("k", f"t{i}")
+    return out.withColumnRenamed("k", key)

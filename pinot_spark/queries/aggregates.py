@@ -411,3 +411,122 @@ def agg_count_by_segment_partition(spark, sf_dir):
     the partial/final split; on a bucketed table the shuffle disappears."""
     t = load_tables(spark, sf_dir)
     return t["lineitem"].agg(F.count_distinct("l_orderkey").alias("dc_order"))
+
+
+@query(
+    "agg_frequent_items",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+    ), ranked AS (
+        SELECT source, lang, cnt,
+               row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+        FROM counts
+    )
+    SELECT source, lang, cnt FROM ranked WHERE rn <= 3
+    ORDER BY source, cnt DESC, lang
+    """,
+)
+def agg_frequent_items(spark, sf_dir):
+    """FREQUENTSTRINGSSKETCH (AggregationFunctionType.java:158): heavy
+    hitters per group. Exact top-k via count + window rank — at 100 TB
+    the partial count pre-aggregates map-side, so the shuffle carries one
+    row per (source, lang), not per document."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = t["documents"].groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "lang", "cnt")
+        .orderBy("source", F.desc("cnt"), "lang")
+    )
+
+
+@query(
+    "agg_idset_membership",
+    oracle="""
+    WITH ids AS (
+        SELECT array_to_string(list_sort(list(DISTINCT user_id)), ',') AS idset,
+               count(DISTINCT user_id) AS n_ids
+        FROM events WHERE event_type = 'purchase' AND user_id < 200
+    )
+    SELECT e.user_id,
+           count(*) AS n_views,
+           max(CASE WHEN contains(',' || i.idset || ',', ',' || e.user_id || ',')
+                    THEN 1 ELSE 0 END) AS in_purchaser_idset
+    FROM events e CROSS JOIN ids i
+    WHERE e.event_type = 'view' AND e.user_id < 200
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def agg_idset_membership(spark, sf_dir):
+    """IDSET / IN_ID_SET (AggregationFunctionType.java:141,
+    TransformFunctionType:177): build a serialized id-set from one query
+    and test membership in another — collect_set aggregated to a single
+    broadcast row (the Spark analog of Pinot's IdSet subquery pipeline)."""
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 200))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("user_id")), ",").alias("idset"),
+            F.count_distinct("user_id").alias("n_ids"),
+        )
+    )
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "view") & (F.col("user_id") < 200))
+        .join(F.broadcast(ids))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.max(
+                F.when(
+                    F.concat(F.lit(","), F.col("idset"), F.lit(",")).contains(
+                        F.concat(F.lit(","), F.col("user_id").cast("string"), F.lit(","))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("in_purchaser_idset"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_fourth_moment",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(pow(l_quantity, 4)) / count(*)
+                 - 4 * (sum(l_quantity) / count(*)) * sum(pow(l_quantity, 3)) / count(*)
+                 + 6 * pow(sum(l_quantity) / count(*), 2) * sum(pow(l_quantity, 2)) / count(*)
+                 - 3 * pow(sum(l_quantity) / count(*), 4), 4) AS m4
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_fourth_moment(spark, sf_dir):
+    """FOURTHMOMENT (AggregationFunctionType.java:155): central 4th moment
+    from raw power sums (single pass, partial-aggregable; quantities are
+    integer-valued so every power sum is exact in double)."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    n = F.count("*")
+    s1, s2 = F.sum(q), F.sum(q * q)
+    s3, s4 = F.sum(q * q * q), F.sum(q * q * q * q)
+    mean = s1 / n
+    m4 = (
+        s4 / n
+        - F.lit(4) * mean * s3 / n
+        + F.lit(6) * F.pow(mean, 2) * s2 / n
+        - F.lit(3) * F.pow(mean, 4)
+    )
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.round(m4, 4).alias("m4"))
+        .orderBy("l_returnflag")
+    )

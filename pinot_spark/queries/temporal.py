@@ -380,3 +380,148 @@ def timeseries_range_query(spark, sf_dir):
         agg="sum",
         transform_null=0.0,
     ).orderBy("bucket")
+
+
+@query(
+    "timeseries_keep_last_value",
+    oracle="""
+    WITH spine AS (
+      SELECT t.bucket, s.event_type
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-09' - INTERVAL 2 HOUR,
+                                          INTERVAL 2 HOUR)) AS bucket) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IN ('signup', 'purchase')) s),
+    agg AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - INTERVAL (CAST(extract(hour FROM ts) AS INT) % 2) HOUR AS bucket,
+             round(max(value), 2) AS val
+      FROM events WHERE event_type IN ('signup', 'purchase')
+        AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-09'
+      GROUP BY event_type, bucket)
+    SELECT s.event_type, s.bucket,
+           last_value(a.val IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+    FROM spine s LEFT JOIN agg a
+      ON s.bucket = a.bucket AND s.event_type = a.event_type
+    ORDER BY s.event_type, s.bucket
+    """,
+)
+def timeseries_keep_last_value(spark, sf_dir):
+    """M3QL keepLastValue pipeline transform
+    (pinot-timeseries-m3ql KeepLastValueOperator.java): per-series 2h MAX
+    with empty buckets carried forward."""
+    from pinot_spark.plans.timeseries import range_query
+
+    t = load_tables(spark, sf_dir)
+    return range_query(
+        t["events"].filter(F.col("event_type").isin("signup", "purchase")),
+        time_col="ts",
+        value_col="value",
+        start="2024-01-08",
+        end="2024-01-09",
+        step="2 hour",
+        agg="max",
+        tags=["event_type"],
+        keep_last_value=True,
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "funnel_match_step",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           [CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END,
+            CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END,
+            CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END] AS matched
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type IN ('view','click','purchase')) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    ORDER BY u.user_id
+    """,
+)
+def funnel_match_step(spark, sf_dir):
+    """FUNNELMATCHSTEP (AggregationFunctionType.java:199): per-user 0/1
+    array of ordered steps matched, derived from the same max_step
+    operator (matched[i] = max_step > i)."""
+    t = load_tables(spark, sf_dir)
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    ms = funnel_max_step(t["events"], "user_id", "ts", steps)
+    return ms.select(
+        "user_id",
+        F.array(
+            *[
+                F.when(F.col("max_step") > i, 1).otherwise(0)
+                for i in range(len(steps))
+            ]
+        ).alias("matched"),
+    ).orderBy("user_id")
+
+
+@query(
+    "funnel_step_duration_stats",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+         durs AS (
+           SELECT 1 AS step_pair,
+                  date_diff('microsecond', s1.t1, s2.t2) / 1000000.0 AS dur_s
+           FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+           UNION ALL
+           SELECT 2 AS step_pair,
+                  date_diff('microsecond', s2.t2, s3.t3) / 1000000.0 AS dur_s
+           FROM s2 JOIN s3 ON s2.user_id = s3.user_id)
+    SELECT step_pair, count(*) AS n_users,
+           round(avg(dur_s), 2) AS avg_s,
+           round(min(dur_s), 2) AS min_s,
+           round(max(dur_s), 2) AS max_s
+    FROM durs GROUP BY step_pair ORDER BY step_pair
+    """,
+)
+def funnel_step_duration_stats(spark, sf_dir):
+    """FUNNELSTEPDURATIONSTATS (AggregationFunctionType.java:197):
+    avg/min/max seconds between consecutive matched funnel steps.
+    Durations are integer seconds so avg is order-independent."""
+    from pinot_spark.operators.funnel import funnel_step_times
+
+    t = load_tables(spark, sf_dir)
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    times = funnel_step_times(t["events"], "user_id", "ts", steps)
+    pairs = [
+        times.filter(F.col(f"t{i + 1}").isNotNull()).select(
+            F.lit(i).alias("step_pair"),
+            (
+                (F.unix_micros(F.col(f"t{i + 1}")) - F.unix_micros(F.col(f"t{i}")))
+                / 1000000.0
+            ).alias("dur_s"),
+        )
+        for i in (1, 2)
+    ]
+    durs = pairs[0].unionAll(pairs[1])
+    return (
+        durs.groupBy("step_pair")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("dur_s"), 2).alias("avg_s"),
+            F.round(F.min("dur_s"), 2).alias("min_s"),
+            F.round(F.max("dur_s"), 2).alias("max_s"),
+        )
+        .orderBy("step_pair")
+    )

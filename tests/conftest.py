@@ -47,6 +47,10 @@ def _norm(v):
     """Normalize a cell for comparison (floats rounded, timestamps → iso)."""
     if v is None:
         return None
+    if hasattr(v, "tolist") and not isinstance(v, (bytes, str)):
+        shaped = getattr(v, "shape", None)
+        if shaped:  # numpy array (DuckDB LIST column) → python list
+            return tuple(_norm(x) for x in v.tolist())
     if hasattr(v, "item") and not isinstance(v, (bytes, str)):
         try:
             v = v.item()  # numpy scalar → python scalar
