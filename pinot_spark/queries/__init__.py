@@ -60,3 +60,4 @@ from pinot_spark.queries import aggregates  # noqa: E402,F401
 from pinot_spark.queries import scalar_fns  # noqa: E402,F401
 from pinot_spark.queries import temporal  # noqa: E402,F401
 from pinot_spark.queries import pipeline  # noqa: E402,F401
+from pinot_spark.queries import dialect_queries  # noqa: E402,F401

@@ -1,0 +1,78 @@
+"""Queries executed through the Pinot-SQL dialect layer (dialect.py):
+the driver's gate runs the translated Spark plan against a DuckDB oracle,
+proving the translation — not just the operators — is right.
+"""
+
+from __future__ import annotations
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.dialect import PinotEngine
+from pinot_spark.queries import query
+
+
+def _engine(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return PinotEngine(spark)
+
+
+@query(
+    "dialect_default_limit_selection",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def dialect_default_limit_selection(spark, sf_dir):
+    """Pinot SSE selection with the implicit LIMIT 10
+    (query.thrift:29 default) applied by the dialect layer."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' ORDER BY o_orderkey"
+    )
+
+
+@query(
+    "dialect_pinot_agg_names",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS dc_supp,
+           max(l_quantity) - min(l_quantity) AS qty_range,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)::DOUBLE AS total
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 10
+    """,
+)
+def dialect_pinot_agg_names(spark, sf_dir):
+    """Pinot aggregation names (DISTINCTCOUNT, MINMAXRANGE,
+    PERCENTILE(x, 50), SUMPRECISION) translated by FUNCTION_MAP."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT l_returnflag, "
+        "DISTINCTCOUNT(l_suppkey) AS dc_supp, "
+        "MINMAXRANGE(l_quantity) AS qty_range, "
+        "PERCENTILE(l_quantity, 50) AS p50_qty, "
+        "CAST(round(SUMPRECISION(l_extendedprice), 2) AS DOUBLE) AS total "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+@query(
+    "dialect_epoch_functions",
+    oracle="""
+    SELECT CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS order_day,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+    GROUP BY order_day ORDER BY order_day LIMIT 10
+    """,
+)
+def dialect_epoch_functions(spark, sf_dir):
+    """Pinot epoch-long datetime functions (DateTimeFunctions.java):
+    TOEPOCHDAYS(TOEPOCHMILLIS(ts)) grouped per day."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT TOEPOCHDAYS(TOEPOCHMILLIS(o_orderdate)) AS order_day, COUNT(*) AS n "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-02-01' "
+        "GROUP BY TOEPOCHDAYS(TOEPOCHMILLIS(o_orderdate)) ORDER BY order_day"
+    )
