@@ -43,16 +43,29 @@ def load_tables(
     Returns {name: DataFrame}. Missing tables are skipped so the loader
     works on partial fixture dirs.
     """
-    tables: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = _normalize_nanos(spark.read.parquet(path))
-        tables[name] = df
-        if register:
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = {}
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            cached[name] = _normalize_nanos(spark.read.parquet(path))
+        _TABLE_CACHE[key] = cached
+    if register and _REGISTERED.get(id(spark)) != key:
+        for name, df in cached.items():
             df.createOrReplaceTempView(name)
-    return tables
+        _REGISTERED[id(spark)] = key
+    return dict(cached)
+
+
+# One catalog resolution per (session, dataset): a real deployment
+# registers tables once in a metastore; re-listing parquet footers per
+# query would repeat that work on every request.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# which dataset's views are currently registered per session
+_REGISTERED: dict[int, tuple[int, str]] = {}
 
 
 _NANO_TS_COLUMNS = {"ts", "event_ts", "updated_at"}
