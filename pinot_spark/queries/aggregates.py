@@ -530,3 +530,71 @@ def agg_fourth_moment(spark, sf_dir):
         .agg(F.round(m4, 4).alias("m4"))
         .orderBy("l_returnflag")
     )
+
+
+@query("agg_hll_sketch_union")  # sketch-byte estimates — rows-only check
+def agg_hll_sketch_union(spark, sf_dir):
+    """DISTINCTCOUNTRAWHLL / union of serialized sketches
+    (AggregationFunctionType.java:88-106 RAW variants): per-group HLL
+    sketch bytes built with hll_sketch_agg, merged across groups with
+    hll_union_agg, estimated with hll_sketch_estimate — the mergeable-
+    sketch contract Pinot ships between servers and broker."""
+    t = load_tables(spark, sf_dir)
+    per_flag = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_suppkey").alias("sketch"))
+    )
+    return (
+        per_flag.agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(F.hll_sketch_estimate("merged").alias("approx_distinct_supp"))
+    )
+
+
+@query(
+    "agg_startree_rollup_route",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_startree_rollup_route(spark, sf_dir):
+    """Star-tree analog (StarTreeIndexConfig / StarTreeUtils.java:178):
+    the group-by is answered from a materialized partial-aggregate rollup
+    (plans/materialized.py), re-aggregated with the partial/final
+    contract — values identical to the base-table oracle."""
+    import os
+
+    from pinot_spark.plans.materialized import MVCatalog, AggregateMV, create_aggregate_mv
+
+    t = load_tables(spark, sf_dir)
+    path = f"/tmp/pinot_spark_mv/{abs(hash(os.path.abspath(sf_dir)))}_li"
+    if os.path.exists(path):
+        mv = AggregateMV(
+            name="li_rollup", path=path,
+            dims=["l_returnflag", "l_linestatus"],
+            measure_cols=["l_quantity", "l_extendedprice"],
+        )
+    else:
+        mv = create_aggregate_mv(
+            t["lineitem"], "li_rollup", path,
+            dims=["l_returnflag", "l_linestatus"],
+            measure_cols=["l_quantity", "l_extendedprice"],
+        )
+    cat = MVCatalog(); cat.register(mv)
+    routed = cat.route(
+        spark, t["lineitem"],
+        dims=["l_returnflag", "l_linestatus"],
+        aggs=[("count", "*", "n"), ("sum", "l_quantity", "raw_sum"),
+              ("max", "l_extendedprice", "raw_max")],
+    )
+    return routed.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("raw_sum", 2).alias("sum_qty"),
+        F.round("raw_max", 2).alias("max_price"),
+    ).orderBy("l_returnflag", "l_linestatus")

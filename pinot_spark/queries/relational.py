@@ -556,3 +556,71 @@ def unnest_posexplode_zip(spark, sf_dir):
         .filter(F.col("pos") < 3)
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n.n_name, s.s_suppkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """RIGHT OUTER join (BaseJoinOperator.java:314-318 join-type matrix;
+    unmatched right rows null-padded)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 9000)
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@query(
+    "join_lookup_dimension",
+    oracle="""
+    SELECT c_mktsegment, n_name, r_name, count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer, nation, region
+    WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY c_mktsegment, n_name, r_name
+    ORDER BY c_mktsegment, n_name
+    """,
+)
+def join_lookup_dimension(spark, sf_dir):
+    """Lookup join against replicated dimension tables
+    (LookupJoinOperator.java:56, DimensionTableConfig.java): nation and
+    region broadcast to every task — zero shuffle of the fact side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("c_mktsegment", "n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _r4(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+@query(
+    "agg_count_metadata_only",
+    oracle="""
+    SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys FROM lineitem
+    """,
+)
+def agg_count_metadata_only(spark, sf_dir):
+    """Metadata-answered COUNT (NonScanBasedAggregationOperator.java,
+    FastFilteredCountOperator.java): with
+    spark.sql.parquet.aggregatePushdown the count comes from parquet
+    row-group footers, no data scan."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count("*").alias("n_rows"), F.count("l_orderkey").alias("n_keys")
+    )
