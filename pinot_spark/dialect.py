@@ -474,11 +474,18 @@ class PinotEngine:
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
 
-    def result_table(self, pinot_sql: str) -> dict:
+    def result_table(
+        self, pinot_sql: str, offset: int = 0, num_rows: int | None = None
+    ) -> dict:
         """Execute and shape like the broker's ResultTable JSON
-        (pinot-common/.../response/broker/ResultTable.java)."""
+        (pinot-common/.../response/broker/ResultTable.java). ``offset`` /
+        ``num_rows`` give the paginated-cursor surface
+        (pinot-spi/.../cursors/, pinot-broker/.../cursors/)."""
         df = self.sql(pinot_sql)
         rows = [list(r) for r in df.collect()]
+        total = len(rows)
+        if offset or num_rows is not None:
+            rows = rows[offset : offset + num_rows if num_rows is not None else None]
         return {
             "resultTable": {
                 "dataSchema": {
@@ -487,5 +494,14 @@ class PinotEngine:
                 },
                 "rows": rows,
             },
-            "numRowsResultSet": len(rows),
+            "numRowsResultSet": total,
+            "offset": offset,
         }
+
+    def explain(self, pinot_sql: str) -> str:
+        """EXPLAIN PLAN FOR surface (Pinot explain handler → Spark's
+        formatted physical plan)."""
+        df = self.sql(pinot_sql)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )

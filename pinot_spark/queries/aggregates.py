@@ -598,3 +598,62 @@ def agg_startree_rollup_route(spark, sf_dir):
         F.round("raw_sum", 2).alias("sum_qty"),
         F.round("raw_max", 2).alias("max_price"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "null_mode_default_value",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(coalesce(value, 0.0)) AS n_vals,
+           round(avg(coalesce(value, 0.0)), 4) AS avg_with_default
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def null_mode_default_value(spark, sf_dir):
+    """Pinot's null-handling-DISABLED mode (the default): nulls were
+    replaced by the field's defaultNullValue at ingestion
+    (NullValueTransformer.java, FieldSpec.java:198), so every aggregate
+    sees the default — count(value) == count(*) and the average includes
+    the zeros."""
+    t = load_tables(spark, sf_dir)
+    v = F.coalesce(F.col("value"), F.lit(0.0))  # materialized default
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(v).alias("n_vals"),
+            _r4(F.avg(v)).alias("avg_with_default"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "null_mode_sql_semantics",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(value) AS n_vals,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           round(avg(value), 4) AS avg_ignoring_nulls
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def null_mode_sql_semantics(spark, sf_dir):
+    """enableNullHandling=true mode (QueryOptionsUtils.java:389): SQL
+    semantics — aggregates skip nulls, count(value) < count(*), IS NULL
+    observable (backed by Pinot's null-value-vector index)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+            _r4(F.avg("value")).alias("avg_ignoring_nulls"),
+        )
+        .orderBy("event_type")
+    )

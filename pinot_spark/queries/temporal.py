@@ -525,3 +525,40 @@ def funnel_step_duration_stats(spark, sf_dir):
         )
         .orderBy("step_pair")
     )
+
+
+@query(
+    "timeseries_m3ql_pipeline",
+    oracle="""
+    WITH spine AS (
+      SELECT t.bucket, s.event_type
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-09' - INTERVAL 6 HOUR,
+                                          INTERVAL 6 HOUR)) AS bucket) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events WHERE event_type IN ('view', 'click')) s),
+    agg AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - INTERVAL (CAST(extract(hour FROM ts) AS INT) % 6) HOUR AS bucket,
+             round(count(value), 2) AS val
+      FROM events WHERE event_type IN ('view', 'click')
+        AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-09'
+      GROUP BY event_type, bucket)
+    SELECT s.event_type, s.bucket, coalesce(a.val, 0.0) AS val
+    FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket AND s.event_type = a.event_type
+    ORDER BY s.event_type, s.bucket
+    """,
+)
+def timeseries_m3ql_pipeline(spark, sf_dir):
+    """M3QL pipeline language end-to-end (M3TimeSeriesPlanner.java):
+    'fetch | summarize 6h count by event_type | transformNull 0' compiled
+    to the range-query DataFrame pipeline."""
+    from pinot_spark.plans.m3ql import execute
+
+    t = load_tables(spark, sf_dir)
+    return execute(
+        t["events"].filter(F.col("event_type").isin("view", "click")),
+        "fetch | summarize 6h count by event_type | transformNull 0",
+        time_col="ts",
+        value_col="value",
+        start="2024-01-08",
+        end="2024-01-09",
+    ).orderBy("event_type", "bucket")

@@ -150,3 +150,17 @@ def test_result_table_shape(engine):
 def test_set_options_flow(engine):
     df = engine.sql("SET enableNullHandling=true; SELECT r_name FROM region")
     assert len(df.collect()) == 5
+
+
+def test_result_table_pagination(engine):
+    page = engine.result_table(
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT 25", offset=10, num_rows=5
+    )
+    assert page["numRowsResultSet"] == 25
+    assert len(page["resultTable"]["rows"]) == 5
+    assert page["offset"] == 10
+
+
+def test_explain_surface(engine):
+    plan = engine.explain("SELECT count(*) FROM lineitem")
+    assert "HashAggregate" in plan or "Aggregate" in plan
