@@ -298,3 +298,41 @@ def multimodal_feature_extract(spark, sf_dir):
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
         "decode_ok",
     ).orderBy(F.col("media_id").cast("int"))
+
+
+@query(
+    "similarity_radius_filter",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id, label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS sim
+      FROM embeddings e CROSS JOIN q)
+    SELECT label, count(*) AS n_within, round(max(sim), 4) AS best_sim
+    FROM sims WHERE sim >= 0.1 AND vec_id <> 0
+    GROUP BY label ORDER BY label
+    """,
+)
+def similarity_radius_filter(spark, sf_dir):
+    """VECTOR_SIMILARITY radius predicate
+    (VectorRadiusFilterOperator.java): all vectors within a cosine-
+    similarity radius of the query vector, aggregated per label — a
+    filter, not a top-k, so it composes with any downstream operator."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    sim = F.round(dot / (norm(v) * norm(q)), 4)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.1)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_within"), F.round(F.max("sim"), 4).alias("best_sim"))
+        .orderBy("label")
+    )

@@ -573,3 +573,30 @@ def fn_geo_point_family(spark, sf_dir):
             "meters_to_zrh"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_map_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           'k' AS first_key
+    FROM events WHERE event_id < 40 ORDER BY event_id
+    """,
+)
+def fn_map_family(spark, sf_dir):
+    """MAP value/keys access (MapValueTransformFunction, ITEM —
+    TransformFunctionType:174,256): JSON props parsed to MapType, value
+    by key via element_at, keys via map_keys."""
+    t = load_tables(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.element_at(m, "k").alias("k_val"),
+            F.map_keys(m).getItem(0).alias("first_key"),
+        )
+        .orderBy("event_id")
+    )
