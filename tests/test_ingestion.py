@@ -8,7 +8,9 @@ import os
 import pyspark.sql.functions as F
 import pytest
 
+from pinot_spark.catalog import load_tables
 from pinot_spark.sources import IngestionPipeline, read_table, write_segments
+from tests.conftest import SF_DIR
 from pinot_spark.sources.ingestion import conform_to_schema
 
 
@@ -88,3 +90,38 @@ def test_write_segments_layout_and_pruning(spark, tmp_path):
     # time-range query only reads matching partitions: check partition filter in plan
     plan = back.filter(F.col("__seg_time") == "2024-01-05")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__seg_time" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_colocated_join(spark):
+    """Join of two tables bucketed on the same key runs with no shuffle
+    exchange (the SegmentPartitionConfig / colocated-join analog)."""
+    import shutil
+
+    from pinot_spark.sources.segments import write_bucketed_table
+
+    for tbl in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    t = load_tables(spark, SF_DIR)
+    write_bucketed_table(
+        t["orders"], "orders_bkt", bucket_cols=["o_orderkey"], num_buckets=4
+    )
+    write_bucketed_table(
+        t["lineitem"], "lineitem_bkt", bucket_cols=["l_orderkey"], num_buckets=4
+    )
+    joined = (
+        spark.table("orders_bkt")
+        .hint("merge")  # force sort-merge path so bucketing is load-bearing
+        .join(
+            spark.table("lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the group-by's; neither join side
+    # re-shuffles on the join key (bucketing satisfies the requirement)
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert joined.count() > 0
