@@ -45,35 +45,34 @@ def funnel_max_step(
     """Per key: the deepest funnel step reached, in order, each step's
     event strictly after the previous step's. Returns (key, out_col).
 
-    Pure-JVM cascade (no Python in the hot path): for each step i,
-    min-event-time strictly after the step-(i-1) match — one slim
-    groupBy per step over pre-filtered rows, every aggregate tiny
-    relative to the raw table. The applyInPandas variant
-    (funnel_max_step_pandas) remains for arbitrary per-group logic."""
+    Single-shuffle, pure-JVM: step-tagged events group once per key into
+    a time-sorted array, then a higher-order ``aggregate`` fold advances
+    a (step, last_time) state — greedy earliest-match, which is optimal
+    for ordered funnels. Shuffle volume is one slim (key, time, step)
+    row per *matching* event; per-key state is bounded by that key's
+    event count. The applyInPandas variant (funnel_max_step_pandas)
+    remains for arbitrary per-group logic."""
     slim = _step_tagged(df, key, time_col, steps)
-    keys = slim.select("k").distinct()
-    prev = None  # DataFrame (k, t_i) of keys that reached step i
-    reached = []
-    for i in range(1, len(steps) + 1):
-        cand = slim.filter(F.col("s") == i)
-        if prev is None:
-            cur = cand.groupBy("k").agg(F.min("t").alias("pt"))
-        else:
-            cur = (
-                cand.join(prev, "k")
-                .filter(F.col("t") > F.col("pt"))
-                .groupBy("k")
-                .agg(F.min("t").alias("pt"))
-            )
-        reached.append(cur.select("k", F.lit(i).alias("step")))
-        prev = cur
-    all_reached = reached[0]
-    for r in reached[1:]:
-        all_reached = all_reached.unionByName(r)
-    deepest = all_reached.groupBy("k").agg(F.max("step").alias(out_col))
+    events = F.array_sort(F.collect_list(F.struct("t", "s")))
+    fold = F.aggregate(
+        events,
+        F.struct(
+            F.lit(0).alias("step"),
+            F.lit(None).cast("timestamp").alias("last_t"),
+        ),
+        lambda acc, e: F.when(
+            (e["s"] == acc["step"] + 1)
+            & ((acc["step"] == 0) | (e["t"] > acc["last_t"])),
+            F.struct(
+                (acc["step"] + 1).alias("step"), e["t"].alias("last_t")
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["step"],
+    )
     return (
-        keys.join(deepest, "k", "left")
-        .select(F.col("k").alias(key), F.coalesce(out_col, F.lit(0)).cast("int").alias(out_col))
+        slim.groupBy("k")
+        .agg(fold.alias(out_col))
+        .select(F.col("k").alias(key), F.col(out_col).cast("int").alias(out_col))
     )
 
 
