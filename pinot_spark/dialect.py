@@ -130,6 +130,53 @@ def _json_extract_scalar(a: list[str]) -> str:
     return expr
 
 
+_DTC_UNIT_MS = {
+    "milliseconds": 1,
+    "seconds": 1000,
+    "minutes": 60_000,
+    "hours": 3_600_000,
+    "days": 86_400_000,
+}
+
+
+def _datetime_convert_sql(a: list[str]) -> str:
+    """dateTimeConvert with literal DateTimeFormatSpec args → pure SQL
+    (epoch/TIMESTAMP/SIMPLE_DATE_FORMAT in & out, granularity bucket)."""
+
+    def parse(tok: str) -> tuple[int, str, str, str | None]:
+        parts = tok.strip().strip("'\"").split(":")
+        return (
+            int(parts[0]),
+            parts[1].lower(),
+            parts[2].upper(),
+            parts[3] if len(parts) > 3 else None,
+        )
+
+    in_size, in_unit, in_type, in_pat = parse(a[1])
+    out_size, out_unit, out_type, out_pat = parse(a[2])
+    g = a[3].strip().strip("'\"").split(":")
+    g_ms = int(g[0]) * _DTC_UNIT_MS[g[1].lower()]
+
+    if in_type == "EPOCH":
+        ms = f"(CAST({a[0]} AS BIGINT) * {in_size * _DTC_UNIT_MS[in_unit]})"
+    elif in_type == "TIMESTAMP":
+        ms = f"unix_millis(CAST({a[0]} AS TIMESTAMP))"
+    elif in_type == "SIMPLE_DATE_FORMAT":
+        ms = f"unix_millis(CAST(to_timestamp({a[0]}, '{in_pat}') AS TIMESTAMP))"
+    else:
+        raise PinotSqlError(f"unsupported dateTimeConvert input type {in_type}")
+
+    ms = f"(CAST(FLOOR({ms} / {g_ms}) AS BIGINT) * {g_ms})"
+
+    if out_type == "EPOCH":
+        return f"CAST(FLOOR({ms} / {out_size * _DTC_UNIT_MS[out_unit]}) AS BIGINT)"
+    if out_type == "TIMESTAMP":
+        return f"timestamp_millis({ms})"
+    if out_type == "SIMPLE_DATE_FORMAT":
+        return f"date_format(timestamp_millis({ms}), '{out_pat}')"
+    raise PinotSqlError(f"unsupported dateTimeConvert output type {out_type}")
+
+
 def _percentile_family(fn: str) -> Callable[[list[str]], str]:
     def tpl(a: list[str]) -> str:
         pct = a[1].strip()
@@ -173,6 +220,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         # Pinot dateTrunc(unit, epochMillis) stays in the epoch-millis domain
         f"unix_millis(date_trunc({a[0]}, timestamp_millis({a[1]})))"
     ),
+    "datetimeconvert": lambda a: _datetime_convert_sql(a),
     "yearofweek": "extract(yearofweek FROM {0})",
     "weekofyear": "weekofyear",
     "dayofweek": "dayofweek",
@@ -328,14 +376,28 @@ def _split_args(s: str) -> list[str]:
     return args
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    spans, pos = [], 0
+    for is_lit, seg in _scan_strings(sql):
+        if is_lit:
+            spans.append((pos, pos + len(seg)))
+        pos += len(seg)
+    return spans
+
+
 def rewrite_functions(sql: str) -> str:
     """Rewrite Pinot-registry function calls into Spark SQL equivalents.
 
     Innermost-first recursive rewrite; names not in FUNCTION_MAP pass
-    through untouched (most of Pinot's surface is name-compatible)."""
+    through untouched (most of Pinot's surface is name-compatible).
+    String literals are never rewritten (calls may CONTAIN literals —
+    the argument parser is quote-aware)."""
+    spans = _literal_spans(sql)
     out, i = [], 0
     while True:
         m = _IDENT_CALL.search(sql, i)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _IDENT_CALL.search(sql, m.end())
         if not m:
             out.append(sql[i:])
             break
@@ -461,11 +523,7 @@ class PinotEngine:
 
     def translate(self, pinot_sql: str) -> tuple[str, dict[str, str]]:
         options, sql = split_options(pinot_sql)
-        # rewrite function names everywhere except inside string literals
-        sql = "".join(
-            seg if is_lit else rewrite_functions(seg)
-            for is_lit, seg in _scan_strings(sql)
-        )
+        sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_mv_predicates(self.spark, sql)
         sql = apply_default_limit(sql, int(options.get("limit", self.default_limit)))
         return sql, options

@@ -177,6 +177,56 @@ def _time_convert(v, from_unit: str, to_unit: str):
     t = _ms[str(to_unit).lower()]
     return (_c(v).cast("long") * F.lit(f) / F.lit(t)).cast("long")
 
+_DTC_UNIT_MS = {
+    "milliseconds": 1,
+    "seconds": 1000,
+    "minutes": 60_000,
+    "hours": 3_600_000,
+    "days": 86_400_000,
+}
+
+
+def _dtc_parse(fmt: str) -> tuple[int, str, str, str | None]:
+    """Parse a DateTimeFormatSpec 'size:unit:type[:pattern]'
+    (pinot-spi/.../data/DateTimeFormatSpec.java)."""
+    parts = str(fmt).split(":")
+    size, unit, ftype = int(parts[0]), parts[1].lower(), parts[2].upper()
+    pattern = parts[3] if len(parts) > 3 else None
+    return size, unit, ftype, pattern
+
+
+@_reg("dateTimeConvert")
+def _date_time_convert(v, input_fmt, output_fmt, granularity):
+    """dateTimeConvert(col, '1:MILLISECONDS:EPOCH', '1:DAYS:EPOCH',
+    '1:DAYS') — convert between epoch-unit / SIMPLE_DATE_FORMAT /
+    TIMESTAMP representations, bucketed to the output granularity
+    (reference: DateTimeConversionTransformFunction, TransformFunctionType:120)."""
+    in_size, in_unit, in_type, in_pat = _dtc_parse(input_fmt)
+    out_size, out_unit, out_type, out_pat = _dtc_parse(output_fmt)
+    g_parts = str(granularity).split(":")
+    g_ms = int(g_parts[0]) * _DTC_UNIT_MS[g_parts[1].lower()]
+
+    c = _c(v)
+    if in_type == "EPOCH":
+        ms = c.cast("long") * F.lit(in_size * _DTC_UNIT_MS[in_unit])
+    elif in_type == "TIMESTAMP":
+        ms = _millis(c)
+    elif in_type == "SIMPLE_DATE_FORMAT":
+        ms = _millis(F.to_timestamp(c, in_pat))
+    else:
+        raise ValueError(f"unsupported input format type {in_type}")
+
+    ms = (ms / F.lit(g_ms)).cast("long") * F.lit(g_ms)  # granularity bucket
+
+    if out_type == "EPOCH":
+        return (ms / F.lit(out_size * _DTC_UNIT_MS[out_unit])).cast("long")
+    if out_type == "TIMESTAMP":
+        return F.timestamp_millis(ms)
+    if out_type == "SIMPLE_DATE_FORMAT":
+        return F.date_format(F.timestamp_millis(ms), out_pat)
+    raise ValueError(f"unsupported output format type {out_type}")
+
+
 # ---------------------------------------------------------------------------
 # arithmetic + trig (ArithmeticFunctions.java, TrigonometricFunctions.java)
 # ---------------------------------------------------------------------------

@@ -133,22 +133,24 @@ def funnel_step_times(
     steps: list[Column],
 ) -> DataFrame:
     """Per key: the match timestamp of each funnel step (t1..tN, NULL once
-    the chain breaks), same strictly-after cascade as funnel_max_step.
-    Feeds FUNNELSTEPDURATIONSTATS (AggregationFunctionType.java:197)."""
+    the chain breaks), same strictly-after greedy semantics as
+    funnel_max_step, as one single-shuffle fold accumulating the matched
+    times. Feeds FUNNELSTEPDURATIONSTATS
+    (AggregationFunctionType.java:197)."""
+    n_steps = len(steps)
     slim = _step_tagged(df, key, time_col, steps)
-    out = slim.select("k").distinct()
-    prev = None
-    for i in range(1, len(steps) + 1):
-        cand = slim.filter(F.col("s") == i)
-        if prev is None:
-            cur = cand.groupBy("k").agg(F.min("t").alias(f"t{i}"))
-        else:
-            cur = (
-                cand.join(prev, "k")
-                .filter(F.col("t") > F.col(f"t{i - 1}"))
-                .groupBy("k")
-                .agg(F.min("t").alias(f"t{i}"))
-            )
-        out = out.join(cur, "k", "left")
-        prev = cur.select("k", f"t{i}")
-    return out.withColumnRenamed("k", key)
+    events = F.array_sort(F.collect_list(F.struct("t", "s")))
+    fold = F.aggregate(
+        events,
+        F.array().cast("array<timestamp>"),  # matched step times so far
+        lambda acc, e: F.when(
+            (e["s"] == F.size(acc) + 1)
+            & ((F.size(acc) == 0) | (e["t"] > F.element_at(acc, -1))),
+            F.concat(acc, F.array(e["t"])),
+        ).otherwise(acc),
+    )
+    out = slim.groupBy("k").agg(fold.alias("__times"))
+    return out.select(
+        F.col("k").alias(key),
+        *[F.element_at("__times", i).alias(f"t{i}") for i in range(1, n_steps + 1)],
+    )

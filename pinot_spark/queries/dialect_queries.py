@@ -76,3 +76,31 @@ def dialect_epoch_functions(spark, sf_dir):
         "AND o_orderdate < TIMESTAMP '1996-02-01' "
         "GROUP BY TOEPOCHDAYS(TOEPOCHMILLIS(o_orderdate)) ORDER BY order_day"
     )
+
+
+@query(
+    "dialect_datetime_convert",
+    oracle="""
+    SELECT CAST(floor(epoch_ms(l_shipdate) / 604800000) AS BIGINT) AS ship_week,
+           count(*) AS n,
+           strftime(to_timestamp(floor(epoch_ms(l_shipdate) / 86400000) * 86400),
+                    '%Y-%m-%d') AS day_str_sample
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+    GROUP BY ship_week, day_str_sample ORDER BY ship_week, day_str_sample LIMIT 10
+    """,
+)
+def dialect_datetime_convert(spark, sf_dir):
+    """dateTimeConvert with DateTimeFormatSpec triplets
+    (DateTimeConversionTransformFunction, TransformFunctionType:120):
+    TIMESTAMP → weekly epoch buckets and SIMPLE_DATE_FORMAT strings."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT CAST(DATETIMECONVERT(l_shipdate, '1:MILLISECONDS:TIMESTAMP', "
+        "'1:MILLISECONDS:EPOCH', '1:MILLISECONDS') / 604800000 AS BIGINT) AS ship_week, "
+        "COUNT(*) AS n, "
+        "DATETIMECONVERT(l_shipdate, '1:MILLISECONDS:TIMESTAMP', "
+        "'1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', '1:DAYS') AS day_str_sample "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01' "
+        "GROUP BY ship_week, day_str_sample ORDER BY ship_week, day_str_sample"
+    )

@@ -164,3 +164,16 @@ def test_result_table_pagination(engine):
 def test_explain_surface(engine):
     plan = engine.explain("SELECT count(*) FROM lineitem")
     assert "HashAggregate" in plan or "Aggregate" in plan
+
+
+def test_datetime_convert(engine):
+    rows = engine.sql(
+        "SELECT DATETIMECONVERT(o_orderdate, '1:MILLISECONDS:TIMESTAMP', "
+        "'1:DAYS:EPOCH', '1:DAYS') AS d, "
+        "DATETIMECONVERT(TOEPOCHMILLIS(o_orderdate), '1:MILLISECONDS:EPOCH', "
+        "'1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', '1:DAYS') AS s "
+        "FROM orders ORDER BY o_orderkey LIMIT 3"
+    ).collect()
+    for r in rows:
+        assert r["d"] > 9000  # epoch days for 1995+
+        assert len(r["s"]) == 10 and r["s"][4] == "-"

@@ -242,3 +242,15 @@ def test_geo_points(one):
 def test_geo_stub_raises(one):
     with pytest.raises(NotImplementedError):
         call("stContains", F.lit("x"), F.lit("y"))
+
+
+def test_datetime_convert_column(one):
+    # 2024-01-02T03:00:00Z epoch millis → epoch days and back to a string
+    ms = 1704164400000
+    assert ev(one, call("dateTimeConvert", F.lit(ms),
+                        "1:MILLISECONDS:EPOCH", "1:DAYS:EPOCH", "1:DAYS")) == 19724
+    assert ev(one, call("dateTimeConvert", F.lit(ms),
+                        "1:MILLISECONDS:EPOCH", "1:HOURS:EPOCH", "1:HOURS")) == ms // 3600000
+    s = ev(one, call("dateTimeConvert", F.lit(ms), "1:MILLISECONDS:EPOCH",
+                     "1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH", "1:HOURS"))
+    assert s == "2024-01-02 03"
