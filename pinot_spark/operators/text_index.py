@@ -1,0 +1,59 @@
+"""Inverted text index as a postings table.
+
+Pinot's text index (StandardIndexes.java:69-141 text/Lucene; queried via
+TEXT_MATCH, TextMatchFilterOperator.java) has no parquet analog, so the
+Spark-first shape is an explicit postings table: (term, doc_id) rows,
+bucketable/partitionable by term. A term query becomes a semi join
+against the postings instead of a regex scan of every document — at
+100 TB the postings for one term are a partition-pruned fraction of the
+corpus, which is exactly what the inverted index buys Pinot.
+
+AND semantics over multiple terms = postings intersect (groupBy doc_id
+HAVING count = n_terms); OR = semi join on the term set; phrase/regex
+fall back to the rlike scan path (fn_text_match_like).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tokenize(text_col) -> F.Column:
+    """Lowercased word tokens (Lucene StandardAnalyzer-ish: split on
+    non-alphanumeric, drop empties)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def build_text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Postings table: one (term, id) row per distinct term per document.
+    Persist with write_segments(partition/bucket by term) for pruning."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("term"))
+        .select("term", id_col)
+    )
+
+
+def search_all(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+    """Documents containing ALL terms (TEXT_MATCH 'a AND b'): postings
+    intersect via a single groupBy — shuffle carries only matching
+    postings rows."""
+    hits = index.filter(F.col("term").isin([t.lower() for t in terms]))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("term").alias("__nt"))
+        .filter(F.col("__nt") == len(terms))
+        .select(id_col)
+    )
+
+
+def search_any(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+    """Documents containing ANY term (TEXT_MATCH 'a OR b')."""
+    return (
+        index.filter(F.col("term").isin([t.lower() for t in terms]))
+        .select(id_col)
+        .distinct()
+    )

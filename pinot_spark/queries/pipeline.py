@@ -336,3 +336,36 @@ def similarity_radius_filter(spark, sf_dir):
         .agg(F.count("*").alias("n_within"), F.round(F.max("sim"), 4).alias("best_sim"))
         .orderBy("label")
     )
+
+
+@query(
+    "text_inverted_index_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       t -> length(t) > 0)) AS terms
+      FROM documents)
+    SELECT lang, count(*) AS n_docs
+    FROM toks
+    WHERE list_contains(terms, 'hash') AND list_contains(terms, 'merge')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_inverted_index_search(spark, sf_dir):
+    """TEXT_MATCH 'hash AND merge' answered from an inverted postings
+    table (operators/text_index.py) instead of a regex scan — the
+    text-index strategy of StandardIndexes.java/TextMatchFilterOperator
+    re-expressed as a term-pruned join."""
+    from pinot_spark.operators.text_index import build_text_index, search_all
+
+    t = load_tables(spark, sf_dir)
+    index = build_text_index(t["documents"], "doc_id", "text")
+    hits = search_all(index, "doc_id", ["hash", "merge"])
+    return (
+        t["documents"]
+        .join(hits, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )

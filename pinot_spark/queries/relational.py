@@ -229,12 +229,15 @@ def q22_anti_join(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery + NOT EXISTS → left-anti join
     (HashJoinOperator.java:172 ANTI)."""
     t = load_tables(spark, sf_dir)
+    # scalar subquery stays in the plan as a 1-row broadcast (no eager
+    # driver-side collect at build time)
     avg_bal = (
-        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
+        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     return (
         t["customer"]
-        .filter(F.col("c_acctbal") > avg_bal)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
               F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy(F.substring("c_name", 1, 9).alias("cntry"))

@@ -51,6 +51,9 @@ class IngestionPipeline:
     time_validation: tuple | None = None
     # AggregationConfig: (group_cols, {out: (agg_name, in_col)})
     rollup: tuple | None = None
+    # EnrichmentConfig (recordtransformer/enricher/): list of
+    # (dim_df, join_keys, wanted_cols) — broadcast lookup enrich
+    enrichments: list = field(default_factory=list)
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.filter_expr is not None:
@@ -89,6 +92,10 @@ class IngestionPipeline:
                 (F.col(tcol) >= F.lit(lo).cast("timestamp"))
                 & (F.col(tcol) <= F.lit(hi).cast("timestamp"))
             )
+
+        for dim_df, on, cols in self.enrichments:
+            slim = dim_df.select(*dict.fromkeys([*on, *cols]))
+            df = df.join(F.broadcast(slim), on=on, how="left")
 
         if self.rollup is not None:
             group_cols, aggs = self.rollup

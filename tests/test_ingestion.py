@@ -125,3 +125,19 @@ def test_bucketed_colocated_join(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
     assert joined.count() > 0
+
+
+def test_ingestion_enrichment(spark):
+    """EnrichmentConfig analog: broadcast-dim lookup enrich in the
+    ingestion pipeline (recordtransformer/enricher/)."""
+    t = load_tables(spark, SF_DIR)
+    pipe = IngestionPipeline(
+        enrichments=[(t["nation"], ["n_nationkey"], ["n_name"])],
+    )
+    out = pipe.apply(
+        t["customer"].withColumnRenamed("c_nationkey", "n_nationkey")
+    )
+    assert "n_name" in out.columns
+    row = out.filter(F.col("c_custkey") == 1).collect()[0]
+    assert row["n_name"].startswith("NATION_")
+    assert out.count() == t["customer"].count()  # left enrich keeps all rows
