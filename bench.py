@@ -29,6 +29,9 @@ HEADLINE = [
     "dedup_exact_documents",
     "similarity_topk_cosine",
     "text_token_stats",
+    # engine perf features (rollup routing, inverted-index search)
+    "agg_startree_rollup_route",
+    "text_inverted_index_search",
 ]
 
 
