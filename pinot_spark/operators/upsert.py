@@ -25,16 +25,26 @@ def _order(cols: list[str], desc: bool) -> list[Column]:
     return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
 
 
-def upsert_view(df: DataFrame, keys: list[str], comparison: list[str]) -> DataFrame:
+def upsert_view(
+    df: DataFrame,
+    keys: list[str],
+    comparison: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
     """Latest-row-per-key view (upsert FULL mode). ``comparison`` is the
     ordered list of tie-breaking columns, highest wins (include a unique
-    id last for determinism)."""
+    id last for determinism). ``delete_col`` is UpsertConfig's
+    deleteRecordColumn: when the winning row has it true, the key is
+    absent from the view (soft delete)."""
     w = Window.partitionBy(*keys).orderBy(*_order(comparison, desc=True))
-    return (
+    out = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return out
 
 
 def dedup_view(df: DataFrame, keys: list[str], comparison: list[str]) -> DataFrame:

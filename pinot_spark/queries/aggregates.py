@@ -657,3 +657,34 @@ def null_mode_sql_semantics(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mv_grouped_percentile",
+    oracle="""
+    SELECT lang,
+           round(quantile_cont(tl, 0.5), 4) AS p50_token_len,
+           round(quantile_cont(tl, 0.9), 4) AS p90_token_len
+    FROM (
+      SELECT lang, length(unnest(string_split(text, ' ')))::DOUBLE AS tl
+      FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_mv_grouped_percentile(spark, sf_dir):
+    """PERCENTILEMV (AggregationFunctionType.java:205-240): percentile of
+    flattened MV values per group — explode then exact interpolated
+    percentile (the group aggregate needs the flatten, unlike per-row
+    MV aggs)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", F.length("tok").cast("double").alias("tl"))
+        .groupBy("lang")
+        .agg(
+            _r4(F.expr("percentile(tl, 0.5)")).alias("p50_token_len"),
+            _r4(F.expr("percentile(tl, 0.9)")).alias("p90_token_len"),
+        )
+        .orderBy("lang")
+    )

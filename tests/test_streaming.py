@@ -95,3 +95,25 @@ def test_hybrid_time_boundary(spark):
     realtime = mk([("2024-01-01 12:00:00", "rt-drop"), ("2024-01-03 00:00:00", "rt-keep")])
     out = {r["v"] for r in hybrid_view(offline, realtime, "t", "2024-01-02").collect()}
     assert out == {"off-keep", "rt-keep"}
+
+
+def test_upsert_delete_column(spark):
+    """UpsertConfig.deleteRecordColumn: a key whose latest row carries the
+    delete marker disappears from the view."""
+    from pinot_spark.operators.upsert import upsert_view
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", False),
+            (1, 2, "b", True),   # latest for key 1 → deleted
+            (2, 1, "c", False),
+            (2, 2, "d", False),  # latest for key 2 → visible
+            (3, 1, "e", None),   # null marker → visible
+        ],
+        "k int, v int, payload string, deleted boolean",
+    )
+    rows = {
+        r["k"]: r["payload"]
+        for r in upsert_view(df, ["k"], ["v"], delete_col="deleted").collect()
+    }
+    assert rows == {2: "d", 3: "e"}
