@@ -52,7 +52,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        rows = Q.QUERIES[name](spark, sf_dir).collect()
+        try:
+            rows = Q.QUERIES[name](spark, sf_dir).collect()
+        except Exception as e:  # never lose the JSON line to one query
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+            timings[name] = round(time.perf_counter() - t0, 3)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
 

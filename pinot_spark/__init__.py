@@ -19,7 +19,8 @@ This package supplies the pieces Spark does not have natively:
 
 from pinot_spark.session import get_spark
 from pinot_spark.catalog import load_tables, TABLE_NAMES
+from pinot_spark.dialect import PinotEngine
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_tables", "TABLE_NAMES", "__version__"]
+__all__ = ["get_spark", "load_tables", "TABLE_NAMES", "PinotEngine", "__version__"]

@@ -607,13 +607,96 @@ _reg("encodeGeohash", "stGeohash")(
 )
 
 
+# Simple-polygon algebra (no holes, no multi-geometries) as pure math —
+# ray-casting containment and shoelace area over "POLYGON ((x y, ...))"
+# WKT. Full OGC geometry (holes, multipolygons, unions) would need a
+# geometry library not present in this environment — those remain stubs.
+
+
+def _parse_polygon(wkt: str):
+    import re as _re
+
+    m = _re.match(r"\s*POLYGON\s*\(\(([^)]*)\)\)\s*", wkt or "")
+    if not m:
+        return None
+    pts = []
+    for pair in m.group(1).split(","):
+        x, y = pair.split()
+        pts.append((float(x), float(y)))
+    return pts
+
+
+def _point_in_polygon(px: float, py: float, poly) -> bool:
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _make_st_contains():
+    import re as _re
+
+    @_pandas_udf("boolean")
+    def _st_contains_udf(poly_wkt: _pd.Series, point_wkt: _pd.Series) -> _pd.Series:
+        def one(pw, ptw):
+            poly = _parse_polygon(pw) if pw else None
+            m = _re.match(r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", ptw or "")
+            if poly is None or not m:
+                return None
+            return _point_in_polygon(float(m.group(1)), float(m.group(2)), poly)
+
+        return _pd.Series([one(a, b) for a, b in zip(poly_wkt, point_wkt)])
+
+    return _st_contains_udf
+
+
+def _make_st_area():
+    @_pandas_udf("double")
+    def _st_area_udf(poly_wkt: _pd.Series) -> _pd.Series:
+        def one(pw):
+            poly = _parse_polygon(pw)
+            if poly is None:
+                return None
+            s = 0.0
+            for i in range(len(poly)):
+                x1, y1 = poly[i]
+                x2, y2 = poly[(i + 1) % len(poly)]
+                s += x1 * y2 - x2 * y1
+            return abs(s) / 2.0
+
+        return _pd.Series([one(p) for p in poly_wkt])
+
+    return _st_area_udf
+
+
+@_reg("stPolygon")
+def _st_polygon(wkt):
+    return _c(wkt)
+
+
+_reg("stContains")(
+    lambda poly, pt: _lazy_udf("st_contains", _make_st_contains)(_c(poly), _c(pt))
+)
+_reg("stWithin")(
+    lambda pt, poly: _lazy_udf("st_contains", _make_st_contains)(_c(poly), _c(pt))
+)
+_reg("stArea")(lambda poly: _lazy_udf("st_area", _make_st_area)(_c(poly)))
+
+
 def _geo_stub(*_a):
     raise NotImplementedError(
-        "polygon/geometry-algebra ST_* functions (ST_Contains, ST_Within, "
-        "ST_Area, geoToH3) need a geometry library not present in this "
-        "environment; point constructors/distance above are implemented"
+        "full OGC geometry algebra (holes, multipolygons, ST_Union, "
+        "geoToH3) needs a geometry/H3 library not present in this "
+        "environment; simple-polygon contains/within/area and point "
+        "constructors/distance are implemented above"
     )
 
 
-for _n in ("stContains", "stWithin", "stArea", "stUnion", "geoToH3"):
+for _n in ("stUnion", "geoToH3"):
     _reg(_n)(_geo_stub)

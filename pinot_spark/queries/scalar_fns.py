@@ -600,3 +600,37 @@ def fn_map_family(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "fn_geo_contains",
+    oracle="""
+    SELECT event_type, count(*) AS n_inside
+    FROM (
+        SELECT event_type,
+               CAST(user_id % 100 AS DOUBLE) / 10 AS x,
+               CAST(event_id % 100 AS DOUBLE) / 10 AS y
+        FROM events) pts
+    WHERE x > 1.95 AND x < 7.45 AND y > 0.95 AND y < 7.95
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_geo_contains(spark, sf_dir):
+    """ST_Contains / ST_Within point-in-polygon (geospatial transform
+    functions, TransformFunctionType:195-229): ray-casting UDF verified
+    against the independent range-predicate formulation (the polygon is
+    a rectangle so the oracle needs no geometry library)."""
+    t = load_tables(spark, sf_dir)
+    # bounds sit off the 0.1 grid so boundary-inclusion semantics can't
+    # differ between ray casting and the oracle's range predicates
+    rect = F.lit("POLYGON ((1.95 0.95, 7.45 0.95, 7.45 7.95, 1.95 7.95, 1.95 0.95))")
+    x = (F.col("user_id") % 100).cast("double") / 10
+    y = (F.col("event_id") % 100).cast("double") / 10
+    pt = scalar.call("stPoint", x, y)
+    return (
+        t["events"]
+        .filter(scalar.call("stContains", rect, pt))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("event_type")
+    )

@@ -239,9 +239,19 @@ def test_geo_points(one):
     assert abs(ev(one, q) - 10_007_543) < 1_000
 
 
+def test_geo_polygon_ops(one):
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert ev(one, call("stContains", F.lit(sq), call("stPoint", F.lit(5.0), F.lit(5.0)))) is True
+    assert ev(one, call("stContains", F.lit(sq), call("stPoint", F.lit(15.0), F.lit(5.0)))) is False
+    assert ev(one, call("stWithin", call("stPoint", F.lit(1.0), F.lit(9.0)), F.lit(sq))) is True
+    assert ev(one, call("stArea", F.lit(sq))) == 100.0
+    tri = "POLYGON ((0 0, 4 0, 0 3, 0 0))"
+    assert ev(one, call("stArea", F.lit(tri))) == 6.0
+
+
 def test_geo_stub_raises(one):
     with pytest.raises(NotImplementedError):
-        call("stContains", F.lit("x"), F.lit("y"))
+        call("stUnion", F.lit("x"), F.lit("y"))
 
 
 def test_datetime_convert_column(one):
