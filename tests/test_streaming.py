@@ -117,3 +117,38 @@ def test_upsert_delete_column(spark):
         for r in upsert_view(df, ["k"], ["v"], delete_col="deleted").collect()
     }
     assert rows == {2: "d", 3: "e"}
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState custom operator: gap sessions close when a
+    later event proves the gap; the trailing session stays in state."""
+    from pinot_spark.streaming.stateful import sessionize
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    _write_input(
+        spark,
+        src,
+        [
+            (1, "e1", "2024-01-01 00:00:00"),
+            (1, "e2", "2024-01-01 00:01:00"),
+            (1, "e3", "2024-01-01 01:00:00"),  # >30min gap → closes session 1
+            (2, "x1", "2024-01-01 00:00:00"),  # single open session, no output
+        ],
+    )
+    stream = spark.readStream.schema("pk BIGINT, v STRING, ts TIMESTAMP").parquet(src)
+    out = sessionize(stream, key="pk", time_col="ts", gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 1 and r["n_events"] == 2
+    assert r["session_start"].minute == 0 and r["session_end"].minute == 1
