@@ -369,3 +369,44 @@ def text_inverted_index_search(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+             list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))) AS sim
+      FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+      WHERE e1.vec_id < 200 AND e2.vec_id < 200)
+    SELECT count(*) AS n_dup_pairs,
+           count(DISTINCT id_b) AS n_docs_dropped,
+           round(min(sim), 4) AS min_dup_sim
+    FROM pairs WHERE sim >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup (BASELINE.json pipeline
+    operator): pairs above a cosine threshold (0.35 — the synthetic embeddings are
+    near-orthogonal, so this is the meaningful upper tail); each pair drops
+    the higher id (keep-first policy). Exact over a bounded subset here;
+    the 100 TB path pre-buckets with the IVF coarse quantizer
+    (operators/similarity.topk_cosine_ivf) or random-hyperplane LSH so
+    the pair join touches only same-bucket candidates."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = cosine_similarity("ea", "eb")
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+    )
+    return pairs.agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("id_b").alias("n_docs_dropped"),
+        F.round(F.min("sim"), 4).alias("min_dup_sim"),
+    )
