@@ -688,3 +688,39 @@ def agg_mv_grouped_percentile(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "agg_theta_setop_distinct",
+    oracle="""
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS dc_view,
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS dc_purchase,
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS dc_both,
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS dc_view_only
+    """,
+)
+def agg_theta_setop_distinct(spark, sf_dir):
+    """DISTINCTCOUNTTHETASKETCH set-operation expressions
+    (AggregationFunctionType.java:107-120 — theta sketches exist to
+    answer unions/intersections of distinct sets across filters): exact
+    via distinct-set intersect/except; sketches become the approximate
+    drop-in at scale (hll_sketch_agg for unions; intersections need theta,
+    see COVERAGE.md known gaps)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    view = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    counts = (
+        view.agg(F.count("*").alias("dc_view"))
+        .join(buy.agg(F.count("*").alias("dc_purchase")))
+        .join(view.intersect(buy).agg(F.count("*").alias("dc_both")))
+        .join(view.exceptAll(buy).distinct().agg(F.count("*").alias("dc_view_only")))
+    )
+    return counts
