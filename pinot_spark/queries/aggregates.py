@@ -573,7 +573,8 @@ def agg_startree_rollup_route(spark, sf_dir):
     from pinot_spark.plans.materialized import MVCatalog, AggregateMV, create_aggregate_mv
 
     t = load_tables(spark, sf_dir)
-    path = f"/tmp/pinot_spark_mv/{abs(hash(os.path.abspath(sf_dir)))}_li"
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".mv_cache")
+    path = os.path.join(base, f"{os.path.basename(os.path.normpath(sf_dir))}_li")
     if os.path.exists(path):
         mv = AggregateMV(
             name="li_rollup", path=path,
