@@ -34,6 +34,30 @@ TABLE_NAMES = (
 # (pinot-spi/.../config/table/DimensionTableConfig.java) — always broadcast.
 DIMENSION_TABLES = ("region", "nation")
 
+# Confs the engine NEEDS on whatever session the caller hands us (the
+# correctness harness passes its own vanilla SparkSession, not ours from
+# session.get_spark).  All of these are runtime-settable.
+# - nanosAsLong: events.parquet stores INT64 TIMESTAMP(NANOS); without this
+#   the schema inference itself throws PARQUET_TYPE_ILLEGAL.
+# - UTC + Arrow: deterministic timestamp semantics vs the DuckDB oracle and
+#   fast pandas interchange for the UDF-backed operators.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply engine-required, runtime-settable confs to a foreign session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # a static conf on some Spark build: keep going
+            pass
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str, register: bool = True
@@ -41,8 +65,11 @@ def load_tables(
     """Load every parquet table under ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}. Missing tables are skipped so the loader
-    works on partial fixture dirs.
+    works on partial fixture dirs; an unreadable table is likewise skipped
+    (failure isolation: a corrupt file must not break queries that never
+    touch that table).
     """
+    ensure_runtime_confs(spark)
     key = (id(spark), os.path.abspath(sf_dir))
     cached = _TABLE_CACHE.get(key)
     if cached is None:
@@ -51,7 +78,10 @@ def load_tables(
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
-            cached[name] = _normalize_nanos(spark.read.parquet(path))
+            try:
+                cached[name] = _normalize_nanos(spark.read.parquet(path))
+            except Exception:
+                continue
         _TABLE_CACHE[key] = cached
     if register and _REGISTERED.get(id(spark)) != key:
         for name, df in cached.items():
@@ -88,4 +118,5 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single table by name."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ensure_runtime_confs(spark)
+    return _normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))

@@ -1,0 +1,78 @@
+"""Driver-harness compatibility: queries must run on a VANILLA SparkSession.
+
+The correctness driver passes its own ``SparkSession.builder.getOrCreate()``
+session to ``__spark_entry__.queries()`` — none of the confs from
+``pinot_spark.session.get_spark`` are present.  Round-1 failure mode: the
+sf0.1 ``events.parquet`` stores INT64 TIMESTAMP(NANOS), whose schema
+inference throws unless ``spark.sql.legacy.parquet.nanosAsLong`` is set;
+``catalog.load_tables`` eagerly read all ten tables, so every query died.
+
+These tests simulate the driver: strip the critical confs from the live
+session, clear the table cache, and assert representative queries still
+run (``catalog.ensure_runtime_confs`` must re-apply them at call time).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pinot_spark import catalog
+from pinot_spark.queries import QUERIES
+
+# spans: parquet scan+agg (events table with nano timestamps), TPC-H join
+# pipeline, and a documents-table pipeline operator.
+REPRESENTATIVE = ["q1_pricing_summary", "q3_shipping_priority", "gapfill_fill_previous"]
+
+
+def _strip_confs(spark):
+    for k in catalog._RUNTIME_CONFS:
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+
+@pytest.fixture()
+def vanilla(spark):
+    """The test-session made vanilla: engine confs stripped, caches cleared."""
+    _strip_confs(spark)
+    catalog._TABLE_CACHE.clear()
+    catalog._REGISTERED.clear()
+    yield spark
+    # ensure_runtime_confs restored everything during the test; re-assert
+    catalog.ensure_runtime_confs(spark)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_runs_on_vanilla_session(vanilla, sf_dir, name):
+    fn = QUERIES.get(name)
+    assert fn is not None, f"{name} missing from registry"
+    df = fn(vanilla, sf_dir)
+    rows = df.collect()
+    assert rows is not None  # ≥0 rows with a stable schema is the contract
+    assert vanilla.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert vanilla.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_events_table_loads_with_nano_timestamps(vanilla, sf_dir):
+    tables = catalog.load_tables(vanilla, sf_dir)
+    assert "events" in tables
+    assert tables["events"].limit(1).count() >= 0
+
+
+def test_unreadable_table_is_isolated(vanilla, sf_dir, tmp_path, monkeypatch):
+    """A corrupt table file must not break queries on other tables."""
+    import shutil
+    import os
+
+    bad_dir = tmp_path / "sf_bad"
+    bad_dir.mkdir()
+    for name in ("region", "nation"):
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        shutil.copy(src, bad_dir / f"{name}.parquet")
+    (bad_dir / "orders.parquet").write_bytes(b"not a parquet file")
+    tables = catalog.load_tables(vanilla, str(bad_dir))
+    assert "region" in tables and "nation" in tables
+    assert "orders" not in tables
+    assert tables["region"].count() > 0
