@@ -193,10 +193,21 @@ _ARR_SUM = "aggregate({0}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
 FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # --- string (StringFunctions.java) ---
-    "strpos": "instr",
+    # Pinot strPos = StringUtils.indexOf/ordinalIndexOf: 0-based, -1 on miss
+    # (StringFunctions.java). 3-arg form finds the Nth occurrence.
+    "strpos": lambda a: (
+        f"(instr({a[0]}, {a[1]}) - 1)"
+        if len(a) < 3
+        else (
+            f"(CASE WHEN (length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) / length({a[1]}) >= {a[2]} "
+            f"THEN length(substring_index({a[0]}, {a[1]}, {a[2]})) ELSE -1 END)"
+        )
+    ),
     "codepoint": "ascii",
     "chr": "char",
-    "splitpart": lambda a: f"split({a[0]}, {a[1]})[{a[2]}]",  # Pinot 0-based
+    # Pinot splitPart splits on the LITERAL delimiter (StringFunctions.java
+    # splitPart), 0-based index; Spark's split() is regex — use split_part.
+    "splitpart": lambda a: f"split_part({a[0]}, {a[1]}, {a[2]} + 1)",
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
     "regexplike": lambda a: f"({a[0]} RLIKE {a[1]})",
@@ -223,7 +234,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "datetimeconvert": lambda a: _datetime_convert_sql(a),
     "yearofweek": "extract(yearofweek FROM {0})",
     "weekofyear": "weekofyear",
-    "dayofweek": "dayofweek",
+    # Pinot dayOfWeek is Joda ISO Mon=1..Sun=7 (DateTimeFunctions.java:843);
+    # Spark dayofweek is Sun=1..Sat=7.
+    "dayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
     "dayofyear": "dayofyear",
     "millisecond": lambda a: f"CAST((unix_millis(CAST({a[0]} AS TIMESTAMP)) % 1000) AS INT)",
     # --- arithmetic / misc scalars ---
@@ -299,7 +312,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "maxmv": lambda a: f"max(array_max({a[0]}))",
     "avgmv": lambda a: f"(sum({_ARR_SUM.format(a[0])}) / sum(cardinality({a[0]})))",
     "minmaxrangemv": lambda a: f"(max(array_max({a[0]})) - min(array_min({a[0]})))",
-    "distinctcountmv": lambda a: f"count(DISTINCT {a[0]}_flat)",  # needs explode; see note
+    # DISTINCTCOUNTMV: distinct count over flattened MV values.  The
+    # explode-rewrite is the scale path (functions/aggregate.py); in a pure
+    # SQL expression the flatten-of-collected-arrays form is the one Spark
+    # can evaluate inside a single agg.
+    "distinctcountmv": lambda a: f"size(array_distinct(flatten(collect_list({a[0]}))))",
+    "distinctsummv": lambda a: f"({_ARR_SUM.format(f'array_distinct(flatten(collect_list({a[0]})))')})",
     # --- vector (VectorFunctions.java) ---
     "cosinedistance": lambda a: (
         f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
@@ -457,29 +475,30 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
 
     def seg_rewrite(seg: str) -> str:
         def eq(m: re.Match) -> str:
-            col, op, lit = m.group(1), m.group(2), m.group(3)
+            qual, col, op, lit = m.group(1) or "", m.group(2), m.group(3), m.group(4)
             if col.lower() not in mv:
                 return m.group(0)
+            ref = f"{qual}{col}"  # keep the table qualifier inside the call
             if op == "=":
-                return f"array_contains({col}, {lit})"
-            return f"(NOT array_contains({col}, {lit}))"
+                return f"array_contains({ref}, {lit})"
+            return f"(NOT array_contains({ref}, {lit}))"
 
         seg = re.sub(
-            r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<>)\s*('[^']*'|[0-9.]+)",
+            r"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<>)\s*('[^']*'|[0-9.]+)",
             eq,
             seg,
         )
 
         def in_list(m: re.Match) -> str:
-            col, neg, items = m.group(1), m.group(2), m.group(3)
+            qual, col, neg, items = m.group(1) or "", m.group(2), m.group(3), m.group(4)
             if col.lower() not in mv:
                 return m.group(0)
             arr = f"array({items})"
-            base = f"arrays_overlap({col}, {arr})"
+            base = f"arrays_overlap({qual}{col}, {arr})"
             return f"(NOT {base})" if neg else base
 
         seg = re.sub(
-            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(NOT\s+)?IN\s*\(([^()]*)\)",
+            r"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s+(NOT\s+)?IN\s*\(([^()]*)\)",
             in_list,
             seg,
             flags=re.IGNORECASE,

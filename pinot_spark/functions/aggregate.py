@@ -112,30 +112,96 @@ _reg("boolor")(lambda c: F.bool_or(_c(c)))
 _reg("arrayagg")(lambda c, *a: F.array_sort(F.collect_list(_c(c))))
 _reg("listagg")(lambda c, sep=",": F.array_join(F.array_sort(F.collect_list(_c(c))), sep))
 _reg("idset")(lambda c, *a: F.array_sort(F.collect_set(_c(c))))
-_reg("histogram")(lambda c, width: F.count("*"))  # use with groupBy(floor(c/width)) — see agg_histogram query
+
+
+# --- histogram (AggregationFunctionType.java:144) ----------------------------
+@_reg("histogram")
+def _histogram(c, lower, upper, bins):
+    """HISTOGRAM(col, lower, upper, numBins) → array of per-bin counts.
+
+    Equal-width bins over [lower, upper); the last bin includes upper
+    (HistogramAggregationFunction.java). One conditional SUM per bin —
+    fully declarative, partial/final aggregatable, no buffers.
+    """
+    x = _c(c).cast("double")
+    lo, hi, n = float(lower), float(upper), int(bins)
+    w = (hi - lo) / n
+    counts = []
+    for i in range(n):
+        left, right = lo + i * w, lo + (i + 1) * w
+        cond = (x >= F.lit(left)) & ((x <= F.lit(hi)) if i == n - 1 else (x < F.lit(right)))
+        counts.append(F.sum(F.when(cond, 1).otherwise(0)))
+    return F.array(*counts)
+
 
 # --- element-wise array sums (:188-189) -------------------------------------
-_reg("sumarraylong")(
-    lambda c: F.aggregate(
+def _sum_array(c, dim, out_type):
+    if dim is not None:
+        # fixed dimension (embeddings, fixed-width MV): one declarative SUM
+        # per index — partial-aggregatable, constant memory, the 100 TB path.
+        return F.array(*[F.sum(_c(c)[i].cast(out_type)) for i in range(int(dim))])
+    # unknown dimension: buffered fold (whole group's arrays in one agg
+    # buffer) — small-group fallback only; pass dim, or use
+    # sum_array_grouped() for the explode-based scale path.
+    return F.aggregate(
         F.collect_list(_c(c)),
-        F.expr("cast(array() as array<bigint>)"),
-        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<bigint>")).otherwise(
-            F.zip_with(acc, x, lambda a, b: a + b.cast("bigint"))
+        F.expr(f"cast(array() as array<{out_type}>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, x.cast(f"array<{out_type}>")).otherwise(
+            F.zip_with(acc, x, lambda a, b: a + b.cast(out_type))
         ),
     )
-)
-_reg("sumarraydouble")(
-    lambda c: F.aggregate(
-        F.collect_list(_c(c)),
-        F.expr("cast(array() as array<double>)"),
-        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<double>")).otherwise(
-            F.zip_with(acc, x, lambda a, b: a + b.cast("double"))
-        ),
-    )
-)
 
-# --- frequent items (:158-160): exact heavy-hitters via count/top-k ---------
-_reg("frequentstringssketch", "frequentlongssketch")(lambda c, *a: F.count("*"))
+
+_reg("sumarraylong")(lambda c, dim=None: _sum_array(c, dim, "bigint"))
+_reg("sumarraydouble")(lambda c, dim=None: _sum_array(c, dim, "double"))
+
+
+def sum_array_grouped(df, keys: list[str], col: str, alias: str = "sum_array"):
+    """Scale path for SUMARRAY over unknown-width arrays: posexplode →
+    groupBy(keys, index) → SUM → reassemble ordered by index.  Two
+    shuffles but constant memory per task (no whole-group array buffer)."""
+    exploded = df.select(*keys, F.posexplode(F.col(col)).alias("_idx", "_v"))
+    summed = exploded.groupBy(*keys, "_idx").agg(F.sum("_v").alias("_s"))
+    return (
+        summed.groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_s"))), lambda s: s["_s"]
+            ).alias(alias)
+        )
+    )
+
+
+def distinct_count_mv_grouped(df, keys: list[str], col: str, alias: str = "dc_mv"):
+    """Scale path for DISTINCTCOUNTMV: explode → count_distinct.  The
+    Column-level form buffers every group's arrays (collect_set); this one
+    pre-aggregates map-side and carries one row per (keys, value)."""
+    return (
+        df.select(*keys, F.explode(F.col(col)).alias("_v"))
+        .groupBy(*keys)
+        .agg(F.count_distinct("_v").alias(alias))
+    )
+
+
+# --- frequent items (:158-160) -----------------------------------------------
+@_reg("frequentstringssketch", "frequentlongssketch")
+def _frequent_items(c, *a):
+    # No declarative per-group heavy-hitters exists as a single Column;
+    # a silent wrong answer here is worse than an error.
+    raise NotImplementedError(
+        "FREQUENTSTRINGSSKETCH/FREQUENTLONGSSKETCH need a two-step plan: "
+        "use frequent_items_grouped(df, keys, col, k) (count + window top-k)"
+    )
+
+
+def frequent_items_grouped(df, keys: list[str], col: str, k: int = 10):
+    """Exact heavy-hitters per group (FrequentStringsSketch equivalent):
+    count pre-aggregates map-side, window rank keeps top-k per group."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys, col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc(col))
+    return counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 # --- MV variants (:205-240): aggMV(x) = agg(flatten(x)) ---------------------
 _ARRSUM = lambda c: F.aggregate(_c(c), F.lit(0.0), lambda a, x: a + x.cast("double"))  # noqa: E731
@@ -147,6 +213,9 @@ _reg("avgmv")(lambda c: F.try_divide(F.sum(_ARRSUM(c)), F.sum(F.size(_c(c)))))
 _reg("minmaxrangemv")(
     lambda c: F.max(F.array_max(_c(c)).cast("double")) - F.min(F.array_min(_c(c)).cast("double"))
 )
+# Column-level DISTINCTCOUNTMV buffers the group's arrays (collect_set) —
+# correct but memory ∝ group size; distinct_count_mv_grouped() above is the
+# explode-based scale path with map-side partial aggregation.
 _reg("distinctcountmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
 _reg("distinctcounthllmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
 _reg("distinctsummv")(

@@ -71,7 +71,9 @@ def _substr(s, start, length=None):
     return F.substring(_c(s), _c(start) + F.lit(1), _c(length))
 
 
-_reg("strpos", "instr")(lambda s, sub: F.instr(_c(s), _c(sub)))
+# Pinot strPos = StringUtils.indexOf: 0-based, -1 on miss
+# (reference pinot-common/.../scalar/StringFunctions.java strPos).
+_reg("strpos")(lambda s, sub: F.instr(_c(s), _c(sub)) - F.lit(1))
 _reg("concat")(lambda *xs: F.concat(*[_c(x) for x in xs]))
 _reg("concatws")(lambda sep, *xs: F.concat_ws(sep if isinstance(sep, str) else sep, *[_c(x) for x in xs]))
 _reg("trim")(lambda s: F.trim(_c(s)))
@@ -160,7 +162,9 @@ _reg("month", "monthofyear")(lambda ts: F.month(_c(ts)))
 _reg("week", "weekofyear")(lambda ts: F.weekofyear(_c(ts)))
 _reg("dayofyear", "doy")(lambda ts: F.dayofyear(_c(ts)))
 _reg("day", "dayofmonth")(lambda ts: F.dayofmonth(_c(ts)))
-_reg("dayofweek", "dow")(lambda ts: F.dayofweek(_c(ts)) - F.lit(1))  # Pinot: Sunday=0? (Joda: Mon=1..Sun=7 → match tests)
+# Pinot dayOfWeek = Joda getDayOfWeek(): ISO Mon=1..Sun=7
+# (reference DateTimeFunctions.java dayOfWeek); Spark dayofweek is Sun=1..Sat=7.
+_reg("dayofweek", "dow")(lambda ts: ((F.dayofweek(_c(ts)) + F.lit(5)) % F.lit(7)) + F.lit(1))
 _reg("hour")(lambda ts: F.hour(_c(ts)))
 _reg("minute")(lambda ts: F.minute(_c(ts)))
 _reg("second")(lambda ts: F.second(_c(ts)))

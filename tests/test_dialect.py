@@ -41,8 +41,9 @@ def test_default_limit_applied():
 
 
 def test_rewrite_function_names():
+    # Pinot strPos is 0-based with -1 on miss (StringFunctions.java)
     assert rewrite_functions("SELECT STRPOS(name, 'x') FROM t") == (
-        "SELECT instr(name, 'x') FROM t"
+        "SELECT (instr(name, 'x') - 1) FROM t"
     )
     assert "percentile(v, 0.95)" in rewrite_functions("SELECT PERCENTILE(v, 95) FROM t")
     assert "count(DISTINCT a)" in rewrite_functions("SELECT DISTINCTCOUNT(a) FROM t")
@@ -51,8 +52,15 @@ def test_rewrite_function_names():
     )
     # nested rewrite
     assert rewrite_functions("SELECT STRPOS(LOWER(s), CHR(97)) FROM t") == (
-        "SELECT instr(LOWER(s), char(97)) FROM t"
+        "SELECT (instr(LOWER(s), char(97)) - 1) FROM t"
     )
+    # splitPart splits on the LITERAL delimiter (split_part, not regex split)
+    assert rewrite_functions("SELECT SPLITPART(s, '.', 0) FROM t") == (
+        "SELECT split_part(s, '.', 0 + 1) FROM t"
+    )
+    # DISTINCTCOUNTMV emits valid SQL (regression: used to reference col_flat)
+    out = rewrite_functions("SELECT DISTINCTCOUNTMV(tags) FROM t")
+    assert "size(array_distinct(flatten(collect_list(tags))))" in out
     # names inside string literals untouched by the engine pipeline
     eng_sql = "SELECT 'strpos(x)' AS lit FROM t"
     assert rewrite_functions(eng_sql) == eng_sql or True  # literal-guard lives in translate()

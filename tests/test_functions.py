@@ -26,7 +26,10 @@ SCALAR_CASES = [
     ("lower", lambda: [F.lit("AbC")], "abc"),
     ("reverse", lambda: [F.lit("abc")], "cba"),
     ("substr", lambda: [F.lit("hello"), 1, 3], "ell"),  # Pinot 0-based start
-    ("strpos", lambda: [F.lit("hello"), F.lit("llo")], 3),
+    ("strpos", lambda: [F.lit("hello"), F.lit("llo")], 2),  # Pinot 0-based
+    ("strpos", lambda: [F.lit("hello"), F.lit("zz")], -1),  # -1 on miss
+    ("dayofweek", lambda: [F.lit("2024-01-07").cast("timestamp")], 7),  # ISO Sun=7
+    ("dayofweek", lambda: [F.lit("2024-01-01").cast("timestamp")], 1),  # ISO Mon=1
     ("concat", lambda: [F.lit("a"), F.lit("b"), F.lit("c")], "abc"),
     ("trim", lambda: [F.lit("  x ")], "x"),
     ("length", lambda: [F.lit("abcd")], 4),
