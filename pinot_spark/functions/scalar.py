@@ -704,3 +704,8 @@ def _geo_stub(*_a):
 
 for _n in ("stUnion", "geoToH3"):
     _reg(_n)(_geo_stub)
+
+
+# Extended long-tail surface (typed array variants, MV datetime variants,
+# URL/IP/hash/UUID families, …) registers itself into SCALAR_FUNCTIONS.
+from pinot_spark.functions import scalar_ext  # noqa: E402,F401

@@ -725,3 +725,64 @@ def agg_theta_setop_distinct(spark, sf_dir):
         .join(view.exceptAll(buy).distinct().agg(F.count("*").alias("dc_view_only")))
     )
     return counts
+
+
+@query(
+    "agg_sum_array_scale_path",
+    oracle="""
+    WITH pos AS (
+        SELECT label, unnest(range(0, len(embedding))) AS idx,
+               unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+        FROM embeddings
+    ), per_idx AS (
+        SELECT label, idx, round(sum(v), 3) AS s FROM pos GROUP BY label, idx
+    )
+    SELECT label, round(sum(CAST(s AS DECIMAL(38,6))), 2)::DOUBLE AS checksum, count(*) AS dim
+    FROM per_idx GROUP BY label ORDER BY label
+    """,
+)
+def agg_sum_array_scale_path(spark, sf_dir):
+    """SUMARRAY scale path (functions/aggregate.py sum_array_grouped):
+    posexplode → groupBy(key, index) → SUM → reassemble.  Constant memory
+    per task — no whole-group array buffer — so hot groups can't OOM at
+    100× (VERDICT r1 'What's wrong' #5).  Checksum + dimension compared
+    against the oracle's exploded equivalent."""
+    from pinot_spark.functions.aggregate import sum_array_grouped
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    summed = sum_array_grouped(emb, ["label"], "embedding", alias="sum_vec")
+    # exact decimal fold: 3dp element sums aren't binary-exact, so a double
+    # accumulation would be order-dependent at the 2dp rounding boundary
+    checksum = F.aggregate(
+        F.transform("sum_vec", lambda x: F.round(x, 3).cast("decimal(38,6)")),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda a, x: a + x,
+    )
+    return summed.select(
+        "label",
+        F.round(checksum, 2).cast("double").alias("checksum"),
+        F.size("sum_vec").alias("dim"),
+    ).orderBy("label")
+
+
+@query(
+    "agg_distinctcount_mv_scale_path",
+    oracle="""
+    SELECT lang, count(DISTINCT tok) AS dc_tokens
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_distinctcount_mv_scale_path(spark, sf_dir):
+    """DISTINCTCOUNTMV scale path (functions/aggregate.py
+    distinct_count_mv_grouped): explode → count_distinct with map-side
+    partial aggregation — one row per (key, value) in the shuffle instead
+    of whole-group array buffers (VERDICT r1 'What's wrong' #5)."""
+    from pinot_spark.functions.aggregate import distinct_count_mv_grouped
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("lang", F.split("text", " ").alias("toks"))
+    return distinct_count_mv_grouped(docs, ["lang"], "toks", alias="dc_tokens").orderBy("lang")

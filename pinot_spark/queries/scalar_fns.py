@@ -634,3 +634,131 @@ def fn_geo_contains(spark, sf_dir):
         .agg(F.count("*").alias("n_inside"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "fn_surface_ext",
+    oracle="""
+    SELECT n_name,
+           (n_nationkey = 10) AS eq10,
+           (n_nationkey > 10) AS gt10,
+           (n_nationkey IN (1, 5, 9)) AS in159,
+           CASE WHEN n_nationkey < 8 THEN 'low' WHEN n_nationkey < 16 THEN 'mid' ELSE 'high' END AS tier,
+           gcd(n_nationkey + 4, 18) AS g,
+           lcm(n_nationkey + 1, 6) AS l,
+           round(1.0 / (1.0 + exp(-CAST(n_nationkey AS DOUBLE) / 10)), 4) AS sig,
+           CASE WHEN n_nationkey % 5 != 0 THEN CAST(FLOOR(CAST(n_regionkey AS DOUBLE) / (n_nationkey % 5)) AS BIGINT) ELSE 0 END AS idoz,
+           ((n_nationkey - 12) % 5 + 5) % 5 AS pmod,
+           bit_count(n_nationkey) AS bits,
+           ascii(n_name) AS first_cp,
+           left(n_name, 3) AS l3,
+           CASE WHEN n_name < 'JAPAN' THEN -1 WHEN n_name > 'JAPAN' THEN 1 ELSE 0 END AS cmp_japan,
+           strlen(n_name) AS octets,
+           bit_length(n_name) AS bits_len,
+           array_to_string(list_transform(string_split(lower(n_name), ' '),
+                                          w -> upper(w[1]) || substr(w, 2)), ' ') AS icap,
+           translate(n_name, 'AEI', 'aei') AS transl,
+           (1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) // 86400000 // 7 AS day_bucket7,
+           ((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) // 86400000) * 86400000 AS round_day,
+           isoyear(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000)) AS weekyear,
+           strftime(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
+           list_transform([1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000], x -> x // 86400000) AS days_mv,
+           [n_nationkey, n_nationkey * 2, 99] AS pushed,
+           (n_nationkey * 2) AS elem1
+    FROM nation ORDER BY n_name
+    """,
+)
+def fn_surface_ext(spark, sf_dir):
+    """Extended scalar surface (functions/scalar_ext.py): comparison,
+    arithmetic-extra, string-extra, epoch-bucket, and MV-datetime families
+    from the ~450-name registry (TransformFunctionType.java:46-258,
+    scalar/*.java) — every expression built through the Pinot-name
+    registry (scalar.call) rather than native Spark calls."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("n_nationkey")
+    n = F.col("n_name")
+    ms = (F.lit(1690000000000) + k.cast("long") * F.lit(259200000)).cast("long")
+    c = scalar.call
+    return (
+        t["nation"]
+        .select(
+            "n_name",
+            c("equals", k, F.lit(10)).alias("eq10"),
+            c("greaterThan", k, F.lit(10)).alias("gt10"),
+            c("in", k, 1, 5, 9).alias("in159"),
+            c(
+                "case", k < 8, F.lit("low"), k < 16, F.lit("mid"), F.lit("high")
+            ).alias("tier"),
+            c("gcd", k + 4, F.lit(18)).alias("g"),
+            c("lcm", k + 1, F.lit(6)).alias("l"),
+            _r4(c("sigmoid", k.cast("double") / 10)).alias("sig"),
+            c("intDivOrZero", F.col("n_regionkey"), k % 5).alias("idoz"),
+            c("positiveModulo", k - 12, F.lit(5)).alias("pmod"),
+            c("bitCount", k).alias("bits"),
+            c("ascii", n).alias("first_cp"),
+            c("leftSubStr", n, F.lit(3)).alias("l3"),
+            c("strcmp", n, F.lit("JAPAN")).alias("cmp_japan"),
+            c("octetLength", n).alias("octets"),
+            c("bitLength", n).alias("bits_len"),
+            c("initCap", F.lower(n)).alias("icap"),
+            c("translate", n, "AEI", "aei").alias("transl"),
+            c("toEpochDaysBucket", ms, F.lit(7)).alias("day_bucket7"),
+            c("round", ms, F.lit(86400000)).alias("round_day"),
+            c("yearOfWeek", ms).alias("weekyear"),
+            c("toIso8601", ms).alias("iso"),
+            c("toEpochDaysMV", F.array(ms)).alias("days_mv"),
+            c("arrayPushBackInt", F.array(k, k * 2), F.lit(99)).alias("pushed"),
+            c("arrayElementAtInt", F.array(k, k * 2, F.lit(99)), F.lit(1)).alias("elem1"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "fn_surface_udf_families",
+    oracle="""
+    SELECT -913021526 AS crc,
+           'dfb7f18c77e928bb56faeb2da27291bd790bc1045cde45f3210bb6c5' AS sha224_hex,
+           1586663183 AS mm3_32,
+           5998619086395760910 AS mm3_64,
+           8618312879776256743 AS fnv1a64,
+           'www.sub.example.com:8080' AS netloc,
+           'https://www.sub.example.com:8080/a/b/c#frag' AS no_query,
+           'com' AS tld,
+           'example.com' AS fsd,
+           '10.1.0.0/16' AS prefix16,
+           '192.168.1.255' AS subnet_max,
+           '192.168.1.1' AS long_ip,
+           TRUE AS is_v4,
+           37.7744 AS gh_lat,
+           '{"type":"Point","coordinates":[1,2]}' AS geojson,
+           'f47ac10b-58cc-4372-a567-0e02b2c3d479' AS uuid_roundtrip
+    """,
+)
+def fn_surface_udf_families(spark, sf_dir):
+    """UDF-backed families (hash/URL/IP/geohash/UUID,
+    functions/scalar_ext.py) pinned to expected values: hash outputs were
+    verified against the public test vectors (CRC-32C('123456789') =
+    0xE3069283, murmur3_32('hello world') = 1586663183), URL/IP against
+    java.net.URI / java.net.InetAddress behavior."""
+    c = scalar.call
+    url = F.lit("https://www.sub.example.com:8080/a/b/c?x=1&y=2#frag")
+    s = F.lit("hello world")
+    return spark.range(1).select(
+        c("crc32c", s).alias("crc"),
+        c("sha224", s).alias("sha224_hex"),
+        c("murmurHash3Bit32", s).alias("mm3_32"),
+        c("murmurHash3Bit64", s).alias("mm3_64"),
+        c("fnv1aHash64", s).alias("fnv1a64"),
+        c("urlNetloc", url).alias("netloc"),
+        c("cutQueryString", url).alias("no_query"),
+        c("urlTopLevelDomain", url).alias("tld"),
+        c("cutToFirstSignificantSubdomain", url).alias("fsd"),
+        c("ipPrefix", F.lit("10.1.2.3"), F.lit(16)).alias("prefix16"),
+        c("ipSubnetMax", F.lit("192.168.1.0/24")).alias("subnet_max"),
+        c("longToIpv4", F.lit(3232235777)).alias("long_ip"),
+        c("isIPv4String", F.lit("10.1.2.3")).alias("is_v4"),
+        F.round(c("decodeGeohashLatitude", F.lit("9q8yyk8")), 4).alias("gh_lat"),
+        c("stAsGeoJson", F.lit("POINT (1 2)")).alias("geojson"),
+        c("fromUUIDBytes", c("toUUIDBytes", F.lit("f47ac10b-58cc-4372-a567-0e02b2c3d479"))).alias("uuid_roundtrip"),
+    )
