@@ -105,6 +105,42 @@ def _epoch_div(unit_ms: int) -> Callable[[list[str]], str]:
     return lambda a: f"CAST(FLOOR(({a[0]}) / {unit_ms}) AS BIGINT)"
 
 
+def _lookup_sql(a: list[str]) -> str:
+    """lookUp('dimTable', 'valueCol', 'joinKey', factExpr[, 'key2',
+    expr2…]) → correlated scalar subquery over the registered dimension
+    view (reference LookupTransformFunction.java:97-134).  Catalyst plans
+    the subquery as a join, broadcast for small dims — the Spark analog
+    of Pinot's in-memory DimensionTableDataManager."""
+
+    def _unq(s: str) -> str:
+        s = s.strip()
+        return s[1:-1].replace("''", "'") if s.startswith("'") and s.endswith("'") else s
+
+    if len(a) < 4 or len(a) % 2 != 0:
+        raise ValueError(
+            "LOOKUP needs (tableName, columnName, joinKey, joinValue[, ...]) — got "
+            f"{len(a)} args"
+        )
+    table, col = _unq(a[0]), _unq(a[1])
+    conds = " AND ".join(
+        f"{_unq(a[i])} = ({a[i + 1]})" for i in range(2, len(a), 2)
+    )
+    # any_value: guarantees a scalar result even on duplicate dim keys
+    return f"(SELECT any_value({col}) FROM {table} WHERE {conds})"
+
+
+def _text_match_sql(a: list[str]) -> str:
+    """TEXT_MATCH(col, 'lucene query') rewrite: compile the Lucene-syntax
+    subset to a boolean SQL expression (operators/lucene.py). Non-literal
+    second arg → RLIKE fallback."""
+    m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[1])
+    if m:
+        from pinot_spark.operators.lucene import compile_sql
+
+        return compile_sql(a[0], m.group(1).replace("''", "'"))
+    return f"({a[0]} RLIKE {a[1]})"
+
+
 def _epoch_mul(unit_ms: int) -> Callable[[list[str]], str]:
     return lambda a: f"CAST(({a[0]}) * {unit_ms} AS BIGINT)"
 
@@ -211,7 +247,11 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
     "regexplike": lambda a: f"({a[0]} RLIKE {a[1]})",
-    "textmatch": lambda a: f"({a[0]} RLIKE {a[1]})",  # regex scan path for Lucene queries
+    # TEXT_MATCH(col, 'lucene query') → compiled boolean expression over
+    # tokenized text (operators/lucene.py Lucene-syntax subset); falls
+    # back to RLIKE when the query isn't a string literal.
+    "textmatch": lambda a: _text_match_sql(a),
+    "lookup": lambda a: _lookup_sql(a),
     "normalize": lambda a: f"{a[0]}",  # NFC normalize: Spark strings are UTF-8 already
     "toutf8": lambda a: f"encode({a[0]}, 'UTF-8')",
     "fromutf8": lambda a: f"decode({a[0]}, 'UTF-8')",

@@ -402,7 +402,17 @@ _reg("regexpextract")(lambda s, p, g=0: F.regexp_extract(_c(s), p if isinstance(
 _reg("regexplike")(lambda s, p: _c(s).rlike(p))
 _reg("regexpreplace")(lambda s, p, r: F.regexp_replace(_c(s), p, r))
 _reg("like")(lambda s, p: _c(s).like(p))
-_reg("textmatch")(lambda s, q: _c(s).rlike(q))  # Lucene query → regex scan path
+@_reg("textmatch")
+def _text_match(s, q):
+    """TEXT_MATCH(col, luceneQuery) — scan-path evaluation of the Lucene
+    syntax subset (terms/phrases/AND/OR/NOT/prefix/fuzzy; operators/
+    lucene.py; reference TextMatchFilterOperator.java). Non-literal query
+    columns fall back to a regex scan."""
+    if isinstance(q, str):
+        from pinot_spark.operators.lucene import compile_predicate
+
+        return compile_predicate(_c(s), q)
+    return _c(s).rlike(q)
 
 # ---------------------------------------------------------------------------
 # IP address (IpAddressFunctions.java — 17 fns; IPv4 subset as pure

@@ -126,6 +126,114 @@ def funnel_complete_count(
     )
 
 
+def funnel_count(
+    df: DataFrame,
+    key: str,
+    steps: list[Column],
+    out_col: str = "step_counts",
+) -> DataFrame:
+    """FUNNELCOUNT(STEPS(...), CORRELATE_BY(key)) — per-step conversion
+    counts as progressive set intersections: count[i] = |S_1 ∩ … ∩ S_i|
+    where S_i is the set of keys with any event matching step i.  NO time
+    ordering — exactly SetMergeStrategy.extractFinalResult
+    (funnel/SetMergeStrategy.java: retainAll cascade).
+
+    Returns a 1-row DataFrame with ``out_col`` = array<bigint>.
+
+    Scale shape: one groupBy(key) with per-step MAX flags (map-side
+    partial aggregation — the shuffle carries one row per key, not per
+    event), then a single global sum of cumulative ANDs.  This is the
+    Spark analog of Pinot's per-segment bitmap sets + broker merge.
+    """
+    n = len(steps)
+    flags = df.groupBy(F.col(key).alias("k")).agg(
+        *[F.max(F.when(p, 1).otherwise(0)).alias(f"m{i}") for i, p in enumerate(steps)]
+    )
+    cum = []
+    acc = None
+    for i in range(n):
+        acc = F.col(f"m{i}") if acc is None else (acc * F.col(f"m{i}"))
+        cum.append(F.sum(acc).cast("long").alias(f"c{i}"))
+    return flags.agg(*cum).select(F.array(*[F.col(f"c{i}") for i in range(n)]).alias(out_col))
+
+
+def funnel_events_eval(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_ms: int,
+    steps: list[Column],
+    extra_cols: list[str],
+    out_col: str = "matched_events",
+) -> DataFrame:
+    """FUNNELEVENTSFUNCTIONEVAL (AggregationFunctionType.java:199;
+    funnel/window/FunnelEventsFunctionEvalAggregationFunction.java):
+    per key, run the default-mode sliding-window funnel match and return
+    the extra-field values of every matched funnel's step events,
+    flattened to array<string> (one group of len(steps)*len(extra_cols)
+    strings per completed match; the reference's leading
+    assignment-header string is a wire-format detail and omitted).
+
+    Default-mode algorithm mirrored from extractFinalResult: windows
+    anchor at a step-1 event; events advance maxStep when their step
+    equals the next expected; reaching the last step emits the matched
+    window's first per-step events and re-anchors.
+
+    Scale shape: events are pre-filtered to step matches and pre-projected
+    to (key, ts, step, extras) before the single applyInPandas shuffle —
+    Arrow-batched, state per group bounded by that key's matching events.
+    """
+    n_steps = len(steps)
+    step_col = F.lit(-1)
+    for i, pred in enumerate(reversed(steps)):
+        step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
+    slim = df.select(
+        F.col(key).alias("k"),
+        F.col(time_col).cast("timestamp").alias("t"),
+        step_col.alias("s"),
+        *[F.col(c).cast("string").alias(f"x{i}") for i, c in enumerate(extra_cols)],
+    ).filter(F.col("s") >= 0)
+    n_extra = len(extra_cols)
+    schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} array<string>"
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "s"], kind="mergesort")
+        ts = (pdf["t"].astype("int64") // 1_000_000).to_numpy()  # epoch millis
+        ss = pdf["s"].to_numpy()
+        extras = [pdf[f"x{i}"].to_numpy() for i in range(n_extra)]
+        out: list[str] = []
+        i, n = 0, len(pdf)
+        while i < n:
+            if ss[i] != 0:
+                i += 1
+                continue
+            window_end = ts[i] + window_ms
+            max_step, first_idx = 0, {}
+            j = i
+            matched = False
+            while j < n and ts[j] < window_end:
+                if ss[j] == max_step:
+                    first_idx[max_step] = j
+                    max_step += 1
+                    if max_step == n_steps:
+                        for st in range(n_steps):
+                            for e in range(n_extra):
+                                out.append(str(extras[e][first_idx[st]]))
+                        matched = True
+                        break
+                j += 1
+            # matched events are consumed (reference pops the sliding
+            # window past them); an unmatched anchor just advances
+            i = j + 1 if matched else i + 1
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], out_col: [out]})
+
+    return (
+        slim.groupBy("k")
+        .applyInPandas(_one_group, schema=schema)
+        .withColumnRenamed("k", key)
+    )
+
+
 def funnel_step_times(
     df: DataFrame,
     key: str,

@@ -786,3 +786,44 @@ def agg_distinctcount_mv_scale_path(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("lang", F.split("text", " ").alias("toks"))
     return distinct_count_mv_grouped(docs, ["lang"], "toks", alias="dc_tokens").orderBy("lang")
+
+
+@query(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS BIGINT) AS dc_view,
+           CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS BIGINT) AS dc_purchase,
+           CAST((SELECT count(DISTINCT v.user_id) FROM
+                   (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+                   JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+                   ON v.user_id = p.user_id) AS BIGINT) AS dc_both,
+           CAST((SELECT count(*) FROM
+                   (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+                   WHERE v.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT) AS dc_view_only
+    """,
+)
+def agg_theta_sketch_distinct(spark, sf_dir):
+    """DISTINCTCOUNTTHETASKETCH with set operations
+    (AggregationFunctionType.java:107-120) via the KMV theta sketch
+    (operators/theta.py): union/intersect/a-not-b over per-filter
+    sketches, built shuffle-free (per-partition top-K retention + driver
+    merge — Pinot's segment→broker shape). At this cardinality
+    n_distinct < K so the sketch is exact and hash-comparable; beyond K
+    the ~1/sqrt(K) error bound applies."""
+    from pinot_spark.operators.theta import theta_sketch
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    view = theta_sketch(ev.filter(F.col("event_type") == "view"), "user_id")
+    buy = theta_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
+    rows = [
+        (
+            int(round(view.estimate())),
+            int(round(buy.estimate())),
+            int(round(view.intersect(buy).estimate())),
+            int(round(view.a_not_b(buy).estimate())),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "dc_view bigint, dc_purchase bigint, dc_both bigint, dc_view_only bigint"
+    )

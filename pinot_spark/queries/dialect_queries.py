@@ -104,3 +104,25 @@ def dialect_datetime_convert(spark, sf_dir):
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01' "
         "GROUP BY ship_week, day_str_sample ORDER BY ship_week, day_str_sample"
     )
+
+
+@query(
+    "dialect_lookup_transform",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nation_name,
+           (SELECT n_regionkey FROM nation WHERE n_nationkey = c_nationkey) AS region_key
+    FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+    """,
+)
+def dialect_lookup_transform(spark, sf_dir):
+    """lookUp() scalar transform (LookupTransformFunction.java,
+    TransformFunctionType:178): dimension-table value lookup rewritten to
+    a correlated scalar subquery that Catalyst plans as a broadcast join
+    against the registered dimension view."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT c_custkey, "
+        "LOOKUP('nation', 'n_name', 'n_nationkey', c_nationkey) AS nation_name, "
+        "LOOKUP('nation', 'n_regionkey', 'n_nationkey', c_nationkey) AS region_key "
+        "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey LIMIT 200"
+    )

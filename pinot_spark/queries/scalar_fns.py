@@ -762,3 +762,42 @@ def fn_surface_udf_families(spark, sf_dir):
         c("stAsGeoJson", F.lit("POINT (1 2)")).alias("geojson"),
         c("fromUUIDBytes", c("toUUIDBytes", F.lit("f47ac10b-58cc-4372-a567-0e02b2c3d479"))).alias("uuid_roundtrip"),
     )
+
+
+@query(
+    "text_match_lucene",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_matches(lower(text), '(^|[^a-z0-9])table[^a-z0-9]+scan($|[^a-z0-9])') AS phrase_hit,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t LIKE 'filt%')) > 0 AS prefix_hit,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> levenshtein(t, 'spark') <= 1)) > 0 AS fuzzy_hit,
+               list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'vector') AS term_hit
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_match
+    FROM toks
+    WHERE (phrase_hit OR prefix_hit) AND NOT fuzzy_hit AND term_hit
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_match_lucene(spark, sf_dir):
+    """TEXT_MATCH with Lucene query syntax (TextMatchFilterOperator.java;
+    classic QueryParser subset in operators/lucene.py): phrase + prefix
+    wildcard + fuzzy~1 + NOT + grouping compiled to a whole-stage-codegen
+    Column predicate over tokenized text."""
+    from pinot_spark.operators.lucene import compile_predicate
+
+    t = load_tables(spark, sf_dir)
+    pred = compile_predicate(
+        "text", '("table scan" OR filt*) AND NOT spark~1 AND vector'
+    )
+    return (
+        t["documents"]
+        .filter(pred)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_match"))
+        .orderBy("lang")
+    )

@@ -562,3 +562,62 @@ def timeseries_m3ql_pipeline(spark, sf_dir):
         start="2024-01-08",
         end="2024-01-09",
     ).orderBy("event_type", "bucket")
+
+
+@query(
+    "agg_funnel_count",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+        FROM events GROUP BY user_id)
+    SELECT [CAST(sum(m1) AS BIGINT), CAST(sum(m1 * m2) AS BIGINT),
+            CAST(sum(m1 * m2 * m3) AS BIGINT)] AS step_counts FROM per_user
+    """,
+)
+def agg_funnel_count(spark, sf_dir):
+    """FUNNELCOUNT(STEPS(view, click, purchase), CORRELATE_BY(user_id))
+    (AggregationFunctionType.java:201, funnel/SetMergeStrategy.java):
+    per-step conversion counts as progressive set intersections — no
+    time-ordering, unlike FUNNELMAXSTEP."""
+    from pinot_spark.operators.funnel import funnel_count
+
+    t = load_tables(spark, sf_dir)
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    return funnel_count(t["events"], "user_id", steps)
+
+
+@query(
+    "agg_funnel_events_eval",
+    # no SQL oracle: the sliding-window match with event consumption is
+    # not SQL-expressible — rows-only check; exact semantics are locked
+    # by the deterministic fixture test in tests/test_funnel_extra.py
+)
+def agg_funnel_events_eval(spark, sf_dir):
+    """FUNNELEVENTSFUNCTIONEVAL (AggregationFunctionType.java:199,
+    funnel/window/FunnelEventsFunctionEvalAggregationFunction.java):
+    per user, the extra-field values (event_type, epoch-ms) of each
+    completed view→click→purchase funnel inside a 7-day window."""
+    from pinot_spark.operators.funnel import funnel_events_eval
+
+    t = load_tables(spark, sf_dir)
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    ev = t["events"].withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    out = funnel_events_eval(
+        ev, "user_id", "ts", 7 * 86400000, steps, ["event_type", "ts_ms"]
+    )
+    return (
+        out.filter(F.size("matched_events") > 0)
+        .select("user_id", F.size("matched_events").alias("n_vals"), "matched_events")
+        .orderBy("user_id")
+    )
