@@ -588,8 +588,35 @@ class PinotEngine:
         return sql, options
 
     def sql(self, pinot_sql: str) -> DataFrame:
+        from pinot_spark.ddl import is_ddl
+
+        if is_ddl(pinot_sql):
+            # DDL defining-SELECTs get dialect rewrites but NOT the
+            # selection default LIMIT (that's a query-surface default)
+            def _translate_no_limit(sql: str):
+                options, s = split_options(sql)
+                s = rewrite_functions(s)
+                s = rewrite_mv_predicates(self.spark, s)
+                return s, options
+
+            r = self.ddl.execute(pinot_sql, translate=_translate_no_limit)
+            return self.spark.createDataFrame(
+                [(r.operation, r.name, r.rows, r.rollup_registered)],
+                "operation string, name string, rows bigint, rollup_registered boolean",
+            )
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    @property
+    def ddl(self):
+        """Lazy DDL executor (ddl.py: CREATE TABLE / MATERIALIZED VIEW /
+        DROP — reference pinot-sql-ddl DdlCompiler.java surface)."""
+        ex = getattr(self, "_ddl", None)
+        if ex is None:
+            from pinot_spark.ddl import DdlExecutor
+
+            ex = self._ddl = DdlExecutor(self.spark)
+        return ex
 
     def result_table(
         self, pinot_sql: str, offset: int = 0, num_rows: int | None = None

@@ -82,6 +82,26 @@ _reg("distinctcountrawhll", "distinctcountrawhllplus")(lambda c, *a: F.hll_sketc
 _reg("distinctcountthetasketch", "distinctcountcpcsketch",
      "distinctcounttuplesketch")(lambda c, *a: F.approx_count_distinct(_c(c)))
 
+
+@_reg("distinctcountrawthetasketch")
+def _raw_theta(c, *a):
+    # Theta sketches are driver-mergeable objects, not a single Column agg;
+    # erroring beats a silently-wrong Column (VERDICT r1 principle).
+    raise NotImplementedError(
+        "DISTINCTCOUNTRAWTHETASKETCH is a two-step plan: "
+        "operators.theta.theta_sketch(df, col).to_bytes() — mergeable KMV "
+        "sketch with union/intersect/a_not_b set algebra"
+    )
+
+
+@_reg("percentilerawtdigest", "percentilerawkll", "percentilerawest")
+def _raw_tdigest(c, *a):
+    raise NotImplementedError(
+        "PERCENTILERAWTDIGEST/KLL is a two-step plan: "
+        "operators.tdigest.tdigest_sketch(df, col).to_bytes() — mergeable "
+        "t-digest; use PERCENTILETDIGEST (percentile_approx) for values"
+    )
+
 # --- percentiles (:122-140) -------------------------------------------------
 _reg("percentile")(lambda c, p: F.percentile(_c(c), F.lit(float(p) / 100 if not isinstance(p, Column) else p)))
 _reg("percentileest", "percentiletdigest", "percentilekll",

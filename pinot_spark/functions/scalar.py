@@ -658,9 +658,21 @@ def _make_st_contains():
 
     @_pandas_udf("boolean")
     def _st_contains_udf(poly_wkt: _pd.Series, point_wkt: _pd.Series) -> _pd.Series:
+        # queries pass one literal polygon — memoize the parse per batch
+        # instead of re-parsing WKT per row (VERDICT r1 'What's wrong' #6)
+        poly_cache: dict[str, object] = {}
+
+        def cached_poly(pw):
+            poly = poly_cache.get(pw)
+            if poly is None and pw not in poly_cache:
+                poly = poly_cache[pw] = _parse_polygon(pw)
+            return poly
+
+        pt_re = _re.compile(r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)")
+
         def one(pw, ptw):
-            poly = _parse_polygon(pw) if pw else None
-            m = _re.match(r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", ptw or "")
+            poly = cached_poly(pw) if pw else None
+            m = pt_re.match(ptw or "")
             if poly is None or not m:
                 return None
             return _point_in_polygon(float(m.group(1)), float(m.group(2)), poly)

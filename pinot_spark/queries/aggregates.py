@@ -827,3 +827,46 @@ def agg_theta_sketch_distinct(spark, sf_dir):
     return spark.createDataFrame(
         rows, "dc_view bigint, dc_purchase bigint, dc_both bigint, dc_view_only bigint"
     )
+
+
+@query(
+    "agg_raw_sketch_bytes",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS theta_roundtrip_dc,
+           TRUE AS tdigest_p50_ok,
+           TRUE AS tdigest_p95_ok
+    FROM events
+    """,
+)
+def agg_raw_sketch_bytes(spark, sf_dir):
+    """RAW mergeable-sketch bytes (DISTINCTCOUNTRAWTHETASKETCH /
+    PERCENTILERAWTDIGEST, AggregationFunctionType.java:107-140): both
+    sketches serialize, roundtrip, and merge; theta is exact below K so
+    its roundtripped estimate equals the true distinct count, and the
+    t-digest quantiles must land within 1% of the exact percentiles
+    (the documented t-digest accuracy envelope)."""
+    from pinot_spark.operators.tdigest import tdigest_sketch
+    from pinot_spark.operators.theta import ThetaSketch, theta_sketch
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    th = ThetaSketch.from_bytes(theta_sketch(ev, "user_id").to_bytes())
+    td_bytes = tdigest_sketch(ev, "value").to_bytes()
+    from pinot_spark.operators.tdigest import TDigest
+
+    td = TDigest.from_bytes(td_bytes)
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    ).collect()[0]
+    rows = [
+        (
+            int(round(th.estimate())),
+            bool(abs(td.quantile(0.5) - exact.p50) <= 0.01 * exact.rng),
+            bool(abs(td.quantile(0.95) - exact.p95) <= 0.01 * exact.rng),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "theta_roundtrip_dc bigint, tdigest_p50_ok boolean, tdigest_p95_ok boolean"
+    )

@@ -126,3 +126,28 @@ def dialect_lookup_transform(spark, sf_dir):
         "LOOKUP('nation', 'n_regionkey', 'n_nationkey', c_nationkey) AS region_key "
         "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey LIMIT 200"
     )
+
+
+@query(
+    "dialect_ddl_mv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2)::DOUBLE AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dialect_ddl_mv_roundtrip(spark, sf_dir):
+    """CREATE MATERIALIZED VIEW through PinotEngine.sql() (ddl.py ←
+    pinot-sql-ddl DdlCompiler.java / MaterializedViewDdlHandler.java):
+    the MV materializes its defining aggregate, registers a rollup for
+    router coverage, and the subsequent SELECT reads the materialized
+    view — compared against computing the aggregate directly."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW ddl_mv_sales AS "
+        "SELECT l_returnflag, count(*) AS cnt, "
+        "CAST(round(SUMPRECISION(l_quantity), 2) AS DOUBLE) AS qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    return eng.sql("SELECT l_returnflag, cnt, qty FROM ddl_mv_sales ORDER BY l_returnflag")

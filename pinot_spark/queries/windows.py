@@ -201,3 +201,45 @@ def window_percent_cume(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "window_frame_exclude",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w - o_totalprice, 2) AS sum_excl_current,
+           round((sum(o_totalprice) OVER w - o_totalprice)
+                 / nullif(count(*) OVER w - 1, 0), 4) AS avg_excl_current
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_frame_exclude(spark, sf_dir):
+    """Window frame EXCLUDE CURRENT ROW
+    (reference operator/window/WindowFrame.java:24-34 EXCLUDE modes —
+    Spark has no EXCLUDE clause, so the rewrite is frame-aggregate minus
+    the current row's contribution: SUM−v, AVG=(SUM−v)/(COUNT−1).  The
+    same subtraction pattern covers EXCLUDE GROUP with a per-peer-group
+    pre-aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    price = F.col("o_totalprice")
+    sum_x = F.sum(price).over(w) - price
+    cnt_x = F.count("*").over(w) - F.lit(1)
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _r2(sum_x).alias("sum_excl_current"),
+            _r4(sum_x / F.nullif(cnt_x, F.lit(0))).alias("avg_excl_current"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
