@@ -382,6 +382,147 @@ def _canon(name: str) -> str:
     return name.replace("_", "").lower()
 
 
+# --- extended long-tail SQL templates (mirrors functions/scalar_ext.py;
+# names that differ from Spark SQL built-ins so PinotEngine.sql users get
+# the same surface as the Column registry) ---------------------------------
+
+_MS_TS = "timestamp_millis(CAST({0} AS BIGINT))"
+
+
+def _mvt(expr_tpl: str):
+    """Template for MV datetime variants: transform over an epoch-millis
+    array, applying expr_tpl to each element x."""
+    return lambda a: f"transform({a[0]}, x -> {expr_tpl.format('x')})"
+
+
+_EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
+    # string extras
+    "leftsubstr": lambda a: f"left({a[0]}, {a[1]})",
+    "rightsubstr": lambda a: f"right({a[0]}, {a[1]})",
+    "strrpos": lambda a: (
+        f"(CASE WHEN instr(reverse({a[0]}), reverse({a[1]})) > 0 "
+        f"THEN length({a[0]}) - length({a[1]}) - instr(reverse({a[0]}), reverse({a[1]})) + 1 "
+        f"ELSE -1 END)"
+    ),
+    "substringindex": lambda a: f"substring_index({a[0]}, {a[1]}, {a[2]})",
+    "levenshteindistance": "levenshtein",
+    "charlength": "length",
+    "characterlength": "length",
+    "isvalidascii": lambda a: f"({a[0]} RLIKE '^[\\\\x00-\\\\x7F]*$')",
+    "startswithcaseinsensitive": lambda a: f"startswith(lower({a[0]}), lower({a[1]}))",
+    "endswithcaseinsensitive": lambda a: f"endswith(lower({a[0]}), lower({a[1]}))",
+    "firstline": lambda a: f"substring_index({a[0]}, '\\n', 1)",
+    "uniquengrams": lambda a: (
+        f"array_distinct(transform(sequence(1, greatest(length({a[0]}) - {a[1]} + 1, 0)),"
+        f" i -> substring({a[0]}, i, {a[1]})))"
+    ),
+    "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
+    "base64decode": lambda a: f"decode(unbase64({a[0]}), 'UTF-8')",
+    "urlencode": "url_encode",
+    "urldecode": "url_decode",
+    "tobytes": lambda a: f"encode({a[0]}, {a[1] if len(a) > 1 else repr('UTF-8')})",
+    "frombytes": lambda a: f"decode({a[0]}, {a[1] if len(a) > 1 else repr('UTF-8')})",
+    "strcmp": lambda a: (
+        f"(CASE WHEN {a[0]} < {a[1]} THEN -1 WHEN {a[0]} > {a[1]} THEN 1 ELSE 0 END)"
+    ),
+    # arithmetic extras
+    "exp2": lambda a: f"power(2.0, {a[0]})",
+    "exp10": lambda a: f"power(10.0, {a[0]})",
+    "sigmoid": lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))",
+    "intdivorzero": lambda a: (
+        f"(CASE WHEN {a[1]} != 0 THEN CAST(FLOOR(CAST({a[0]} AS DOUBLE) / {a[1]}) AS BIGINT) ELSE 0 END)"
+    ),
+    "moduloorzero": lambda a: f"(CASE WHEN {a[1]} != 0 THEN {a[0]} % {a[1]} ELSE 0 END)",
+    "positivemodulo": lambda a: f"((({a[0]} % {a[1]}) + {a[1]}) % {a[1]})",
+    "negate": lambda a: f"(-({a[0]}))",
+    "isfinite": lambda a: f"CAST((NOT isnan({a[0]}) AND abs({a[0]}) != double('inf')) AS INT)",
+    "isinfinite": lambda a: f"CAST((abs({a[0]}) = double('inf')) AS INT)",
+    "isnan": lambda a: f"CAST(isnan({a[0]}) AS INT)",
+    "ifnotfinite": lambda a: (
+        f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('inf') THEN {a[1]} ELSE {a[0]} END)"
+    ),
+    "bitcount": "bit_count",
+    "widthbucket": "width_bucket",
+    "hypot": lambda a: f"sqrt({a[0]} * {a[0]} + {a[1]} * {a[1]})",
+    # datetime extras (epoch-millis long domain)
+    "toiso8601": lambda a: f"date_format({_MS_TS.format(a[0])}, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")",
+    "fromiso8601": lambda a: f"unix_millis(to_timestamp({a[0]}))",
+    # Pinot round(timeValue, roundToNearest) buckets in the long domain
+    # (DateTimeFunctions.java:507) while SQL round(x, d) is decimal
+    # places; disambiguate on the literal: time buckets are >= 1000 ms,
+    # decimal scales are small ints.
+    "round": lambda a: (
+        f"(CAST(({a[0]}) / ({a[1]}) AS BIGINT) * ({a[1]}))"
+        if len(a) > 1 and a[1].strip().isdigit() and int(a[1].strip()) >= 1000
+        else f"round({', '.join(a)})"
+    ),
+    "yearofweek": "extract(yearofweek FROM {0})",
+    "yow": "extract(yearofweek FROM {0})",
+    # jsons
+    "jsonpathexists": lambda a: f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)",
+    "jsonstringtomap": lambda a: f"from_json({a[0]}, 'map<string,string>')",
+    "jsonstringtoarray": lambda a: f"from_json({a[0]}, 'array<string>')",
+    "tojsonmapstr": "to_json",
+    # binary/hex
+    "bytestohex": lambda a: f"lower(hex({a[0]}))",
+    "hextobytes": "unhex",
+    "longtohexdecimal": lambda a: f"lower(hex(CAST({a[0]} AS BIGINT)))",
+    "hexdecimaltolong": lambda a: f"CAST(conv({a[0]}, 16, 10) AS BIGINT)",
+    # geo text constructors (geometry == WKT text in this engine)
+    "stgeomfromtext": lambda a: a[0],
+    "stgeogfromtext": lambda a: a[0],
+    "stgeometrytype": lambda a: f"regexp_extract({a[0]}, '^\\\\s*([A-Za-z]+)', 1)",
+}
+
+# epoch bucket family + MV datetime variants (generated)
+for _u, _d in (("seconds", 1_000), ("minutes", 60_000), ("hours", 3_600_000), ("days", 86_400_000)):
+    _EXT_TEMPLATES[f"toepoch{_u}bucket"] = (
+        lambda a, d=_d: f"CAST(CAST(FLOOR(({a[0]}) / {d}) AS BIGINT) / ({a[1]}) AS BIGINT)"
+    )
+    _EXT_TEMPLATES[f"fromepoch{_u}bucket"] = (
+        lambda a, d=_d: f"(CAST({a[0]} AS BIGINT) * ({a[1]}) * {d})"
+    )
+    _EXT_TEMPLATES[f"toepoch{_u}mv"] = (
+        lambda a, d=_d: f"transform({a[0]}, x -> CAST(FLOOR(x / {d}) AS BIGINT))"
+    )
+    _EXT_TEMPLATES[f"fromepoch{_u}mv"] = (
+        lambda a, d=_d: f"transform({a[0]}, x -> CAST(x * {d} AS BIGINT))"
+    )
+for _f, _sql in (
+    ("year", "year"), ("quarter", "quarter"), ("month", "month"),
+    ("week", "weekofyear"), ("weekofyear", "weekofyear"),
+    ("day", "dayofmonth"), ("dayofmonth", "dayofmonth"),
+    ("dayofyear", "dayofyear"), ("doy", "dayofyear"),
+    ("hour", "hour"), ("minute", "minute"), ("second", "second"),
+):
+    _EXT_TEMPLATES[f"{_f}mv"] = _mvt(f"{_sql}({_MS_TS.format('{0}')})")
+_EXT_TEMPLATES["dayofweekmv"] = _mvt(
+    f"(((dayofweek({_MS_TS.format('{0}')}) + 5) % 7) + 1)"
+)
+_EXT_TEMPLATES["dowmv"] = _EXT_TEMPLATES["dayofweekmv"]
+_EXT_TEMPLATES["millisecondmv"] = _mvt("CAST({0} % 1000 AS INT)")
+
+# typed array variants share the generic rewrites
+for _t in ("int", "long", "float", "double", "string"):
+    _EXT_TEMPLATES[f"arrayconcat{_t}"] = lambda a: f"concat({a[0]}, {a[1]})"
+    _EXT_TEMPLATES[f"arrayelementat{_t}"] = lambda a: f"element_at({a[0]}, {a[1]} + 1)"
+    _EXT_TEMPLATES[f"arraypushback{_t}"] = lambda a: f"concat({a[0]}, array({a[1]}))"
+    _EXT_TEMPLATES[f"arraypushfront{_t}"] = lambda a: f"concat(array({a[1]}), {a[0]})"
+    _EXT_TEMPLATES[f"generate{_t}array"] = lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})"
+for _t in ("int", "string"):
+    _EXT_TEMPLATES[f"arraycontains{_t}"] = lambda a: f"array_contains({a[0]}, {a[1]})"
+    _EXT_TEMPLATES[f"arraydistinct{_t}"] = lambda a: f"array_distinct({a[0]})"
+    _EXT_TEMPLATES[f"arrayindexof{_t}"] = lambda a: f"(array_position({a[0]}, {a[1]}) - 1)"
+    _EXT_TEMPLATES[f"arrayremove{_t}"] = lambda a: f"array_remove({a[0]}, {a[1]})"
+    _EXT_TEMPLATES[f"arrayreverse{_t}"] = lambda a: f"reverse({a[0]})"
+    _EXT_TEMPLATES[f"arrayunion{_t}"] = lambda a: f"array_union({a[0]}, {a[1]})"
+for _t in ("int", "long", "string"):
+    _EXT_TEMPLATES[f"arrayslice{_t}"] = lambda a: f"slice({a[0]}, {a[1]} + 1, {a[2]} - {a[1]})"
+
+for _k, _v in _EXT_TEMPLATES.items():
+    FUNCTION_MAP.setdefault(_k, _v)
+
+
 _IDENT_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
     # never treat these as function calls even when followed by '('

@@ -234,6 +234,86 @@ def funnel_events_eval(
     )
 
 
+def funnel_max_step_window(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_ms: int,
+    steps: list[Column],
+    modes: set[str] | None = None,
+    out_col: str = "max_step",
+) -> DataFrame:
+    """Windowed FUNNELMAXSTEP with modes (reference
+    funnel/window/FunnelMaxStepAggregationFunction.java:30-96 +
+    FunnelBaseAggregationFunction.FunnelModes):
+
+    - ``strict_order``: any out-of-sequence event ends the attempt,
+    - ``strict_increase``: same-timestamp events don't advance steps,
+    - ``strict_deduplication``: a repeat of the just-matched step ends
+      the attempt.
+
+    Per key: every window anchored at a step-1 event is processed with
+    the reference's processWindow loop; the answer is the max step over
+    all windows.  Same pre-filtered single-shuffle applyInPandas shape
+    as funnel_events_eval.
+    """
+    modes = modes or set()
+    strict_dedup = "strict_deduplication" in modes
+    strict_order = "strict_order" in modes
+    strict_increase = "strict_increase" in modes
+    n_steps = len(steps)
+    step_col = F.lit(-1)
+    for i, pred in enumerate(reversed(steps)):
+        step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
+    slim = df.select(
+        F.col(key).alias("k"),
+        F.col(time_col).cast("timestamp").alias("t"),
+        step_col.alias("s"),
+    ).filter(F.col("s") >= 0)
+    schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} int"
+
+    def _process_window(ts, ss, start, n):
+        window_end = ts[start] + window_ms
+        max_step, prev_ts = 0, -1
+        j = start
+        while j < n and ts[j] < window_end:
+            cur = ss[j]
+            if strict_dedup and cur == max_step - 1:
+                return max_step
+            if strict_order and cur != max_step:
+                return max_step
+            if strict_increase and prev_ts == ts[j]:
+                j += 1
+                continue
+            if max_step == cur:
+                max_step += 1
+                prev_ts = ts[j]
+            if max_step == n_steps:
+                break
+            j += 1
+        return max_step
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "s"], kind="mergesort")
+        ts = (pdf["t"].astype("int64") // 1_000_000).to_numpy()
+        ss = pdf["s"].to_numpy()
+        n = len(pdf)
+        best = 0
+        for i in range(n):
+            if ss[i] != 0:
+                continue
+            best = max(best, _process_window(ts, ss, i, n))
+            if best == n_steps:
+                break
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], out_col: [best]})
+
+    return (
+        slim.groupBy("k")
+        .applyInPandas(_one_group, schema=schema)
+        .withColumnRenamed("k", key)
+    )
+
+
 def funnel_step_times(
     df: DataFrame,
     key: str,

@@ -65,20 +65,37 @@ def partial_upsert_view(
 ) -> DataFrame:
     """Partial-upsert view: per-column merge across each key's rows.
 
-    ``mergers``: column → one of OVERWRITE (latest non-null wins, by
-    ``comparison``), SUM, MAX, MIN, UNION (collect_set).
+    ``mergers``: column → a strategy from UpsertConfig.Strategy
+    (UpsertConfig.java:40-42): OVERWRITE (latest non-null wins, by
+    ``comparison``), FORCE_OVERWRITE (latest wins even if null),
+    IGNORE (first value kept), INCREMENT / SUM, MAX, MIN,
+    APPEND (values collected in arrival order), UNION (distinct set).
     """
     aggs = []
     for col, how in mergers.items():
         how = how.upper()
         if how == "OVERWRITE":
+            # max_by over rows where the column is non-null: latest non-null
+            aggs.append(
+                F.max_by(col, F.when(F.col(col).isNotNull(), F.col(comparison))).alias(col)
+            )
+        elif how == "FORCE_OVERWRITE":
             aggs.append(F.max_by(col, comparison).alias(col))
-        elif how == "SUM":
+        elif how == "IGNORE":
+            aggs.append(F.min_by(col, comparison).alias(col))
+        elif how in ("SUM", "INCREMENT"):
             aggs.append(F.sum(col).alias(col))
         elif how == "MAX":
             aggs.append(F.max(col).alias(col))
         elif how == "MIN":
             aggs.append(F.min(col).alias(col))
+        elif how == "APPEND":
+            aggs.append(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(comparison).alias("c"), F.col(col).alias("v")))),
+                    lambda s: s["v"],
+                ).alias(col)
+            )
         elif how == "UNION":
             aggs.append(F.array_sort(F.collect_set(col)).alias(col))
         else:

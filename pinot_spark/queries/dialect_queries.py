@@ -151,3 +151,41 @@ def dialect_ddl_mv_roundtrip(spark, sf_dir):
         "FROM lineitem GROUP BY l_returnflag"
     )
     return eng.sql("SELECT l_returnflag, cnt, qty FROM ddl_mv_sales ORDER BY l_returnflag")
+
+
+@query(
+    "dialect_fn_surface_ext",
+    oracle="""
+    SELECT n_name,
+           left(n_name, 3) AS l3,
+           CASE WHEN instr(reverse(n_name), 'A') > 0
+                THEN length(n_name) - 1 - instr(reverse(n_name), 'A') + 1
+                ELSE -1 END AS last_a,
+           round(1.0 / (1.0 + exp(-CAST(n_nationkey AS DOUBLE))), 4) AS sig,
+           (1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) // 86400000 // 7 AS bucket7,
+           ((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) // 86400000) * 86400000 AS rounded,
+           strftime(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000),
+                    '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
+           CASE WHEN n_regionkey != 0 THEN CAST(FLOOR(CAST(n_nationkey AS DOUBLE) / n_regionkey) AS BIGINT) ELSE 0 END AS idoz,
+           [n_nationkey, 99] AS pushed
+    FROM nation ORDER BY n_name LIMIT 25
+    """,
+)
+def dialect_fn_surface_ext(spark, sf_dir):
+    """Extended scalar surface through the SQL dialect path (the
+    FUNCTION_MAP templates mirroring functions/scalar_ext.py): string
+    extras, sigmoid, epoch buckets, bucket-round, ISO-8601, typed array
+    variants — proving PinotEngine.sql users get the same long-tail
+    surface as the Column registry."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT n_name, "
+        "LEFTSUBSTR(n_name, 3) AS l3, "
+        "STRRPOS(n_name, 'A') AS last_a, "
+        "CAST(round(SIGMOID(CAST(n_nationkey AS DOUBLE)), 4) AS DOUBLE) AS sig, "
+        "TOEPOCHDAYSBUCKET(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000, 7) AS bucket7, "
+        "ROUND(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000, 86400000) AS rounded, "
+        "TOISO8601(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) AS iso, "
+        "INTDIVORZERO(n_nationkey, n_regionkey) AS idoz, "
+        "ARRAYPUSHBACKINT(array(n_nationkey), 99) AS pushed "
+        "FROM nation ORDER BY n_name LIMIT 25"
+    )

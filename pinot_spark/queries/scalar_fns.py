@@ -801,3 +801,31 @@ def text_match_lucene(spark, sf_dir):
         .agg(F.count("*").alias("n_match"))
         .orderBy("lang")
     )
+
+
+@query(
+    "json_index_match",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) = 7
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_index_match(spark, sf_dir):
+    """JSON index (StandardIndexes json / ImmutableJsonIndexReader):
+    JSON_MATCH('props', '"k" = 7') answered from the flattened
+    (path, value, id) postings table (operators/json_index.py) via semi
+    join — the indexed alternative to the get_json_object scan rewrite."""
+    from pinot_spark.operators.json_index import build_json_index, json_match_eq
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    idx = build_json_index(ev.select("event_id", "props"), "event_id", "props")
+    hits = json_match_eq(idx, "event_id", "k", 7)
+    return (
+        ev.join(hits, "event_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

@@ -621,3 +621,28 @@ def agg_funnel_events_eval(spark, sf_dir):
         .select("user_id", F.size("matched_events").alias("n_vals"), "matched_events")
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_funnel_max_step_window",
+    # no SQL oracle: windowed sliding-match with modes is not
+    # SQL-expressible — rows-only check; semantics locked by
+    # tests/test_funnel_extra.py::test_funnel_max_step_window_modes
+)
+def agg_funnel_max_step_window(spark, sf_dir):
+    """Windowed FUNNELMAXSTEP with STRICT_ORDER mode
+    (funnel/window/FunnelMaxStepAggregationFunction.java + FunnelModes):
+    deepest view→click→purchase run per user where every attempt stays
+    inside a 7-day window and out-of-sequence events end the attempt."""
+    from pinot_spark.operators.funnel import funnel_max_step_window
+
+    t = load_tables(spark, sf_dir)
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = funnel_max_step_window(
+        t["events"], "user_id", "ts", 7 * 86400000, steps, {"strict_order"}
+    )
+    return out.filter(F.col("max_step") > 0).orderBy("user_id")

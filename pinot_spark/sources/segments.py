@@ -59,6 +59,54 @@ def read_segments(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_segments(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_rows: int = 1_000_000,
+    rollup: dict | None = None,
+    time_col: str = "__seg_time",
+    coarser_bucket: str | None = None,
+) -> int:
+    """Segment compaction / merge-rollup — the minion MergeRollupTask
+    analog (pinot-plugins minion merge-rollup task; SegmentMergeTask):
+    many small segments re-read and rewritten at target size, optionally
+    rolling older data up to a coarser time bucket with per-measure
+    aggregation.
+
+    ``rollup``: {"dims": [...], "aggs": {col: "sum"|"min"|"max"|"count"}}
+    — when given, rows aggregate per (dims, coarser time bucket); when
+    None this is pure file compaction (same rows, fewer/bigger files).
+
+    At 100 TB the streaming ingest produces many small time-partition
+    files; periodic compaction keeps scan task counts and footer
+    overheads bounded. Returns the number of output rows.
+    """
+    df = spark.read.parquet(path)
+    if rollup:
+        bucket = (
+            F.date_trunc(coarser_bucket, F.col(time_col)).cast("date").alias(time_col)
+            if coarser_bucket
+            else F.col(time_col)
+        )
+        aggs = []
+        for col, how in rollup["aggs"].items():
+            how = how.lower()
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}.get(how)
+            aggs.append(
+                (F.count("*") if how == "count" else fn(col)).alias(col)
+            )
+        df = df.groupBy(bucket, *[F.col(d) for d in rollup["dims"]]).agg(*aggs)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_file_rows)
+        .partitionBy(time_col)
+        .parquet(out_path)
+    )
+    out = spark.read.parquet(out_path)
+    return out.count()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

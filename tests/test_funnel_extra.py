@@ -52,3 +52,59 @@ def test_funnel_events_eval_window_and_consumption(spark):
     assert out[1] == ["a", "b", "c"]
     assert out[2] == []
     assert out[3] == ["g", "h", "i", "j", "k", "l"]
+
+
+def test_funnel_max_step_window_modes(spark):
+    from pinot_spark.operators.funnel import funnel_max_step_window
+
+    steps3 = [F.col("e") == s for s in ("A", "B", "C")]
+    W = 60 * 60 * 1000  # 1h window
+
+    def run(rows, modes=None):
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp, e string")
+        out = funnel_max_step_window(df, "user_id", "ts", W, steps3, modes)
+        return {r.user_id: r.max_step for r in out.collect()}
+
+    # default mode: interleaved foreign steps don't reset (A, C, B, C → 3)
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "C"), (1, _ts(2), "B"), (1, _ts(3), "C")]
+    assert run(rows)[1] == 3
+    # strict_order: the out-of-sequence C at minute 1 ends the attempt at 1
+    assert run(rows, {"strict_order"})[1] == 1
+    # strict_deduplication: A, B, B, C → the repeated B ends the attempt
+    # at 2 (and no later window has a fresh A anchor), while default
+    # mode ignores the repeat and completes all 3 steps
+    rows = [(2, _ts(0), "A"), (2, _ts(1), "B"), (2, _ts(2), "B"), (2, _ts(3), "C")]
+    assert run(rows, {"strict_deduplication"})[2] == 2
+    assert run(rows)[2] == 3
+    # strict_increase: same-timestamp B doesn't advance past A's match
+    rows = [(3, _ts(0), "A"), (3, _ts(0), "B"), (3, _ts(2), "C")]
+    assert run(rows, {"strict_increase"})[3] == 1
+    assert run(rows)[3] == 3
+    # window: B outside the 1h window never matches
+    rows = [(4, _ts(0), "A"), (4, dt.datetime(2024, 1, 1, 2, 0), "B")]
+    assert run(rows)[4] == 1
+
+
+def test_partial_upsert_all_strategies(spark):
+    """UpsertConfig.Strategy full set (UpsertConfig.java:40-42)."""
+    from pinot_spark.operators.upsert import partial_upsert_view
+
+    rows = [
+        # key, seq, a,    b,    c,  d
+        (1, 1, "x", 10, 1.0, "p"),
+        (1, 2, None, 20, 2.0, "q"),
+        (1, 3, "z", 5, None, "p"),
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, a string, b int, c double, d string")
+    [r] = partial_upsert_view(
+        df, ["k"], "seq",
+        {"a": "OVERWRITE", "b": "INCREMENT", "c": "FORCE_OVERWRITE", "d": "UNION"},
+    ).collect()
+    assert r.a == "z"        # latest NON-NULL (skips seq=2's null)
+    assert r.b == 35         # increment = sum
+    assert r.c is None       # force overwrite takes latest even if null
+    assert r.d == ["p", "q"]
+
+    [r2] = partial_upsert_view(df, ["k"], "seq", {"a": "IGNORE", "b": "APPEND"}).collect()
+    assert r2.a == "x"             # first value kept
+    assert r2.b == [10, 20, 5]     # arrival order by comparison

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100× scale-up, asserted on the executed plan so regressions
+in query shape fail loudly.
+
+- filters reach the parquet scan (PushedFilters),
+- column pruning (ReadSchema carries only needed columns),
+- small dimensions broadcast (BroadcastHashJoin, no shuffle of the dim),
+- top-k is TakeOrderedAndProject (no global sort of the fact table),
+- aggregates run partial/final (two HashAggregate levels, map-side combine),
+- whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # projection pruning: the scan schema must not include unused wide cols
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_shipinstruct" not in read_schema
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_q1_partial_final_aggregate(spark, sf_dir):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # partial/final HashAggregate pair = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # the map-side combine is really partial
+
+
+def test_topk_cosine_no_full_sort(spark, sf_dir):
+    plan = _plan(QUERIES["similarity_topk_cosine"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # global sort would show this
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_exact_documents"](spark, sf_dir))
+    # one aggregation keyed on the fingerprint + the semi join back:
+    # no more than 2 exchanges (fingerprint agg, semi-join key)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan.count("Exchange hashpartitioning")
+
+
+def test_scale_path_mv_distinct_has_partial_agg(spark, sf_dir):
+    plan = _plan(QUERIES["agg_distinctcount_mv_scale_path"](spark, sf_dir))
+    # explode then count_distinct: partial aggregation must appear before
+    # the exchange (map-side dedup of (key, value) pairs)
+    assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
+    # and crucially: no collect_list/collect_set buffer
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_lookup_dialect_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["dialect_lookup_transform"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_metadata_count_scans_single_column(spark, sf_dir):
+    plan = _plan(QUERIES["agg_count_metadata_only"](spark, sf_dir))
+    # COUNT must not read the wide table: scan schema is exactly the one
+    # counted column (count(col) blocks Spark's full aggregate pushdown,
+    # so one-column pruning is the metadata-cheap contract here)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert read_schema.count(":") == 1, read_schema
