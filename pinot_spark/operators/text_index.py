@@ -57,3 +57,21 @@ def search_any(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
         .select(id_col)
         .distinct()
     )
+
+
+def regex_match_dictionary(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """FST/IFST index analog (StandardIndexes.java fst — regex over the
+    term DICTIONARY, not the rows): evaluate the regex against the
+    column's distinct values, then semi-join the matches back.
+
+    At 100 TB a low-cardinality string column has a dictionary orders of
+    magnitude smaller than the corpus; the regex runs |dict| times instead
+    of |rows| times and the row selection is a hash semi join. Same
+    result as ``df.filter(col rlike pattern)`` — asserted in
+    tests/test_text_index_fst.py.
+    """
+    c = F.col(col)
+    matching = df.select(c.alias("__term")).distinct().filter(F.col("__term").rlike(pattern))
+    return df.join(
+        F.broadcast(matching.withColumnRenamed("__term", col)), col, "left_semi"
+    )

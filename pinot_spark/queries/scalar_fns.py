@@ -829,3 +829,27 @@ def json_index_match(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "regex_fst_dictionary_match",
+    oracle="""
+    SELECT p_brand, count(*) AS n
+    FROM part WHERE regexp_matches(p_brand, '^Brand#[1-3]$')
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def regex_fst_dictionary_match(spark, sf_dir):
+    """FST index analog (StandardIndexes.java fst): REGEXP_LIKE evaluated
+    over the column DICTIONARY (distinct values) + broadcast semi join
+    back — |dict| regex evaluations instead of |rows|
+    (operators/text_index.py regex_match_dictionary)."""
+    from pinot_spark.operators.text_index import regex_match_dictionary
+
+    t = load_tables(spark, sf_dir)
+    return (
+        regex_match_dictionary(t["part"], "p_brand", "^Brand#[1-3]$")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
