@@ -817,11 +817,12 @@ def json_index_match(spark, sf_dir):
     JSON_MATCH('props', '"k" = 7') answered from the flattened
     (path, value, id) postings table (operators/json_index.py) via semi
     join — the indexed alternative to the get_json_object scan rewrite."""
-    from pinot_spark.operators.json_index import build_json_index, json_match_eq
+    from pinot_spark.operators.json_index import build_json_index_flat, json_match_eq
 
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    idx = build_json_index(ev.select("event_id", "props"), "event_id", "props")
+    # events.props is flat JSON → JVM-only build (no Python in the path)
+    idx = build_json_index_flat(ev.select("event_id", "props"), "event_id", "props")
     hits = json_match_eq(idx, "event_id", "k", 7)
     return (
         ev.join(hits, "event_id", "left_semi")

@@ -48,3 +48,12 @@ def test_match_and_conjunction(spark):
     idx = build_json_index(df, "doc_id", "js")
     got = sorted(r.doc_id for r in json_match_and(idx, "doc_id", [("k", 1), ("t", "a")]).collect())
     assert got == [1]
+
+
+def test_flat_build_matches_walker_on_flat_json(spark, sf_dir):
+    from pinot_spark.operators.json_index import build_json_index_flat
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "props")
+    a = build_json_index(ev, "event_id", "props")
+    b = build_json_index_flat(ev, "event_id", "props")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
