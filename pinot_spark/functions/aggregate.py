@@ -203,6 +203,25 @@ def distinct_count_mv_grouped(df, keys: list[str], col: str, alias: str = "dc_mv
     )
 
 
+# --- geo union (StUnionAggregationFunction.java) -----------------------------
+@_reg("stunion")
+def _st_union(c):
+    """ST_UNION over POINT WKTs → canonical MULTIPOINT WKT (geometry
+    union of points = their distinct set; reference
+    StUnionAggregationFunction.java unions JTS geometries — this engine's
+    geometry domain is WKT text with point/simple-polygon algebra, so the
+    point union is exact and deterministic, sorted for stable output).
+    Non-point geometry unions need a geometry library (declared gap)."""
+    pts = F.array_sort(
+        F.collect_set(F.regexp_extract(_c(c), r"POINT \(([^)]*)\)", 1))
+    )
+    return F.concat(
+        F.lit("MULTIPOINT ("),
+        F.array_join(F.transform(pts, lambda p: F.concat(F.lit("("), p, F.lit(")"))), ", "),
+        F.lit(")"),
+    )
+
+
 # --- frequent items (:158-160) -----------------------------------------------
 @_reg("frequentstringssketch", "frequentlongssketch")
 def _frequent_items(c, *a):

@@ -717,10 +717,11 @@ _reg("stArea")(lambda poly: _lazy_udf("st_area", _make_st_area)(_c(poly)))
 
 def _geo_stub(*_a):
     raise NotImplementedError(
-        "full OGC geometry algebra (holes, multipolygons, ST_Union, "
-        "geoToH3) needs a geometry/H3 library not present in this "
-        "environment; simple-polygon contains/within/area and point "
-        "constructors/distance are implemented above"
+        "full OGC geometry algebra (holes, multipolygons, geoToH3) needs "
+        "a geometry/H3 library not present in this environment; "
+        "simple-polygon contains/within/area and point constructors/"
+        "distance are implemented above; POINT unions via "
+        "functions.aggregate.agg_call('stunion', col)"
     )
 
 

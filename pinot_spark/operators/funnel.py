@@ -126,6 +126,24 @@ def funnel_complete_count(
     )
 
 
+def funnel_complete_count_window(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_ms: int,
+    steps: list[Column],
+    modes: set[str] | None = None,
+) -> DataFrame:
+    """Windowed FUNNELCOMPLETECOUNT
+    (funnel/window/FunnelCompleteCountAggregationFunction.java): keys
+    whose max windowed step reaches the final step, with the same modes
+    as funnel_max_step_window."""
+    ms = funnel_max_step_window(df, key, time_col, window_ms, steps, modes)
+    return ms.agg(
+        F.count(F.when(F.col("max_step") == len(steps), 1)).alias("complete_count")
+    )
+
+
 def funnel_count(
     df: DataFrame,
     key: str,

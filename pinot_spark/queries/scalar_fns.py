@@ -854,3 +854,38 @@ def regex_fst_dictionary_match(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "agg_st_union_points",
+    oracle="""
+    SELECT event_type,
+           'MULTIPOINT (' || array_to_string(
+               list_transform(
+                   list_sort(list_distinct(list(
+                       CAST(user_id % 100 AS VARCHAR) || ' ' || CAST(event_id % 100 AS VARCHAR)))),
+                   p -> '(' || p || ')'), ', ') || ')' AS union_wkt
+    FROM events WHERE event_id < 200
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_st_union_points(spark, sf_dir):
+    """ST_UNION over POINT geometries (StUnionAggregationFunction.java):
+    the union of points is their distinct set — emitted as canonical
+    sorted MULTIPOINT WKT via collect_set (exact, no geometry lib)."""
+    from pinot_spark.functions.aggregate import agg_call
+
+    t = load_tables(spark, sf_dir)
+    # integer coordinates so WKT text matches the oracle's string build
+    pt = F.concat(
+        F.lit("POINT ("), (F.col("user_id") % 100).cast("string"),
+        F.lit(" "), (F.col("event_id") % 100).cast("string"), F.lit(")"),
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .select("event_type", pt.alias("pt"))
+        .groupBy("event_type")
+        .agg(agg_call("stUnion", F.col("pt")).alias("union_wkt"))
+        .orderBy("event_type")
+    )
