@@ -105,3 +105,73 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_offset_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resize_ok", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """binary→binary image resize via mapInPandas (decode → resize →
+    re-encode at deploy time; the fake path emits a deterministic
+    content-hash payload of bounded size so the binary-out schema,
+    Arrow batching, and metadata rewrite are real and testable).
+
+    Scale shape: payloads stream through Arrow batches — executor memory
+    is bounded by maxRecordsPerBatch × payload size, not table size."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, ok = [], []
+            for payload in pdf["payload"]:
+                if fake:
+                    digest = hashlib.sha256(payload or b"").digest()
+                    payloads.append(digest * ((target_w * target_h * 3) // len(digest) % 64 + 1))
+                    ok.append("ok")
+                else:
+                    payloads.append(None)
+                    ok.append("decoder_unavailable")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                    "resize_ok": ok,
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+def audio_window_plan(
+    df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing plan: one row per (media, window) with start/end
+    offsets — the hop/window fan-out done JVM-side (sequence/explode);
+    per-window feature extraction then rides extract_features' Arrow
+    path. Overlapping hops (hop < window) are the standard audio
+    feature-extraction shape."""
+    start = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+            F.lit(hop_ms),
+        )
+    ).alias("window_start_ms")
+    return df.select("media_id", "duration_ms", start).select(
+        "media_id",
+        "window_start_ms",
+        F.least(
+            F.col("window_start_ms") + F.lit(window_ms), F.coalesce(F.col("duration_ms"), F.lit(0))
+        ).alias("window_end_ms"),
+    )

@@ -410,3 +410,36 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.count_distinct("id_b").alias("n_docs_dropped"),
         F.round(F.min("sim"), 4).alias("min_dup_sim"),
     )
+
+
+@query(
+    "multimodal_resize_and_windows",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           ((CAST(doc_id AS INT) % 5 + 1) * 2000 + 499) // 500 AS n_windows
+    FROM documents WHERE doc_id < 20 ORDER BY CAST(media_id AS INT)
+    """,
+)
+def multimodal_resize_and_windows(spark, sf_dir):
+    """Multimodal resize (binary→binary mapInPandas) + audio hop-window
+    fan-out (operators/multimodal.py resize_images / audio_window_plan):
+    the window count per media item is deterministic from duration, so
+    the fan-out is oracle-checkable even with the decoder stubbed."""
+    from pinot_spark.operators.multimodal import audio_window_plan, resize_images
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id").cast("int") % 5 + 1) * 2000).alias("duration_ms"),
+    )
+    resized = resize_images(media, 64, 64, fake=True)
+    windows = audio_window_plan(media, window_ms=1000, hop_ms=500)
+    counts = windows.groupBy("media_id").agg(F.count("*").alias("n_windows"))
+    return (
+        resized.select("media_id").join(counts, "media_id")
+        .orderBy(F.col("media_id").cast("int"))
+    )
