@@ -1390,16 +1390,26 @@ def _groovy_stub(*_a):
 _reg("groovy")(_groovy_stub)
 
 
+@_reg("clpDecode")
+def _clp_decode(logtype, dict_vars, encoded_vars, default=None):
+    """clpDecode(col_logtype, col_dictionaryVars, col_encodedVars
+    [, default]) — reassemble CLP-encoded log messages
+    (CLPDecodeTransformFunction.java:45-55; operators/clp.py — this
+    engine's template/variable encoding, not CLP's binary wire format)."""
+    from pinot_spark.operators.clp import clp_decode
+
+    return clp_decode(_c(logtype), _c(dict_vars), _c(encoded_vars), default)
+
+
 def _clp_stub(*_a):
     raise NotImplementedError(
-        "CLP encoded-log columns (clpDecode/clpEncodedVarsMatch) are "
-        "declared out of scope (SURVEY.md §2.8) — store logs as plain "
-        "STRING columns instead"
+        "clpEncodedVarsMatch's wildcard-query subsetting needs CLP's "
+        "variable-placeholder query compiler — decode with clpDecode and "
+        "filter the text instead (operators/clp.py)"
     )
 
 
-for _n in ("clpdecode", "clpencodedvarsmatch"):
-    _reg(_n)(_clp_stub)
+_reg("clpencodedvarsmatch")(_clp_stub)
 
 
 @_reg("inIdSet")

@@ -889,3 +889,55 @@ def agg_st_union_points(spark, sf_dir):
         .agg(agg_call("stUnion", F.col("pt")).alias("union_wkt"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "clp_encode_decode_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_msgs,
+           count(*) AS n_roundtrip_ok,
+           TRUE AS logtypes_as_expected
+    FROM events WHERE event_id < 500
+    """,
+)
+def clp_encode_decode_roundtrip(spark, sf_dir):
+    """CLP columnar log codec (CLPDecodeTransformFunction.java:45-55,
+    CLPEncodingTransformer; operators/clp.py): messages split into a
+    shared template + dictionary/encoded variable columns, decoded back
+    losslessly.  Rows with the same template shape share a logtype (the
+    compression premise: distinct logtypes = event_type x value-form
+    class, NOT distinct messages) and every decode equals its original
+    message."""
+    from pinot_spark.operators.clp import clp_decode, clp_encode_df
+
+    t = load_tables(spark, sf_dir)
+    msgs = (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            "event_type",
+            F.concat(
+                F.lit("user u"), F.col("user_id").cast("string"),
+                F.lit(" did "), F.col("event_type"),
+                F.lit(" seeing value "), F.round("value", 2).cast("string"),
+            ).alias("message"),
+        )
+    )
+    enc = clp_encode_df(msgs, "message")
+    dec = enc.withColumn(
+        "back", clp_decode("message_logtype", "message_dictionaryVars", "message_encodedVars")
+    )
+    # independent expectation: template count = event_type x whether the
+    # rounded value's text form is canonically encodable (else dict var)
+    canon = F.col("message").substr(F.lit(1), F.length("message")).rlike(
+        r"seeing value [+-]?(0|[1-9]\d*)(\.\d*[1-9])?$"
+    )
+    return dec.agg(
+        F.count("*").alias("n_msgs"),
+        F.count(F.when(F.col("back") == F.col("message"), 1)).alias("n_roundtrip_ok"),
+        (
+            F.count_distinct("message_logtype")
+            == F.count_distinct(F.col("event_type"), canon.cast("int"))
+        ).alias("logtypes_as_expected"),
+    )
