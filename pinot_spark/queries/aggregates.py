@@ -637,7 +637,7 @@ def null_mode_default_value(spark, sf_dir):
     SELECT event_type,
            count(*) AS n_rows,
            count(value) AS n_vals,
-           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            round(avg(value), 4) AS avg_ignoring_nulls
     FROM events GROUP BY event_type ORDER BY event_type
     """,

@@ -112,7 +112,7 @@ def fn_datetime_family(spark, sf_dir):
            round(pow(l_quantity, 2), 2) AS q_sq,
            CAST(l_quantity AS BIGINT) % 7 AS mod7,
            least(l_quantity, 25.0) AS least_q, greatest(l_quantity, 25.0) AS greatest_q,
-           sign(l_quantity - 25) AS sgn
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn
     FROM lineitem WHERE l_orderkey < 30 ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -128,8 +128,8 @@ def fn_math_family(spark, sf_dir):
             "l_orderkey",
             "l_linenumber",
             _r2(F.abs(q - 25)).alias("abs_dev"),
-            F.ceil(F.col("l_discount") * 100).alias("ceil_disc"),
-            F.floor(F.col("l_tax") * 100).alias("floor_tax"),
+            F.ceil(F.col("l_discount") * 100).cast("double").alias("ceil_disc"),
+            F.floor(F.col("l_tax") * 100).cast("double").alias("floor_tax"),
             _r4(F.sqrt(q)).alias("sqrt_q"),
             _r4(F.exp("l_discount")).alias("exp_d"),
             _r4(F.log("l_extendedprice")).alias("ln_p"),

@@ -70,21 +70,30 @@ def _norm(v):
         return tuple(_norm(x) for x in v)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
     return v
 
 
 def assert_same_rows(spark_df, duck_rel, ordered: bool = False):
     """Compare a Spark DataFrame against a DuckDB relation.
 
-    Columns are matched by (sorted) name like the driver does; rows
-    compare as multisets unless ``ordered``.
+    Mirrors the driver's strictness: columns matched by (sorted) name,
+    both sides materialized via pandas (so nullable-int promotion to
+    float64 happens identically), cells normalized like the driver and
+    compared by ``repr`` — an int64 ``5`` vs a HUGEINT-promoted float64
+    ``5.0`` is a FAILURE here because it breaks the driver's value hash
+    even though ``5 == 5.0`` (proven by q12 in round 2).
     """
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
     assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (
         f"column mismatch: spark={s_cols} duck={d_cols}"
     )
-    s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()]
+    s_pdf = spark_df.toPandas()[s_cols]
+    s_rows = [tuple(_norm(v) for v in row) for row in s_pdf.itertuples(index=False, name=None)]
     d_df = duck_rel.df()
     # align duckdb column order to sorted-name order (case-insensitive match)
     d_map = {c.lower(): c for c in d_df.columns}
@@ -94,5 +103,7 @@ def assert_same_rows(spark_df, duck_rel, ordered: bool = False):
     if not ordered:
         s_rows = sorted(s_rows, key=repr)
         d_rows = sorted(d_rows, key=repr)
-    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if repr(a) != repr(b)
+    ]
     assert not mismatches, f"first mismatches: {mismatches[:5]}"
