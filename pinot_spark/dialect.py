@@ -230,20 +230,31 @@ _ARR_SUM = "aggregate({0}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # --- string (StringFunctions.java) ---
     # Pinot strPos = StringUtils.indexOf/ordinalIndexOf: 0-based, -1 on miss
-    # (StringFunctions.java). 3-arg form finds the Nth occurrence.
+    # (StringFunctions.java). The 3-arg form finds the Nth occurrence with
+    # OVERLAPPING matches (ordinalIndexOf advances by 1, not by match
+    # length: strpos('aaa','aa',2) = 1) — enumerate every match position
+    # with a filtered index sequence, then take the Nth.
     "strpos": lambda a: (
         f"(instr({a[0]}, {a[1]}) - 1)"
         if len(a) < 3
         else (
-            f"(CASE WHEN (length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) / length({a[1]}) >= {a[2]} "
-            f"THEN length(substring_index({a[0]}, {a[1]}, {a[2]})) ELSE -1 END)"
+            f"coalesce(try_element_at(filter(sequence(1, greatest(length({a[0]}), 1)), "
+            f"i -> substring({a[0]}, i, length({a[1]})) = {a[1]}), CAST({a[2]} AS INT)) - 1, -1)"
         )
     ),
     "codepoint": "ascii",
     "chr": "char",
-    # Pinot splitPart splits on the LITERAL delimiter (StringFunctions.java
-    # splitPart), 0-based index; Spark's split() is regex — use split_part.
-    "splitpart": lambda a: f"split_part({a[0]}, {a[1]}, {a[2]} + 1)",
+    # Pinot splitPart (StringFunctions.java) = splitByWholeSeparator:
+    # LITERAL delimiter (regex-quoted via \Q..\E so any delimiter works,
+    # literal or column), EMPTY tokens dropped (consecutive/leading
+    # delimiters collapse), 0-based index, and the literal string 'null'
+    # when the index is out of range. 4-arg form caps the token count
+    # (last token keeps the remainder — Spark split's limit arg).
+    "splitpart": lambda a: (
+        f"coalesce(try_element_at(filter(split({a[0]}, concat('\\\\Q', {a[1]}, '\\\\E')"
+        + (f", CAST({a[2]} AS INT)" if len(a) > 3 else "")
+        + f"), x -> x != ''), CAST({a[3] if len(a) > 3 else a[2]} AS INT) + 1), 'null')"
+    ),
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
     "regexplike": lambda a: f"({a[0]} RLIKE {a[1]})",
@@ -352,12 +363,24 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "maxmv": lambda a: f"max(array_max({a[0]}))",
     "avgmv": lambda a: f"(sum({_ARR_SUM.format(a[0])}) / sum(cardinality({a[0]})))",
     "minmaxrangemv": lambda a: f"(max(array_max({a[0]})) - min(array_min({a[0]})))",
-    # DISTINCTCOUNTMV: distinct count over flattened MV values.  The
-    # explode-rewrite is the scale path (functions/aggregate.py); in a pure
-    # SQL expression the flatten-of-collected-arrays form is the one Spark
-    # can evaluate inside a single agg.
-    "distinctcountmv": lambda a: f"size(array_distinct(flatten(collect_list({a[0]}))))",
-    "distinctsummv": lambda a: f"({_ARR_SUM.format(f'array_distinct(flatten(collect_list({a[0]})))')})",
+    # DISTINCTCOUNTMV / DISTINCTSUMMV: distinct over flattened MV values,
+    # NULL elements ignored (Pinot skips nulls; array_compact drops them).
+    # These in-expression forms buffer per-group state and are only the
+    # FALLBACK for statements the structural explode rewrite
+    # (rewrite_mv_distinct_aggs, the scale path: count(DISTINCT) over
+    # LATERAL VIEW explode with map-side partials) cannot handle —
+    # per-row array_distinct(array_compact(...)) bounds what collect_set
+    # buffers to already-deduped arrays.
+    "distinctcountmv": lambda a: (
+        f"size(array_distinct(flatten(collect_set(array_distinct(array_compact({a[0]}))))))"
+    ),
+    "distinctsummv": lambda a: (
+        "("
+        + _ARR_SUM.format(
+            f"array_distinct(flatten(collect_set(array_distinct(array_compact({a[0]})))))"
+        )
+        + ")"
+    ),
     # --- vector (VectorFunctions.java) ---
     "cosinedistance": lambda a: (
         f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
@@ -447,13 +470,14 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
     # datetime extras (epoch-millis long domain)
     "toiso8601": lambda a: f"date_format({_MS_TS.format(a[0])}, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")",
     "fromiso8601": lambda a: f"unix_millis(to_timestamp({a[0]}))",
-    # Pinot round(timeValue, roundToNearest) buckets in the long domain
-    # (DateTimeFunctions.java:507) while SQL round(x, d) is decimal
-    # places; disambiguate on the literal: time buckets are >= 1000 ms,
-    # decimal scales are small ints.
+    # Pinot's 2-arg round(timeValue, roundToNearest) is ALWAYS the
+    # long-domain bucket (DateTimeFunctions.java:507: (tv / n) * n with
+    # Java long division, i.e. truncation toward zero = Spark DIV) —
+    # the reference has NO decimal-places round under this name; that is
+    # ROUNDDECIMAL (ArithmeticFunctions). 1-arg round passes through.
     "round": lambda a: (
-        f"(CAST(({a[0]}) / ({a[1]}) AS BIGINT) * ({a[1]}))"
-        if len(a) > 1 and a[1].strip().isdigit() and int(a[1].strip()) >= 1000
+        f"((CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT)) * CAST({a[1]} AS BIGINT))"
+        if len(a) == 2
         else f"round({', '.join(a)})"
     ),
     "yearofweek": "extract(yearofweek FROM {0})",

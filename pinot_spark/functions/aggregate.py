@@ -254,9 +254,12 @@ _reg("minmaxrangemv")(
 )
 # Column-level DISTINCTCOUNTMV buffers the group's arrays (collect_set) —
 # correct but memory ∝ group size; distinct_count_mv_grouped() above is the
-# explode-based scale path with map-side partial aggregation.
-_reg("distinctcountmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
-_reg("distinctcounthllmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_c(c))))))
+# explode-based scale path with map-side partial aggregation. NULL elements
+# are dropped (array_compact) before dedup: Pinot's MV distinct aggregates
+# ignore nulls, like COUNT(DISTINCT) and the explode path.
+_MV_DEDUP = lambda c: F.array_distinct(F.array_compact(_c(c)))  # noqa: E731
+_reg("distinctcountmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_MV_DEDUP(c))))))
+_reg("distinctcounthllmv")(lambda c: F.size(F.array_distinct(F.flatten(F.collect_set(_MV_DEDUP(c))))))
 _reg("distinctsummv")(
-    lambda c: _ARRSUM(F.array_distinct(F.flatten(F.collect_list(_c(c)))))
+    lambda c: _ARRSUM(F.array_distinct(F.flatten(F.collect_set(_MV_DEDUP(c)))))
 )

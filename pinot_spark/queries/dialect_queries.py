@@ -52,7 +52,7 @@ def dialect_pinot_agg_names(spark, sf_dir):
         "DISTINCTCOUNT(l_suppkey) AS dc_supp, "
         "MINMAXRANGE(l_quantity) AS qty_range, "
         "PERCENTILE(l_quantity, 50) AS p50_qty, "
-        "CAST(round(SUMPRECISION(l_extendedprice), 2) AS DOUBLE) AS total "
+        "CAST(ROUNDDECIMAL(SUMPRECISION(l_extendedprice), 2) AS DOUBLE) AS total "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
 
@@ -147,7 +147,7 @@ def dialect_ddl_mv_roundtrip(spark, sf_dir):
     eng.sql(
         "CREATE MATERIALIZED VIEW ddl_mv_sales AS "
         "SELECT l_returnflag, count(*) AS cnt, "
-        "CAST(round(SUMPRECISION(l_quantity), 2) AS DOUBLE) AS qty "
+        "CAST(ROUNDDECIMAL(SUMPRECISION(l_quantity), 2) AS DOUBLE) AS qty "
         "FROM lineitem GROUP BY l_returnflag"
     )
     return eng.sql("SELECT l_returnflag, cnt, qty FROM ddl_mv_sales ORDER BY l_returnflag")
@@ -181,7 +181,7 @@ def dialect_fn_surface_ext(spark, sf_dir):
         "SELECT n_name, "
         "LEFTSUBSTR(n_name, 3) AS l3, "
         "STRRPOS(n_name, 'A') AS last_a, "
-        "CAST(round(SIGMOID(CAST(n_nationkey AS DOUBLE)), 4) AS DOUBLE) AS sig, "
+        "CAST(ROUNDDECIMAL(SIGMOID(CAST(n_nationkey AS DOUBLE)), 4) AS DOUBLE) AS sig, "
         "TOEPOCHDAYSBUCKET(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000, 7) AS bucket7, "
         "ROUND(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000, 86400000) AS rounded, "
         "TOISO8601(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) AS iso, "

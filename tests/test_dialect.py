@@ -54,13 +54,14 @@ def test_rewrite_function_names():
     assert rewrite_functions("SELECT STRPOS(LOWER(s), CHR(97)) FROM t") == (
         "SELECT (instr(LOWER(s), char(97)) - 1) FROM t"
     )
-    # splitPart splits on the LITERAL delimiter (split_part, not regex split)
-    assert rewrite_functions("SELECT SPLITPART(s, '.', 0) FROM t") == (
-        "SELECT split_part(s, '.', 0 + 1) FROM t"
-    )
-    # DISTINCTCOUNTMV emits valid SQL (regression: used to reference col_flat)
+    # splitPart: literal delimiter (regex \Q-quoted), empty tokens dropped,
+    # OOB index -> the literal string 'null' (StringFunctions.splitPart)
+    out = rewrite_functions("SELECT SPLITPART(s, '.', 0) FROM t")
+    assert "\\\\Q" in out and "x != ''" in out and "'null'" in out
+    # DISTINCTCOUNTMV fallback expression: null-compacted, per-row deduped
     out = rewrite_functions("SELECT DISTINCTCOUNTMV(tags) FROM t")
-    assert "size(array_distinct(flatten(collect_list(tags))))" in out
+    assert "array_compact(tags)" in out and "collect_set" in out
+    assert "collect_list" not in out
     # names inside string literals untouched by the engine pipeline
     eng_sql = "SELECT 'strpos(x)' AS lit FROM t"
     assert rewrite_functions(eng_sql) == eng_sql or True  # literal-guard lives in translate()
