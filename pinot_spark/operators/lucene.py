@@ -8,14 +8,25 @@ covers Pinot's documented TEXT_MATCH usage:
 
 - terms:            ``java``
 - phrases:          ``"machine learning"`` (consecutive tokens)
+- proximity:        ``"big data"~3`` (sloppy phrase; 2-term slop exact —
+                    |p2 - p1 - 1| <= slop, covering reversal at slop>=2
+                    like Lucene; >2 terms approximated as consecutive
+                    pairs each within the slop budget)
+- ranges:           ``[a TO b]`` inclusive / ``{a TO b}`` exclusive over
+                    indexed terms; ``*`` endpoints open the bound
 - boolean:          ``a AND b``, ``a OR b``, ``NOT a``, ``-a``, ``+a``
+- boost:            ``term^2`` parsed and ignored (no scoring)
 - grouping:         ``(a OR b) AND c``
 - prefix wildcard:  ``quer*``
 - fuzzy:            ``spark~`` / ``spark~1`` (Levenshtein edit distance,
                     default 2 like Lucene)
 
 Bare juxtaposition (``a b``) is OR, matching Lucene's default
-``OR``-operator config used by Pinot.
+``OR``-operator config used by Pinot.  When a juxtaposed/OR clause list
+mixes NOT/``-`` operands with positive clauses, the negations are
+MUST_NOT over the whole clause list (``a NOT b`` = a AND NOT b), and a
+pure-negative query matches nothing — Lucene classic-QueryParser
+behavior (TextMatchFilterOperator's parser), NOT de-Morgan OR.
 
 Two compilation targets:
 
@@ -65,6 +76,29 @@ class Phrase:
 
 
 @dataclass
+class Near:
+    """Sloppy phrase ``"a b"~slop``."""
+
+    tokens: list[str]
+    slop: int
+
+
+@dataclass
+class TermRange:
+    """``[lo TO hi]`` / ``{lo TO hi}``; ``None`` endpoint = open bound."""
+
+    lo: str | None
+    hi: str | None
+    inc_lo: bool = True
+    inc_hi: bool = True
+
+
+@dataclass
+class MatchNone:
+    """Pure-negative boolean clause list — matches no documents."""
+
+
+@dataclass
 class And:
     parts: list
 
@@ -85,17 +119,19 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)") |
+        (?P<phrase>"(?P<phrase_body>[^"]*)"
+            (?:~(?P<slop>\d+))?(?:\^\d+(?:\.\d+)?)?) |
+        (?P<range>[\[{]\s*(?P<range_lo>[^\s\]}]+)\s+TO\s+(?P<range_hi>[^\s\]}]+)\s*[\]}]) |
         (?P<op>AND\b|OR\b|NOT\b) |
         (?P<plus>\+) |
         (?P<minus>-) |
-        (?P<word>[^\s()"+-]+)
+        (?P<word>[^\s()"+\-\[\]{}]+)
     )""",
     re.X,
 )
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _lex(q: str) -> list[tuple[str, object]]:
     out, pos = [], 0
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
@@ -104,12 +140,20 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 raise ValueError(f"bad TEXT_MATCH query at {q[pos:]!r}")
             break
         pos = m.end()
+        if m.group("phrase"):
+            slop = int(m.group("slop")) if m.group("slop") else 0
+            out.append(("phrase", (m.group("phrase_body"), slop)))
+            continue
+        if m.group("range"):
+            raw = m.group("range")
+            out.append(
+                ("range", (m.group("range_lo"), m.group("range_hi"), raw[0] == "[", raw[-1] == "]"))
+            )
+            continue
         for kind in ("lparen", "rparen", "op", "plus", "minus", "word"):
             if m.group(kind):
                 out.append((kind, m.group(kind)))
                 break
-        else:
-            out.append(("phrase", m.group("phrase_body")))
     return out
 
 
@@ -130,6 +174,11 @@ class _Parser:
         node = self.or_expr()
         if self.peek()[0] is not None:
             raise ValueError(f"trailing tokens in TEXT_MATCH query: {self.toks[self.i:]}")
+        if isinstance(node, Not):
+            # Lucene classic parser: a query that is ONLY a MUST_NOT
+            # clause matches nothing (there is no positive clause to
+            # subtract from).
+            return MatchNone()
         return node
 
     def or_expr(self):
@@ -139,14 +188,26 @@ class _Parser:
             if kind == "op" and val == "OR":
                 self.next()
                 parts.append(self.and_expr())
-            elif kind in ("lparen", "phrase", "word", "plus", "minus") or (
+            elif kind in ("lparen", "phrase", "range", "word", "plus", "minus") or (
                 kind == "op" and val == "NOT"
             ):
                 # bare juxtaposition = OR (Lucene default operator)
                 parts.append(self.and_expr())
             else:
                 break
-        return parts[0] if len(parts) == 1 else Or(parts)
+        if len(parts) == 1:
+            return parts[0]
+        # Lucene clause-list semantics: NOT/- operands in an OR /
+        # juxtaposition list are MUST_NOT over the SHOULD clauses
+        # ('a NOT b' = a AND NOT b), not OR'd negations; a list of only
+        # negations matches nothing.
+        neg = [p for p in parts if isinstance(p, Not)]
+        if not neg:
+            return Or(parts)
+        pos = [p for p in parts if not isinstance(p, Not)]
+        if not pos:
+            return MatchNone()
+        return And([pos[0] if len(pos) == 1 else Or(pos), *neg])
 
     def and_expr(self):
         parts = [self.unary()]
@@ -181,11 +242,23 @@ class _Parser:
                 raise ValueError("unbalanced parentheses in TEXT_MATCH query")
             return node
         if kind == "phrase":
-            toks = [t for t in re.split(r"[^a-z0-9]+", val.lower()) if t]
+            body, slop = val
+            toks = [t for t in re.split(r"[^a-z0-9]+", body.lower()) if t]
             if len(toks) == 1:
                 return Term(toks[0])
+            if slop > 0:
+                return Near(toks, slop)
             return Phrase(toks)
+        if kind == "range":
+            lo, hi, inc_lo, inc_hi = val
+            return TermRange(
+                None if lo == "*" else lo.lower(),
+                None if hi == "*" else hi.lower(),
+                inc_lo,
+                inc_hi,
+            )
         if kind == "word":
+            val = re.sub(r"\^\d+(\.\d+)?$", "", val)  # boost: parse & ignore
             m = re.fullmatch(r"(.*?)~(\d*)", val)
             if m and m.group(1):
                 return Fuzzy(m.group(1).lower(), int(m.group(2)) if m.group(2) else 2)
@@ -210,7 +283,39 @@ def compile_predicate(text_col, query: str) -> Column:
     return _compile(parse_lucene(query), c, toks)
 
 
+def _token_positions(toks: Column, term: str) -> Column:
+    """0-based positions of ``term`` in the token array."""
+    return F.filter(
+        F.transform(toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(F.lit(-1))),
+        lambda x: x >= 0,
+    )
+
+
+def _near_pair(toks: Column, t1: str, t2: str, slop: int) -> Column:
+    """Lucene 2-term sloppy phrase: some positions p1 of t1, p2 of t2
+    with |p2 - p1 - 1| <= slop (reversal costs 2 moves, like Lucene)."""
+    p1, p2 = _token_positions(toks, t1), _token_positions(toks, t2)
+    return F.exists(p1, lambda p: F.exists(p2, lambda q: F.abs(q - p - 1) <= F.lit(slop)))
+
+
 def _compile(node, c: Column, toks: Column) -> Column:
+    if isinstance(node, MatchNone):
+        return F.lit(False)
+    if isinstance(node, Near):
+        out = _near_pair(toks, node.tokens[0], node.tokens[1], node.slop)
+        for a, b in zip(node.tokens[1:], node.tokens[2:]):
+            out = out & _near_pair(toks, a, b, node.slop)
+        return out
+    if isinstance(node, TermRange):
+        def in_range(t):
+            cond = F.lit(True)
+            if node.lo is not None:
+                cond = cond & (t >= node.lo if node.inc_lo else t > node.lo)
+            if node.hi is not None:
+                cond = cond & (t <= node.hi if node.inc_hi else t < node.hi)
+            return cond
+
+        return F.exists(toks, in_range)
     if isinstance(node, Term):
         return F.array_contains(toks, node.text)
     if isinstance(node, Prefix):
@@ -257,7 +362,35 @@ def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _positions_sql(toks: str, term: str) -> str:
+    return (
+        f"filter(transform({toks}, (t, i) -> IF(t = {_sq(term)}, i, -1)), x -> x >= 0)"
+    )
+
+
+def _near_pair_sql(toks: str, t1: str, t2: str, slop: int) -> str:
+    return (
+        f"exists({_positions_sql(toks, t1)}, p -> "
+        f"exists({_positions_sql(toks, t2)}, q -> abs(q - p - 1) <= {slop}))"
+    )
+
+
 def _compile_sql(node, col_sql: str, toks: str) -> str:
+    if isinstance(node, MatchNone):
+        return "false"
+    if isinstance(node, Near):
+        pairs = [
+            _near_pair_sql(toks, a, b, node.slop)
+            for a, b in zip(node.tokens, node.tokens[1:])
+        ]
+        return "(" + " AND ".join(pairs) + ")"
+    if isinstance(node, TermRange):
+        conds = []
+        if node.lo is not None:
+            conds.append(f"t {'>=' if node.inc_lo else '>'} {_sq(node.lo)}")
+        if node.hi is not None:
+            conds.append(f"t {'<=' if node.inc_hi else '<'} {_sq(node.hi)}")
+        return f"exists({toks}, t -> {' AND '.join(conds) or 'true'})"
     if isinstance(node, Term):
         return f"array_contains({toks}, {_sq(node.text)})"
     if isinstance(node, Prefix):
@@ -305,6 +438,24 @@ def search_index(
 
 
 def _plan(node, index, docs, universe, id_col, text_col) -> DataFrame:
+    if isinstance(node, MatchNone):
+        return universe.limit(0)
+    if isinstance(node, Near):
+        if text_col is None:
+            raise ValueError("proximity query needs text_col for the scan fallback")
+        c = F.col(text_col)
+        return docs.filter(_compile(node, c, tokenize(c))).select(id_col)
+    if isinstance(node, TermRange):
+        out = index
+        if node.lo is not None:
+            out = out.filter(
+                F.col("term") >= node.lo if node.inc_lo else F.col("term") > node.lo
+            )
+        if node.hi is not None:
+            out = out.filter(
+                F.col("term") <= node.hi if node.inc_hi else F.col("term") < node.hi
+            )
+        return out.select(id_col).distinct()
     if isinstance(node, Term):
         return index.filter(F.col("term") == node.text).select(id_col).distinct()
     if isinstance(node, Prefix):

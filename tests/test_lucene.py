@@ -7,7 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from pinot_spark.operators.lucene import (
-    And, Fuzzy, Not, Or, Phrase, Prefix, Term,
+    And, Fuzzy, MatchNone, Near, Not, Or, Phrase, Prefix, Term, TermRange,
     compile_predicate, compile_sql, parse_lucene, search_index,
 )
 
@@ -22,9 +22,32 @@ def test_parser_shapes():
     assert isinstance(n, And) and isinstance(n.parts[0], Or) and isinstance(n.parts[1], Not)
     # bare juxtaposition = OR (Lucene default operator)
     assert isinstance(parse_lucene("a b"), Or)
-    # -term == NOT term, +term == term
-    assert parse_lucene("-java") == Not(Term("java"))
+    # +term == term; boost parsed and dropped
     assert parse_lucene("+java") == Term("java")
+    assert parse_lucene("java^2") == Term("java")
+
+
+def test_parser_must_not_semantics():
+    """Classic-QueryParser NOT: juxtaposed negations are MUST_NOT over
+    the SHOULD clauses; pure-negative queries match nothing
+    (TextMatchFilterOperator → Lucene QueryParser)."""
+    # 'a NOT b' = a AND NOT b — not Or([a, Not(b)])
+    assert parse_lucene("a NOT b") == And([Term("a"), Not(Term("b"))])
+    assert parse_lucene("a b -c") == And([Or([Term("a"), Term("b")]), Not(Term("c"))])
+    # pure negative — matches nothing
+    assert parse_lucene("-java") == MatchNone()
+    assert parse_lucene("NOT java") == MatchNone()
+    assert parse_lucene("-a -b") == MatchNone()
+    # explicit AND NOT still plain negation inside the conjunction
+    assert parse_lucene("a AND NOT b") == And([Term("a"), Not(Term("b"))])
+
+
+def test_parser_proximity_and_range():
+    assert parse_lucene('"big data"~3') == Near(["big", "data"], 3)
+    assert parse_lucene('"a b"') == Phrase(["a", "b"])
+    assert parse_lucene("[aa TO bb]") == TermRange("aa", "bb", True, True)
+    assert parse_lucene("{aa TO bb}") == TermRange("aa", "bb", False, False)
+    assert parse_lucene("[aa TO *]") == TermRange("aa", None, True, True)
 
 
 def test_parser_rejects_garbage():
@@ -35,6 +58,29 @@ def test_parser_rejects_garbage():
 def test_compile_sql_shape():
     sql = compile_sql("text", '"a b" AND NOT c*')
     assert "RLIKE" in sql and "startswith" in sql and "NOT" in sql
+
+
+def test_proximity_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big shiny data lake"),       # big..data gap 1
+            (2, "big data lake"),             # adjacent
+            (3, "data is big"),               # reversed, gap 1
+            (4, "big lake"),                  # missing term
+        ],
+        "id int, text string",
+    )
+    def ids(q):
+        return sorted(r.id for r in df.filter(compile_predicate("text", q)).collect())
+
+    assert ids('"big data"') == [2]
+    assert ids('"big data"~1') == [1, 2]
+    # reversal: 'data ... big' at distance 2 costs |p2-p1-1| = 3 here
+    assert ids('"big data"~3') == [1, 2, 3]
+    assert ids("[cat TO dog]") == [1, 2, 3]   # 'data' in range
+    assert ids("{data TO data}") == []        # exclusive empty range
+    assert ids("-big") == []                  # pure negative matches nothing
+    assert ids("lake NOT shiny") == [2, 4]    # MUST_NOT over SHOULD
 
 
 def test_scan_vs_postings_equivalence(spark, sf_dir):
@@ -49,6 +95,8 @@ def test_scan_vs_postings_equivalence(spark, sf_dir):
         "vector OR spark~1",
         '"table scan" AND NOT join',
         "filt* AND vector",
+        '"vector filter"~4',
+        "[vecto TO vectz]",
     ]:
         scan_ids = sorted(
             r.doc_id for r in docs.filter(compile_predicate("text", q)).select("doc_id").collect()
