@@ -717,6 +717,197 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ASOF JOIN syntax — Pinot MSE (Calcite):
+#   FROM a ASOF JOIN b MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k
+# (reference pinot-query-runtime/.../operator/AsofJoinOperator.java:37,
+# match-condition types :59-64; corpus queries/AsOfJoin.json).  Routed to
+# the union+window builder in operators/asof.py — one shuffle, no range
+# explosion — then the join clause is replaced by a temp view.
+# ---------------------------------------------------------------------------
+
+_ASOF_JOIN_RE = re.compile(
+    r"\bFROM\s+(?P<left>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<lalias>(?!ASOF\b|LEFT\b|JOIN\b)[A-Za-z_]\w*))?\s+"
+    r"(?P<outer>LEFT\s+)?ASOF\s+JOIN\s+"
+    r"(?P<right>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<ralias>(?!MATCH_CONDITION\b)[A-Za-z_]\w*))?\s+"
+    r"MATCH_CONDITION\b",
+    re.IGNORECASE,
+)
+
+_QREF = r"[A-Za-z_]\w*\.[A-Za-z_]\w*"
+_MATCH_CMP_RE = re.compile(
+    rf"^\s*(?P<l>{_QREF})\s*(?P<op><=|>=|<|>)\s*(?P<r>{_QREF})\s*$"
+)
+_ON_EQ_RE = re.compile(rf"^\s*(?P<l>{_QREF})\s*=\s*(?P<r>{_QREF})\s*$")
+_ASOF_VIEW_SEQ = [0]
+
+
+def has_asof_join(sql: str) -> bool:
+    return re.search(r"\bASOF\s+JOIN\b", sql, re.IGNORECASE) is not None
+
+
+def rewrite_asof_join(spark: SparkSession, sql: str) -> str:
+    """Replace one ``a [LEFT] ASOF JOIN b MATCH_CONDITION(...) ON ...``
+    clause with a temp view materializing the as-of join (plain ASOF JOIN
+    = inner: unmatched left rows dropped; LEFT ASOF keeps them).
+
+    Requirements (PinotSqlError otherwise): both sides are named
+    tables/views, MATCH_CONDITION and ON use qualified column refs, and
+    non-key column names don't collide across the sides (qualifiers are
+    stripped from the remaining statement after the rewrite)."""
+    from pinot_spark.operators.asof import asof_join
+
+    m = _ASOF_JOIN_RE.search(sql)
+    if not m:
+        return sql
+    lname, rname = m.group("left"), m.group("right")
+    lalias = (m.group("lalias") or lname).lower()
+    ralias = (m.group("ralias") or rname).lower()
+    is_left = bool(m.group("outer"))
+
+    i = m.end()
+    while i < len(sql) and sql[i].isspace():
+        i += 1
+    if i < len(sql) and sql[i] == "(":
+        close = _find_matching(sql, i)
+        cond, i = sql[i + 1 : close], close + 1
+    else:
+        on_kw = re.compile(r"\bON\b", re.IGNORECASE).search(sql, i)
+        if not on_kw:
+            raise PinotSqlError("ASOF JOIN: missing ON after MATCH_CONDITION")
+        cond, i = sql[i : on_kw.start()], on_kw.start()
+    on_kw = re.compile(r"\s*ON\b", re.IGNORECASE).match(sql, i)
+    if not on_kw:
+        raise PinotSqlError("ASOF JOIN: missing ON clause")
+    j = on_kw.end()
+    tail_kw = re.compile(r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+    k = tail_kw.search(sql, j)
+    on_end = k.start() if k else len(sql)
+    on_sql = sql[j:on_end]
+
+    cm = _MATCH_CMP_RE.match(cond)
+    if not cm:
+        raise PinotSqlError(
+            f"ASOF JOIN MATCH_CONDITION must be 'x.t <cmp> y.t' with qualified refs, got {cond!r}"
+        )
+
+    def side(ref: str) -> tuple[str, str]:
+        q, c = ref.split(".", 1)
+        if q.lower() in (lalias, lname.lower()):
+            return "L", c
+        if q.lower() in (ralias, rname.lower()):
+            return "R", c
+        raise PinotSqlError(f"ASOF JOIN: unknown qualifier in {ref!r}")
+
+    s1, t1 = side(cm.group("l"))
+    s2, t2 = side(cm.group("r"))
+    op = cm.group("op")
+    if s1 == s2:
+        raise PinotSqlError("ASOF JOIN MATCH_CONDITION must compare the two sides")
+    if s1 == "R":  # normalize to left-side-first
+        t1, t2 = t2, t1
+        op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}[op]
+    left_time, right_time = t1, t2
+    direction = "backward" if op in (">=", ">") else "forward"
+    strict = op in (">", "<")
+
+    pairs = []
+    for term in re.split(r"\bAND\b", on_sql, flags=re.IGNORECASE):
+        em = _ON_EQ_RE.match(term)
+        if not em:
+            raise PinotSqlError(f"ASOF JOIN ON must be AND-ed equi conditions, got {term!r}")
+        es1, c1 = side(em.group("l"))
+        es2, c2 = side(em.group("r"))
+        if es1 == es2:
+            raise PinotSqlError("ASOF JOIN ON condition must join the two sides")
+        pairs.append((c1, c2) if es1 == "L" else (c2, c1))
+
+    left_df, right_df = spark.table(lname), spark.table(rname)
+    keys = []
+    for lk, rk in pairs:
+        if rk != lk:
+            if lk in right_df.columns:
+                raise PinotSqlError(f"ASOF JOIN: key rename {rk}->{lk} collides on right side")
+            right_df = right_df.withColumnRenamed(rk, lk)
+        keys.append(lk)
+    overlap = (set(right_df.columns) - set(keys)) & set(left_df.columns)
+    if overlap:
+        raise PinotSqlError(
+            f"ASOF JOIN requires disjoint non-key column names, overlapping: {sorted(overlap)}"
+        )
+
+    joined = asof_join(
+        left_df, right_df, on=keys,
+        left_time=left_time, right_time=right_time,
+        direction=direction, strict=strict,
+    )
+    if not is_left:
+        from pyspark.sql import functions as F
+
+        joined = joined.filter(F.col(right_time).isNotNull())
+
+    _ASOF_VIEW_SEQ[0] += 1
+    view = f"__asof_join_{_ASOF_VIEW_SEQ[0]}"
+    joined.createOrReplaceTempView(view)
+
+    out = sql[: m.start()] + f"FROM {view} " + sql[on_end:]
+    # the view carries both sides' columns unqualified
+    out = re.sub(
+        rf"\b({re.escape(lalias)}|{re.escape(ralias)}|{re.escape(lname)}|{re.escape(rname)})\s*\.\s*",
+        "",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GAPFILL query-time syntax (pinot-core/.../query/reduce/
+# GapfillProcessor.java:48,136-173; GapfillUtils arg layout):
+#   SELECT GAPFILL(timeExpr, '<fmt spec>', '<start>', '<end>', '<bucket>',
+#                  FILL(col, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(k...))
+#          AS t, k..., col...  FROM <inner> [ORDER BY ...] [LIMIT n]
+# Routed to the spine+window gapfill plan (operators/gapfill.py design):
+# sequence() spine per observed series, left join, last(ignorenulls) fill.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_CALL_RE = re.compile(r"\bGAPFILL\s*\(", re.IGNORECASE)
+
+
+def has_gapfill(sql: str) -> bool:
+    return _GAPFILL_CALL_RE.search(sql) is not None
+
+
+def _parse_format_spec(tok: str) -> tuple[int, str, str, str | None]:
+    """'1:MILLISECONDS:EPOCH[:pattern]' → (size, unit, type, pattern)."""
+    parts = tok.strip().strip("'\"").split(":")
+    return (
+        int(parts[0]),
+        parts[1].lower(),
+        parts[2].upper(),
+        ":".join(parts[3:]) if len(parts) > 3 else None,
+    )
+
+
+def _parse_granularity(tok: str) -> int:
+    g = tok.strip().strip("'\"").split(":")
+    return int(g[0]) * _DTC_UNIT_MS[g[1].lower()]
+
+
+def _top_level_kw(sql: str, kw: str, start: int = 0) -> re.Match | None:
+    """First match of ``kw`` outside parens and string literals."""
+    for m in re.finditer(rf"\b{kw}\b", sql, re.IGNORECASE):
+        if m.start() < start:
+            continue
+        seg = sql[: m.start()]
+        code = "".join(s for lit, s in _scan_strings(seg) if not lit)
+        if code.count("(") == code.count(")"):
+            return m
+    return None
+
+
+# ---------------------------------------------------------------------------
 # default LIMIT 10 (query.thrift:29)
 # ---------------------------------------------------------------------------
 
@@ -747,6 +938,14 @@ class PinotEngine:
 
     def translate(self, pinot_sql: str) -> tuple[str, dict[str, str]]:
         options, sql = split_options(pinot_sql)
+        while has_asof_join(sql):
+            rewritten = rewrite_asof_join(self.spark, sql)
+            if rewritten == sql:
+                raise PinotSqlError(
+                    "ASOF JOIN clause not in rewritable form "
+                    "(both sides must be named tables/views)"
+                )
+            sql = rewritten
         sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_mv_predicates(self.spark, sql)
         sql = apply_default_limit(sql, int(options.get("limit", self.default_limit)))
@@ -769,8 +968,154 @@ class PinotEngine:
                 [(r.operation, r.name, r.rows, r.rollup_registered)],
                 "operation string, name string, rows bigint, rollup_registered boolean",
             )
+        if has_gapfill(pinot_sql):
+            return self._gapfill(pinot_sql)
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    def _gapfill(self, pinot_sql: str) -> DataFrame:
+        """Execute a top-level GAPFILL selection (GapfillProcessor.java
+        semantics): generate the [start, end) bucket spine per observed
+        series, left-join the inner selection, and fill per FILL mode —
+        FILL_PREVIOUS_VALUE via last(ignorenulls) over the series window,
+        FILL_DEFAULT_VALUE with the type default (0 / 'null'); columns
+        without a FILL stay NULL in generated buckets."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        _options, sql = split_options(pinot_sql)
+        m = _GAPFILL_CALL_RE.search(sql)
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_matching(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close_idx])
+        if len(args) < 6:
+            raise PinotSqlError("GAPFILL needs (timeExpr, fmt, start, end, bucket, FILL/TIMESERIESON...)")
+
+        time_expr = rewrite_functions(args[0])
+        in_size, in_unit, in_type, in_pat = _parse_format_spec(args[1])
+        g_ms = _parse_granularity(args[4])
+        unit_ms = in_size * _DTC_UNIT_MS[in_unit]
+
+        fills: list[tuple[str, str]] = []
+        series: list[str] = []
+        for extra in args[5:]:
+            em = re.match(r"\s*(FILL|TIMESERIESON)\s*\(", extra, re.IGNORECASE)
+            if not em:
+                raise PinotSqlError(f"unexpected GAPFILL argument {extra!r}")
+            inner = extra[extra.index("(") + 1 : len(extra) - extra[::-1].index(")") - 1]
+            parts = _split_args(inner)
+            if em.group(1).upper() == "FILL":
+                fills.append((parts[0].strip(), parts[1].strip().strip("'\"").upper()))
+            else:
+                series = [p.strip() for p in parts]
+        if not series:
+            raise PinotSqlError("GAPFILL requires TIMESERIESON(...)")
+
+        def to_ms_literal(tok: str) -> int:
+            v = tok.strip().strip("'\"")
+            if in_type == "EPOCH":
+                return int(v) * unit_ms
+            row = self.spark.sql(
+                "SELECT unix_millis(to_timestamp('{}'{}))".format(
+                    v, f", '{in_pat}'" if in_type == "SIMPLE_DATE_FORMAT" and in_pat else ""
+                )
+            ).collect()[0]
+            return int(row[0])
+
+        start_ms, end_ms = to_ms_literal(args[2]), to_ms_literal(args[3])
+
+        # select-list items around the GAPFILL call
+        sel_m = _top_level_kw(sql, "SELECT")
+        from_m = _top_level_kw(sql, "FROM")
+        items = _split_args(sql[sel_m.end() : from_m.start()])
+        order_m = _top_level_kw(sql, r"ORDER\s+BY", from_m.end())
+        limit_m = _top_level_kw(sql, "LIMIT", from_m.end())
+        tail_end = min(x.start() for x in (order_m, limit_m) if x) if (order_m or limit_m) else len(sql)
+        from_tail = sql[from_m.end() : tail_end].strip().rstrip(";")
+
+        inner_sql = rewrite_mv_predicates(self.spark, rewrite_functions(f"SELECT * FROM {from_tail}"))
+        inner_df = self.spark.sql(inner_sql)
+
+        if in_type == "EPOCH":
+            ms_expr = f"(CAST({time_expr} AS BIGINT) * {unit_ms})"
+        elif in_type == "TIMESTAMP":
+            ms_expr = f"unix_millis(CAST({time_expr} AS TIMESTAMP))"
+        elif in_type == "SIMPLE_DATE_FORMAT":
+            ms_expr = f"unix_millis(to_timestamp({time_expr}, '{in_pat}'))"
+        else:
+            raise PinotSqlError(f"unsupported GAPFILL time format {in_type}")
+
+        bucketed = inner_df.selectExpr(
+            f"CAST(FLOOR(({ms_expr}) / {g_ms}) AS BIGINT) * {g_ms} AS __gf_ms", "*"
+        )
+        spine = (
+            bucketed.select(*series)
+            .distinct()
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(start_ms), F.lit(end_ms - g_ms), F.lit(g_ms))
+                ).alias("__gf_ms"),
+            )
+        )
+        joined = spine.join(bucketed, on=[*series, "__gf_ms"], how="left")
+
+        w = (
+            Window.partitionBy(*series)
+            .orderBy("__gf_ms")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for col, mode in fills:
+            if mode == "FILL_PREVIOUS_VALUE":
+                joined = joined.withColumn(col, F.last(col, ignorenulls=True).over(w))
+            elif mode == "FILL_DEFAULT_VALUE":
+                dtype = joined.schema[col].dataType.simpleString()
+                default = F.lit("null") if dtype == "string" else F.lit(0).cast(dtype)
+                joined = joined.withColumn(col, F.coalesce(F.col(col), default))
+            else:
+                raise PinotSqlError(f"unsupported FILL mode {mode}")
+
+        # output time in the input format spec (Pinot emits the same domain)
+        if in_type == "EPOCH":
+            out_time = (F.col("__gf_ms") / unit_ms).cast("bigint")
+        elif in_type == "TIMESTAMP":
+            out_time = F.timestamp_millis(F.col("__gf_ms"))
+        else:
+            out_time = F.date_format(F.timestamp_millis(F.col("__gf_ms")), in_pat)
+
+        out_cols = []
+        for item in items:
+            it = item.strip()
+            am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.IGNORECASE)
+            alias = am.group(1) if am else None
+            body = it[: am.start()] if am else it
+            if _GAPFILL_CALL_RE.search(body):
+                out_cols.append(out_time.alias(alias or "gapfill_time"))
+            else:
+                ref = body.strip()
+                if not re.fullmatch(r"[A-Za-z_]\w*", ref):
+                    raise PinotSqlError(
+                        f"GAPFILL select items must be plain columns, got {ref!r}"
+                    )
+                out_cols.append(F.col(ref).alias(alias) if alias else F.col(ref))
+        out = joined.select(*out_cols)
+
+        if order_m:
+            order_end = limit_m.start() if limit_m else len(sql)
+            keys = []
+            for part in _split_args(sql[order_m.end() : order_end].rstrip(";")):
+                om = re.fullmatch(
+                    r"\s*([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s*", part, re.IGNORECASE
+                )
+                if not om:
+                    raise PinotSqlError(f"unsupported GAPFILL ORDER BY item {part!r}")
+                c = F.col(om.group(1))
+                keys.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c.asc())
+            out = out.orderBy(*keys)
+        if limit_m:
+            n = re.match(r"\s*(\d+)", sql[limit_m.end() :])
+            out = out.limit(int(n.group(1)))
+        return out
 
     @property
     def ddl(self):

@@ -95,11 +95,13 @@ _VERIFIED_PRIOR_ROUNDS = [
 
 # Round-3 window: never-driver-evaluated entries, highest coverage first.
 _WINDOW_PRIORITY = [
-    # dialect surface (§2.10 + §2.2 dialect templates)
+    # dialect surface (§2.10 + §2.2 dialect templates + ASOF/GAPFILL SQL)
     "dialect_default_limit_selection", "dialect_pinot_agg_names",
     "dialect_epoch_functions", "dialect_datetime_convert",
     "dialect_lookup_transform", "dialect_ddl_mv_roundtrip",
-    "dialect_fn_surface_ext",
+    "dialect_fn_surface_ext", "dialect_asof_join", "dialect_gapfill",
+    # round-2's single FAIL (HUGEINT dtype), re-proven after the CAST fix
+    "q12_late_shipment_priority",
     # scalar-function families (§2.8) + filter predicates (§2.3)
     "fn_string_family", "fn_datetime_family", "fn_math_family",
     "fn_json_extract", "fn_json_match_rewrite", "fn_regex_family",
@@ -109,14 +111,17 @@ _WINDOW_PRIORITY = [
     "fn_ip_subnet_family", "fn_trig_family", "fn_binary_conversion",
     "fn_geo_point_family", "fn_map_family", "fn_geo_contains",
     "fn_surface_ext", "fn_surface_udf_families",
-    # text/json/vector index operators (§2.3)
-    "text_match_lucene", "json_index_match", "regex_fst_dictionary_match",
+    # text/json/vector index operators (§2.3).  regex_fst_dictionary_match
+    # / dedup_embedding_cosine / similarity_radius_filter were dropped from
+    # the 50-slot window: their SURVEY rows are covered by fn_regex_family /
+    # similarity_topk_cosine, freeing slots for the ASOF/GAPFILL dialect
+    # queries and the q12 re-proof (they remain registered + repo-tested).
+    "text_match_lucene", "json_index_match",
     "clp_encode_decode_roundtrip",
     # LLM-pipeline operators
     "dedup_exact_documents", "dedup_ngram_jaccard_pairs",
     "similarity_topk_cosine", "text_token_stats", "text_quality_scores",
     "text_lang_id", "text_fingerprints", "text_inverted_index_search",
-    "dedup_embedding_cosine", "similarity_radius_filter",
     "multimodal_resize_and_windows",
     # temporal / streaming essentials (§2.7, §2.5 as-of)
     "asof_join_backward", "gapfill_fill_previous", "upsert_latest_per_key",

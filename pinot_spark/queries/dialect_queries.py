@@ -5,6 +5,8 @@ proving the translation — not just the operators — is right.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from pinot_spark.catalog import load_tables
 from pinot_spark.dialect import PinotEngine
 from pinot_spark.queries import query
@@ -151,6 +153,80 @@ def dialect_ddl_mv_roundtrip(spark, sf_dir):
         "FROM lineitem GROUP BY l_returnflag"
     )
     return eng.sql("SELECT l_returnflag, cnt, qty FROM ddl_mv_sales ORDER BY l_returnflag")
+
+
+@query(
+    "dialect_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts AS view_ts, value AS view_value
+               FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    ORDER BY p.event_id LIMIT 100
+    """,
+)
+def dialect_asof_join(spark, sf_dir):
+    """Pinot MSE ASOF JOIN SQL (AsofJoinOperator.java:37, corpus
+    queries/AsOfJoin.json): ``a ASOF JOIN b MATCH_CONDITION(a.ts >= b.ts)
+    ON a.k = b.k`` accepted by PinotEngine.sql and routed to the
+    union+window as-of builder; DuckDB's native ASOF JOIN is the oracle.
+    Plain ASOF JOIN is inner (unmatched purchases dropped)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("asof_purchases")
+    ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    ).createOrReplaceTempView("asof_views")
+    return _engine(spark, sf_dir).sql(
+        "SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value "
+        "FROM asof_purchases p ASOF JOIN asof_views v "
+        "MATCH_CONDITION(p.ts >= v.view_ts) ON p.user_id = v.user_id "
+        "ORDER BY p.event_id LIMIT 100"
+    )
+
+
+@query(
+    "dialect_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT t.bucket_ms, s.event_type
+      FROM (SELECT unnest(generate_series(1704412800000, 1704499200000 - 3600000,
+                                          3600000)) AS bucket_ms) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IN ('signup', 'error')) s),
+    agg AS (
+      SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+             round(avg(value), 4) AS avg_value
+      FROM events WHERE event_type IN ('signup', 'error')
+      GROUP BY event_type, bucket_ms)
+    SELECT s.bucket_ms, s.event_type,
+           last_value(a.avg_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+    FROM spine s LEFT JOIN agg a
+      ON s.bucket_ms = a.bucket_ms AND s.event_type = a.event_type
+    ORDER BY s.event_type, s.bucket_ms LIMIT 48
+    """,
+)
+def dialect_gapfill(spark, sf_dir):
+    """Pinot query-time GAPFILL syntax (GapfillProcessor.java:48,136-173)
+    through PinotEngine.sql: hourly per-type averages for one day with
+    FILL_PREVIOUS_VALUE, the spine generated from the literal start/end
+    and '1:HOURS' bucket, series from TIMESERIESON(event_type)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT GAPFILL(bucket_ms, '1:MILLISECONDS:EPOCH', "
+        "'1704412800000', '1704499200000', '1:HOURS', "
+        "FILL(avg_value, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(event_type)) AS bucket_ms, "
+        "event_type, avg_value "
+        "FROM (SELECT event_type, DATETRUNC('hour', TOEPOCHMILLIS(ts)) AS bucket_ms, "
+        "ROUNDDECIMAL(avg(value), 4) AS avg_value "
+        "FROM events WHERE event_type IN ('signup', 'error') "
+        "GROUP BY event_type, DATETRUNC('hour', TOEPOCHMILLIS(ts))) "
+        "ORDER BY event_type, bucket_ms LIMIT 48"
+    )
 
 
 @query(

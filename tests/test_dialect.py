@@ -186,3 +186,59 @@ def test_datetime_convert(engine):
     for r in rows:
         assert r["d"] > 9000  # epoch days for 1995+
         assert len(r["s"]) == 10 and r["s"][4] == "-"
+
+
+def test_asof_join_sql(engine, spark):
+    """ASOF JOIN MATCH_CONDITION syntax (AsofJoinOperator.java:59-64):
+    inner drops unmatched lefts, LEFT keeps them, direction follows the
+    comparison operator."""
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, t int, lv string"
+    ).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 18, "y"), (3, 1, "z")], "k int, rt int, rv string"
+    ).createOrReplaceTempView("asof_r")
+    rows = engine.sql(
+        "SELECT l.t, r.rt, r.rv FROM asof_l l ASOF JOIN asof_r r "
+        "MATCH_CONDITION(l.t >= r.rt) ON l.k = r.k ORDER BY l.t"
+    ).collect()
+    assert [(r.t, r.rt, r.rv) for r in rows] == [(10, 5, "x"), (20, 18, "y")]
+    rows = engine.sql(
+        "SELECT l.t, r.rv FROM asof_l l LEFT ASOF JOIN asof_r r "
+        "MATCH_CONDITION(l.t >= r.rt) ON l.k = r.k ORDER BY l.t"
+    ).collect()
+    assert [(r.t, r.rv) for r in rows] == [(10, "x"), (15, None), (20, "y")]
+    # forward: earliest right at-or-after
+    rows = engine.sql(
+        "SELECT l.t, r.rt FROM asof_l l ASOF JOIN asof_r r "
+        "MATCH_CONDITION(l.t <= r.rt) ON l.k = r.k ORDER BY l.t"
+    ).collect()
+    assert [(r.t, r.rt) for r in rows] == [(10, 18)]
+
+
+def test_gapfill_sql(engine, spark):
+    """GAPFILL query-time syntax (GapfillProcessor.java:48): spine
+    generation, FILL_PREVIOUS_VALUE, FILL_DEFAULT_VALUE, leading-bucket
+    NULLs before the first observation."""
+    spark.createDataFrame(
+        [("s1", 60_000, 1.0), ("s1", 180_000, 3.0), ("s2", 120_000, 5.0)],
+        "sk string, tms long, v double",
+    ).createOrReplaceTempView("gf_t")
+    rows = engine.sql(
+        "SELECT GAPFILL(tms, '1:MILLISECONDS:EPOCH', '0', '240000', '1:MINUTES', "
+        "FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(sk)) AS tms, sk, v "
+        "FROM gf_t ORDER BY sk, tms LIMIT 100"
+    ).collect()
+    assert len(rows) == 8  # 4 buckets x 2 series
+    s1 = [(r.tms, r.v) for r in rows if r.sk == "s1"]
+    assert s1 == [(0, None), (60_000, 1.0), (120_000, 1.0), (180_000, 3.0)]
+    s2 = [(r.tms, r.v) for r in rows if r.sk == "s2"]
+    assert s2 == [(0, None), (60_000, None), (120_000, 5.0), (180_000, 5.0)]
+    rows = engine.sql(
+        "SELECT GAPFILL(tms, '1:MILLISECONDS:EPOCH', '0', '240000', '1:MINUTES', "
+        "FILL(v, 'FILL_DEFAULT_VALUE'), TIMESERIESON(sk)) AS tms, sk, v "
+        "FROM gf_t ORDER BY sk, tms LIMIT 100"
+    ).collect()
+    assert [(r.tms, r.v) for r in rows if r.sk == "s2"] == [
+        (0, 0.0), (60_000, 0.0), (120_000, 5.0), (180_000, 0.0)
+    ]
