@@ -863,6 +863,121 @@ def rewrite_asof_join(spark: SparkSession, sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Scale-safe MV-distinct aggregate rewrite.
+#
+# DISTINCTCOUNTMV/DISTINCTSUMMV/DISTINCTAVGMV in a *simple* statement
+# (single named table, optional WHERE, GROUP BY of bare columns) are
+# rewritten STRUCTURALLY: each MV column gets a LATERAL VIEW explode
+# subquery computing count(DISTINCT)/sum(DISTINCT)/avg(DISTINCT) per
+# group — Spark plans that with map-side partial aggregation over the
+# exploded values, the same shape as the scale path in
+# functions/aggregate.distinct_count_mv_grouped — and the per-group
+# results are joined back so the rest of the statement (other aggs,
+# HAVING, ORDER BY) is untouched.  Statements outside this shape fall
+# back to the bounded in-expression form in FUNCTION_MAP.
+# ---------------------------------------------------------------------------
+
+_MVD_RE = re.compile(
+    r"\b(DISTINCT_?COUNT_?MV|DISTINCT_?SUM_?MV|DISTINCT_?AVG_?MV)\s*\(", re.IGNORECASE
+)
+
+_MVD_AGG = {
+    "distinctcountmv": ("count(DISTINCT __mv_v)", True),
+    "distinctsummv": ("sum(DISTINCT __mv_v)", False),
+    "distinctavgmv": ("avg(DISTINCT __mv_v)", False),
+}
+
+
+def rewrite_mv_distinct_aggs(sql: str) -> str:
+    """Structural explode rewrite for MV-distinct aggregates (see block
+    comment above); returns ``sql`` unchanged when the statement shape
+    isn't rewritable (the expression fallback then applies)."""
+    if not _MVD_RE.search(sql):
+        return sql
+    code = "".join(s for lit, s in _scan_strings(sql) if not lit)
+    if re.search(r"\b(JOIN|UNION|INTERSECT|EXCEPT|DISTINCT\s+\*)\b", code, re.IGNORECASE):
+        return sql
+    frm = _top_level_kw(sql, "FROM")
+    if not frm:
+        return sql
+    tm = re.match(r"\s*([A-Za-z_]\w*)", sql[frm.end():])
+    if not tm:
+        return sql
+    table = tm.group(1)
+    pos = frm.end() + tm.end()
+
+    where_m = _top_level_kw(sql, "WHERE", pos)
+    group_m = _top_level_kw(sql, r"GROUP\s+BY", pos)
+    having_m = _top_level_kw(sql, "HAVING", pos)
+    order_m = _top_level_kw(sql, r"ORDER\s+BY", pos)
+    limit_m = _top_level_kw(sql, "LIMIT", pos)
+    clauses = [m for m in (where_m, group_m, having_m, order_m, limit_m) if m]
+    nxt = min((m.start() for m in clauses), default=len(sql))
+    if sql[pos:nxt].strip():  # table alias / comma join — not rewritable
+        return sql
+
+    where_sql = ""
+    if where_m:
+        w_end = min(
+            (m.start() for m in (group_m, having_m, order_m, limit_m) if m),
+            default=len(sql),
+        )
+        where_sql = sql[where_m.start() : w_end].strip().rstrip(";")
+
+    keys: list[str] = []
+    if group_m:
+        g_end = min(
+            (m.start() for m in (having_m, order_m, limit_m) if m), default=len(sql)
+        )
+        for part in _split_args(sql[group_m.end() : g_end].strip().rstrip(";")):
+            if not re.fullmatch(r"[A-Za-z_]\w*", part.strip()):
+                return sql  # expression group keys — fall back
+            keys.append(part.strip())
+
+    # locate every MV-distinct call
+    calls = []
+    for cm in _MVD_RE.finditer(sql):
+        open_idx = sql.index("(", cm.end() - 1)
+        close_idx = _find_matching(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close_idx])
+        if len(args) != 1:
+            return sql
+        calls.append((cm.start(), close_idx + 1, _canon(cm.group(1)), args[0]))
+
+    subs, edits = [], []
+    for idx, (s, e, canon, arg) in enumerate(calls):
+        aggexpr, zero_default = _MVD_AGG[canon]
+        alias, sub_alias = f"__mvd_{idx}", f"__mvs_{idx}"
+        sel_keys = (", ".join(keys) + ", ") if keys else ""
+        sub = (
+            f"(SELECT {sel_keys}{aggexpr} AS {alias} "
+            f"FROM {table} LATERAL VIEW explode({arg}) __lv AS __mv_v "
+            f"{where_sql}{' ' if where_sql else ''}"
+            f"{'GROUP BY ' + ', '.join(keys) if keys else ''}) {sub_alias}"
+        )
+        on = (
+            " AND ".join(f"__b.{k} <=> {sub_alias}.{k}" for k in keys)
+            if keys
+            else "true"
+        )
+        subs.append((sub, on, sub_alias, alias))
+        repl = f"any_value({alias})"
+        if zero_default:
+            repl = f"coalesce({repl}, 0)"
+        edits.append((s, e, repl))
+
+    join_sql = " ".join(f"LEFT JOIN {sub} ON {on}" for sub, on, _, _ in subs)
+    proj = ", ".join(f"{sa}.{al}" for _, _, sa, al in subs)
+    new_from = f"FROM (SELECT __b.*, {proj} FROM {table} __b {join_sql}) {table}"
+    edits.append((frm.start(), pos, new_from))
+
+    out = sql
+    for s, e, repl in sorted(edits, reverse=True):
+        out = out[:s] + repl + out[e:]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # GAPFILL query-time syntax (pinot-core/.../query/reduce/
 # GapfillProcessor.java:48,136-173; GapfillUtils arg layout):
 #   SELECT GAPFILL(timeExpr, '<fmt spec>', '<start>', '<end>', '<bucket>',
@@ -946,6 +1061,7 @@ class PinotEngine:
                     "(both sides must be named tables/views)"
                 )
             sql = rewritten
+        sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_mv_predicates(self.spark, sql)
         sql = apply_default_limit(sql, int(options.get("limit", self.default_limit)))

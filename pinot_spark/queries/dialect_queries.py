@@ -230,6 +230,27 @@ def dialect_gapfill(spark, sf_dir):
 
 
 @query(
+    "dialect_mv_distinct_scale",
+    oracle="""
+    SELECT e.label,
+           count(DISTINCT u.v) AS dc,
+           count(u.v) AS cnt
+    FROM embeddings e, unnest(e.embedding) AS u(v)
+    GROUP BY e.label ORDER BY e.label LIMIT 20
+    """,
+)
+def dialect_mv_distinct_scale(spark, sf_dir):
+    """DISTINCTCOUNTMV through the structural explode rewrite
+    (rewrite_mv_distinct_aggs): the dialect-emitted plan aggregates
+    exploded values with map-side partials — no collect_list/collect_set
+    buffers — matching DuckDB's unnest lateral."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT label, DISTINCTCOUNTMV(embedding) AS dc, COUNTMV(embedding) AS cnt "
+        "FROM embeddings GROUP BY label ORDER BY label LIMIT 20"
+    )
+
+
+@query(
     "dialect_fn_surface_ext",
     oracle="""
     SELECT n_name,
