@@ -137,9 +137,18 @@ class TDigest:
         return cls(compression, means, weights)
 
 
+# see operators/theta.py: same two-level merge rationale
+_TREE_FANOUT = 64
+
+
 def tdigest_sketch(df: DataFrame, col: str, compression: float = 100.0) -> TDigest:
-    """Distributed build: per-partition digests (mapInPandas, no shuffle),
-    driver merge — Pinot's per-segment digest + broker merge shape."""
+    """Distributed build with a two-level tree merge (segment → server →
+    broker shape): per-partition digests via mapInPandas (no shuffle of
+    raw values); beyond the fanout the per-partition digest blobs are
+    repartitioned to √N groups and merged executor-side, so the driver
+    folds ~√N digests instead of one per input partition — t-digest merge
+    is associative, only centroid grouping (not quantile correctness
+    bounds) depends on merge order."""
     vals = df.select(F.col(col).cast("double").alias("v")).filter(F.col("v").isNotNull())
 
     def _partition_digest(batches):
@@ -153,7 +162,25 @@ def tdigest_sketch(df: DataFrame, col: str, compression: float = 100.0) -> TDige
         if seen:
             yield pd.DataFrame({"d": [td.to_bytes()]})
 
-    rows = vals.mapInPandas(_partition_digest, schema="d binary").collect()
+    def _merge_digests(batches):
+        out = TDigest(compression)
+        seen = False
+        for pdf in batches:
+            for bs in pdf["d"]:
+                out = out.merge(TDigest.from_bytes(bs))
+                seen = True
+        if seen:
+            yield pd.DataFrame({"d": [out.to_bytes()]})
+
+    blobs = vals.mapInPandas(_partition_digest, schema="d binary")
+    n_parts = vals.rdd.getNumPartitions()
+    if n_parts > _TREE_FANOUT:
+        import math
+
+        blobs = blobs.repartition(max(1, math.isqrt(n_parts))).mapInPandas(
+            _merge_digests, schema="d binary"
+        )
+    rows = blobs.collect()
     out = TDigest(compression)
     for r in rows:
         out = out.merge(TDigest.from_bytes(r.d))

@@ -111,28 +111,58 @@ class ThetaSketch:
         return cls(k, th if th != 0 else 2**64, hashes)
 
 
+# above this partition count an intermediate executor-side merge level is
+# inserted so the driver never folds more than ~fanout blobs serially
+_TREE_FANOUT = 64
+
+
 def theta_sketch(df: DataFrame, col: str, k: int = 4096) -> ThetaSketch:
     """Build a theta sketch of ``col``'s distinct values.
 
-    Shuffle-free: hashes stay partition-local; only ≤ partitions × K
-    candidate hashes reach the driver (the broker-merge analog)."""
+    Two-level tree merge (the segment → server → broker shape): hashes
+    stay partition-local; each partition emits its ≤K candidate blob;
+    when the partition count exceeds the fanout, blobs are repartitioned
+    to √N groups and merged executor-side FIRST, so the driver folds at
+    most ~√N small blobs instead of N — at 10⁵ partitions the old
+    single-level collect would push GBs through a serial driver loop.
+    Candidate truncation is associative (every global top-K hash survives
+    each level), so the result is identical to the flat merge."""
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
+
+    def _topk(cand: np.ndarray) -> np.ndarray:
+        cand = np.unique(cand)
+        if len(cand) > k:
+            cand.sort()
+            cand = cand[:k]
+        return cand
 
     def _partition_topk(batches):
         best: np.ndarray | None = None
         for pdf in batches:
             h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
             h += np.uint64(2**63)  # signed → unsigned order-preserving shift
-            cand = h if best is None else np.concatenate([best, h])
-            cand = np.unique(cand)
-            if len(cand) > k:
-                cand.sort()
-                cand = cand[:k]
-            best = cand
+            best = _topk(h if best is None else np.concatenate([best, h]))
         if best is not None and len(best):
             yield pd.DataFrame({"hs": [best.astype("<u8").tobytes()]})
 
-    rows = hashed.mapInPandas(_partition_topk, schema="hs binary").collect()
+    def _merge_blobs(batches):
+        best: np.ndarray | None = None
+        for pdf in batches:
+            for bs in pdf["hs"]:
+                h = np.frombuffer(bs, dtype="<u8")
+                best = _topk(h if best is None else np.concatenate([best, h]))
+        if best is not None and len(best):
+            yield pd.DataFrame({"hs": [best.astype("<u8").tobytes()]})
+
+    blobs = hashed.mapInPandas(_partition_topk, schema="hs binary")
+    n_parts = hashed.rdd.getNumPartitions()
+    if n_parts > _TREE_FANOUT:
+        import math
+
+        blobs = blobs.repartition(max(1, math.isqrt(n_parts))).mapInPandas(
+            _merge_blobs, schema="hs binary"
+        )
+    rows = blobs.collect()
     if not rows:
         return ThetaSketch(k, 2**64, np.array([], dtype=np.uint64))
     allh = np.concatenate([np.frombuffer(r.hs, dtype="<u8") for r in rows])

@@ -44,3 +44,16 @@ def test_distributed_build(spark):
     td = tdigest_sketch(df, "v", compression=100.0)
     for q, expect in ((0.5, 50_000), (0.9, 90_000), (0.99, 99_000)):
         assert abs(td.quantile(q) - expect) / 100_000 < 0.01, (q, td.quantile(q))
+
+
+def test_tree_merge_partition_count_stability(spark):
+    """Quantiles from the tree-merged build (>64 partitions) stay within
+    the digest's error bounds of the flat build — merge is associative up
+    to centroid regrouping."""
+    df = spark.range(0, 50_000).selectExpr("CAST(id AS DOUBLE) AS v")
+    flat = tdigest_sketch(df.repartition(8), "v", compression=100.0)
+    tree = tdigest_sketch(df.repartition(97), "v", compression=100.0)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = q * 49_999
+        assert abs(flat.quantile(q) - exact) / 50_000 < 0.01
+        assert abs(tree.quantile(q) - exact) / 50_000 < 0.01

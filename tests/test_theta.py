@@ -62,3 +62,15 @@ def test_union_matches_combined_build(spark):
     direct = theta_sketch(both, "v", k=k)
     assert abs(merged.estimate() - direct.estimate()) / direct.estimate() < 0.10
     assert abs(merged.estimate() - 6000) / 6000 < 0.15
+
+
+def test_tree_merge_partition_independence(spark):
+    """The two-level tree merge (inserted above 64 input partitions) must
+    give the identical sketch as the flat single-level merge — candidate
+    top-K truncation is associative."""
+    df = spark.range(0, 20_000).selectExpr("CAST(id % 7919 AS STRING) AS v")
+    flat = theta_sketch(df.repartition(8), "v", k=1024)
+    tree = theta_sketch(df.repartition(97), "v", k=1024)   # > fanout: tree level
+    assert flat.theta_u64 == tree.theta_u64
+    assert (flat.hashes == tree.hashes).all()
+    assert abs(flat.estimate() - tree.estimate()) < 1e-9
