@@ -621,26 +621,56 @@ _reg("encodeGeohash", "stGeohash")(
 )
 
 
-# Simple-polygon algebra (no holes, no multi-geometries) as pure math —
-# ray-casting containment and shoelace area over "POLYGON ((x y, ...))"
-# WKT. Full OGC geometry (holes, multipolygons, unions) would need a
-# geometry library not present in this environment — those remain stubs.
+# Polygon algebra as pure math over WKT — even-odd ray-casting
+# containment and shoelace area, now covering POLYGON holes and
+# MULTIPOLYGON (reference StContainsFunction.java / StAreaFunction.java
+# planar mode).  The even-odd rule over ALL rings makes holes fall out
+# naturally: a point inside both shell and hole crosses an even number
+# of ring edges → outside.  Hole areas subtract from their shell.
 
 
-def _parse_polygon(wkt: str):
+def _parse_rings(wkt: str):
+    """``POLYGON ((shell) [, (hole)…])`` / ``MULTIPOLYGON (((…)), …)``
+    WKT → list of polygons, each a list of rings (first = shell, rest =
+    holes), each ring a list of (x, y); None when not a (multi)polygon."""
     import re as _re
 
-    m = _re.match(r"\s*POLYGON\s*\(\(([^)]*)\)\)\s*", wkt or "")
+    m = _re.match(
+        r"\s*(POLYGON|MULTIPOLYGON)\s*\((.*)\)\s*$", wkt or "", _re.IGNORECASE | _re.DOTALL
+    )
     if not m:
         return None
-    pts = []
-    for pair in m.group(1).split(","):
-        x, y = pair.split()
-        pts.append((float(x), float(y)))
-    return pts
+    kind, body = m.group(1).upper(), m.group(2)
+
+    def ring(txt: str):
+        pts = []
+        for pair in txt.split(","):
+            xy = pair.split()
+            pts.append((float(xy[0]), float(xy[1])))
+        return pts
+
+    def rings_of(txt: str):
+        out, depth, start = [], 0, 0
+        for i, ch in enumerate(txt):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(txt[start:i])
+        return out
+
+    try:
+        if kind == "POLYGON":
+            return [[ring(r) for r in rings_of(body)]]
+        return [[ring(r) for r in rings_of(poly)] for poly in rings_of(body)]
+    except (ValueError, IndexError):
+        return None
 
 
-def _point_in_polygon(px: float, py: float, poly) -> bool:
+def _ring_crossing_parity(px: float, py: float, poly) -> bool:
     inside = False
     n = len(poly)
     for i in range(n):
@@ -651,6 +681,38 @@ def _point_in_polygon(px: float, py: float, poly) -> bool:
             if px < xint:
                 inside = not inside
     return inside
+
+
+def _point_in_rings(px: float, py: float, polys) -> bool:
+    """Even-odd containment across each polygon's rings (shell XOR
+    holes); MULTIPOLYGON = any member polygon contains the point."""
+    for rings in polys:
+        parity = False
+        for r in rings:
+            if _ring_crossing_parity(px, py, r):
+                parity = not parity
+        if parity:
+            return True
+    return False
+
+
+def _shoelace(ring) -> float:
+    s = 0.0
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def _rings_area(polys) -> float:
+    """Shell areas minus hole areas, summed over the multipolygon —
+    ring orientation-insensitive (WKT doesn't guarantee winding)."""
+    total = 0.0
+    for rings in polys:
+        if rings:
+            total += _shoelace(rings[0]) - sum(_shoelace(r) for r in rings[1:])
+    return total
 
 
 def _make_st_contains():
@@ -665,7 +727,7 @@ def _make_st_contains():
         def cached_poly(pw):
             poly = poly_cache.get(pw)
             if poly is None and pw not in poly_cache:
-                poly = poly_cache[pw] = _parse_polygon(pw)
+                poly = poly_cache[pw] = _parse_rings(pw)
             return poly
 
         pt_re = _re.compile(r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)")
@@ -675,7 +737,7 @@ def _make_st_contains():
             m = pt_re.match(ptw or "")
             if poly is None or not m:
                 return None
-            return _point_in_polygon(float(m.group(1)), float(m.group(2)), poly)
+            return _point_in_rings(float(m.group(1)), float(m.group(2)), poly)
 
         return _pd.Series([one(a, b) for a, b in zip(poly_wkt, point_wkt)])
 
@@ -686,15 +748,8 @@ def _make_st_area():
     @_pandas_udf("double")
     def _st_area_udf(poly_wkt: _pd.Series) -> _pd.Series:
         def one(pw):
-            poly = _parse_polygon(pw)
-            if poly is None:
-                return None
-            s = 0.0
-            for i in range(len(poly)):
-                x1, y1 = poly[i]
-                x2, y2 = poly[(i + 1) % len(poly)]
-                s += x1 * y2 - x2 * y1
-            return abs(s) / 2.0
+            polys = _parse_rings(pw)
+            return None if polys is None else _rings_area(polys)
 
         return _pd.Series([one(p) for p in poly_wkt])
 
@@ -717,11 +772,11 @@ _reg("stArea")(lambda poly: _lazy_udf("st_area", _make_st_area)(_c(poly)))
 
 def _geo_stub(*_a):
     raise NotImplementedError(
-        "full OGC geometry algebra (holes, multipolygons, geoToH3) needs "
-        "a geometry/H3 library not present in this environment; "
-        "simple-polygon contains/within/area and point constructors/"
-        "distance are implemented above; POINT unions via "
-        "functions.aggregate.agg_call('stunion', col)"
+        "ST_Union of non-point geometries (polygon clipping) needs a "
+        "geometry library not present in this environment; polygon "
+        "contains/within/area (incl. holes + multipolygons), point "
+        "constructors/distance and geohash are implemented above; POINT "
+        "unions via functions.aggregate.agg_call('stunion', col)"
     )
 
 

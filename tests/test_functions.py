@@ -252,6 +252,30 @@ def test_geo_polygon_ops(one):
     assert ev(one, call("stArea", F.lit(tri))) == 6.0
 
 
+def test_geo_polygon_holes(one):
+    """Even-odd ray casting with holes (StContainsFunction planar):
+    a point inside the hole is outside the polygon; hole area subtracts."""
+    donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    inside = call("stPoint", F.lit(2.0), F.lit(2.0))
+    in_hole = call("stPoint", F.lit(5.0), F.lit(5.0))
+    assert ev(one, call("stContains", F.lit(donut), inside)) is True
+    assert ev(one, call("stContains", F.lit(donut), in_hole)) is False
+    assert ev(one, call("stWithin", in_hole, F.lit(donut))) is False
+    assert ev(one, call("stArea", F.lit(donut))) == 96.0  # 100 - 4
+
+
+def test_geo_multipolygon(one):
+    two = (
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "((10 10, 14 10, 14 14, 10 14, 10 10), (11 11, 12 11, 12 12, 11 12, 11 11)))"
+    )
+    assert ev(one, call("stContains", F.lit(two), call("stPoint", F.lit(1.0), F.lit(1.0)))) is True
+    assert ev(one, call("stContains", F.lit(two), call("stPoint", F.lit(12.5), F.lit(12.5)))) is True
+    assert ev(one, call("stContains", F.lit(two), call("stPoint", F.lit(11.5), F.lit(11.5)))) is False
+    assert ev(one, call("stContains", F.lit(two), call("stPoint", F.lit(5.0), F.lit(5.0)))) is False
+    assert ev(one, call("stArea", F.lit(two))) == 4.0 + 16.0 - 1.0
+
+
 def test_geo_stub_raises(one):
     with pytest.raises(NotImplementedError):
         call("stUnion", F.lit("x"), F.lit("y"))

@@ -83,3 +83,42 @@ def test_array_pushback_elementat_0based(spark, vals, v):
     assert row.pushed == vals + [v]
     assert row.first == vals[0]
     assert row.idx == 0  # first occurrence, 0-based
+
+
+# --- polygon-with-holes property tests (pure ring math, no Spark) ----------
+
+from hypothesis import assume
+
+from pinot_spark.functions.scalar import _parse_rings, _point_in_rings, _rings_area
+
+
+@given(
+    x0=st.floats(-100, 100), y0=st.floats(-100, 100),
+    w=st.floats(4, 50), h=st.floats(4, 50),
+    px=st.floats(-160, 160), py=st.floats(-160, 160),
+)
+@settings(max_examples=200, deadline=None)
+def test_rect_with_hole_containment_property(x0, y0, w, h, px, py):
+    """Donut = rect shell with centered rect hole: containment must equal
+    the analytic predicate (in shell AND NOT in hole); area must equal
+    shell - hole exactly (shoelace is exact for axis-aligned rects)."""
+    hx0, hx1 = x0 + w / 4, x0 + 3 * w / 4
+    hy0, hy1 = y0 + h / 4, y0 + 3 * h / 4
+    wkt = (
+        f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, {x0} {y0 + h}, {x0} {y0}), "
+        f"({hx0} {hy0}, {hx1} {hy0}, {hx1} {hy1}, {hx0} {hy1}, {hx0} {hy0}))"
+    )
+    polys = _parse_rings(wkt)
+    assert polys is not None and len(polys) == 1 and len(polys[0]) == 2
+    # keep clear of ring boundaries — edge behavior is unspecified
+    eps = 1e-6
+    near = (
+        min(abs(px - v) for v in (x0, x0 + w, hx0, hx1)) < eps
+        or min(abs(py - v) for v in (y0, y0 + h, hy0, hy1)) < eps
+    )
+    assume(not near)
+    in_shell = x0 < px < x0 + w and y0 < py < y0 + h
+    in_hole = hx0 < px < hx1 and hy0 < py < hy1
+    assert _point_in_rings(px, py, polys) == (in_shell and not in_hole)
+    expected_area = w * h - (hx1 - hx0) * (hy1 - hy0)
+    assert abs(_rings_area(polys) - expected_area) <= 1e-6 * max(1.0, expected_area)
