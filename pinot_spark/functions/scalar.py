@@ -780,8 +780,14 @@ def _geo_stub(*_a):
     )
 
 
-for _n in ("stUnion", "geoToH3"):
-    _reg(_n)(_geo_stub)
+_reg("stUnion")(_geo_stub)
+
+# H3-surface grid functions (geoToH3 / gridDisk / gridDistance) — pure-
+# math aperture-7 hex grid, engine-own cell ids (see functions/h3grid.py
+# wire-format note).
+from pinot_spark.functions import h3grid as _h3grid  # noqa: E402
+
+_h3grid.register(_reg, _lazy_udf, _c)
 
 
 # Extended long-tail surface (typed array variants, MV datetime variants,

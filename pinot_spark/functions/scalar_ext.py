@@ -1344,16 +1344,10 @@ _reg("decodegeohash")(
 )
 
 
-def _h3_stub(*_a):
-    raise NotImplementedError(
-        "H3 grid functions (gridDisk/gridDistance/geoToH3, "
-        "TransformFunctionType:195-229) need an H3 library not present "
-        "in this environment — declared gap"
-    )
-
-
-for _n in ("griddisk", "griddistance"):
-    _reg(_n)(_h3_stub)
+# gridDisk/gridDistance/geoToH3 (TransformFunctionType:195-229) are
+# implemented by the pure-math aperture-7 grid in functions/h3grid.py,
+# registered from functions/scalar.py (engine-own cell ids — see the
+# wire-format note there).
 
 # ---------------------------------------------------------------------------
 # vector aliases (VectorFunctions.java:112-126)

@@ -108,9 +108,9 @@ _WINDOW_PRIORITY = [
     "fn_hash_family", "fn_conditional_null", "mv_any_match_filter",
     "mv_all_match_exclusive_filter", "mv_array_functions",
     "fn_in_not_in_range", "fn_text_match_like", "fn_url_family",
-    "fn_ip_subnet_family", "fn_trig_family", "fn_binary_conversion",
+    "fn_ip_subnet_family", "fn_binary_conversion",
     "fn_geo_point_family", "fn_map_family", "fn_geo_contains",
-    "fn_surface_ext", "fn_surface_udf_families",
+    "fn_h3_grid", "fn_surface_ext", "fn_surface_udf_families",
     # text/json/vector index operators (§2.3).  regex_fst_dictionary_match
     # / dedup_embedding_cosine / similarity_radius_filter were dropped from
     # the 50-slot window: their SURVEY rows are covered by fn_regex_family /

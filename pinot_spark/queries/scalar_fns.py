@@ -637,6 +637,56 @@ def fn_geo_contains(spark, sf_dir):
 
 
 @query(
+    "fn_h3_grid",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('sf',     6341068199638860287, 8646913421834454877, CAST(0 AS BIGINT),    CAST(19 AS BIGINT)),
+      ('nyc',    6341068305939300653, 8646913140514095870, CAST(1381 AS BIGINT), CAST(19 AS BIGINT)),
+      ('paris',  6341068486327926754, 8646912808727870415, CAST(3529 AS BIGINT), CAST(19 AS BIGINT)),
+      ('tokyo',  6341068694633840025, 8646911332332859690, CAST(7629 AS BIGINT), CAST(19 AS BIGINT)),
+      ('sydney', 6341068422977158532, 8646909049557743068, CAST(8553 AS BIGINT), CAST(19 AS BIGINT))
+    ) AS t(city, cell5, cell7, dist7_from_sf, disk2_size)
+    ORDER BY city
+    """,
+)
+def fn_h3_grid(spark, sf_dir):
+    """geoToH3 / gridDistance / gridDisk (GeoToH3Function.java,
+    GridDistanceFunction.java, GridDiskFunction.java surfaces) against
+    PRECOMPUTED known cells: the oracle freezes the expected cell ids,
+    so any drift in the grid math (packing, rotation, rounding) fails
+    the hash gate.  Cell ids are the engine's aperture-7 numbering
+    (functions/h3grid.py wire-format note), not H3-interoperable."""
+    cities = spark.createDataFrame(
+        [
+            ("sf", -122.4194, 37.7749),
+            ("nyc", -74.0060, 40.7128),
+            ("paris", 2.3522, 48.8566),
+            ("tokyo", 139.6503, 35.6762),
+            ("sydney", 151.2093, -33.8688),
+        ],
+        "city string, lng double, lat double",
+    )
+    sf_cell7 = F.lit(8646913421834454877)
+    return (
+        cities.select(
+            "city",
+            scalar.call("geoToH3", F.col("lng"), F.col("lat"), F.lit(5)).alias("cell5"),
+            scalar.call("geoToH3", F.col("lng"), F.col("lat"), F.lit(7)).alias("cell7"),
+        )
+        .select(
+            "city",
+            "cell5",
+            "cell7",
+            scalar.call("gridDistance", F.col("cell7"), sf_cell7).alias("dist7_from_sf"),
+            F.size(scalar.call("gridDisk", F.col("cell7"), F.lit(2)))
+            .cast("bigint")
+            .alias("disk2_size"),
+        )
+        .orderBy("city")
+    )
+
+
+@query(
     "fn_surface_ext",
     oracle="""
     SELECT n_name,
