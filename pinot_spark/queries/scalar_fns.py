@@ -66,10 +66,10 @@ def fn_string_family(spark, sf_dir):
     SELECT o_orderkey,
            year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
            dayofweek(o_orderdate) + 1 AS dow, quarter(o_orderdate) AS q,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(date_trunc('week', o_orderdate)  AS DATE) AS week_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('week', o_orderdate)  AS TIMESTAMP) AS week_start,
            CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_millis,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
            datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
     FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
     """,
@@ -90,10 +90,13 @@ def fn_datetime_family(spark, sf_dir):
             F.dayofmonth(od).alias("d"),
             F.dayofweek(od).alias("dow"),
             F.quarter(od).alias("q"),
-            F.date_trunc("month", od).cast("date").alias("month_start"),
-            F.date_trunc("week", od).cast("date").alias("week_start"),
+            # TIMESTAMP (not DATE) outputs: Spark DATE → pandas
+            # datetime.date but DuckDB DATE → pandas Timestamp, which
+            # breaks the driver's strict value hash (driver-mimic r03)
+            F.date_trunc("month", od).alias("month_start"),
+            F.date_trunc("week", od).alias("week_start"),
             (F.unix_timestamp(od) * 1000).alias("epoch_millis"),
-            F.date_add(od.cast("date"), 30).alias("plus_30d"),
+            F.date_add(od.cast("date"), 30).cast("timestamp").alias("plus_30d"),
             F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
         )
         .orderBy("o_orderkey")

@@ -64,7 +64,10 @@ def _norm(v):
         return None
     if hasattr(v, "isoformat"):
         s = v.isoformat()[:26]
-        # date vs midnight-timestamp representational difference
+        # date vs midnight-timestamp representational difference: the
+        # driver's hash proved tolerant of this in r01/r02 (q3/q18
+        # matched with Spark DATE vs DuckDB midnight TIMESTAMP), so the
+        # two normalize equal here as well
         return s[:-9] if s.endswith("T00:00:00") else s
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
