@@ -789,6 +789,13 @@ from pinot_spark.functions import h3grid as _h3grid  # noqa: E402
 
 _h3grid.register(_reg, _lazy_udf, _c)
 
+# WKB / GeoJSON geometry constructors (StGeomFromWKBFunction.java,
+# StAsBinaryFunction.java, ConstructFromGeoJsonFunction.java) — pure
+# Python codecs over the public OGC WKB / RFC 7946 formats.
+from pinot_spark.functions import wkb as _wkb  # noqa: E402
+
+_wkb.register(_reg, _lazy_udf, _c)
+
 
 # Extended long-tail surface (typed array variants, MV datetime variants,
 # URL/IP/hash/UUID families, …) registers itself into SCALAR_FUNCTIONS.

@@ -1271,31 +1271,15 @@ _reg("bytestobigdecimal")(lambda b: F.decode(_c(b), "utf-8").cast("decimal(38,18
 # ---------------------------------------------------------------------------
 
 _reg("stgeomfromtext", "stgeogfromtext")(lambda wkt: _c(wkt))
-_reg("stasbinary")(lambda g: F.encode(_c(g), "utf-8"))  # WKT bytes (WKB needs geo lib)
-_reg("stgeomfromwkb", "stgeogfromwkb")(lambda b: F.decode(_c(b), "utf-8"))
 _reg("stgeometrytype")(lambda g: F.regexp_extract(_c(g), r"^\s*([A-Za-z]+)", 1))
 _reg("stequals")(
     lambda a, b: F.regexp_replace(F.trim(_c(a)), r"\s+", " ")
     == F.regexp_replace(F.trim(_c(b)), r"\s+", " ")
 )
-_reg("stasgeojson")(
-    lambda g: F.concat(
-        F.lit('{"type":"Point","coordinates":['),
-        F.regexp_extract(_c(g), r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", 1),
-        F.lit(","),
-        F.regexp_extract(_c(g), r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)", 2),
-        F.lit("]}"),
-    )
-)
-_reg("stgeomfromgeojson", "stgeogfromgeojson")(
-    lambda j: F.concat(
-        F.lit("POINT ("),
-        F.get_json_object(_c(j), "$.coordinates[0]"),
-        F.lit(" "),
-        F.get_json_object(_c(j), "$.coordinates[1]"),
-        F.lit(")"),
-    )
-)
+# stAsBinary / stGeomFromWKB / stAsGeoJson / stGeomFromGeoJson: real OGC
+# WKB + RFC 7946 GeoJSON codecs live in functions/wkb.py (registered from
+# functions/scalar.py), covering POINT/LINESTRING/POLYGON-with-holes/
+# MULTIPOINT/MULTIPOLYGON — not the former WKT-bytes/point-only stand-ins.
 
 
 def _make_geohash_decode(which: str):
