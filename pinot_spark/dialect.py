@@ -994,6 +994,38 @@ def has_gapfill(sql: str) -> bool:
     return _GAPFILL_CALL_RE.search(sql) is not None
 
 
+def find_gapfill_subquery(sql: str) -> tuple[int, int] | None:
+    """Span (open paren, close paren) of the innermost derived table that
+    contains the GAPFILL call — Pinot's aggregation-over-gapfill shape
+    ``SELECT ..., SUM(x) FROM (SELECT GAPFILL(...) ...) GROUP BY ...``
+    (GapfillProcessor two-stage form).  None when GAPFILL is top-level."""
+    m = _GAPFILL_CALL_RE.search(sql)
+    if not m:
+        return None
+    lit_spans = _literal_spans(sql)
+
+    def in_literal(i: int) -> bool:
+        return any(a <= i < b for a, b in lit_spans)
+
+    stack: list[int] = []
+    enclosing: list[int] = []
+    for i, ch in enumerate(sql):
+        if in_literal(i):
+            continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                stack.pop()
+        if i == m.start():
+            enclosing = list(stack)
+            break
+    for open_idx in reversed(enclosing):  # innermost first
+        if re.match(r"\s*SELECT\b", sql[open_idx + 1 :], re.IGNORECASE):
+            return open_idx, _find_matching(sql, open_idx)
+    return None
+
+
 def _parse_format_spec(tok: str) -> tuple[int, str, str, str | None]:
     """'1:MILLISECONDS:EPOCH[:pattern]' → (size, unit, type, pattern)."""
     parts = tok.strip().strip("'\"").split(":")
@@ -1085,7 +1117,17 @@ class PinotEngine:
                 "operation string, name string, rows bigint, rollup_registered boolean",
             )
         if has_gapfill(pinot_sql):
-            return self._gapfill(pinot_sql)
+            options, bare = split_options(pinot_sql)
+            span = find_gapfill_subquery(bare)
+            if span is None:
+                return self._gapfill(pinot_sql)
+            # aggregation over gapfill: materialize the gapfilled derived
+            # table as a temp view, then run the outer statement normally
+            s, e = span
+            _ASOF_VIEW_SEQ[0] += 1
+            view = f"__gapfill_{_ASOF_VIEW_SEQ[0]}"
+            self._gapfill(bare[s + 1 : e]).createOrReplaceTempView(view)
+            return self.sql(bare[:s] + view + bare[e + 1 :])
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
 

@@ -18,8 +18,10 @@ interoperate with externally-produced H3 ids.  Like geohash (and unlike
 true H3), planar hex binning distorts near the poles.
 
 Cell id layout (64-bit long, like H3's res+index packing):
-  [4 bits resolution 0..15][30 bits q + 2^29][30 bits r + 2^29]
-with (q, r) axial hex coordinates at that resolution.
+  [4 bits resolution 0..15][29 bits q + 2^28][29 bits r + 2^28]
+with (q, r) axial hex coordinates at that resolution — 62 bits total so
+every cell id fits a SIGNED 64-bit column at every resolution (±2^28
+coordinate range ≥ 10x the res-15 maximum).
 
 All functions are pure-Python cores (property-tested without Spark)
 wrapped in Arrow-batched pandas UDFs.
@@ -42,8 +44,8 @@ _SIZE0 = 20.0
 # per-resolution rotation H3's class-II/class-III alternation produces
 _ROT = math.atan2(_SQRT3, 5.0)
 
-_OFF = 1 << 29
-_MASK30 = (1 << 30) - 1
+_OFF = 1 << 28
+_MASK29 = (1 << 29) - 1
 
 
 def _res_params(res: int) -> tuple[float, float, float]:
@@ -70,11 +72,13 @@ def _axial_round(qf: float, rf: float) -> tuple[int, int]:
 def pack_cell(res: int, q: int, r: int) -> int:
     if not 0 <= res <= 15:
         raise ValueError(f"resolution must be 0..15, got {res}")
-    return (res << 60) | ((q + _OFF) << 30) | (r + _OFF)
+    if not (-_OFF <= q < _OFF and -_OFF <= r < _OFF):
+        raise ValueError(f"axial coordinate out of 29-bit range: ({q}, {r})")
+    return (res << 58) | ((q + _OFF) << 29) | (r + _OFF)
 
 
 def unpack_cell(cell: int) -> tuple[int, int, int]:
-    return (cell >> 60) & 0xF, ((cell >> 30) & _MASK30) - _OFF, (cell & _MASK30) - _OFF
+    return (cell >> 58) & 0xF, ((cell >> 29) & _MASK29) - _OFF, (cell & _MASK29) - _OFF
 
 
 def geo_to_cell(lng: float, lat: float, res: int) -> int:
@@ -127,12 +131,47 @@ def grid_disk(cell: int, k: int) -> list[int]:
 # --- pandas UDF wrappers + registry hookup ---------------------------------
 
 
+def geo_to_cell_np(lng, lat, res):
+    """Vectorized geo_to_cell over numpy arrays (the Arrow-batch hot
+    path: rotation + axial transform + cube rounding, no per-row
+    Python). ``res`` must be a single int (the overwhelmingly common
+    literal-resolution case)."""
+    import numpy as np
+
+    size, c, s = _res_params(int(res))
+    lng = np.asarray(lng, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = lng * c + lat * s
+    y = -lng * s + lat * c
+    qf = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    # cube rounding, vectorized
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.rint(xf), np.rint(yf), np.rint(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = np.where(~fix_x & ~fix_y, -rx - ry, rz)
+    q = rx.astype(np.int64)
+    r = rz.astype(np.int64)
+    return (np.int64(int(res)) << 58) | ((q + _OFF) << 29) | (r + _OFF)
+
+
 def _make_geo_to_h3():
     @_pandas_udf("long")
     def _udf(lng: _pd.Series, lat: _pd.Series, res: _pd.Series) -> _pd.Series:
+        import numpy as np
+
+        if res.nunique(dropna=True) == 1 and not lng.isna().any() and not lat.isna().any():
+            r0 = int(res.dropna().iloc[0])
+            return _pd.Series(geo_to_cell_np(lng.to_numpy(), lat.to_numpy(), r0), dtype="Int64")
         return _pd.Series(
             [
-                None if lo is None or la is None else geo_to_cell(float(lo), float(la), int(rs))
+                None if lo is None or la is None or (isinstance(lo, float) and np.isnan(lo))
+                else geo_to_cell(float(lo), float(la), int(rs))
                 for lo, la, rs in zip(lng, lat, res)
             ],
             dtype="Int64",
@@ -144,6 +183,17 @@ def _make_geo_to_h3():
 def _make_grid_distance():
     @_pandas_udf("long")
     def _udf(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        import numpy as np
+
+        if not a.isna().any() and not b.isna().any():
+            av = a.to_numpy(dtype=np.int64)
+            bv = b.to_numpy(dtype=np.int64)
+            if len(av) and ((av >> 58) != (bv >> 58)).any():
+                raise ValueError("gridDistance needs equal resolutions")
+            dq = ((av >> 29) & _MASK29) - ((bv >> 29) & _MASK29)
+            dr = (av & _MASK29) - (bv & _MASK29)
+            d = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+            return _pd.Series(d, dtype="Int64")
         return _pd.Series(
             [
                 None if x is None or y is None else grid_distance(int(x), int(y))

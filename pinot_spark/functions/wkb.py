@@ -225,17 +225,23 @@ def geojson_to_wkt(s: str) -> str:
     )
 
 
+def _jnum(v: float):
+    """Integral coords serialize as JSON ints (same canonicalization as
+    the WKT writer's _fmt)."""
+    return int(v) if float(v).is_integer() else float(v)
+
+
 def wkt_to_geojson(wkt: str) -> str:
     kind, c = from_wkt(wkt)
     gj_type = {v: k for k, v in _GJ_TYPES.items()}[kind]
     if kind == "POINT":
-        coords = [c[0], c[1]]
+        coords = [_jnum(c[0]), _jnum(c[1])]
     elif kind in ("LINESTRING", "MULTIPOINT"):
-        coords = [[x, y] for x, y in c]
+        coords = [[_jnum(x), _jnum(y)] for x, y in c]
     elif kind == "POLYGON":
-        coords = [[[x, y] for x, y in r] for r in c]
+        coords = [[[_jnum(x), _jnum(y)] for x, y in r] for r in c]
     else:
-        coords = [[[[x, y] for x, y in r] for r in rings] for rings in c]
+        coords = [[[[_jnum(x), _jnum(y)] for x, y in r] for r in rings] for rings in c]
     return json.dumps({"type": gj_type, "coordinates": coords}, separators=(",", ":"))
 
 

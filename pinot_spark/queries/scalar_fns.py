@@ -643,11 +643,11 @@ def fn_geo_contains(spark, sf_dir):
     "fn_h3_grid",
     oracle="""
     SELECT * FROM (VALUES
-      ('sf',     6341068199638860287, 8646913421834454877, CAST(0 AS BIGINT),    CAST(19 AS BIGINT)),
-      ('nyc',    6341068305939300653, 8646913140514095870, CAST(1381 AS BIGINT), CAST(19 AS BIGINT)),
-      ('paris',  6341068486327926754, 8646912808727870415, CAST(3529 AS BIGINT), CAST(19 AS BIGINT)),
-      ('tokyo',  6341068694633840025, 8646911332332859690, CAST(7629 AS BIGINT), CAST(19 AS BIGINT)),
-      ('sydney', 6341068422977158532, 8646909049557743068, CAST(8553 AS BIGINT), CAST(19 AS BIGINT))
+      ('sf',     1585267030985015807, 2161728889779390301, CAST(0 AS BIGINT),    CAST(19 AS BIGINT)),
+      ('nyc',    1585267084135235885, 2161728749119210238, CAST(1381 AS BIGINT), CAST(19 AS BIGINT)),
+      ('paris',  1585267174329548770, 2161728583226096591, CAST(3529 AS BIGINT), CAST(19 AS BIGINT)),
+      ('tokyo',  1585267278482505113, 2161727845028589866, CAST(7629 AS BIGINT), CAST(19 AS BIGINT)),
+      ('sydney', 1585267142654164356, 2161726703641032156, CAST(8553 AS BIGINT), CAST(19 AS BIGINT))
     ) AS t(city, cell5, cell7, dist7_from_sf, disk2_size)
     ORDER BY city
     """,
@@ -669,7 +669,7 @@ def fn_h3_grid(spark, sf_dir):
         ],
         "city string, lng double, lat double",
     )
-    sf_cell7 = F.lit(8646913421834454877)
+    sf_cell7 = F.lit(2161728889779390301)
     return (
         cities.select(
             "city",

@@ -267,3 +267,22 @@ def test_mv_distinct_scale_rewrite(engine, spark):
     assert g.collect()[0].dc == 4
     gplan = g._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in gplan and "collect_set" not in gplan
+
+
+def test_gapfill_aggregation_over(engine, spark):
+    """Pinot's two-stage aggregation-over-gapfill: the outer statement
+    aggregates the gapfilled derived table (GapfillProcessor post-agg
+    form) — the subquery materializes, the outer SQL runs normally."""
+    spark.createDataFrame(
+        [("s1", 60_000, 1.0), ("s1", 180_000, 3.0), ("s2", 120_000, 5.0)],
+        "sk string, tms long, v double",
+    ).createOrReplaceTempView("gf_t2")
+    rows = engine.sql(
+        "SELECT sk, COUNT(v) AS filled, SUM(v) AS total FROM "
+        "(SELECT GAPFILL(tms, '1:MILLISECONDS:EPOCH', '0', '240000', '1:MINUTES', "
+        "FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(sk)) AS tms, sk, v FROM gf_t2) "
+        "GROUP BY sk ORDER BY sk LIMIT 10"
+    ).collect()
+    # s1: buckets 0(null),60k(1),120k(1),180k(3) -> filled 3, sum 5
+    # s2: 0(null),60k(null),120k(5),180k(5)      -> filled 2, sum 10
+    assert [(r.sk, r.filled, r.total) for r in rows] == [("s1", 3, 5.0), ("s2", 2, 10.0)]

@@ -18,13 +18,14 @@ from pinot_spark.functions.scalar import call
 
 _lat = st.floats(-80, 80)   # away from pole distortion, like geohash use
 _lng = st.floats(-180, 180)
-_res = st.integers(0, 9)
+_res = st.integers(0, 15)   # full range: every cell id must fit int64
 
 
 @given(lng=_lng, lat=_lat, res=_res)
 @settings(max_examples=300, deadline=None)
 def test_pack_roundtrip_and_center_stability(lng, lat, res):
     cell = geo_to_cell(lng, lat, res)
+    assert -(2**63) <= cell < 2**63  # fits a Spark LONG at every res
     r, q, rr = unpack_cell(cell)
     assert r == res and pack_cell(r, q, rr) == cell
     # a cell's center maps back to the same cell (fixed point)
@@ -32,7 +33,7 @@ def test_pack_roundtrip_and_center_stability(lng, lat, res):
     assert geo_to_cell(clng, clat, res) == cell
 
 
-@given(lng=_lng, lat=_lat, res=st.integers(1, 9))
+@given(lng=_lng, lat=_lat, res=st.integers(1, 15))
 @settings(max_examples=200, deadline=None)
 def test_resolution_refines(lng, lat, res):
     """Finer cells are smaller: the res-cell center is within the coarse
@@ -100,3 +101,22 @@ def test_spark_udf_surface(spark):
     ).collect()[0]
     assert r3.d == grid_distance(geo_to_cell(0.0, 0.0, 5), geo_to_cell(1.0, 1.0, 5))
     assert r3.n == 19
+
+
+@given(
+    lngs=st.lists(st.tuples(_lng, _lat), min_size=1, max_size=50),
+    res=_res,
+)
+@settings(max_examples=100, deadline=None)
+def test_vectorized_matches_scalar(lngs, res):
+    """The numpy batch path (geo_to_cell_np, the 100TB hot path) must be
+    bit-identical to the scalar reference implementation — including
+    cube-rounding tie behavior (both round half-to-even)."""
+    import numpy as np
+    from pinot_spark.functions.h3grid import geo_to_cell_np
+
+    lng = np.array([p[0] for p in lngs])
+    lat = np.array([p[1] for p in lngs])
+    vec = geo_to_cell_np(lng, lat, res)
+    ref = [geo_to_cell(float(lo), float(la), res) for lo, la in lngs]
+    assert vec.tolist() == ref

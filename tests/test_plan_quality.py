@@ -78,3 +78,22 @@ def test_metadata_count_scans_single_column(spark, sf_dir):
     # so one-column pruning is the metadata-cheap contract here)
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert read_schema.count(":") == 1, read_schema
+
+
+def test_dialect_asof_join_no_range_explosion(spark, sf_dir):
+    """The ASOF JOIN dialect rewrite must keep the union+window shape:
+    no nested-loop/cartesian range join, exactly the window's one shuffle
+    on the join keys (plus AQE reads)."""
+    plan = _plan(QUERIES["dialect_asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_dialect_gapfill_spine_not_cartesian(spark, sf_dir):
+    """Gapfill joins the generated spine on (series, bucket) equi keys —
+    a hash join, never a cartesian of spine x facts; FILL_PREVIOUS is a
+    single window pass."""
+    plan = _plan(QUERIES["dialect_gapfill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
