@@ -153,6 +153,79 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component)
+    with component = min node id in the component.
+
+    The cluster-formation step every near-dup pipeline needs after pair
+    generation (LSH/cosine pairs are not transitive: A~B, B~C must
+    collapse to one keep-group).
+
+    Distributed min-label propagation: each round every node takes the
+    min label among itself and its neighbors (one shuffle for the
+    neighbor messages, one for the min-aggregate), until a round changes
+    nothing.  Rounds ∝ graph diameter — near-dup clusters are
+    shallow (near-cliques), so this converges in 2-3 rounds where the
+    O(log n) large-star/small-star variant would pay its constant
+    factors for nothing.  Lineage is truncated every round
+    (localCheckpoint) so plans stay O(1) deep regardless of rounds —
+    without it, iteration k replans all k-1 predecessors.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iterations):
+        msgs = sym.join(labels, sym["u"] == labels["id"]).select(
+            F.col("v").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, component, is_canonical) from verified near-dup pairs;
+    singleton docs (no pair) form their own component when ``all_ids``
+    is given.  Keep-policy = keep the canonical (min-id) member."""
+    cc = connected_components(pairs)
+    if all_ids is not None:
+        ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+        cc = ids.join(cc, "id", "left").select(
+            "id", F.coalesce("comp", F.col("id")).alias("comp")
+        )
+    return cc.select(
+        F.col("id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

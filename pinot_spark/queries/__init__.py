@@ -108,7 +108,7 @@ _WINDOW_PRIORITY = [
     "fn_hash_family", "fn_conditional_null", "mv_any_match_filter",
     "mv_all_match_exclusive_filter", "mv_array_functions",
     "fn_in_not_in_range", "fn_text_match_like", "fn_url_family",
-    "fn_ip_subnet_family", "fn_binary_conversion",
+    "fn_ip_subnet_family",
     "fn_geo_point_family", "fn_map_family", "fn_geo_contains",
     "fn_h3_grid", "fn_surface_ext", "fn_surface_udf_families",
     # text/json/vector index operators (§2.3).  regex_fst_dictionary_match
@@ -120,6 +120,7 @@ _WINDOW_PRIORITY = [
     "clp_encode_decode_roundtrip",
     # LLM-pipeline operators
     "dedup_exact_documents", "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
     "similarity_topk_cosine", "text_token_stats", "text_quality_scores",
     "text_lang_id", "text_fingerprints", "text_inverted_index_search",
     "multimodal_resize_and_windows",

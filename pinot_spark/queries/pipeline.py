@@ -413,6 +413,48 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_duplicate_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
+      FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+      WHERE e1.vec_id < 200 AND e2.vec_id < 200
+        AND list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))) >= 0.35),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                    UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    SELECT u AS id, CAST(min(v) AS BIGINT) AS component,
+           (u = min(v)) AS is_canonical
+    FROM reach GROUP BY u ORDER BY id
+    """,
+)
+def dedup_duplicate_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation (the step after pair generation in any
+    training-data dedup pipeline): cosine pairs are not transitive, so
+    A~B, B~C must collapse into one keep-group — distributed min-label
+    connected components (operators/dedup.connected_components, lineage
+    truncated per round) labels each doc with its component's min id.
+    Oracle = DuckDB recursive-CTE transitive closure over the same
+    pairs."""
+    from pinot_spark.operators.dedup import duplicate_clusters
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity("ea", "eb"))
+        .filter(F.col("sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+@query(
     "multimodal_resize_and_windows",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
