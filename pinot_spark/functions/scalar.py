@@ -770,17 +770,87 @@ _reg("stWithin")(
 _reg("stArea")(lambda poly: _lazy_udf("st_area", _make_st_area)(_c(poly)))
 
 
-def _geo_stub(*_a):
-    raise NotImplementedError(
-        "ST_Union of non-point geometries (polygon clipping) needs a "
-        "geometry library not present in this environment; polygon "
-        "contains/within/area (incl. holes + multipolygons), point "
-        "constructors/distance and geohash are implemented above; POINT "
-        "unions via functions.aggregate.agg_call('stunion', col)"
+def _segments(ring):
+    return [(ring[i], ring[(i + 1) % len(ring)]) for i in range(len(ring))]
+
+
+def _segs_intersect(p1, p2, p3, p4) -> bool:
+    """Proper segment intersection (shared endpoints don't count)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def _polys_disjoint(a_rings, b_rings) -> bool:
+    """True when two polygons (ring lists) neither cross nor contain one
+    another — the clipping-free ST_Union case."""
+    for ra in a_rings:
+        for rb in b_rings:
+            for s1 in _segments(ra):
+                for s2 in _segments(rb):
+                    if _segs_intersect(*s1, *s2):
+                        return False
+    return not (
+        _point_in_rings(*a_rings[0][0], [b_rings])
+        or _point_in_rings(*b_rings[0][0], [a_rings])
     )
 
 
-_reg("stUnion")(_geo_stub)
+def st_union_wkt(a: str, b: str) -> str:
+    """Scalar ST_Union over this engine's WKT geometries
+    (StUnionFunction.java role): point/multipoint unions are exact set
+    unions; polygon/multipolygon unions of pairwise-DISJOINT members
+    concatenate into a MULTIPOLYGON.  Overlapping polygons need boolean
+    clipping (geometry library, absent) → NotImplementedError."""
+    from pinot_spark.functions.wkb import from_wkt, to_wkt
+
+    ga, gb = from_wkt(a), from_wkt(b)
+
+    def pts(g):
+        return [g[1]] if g[0] == "POINT" else g[1] if g[0] == "MULTIPOINT" else None
+
+    pa, pb = pts(ga), pts(gb)
+    if pa is not None and pb is not None:
+        merged = sorted(set(pa) | set(pb))
+        return to_wkt(("POINT", merged[0]) if len(merged) == 1 else ("MULTIPOINT", merged))
+
+    def polys(g):
+        return [g[1]] if g[0] == "POLYGON" else g[1] if g[0] == "MULTIPOLYGON" else None
+
+    qa, qb = polys(ga), polys(gb)
+    if qa is not None and qb is not None:
+        for ra in qa:
+            for rb in qb:
+                if not _polys_disjoint(ra, rb):
+                    raise NotImplementedError(
+                        "ST_Union of overlapping polygons needs boolean clipping "
+                        "(geometry library absent); disjoint unions and point "
+                        "unions are supported"
+                    )
+        members = qa + qb
+        return to_wkt(("POLYGON", members[0]) if len(members) == 1 else ("MULTIPOLYGON", members))
+    raise NotImplementedError(
+        f"ST_Union between {ga[0]} and {gb[0]} is not supported "
+        "(points with points, polygons with polygons)"
+    )
+
+
+def _make_st_union():
+    @_pandas_udf("string")
+    def _st_union_udf(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        return _pd.Series(
+            [None if x is None or y is None else st_union_wkt(x, y) for x, y in zip(a, b)]
+        )
+
+    return _st_union_udf
+
+
+_reg("stUnion")(lambda a, b: _lazy_udf("st_union", _make_st_union)(_c(a), _c(b)))
 
 # H3-surface grid functions (geoToH3 / gridDisk / gridDistance) — pure-
 # math aperture-7 hex grid, engine-own cell ids (see functions/h3grid.py

@@ -276,9 +276,29 @@ def test_geo_multipolygon(one):
     assert ev(one, call("stArea", F.lit(two))) == 4.0 + 16.0 - 1.0
 
 
-def test_geo_stub_raises(one):
-    with pytest.raises(NotImplementedError):
-        call("stUnion", F.lit("x"), F.lit("y"))
+def test_st_union_points_and_disjoint_polygons(one):
+    # point ∪ point → MULTIPOINT (set union, sorted)
+    u = ev(one, call("stUnion", F.lit("POINT (3 4)"), F.lit("POINT (1 2)")))
+    assert u == "MULTIPOINT (1 2, 3 4)"
+    assert ev(one, call("stUnion", F.lit("POINT (1 2)"), F.lit("POINT (1 2)"))) == "POINT (1 2)"
+    # disjoint polygons → MULTIPOLYGON; area is additive
+    a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    b = "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))"
+    u2 = ev(one, call("stUnion", F.lit(a), F.lit(b)))
+    assert u2.startswith("MULTIPOLYGON")
+    assert ev(one, call("stArea", call("stUnion", F.lit(a), F.lit(b)))) == 8.0
+
+
+def test_st_union_overlap_declared(one):
+    """Overlapping polygon union needs clipping — declared gap, loud."""
+    from pinot_spark.functions.scalar import st_union_wkt
+
+    a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    b = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"    # crosses a
+    c = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"    # contained in a
+    for other in (b, c):
+        with pytest.raises(NotImplementedError):
+            st_union_wkt(a, other)
 
 
 def test_datetime_convert_column(one):
