@@ -455,6 +455,43 @@ def dedup_duplicate_clusters(spark, sf_dir):
 
 
 @query(
+    "sample_stratified_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n
+    FROM tagged GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def sample_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + stratified sampling for
+    training-data pipelines: bucket = first hex byte of md5(doc_id), so
+    the split is stable across engines, runs and partitionings (no RNG,
+    no shuffle-order dependence — reproducible at any scale, and any
+    engine computing md5 agrees).  Hex-string threshold comparison is
+    monotonic with the bucket value: train < 0xC0 (75%), val < 0xE0
+    (12.5%), test otherwise (12.5%).  Per-language counts prove the
+    stratification is hash-balanced."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "c0", "train").when(bucket < "e0", "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
     "multimodal_resize_and_windows",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
