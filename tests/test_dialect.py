@@ -286,3 +286,48 @@ def test_gapfill_aggregation_over(engine, spark):
     # s1: buckets 0(null),60k(1),120k(1),180k(3) -> filled 3, sum 5
     # s2: 0(null),60k(null),120k(5),180k(5)      -> filled 2, sum 10
     assert [(r.sk, r.filled, r.total) for r in rows] == [("s1", 3, 5.0), ("s2", 2, 10.0)]
+
+
+def test_splitpart_strpos_reference_semantics(engine, spark):
+    """Exhaustive edge-case table for splitPart / 3-arg strPos against
+    pure-Python references of the reference semantics (commons-lang
+    splitByWholeSeparator: empty tokens dropped, 'null' on OOB;
+    ordinalIndexOf: overlapping matches, -1 on miss) — one Spark pass."""
+
+    def ref_split(s, d, i):
+        toks = [t for t in s.split(d) if t != ""]
+        return toks[i] if 0 <= i < len(toks) else "null"
+
+    def ref_strpos(s, sub, n):
+        # overlapping ordinal search, 0-based, -1 when absent
+        found = [i for i in range(len(s)) if s[i : i + len(sub)] == sub]
+        return found[n - 1] if 1 <= n <= len(found) else -1
+
+    strings = ["a,b,c", ",,a,b", "a,,b,", "", ",", "aaa", "abab", "a.b.c", "xy"]
+    delims = [",", ".", "ab", "a"]
+    rows = []
+    for s in strings:
+        for d in delims:
+            for i in (0, 1, 2, 5):
+                rows.append((s, d, i))
+    df = spark.createDataFrame(rows, "s string, d string, i int")
+    df.createOrReplaceTempView("sp_cases")
+    got = engine.sql(
+        "SELECT s, d, i, SPLITPART(s, d, i) AS part FROM sp_cases LIMIT 10000"
+    ).collect()
+    for r in got:
+        assert r.part == ref_split(r.s, r.d, r.i), (r.s, r.d, r.i, r.part)
+
+    srows = []
+    for s in ["aaa", "aaaa", "abcabc", "mississippi", "", "aa"]:
+        for sub in ["a", "aa", "ss", "issi", "z"]:
+            for n in (1, 2, 3, 4):
+                srows.append((s, sub, n))
+    spark.createDataFrame(srows, "s string, sub string, n int").createOrReplaceTempView(
+        "pos_cases"
+    )
+    got = engine.sql(
+        "SELECT s, sub, n, STRPOS(s, sub, n) AS p FROM pos_cases LIMIT 10000"
+    ).collect()
+    for r in got:
+        assert r.p == ref_strpos(r.s, r.sub, r.n), (r.s, r.sub, r.n, r.p)
