@@ -1357,15 +1357,23 @@ _reg("sleep")(lambda ms: _c(ms).cast("long"))  # assertion-only sleep in referen
 _reg("scalar")(lambda x: _c(x))  # SCALAR(...) marker wrapper → identity
 
 
-def _groovy_stub(*_a):
-    raise NotImplementedError(
-        "inline Groovy transforms (GroovyTransformFunction) are not "
-        "supported on this engine — use a registered Python UDF "
-        "(functions.scalar.call / pandas_udf) for custom transforms"
-    )
+def _groovy(meta, script, *cols):
+    """groovy('{"returnType":...}', 'arg0 * 2', col...) — the inline
+    Groovy transform (GroovyTransformFunction / GroovyFunctionEvaluator)
+    evaluated by the expression-subset compiler in
+    functions/groovy_expr.py (arithmetic, comparisons, ternary, string
+    methods, Math.*); scripts beyond the subset raise
+    NotImplementedError at parse time."""
+    from pinot_spark.functions.groovy_expr import groovy_udf
+
+    if not isinstance(meta, str) or not isinstance(script, str):
+        raise NotImplementedError(
+            "groovy(metadata, script, cols...) needs literal metadata/script strings"
+        )
+    return groovy_udf(meta, script)(*[_c(c) for c in cols])
 
 
-_reg("groovy")(_groovy_stub)
+_reg("groovy")(_groovy)
 
 
 @_reg("clpDecode")

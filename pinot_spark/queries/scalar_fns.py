@@ -640,6 +640,51 @@ def fn_geo_contains(spark, sf_dir):
 
 
 @query(
+    "fn_groovy_inline",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net,
+           CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
+           upper(l_returnflag) || '-' || CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) AS tag
+    FROM lineitem WHERE l_orderkey < 50
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_groovy_inline(spark, sf_dir):
+    """Inline Groovy transforms (GroovyTransformFunction /
+    GroovyFunctionEvaluator.java) through the expression-subset compiler:
+    arithmetic, ternary, string methods and concat — the same rows the
+    plain-SQL oracle computes."""
+    t = load_tables(spark, sf_dir)
+
+    def g(rt, script, *cols):
+        return scalar.call(
+            "groovy", '{"returnType":"%s","isSingleValue":true}' % rt, script, *cols
+        )
+
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                g("DOUBLE", "arg0 * (1 - arg1)", F.col("l_extendedprice"), F.col("l_discount")),
+                2,
+            ).alias("net"),
+            g("STRING", "arg0 > 25 ? 'bulk' : 'small'", F.col("l_quantity")).alias("bucket"),
+            g(
+                "STRING",
+                "arg0.toUpperCase() + '-' + arg1.toString()",
+                F.col("l_returnflag"),
+                F.col("l_linenumber").cast("long"),
+            ).alias("tag"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
     "fn_h3_grid",
     oracle="""
     SELECT * FROM (VALUES
