@@ -1083,8 +1083,46 @@ class PinotEngine:
     default_limit: int = 10
     options: dict[str, str] = field(default_factory=dict)
 
+    def _register_groovy_calls(self, sql: str) -> str:
+        """Compile each GROOVY('meta', 'script', args...) call (literal
+        metadata/script — GroovyFunctionEvaluator's shape) into a pandas
+        UDF registered under a stable name, and rewrite the call to it,
+        so PinotEngine.sql users get the same inline-transform subset as
+        the Column registry (functions/groovy_expr.py)."""
+        out = sql
+        while True:
+            m = re.search(r"\bGROOVY\s*\(", out, re.IGNORECASE)
+            if not m:
+                return out
+            if any(a <= m.start() < b for a, b in _literal_spans(out)):
+                return out
+            open_idx = out.index("(", m.end() - 1)
+            close_idx = _find_matching(out, open_idx)
+            args = _split_args(out[open_idx + 1 : close_idx])
+            if len(args) < 3:
+                raise PinotSqlError("GROOVY needs (metadata, script, args...)")
+
+            def unq(s: str) -> str:
+                s = s.strip()
+                if not (s.startswith("'") and s.endswith("'")):
+                    raise PinotSqlError("GROOVY metadata/script must be string literals")
+                return s[1:-1].replace("''", "'")
+
+            from pinot_spark.functions.groovy_expr import groovy_udf
+
+            _ASOF_VIEW_SEQ[0] += 1
+            name = f"__groovy_{_ASOF_VIEW_SEQ[0]}"
+            self.spark.udf.register(name, groovy_udf(unq(args[0]), unq(args[1])))
+            out = (
+                out[: m.start()]
+                + f"{name}({', '.join(args[2:])})"
+                + out[close_idx + 1 :]
+            )
+
     def translate(self, pinot_sql: str) -> tuple[str, dict[str, str]]:
         options, sql = split_options(pinot_sql)
+        if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
+            sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):
             rewritten = rewrite_asof_join(self.spark, sql)
             if rewritten == sql:

@@ -331,3 +331,17 @@ def test_splitpart_strpos_reference_semantics(engine, spark):
     ).collect()
     for r in got:
         assert r.p == ref_strpos(r.s, r.sub, r.n), (r.s, r.sub, r.n, r.p)
+
+
+def test_groovy_sql_surface(engine, spark):
+    """GROOVY('meta','script', cols...) through PinotEngine.sql — the
+    inline-transform subset compiled and registered per call."""
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, v double"
+    ).createOrReplaceTempView("groovy_t")
+    rows = engine.sql(
+        "SELECT k, GROOVY('{\"returnType\":\"DOUBLE\",\"isSingleValue\":true}', "
+        "'arg0 % 2 == 0 ? arg1 * 2 : arg1 / 2', k, v) AS g "
+        "FROM groovy_t ORDER BY k"
+    ).collect()
+    assert [(r.k, r.g) for r in rows] == [(1, 5.0), (2, 40.0)]
