@@ -804,9 +804,11 @@ def _polys_disjoint(a_rings, b_rings) -> bool:
 def st_union_wkt(a: str, b: str) -> str:
     """Scalar ST_Union over this engine's WKT geometries
     (StUnionFunction.java role): point/multipoint unions are exact set
-    unions; polygon/multipolygon unions of pairwise-DISJOINT members
-    concatenate into a MULTIPOLYGON.  Overlapping polygons need boolean
-    clipping (geometry library, absent) → NotImplementedError."""
+    unions; polygon/multipolygon unions merge overlapping members with
+    Greiner-Hormann boolean clipping (functions/polyclip.py) and
+    concatenate disjoint ones into a MULTIPOLYGON.  Exactly-degenerate
+    configurations (vertex-on-edge, collinear overlapping edges) and
+    hole-bearing OVERLAPPING inputs raise NotImplementedError loudly."""
     from pinot_spark.functions.wkb import from_wkt, to_wkt
 
     ga, gb = from_wkt(a), from_wkt(b)
@@ -824,15 +826,36 @@ def st_union_wkt(a: str, b: str) -> str:
 
     qa, qb = polys(ga), polys(gb)
     if qa is not None and qb is not None:
-        for ra in qa:
-            for rb in qb:
-                if not _polys_disjoint(ra, rb):
-                    raise NotImplementedError(
-                        "ST_Union of overlapping polygons needs boolean clipping "
-                        "(geometry library absent); disjoint unions and point "
-                        "unions are supported"
-                    )
+        from pinot_spark.functions.polyclip import clip
+
         members = qa + qb
+        merged_any = True
+        while merged_any:
+            merged_any = False
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if _polys_disjoint(members[i], members[j]):
+                        continue
+                    if len(members[i]) > 1 or len(members[j]) > 1:
+                        raise NotImplementedError(
+                            "ST_Union of OVERLAPPING hole-bearing polygons is unsupported"
+                        )
+                    rings = clip(members[i][0], members[j][0], "union")
+                    outer, holes, extras = rings[0], [], []
+                    for r in rings[1:]:
+                        if _ring_crossing_parity(r[0][0], r[0][1], outer):
+                            holes.append(r)  # enclosed void → hole ring
+                        else:
+                            extras.append([r])
+                    members = (
+                        [m for k, m in enumerate(members) if k not in (i, j)]
+                        + [[outer, *holes]]
+                        + extras
+                    )
+                    merged_any = True
+                    break
+                if merged_any:
+                    break
         return to_wkt(("POLYGON", members[0]) if len(members) == 1 else ("MULTIPOLYGON", members))
     raise NotImplementedError(
         f"ST_Union between {ga[0]} and {gb[0]} is not supported "

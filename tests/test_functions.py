@@ -289,16 +289,37 @@ def test_st_union_points_and_disjoint_polygons(one):
     assert ev(one, call("stArea", call("stUnion", F.lit(a), F.lit(b)))) == 8.0
 
 
-def test_st_union_overlap_declared(one):
-    """Overlapping polygon union needs clipping — declared gap, loud."""
+def test_st_union_overlapping_polygons(one):
+    """Overlapping polygon union via Greiner-Hormann clipping: area is
+    the inclusion-exclusion value, containment matches in-A-or-in-B."""
+    from pinot_spark.functions.scalar import _parse_rings, _point_in_rings, _rings_area, st_union_wkt
+
+    a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    b = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"     # crosses a; overlap 2x2
+    u = st_union_wkt(a, b)
+    pu = _parse_rings(u)
+    assert abs(_rings_area(pu) - (16 + 16 - 4)) < 1e-9
+    for (px, py, want) in [(1, 1, True), (5, 5, True), (3, 3, True), (5, 1, False), (1.5, 5.5, False)]:
+        assert _point_in_rings(px, py, pu) == want, (px, py)
+    # containment: union of a and a contained polygon = the outer
+    c = "POLYGON ((1 1, 2 1, 2 2.5, 1 2.5, 1 1))"
+    assert abs(_rings_area(_parse_rings(st_union_wkt(a, c))) - 16) < 1e-9
+    # concave: L-shape u rect (analytic 20 + 16 - 7 = 29)
+    L = "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"
+    R = "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"
+    assert abs(_rings_area(_parse_rings(st_union_wkt(L, R))) - 29) < 1e-9
+
+
+def test_st_union_degenerate_is_loud():
+    """Exact degeneracy (shared edges / vertex-on-edge) raises, never
+    silently-wrong geometry."""
     from pinot_spark.functions.scalar import st_union_wkt
 
     a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
-    b = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"    # crosses a
-    c = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"    # contained in a
-    for other in (b, c):
-        with pytest.raises(NotImplementedError):
-            st_union_wkt(a, other)
+    # triangle with a vertex exactly ON a's bottom edge, crossing into a
+    vertex_on_edge = "POLYGON ((2 0, 6 -2, 6 2, 2 0))"
+    with pytest.raises(NotImplementedError):
+        st_union_wkt(a, vertex_on_edge)
 
 
 def test_datetime_convert_column(one):
