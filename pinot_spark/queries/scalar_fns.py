@@ -643,7 +643,7 @@ def fn_geo_contains(spark, sf_dir):
     "fn_groovy_inline",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS net,
+           round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)), 2)::DOUBLE AS net,
            CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
            upper(l_returnflag) || '-' || CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) AS tag
     FROM lineitem WHERE l_orderkey < 50
@@ -668,10 +668,15 @@ def fn_groovy_inline(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
+            # round via DECIMAL: double half-cases (x.xx5) round
+            # differently across engines on raw doubles (driver-mimic r03)
             F.round(
-                g("DOUBLE", "arg0 * (1 - arg1)", F.col("l_extendedprice"), F.col("l_discount")),
+                g("DOUBLE", "arg0 * (1 - arg1)", F.col("l_extendedprice"), F.col("l_discount"))
+                .cast("decimal(38,6)"),
                 2,
-            ).alias("net"),
+            )
+            .cast("double")
+            .alias("net"),
             g("STRING", "arg0 > 25 ? 'bulk' : 'small'", F.col("l_quantity")).alias("bucket"),
             g(
                 "STRING",
