@@ -94,3 +94,31 @@ def test_concave_hole_formation():
     total = sum(abs(_area(r)) for r in rings[:1]) - sum(abs(_area(r)) for r in rings[1:])
     assert abs(total - 30) < 1e-9
     assert len(rings) == 2  # outer + one hole
+
+
+def test_st_union_geoms_aggregate(spark):
+    """Distributed WKT union fold (operators/geo.py ←
+    StUnionAggregationFunction): partition-count independent, correct
+    area for a mix of overlapping and disjoint members."""
+    from pinot_spark.functions.scalar import _parse_rings, _rings_area
+    from pinot_spark.operators.geo import st_union_geoms
+
+    rows = [
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",),     # 16
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",),     # 16, overlap 4
+        ("POLYGON ((10 10, 13 10, 13 13, 10 13, 10 10))",),  # 9, disjoint
+        (None,),
+    ]
+    for n_parts in (1, 3):
+        df = spark.createDataFrame(rows, "wkt string").repartition(n_parts)
+        u = st_union_geoms(df, "wkt")
+        assert u is not None and u.startswith("MULTIPOLYGON")
+        assert abs(_rings_area(_parse_rings(u)) - (16 + 16 - 4 + 9)) < 1e-9
+    # points fold to a MULTIPOINT through the same surface
+    pts = spark.createDataFrame(
+        [("POINT (1 2)",), ("POINT (3 4)",), ("POINT (1 2)",)], "wkt string"
+    )
+    assert st_union_geoms(pts, "wkt") == "MULTIPOINT (1 2, 3 4)"
+    # empty input
+    empty = spark.createDataFrame([], "wkt string")
+    assert st_union_geoms(empty, "wkt") is None
