@@ -20,6 +20,16 @@ What Pinot-specific semantics this layer reproduces:
   ALL elements differ (BaseRawValueBasedPredicateEvaluator.java:72-85).
   Rewritten to ``array_contains`` / ``NOT array_contains`` using the
   schemas of the referenced tables.
+- **ASOF JOIN** MSE syntax (``a [LEFT] ASOF JOIN b MATCH_CONDITION(...)
+  ON ...`` — AsofJoinOperator.java) routed to the union+window builder.
+- **GAPFILL** query-time syntax (GapfillProcessor.java), top-level or as
+  an aggregated-over derived table, executed as a spine+window plan.
+- **MV-distinct scale rewrite**: DISTINCTCOUNTMV/DISTINCTSUMMV/
+  DISTINCTAVGMV in simple statements become LATERAL VIEW explode
+  subqueries with map-side partial aggregation (no collect buffers).
+- **GROOVY inline transforms**: literal-script calls compile through the
+  expression-subset evaluator (functions/groovy_expr.py) and register as
+  per-call pandas UDFs.
 - **ResultTable shaping**: the broker's JSON result format
   (columnNames / columnDataTypes / rows — pinot-common/.../response/).
 
