@@ -77,3 +77,46 @@ def fingerprint(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def chunk_plan(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    chunking step before tokenization/packing in an LLM training-data
+    pipeline. One row per (doc, chunk): (id, chunk_start, chunk_len,
+    chunk_text).
+
+    Scale design: pure JVM higher-order expressions — the token array is
+    built once per row, chunk starts come from ``sequence()`` and each
+    chunk is a ``slice`` + ``array_join``; the explode fans out without
+    any Python or shuffle (chunks stay with their document's partition).
+    Tokenization here is single-space split so the operation is exactly
+    reproducible by any engine (the whitespace-regex tokenizer in
+    ``tokens()`` serves the analysis paths).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            "chunk_start",
+            F.least(
+                F.lit(chunk_tokens), F.size("__toks") - F.col("chunk_start")
+            ).alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_start") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+        .filter(F.col("chunk_len") > 0)
+    )

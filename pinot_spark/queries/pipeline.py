@@ -492,6 +492,37 @@ def sample_stratified_split(spark, sf_dir):
 
 
 @query(
+    "text_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents WHERE doc_id < 40)
+    SELECT doc_id, s.start AS chunk_start,
+           CAST(least(64, len(t) - s.start) AS INT) AS chunk_len,
+           array_to_string(list_slice(t, s.start + 1, s.start + 64), ' ') AS chunk_text
+    FROM toks, LATERAL (
+      SELECT unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS start) s
+    WHERE least(64, len(t) - s.start) > 0
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Document chunking into 64-token windows with 16-token overlap
+    (operators/text.chunk_plan — the pre-tokenization chunking step of
+    an LLM training pipeline): pure JVM sequence/slice/explode, one row
+    per chunk, chunks co-partitioned with their documents."""
+    from pinot_spark.operators.text import chunk_plan
+
+    t = load_tables(spark, sf_dir)
+    return chunk_plan(
+        t["documents"].filter(F.col("doc_id") < 40),
+        "text",
+        "doc_id",
+        chunk_tokens=64,
+        overlap=16,
+    ).orderBy("doc_id", "chunk_start")
+
+
+@query(
     "multimodal_resize_and_windows",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
