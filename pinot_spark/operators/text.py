@@ -16,9 +16,28 @@ STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
 
 
 def tokens(text: str | Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split)."""
+    """Whitespace tokenization (the analysis-path tokenizer)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
+
+
+# GPT-2-style pre-tokenizer pattern (public: the BPE pre-split regex —
+# contractions, letter runs, digit runs, punctuation runs, whitespace).
+# Java regex and RE2 (DuckDB) agree on every construct used, so counts
+# are engine-reproducible; the lookahead variant is intentionally
+# dropped (trailing-space merge only shifts counts by <=1 per doc).
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """BPE-ish token count: number of GPT-2 pre-tokenizer segments —
+    the standard quick estimate of LLM token cost per document (actual
+    BPE merges only split these further, so this lower-bounds vocab
+    tokens at roughly 1:1.3)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
 
 
 def token_count(text: str | Column) -> Column:

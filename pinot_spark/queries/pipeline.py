@@ -523,6 +523,42 @@ def text_chunking(spark, sf_dir):
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+             AS total_ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Token-cost estimation with the GPT-2 pre-tokenizer regex
+    (operators/text.bpe_token_count) alongside whitespace counts — the
+    per-language LLM token budget of a corpus, computed as a single
+    codegen'd regexp_count (no UDF); DuckDB reproduces the identical
+    counts because the pattern stays within the Java-regex/RE2 common
+    subset."""
+    from pinot_spark.operators.text import bpe_token_count, token_count
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+            F.sum(token_count("text")).alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "multimodal_resize_and_windows",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
