@@ -553,6 +553,13 @@ for _t in ("int", "string"):
 for _t in ("int", "long", "string"):
     _EXT_TEMPLATES[f"arrayslice{_t}"] = lambda a: f"slice({a[0]}, {a[1]} + 1, {a[2]} - {a[1]})"
 
+# ObjectFunctions#arrayToString analog (registry twin scalar_ext.py);
+# the cast keeps it total over numeric MV columns.
+_EXT_TEMPLATES["arraytostring"] = (
+    lambda a: f"array_join(cast({a[0]} as array<string>), {a[1]}"
+    + (f", {a[2]})" if len(a) > 2 else ")")
+)
+
 for _k, _v in _EXT_TEMPLATES.items():
     FUNCTION_MAP.setdefault(_k, _v)
 

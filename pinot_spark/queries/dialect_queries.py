@@ -264,7 +264,7 @@ def dialect_mv_distinct_scale(spark, sf_dir):
            strftime(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000),
                     '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
            CASE WHEN n_regionkey != 0 THEN CAST(FLOOR(CAST(n_nationkey AS DOUBLE) / n_regionkey) AS BIGINT) ELSE 0 END AS idoz,
-           [n_nationkey, 99] AS pushed
+           array_to_string([n_nationkey, 99], ',') AS pushed
     FROM nation ORDER BY n_name LIMIT 25
     """,
 )
@@ -283,6 +283,6 @@ def dialect_fn_surface_ext(spark, sf_dir):
         "ROUND(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000, 86400000) AS rounded, "
         "TOISO8601(1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) AS iso, "
         "INTDIVORZERO(n_nationkey, n_regionkey) AS idoz, "
-        "ARRAYPUSHBACKINT(array(n_nationkey), 99) AS pushed "
+        "ARRAYTOSTRING(ARRAYPUSHBACKINT(array(n_nationkey), 99), ',') AS pushed "
         "FROM nation ORDER BY n_name LIMIT 25"
     )

@@ -765,8 +765,8 @@ def fn_h3_grid(spark, sf_dir):
            ((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) // 86400000) * 86400000 AS round_day,
            isoyear(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000)) AS weekyear,
            strftime(make_timestamp((1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000) * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
-           list_transform([1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000], x -> x // 86400000) AS days_mv,
-           [n_nationkey, n_nationkey * 2, 99] AS pushed,
+           array_to_string(list_transform([1690000000000 + CAST(n_nationkey AS BIGINT) * 259200000], x -> x // 86400000), ',') AS days_mv,
+           array_to_string([n_nationkey, n_nationkey * 2, 99], ',') AS pushed,
            (n_nationkey * 2) AS elem1
     FROM nation ORDER BY n_name
     """,
@@ -809,8 +809,10 @@ def fn_surface_ext(spark, sf_dir):
             c("round", ms, F.lit(86400000)).alias("round_day"),
             c("yearOfWeek", ms).alias("weekyear"),
             c("toIso8601", ms).alias("iso"),
-            c("toEpochDaysMV", F.array(ms)).alias("days_mv"),
-            c("arrayPushBackInt", F.array(k, k * 2), F.lit(99)).alias("pushed"),
+            # driver contract: ArrayType outputs are stringified — the
+            # driver's pandas canonicalizer cannot sort/hash numpy arrays
+            c("arrayToString", c("toEpochDaysMV", F.array(ms)).cast("array<string>"), ",").alias("days_mv"),
+            c("arrayToString", c("arrayPushBackInt", F.array(k, k * 2), F.lit(99)).cast("array<string>"), ",").alias("pushed"),
             c("arrayElementAtInt", F.array(k, k * 2, F.lit(99)), F.lit(1)).alias("elem1"),
         )
         .orderBy("n_name")

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql.types import ArrayType, MapType
+
 from pinot_spark import queries as Q
 from tests.conftest import assert_same_rows
 
@@ -17,6 +19,19 @@ def _pairs():
 @pytest.mark.parametrize("name", _pairs())
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     df = Q.QUERIES[name](spark, sf_dir)
+    # driver-compat gate: the driver's pandas canonicalizer sort/hashes
+    # every output cell — numpy arrays (ArrayType/MapType columns) are
+    # unhashable and fail the whole query (CORRECTNESS_r03
+    # fn_surface_ext). Stringify via arrayToString/to_json instead.
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-backed query emits array/map columns {bad}; "
+        "the driver canonicalizer cannot hash these — stringify them"
+    )
     rel = duck.sql(Q.ORACLE[name])
     assert_same_rows(df, rel)
 
