@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,29 +50,38 @@ def main() -> None:
     # warm-up: JVM/codegen + file listing, using the cheapest query
     Q.QUERIES[names[0]](spark, sf_dir).collect()
 
-    # Best-of-2 per query: a single local[32] run is noisy (sandbox load,
-    # GC, page cache); the min of two runs is a far more stable estimate of
-    # the plan's true cost. Round-2 showed a uniform +23% drift on UNCHANGED
-    # query code — pure environment noise that best-of-2 removes.
+    # Median-of-N per query (default 3): a single local[32] run is noisy
+    # (sandbox load, GC, page cache) — round 2 showed +23% and round 4
+    # +53% uniform drift on UNCHANGED query code. The median is robust to
+    # one bad iteration, and the per-iteration spread is published so a
+    # noisy round is distinguishable from a plan regression.
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
+    iterations: dict[str, list[float]] = {}
     for name in names:
-        best = None
+        times: list[float] = []
         rows = None
-        for _attempt in range(2):
+        for _attempt in range(iters):
             t0 = time.perf_counter()
             try:
                 rows = Q.QUERIES[name](spark, sf_dir).collect()
             except Exception as e:  # never lose the JSON line to one query
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
-                best = round(time.perf_counter() - t0, 3)
+                times.append(round(time.perf_counter() - t0, 3))
                 break
-            elapsed = round(time.perf_counter() - t0, 3)
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = best
+            times.append(round(time.perf_counter() - t0, 3))
+        timings[name] = round(statistics.median(times), 3)
+        iterations[name] = times
         nrows = len(rows) if rows is not None else 0
-        print(f"# {name}: {timings[name]}s ({nrows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]}s of {times} ({nrows} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spread = round(
+        sum(max(t) - min(t) for t in iterations.values() if t), 3
+    )
     print(
         json.dumps(
             {
@@ -80,6 +90,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iters_per_query": iters,
+                "iterations": iterations,
+                "spread_total": spread,
             }
         )
     )

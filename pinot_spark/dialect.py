@@ -555,6 +555,12 @@ for _t in ("int", "long", "string"):
 
 # ObjectFunctions#arrayToString analog (registry twin scalar_ext.py);
 # the cast keeps it total over numeric MV columns.
+# Null divergence vs reference ArrayFunctions.java:402-408 (documented,
+# deliberate): Spark's 2-arg array_join DROPS null elements where
+# String.join renders the literal "null", and the reference returns
+# NullValuePlaceHolder.STRING for null/empty input arrays where Spark
+# returns ''. Pass an explicit nullReplacement (3rd arg) for
+# reference-identical null rendering.
 _EXT_TEMPLATES["arraytostring"] = (
     lambda a: f"array_join(cast({a[0]} as array<string>), {a[1]}"
     + (f", {a[2]})" if len(a) > 2 else ")")
@@ -1086,6 +1092,171 @@ def apply_default_limit(sql: str, limit: int = 10) -> str:
 
 
 # ---------------------------------------------------------------------------
+# query-option consumption (QueryOptionsUtils.java) + query hints
+# (PinotHintOptions.java:39-71)
+# ---------------------------------------------------------------------------
+
+_TRUE_VALUES = {"true", "1", "yes"}
+
+# options the engine consumes or deliberately accepts as no-ops.  Keys are
+# canonical lowercase; QueryOptionsUtils.java holds the reference set.
+_KNOWN_OPTIONS = {
+    "limit": "dialect default-LIMIT override (engine extension)",
+    "enablenullhandling": "null-mode routing (QueryOptionsUtils.java:389)",
+    "timeoutms": "accepted no-op: local engine has no broker timeout budget",
+    "usemultistageengine": "accepted no-op: Catalyst is always multi-stage",
+    "numreplicagroupstoquery": "accepted no-op: replica routing is a "
+    "serving-cluster concern (Spark has no replica groups)",
+    "explain": "accepted no-op: use DataFrame.explain()",
+}
+
+
+def consume_options(options: dict[str, str]) -> None:
+    """Validate SET options: unknown keys warn loudly instead of being
+    silently ignored (a semantics-changing option the engine does not
+    implement must never fail silent)."""
+    import warnings
+
+    for k in options:
+        if k.lower() not in _KNOWN_OPTIONS:
+            warnings.warn(
+                f"unknown query option {k!r} ignored "
+                "(known: " + ", ".join(sorted(_KNOWN_OPTIONS)) + ")",
+                stacklevel=3,
+            )
+
+
+def null_handling_enabled(options: dict[str, str], default: bool) -> bool:
+    """``SET enableNullHandling=true`` → SQL null semantics;
+    false/absent → Pinot's default-value mode (QueryOptionsUtils.java:389,
+    corpus NullHandling.json)."""
+    for k, v in options.items():
+        if k.lower() == "enablenullhandling":
+            return v.strip().lower() in _TRUE_VALUES
+    return default
+
+
+def _null_default_literal(dt: T.DataType) -> str | None:
+    """Pinot defaultNullValue for a Spark type as a SQL literal
+    (FieldSpec.java:198 metric defaults; NullValuePlaceHolder for
+    strings). Dimension defaults (Integer.MIN_VALUE family) are
+    schema-declared in Pinot — absent an explicit schema the engine
+    applies the metric/neutral default. Complex types return None
+    (left as stored)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "0"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "0.0"
+    if isinstance(dt, T.DecimalType):
+        return "0"
+    if isinstance(dt, T.StringType):
+        return "'null'"
+    if isinstance(dt, T.BooleanType):
+        return "false"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    return None
+
+
+# Calcite-style hint block right after SELECT: /*+ hintA(k=v, ...), ... */
+_HINT_BLOCK_RE = re.compile(r"/\*\+\s*(.*?)\s*\*/", re.DOTALL)
+_HINT_CALL_RE = re.compile(r"([A-Za-z_]\w*)\s*(?:\(([^()]*)\))?")
+_JOIN_TARGET_RE = re.compile(
+    r"\bJOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", re.IGNORECASE
+)
+_SQL_KEYWORDS = {
+    "ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+    "LEFT", "RIGHT", "INNER", "OUTER", "CROSS", "FULL", "JOIN",
+    "ASOF", "MATCH_CONDITION", "UNION", "INTERSECT", "EXCEPT",
+}
+
+
+def _parse_hint_kv(body: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in body.split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        out[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
+    return out
+
+
+def rewrite_pinot_hints(sql: str) -> str:
+    """Map Pinot multistage query hints (PinotHintOptions.java:39-71,
+    corpus QueryHints.json) onto Spark's join-strategy / repartition
+    hints so the hint actually changes the executed plan:
+
+    - ``joinOptions(join_strategy='hash'|'hash_table')`` →
+      ``SHUFFLE_HASH(<right side of the first JOIN>)``
+    - ``joinOptions(join_strategy='lookup'|'broadcast'|
+      'dynamic_broadcast')`` → ``BROADCAST(<right side>)`` (lookup joins
+      and Pinot's dynamic-broadcast semi are both broadcast shapes on
+      Spark)
+    - ``tableOptions(partition_key=..., partition_size=N |
+      partition_parallelism=N)`` → ``REPARTITION(N, key)``
+    - ``aggOptions(...)`` / ``skipLeafStageGroupByAggregation`` →
+      recognized no-ops (Catalyst always plans partial/final aggregation;
+      AQE re-plans at runtime) — dropped with a warning only when nothing
+      else maps.
+    """
+    import warnings
+
+    m = _HINT_BLOCK_RE.search(sql)
+    if not m:
+        return sql
+    body = m.group(1)
+    spark_hints: list[str] = []
+    recognized_noop = False
+    i = 0
+    while i < len(body):
+        cm = _HINT_CALL_RE.match(body, i)
+        if not cm or not cm.group(1):
+            i += 1
+            continue
+        name = cm.group(1).lower()
+        kv = _parse_hint_kv(cm.group(2) or "")
+        if name == "joinoptions":
+            strategy = kv.get("join_strategy", "").lower()
+            jt = _JOIN_TARGET_RE.search(sql, m.end())
+            if jt is None:
+                warnings.warn("joinOptions hint on a query with no JOIN; dropped")
+            else:
+                alias = jt.group(2)
+                target = (
+                    alias
+                    if alias and alias.upper() not in _SQL_KEYWORDS
+                    else jt.group(1)
+                )
+                if strategy in ("hash", "hash_table"):
+                    spark_hints.append(f"SHUFFLE_HASH({target})")
+                elif strategy in ("lookup", "broadcast", "dynamic_broadcast"):
+                    spark_hints.append(f"BROADCAST({target})")
+                else:
+                    warnings.warn(f"unknown join_strategy {strategy!r}; dropped")
+        elif name == "tableoptions":
+            key = kv.get("partition_key")
+            n = kv.get("partition_size") or kv.get("partition_parallelism")
+            if key and n and n.isdigit():
+                spark_hints.append(f"REPARTITION({n}, {key})")
+            else:
+                recognized_noop = True
+        elif name in ("aggoptions", "skipleafstagegroupbyaggregation"):
+            recognized_noop = True
+        else:
+            warnings.warn(f"unknown Pinot hint {name!r} dropped")
+        i = cm.end()
+        while i < len(body) and body[i] in ", \n\t":
+            i += 1
+    if spark_hints:
+        repl = "/*+ " + ", ".join(spark_hints) + " */"
+    else:
+        repl = ""
+        if not recognized_noop:
+            warnings.warn("Pinot hint block had no mappable hints; removed")
+    return sql[: m.start()] + repl + sql[m.end() :]
+
+
+# ---------------------------------------------------------------------------
 # engine facade
 # ---------------------------------------------------------------------------
 
@@ -1099,6 +1270,18 @@ class PinotEngine:
     spark: SparkSession
     default_limit: int = 10
     options: dict[str, str] = field(default_factory=dict)
+    # Pinot's enableNullHandling default is false (QueryOptionsUtils.java:389):
+    # operators see the column's defaultNullValue, not SQL nulls. Our
+    # storage keeps real nulls (parquet), so default-value mode is applied
+    # as a scan-time coalesce — exactly equivalent to Pinot materializing
+    # defaults at ingest (NullValueTransformer.java).
+    null_handling_default: bool = False
+    # Tables default-value mode applies to — the analog of Pinot's
+    # schema-declared tables (defaultNullValue is schema config). None →
+    # the engine catalog's base tables. Query-generated nulls (gapfill
+    # spine rows, ad-hoc views) are NEVER defaulted: Pinot substitutes at
+    # ingestion, which only ever touches stored columns.
+    null_default_tables: frozenset[str] | None = None
 
     def _register_groovy_calls(self, sql: str) -> str:
         """Compile each GROOVY('meta', 'script', args...) call (literal
@@ -1136,8 +1319,76 @@ class PinotEngine:
                 + out[close_idx + 1 :]
             )
 
+    def _ensure_nulldef_view(self, table: str) -> str:
+        """Default-value-mode scan wrapper: a temp view over ``table``
+        with every nullable scalar column coalesced to its
+        defaultNullValue (cast back to the column type, so schemas are
+        identical). Returns the original name when nothing is nullable
+        or no scalar default exists."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(table)
+        cols, changed = [], False
+        for f_ in df.schema.fields:
+            lit = _null_default_literal(f_.dataType) if f_.nullable else None
+            if lit is not None:
+                cols.append(
+                    F.expr(
+                        f"coalesce(`{f_.name}`, CAST({lit} AS "
+                        f"{f_.dataType.simpleString()}))"
+                    ).alias(f_.name)
+                )
+                changed = True
+            else:
+                cols.append(F.col(f_.name))
+        if not changed:
+            return table
+        view = f"__nulldef_{table}"
+        df.select(*cols).createOrReplaceTempView(view)
+        return view
+
+    def _apply_default_null_views(self, sql: str) -> str:
+        """Rewrite ``FROM t`` / ``JOIN t`` references (outside string
+        literals) to the null-defaulted views. An ``AS <original>`` alias
+        is added when the reference has no alias, so qualified column
+        references (``t.col``) keep resolving."""
+        from_join = re.compile(r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)", re.IGNORECASE)
+
+        allowed = self.null_default_tables
+        if allowed is None:
+            from pinot_spark.catalog import TABLE_NAMES
+
+            allowed = frozenset(TABLE_NAMES)
+
+        def rewrite_segment(seg: str) -> str:
+            def repl(m: re.Match) -> str:
+                t = m.group(2)
+                if t not in allowed or t.startswith("__"):
+                    return m.group(0)
+                try:
+                    if not self.spark.catalog.tableExists(t):
+                        return m.group(0)
+                except Exception:
+                    return m.group(0)
+                view = self._ensure_nulldef_view(t)
+                if view == t:
+                    return m.group(0)
+                nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", seg[m.end() :])
+                has_alias = nxt is not None and nxt.group(1).upper() not in _SQL_KEYWORDS
+                suffix = "" if has_alias else f" AS {t}"
+                return f"{m.group(1)} {view}{suffix}"
+
+            return from_join.sub(repl, seg)
+
+        return "".join(
+            seg if is_lit else rewrite_segment(seg)
+            for is_lit, seg in _scan_strings(sql)
+        )
+
     def translate(self, pinot_sql: str) -> tuple[str, dict[str, str]]:
         options, sql = split_options(pinot_sql)
+        consume_options(options)
+        sql = rewrite_pinot_hints(sql)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
             sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):
@@ -1151,6 +1402,11 @@ class PinotEngine:
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_mv_predicates(self.spark, sql)
+        # default-value null mode LAST: table-name substitution must not
+        # disturb the shape-sensitive rewrites above (MV-distinct scale,
+        # ASOF) which match plain `FROM <table>` forms
+        if not null_handling_enabled(options, self.null_handling_default):
+            sql = self._apply_default_null_views(sql)
         sql = apply_default_limit(sql, int(options.get("limit", self.default_limit)))
         return sql, options
 

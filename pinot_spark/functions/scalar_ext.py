@@ -86,10 +86,12 @@ for _t in ("int", "long", "float", "double"):
     )
 
 _reg("arrayvalueconstructor", "array")(lambda *xs: F.array(*[_c(x) for x in xs]))
+# the cast keeps it total over numeric MV columns (Spark array_join
+# requires array<string>; reference ArrayFunctions coerces to String[])
 _reg("arraytostring")(
-    lambda a, sep, nullstr=None: F.array_join(_c(a), sep, nullstr)
+    lambda a, sep, nullstr=None: F.array_join(_c(a).cast("array<string>"), sep, nullstr)
     if nullstr is not None
-    else F.array_join(_c(a), sep)
+    else F.array_join(_c(a).cast("array<string>"), sep)
 )
 _reg("stringtoarray")(lambda s, delim: F.split(_c(s), delim))
 _reg("arraysoverlap")(lambda a, b: F.arrays_overlap(_c(a), _c(b)))

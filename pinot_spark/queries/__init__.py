@@ -73,61 +73,101 @@ from pinot_spark.queries import dialect_queries  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Driver-green in CORRECTNESS_r01/r02 (registry indices 0-49 of round 2).
+# Driver-green in CORRECTNESS_r01-r04 (98 queries: rows+schema+hash, no
+# err, across four rounds). Parked at the back; regressions are caught
+# every round by the driver-mimic parity sweep tests/test_oracle_parity.py
+# which covers ALL oracle-backed pairs regardless of window position.
 _VERIFIED_PRIOR_ROUNDS = [
-    "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q2_min_cost_supplier", "q7_nation_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q11_important_parts",
-    "q12_late_shipment_priority", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q20_excess_suppliers", "q21_last_shipper_in_order",
-    "q4_order_priority_exists", "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_revenue", "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q22_anti_join", "join_full_outer", "join_non_equi_theta",
-    "set_ops_union_intersect_except", "set_ops_all_variants", "distinct_select",
-    "grouping_sets", "rollup_cube", "having_clause", "filtered_aggregation",
-    "case_when_projection", "values_literal", "cte_with_reuse", "unnest_explode",
-    "unnest_posexplode_zip", "join_right_outer", "join_lookup_dimension",
-    "agg_count_metadata_only", "window_rank_topn_per_group", "window_running_sum",
-    "window_lead_lag", "window_first_last_ntile", "window_sliding_rows_frame",
+    # TPC-H suite (r2)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority_exists", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q20_excess_suppliers",
+    "q21_last_shipper_in_order", "q22_anti_join",
+    # relational / set ops / windows (r2)
+    "join_full_outer", "join_right_outer", "join_non_equi_theta",
+    "join_lookup_dimension", "set_ops_union_intersect_except",
+    "set_ops_all_variants", "distinct_select", "grouping_sets",
+    "rollup_cube", "having_clause", "filtered_aggregation",
+    "case_when_projection", "values_literal", "cte_with_reuse",
+    "unnest_explode", "unnest_posexplode_zip", "agg_count_metadata_only",
+    "agg_basic_family", "agg_distinct_family",
+    "window_rank_topn_per_group", "window_running_sum", "window_lead_lag",
+    "window_first_last_ntile", "window_sliding_rows_frame",
     "window_range_frame", "window_percent_cume", "window_frame_exclude",
-    "agg_basic_family", "agg_distinct_family", "agg_approx_distinct",
-]
-
-# Round-3 window: never-driver-evaluated entries, highest coverage first.
-_WINDOW_PRIORITY = [
-    # dialect surface (§2.10 + §2.2 dialect templates + ASOF/GAPFILL SQL)
+    # dialect surface (r3/r4)
     "dialect_default_limit_selection", "dialect_pinot_agg_names",
     "dialect_epoch_functions", "dialect_datetime_convert",
     "dialect_lookup_transform", "dialect_ddl_mv_roundtrip",
     "dialect_fn_surface_ext", "dialect_asof_join", "dialect_gapfill",
-    # round-2's single FAIL (HUGEINT dtype), re-proven after the CAST fix
-    "q12_late_shipment_priority",
-    # scalar-function families (§2.8) + filter predicates (§2.3)
+    # scalar-fn families + filters (r3)
     "fn_string_family", "fn_datetime_family", "fn_math_family",
     "fn_json_extract", "fn_json_match_rewrite", "fn_regex_family",
     "fn_hash_family", "fn_conditional_null", "mv_any_match_filter",
     "mv_all_match_exclusive_filter", "mv_array_functions",
     "fn_in_not_in_range", "fn_text_match_like", "fn_url_family",
-    "fn_ip_subnet_family",
-    "fn_geo_point_family", "fn_map_family", "fn_geo_contains",
-    "fn_h3_grid", "fn_surface_ext", "fn_surface_udf_families",
-    # text/json/vector index operators (§2.3).  regex_fst_dictionary_match
-    # / dedup_embedding_cosine / similarity_radius_filter were dropped from
-    # the 50-slot window: their SURVEY rows are covered by fn_regex_family /
-    # similarity_topk_cosine, freeing slots for the ASOF/GAPFILL dialect
-    # queries and the q12 re-proof (they remain registered + repo-tested).
-    "text_match_lucene", "json_index_match",
-    "clp_encode_decode_roundtrip",
-    # LLM-pipeline operators
+    "fn_ip_subnet_family", "fn_geo_point_family", "fn_map_family",
+    "fn_geo_contains", "fn_h3_grid", "fn_surface_ext",
+    "fn_surface_udf_families",
+    # index operators (r3)
+    "text_match_lucene", "json_index_match", "clp_encode_decode_roundtrip",
+    # LLM-pipeline (r3/r4)
     "dedup_exact_documents", "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_clusters",
-    "similarity_topk_cosine", "text_token_stats", "text_quality_scores",
-    "text_lang_id", "text_fingerprints", "text_inverted_index_search",
+    "dedup_duplicate_clusters", "similarity_topk_cosine",
+    "text_token_stats", "text_quality_scores", "text_lang_id",
+    "text_fingerprints", "text_inverted_index_search",
     "multimodal_resize_and_windows",
-    # temporal / streaming essentials (§2.7, §2.5 as-of)
+    # temporal / streaming (r3)
     "asof_join_backward", "gapfill_fill_previous", "upsert_latest_per_key",
-    "timeseries_range_query", "hybrid_table_time_boundary", "funnel_max_step",
-    "agg_st_union_points",
+    "timeseries_range_query", "hybrid_table_time_boundary",
+    "funnel_max_step",
+]
+
+# Round-5 window: the never-driver-evaluated tail — exactly 50 entries,
+# one query per remaining SURVEY §2 row. Two stale r1 harness errors
+# (agg_firstlast_withtime, agg_approx_distinct) are re-proven first;
+# agg_st_union_points was registry #51 two rounds running and leads the
+# agg block. Overlap-consolidation (same SURVEY row already covered by a
+# window entry or a prior green) defers 9 entries to the round-6 queue:
+# agg_mv_grouped_percentile, agg_theta_setop_distinct,
+# agg_sum_array_scale_path, agg_distinctcount_mv_scale_path,
+# regex_fst_dictionary_match, similarity_pairwise_label,
+# dialect_mv_distinct_scale, agg_funnel_events_eval,
+# agg_funnel_max_step_window — they stay registered (middle positions
+# 51+) and repo-parity-tested.
+_WINDOW_PRIORITY = [
+    # null modes + new dialect routing (SET enableNullHandling, hints)
+    "null_mode_sql_semantics", "null_mode_default_value",
+    "dialect_null_option", "dialect_query_hints",
+    # stale r1 harness errors, never re-windowed
+    "agg_firstlast_withtime", "agg_approx_distinct",
+    # funnel family (gate-fixed array outputs first)
+    "agg_funnel_count", "funnel_match_step", "funnel_complete_count",
+    "funnel_step_duration_stats", "funnel_max_step_pandas",
+    # aggregation tail (§2.4)
+    "agg_st_union_points", "agg_exprminmax", "agg_mode",
+    "agg_stats_family", "agg_skew_kurt", "agg_fourth_moment",
+    "agg_percentiles", "agg_percentile_approx", "agg_bool_and_or",
+    "agg_listagg_arrayagg", "agg_histogram", "agg_sum_precision_decimal",
+    "agg_mv_variants", "agg_sum_array", "agg_count_by_segment_partition",
+    "agg_frequent_items", "agg_idset_membership", "agg_hll_sketch_union",
+    "agg_theta_sketch_distinct", "agg_raw_sketch_bytes",
+    "agg_startree_rollup_route",
+    # scalar families never windowed (§2.8)
+    "fn_trig_family", "fn_binary_conversion", "fn_groovy_inline",
+    # temporal / streaming tail (§2.7)
+    "events_time_bucket_agg", "gapfill_fill_default",
+    "dedup_first_per_key", "partial_upsert_merge",
+    "timeseries_keep_last_value", "timeseries_m3ql_pipeline",
+    # LLM-pipeline tail
+    "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
+    "similarity_topk_ivf", "similarity_radius_filter",
+    "dedup_embedding_cosine", "multimodal_feature_extract",
+    "sample_stratified_split", "text_chunking", "text_bpe_token_count",
 ]
 
 

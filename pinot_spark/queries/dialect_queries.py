@@ -286,3 +286,70 @@ def dialect_fn_surface_ext(spark, sf_dir):
         "ARRAYTOSTRING(ARRAYPUSHBACKINT(array(n_nationkey), 99), ',') AS pushed "
         "FROM nation ORDER BY n_name LIMIT 25"
     )
+
+
+@query(
+    "dialect_null_option",
+    oracle="""
+    WITH events_nv AS (
+        SELECT event_type, CASE WHEN value >= 5.0 THEN value END AS v
+        FROM events)
+    SELECT * FROM (
+        SELECT 'sql' AS mode, event_type, count(*) AS n_rows,
+               count(v) AS n_vals, round(avg(v), 4) AS avg_v
+        FROM events_nv GROUP BY event_type
+        UNION ALL
+        SELECT 'default' AS mode, event_type, count(*) AS n_rows,
+               count(coalesce(v, 0.0)) AS n_vals,
+               round(avg(coalesce(v, 0.0)), 4) AS avg_v
+        FROM events_nv GROUP BY event_type)
+    ORDER BY mode, event_type
+    """,
+)
+def dialect_null_option(spark, sf_dir):
+    """``SET enableNullHandling`` routing (QueryOptionsUtils.java:389,
+    corpus NullHandling.json): the same aggregation over a null-bearing
+    view under both modes — true → SQL semantics (aggregates skip nulls,
+    count(v) < count(*)); false → Pinot's default-value mode (scan-time
+    coalesce to defaultNullValue, count(v) == count(*), zeros pull the
+    average down)."""
+    t = load_tables(spark, sf_dir)
+    t["events"].select(
+        "event_type",
+        F.when(F.col("value") >= 5.0, F.col("value")).alias("v"),
+    ).createOrReplaceTempView("events_nv")
+    eng = PinotEngine(spark, null_default_tables=frozenset({"events_nv"}))
+    stmt = (
+        "SELECT '{tag}' AS mode, event_type, COUNT(*) AS n_rows, "
+        "COUNT(v) AS n_vals, CAST(ROUNDDECIMAL(AVG(v), 4) AS DOUBLE) AS avg_v "
+        "FROM events_nv GROUP BY event_type ORDER BY event_type"
+    )
+    sql_mode = eng.sql("SET enableNullHandling=true; " + stmt.format(tag="sql"))
+    default_mode = eng.sql(
+        "SET enableNullHandling=false; " + stmt.format(tag="default")
+    )
+    return sql_mode.unionAll(default_mode).orderBy("mode", "event_type")
+
+
+@query(
+    "dialect_query_hints",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, count(*) AS n_orders,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)::DOUBLE AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY seg LIMIT 10
+    """,
+)
+def dialect_query_hints(spark, sf_dir):
+    """Query hints (PinotHintOptions.java:39-71, corpus QueryHints.json):
+    ``/*+ joinOptions(join_strategy='hash') */`` is mapped to Spark's
+    ``SHUFFLE_HASH`` hint on the join's right side — the hint changes the
+    executed plan (asserted in tests/test_dialect_options.py), never the
+    result."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT /*+ joinOptions(join_strategy='hash') */ "
+        "c.c_mktsegment AS seg, COUNT(*) AS n_orders, "
+        "CAST(ROUNDDECIMAL(SUMPRECISION(o.o_totalprice), 2) AS DOUBLE) AS total "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY seg"
+    )

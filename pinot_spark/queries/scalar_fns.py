@@ -811,8 +811,8 @@ def fn_surface_ext(spark, sf_dir):
             c("toIso8601", ms).alias("iso"),
             # driver contract: ArrayType outputs are stringified — the
             # driver's pandas canonicalizer cannot sort/hash numpy arrays
-            c("arrayToString", c("toEpochDaysMV", F.array(ms)).cast("array<string>"), ",").alias("days_mv"),
-            c("arrayToString", c("arrayPushBackInt", F.array(k, k * 2), F.lit(99)).cast("array<string>"), ",").alias("pushed"),
+            c("arrayToString", c("toEpochDaysMV", F.array(ms)), ",").alias("days_mv"),
+            c("arrayToString", c("arrayPushBackInt", F.array(k, k * 2), F.lit(99)), ",").alias("pushed"),
             c("arrayElementAtInt", F.array(k, k * 2, F.lit(99)), F.lit(1)).alias("elem1"),
         )
         .orderBy("n_name")

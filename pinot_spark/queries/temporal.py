@@ -436,9 +436,10 @@ def timeseries_keep_last_value(spark, sf_dir):
          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
                 WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
     SELECT u.user_id,
-           [CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END,
-            CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END,
-            CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END] AS matched
+           array_to_string(
+             [CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END,
+              CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END,
+              CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END], ',') AS matched
     FROM (SELECT DISTINCT user_id FROM events WHERE event_type IN ('view','click','purchase')) u
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
@@ -457,13 +458,18 @@ def funnel_match_step(spark, sf_dir):
         F.col("event_type") == "purchase",
     ]
     ms = funnel_max_step(t["events"], "user_id", "ts", steps)
+    # driver contract: stringify the ArrayType output — the driver's
+    # pandas canonicalizer cannot sort/hash numpy arrays
     return ms.select(
         "user_id",
-        F.array(
-            *[
-                F.when(F.col("max_step") > i, 1).otherwise(0)
-                for i in range(len(steps))
-            ]
+        F.array_join(
+            F.array(
+                *[
+                    F.when(F.col("max_step") > i, 1).otherwise(0)
+                    for i in range(len(steps))
+                ]
+            ).cast("array<string>"),
+            ",",
         ).alias("matched"),
     ).orderBy("user_id")
 
@@ -573,8 +579,9 @@ def timeseries_m3ql_pipeline(spark, sf_dir):
                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
         FROM events GROUP BY user_id)
-    SELECT [CAST(sum(m1) AS BIGINT), CAST(sum(m1 * m2) AS BIGINT),
-            CAST(sum(m1 * m2 * m3) AS BIGINT)] AS step_counts FROM per_user
+    SELECT array_to_string(
+             [CAST(sum(m1) AS BIGINT), CAST(sum(m1 * m2) AS BIGINT),
+              CAST(sum(m1 * m2 * m3) AS BIGINT)], ',') AS step_counts FROM per_user
     """,
 )
 def agg_funnel_count(spark, sf_dir):
@@ -590,7 +597,13 @@ def agg_funnel_count(spark, sf_dir):
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     ]
-    return funnel_count(t["events"], "user_id", steps)
+    # driver contract: stringify the ArrayType output — the driver's
+    # pandas canonicalizer cannot sort/hash numpy arrays
+    return funnel_count(t["events"], "user_id", steps).select(
+        F.array_join(F.col("step_counts").cast("array<string>"), ",").alias(
+            "step_counts"
+        )
+    )
 
 
 @query(
@@ -612,7 +625,11 @@ def agg_funnel_events_eval(spark, sf_dir):
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     ]
-    ev = t["events"].withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    # cast: parquet may load ts as TIMESTAMP_NTZ under a vanilla session
+    # (driver conditions) and unix_millis rejects NTZ input
+    ev = t["events"].withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
     out = funnel_events_eval(
         ev, "user_id", "ts", 7 * 86400000, steps, ["event_type", "ts_ms"]
     )

@@ -76,6 +76,33 @@ def test_format_readers(spark, tmp_path):
         assert {r["id"] for r in back.collect()} == {1, 2}
 
 
+def test_protobuf_reader(spark, tmp_path):
+    """Protobuf input format (pinot-plugins/pinot-input-format/
+    pinot-protobuf): decode via spark-protobuf's from_protobuf. The
+    artifact is not bundled in this container, so the roundtrip is
+    skipped when absent — the surface contract (clear error, not a
+    mid-query failure) is asserted either way."""
+    import pytest
+
+    from pinot_spark.sources.readers import decode_protobuf
+
+    payload = spark.createDataFrame([(bytearray(b"\x08\x01"),)], "content binary")
+    desc = tmp_path / "msg.desc"
+    desc.write_bytes(b"")  # placeholder descriptor set
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="spark-protobuf"):
+            decode_protobuf(payload, "content", "M", str(desc))
+        pytest.skip("spark-protobuf artifact not on classpath")
+    try:
+        out = decode_protobuf(payload, "content", "M", str(desc))
+        out.collect()
+    except RuntimeError as e:
+        assert "spark-protobuf" in str(e)
+        pytest.skip("spark-protobuf artifact not on classpath")
+
+
 def test_write_segments_layout_and_pruning(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     from pinot_spark.catalog import _normalize_nanos

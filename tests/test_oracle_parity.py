@@ -23,10 +23,14 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     # every output cell — numpy arrays (ArrayType/MapType columns) are
     # unhashable and fail the whole query (CORRECTNESS_r03
     # fn_surface_ext). Stringify via arrayToString/to_json instead.
+    # simpleString() catches arrays/maps nested inside structs too —
+    # those are equally unhashable after toPandas
     bad = [
         f.name
         for f in df.schema.fields
         if isinstance(f.dataType, (ArrayType, MapType))
+        or "array<" in f.dataType.simpleString()
+        or "map<" in f.dataType.simpleString()
     ]
     assert not bad, (
         f"{name}: oracle-backed query emits array/map columns {bad}; "

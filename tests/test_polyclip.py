@@ -109,16 +109,34 @@ def test_st_union_geoms_aggregate(spark):
         ("POLYGON ((10 10, 13 10, 13 13, 10 13, 10 10))",),  # 9, disjoint
         (None,),
     ]
-    for n_parts in (1, 3):
+    for n_parts in (1, 3, 40):  # 40 > _TREE_FANOUT → exercises tree rounds
         df = spark.createDataFrame(rows, "wkt string").repartition(n_parts)
         u = st_union_geoms(df, "wkt")
         assert u is not None and u.startswith("MULTIPOLYGON")
         assert abs(_rings_area(_parse_rings(u)) - (16 + 16 - 4 + 9)) < 1e-9
+
+
+def test_st_union_driver_payload_bounded(spark):
+    """The driver fold must see at most _TREE_FANOUT partials however many
+    partitions the input has — the tree rounds reduce executor-side."""
+    import pinot_spark.operators.geo as G
+
+    rows = [(f"POINT ({i} {i})",) for i in range(64)]
+    df = spark.createDataFrame(rows, "wkt string").repartition(64)
+    partials = G._tree_partials(df, "wkt")
+    # each partition emits ≤1 partial row, so the driver payload is
+    # bounded by the post-tree partition count
+    assert partials.rdd.getNumPartitions() <= G._TREE_FANOUT
+    collected = partials.collect()
+    assert len(collected) <= G._TREE_FANOUT
+    u = G.st_union_geoms(df, "wkt")
+    assert u is not None and u.startswith("MULTIPOINT")
+    assert u.count(",") == 63  # all 64 distinct points survive the tree
     # points fold to a MULTIPOINT through the same surface
     pts = spark.createDataFrame(
         [("POINT (1 2)",), ("POINT (3 4)",), ("POINT (1 2)",)], "wkt string"
     )
-    assert st_union_geoms(pts, "wkt") == "MULTIPOINT (1 2, 3 4)"
+    assert G.st_union_geoms(pts, "wkt") == "MULTIPOINT (1 2, 3 4)"
     # empty input
     empty = spark.createDataFrame([], "wkt string")
-    assert st_union_geoms(empty, "wkt") is None
+    assert G.st_union_geoms(empty, "wkt") is None
