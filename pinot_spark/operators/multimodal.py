@@ -1,12 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-content hash) produces stable "features" so the Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-testable end-to-end.
+The decode step is REAL for PNG/BMP/PPM (pure-stdlib codecs in
+functions/imagecodec.py — zlib inflate + numpy unfiltering); formats
+needing external codec libraries (JPEG/WebP/GIF) raise
+NotImplementedError naming the format. ``fake=True`` keeps the seeded
+content-hash decoder for plumbing tests on non-image payloads.
 
 Scale design: mapInPandas streams Arrow record batches; binary payloads
 never round-trip through Python objects row-at-a-time. Batch size is
@@ -66,11 +65,15 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decoder slot (PIL/libvips at deploy time)."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; use extract_features(..., fake=True) for plumbing tests"
-    )
+    """Real decode → FEATURE_DIM integer-luma thumbnail features.
+    PNG/BMP/PPM are decoded with the pure-stdlib codecs
+    (functions/imagecodec.py); other formats raise NotImplementedError
+    naming the format (JPEG/WebP need codec libs absent here)."""
+    from pinot_spark.functions import imagecodec
+
+    arr = imagecodec.decode(payload)
+    grid = int(FEATURE_DIM**0.5)
+    return imagecodec.luma_thumbnail_features(arr, grid=grid)
 
 
 def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
@@ -88,6 +91,9 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 except NotImplementedError:
                     feats.append(None)
                     ok.append("decoder_unavailable")
+                except (ValueError, IndexError):
+                    feats.append(None)
+                    ok.append("corrupt")
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "features": feats, "decode_ok": ok}
             )
@@ -121,15 +127,18 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, fake: bool = False
 ) -> DataFrame:
-    """binary→binary image resize via mapInPandas (decode → resize →
-    re-encode at deploy time; the fake path emits a deterministic
-    content-hash payload of bounded size so the binary-out schema,
-    Arrow batching, and metadata rewrite are real and testable).
+    """binary→binary image resize via mapInPandas: decode (PNG/BMP/PPM,
+    functions/imagecodec.py) → nearest-neighbor resize → re-encode as
+    PNG. The fake path emits a deterministic content-hash payload of
+    bounded size so the binary-out schema, Arrow batching, and metadata
+    rewrite stay testable with non-image payloads.
 
     Scale shape: payloads stream through Arrow batches — executor memory
     is bounded by maxRecordsPerBatch × payload size, not table size."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pinot_spark.functions import imagecodec
+
         for pdf in it:
             payloads, ok = [], []
             for payload in pdf["payload"]:
@@ -138,8 +147,17 @@ def resize_images(
                     payloads.append(digest * ((target_w * target_h * 3) // len(digest) % 64 + 1))
                     ok.append("ok")
                 else:
-                    payloads.append(None)
-                    ok.append("decoder_unavailable")
+                    try:
+                        arr = imagecodec.decode(payload)
+                        resized = imagecodec.resize_nearest(arr, target_w, target_h)
+                        payloads.append(imagecodec.encode_png(resized))
+                        ok.append("ok")
+                    except NotImplementedError:
+                        payloads.append(None)
+                        ok.append("decoder_unavailable")
+                    except (ValueError, IndexError):
+                        payloads.append(None)
+                        ok.append("corrupt")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -275,27 +275,60 @@ def text_fingerprints(spark, sf_dir):
     )
 
 
-@query("multimodal_feature_extract")  # stubbed decoder — rows-only check
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(list_sum(list_transform(range(16), i ->
+               (77 * ascii(substr(t, i*3 + 1, 1)) +
+                150 * ascii(substr(t, i*3 + 2, 1)) +
+                29 * ascii(substr(t, i*3 + 3, 1))) // 256)) AS DOUBLE) AS feat_sum,
+           'ok' AS decode_ok
+    FROM (SELECT doc_id,
+                 substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'), 48, 'x'), 1, 48) AS t
+          FROM documents WHERE doc_id < 50)
+    ORDER BY CAST(media_id AS INT)
+    """,
+)
 def multimodal_feature_extract(spark, sf_dir):
-    """Multimodal plumbing end-to-end (operators/multimodal.py): binary
-    payload column + typed metadata → mapInPandas feature extraction with
-    the deterministic fake decoder (real decoder is a stub —
-    NotImplementedError — since no imaging libs ship in this container)."""
+    """Multimodal decode end-to-end with the REAL pure-stdlib decoder
+    (operators/multimodal.py → functions/imagecodec.py): each document's
+    first 48 bytes become a genuine 4×4 binary PPM payload, decoded and
+    reduced to integer-luma thumbnail features ((77R+150G+29B)>>8 —
+    integer-valued, float32-exact), so the whole binary path is
+    oracle-checkable in plain SQL."""
     from pinot_spark.operators.multimodal import extract_features
 
     t = load_tables(spark, sf_dir)
     media = t["documents"].filter(F.col("doc_id") < 50).select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
+        # "P6\n4 4\n255\n" + 48 payload bytes = a real 4x4 RGB PPM.
+        # Non-ASCII is stripped first so characters == bytes on both
+        # engines (documents span en/de/fr/es/zh).
+        F.encode(
+            F.concat(
+                F.lit("P6\n4 4\n255\n"),
+                F.substring(
+                    F.rpad(
+                        F.regexp_replace(F.col("text"), "[^ -~]", ""), 48, "x"
+                    ),
+                    1,
+                    48,
+                ),
+            ),
+            "utf-8",
+        ).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media)
     return feats.select(
         "media_id",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("feat_sum"),
         "decode_ok",
     ).orderBy(F.col("media_id").cast("int"))
 
