@@ -38,8 +38,15 @@ def read_table(
     inference where the format supports it).
     """
     fmt = fmt.lower()
+    if fmt == "arrow":
+        return read_arrow(spark, path, **options)
+    if fmt == "bson":
+        return read_bson(spark, path, schema, **options)
     if fmt not in FORMATS:
-        raise ValueError(f"unsupported format {fmt!r}; supported: {sorted(FORMATS)}")
+        raise ValueError(
+            f"unsupported format {fmt!r}; supported: "
+            f"{sorted(FORMATS) + ['arrow', 'bson']}"
+        )
     spark_fmt, defaults = FORMATS[fmt]
     reader = spark.read.format(spark_fmt)
     for k, v in {**defaults, **options}.items():
@@ -55,6 +62,104 @@ def read_table(
                 "session classpath (spark.jars.packages)"
             ) from e
         raise
+
+
+def read_arrow(spark: SparkSession, path: str, **_options) -> DataFrame:
+    """Arrow IPC files (.arrow / Feather V2 — reference:
+    pinot-plugins/pinot-input-format arrow record reader).
+
+    Distributed shape: ``binaryFile`` lists the files and ships each
+    file's bytes to an executor; pyarrow decodes there inside
+    ``mapInPandas`` (Arrow stays Arrow across the Python boundary — no
+    row-at-a-time work). The driver only opens ONE file footer to learn
+    the schema; executors never funnel data through the driver, so the
+    reader scales with the file count, not total bytes. Very large
+    single files belong in parquet/orc (splittable); Arrow IPC is a
+    file-at-a-time exchange format.
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    matches = sorted(
+        glob.glob(os.path.join(path, "*.arrow"))
+        + glob.glob(os.path.join(path, "*.feather"))
+    ) or ([path] if os.path.isfile(path) else [])
+    if not matches:
+        raise FileNotFoundError(f"no .arrow/.feather files under {path!r}")
+
+    def _open(buf: bytes):
+        try:
+            return ipc.open_file(pa.BufferReader(buf))
+        except pa.ArrowInvalid:  # stream format (no footer)
+            return ipc.open_stream(pa.BufferReader(buf))
+
+    with open(matches[0], "rb") as f:
+        sample = _open(f.read())
+    spark_schema = from_arrow_schema(sample.schema)
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                reader = _open(bytes(content))
+                if hasattr(reader, "num_record_batches"):
+                    it = (
+                        reader.get_batch(i)
+                        for i in range(reader.num_record_batches)
+                    )
+                else:
+                    it = iter(reader)
+                for rb in it:
+                    yield rb.to_pandas()
+
+    raw = spark.read.format("binaryFile").load(
+        [os.path.abspath(m) for m in matches]
+    )
+    return raw.select("content").mapInPandas(_decode, schema=spark_schema)
+
+
+def read_bson(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    **_options,
+) -> DataFrame:
+    """BSON files (mongodump layout: concatenated documents — reference:
+    pinot-plugins/pinot-input-format BSON record reader), decoded by the
+    pure-stdlib codec in sources/bsoncodec.py.
+
+    BSON is schemaless, so a declared schema is REQUIRED (Pinot requires
+    one per table anyway); decoded documents are conformed to it — extra
+    keys dropped, missing keys null. Distributed shape mirrors
+    read_arrow: binaryFile ships file bytes, executors decode in
+    mapInPandas."""
+    import pandas as pd
+
+    if schema is None:
+        raise ValueError("bson requires a declared schema (BSON is schemaless)")
+
+    from pinot_spark.sources.bsoncodec import iter_documents
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    names = [f.name for f in schema.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                docs = list(iter_documents(bytes(content)))
+                yield pd.DataFrame(
+                    {n: [d.get(n) for d in docs] for n in names}
+                )
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("content").mapInPandas(_decode, schema=schema)
 
 
 def decode_protobuf(

@@ -76,6 +76,52 @@ def test_format_readers(spark, tmp_path):
         assert {r["id"] for r in back.collect()} == {1, 2}
 
 
+def test_arrow_reader(spark, tmp_path):
+    """Arrow IPC input format: file + stream variants decode distributed
+    (binaryFile → pyarrow in mapInPandas) with schema from one footer."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from pinot_spark.sources.readers import read_table
+
+    tbl = pa.table({"id": pa.array([1, 2, 3], pa.int64()), "tag": ["a", "b", "c"]})
+    fpath = tmp_path / "part0.arrow"
+    with ipc.new_file(str(fpath), tbl.schema) as w:
+        w.write_table(tbl)
+    spath = tmp_path / "part1.arrow"
+    with open(spath, "wb") as f, ipc.new_stream(f, tbl.schema) as w:
+        w.write_table(tbl)
+    back = read_table(spark, str(tmp_path), "arrow")
+    assert back.count() == 6
+    assert sorted(r["id"] for r in back.collect()) == [1, 1, 2, 2, 3, 3]
+    assert back.schema.simpleString() == "struct<id:bigint,tag:string>"
+
+
+def test_bson_reader(spark, tmp_path):
+    """BSON input format: encode→decode roundtrip through the distributed
+    reader, schema-conformed (extra keys dropped, missing null)."""
+    from pinot_spark.sources.bsoncodec import decode_document, encode_document
+    from pinot_spark.sources.readers import read_table
+
+    docs = [
+        {"id": 1, "name": "a", "score": 1.5, "tags": ["x", "y"], "extra": 9},
+        {"id": 2**40, "name": "b", "score": None},
+    ]
+    raw = b"".join(encode_document(d) for d in docs)
+    # codec roundtrip incl. nested list
+    assert decode_document(encode_document(docs[0]))["tags"] == ["x", "y"]
+    p = tmp_path / "dump.bson"
+    p.write_bytes(raw)
+    back = read_table(
+        spark, str(p), "bson",
+        schema="id bigint, name string, score double, tags array<string>",
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "a" and rows[1]["tags"] == ["x", "y"]
+    assert rows[2**40]["score"] is None and rows[2**40]["tags"] is None
+    assert "extra" not in back.columns
+
+
 def test_protobuf_reader(spark, tmp_path):
     """Protobuf input format (pinot-plugins/pinot-input-format/
     pinot-protobuf): decode via spark-protobuf's from_protobuf. The
