@@ -55,12 +55,12 @@ def read_table(
         reader = reader.schema(schema)
     try:
         return reader.load(path)
-    except Exception as e:  # pragma: no cover - depends on classpath
+    except Exception as e:
         if fmt == "avro" and "Failed to find" in str(e):
-            raise RuntimeError(
-                "avro requires the org.apache.spark:spark-avro artifact on the "
-                "session classpath (spark.jars.packages)"
-            ) from e
+            # spark-avro artifact absent → pure-stdlib OCF decoder
+            # (sources/avrocodec.py): functional fallback, JVM source
+            # preferred at scale
+            return read_avro_pure(spark, path)
         raise
 
 
@@ -120,6 +120,43 @@ def read_arrow(spark: SparkSession, path: str, **_options) -> DataFrame:
         [os.path.abspath(m) for m in matches]
     )
     return raw.select("content").mapInPandas(_decode, schema=spark_schema)
+
+
+def read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
+    """Avro Object Container Files via the pure-stdlib decoder
+    (sources/avrocodec.py — null/deflate codecs). Distributed shape
+    mirrors read_arrow: binaryFile ships file bytes, executors decode in
+    mapInPandas; the driver reads ONE header for the schema."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from pinot_spark.sources.avrocodec import (
+        iter_records,
+        read_header,
+        schema_to_spark_ddl,
+    )
+
+    matches = sorted(glob.glob(os.path.join(path, "*.avro"))) or (
+        [path] if os.path.isfile(path) else []
+    )
+    if not matches:
+        raise FileNotFoundError(f"no .avro files under {path!r}")
+    with open(matches[0], "rb") as f:
+        schema_json, _sync, _pos = read_header(f.read())
+    schema_json.pop("__codec__", None)
+    ddl = schema_to_spark_ddl(schema_json)
+    names = [f.split(" ")[0] for f in ddl.split(", ")]
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = list(iter_records(bytes(content)))
+                yield pd.DataFrame({n: [r.get(n) for r in recs] for n in names})
+
+    raw = spark.read.format("binaryFile").load([os.path.abspath(m) for m in matches])
+    return raw.select("content").mapInPandas(_decode, schema=ddl)
 
 
 def read_bson(

@@ -97,6 +97,43 @@ def test_arrow_reader(spark, tmp_path):
     assert back.schema.simpleString() == "struct<id:bigint,tag:string>"
 
 
+def test_avro_reader_pure(spark, tmp_path):
+    """Avro OCF through the pure-stdlib decoder (the spark-avro jar is
+    absent here, so read_table('avro') exercises the fallback): deflate
+    and null codecs, nullable unions, arrays, enums."""
+    from pinot_spark.sources.avrocodec import iter_records, write_ocf
+    from pinot_spark.sources.readers import read_table
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "kind", "type": {"type": "enum", "name": "K", "symbols": ["A", "B"]}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    records = [
+        {"id": 1, "name": "a", "score": 1.5, "tags": ["x", "y"], "kind": "A",
+         "attrs": {"k1": 7, "k2": -3}},
+        {"id": 2, "name": None, "score": -2.25, "tags": [], "kind": "B",
+         "attrs": {}},
+    ]
+    for codec in ("null", "deflate"):
+        buf = write_ocf(schema, records, codec=codec)
+        assert list(iter_records(buf)) == records  # codec roundtrip
+    p = tmp_path / "part0.avro"
+    p.write_bytes(write_ocf(schema, records))
+    back = read_table(spark, str(p), "avro")
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["tags"] == ["x", "y"] and rows[1]["kind"] == "A"
+    assert rows[2]["name"] is None and rows[2]["score"] == -2.25
+    assert back.schema["name"].dataType.simpleString() == "string"
+
+
 def test_bson_reader(spark, tmp_path):
     """BSON input format: encode→decode roundtrip through the distributed
     reader, schema-conformed (extra keys dropped, missing null)."""
