@@ -159,6 +159,80 @@ def read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("content").mapInPandas(_decode, schema=ddl)
 
 
+def decode_confluent_avro(
+    df: DataFrame,
+    col: str,
+    schemas_by_id: dict[int, dict],
+    out_prefix: str = "",
+) -> DataFrame:
+    """Confluent Schema-Registry wire format (reference:
+    pinot-plugins/pinot-input-format confluent-avro stream decoder):
+    each message is ``0x00 + int32(BE schema id) + avro binary body``.
+
+    ``schemas_by_id`` maps registry ids to Avro record schemas (JSON
+    dicts) — supplied locally, since this engine does not call a
+    registry service over the network. All mapped schemas must share the
+    top-level field set (standard compatible-evolution situation);
+    decode happens executor-side in mapInPandas via the pure-stdlib
+    avro codec."""
+    import pandas as pd
+
+    from pinot_spark.sources.avrocodec import _Reader, _decode_value
+    from pinot_spark.sources.avrocodec import schema_to_spark_ddl
+
+    first = next(iter(schemas_by_id.values()))
+    ddl = schema_to_spark_ddl(first)
+    names = [f.split(" ")[0] for f in ddl.split(", ")]
+
+    def _decode(batches):
+        for pdf in batches:
+            recs = []
+            for payload in pdf[col]:
+                b = bytes(payload)
+                if not b or b[0] != 0:
+                    raise ValueError("not Confluent wire format (magic != 0)")
+                sid = int.from_bytes(b[1:5], "big")
+                schema = schemas_by_id.get(sid)
+                if schema is None:
+                    raise KeyError(f"schema id {sid} not in supplied registry map")
+                r = _Reader(b)
+                r.pos = 5
+                recs.append(_decode_value(r, schema))
+            yield pd.DataFrame({n: [rec.get(n) for rec in recs] for n in names})
+
+    return df.select(col).mapInPandas(_decode, schema=ddl)
+
+
+def decode_thrift(
+    df: DataFrame,
+    col: str,
+    field_spec: dict[int, str],
+    schema: StructType | str,
+) -> DataFrame:
+    """Decode a binary column of Thrift TBinaryProtocol structs
+    (reference: pinot-plugins/pinot-input-format/pinot-thrift
+    ThriftRecordReader — its generated-TBase class collapses to a
+    ``{field_id: name}`` spec here). Unknown field ids are skipped by
+    wire type; decoded records are conformed to the declared schema.
+    Executor-side via mapInPandas, like the other binary decoders."""
+    import pandas as pd
+
+    from pinot_spark.sources.thriftcodec import decode_struct
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    names = [f.name for f in schema.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            recs = [decode_struct(bytes(p), field_spec) for p in pdf[col]]
+            yield pd.DataFrame({n: [r.get(n) for r in recs] for n in names})
+
+    return df.select(col).mapInPandas(_decode, schema=schema)
+
+
 def read_bson(
     spark: SparkSession,
     path: str,

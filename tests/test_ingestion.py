@@ -134,6 +134,56 @@ def test_avro_reader_pure(spark, tmp_path):
     assert back.schema["name"].dataType.simpleString() == "string"
 
 
+def test_thrift_decode(spark):
+    """Thrift TBinaryProtocol structs decoded against a field-id spec;
+    unknown fields skipped by wire type, containers recurse."""
+    from pinot_spark.sources.readers import decode_thrift
+    from pinot_spark.sources.thriftcodec import decode_struct, encode_struct
+
+    rec = encode_struct(
+        [(1, 42), (2, "hello"), (3, 2.5), (4, ["a", "b"]),
+         (5, {"k": 7}), (9, True)]  # 9 not in spec → skipped
+    )
+    assert decode_struct(rec, {1: "id", 2: "msg", 4: "tags", 5: "attrs"}) == {
+        "id": 42, "msg": "hello", "tags": ["a", "b"], "attrs": {"k": 7}
+    }
+    df = spark.createDataFrame([(bytearray(rec),)], "value binary")
+    out = decode_thrift(
+        df, "value", {1: "id", 2: "msg", 4: "tags"},
+        "id bigint, msg string, tags array<string>",
+    ).collect()[0]
+    assert out.id == 42 and out.msg == "hello" and out.tags == ["a", "b"]
+
+
+def test_confluent_avro_decode(spark):
+    """Confluent wire format: magic 0 + BE schema id + avro body, decoded
+    against a locally-supplied id→schema map (kafka-value shape)."""
+    import io
+
+    from pinot_spark.sources.avrocodec import _encode_value
+    from pinot_spark.sources.readers import decode_confluent_avro
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": "long"},
+        ],
+    }
+
+    def wire(rec, sid=7):
+        w = io.BytesIO()
+        _encode_value(w, schema, rec)
+        return b"\x00" + sid.to_bytes(4, "big") + w.getvalue()
+
+    df = spark.createDataFrame(
+        [(bytearray(wire({"k": "a", "v": 1})),), (bytearray(wire({"k": "b", "v": -9})),)],
+        "value binary",
+    )
+    out = {r.k: r.v for r in decode_confluent_avro(df, "value", {7: schema}).collect()}
+    assert out == {"a": 1, "b": -9}
+
+
 def test_bson_reader(spark, tmp_path):
     """BSON input format: encode→decode roundtrip through the distributed
     reader, schema-conformed (extra keys dropped, missing null)."""
