@@ -1201,7 +1201,19 @@ def rewrite_pinot_hints(sql: str) -> str:
     """
     import warnings
 
-    m = _HINT_BLOCK_RE.search(sql)
+    m = None
+    for cand in _HINT_BLOCK_RE.finditer(sql):
+        # literal-span-aware: ignore '/*+' inside string constants
+        pos = 0
+        inside_literal = False
+        for is_lit, seg in _scan_strings(sql):
+            if pos <= cand.start() < pos + len(seg):
+                inside_literal = is_lit
+                break
+            pos += len(seg)
+        if not inside_literal:
+            m = cand
+            break
     if not m:
         return sql
     body = m.group(1)
@@ -1413,6 +1425,13 @@ class PinotEngine:
     def sql(self, pinot_sql: str) -> DataFrame:
         from pinot_spark.ddl import is_ddl
 
+        _opts, bare = split_options(pinot_sql)
+        em = re.match(r"\s*EXPLAIN\s+PLAN\s+FOR\s+", bare, re.IGNORECASE)
+        if em:
+            # re-prefix the SET statements so the explained query runs
+            # under the same options
+            prefix = "".join(f"SET {k}={v};" for k, v in _opts.items())
+            return self._explain(prefix + bare[em.end() :])
         if is_ddl(pinot_sql):
             # DDL defining-SELECTs get dialect rewrites but NOT the
             # selection default LIMIT (that's a query-surface default)
@@ -1441,6 +1460,27 @@ class PinotEngine:
             return self.sql(bare[:s] + view + bare[e + 1 :])
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    def _explain(self, pinot_sql: str) -> DataFrame:
+        """``EXPLAIN PLAN FOR <query>`` (reference: the broker's EXPLAIN
+        surface — pinot-core/.../query/reduce/ExplainPlanDataTableReducer
+        emits (Operator, Operator_Id, Parent_Id) rows). Spark analog:
+        one row per formatted physical-plan line, ids by nesting order —
+        the executed Catalyst plan is the engine's true explain."""
+        df = self.sql(pinot_sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows, parents = [], []  # parents: stack of (indent, op_id)
+        for i, line in enumerate(l for l in plan.splitlines() if l.strip()):
+            stripped = line.lstrip(" +-:*(0123456789)")
+            indent = len(line) - len(line.lstrip(" +-:"))
+            while parents and parents[-1][0] >= indent:
+                parents.pop()
+            parent_id = parents[-1][1] if parents else -1
+            rows.append((stripped or line.strip(), i, parent_id))
+            parents.append((indent, i))
+        return self.spark.createDataFrame(
+            rows, "Operator string, Operator_Id int, Parent_Id int"
+        )
 
     def _gapfill(self, pinot_sql: str) -> DataFrame:
         """Execute a top-level GAPFILL selection (GapfillProcessor.java

@@ -109,3 +109,18 @@ def test_agg_options_hint_is_recognized_noop():
             "count(*) FROM orders"
         )
     assert "/*+" not in out
+
+
+def test_explain_plan_for(spark):
+    """EXPLAIN PLAN FOR returns (Operator, Operator_Id, Parent_Id) rows
+    over the executed Catalyst plan (broker EXPLAIN surface analog)."""
+    eng = PinotEngine(spark)
+    rows = eng.sql(
+        "EXPLAIN PLAN FOR SELECT o_orderstatus, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    assert rows and rows[0].Parent_Id == -1
+    ops = " ".join(r.Operator for r in rows)
+    assert "HashAggregate" in ops and "Scan" in ops
+    ids = [r.Operator_Id for r in rows]
+    assert ids == sorted(set(ids))  # unique, ordered
