@@ -97,3 +97,51 @@ def test_dialect_gapfill_spine_not_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["dialect_gapfill"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_minhash_lsh_no_allpairs(spark, sf_dir):
+    """LSH candidate generation must stay banded (join keyed by band
+    hash): no cartesian/nested-loop all-pairs shape anywhere — the whole
+    point of LSH at 100 TB."""
+    plan = _plan(QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_count_single_shuffle(spark, sf_dir):
+    """FUNNELCOUNT = per-key flag aggregation (map-side partials) + one
+    global reduce: exactly one key shuffle, no window, no join."""
+    plan = _plan(QUERIES["agg_funnel_count"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial" in plan  # map-side combine carries one row per key
+
+
+def test_sum_array_scale_path_partial_agg(spark, sf_dir):
+    """SUMARRAY scale path: posexplode → per-(key, idx) partial/final sum
+    — the shuffle carries scalar partial sums, never raw arrays. The
+    final collect_list only reassembles per-index sums into an array
+    (bounded by the array dimensionality, not the row count), and must
+    sit ABOVE the per-index sum aggregation."""
+    plan = _plan(QUERIES["agg_sum_array_scale_path"](spark, sf_dir))
+    assert "Generate" in plan  # the explode
+    assert plan.count("HashAggregate") >= 2
+    # the row-count reduction happens in sum() BEFORE any list rebuild
+    sum_pos = plan.find("functions=[sum(")
+    collect_pos = plan.find("collect_list")
+    assert sum_pos != -1
+    if collect_pos != -1:  # rebuild present → it consumes the summed rows
+        assert collect_pos < sum_pos  # plan prints top-down: rebuild above sum
+
+
+def test_query_hints_change_join_strategy(spark, sf_dir):
+    """The joinOptions hint must actually reach the executed plan."""
+    plan = _plan(QUERIES["dialect_query_hints"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_null_mode_queries_stay_scan_simple(spark, sf_dir):
+    """Null-mode routing must not add joins or extra shuffles — it is a
+    scan-time coalesce projection."""
+    for name in ("null_mode_default_value", "null_mode_sql_semantics", "dialect_null_option"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Join" not in plan, name
