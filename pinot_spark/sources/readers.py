@@ -159,6 +159,27 @@ def read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("content").mapInPandas(_decode, schema=ddl)
 
 
+def read_clp_log(
+    spark: SparkSession,
+    path: str,
+    message_fields: tuple[str, ...] = ("message",),
+    keep_original: bool = False,
+    **options,
+) -> DataFrame:
+    """CLP log input format (reference: pinot-plugins/pinot-input-format/
+    pinot-clp-log CLPLogRecordExtractor): JSON log events whose message
+    fields are CLP-encoded at ingest — each named field becomes
+    ``<f>_logtype`` / ``<f>_dictionaryVars`` / ``<f>_encodedVars``
+    columns (operators/clp.py), the storage shape Pinot's clp-log tables
+    query with clpDecode/clpMatch."""
+    from pinot_spark.operators.clp import clp_encode_df
+
+    df = read_table(spark, path, "json", **options)
+    for f_ in message_fields:
+        df = clp_encode_df(df, f_)
+    return df if keep_original else df.drop(*message_fields)
+
+
 def decode_confluent_avro(
     df: DataFrame,
     col: str,

@@ -134,6 +134,28 @@ def test_avro_reader_pure(spark, tmp_path):
     assert back.schema["name"].dataType.simpleString() == "string"
 
 
+def test_clp_log_reader(spark, tmp_path):
+    """clp-log input format: JSON events land CLP-encoded; clpDecode
+    reassembles the exact original message (lossless contract)."""
+    import json as _json
+
+    from pinot_spark.operators.clp import clp_decode
+    from pinot_spark.sources.readers import read_clp_log
+
+    msgs = [
+        "Task task-1234 finished in 3.5 s on host web-07.prod",
+        "GET /api/v2/users/9981 took 12 ms status 200",
+    ]
+    p = tmp_path / "events.json"
+    p.write_text("\n".join(_json.dumps({"level": "INFO", "message": m}) for m in msgs))
+    df = read_clp_log(spark, str(p))
+    assert "message" not in df.columns and "message_logtype" in df.columns
+    back = df.select(
+        clp_decode("message_logtype", "message_dictionaryVars", "message_encodedVars").alias("m")
+    ).collect()
+    assert sorted(r.m for r in back) == sorted(msgs)
+
+
 def test_thrift_decode(spark):
     """Thrift TBinaryProtocol structs decoded against a field-id spec;
     unknown fields skipped by wire type, containers recurse."""
