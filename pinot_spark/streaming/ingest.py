@@ -26,6 +26,79 @@ from pyspark.sql.streaming import StreamingQuery
 from pinot_spark.operators.upsert import upsert_view
 
 
+def stream_source(
+    spark: SparkSession,
+    stream_type: str,
+    decoder: str | None = None,
+    decoder_args: dict | None = None,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Pinot streamConfigs → readStream mapping (reference:
+    pinot-spi/.../stream/StreamConfig.java `streamType` +
+    `stream.<type>.decoder.class.name`):
+
+    - ``kafka`` → ``format("kafka")`` (kafka-3.0/4.0 plugins);
+      ``kinesis``/``pulsar`` → their connector formats (clear error if
+      the connector jar is absent);
+    - ``file``/``rate`` → built-in test/dev sources;
+    - ``decoder`` applies a message decoder to the ``value`` column the
+      way Pinot's StreamMessageDecoder does: ``json`` (from_json with
+      declared schema), ``confluent_avro``, ``thrift``, ``protobuf``
+      (sources/readers.py decoders — batch twins of the stream shape).
+
+    Decoders that need per-record Python (confluent/thrift) are applied
+    by the caller on the micro-batch inside foreachBatch — this factory
+    returns the raw stream plus attaches ``.decode`` metadata via
+    closure-free convention: use ``decode_stream_batch`` in the sink.
+    """
+    fmt = {"kafka": "kafka", "kinesis": "kinesis", "pulsar": "pulsar",
+           "file": options.pop("file_format", "json"), "rate": "rate"}.get(
+        stream_type.lower()
+    )
+    if fmt is None:
+        raise ValueError(f"unknown stream type {stream_type!r}")
+    path = options.pop("path", None)
+    reader = spark.readStream.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None and stream_type.lower() == "file":
+        reader = reader.schema(schema)
+    try:
+        df = reader.load(path) if path is not None else reader.load()
+    except Exception as e:
+        if fmt in ("kinesis", "pulsar"):
+            raise RuntimeError(
+                f"{fmt} requires its Spark connector on the classpath "
+                "(reference plugin: pinot-stream-ingestion/pinot-" + fmt + ")"
+            ) from e
+        raise
+    if decoder == "json" and schema is not None and stream_type.lower() != "file":
+        df = df.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("r")
+        ).select("r.*")
+    return df
+
+
+def decode_stream_batch(
+    batch: DataFrame, decoder: str, **args
+) -> DataFrame:
+    """Apply a Pinot stream-message decoder to a micro-batch's binary
+    ``value`` column inside foreachBatch (confluent_avro / thrift /
+    protobuf — the batch decoders in sources/readers.py)."""
+    from pinot_spark.sources import readers as R
+
+    if decoder == "confluent_avro":
+        return R.decode_confluent_avro(batch, "value", args["schemas_by_id"])
+    if decoder == "thrift":
+        return R.decode_thrift(batch, "value", args["field_spec"], args["schema"])
+    if decoder == "protobuf":
+        return R.decode_protobuf(
+            batch, "value", args["message_name"], args["desc_file_path"]
+        )
+    raise ValueError(f"unknown stream decoder {decoder!r}")
+
+
 def start_realtime_ingest(
     stream: DataFrame,
     path: str,

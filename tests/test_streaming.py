@@ -152,3 +152,41 @@ def test_stateful_sessionize(spark, tmp_path):
     r = rows[0]
     assert r["k"] == 1 and r["n_events"] == 2
     assert r["session_start"].minute == 0 and r["session_end"].minute == 1
+
+
+def test_stream_source_factory_and_batch_decoder(spark, tmp_path):
+    """streamConfigs → readStream mapping: file source with schema reads
+    as a stream; the confluent/thrift batch decoders apply to a
+    micro-batch's value column the way foreachBatch would."""
+    import io
+    import json as _json
+
+    from pinot_spark.sources.avrocodec import _encode_value
+    from pinot_spark.streaming.ingest import decode_stream_batch, stream_source
+
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(_json.dumps({"k": i, "v": f"m{i}"}) for i in range(3)))
+    stream = stream_source(
+        spark, "file", schema="k BIGINT, v STRING", path=src, file_format="json"
+    )
+    assert stream.isStreaming and stream.schema.simpleString() == "struct<k:bigint,v:string>"
+
+    # unknown types / absent connectors fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown stream type"):
+        stream_source(spark, "zeromq")
+
+    # batch decoder path (what foreachBatch applies): confluent wire format
+    schema = {"type": "record", "name": "E",
+              "fields": [{"name": "k", "type": "long"}]}
+    w = io.BytesIO()
+    _encode_value(w, schema, {"k": 42})
+    payload = b"\x00" + (7).to_bytes(4, "big") + w.getvalue()
+    batch = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    out = decode_stream_batch(batch, "confluent_avro", schemas_by_id={7: schema})
+    assert out.collect()[0].k == 42
