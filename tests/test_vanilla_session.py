@@ -20,8 +20,16 @@ from pinot_spark import catalog
 from pinot_spark.queries import QUERIES
 
 # spans: parquet scan+agg (events table with nano timestamps), TPC-H join
-# pipeline, and a documents-table pipeline operator.
-REPRESENTATIVE = ["q1_pricing_summary", "q3_shipping_priority", "gapfill_fill_previous"]
+# pipeline, a documents-table pipeline operator, and round-5-window
+# representatives that touch timestamp arithmetic / binary decode /
+# dialect options — the classes that have bitten under vanilla sessions
+# (TIMESTAMP_NTZ + unix_millis, r5 strict-mimic catch).
+REPRESENTATIVE = [
+    "q1_pricing_summary", "q3_shipping_priority", "gapfill_fill_previous",
+    "agg_funnel_events_eval", "funnel_step_duration_stats",
+    "multimodal_feature_extract", "dialect_null_option",
+    "timeseries_m3ql_pipeline",
+]
 
 
 def _strip_confs(spark):
