@@ -1229,7 +1229,7 @@ def rewrite_pinot_hints(sql: str) -> str:
         kv = _parse_hint_kv(cm.group(2) or "")
         if name == "joinoptions":
             strategy = kv.get("join_strategy", "").lower()
-            jt = _JOIN_TARGET_RE.search(sql, m.end())
+            jt = _JOIN_TARGET_RE.search(sql)  # hint may sit after the JOIN
             if jt is None:
                 warnings.warn("joinOptions hint on a query with no JOIN; dropped")
             else:
@@ -1259,13 +1259,22 @@ def rewrite_pinot_hints(sql: str) -> str:
         i = cm.end()
         while i < len(body) and body[i] in ", \n\t":
             i += 1
-    if spark_hints:
-        repl = "/*+ " + ", ".join(spark_hints) + " */"
-    else:
-        repl = ""
+    # Pinot accepts hint blocks after SELECT *or* after a table reference
+    # (corpus QueryHints.json uses `FROM tbl /*+ tableOptions(...) */`);
+    # Spark only honors hints immediately after SELECT — so the original
+    # block is removed in place and the mapped hints are inserted after
+    # the first top-level SELECT.
+    without = sql[: m.start()] + sql[m.end() :]
+    if not spark_hints:
         if not recognized_noop:
             warnings.warn("Pinot hint block had no mappable hints; removed")
-    return sql[: m.start()] + repl + sql[m.end() :]
+        return without
+    sel = re.search(r"\bSELECT\b", without, re.IGNORECASE)
+    if sel is None:
+        warnings.warn("hint on a statement without SELECT; dropped")
+        return without
+    hint_str = " /*+ " + ", ".join(spark_hints) + " */"
+    return without[: sel.end()] + hint_str + without[sel.end() :]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,125 @@
+"""Reference-corpus conformance: the query CLASSES the reference's MSE
+test corpus exercises (pinot-query-runtime/src/test/resources/queries/
+NullHandling.json, QueryHints.json, LeftAntiJoins.json, SetOps*.json,
+OrderBy.json — studied for the shapes, data and queries authored fresh
+here), run through PinotEngine.sql with SQL null semantics and compared
+to DuckDB on the same rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pinot_spark.dialect import PinotEngine
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two small tables with nulls in join keys and measures — the
+    NullHandling.json table shape, our own data."""
+    t1 = spark.createDataFrame(
+        [("foo", 1, "foo"), ("bar", 2, "alice"), (None, 3, "nil"), ("dup", 4, "x")],
+        "s1 string, i1 int, s2 string",
+    )
+    t2 = spark.createDataFrame(
+        [("foo", "bob", 3, 3.5, True), ("alice", "alice", 4, 2.25, False),
+         (None, "nil", 5, None, None), ("dup", "d1", 6, 1.0, True)],
+        "s1 string, s2 string, i1 int, d1 double, b1 boolean",
+    )
+    t1.createOrReplaceTempView("ct1")
+    t2.createOrReplaceTempView("ct2")
+    con = duckdb.connect()
+    con.register("ct1", t1.toPandas())
+    con.register("ct2", t2.toPandas())
+    return con
+
+
+def _match(spark, con, sql, duck_sql=None):
+    eng = PinotEngine(spark, default_limit=1000)
+    got = sorted(
+        map(repr, (tuple(r) for r in eng.sql("SET enableNullHandling=true; " + sql).collect()))
+    )
+    want = sorted(map(repr, (tuple(r) for r in con.sql(duck_sql or sql).fetchall())))
+    assert got == want, f"{sql}\n got: {got}\nwant: {want}"
+
+
+def test_left_join_null_intermediates(spark, corpus):
+    """NULL join keys never match; unmatched rows carry NULL measures
+    through transforms (NULL * x = NULL) — corpus 'null_on_intermediate'."""
+    _match(spark, corpus,
+           "SELECT ct1.s2, ct1.i1 * ct2.d1 + ct2.i1 AS v "
+           "FROM ct1 LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1")
+    _match(spark, corpus,
+           "SELECT ct1.s2, (ct2.d1 IS NULL OR ct1.i1 > 3) AS flag "
+           "FROM ct1 LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1")
+
+
+def test_aggregates_skip_nulls_after_left_join(spark, corpus):
+    _match(spark, corpus,
+           "SELECT COUNT(ct2.i1) AS c, MIN(ct2.i1) AS mn, MAX(ct2.d1) AS mx, "
+           "SUM(ct2.d1) AS s, AVG(ct2.d1) AS a, "
+           "BOOL_AND(ct2.b1) AS ba, BOOL_OR(ct2.b1) AS bo "
+           "FROM ct1 LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1",
+           "SELECT COUNT(ct2.i1), MIN(ct2.i1), MAX(ct2.d1), SUM(ct2.d1), "
+           "AVG(ct2.d1), BOOL_AND(ct2.b1), BOOL_OR(ct2.b1) "
+           "FROM ct1 LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1")
+
+
+def test_group_by_nullable_join_column(spark, corpus):
+    """Grouping on a column that is NULL for unmatched rows: the NULL
+    group must exist (SQL semantics)."""
+    _match(spark, corpus,
+           "SELECT ct2.i1 AS g, COUNT(*) AS n "
+           "FROM ct1 LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1 GROUP BY ct2.i1")
+
+
+def test_order_by_nulls_first_last(spark, corpus):
+    eng = PinotEngine(spark, default_limit=1000)
+    first = eng.sql(
+        "SET enableNullHandling=true; SELECT ct2.d1 AS c FROM ct1 "
+        "LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1 ORDER BY c NULLS FIRST"
+    ).collect()
+    last = eng.sql(
+        "SET enableNullHandling=true; SELECT ct2.d1 AS c FROM ct1 "
+        "LEFT OUTER JOIN ct2 ON ct1.s1 = ct2.s1 ORDER BY c NULLS LAST"
+    ).collect()
+    assert first[0].c is None and last[-1].c is None
+    assert [r.c for r in first if r.c is not None] == [r.c for r in last if r.c is not None]
+
+
+def test_semi_and_anti_join_shapes(spark, corpus):
+    """LeftAntiJoins.json / SemiJoins.json classes via IN / NOT EXISTS."""
+    _match(spark, corpus,
+           "SELECT s2 FROM ct1 WHERE s1 IN (SELECT s1 FROM ct2 WHERE s1 IS NOT NULL)")
+    _match(spark, corpus,
+           "SELECT s2 FROM ct1 WHERE NOT EXISTS "
+           "(SELECT 1 FROM ct2 WHERE ct2.s1 = ct1.s1)")
+
+
+def test_set_ops_with_nulls(spark, corpus):
+    """SetOps*.json classes: NULLs compare equal for set-op purposes."""
+    _match(spark, corpus, "SELECT s1 FROM ct1 INTERSECT SELECT s1 FROM ct2")
+    _match(spark, corpus, "SELECT s1 FROM ct1 EXCEPT SELECT s1 FROM ct2")
+    _match(spark, corpus,
+           "SELECT s1 FROM ct1 UNION SELECT s1 FROM ct2")
+
+
+def test_hint_in_from_position_relocates(spark, corpus):
+    """QueryHints.json places hints after the table reference; the
+    dialect must relocate them after SELECT for Spark and still return
+    correct results."""
+    eng = PinotEngine(spark, default_limit=1000)
+    rows = eng.sql(
+        "SELECT ct2.i1 AS g, COUNT(*) AS n FROM ct1 "
+        "JOIN ct2 /*+ joinOptions(join_strategy='hash') */ "
+        "ON ct1.s1 = ct2.s1 GROUP BY ct2.i1 ORDER BY g"
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [(3, 1), (6, 1)]
+
+
+def test_case_and_coalesce_null_propagation(spark, corpus):
+    """Case.json classes: CASE with NULL branches, COALESCE chains."""
+    _match(spark, corpus,
+           "SELECT s2, CASE WHEN i1 > 2 THEN 'big' WHEN i1 IS NULL THEN 'nil' END AS c, "
+           "COALESCE(s1, s2, 'dflt') AS co FROM ct1")
