@@ -307,6 +307,16 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "mod": lambda a: f"({a[0]} % {a[1]})",
+    # ArithmeticFunctions.java aliases (corpus SpecialSyntax.json calls
+    # ADD/PLUS/TIMES interchangeably, case-insensitive)
+    "add": lambda a: f"({a[0]} + {a[1]})",
+    "sub": lambda a: f"({a[0]} - {a[1]})",
+    "times": lambda a: "(" + " * ".join(a) + ")",
+    "divide": lambda a: (
+        f"({a[0]} / {a[1]})"
+        if len(a) == 2
+        else f"(CASE WHEN {a[1]} = 0 THEN {a[2]} ELSE {a[0]} / {a[1]} END)"
+    ),
     "rounddecimal": lambda a: f"round({a[0]}, {a[1] if len(a) > 1 else 0})",
     "truncate": lambda a: f"trunc({a[0]}, {a[1]})" if len(a) > 1 else f"trunc({a[0]})",
     # --- json (JsonFunctions.java) ---

@@ -118,6 +118,27 @@ def test_hint_in_from_position_relocates(spark, corpus):
     assert [(r.g, r.n) for r in rows] == [(3, 1), (6, 1)]
 
 
+def test_mixed_case_function_names_and_arith_aliases(spark, corpus):
+    """SpecialSyntax.json classes: function names are case-insensitive
+    and Pinot's ADD/PLUS/SUB/TIMES/DIVIDE arithmetic aliases resolve
+    through the dialect."""
+    eng = PinotEngine(spark, default_limit=1000)
+    rows = eng.sql(
+        "SELECT UpPeR(s2) AS u, aDD(pluS(CAST(i1 AS DOUBLE), 1.0), 2.0) AS s, "
+        "TIMES(CAST(i1 AS DOUBLE), 2.0) AS t, SUB(CAST(i1 AS DOUBLE), 1.0) AS d, "
+        "DIVIDE(CAST(i1 AS DOUBLE), 2.0) AS q "
+        "FROM ct1 ORDER BY i1"
+    ).collect()
+    assert rows[0].u == "FOO" and rows[0].s == 4.0
+    assert rows[0].t == 2.0 and rows[0].d == 0.0 and rows[0].q == 0.5
+
+
+def test_join_using_syntax(spark, corpus):
+    """SpecialSyntax.json: JOIN ... USING (col)."""
+    _match(spark, corpus,
+           "SELECT ct1.s2, ct2.i1 AS r FROM ct1 JOIN ct2 USING (s1)")
+
+
 def test_case_and_coalesce_null_propagation(spark, corpus):
     """Case.json classes: CASE with NULL branches, COALESCE chains."""
     _match(spark, corpus,
