@@ -268,6 +268,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
     "regexplike": lambda a: f"({a[0]} RLIKE {a[1]})",
+    # regexpLikeVar (RegexpLikeVarTransformFunction.java): pattern is a
+    # COLUMN, not a literal — Spark's RLIKE accepts non-foldable patterns
+    "regexplikevar": lambda a: f"({a[0]} RLIKE {a[1]})",
     # TEXT_MATCH(col, 'lucene query') → compiled boolean expression over
     # tokenized text (operators/lucene.py Lucene-syntax subset); falls
     # back to RLIKE when the query isn't a string literal.
@@ -639,6 +642,30 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
             spans.append((pos, pos + len(seg)))
         pos += len(seg)
     return spans
+
+
+# Pinot CAST type names Spark doesn't know (DataType.java / corpus
+# TypeCasting.json). The (?=\s*\)) lookahead anchors to the CAST-closing
+# paren so column aliases named e.g. `bytes` are never touched.
+_CAST_TYPE_REWRITES = [
+    (re.compile(r"\bAS\s+BIG_DECIMAL(?=\s*\))", re.IGNORECASE), "AS DECIMAL(38,18)"),
+    (re.compile(r"\bAS\s+(?:BYTES|VARBINARY)(?=\s*\))", re.IGNORECASE), "AS BINARY"),
+    (re.compile(r"\bAS\s+VARCHAR(?=\s*\))", re.IGNORECASE), "AS STRING"),
+]
+
+
+def rewrite_cast_types(sql: str) -> str:
+    """Map Pinot CAST target types (BIG_DECIMAL/BYTES/VARBINARY/bare
+    VARCHAR) to Spark types, outside string literals."""
+
+    def fix(seg: str) -> str:
+        for rx, repl in _CAST_TYPE_REWRITES:
+            seg = rx.sub(repl, seg)
+        return seg
+
+    return "".join(
+        seg if is_lit else fix(seg) for is_lit, seg in _scan_strings(sql)
+    )
 
 
 def rewrite_functions(sql: str) -> str:
@@ -1432,6 +1459,7 @@ class PinotEngine:
             sql = rewritten
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
+        sql = rewrite_cast_types(sql)
         sql = rewrite_mv_predicates(self.spark, sql)
         # default-value null mode LAST: table-name substitution must not
         # disturb the shape-sensitive rewrites above (MV-distinct scale,

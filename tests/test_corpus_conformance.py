@@ -144,3 +144,29 @@ def test_case_and_coalesce_null_propagation(spark, corpus):
     _match(spark, corpus,
            "SELECT s2, CASE WHEN i1 > 2 THEN 'big' WHEN i1 IS NULL THEN 'nil' END AS c, "
            "COALESCE(s1, s2, 'dflt') AS co FROM ct1")
+
+
+def test_pinot_cast_type_names(spark, corpus):
+    """TypeCasting.json classes: BIG_DECIMAL/BYTES/VARBINARY/bare VARCHAR
+    cast targets map to Spark types; aliases named like types survive."""
+    eng = PinotEngine(spark, default_limit=1000)
+    rows = eng.sql(
+        "SELECT CAST(i1 AS BIG_DECIMAL) AS bd, CAST(s2 AS VARCHAR) AS v, "
+        "CAST(X'AB' AS BYTES) AS b, i1 AS bytes "
+        "FROM ct1 ORDER BY i1"
+    ).collect()
+    import decimal
+
+    assert rows[0].bd == decimal.Decimal(1)
+    assert rows[0].v == "foo" and bytes(rows[0].b) == b"\xab"
+    assert rows[0].bytes == 1  # the alias was not rewritten
+
+
+def test_regexp_like_var_column_pattern(spark, corpus):
+    """regexpLikeVar: the regex pattern comes from a column."""
+    eng = PinotEngine(spark, default_limit=1000)
+    rows = eng.sql(
+        "SELECT s2, regexpLikeVar(s2, s2) AS self_match FROM ct1 "
+        "WHERE s2 = 'foo'"
+    ).collect()
+    assert rows[0].self_match is True
