@@ -350,7 +350,18 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcount": lambda a: f"count(DISTINCT {', '.join(a)})",
     "distinctcountbitmap": lambda a: f"count(DISTINCT {a[0]})",
     "segmentpartitioneddistinctcount": lambda a: f"count(DISTINCT {a[0]})",
-    "distinctcounthll": lambda a: f"approx_count_distinct({a[0]})",
+    # optional 2nd arg is log2m (corpus CountDistinct.json: HLL(val, 8));
+    # HLL standard error = 1.04/sqrt(2^log2m) maps onto Spark's rsd param,
+    # which must be a double LITERAL — computed here at rewrite time
+    # (non-literal precision falls back to default accuracy)
+    "distinctcounthll": lambda a: "approx_count_distinct({}{})".format(
+        a[0],
+        (
+            ", {:.6f}".format(1.04 / (2.0 ** float(a[1].strip())) ** 0.5)
+            if len(a) > 1 and a[1].strip().replace(".", "", 1).isdigit()
+            else ""
+        ),
+    ),
     "distinctcounthllplus": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountull": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountsmarthll": lambda a: f"approx_count_distinct({a[0]})",
@@ -1145,6 +1156,10 @@ _KNOWN_OPTIONS = {
     "numreplicagroupstoquery": "accepted no-op: replica routing is a "
     "serving-cluster concern (Spark has no replica groups)",
     "explain": "accepted no-op: use DataFrame.explain()",
+    "usespools": "accepted no-op: Catalyst reuses repeated subplans "
+    "automatically (ReusedExchange/ReusedSubquery — corpus Spool.json)",
+    "maxexecutionthreads": "accepted no-op: parallelism is the Spark "
+    "scheduler's concern (spark.sql.shuffle.partitions etc.)",
 }
 
 

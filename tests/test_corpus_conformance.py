@@ -162,6 +162,34 @@ def test_pinot_cast_type_names(spark, corpus):
     assert rows[0].bytes == 1  # the alias was not rewritten
 
 
+def test_spool_option_and_filter_clause(spark, corpus):
+    """Spool.json / FilterAggregates.json classes: SET useSpools accepted
+    silently (Catalyst reuses subplans); FILTER (WHERE ...) per-agg; WITH
+    reused twice (the spool shape)."""
+    import warnings
+
+    eng = PinotEngine(spark, default_limit=1000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = eng.sql(
+            "SET timeoutMs=10000; SET useSpools=true; "
+            "WITH g AS (SELECT s1, SUM(i1) AS s FROM ct2 WHERE s1 IS NOT NULL GROUP BY s1) "
+            "SELECT a.s1, a.s, b.s FROM g a JOIN g b ON a.s1 = b.s1 ORDER BY a.s1"
+        ).collect()
+    assert [r.s1 for r in rows] == ["alice", "dup", "foo"]
+    _match(spark, corpus,
+           "SELECT count(*) FILTER (WHERE s2 = 'alice' OR i1 > 3) AS n FROM ct1")
+
+
+def test_hll_log2m_argument(spark, corpus):
+    """CountDistinct.json: DISTINCTCOUNTHLL(col, log2m) — the precision
+    arg maps to Spark's rsd; exactness not required, but the call must
+    parse and return a sane estimate."""
+    eng = PinotEngine(spark, default_limit=1000)
+    row = eng.sql("SELECT DISTINCTCOUNTHLL(i1, 12) AS d FROM ct1").collect()[0]
+    assert 3 <= row.d <= 5  # 4 distinct values, small rsd
+
+
 def test_regexp_like_var_column_pattern(spark, corpus):
     """regexpLikeVar: the regex pattern comes from a column."""
     eng = PinotEngine(spark, default_limit=1000)
