@@ -267,6 +267,14 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     ),
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
+    # Pinot StringFunctions.concat(s1, s2, separator): the THIRD arg is a
+    # separator between the first two (corpus WindowFunctions.json uses
+    # CONCAT(col1, col2, '-')) — Spark's concat would append it instead
+    "concat": lambda a: (
+        f"concat({a[0]}, {a[2]}, {a[1]})"
+        if len(a) == 3
+        else "concat(" + ", ".join(a) + ")"
+    ),
     "regexplike": lambda a: f"({a[0]} RLIKE {a[1]})",
     # regexpLikeVar (RegexpLikeVarTransformFunction.java): pattern is a
     # COLUMN, not a literal — Spark's RLIKE accepts non-foldable patterns

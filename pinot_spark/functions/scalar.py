@@ -74,7 +74,13 @@ def _substr(s, start, length=None):
 # Pinot strPos = StringUtils.indexOf: 0-based, -1 on miss
 # (reference pinot-common/.../scalar/StringFunctions.java strPos).
 _reg("strpos")(lambda s, sub: F.instr(_c(s), _c(sub)) - F.lit(1))
-_reg("concat")(lambda *xs: F.concat(*[_c(x) for x in xs]))
+# StringFunctions.concat(s1, s2, separator): exactly-3-arg puts the 3rd
+# BETWEEN the first two (dialect twin in dialect.py FUNCTION_MAP)
+_reg("concat")(
+    lambda *xs: F.concat(_c(xs[0]), _c(xs[2]), _c(xs[1]))
+    if len(xs) == 3
+    else F.concat(*[_c(x) for x in xs])
+)
 _reg("concatws")(lambda sep, *xs: F.concat_ws(sep if isinstance(sep, str) else sep, *[_c(x) for x in xs]))
 _reg("trim")(lambda s: F.trim(_c(s)))
 _reg("ltrim")(lambda s: F.ltrim(_c(s)))

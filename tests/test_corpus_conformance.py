@@ -190,6 +190,27 @@ def test_hll_log2m_argument(spark, corpus):
     assert 3 <= row.d <= 5  # 4 distinct values, small rsd
 
 
+def test_three_arg_concat_separator_semantics(spark, corpus):
+    """Pinot CONCAT(s1, s2, sep) puts the 3rd arg BETWEEN the first two
+    (StringFunctions.java; corpus WindowFunctions.json) — Spark's concat
+    would append it. 2-arg/4-arg stay plain concatenation."""
+    eng = PinotEngine(spark, default_limit=1000)
+    rows = eng.sql(
+        "SELECT CONCAT(s2, i1, '-') AS c3, CONCAT(s2, i1) AS c2 "
+        "FROM ct1 WHERE s2 = 'foo'"
+    ).collect()
+    assert rows[0].c3 == "foo-1" and rows[0].c2 == "foo1"
+
+
+def test_window_over_clauses_through_dialect(spark, corpus):
+    """WindowFunctions.json classes: empty OVER(), ORDER-BY-only OVER
+    (running aggregate), PARTITION BY + ORDER BY."""
+    _match(spark, corpus,
+           "SELECT s2, COUNT(*) OVER () AS n, "
+           "SUM(i1) OVER (ORDER BY i1) AS run, "
+           "DENSE_RANK() OVER (PARTITION BY s1 ORDER BY i1) AS dr FROM ct1")
+
+
 def test_regexp_like_var_column_pattern(spark, corpus):
     """regexpLikeVar: the regex pattern comes from a column."""
     eng = PinotEngine(spark, default_limit=1000)

@@ -30,7 +30,9 @@ SCALAR_CASES = [
     ("strpos", lambda: [F.lit("hello"), F.lit("zz")], -1),  # -1 on miss
     ("dayofweek", lambda: [F.lit("2024-01-07").cast("timestamp")], 7),  # ISO Sun=7
     ("dayofweek", lambda: [F.lit("2024-01-01").cast("timestamp")], 1),  # ISO Mon=1
-    ("concat", lambda: [F.lit("a"), F.lit("b"), F.lit("c")], "abc"),
+    # 3-arg concat(s1, s2, separator) puts the separator BETWEEN
+    # (string/StringFunctions.java:33) — "a" + "c" + "b"
+    ("concat", lambda: [F.lit("a"), F.lit("b"), F.lit("c")], "acb"),
     ("trim", lambda: [F.lit("  x ")], "x"),
     ("length", lambda: [F.lit("abcd")], 4),
     ("replace", lambda: [F.lit("banana"), F.lit("na"), F.lit("NA")], "baNANA"),
