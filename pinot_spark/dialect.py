@@ -748,6 +748,121 @@ def _mv_columns(spark: SparkSession, sql: str) -> set[str]:
     return cols
 
 
+_ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def rewrite_array_constructor(sql: str) -> str:
+    """Calcite ``ARRAY[a, b, c]`` literal syntax (corpus
+    ValueExpressions.json) → Spark ``array(a, b, c)``; nested
+    constructors recurse, string literals untouched."""
+    spans = _literal_spans(sql)
+    out, i = [], 0
+    while True:
+        m = _ARRAY_CTOR_RE.search(sql, i)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _ARRAY_CTOR_RE.search(sql, m.end())
+        if not m:
+            out.append(sql[i:])
+            break
+        open_idx = sql.index("[", m.start())
+        depth, j = 0, open_idx
+        while j < len(sql):
+            if sql[j] == "[":
+                depth += 1
+            elif sql[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            out.append(sql[i:])
+            break
+        inner = rewrite_array_constructor(sql[open_idx + 1 : j])
+        out.append(sql[i : m.start()])
+        out.append(f"array({inner})")
+        i = j + 1
+    return "".join(out)
+
+
+def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
+    """Lowercased column names of the given Spark types across every
+    table referenced in FROM/JOIN."""
+    tables = set(
+        re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
+    )
+    cols: set[str] = set()
+    for t in tables:
+        try:
+            schema = spark.table(t).schema
+        except Exception:
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, types):
+                cols.add(f.name.lower())
+    return cols
+
+
+_IDENT_OR_NUM = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
+_CMP_RE = re.compile(
+    rf"({_IDENT_OR_NUM})\s*(=|!=|<>|<=|>=|<|>)\s*({_IDENT_OR_NUM})"
+)
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+_LONG_TYPES = (T.LongType, T.IntegerType)
+
+
+def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
+    """Pinot coerces TIMESTAMP↔LONG as epoch MILLIS (TimestampUtils;
+    corpus TypeCoercion.json: ``ts_col = 1678861800000``,
+    ``ts_col > long_col``, ``CAST(1700000000000 AS TIMESTAMP)``). Spark
+    would interpret the long as SECONDS — a silent 1000× error — so
+    comparisons between a timestamp column and an integral operand are
+    rewritten to ``unix_millis(CAST(ts AS TIMESTAMP))`` and long→
+    TIMESTAMP casts to ``timestamp_millis``."""
+    ts_cols = _typed_columns(spark, sql, _TS_TYPES)
+    long_cols = _typed_columns(spark, sql, _LONG_TYPES)
+
+    def kind(tok: str) -> str:
+        if tok.isdigit():
+            return "num"
+        base = tok.split(".")[-1].lower()
+        if base in ts_cols:
+            return "ts"
+        if base in long_cols:
+            return "num"
+        return "other"
+
+    def fix_seg(seg: str) -> str:
+        if ts_cols:
+
+            def cmp_fix(m: re.Match) -> str:
+                left, op, right = m.group(1), m.group(2), m.group(3)
+                kl, kr = kind(left), kind(right)
+                if kl == "ts" and kr == "num":
+                    return f"unix_millis(CAST({left} AS TIMESTAMP)) {op} {right}"
+                if kl == "num" and kr == "ts":
+                    return f"{left} {op} unix_millis(CAST({right} AS TIMESTAMP))"
+                return m.group(0)
+
+            seg = _CMP_RE.sub(cmp_fix, seg)
+
+        def cast_fix(m: re.Match) -> str:
+            arg = m.group(1)
+            if arg.isdigit() or arg.split(".")[-1].lower() in long_cols:
+                return f"timestamp_millis({arg})"
+            return m.group(0)
+
+        return re.sub(
+            rf"\bCAST\s*\(\s*({_IDENT_OR_NUM})\s+AS\s+TIMESTAMP\s*\)",
+            cast_fix,
+            seg,
+            flags=re.IGNORECASE,
+        )
+
+    return "".join(
+        seg if is_lit else fix_seg(seg) for is_lit, seg in _scan_strings(sql)
+    )
+
+
 def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
     """mvCol = v → array_contains(mvCol, v); mvCol != v → NOT
     array_contains; mvCol IN (…) → arrays_overlap; mvCol NOT IN (…) →
@@ -1480,9 +1595,11 @@ class PinotEngine:
                     "(both sides must be named tables/views)"
                 )
             sql = rewritten
+        sql = rewrite_array_constructor(sql)
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_cast_types(sql)
+        sql = rewrite_timestamp_coercion(self.spark, sql)
         sql = rewrite_mv_predicates(self.spark, sql)
         # default-value null mode LAST: table-name substitution must not
         # disturb the shape-sensitive rewrites above (MV-distinct scale,

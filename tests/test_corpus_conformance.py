@@ -219,3 +219,57 @@ def test_regexp_like_var_column_pattern(spark, corpus):
         "WHERE s2 = 'foo'"
     ).collect()
     assert rows[0].self_match is True
+
+
+def test_array_constructor_syntax(spark, corpus):
+    """ValueExpressions.json: ARRAY[a, b, expr] literals (Calcite) map to
+    Spark array(); nesting works; 'ARRAY[' inside a string is untouched."""
+    from pinot_spark.dialect import rewrite_array_constructor
+
+    eng = PinotEngine(spark, default_limit=1000)
+    row = eng.sql(
+        "SELECT ARRAYTOSTRING(ARRAY[1, 2, 3 + 4], ',') AS a, "
+        "ARRAYTOSTRING(ARRAY[ARRAY[1], ARRAY[2]][0], ',') AS n, "
+        "'ARRAY[9]' AS lit FROM ct1 WHERE i1 = 1"
+    ).collect()[0]
+    assert row.a == "1,2,7" and row.n == "1" and row.lit == "ARRAY[9]"
+    assert rewrite_array_constructor("SELECT 'ARRAY[1]'") == "SELECT 'ARRAY[1]'"
+
+
+@pytest.fixture
+def ts_tables(spark):
+    import duckdb as _duck
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", 1704844800000),
+         (2, "2024-01-20 00:00:00", 1705708800000)],
+        "id int, ts_s string, long_col long",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts_col", "long_col")
+    df.createOrReplaceTempView("tsc")
+    con = _duck.connect()
+    con.register("tsc", df.toPandas())
+    return con
+
+
+def test_timestamp_long_millis_coercion(spark, ts_tables):
+    """TypeCoercion.json: TIMESTAMP vs LONG compares as epoch MILLIS
+    (Spark alone would read the long as seconds — 1000x off)."""
+    eng = PinotEngine(spark, default_limit=1000)
+    # ts_col = its own epoch-millis long → both rows match themselves
+    rows = eng.sql("SELECT id FROM tsc WHERE ts_col = long_col ORDER BY id").collect()
+    assert [r.id for r in rows] == [1, 2]
+    # literal millis between the two timestamps
+    rows = eng.sql("SELECT id FROM tsc WHERE ts_col > 1705000000000").collect()
+    assert [r.id for r in rows] == [2]
+    rows = eng.sql("SELECT id FROM tsc WHERE 1705000000000 > ts_col").collect()
+    assert [r.id for r in rows] == [1]
+    # CAST(long AS TIMESTAMP) is millis-based
+    row = eng.sql(
+        "SELECT id FROM tsc WHERE ts_col = CAST(1704844800000 AS TIMESTAMP)"
+    ).collect()
+    assert [r.id for r in row] == [1]
+    # timestamp-vs-timestamp comparisons stay untouched
+    rows = eng.sql(
+        "SELECT id FROM tsc WHERE ts_col >= TIMESTAMP '2024-01-15 00:00:00'"
+    ).collect()
+    assert [r.id for r in rows] == [2]
