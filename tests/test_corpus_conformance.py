@@ -273,3 +273,20 @@ def test_timestamp_long_millis_coercion(spark, ts_tables):
         "SELECT id FROM tsc WHERE ts_col >= TIMESTAMP '2024-01-15 00:00:00'"
     ).collect()
     assert [r.id for r in rows] == [2]
+
+
+def test_recursive_cte_and_limit_offset(spark, corpus):
+    """WithStatements.json / OrderBy.json classes: WITH RECURSIVE (native
+    in Spark 4) and nested ORDER BY ... LIMIT ... OFFSET through the
+    dialect."""
+    eng = PinotEngine(spark, default_limit=1000)
+    row = eng.sql(
+        "WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 5) "
+        "SELECT CAST(sum(n) AS BIGINT) AS s FROM seq"
+    ).collect()[0]
+    assert row.s == 15
+    rows = eng.sql(
+        "SELECT * FROM (SELECT i1 FROM ct1 ORDER BY i1 LIMIT 2 OFFSET 1) "
+        "ORDER BY i1 LIMIT 3"
+    ).collect()
+    assert [r.i1 for r in rows] == [2, 3]
