@@ -1,0 +1,120 @@
+"""Property-based roundtrip tests for the pure-stdlib codecs added in
+round 5 (imagecodec, avrocodec, bsoncodec, thriftcodec): encode→decode
+must be identity over generated inputs, not just the fixture cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pinot_spark.functions import imagecodec as ic
+from pinot_spark.sources import avrocodec, bsoncodec, thriftcodec
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, seed):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_png(ic.encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_roundtrip_property(h, w, seed):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_ppm(ic.encode_ppm(arr)), arr)
+
+
+_scalar = st.one_of(
+    st.integers(-(2**62), 2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+    st.booleans(),
+    st.none(),
+    st.binary(max_size=20),
+)
+_bson_doc = st.dictionaries(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, blacklist_characters="\x00"),
+        min_size=1,
+        max_size=10,
+    ),
+    st.one_of(_scalar, st.lists(st.integers(-100, 100), max_size=5)),
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(doc=_bson_doc)
+def test_bson_roundtrip_property(doc):
+    back = bsoncodec.decode_document(bsoncodec.encode_document(doc))
+    assert back == doc
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.integers(-(2**62), 2**62),
+                "s": st.one_of(st.none(), st.text(max_size=15)),
+                "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "a": st.lists(st.text(max_size=5), max_size=4),
+            }
+        ),
+        max_size=8,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_ocf_roundtrip_property(recs, codec):
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "a", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    buf = avrocodec.write_ocf(schema, recs, codec=codec)
+    assert list(avrocodec.iter_records(buf)) == recs
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    fields=st.lists(
+        st.tuples(
+            st.integers(1, 200),
+            st.one_of(
+                st.integers(-(2**62), 2**62),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.text(max_size=15),
+                st.booleans(),
+                st.lists(st.integers(-100, 100), min_size=1, max_size=4),
+                st.dictionaries(
+                    st.text(min_size=1, max_size=5),
+                    st.integers(-100, 100),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+        ),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_thrift_roundtrip_property(fields):
+    spec = {fid: f"f{fid}" for fid, _ in fields}
+    out = thriftcodec.decode_struct(thriftcodec.encode_struct(fields), spec)
+    assert out == {f"f{fid}": v for fid, v in fields}
