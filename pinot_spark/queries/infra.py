@@ -1,0 +1,190 @@
+"""Infrastructure-surface queries: driver-gate evidence for the SURVEY
+§2.1 rows that previously had repo-only tests — input-format roundtrips,
+batch segment build + time pruning, skew-safe operators, result cursors,
+and the ingestion transform pipeline. Registered behind the round-5
+window; prime candidates for the round-6 rotation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.queries import dsum2, query
+
+_TMP = os.path.join(tempfile.gettempdir(), "pinot_spark_infra")
+
+
+@query(
+    "scan_format_roundtrip",
+    oracle="""
+    SELECT fmt, n_rows, key_sum FROM
+      (SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM nation)
+    CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS t(fmt)
+    ORDER BY fmt
+    """,
+)
+def scan_format_roundtrip(spark, sf_dir):
+    """Input formats (§2.1, pinot-plugins/pinot-input-format): nation is
+    written and read back through each batch format via
+    sources/readers.read_table; every roundtrip must preserve row count
+    and key checksum. avro/arrow/bson have their own codec paths tested
+    in tests/test_ingestion.py (avro's JVM jar is absent here)."""
+    from pinot_spark.sources.readers import read_table
+
+    t = load_tables(spark, sf_dir)
+    outs = []
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = os.path.join(_TMP, f"roundtrip_{fmt}")
+        w = t["nation"].write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        back = read_table(spark, path, fmt)
+        outs.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "key_sum")
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionAll(o)
+    return df.orderBy("fmt")
+
+
+@query(
+    "segment_build_time_pruning",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(CAST(coalesce(value, 0.0) AS DECIMAL(38,6))), 2)::DOUBLE AS val_sum
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    """,
+)
+def segment_build_time_pruning(spark, sf_dir):
+    """Batch segment build + time pruning (§2.1,
+    sources/segments.write_segments — the SegmentTimePruner analog):
+    events land day-partitioned; a one-day read touches one partition
+    (PartitionFilters, asserted in tests/test_ingestion.py) and must
+    return exactly the source rows for that day."""
+    from pinot_spark.sources.segments import write_segments
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(_TMP, "seg_events")
+    write_segments(t["events"], path, time_col="ts", time_bucket="day")
+    back = spark.read.parquet(path).filter(F.col("__seg_time") == "2024-01-05")
+    return back.agg(
+        F.count("*").alias("n"),
+        dsum2(F.coalesce(F.col("value"), F.lit(0.0))).alias("val_sum"),
+    )
+
+
+@query(
+    "skew_safe_operators",
+    oracle="""
+    SELECT 'salted_join' AS op, c_mktsegment AS k, count(*) AS v
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'two_phase_dc' AS op, l_returnflag AS k, count(DISTINCT l_suppkey) AS v
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY op, k
+    """,
+)
+def skew_safe_operators(spark, sf_dir):
+    """Skew handling (§2.1, operators/skew.py): salting spreads a hot
+    join key across num_salts replicas; two-phase distinct spreads a hot
+    group across the (group, value) pair space. Both must be
+    result-identical to the plain operators."""
+    from pinot_spark.operators.skew import salted_join, two_phase_count_distinct
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = (
+        salted_join(t["orders"], dim, on="o_custkey", num_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("v"))
+        .select(F.lit("salted_join").alias("op"), F.col("c_mktsegment").alias("k"), "v")
+    )
+    dc = two_phase_count_distinct(
+        t["lineitem"], ["l_returnflag"], "l_suppkey", out_col="v"
+    ).select(F.lit("two_phase_dc").alias("op"), F.col("l_returnflag").alias("k"), "v")
+    return joined.unionAll(dc).orderBy("op", "k")
+
+
+@query(
+    "cursor_result_table_pages",
+    oracle="""
+    SELECT 0 AS page, o_orderkey, o_totalprice FROM
+      (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+       ORDER BY o_orderkey LIMIT 5)
+    UNION ALL
+    SELECT 1 AS page, o_orderkey, o_totalprice FROM
+      (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+       ORDER BY o_orderkey LIMIT 5 OFFSET 5)
+    ORDER BY page, o_orderkey
+    """,
+)
+def cursor_result_table_pages(spark, sf_dir):
+    """Result cursors (§2.1, pinot-spi/.../cursors/ — paginated broker
+    results): two consecutive pages through PinotEngine.result_table
+    must tile the ordered result with no gaps or overlaps. The pages are
+    driver-side by nature (a cursor IS a driver surface); page size is
+    bounded."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    sql = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 10"
+    )
+    rows = []
+    for page in (0, 1):
+        rt = eng.result_table(sql, offset=page * 5, num_rows=5)
+        for r in rt["resultTable"]["rows"]:
+            rows.append((page, int(r[0]), float(r[1])))
+    return spark.createDataFrame(
+        rows, "page int, o_orderkey bigint, o_totalprice double"
+    ).orderBy("page", "o_orderkey")
+
+
+@query(
+    "ingestion_pipeline_conform",
+    oracle="""
+    SELECT n_nationkey, substr(upper(n_name), 1, 12) AS name_u,
+           substr(concat(n_name, '-', n_name), 1, 12) AS tagged, r_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE NOT (n_regionkey = 0)
+    ORDER BY n_nationkey
+    """,
+)
+def ingestion_pipeline_conform(spark, sf_dir):
+    """Ingestion transform pipeline (§2.1/§1.4, sources/ingestion.py —
+    IngestionConfig order: filter → transform → sanitize → enrich):
+    FilterConfig DROPS matching rows, transforms add columns, the
+    sanitizer truncates strings, and a broadcast enrichment joins the
+    region dimension in."""
+    from pinot_spark.sources.ingestion import IngestionPipeline
+
+    t = load_tables(spark, sf_dir)
+    pipe = IngestionPipeline(
+        filter_expr="n_regionkey = 0",  # Pinot filterFunction: drop these
+        transforms={
+            "name_u": "upper(n_name)",
+            "tagged": "concat(n_name, '-', n_name)",
+            "r_regionkey": "n_regionkey",
+        },
+        max_string_length=12,  # sanitizer truncates every string column
+        enrichments=[(t["region"], ["r_regionkey"], ["r_name"])],
+    )
+    out = pipe.apply(t["nation"])
+    return out.select(
+        "n_nationkey", "name_u", "tagged", "r_name"
+    ).orderBy("n_nationkey")
