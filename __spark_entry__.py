@@ -25,5 +25,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
+    """DuckDB-runnable oracle SQL per query. Every registered query has
+    one — the driver marks oracle-less entries err:no_oracle (red);
+    there is no rows-only fallback. Approximate/hash-specific operators
+    emit deterministic validated outputs (exact value + within-tolerance
+    boolean, verified pairs, or a full SQL mirror of the approximate
+    pipeline) so an exact oracle twin always exists."""
     return dict(_q.ORACLE)

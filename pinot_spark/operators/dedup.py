@@ -230,13 +230,27 @@ def duplicate_clusters(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: str | Column, bits: int = 64) -> Column:
+def simhash(text: str | Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens: sign(sum over tokens of
     ±1 per bit of xxhash64(token)). Expressed with higher-order functions;
-    no Python in the loop."""
+    no Python in the loop.
+
+    ``hash_fn="md5"`` derives the per-token hash from the top 15 hex
+    chars of md5 (60 usable bits — fits a signed long exactly), which
+    any ANSI engine can recompute bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(tok),1,15))::BIGINT``) — the cross-engine-
+    checkable variant the driver oracle uses. xxhash64 stays the default
+    production path (JVM-native, no hex parse)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # per bit: count of tokens with bit set, vs total
     n = F.size(toks)
     bit_cols = []
@@ -250,9 +264,11 @@ def simhash(text: str | Column, bits: int = 64) -> Column:
     return out
 
 
-def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Exact-SimHash-bucket dedup: keep min-id per simhash value.
     (Hamming-distance banding slots in like MinHash LSH bands.)"""
-    sh = df.select(F.col(id_col), simhash(text_col).alias("__sh"))
+    sh = df.select(F.col(id_col), simhash(text_col, hash_fn=hash_fn).alias("__sh"))
     keep = sh.groupBy("__sh").agg(F.min(id_col).alias(id_col)).drop("__sh")
     return df.join(keep, on=id_col, how="left_semi")

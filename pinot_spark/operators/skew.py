@@ -53,7 +53,19 @@ def salted_join(
     salted_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
+    # Salt must vary per ROW, not per payload: hashing only the non-key
+    # columns would land every identical-payload row of a hot key on one
+    # salt, defeating the spread. Mixing monotonically_increasing_id()
+    # in keeps the salt rand()-free (re-executable under task retries
+    # given stable input partitioning) while spreading duplicates.
     salted_big = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[c for c in big.columns if c != on]), F.lit(num_salts))
+        _SALT,
+        F.pmod(
+            F.xxhash64(
+                *[c for c in big.columns if c != on],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(num_salts),
+        ),
     )
     return salted_big.join(salted_small, on=[on, _SALT], how=how).drop(_SALT)

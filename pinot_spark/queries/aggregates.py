@@ -66,15 +66,40 @@ def agg_distinct_family(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # approximate — no exact oracle; rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_suppkey) AS dc_supp_exact,
+           count(DISTINCT l_partkey) AS dc_part_exact,
+           TRUE AS adc_within_5pct,
+           TRUE AS hll_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """DISTINCTCOUNTHLL / HLLPLUS / ULL → approx_count_distinct (HLL++),
     plus Spark 3.5 hll_sketch_agg bytes (RAW-sketch analog)
-    (AggregationFunctionType.java:88-106)."""
+    (AggregationFunctionType.java:88-106).
+
+    Driver-checkable validated output: the approximate estimates are
+    deterministic (HLL++ / DataSketches HLL are hash-based, not random)
+    but engine-specific, so the emitted columns are the EXACT distinct
+    counts plus booleans asserting each estimate lands within 5% of
+    exact — the oracle emits the same exact counts and literal TRUE."""
     t = load_tables(spark, sf_dir)
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact.cast("double")) <= 0.05 * exact.cast("double")
+    )
     return t["lineitem"].agg(
-        F.approx_count_distinct("l_suppkey").alias("adc_supp"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_sketch_partkey"),
+        F.count_distinct("l_suppkey").alias("dc_supp_exact"),
+        F.count_distinct("l_partkey").alias("dc_part_exact"),
+        within(
+            F.approx_count_distinct("l_suppkey"), F.count_distinct("l_suppkey")
+        ).alias("adc_within_5pct"),
+        within(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")),
+            F.count_distinct("l_partkey"),
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -240,14 +265,42 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("agg_percentile_approx")  # approximate — rows-only check
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           TRUE AS p50_est_within_1pct,
+           TRUE AS p90_est_within_1pct,
+           TRUE AS p99_est_within_1pct
+    FROM lineitem
+    """,
+)
 def agg_percentile_approx(spark, sf_dir):
     """PERCENTILEEST / PERCENTILETDIGEST / PERCENTILEKLL →
-    percentile_approx (AggregationFunctionType.java:123-134)."""
+    percentile_approx (AggregationFunctionType.java:123-134).
+
+    Driver-checkable validated output (scalar columns only — ArrayType
+    output crashed the driver canonicalizer in round 5): exact
+    percentiles plus booleans asserting each percentile_approx estimate
+    (accuracy 10000 → rank error ≤ 1e-4, deterministic GK sketch) lands
+    within 1% of exact; the oracle emits exact + literal TRUE."""
     t = load_tables(spark, sf_dir)
+    exact = {q: F.percentile("l_extendedprice", q) for q in (0.5, 0.9, 0.99)}
+    est = {
+        q: F.percentile_approx("l_extendedprice", q, 10000) for q in (0.5, 0.9, 0.99)
+    }
+    within = lambda q: (  # noqa: E731
+        F.abs(est[q].cast("double") - exact[q]) <= 0.01 * exact[q]
+    )
     return t["lineitem"].agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_est"),
-        F.percentile_approx("l_extendedprice", [0.9, 0.99], 10000).alias("p_hi_est"),
+        _r4(exact[0.5]).alias("p50"),
+        _r4(exact[0.9]).alias("p90"),
+        _r4(exact[0.99]).alias("p99"),
+        within(0.5).alias("p50_est_within_1pct"),
+        within(0.9).alias("p90_est_within_1pct"),
+        within(0.99).alias("p99_est_within_1pct"),
     )
 
 
@@ -532,22 +585,44 @@ def agg_fourth_moment(spark, sf_dir):
     )
 
 
-@query("agg_hll_sketch_union")  # sketch-byte estimates — rows-only check
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT count(DISTINCT l_suppkey) AS exact_distinct_supp,
+           TRUE AS union_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_hll_sketch_union(spark, sf_dir):
     """DISTINCTCOUNTRAWHLL / union of serialized sketches
     (AggregationFunctionType.java:88-106 RAW variants): per-group HLL
     sketch bytes built with hll_sketch_agg, merged across groups with
     hll_union_agg, estimated with hll_sketch_estimate — the mergeable-
-    sketch contract Pinot ships between servers and broker."""
+    sketch contract Pinot ships between servers and broker.
+
+    Driver-checkable validated output: the union estimate is
+    deterministic but engine-specific bytes-in-flight, so emit the exact
+    global distinct plus a boolean asserting the merged-sketch estimate
+    lands within 5% of it (oracle: exact + literal TRUE)."""
     t = load_tables(spark, sf_dir)
     per_flag = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(F.hll_sketch_agg("l_suppkey").alias("sketch"))
     )
-    return (
-        per_flag.agg(F.hll_union_agg("sketch").alias("merged"))
-        .select(F.hll_sketch_estimate("merged").alias("approx_distinct_supp"))
+    li = t["lineitem"]
+    exact = li.select(F.count_distinct("l_suppkey").alias("exact_distinct_supp"))
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("double")
+        .alias("union_est")
+    )
+    return exact.crossJoin(merged).select(
+        "exact_distinct_supp",
+        (
+            F.abs(F.col("union_est") - F.col("exact_distinct_supp"))
+            <= 0.05 * F.col("exact_distinct_supp")
+        ).alias("union_within_5pct"),
     )
 
 

@@ -15,7 +15,9 @@ import pyspark.sql.functions as F
 from pinot_spark.catalog import load_tables
 from pinot_spark.queries import dsum2, query
 
-_TMP = os.path.join(tempfile.gettempdir(), "pinot_spark_infra")
+# per-process scratch dir: a fixed path would let two concurrent driver
+# runs cross-contaminate each other's roundtrip artifacts
+_TMP = tempfile.mkdtemp(prefix="pinot_spark_infra_")
 
 
 @query(

@@ -43,28 +43,89 @@ def dedup_exact_documents(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh_pairs")  # LSH banding is engine-specific — rows-only check
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+                            FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE /
+                 len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.g, b.g))::DOUBLE /
+                len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket-join),
-    verified by true n-gram Jaccard ≥ 0.8 (operators/dedup.py). The word-
-    soup corpus has no true near-dups, so this exercises the full plan and
-    returns the (possibly empty) verified pair set plus candidate stats."""
+    verified by true word-3-gram Jaccard ≥ 0.8 (operators/dedup.py).
+
+    Driver-checkable by construction: the emitted rows are the VERIFIED
+    pairs (true Jaccard ≥ 0.8 — exact set math, not minhash estimates),
+    so they equal the oracle's exact all-pairs result as long as LSH
+    recall is 1 at the threshold. With 32 hashes in 16 bands of 2 rows,
+    P(miss) = (1 - J²)^16 ≤ 4e-17 for J ≥ 0.95 (the corpus's real
+    near-dup pairs) — deterministic in practice; verification guarantees
+    zero false positives. The oracle is the O(n²) exact demonstrator;
+    the Spark side stays the banded no-N² scale plan."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.col("doc_id") < 200)
-    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8)
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        _r4(F.avg("jaccard")).alias("avg_jaccard"),
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=16
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash_buckets")  # hash-specific — rows-only check
+@query(
+    "dedup_simhash_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, g.b,
+             CASE WHEN 2 * count(*) FILTER (WHERE (h >> g.b) & 1 = 1) >= count(*)
+                  THEN 1 ELSE 0 END AS bit
+      FROM th CROSS JOIN generate_series(0, 59) g(b)
+      GROUP BY doc_id, g.b
+    ),
+    sig AS (
+      SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY b) AS s
+      FROM bits GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_kept
+    FROM sig
+    """,
+)
 def dedup_simhash_buckets(spark, sf_dir):
     """SimHash signature dedup (operators/dedup.py simhash): count of
-    surviving docs after exact-signature bucketing."""
+    surviving docs after exact-signature bucketing.
+
+    Uses the md5-derived 60-bit signature variant so the oracle can
+    recompute the identical per-bit majority vote in SQL — n_kept equals
+    the oracle's distinct-signature count bit-for-bit, INCLUDING any
+    near-dup collisions (the point of SimHash), not just exact-text
+    groups."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.col("doc_id") < 200)
-    return simhash_dedup(docs, "text", "doc_id").agg(F.count("*").alias("n_kept"))
+    kept = simhash_dedup(docs, "text", "doc_id", hash_fn="md5")
+    return docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    )
 
 
 @query(
@@ -129,16 +190,55 @@ def similarity_topk_cosine(spark, sf_dir):
     return topk_cosine(t["embeddings"], "embedding", "vec_id", qvec, k=10)
 
 
-@query("similarity_topk_ivf")  # approximate (bucketed probe) — rows-only check
+@query(
+    "similarity_topk_ivf",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ),
+    probe AS (
+      SELECT cid FROM cents, q
+      ORDER BY list_distance(cv, qv) ASC, cid ASC LIMIT 2
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             (SELECT c.cid FROM cents c
+              ORDER BY list_distance(c.cv, e.embedding::DOUBLE[]) ASC, c.cid ASC
+              LIMIT 1) AS bucket
+      FROM embeddings e
+    ),
+    sims AS (
+      SELECT a.vec_id,
+             round(list_dot_product(a.v, q.qv) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+      FROM assigned a CROSS JOIN q
+      WHERE a.bucket IN (SELECT cid FROM probe)
+    )
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-k (the 100 TB scale path: probe only
-    nearest coarse-quantizer buckets; bucket = storage partition key)."""
+    nearest coarse-quantizer buckets; bucket = storage partition key).
+
+    The IVF semantics (nearest-centroid assignment with first-min
+    tiebreak, probe = 2 closest centroids, exact cosine within probed
+    buckets) are fully deterministic and SQL-expressible, so the oracle
+    mirrors the WHOLE approximate pipeline rather than bound-checking —
+    centroids are the vec_id 1-4 embeddings in vec_id order, matching
+    the ORDER BY dist, cid tiebreaks on both sides."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     cents = [
         [float(x) for x in r[0]]
-        for r in emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select("embedding").collect()
+        for r in emb.filter(F.col("vec_id").isin(1, 2, 3, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
     ]
     return topk_cosine_ivf(emb, "embedding", "vec_id", qvec, cents, k=5, nprobe=2)
 

@@ -608,9 +608,59 @@ def agg_funnel_count(spark, sf_dir):
 
 @query(
     "agg_funnel_events_eval",
-    # no SQL oracle: the sliding-window match with event consumption is
-    # not SQL-expressible — rows-only check; exact semantics are locked
-    # by the deterministic fixture test in tests/test_funnel_extra.py
+    # The sliding-window match with event consumption IS SQL-expressible:
+    # precompute each anchor's greedy (first-click, first-purchase) match
+    # indices with correlated mins, then replay the consumption rule
+    # (next match = first completed anchor past the previous match's
+    # purchase) with a recursive CTE — iterations = completed funnels per
+    # user. Exact semantics also locked by tests/test_funnel_extra.py.
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, epoch_ms(ts) AS tms,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts, CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END
+             ) - 1 AS rn
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    a1 AS (
+      SELECT a.user_id, a.rn AS i, a.tms AS t0,
+             (SELECT min(b.rn) FROM ev b
+              WHERE b.user_id = a.user_id AND b.rn > a.rn AND b.s = 1
+                AND b.tms < a.tms + 604800000) AS j1
+      FROM ev a WHERE a.s = 0
+    ),
+    m2 AS (
+      SELECT a1.user_id, a1.i, a1.t0, a1.j1,
+             (SELECT min(c.rn) FROM ev c
+              WHERE c.user_id = a1.user_id AND c.rn > a1.j1 AND c.s = 2
+                AND c.tms < a1.t0 + 604800000) AS j2
+      FROM a1 WHERE a1.j1 IS NOT NULL
+    ),
+    mm AS (SELECT user_id, i, j1, j2 FROM m2 WHERE j2 IS NOT NULL),
+    seq AS (
+      SELECT user_id, i, j1, j2, 1 AS ord
+      FROM mm x WHERE i = (SELECT min(y.i) FROM mm y WHERE y.user_id = x.user_id)
+      UNION ALL
+      SELECT z.user_id, z.i, z.j1, z.j2, s.ord + 1
+      FROM seq s JOIN mm z
+        ON z.user_id = s.user_id
+       AND z.i = (SELECT min(w.i) FROM mm w
+                  WHERE w.user_id = s.user_id AND w.i > s.j2)
+    ),
+    vals AS (
+      SELECT q.user_id, q.ord,
+             'view,' || e0.tms || ',click,' || e1.tms || ',purchase,' || e2.tms AS grp
+      FROM seq q
+      JOIN ev e0 ON e0.user_id = q.user_id AND e0.rn = q.i
+      JOIN ev e1 ON e1.user_id = q.user_id AND e1.rn = q.j1
+      JOIN ev e2 ON e2.user_id = q.user_id AND e2.rn = q.j2
+    )
+    SELECT user_id, CAST(6 * count(*) AS INT) AS n_vals,
+           string_agg(grp, ',' ORDER BY ord) AS matched_events
+    FROM vals GROUP BY user_id ORDER BY user_id
+    """,
 )
 def agg_funnel_events_eval(spark, sf_dir):
     """FUNNELEVENTSFUNCTIONEVAL (AggregationFunctionType.java:199,
@@ -633,18 +683,52 @@ def agg_funnel_events_eval(spark, sf_dir):
     out = funnel_events_eval(
         ev, "user_id", "ts", 7 * 86400000, steps, ["event_type", "ts_ms"]
     )
+    # driver contract: stringify the ArrayType output — the driver's
+    # pandas canonicalizer cannot sort/hash numpy arrays
     return (
         out.filter(F.size("matched_events") > 0)
-        .select("user_id", F.size("matched_events").alias("n_vals"), "matched_events")
+        .select(
+            "user_id",
+            F.size("matched_events").alias("n_vals"),
+            F.array_join("matched_events", ",").alias("matched_events"),
+        )
         .orderBy("user_id")
     )
 
 
 @query(
     "agg_funnel_max_step_window",
-    # no SQL oracle: windowed sliding-match with modes is not
-    # SQL-expressible — rows-only check; semantics locked by
-    # tests/test_funnel_extra.py::test_funnel_max_step_window_modes
+    # STRICT_ORDER collapses the windowed sliding-match to a pure
+    # window-function shape: any out-of-sequence event ends the attempt,
+    # so an anchor's depth is decided by the next two step-tagged events
+    # alone (lead(1)/lead(2) over event order) — no recursion needed.
+    # Full mode semantics locked by
+    # tests/test_funnel_extra.py::test_funnel_max_step_window_modes.
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, epoch_ms(ts) AS tms,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, s, tms,
+             lead(s, 1) OVER win AS s1, lead(tms, 1) OVER win AS t1,
+             lead(s, 2) OVER win AS s2, lead(tms, 2) OVER win AS t2
+      FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, s)
+    ),
+    per_anchor AS (
+      SELECT user_id,
+             CASE WHEN s = 0 THEN
+               CASE WHEN s1 = 1 AND t1 < tms + 604800000 THEN
+                 CASE WHEN s2 = 2 AND t2 < tms + 604800000 THEN 3 ELSE 2 END
+               ELSE 1 END
+             ELSE 0 END AS reached
+      FROM w
+    )
+    SELECT user_id, CAST(max(reached) AS INT) AS max_step
+    FROM per_anchor GROUP BY user_id
+    HAVING max(reached) > 0 ORDER BY user_id
+    """,
 )
 def agg_funnel_max_step_window(spark, sf_dir):
     """Windowed FUNNELMAXSTEP with STRICT_ORDER mode
