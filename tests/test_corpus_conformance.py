@@ -290,3 +290,193 @@ def test_recursive_cte_and_limit_offset(spark, corpus):
         "ORDER BY i1 LIMIT 3"
     ).collect()
     assert [r.i1 for r in rows] == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# round-6 breadth: Joins / Aggregates / CountDistinct / TimeTypes /
+# NonEquiOuterJoins corpus classes (shapes studied from the reference's
+# golden files, data and queries authored fresh here)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus2(spark):
+    """Typed tables for the aggregate/join corpus classes. Double values
+    are exact binary fractions so cross-engine double sums cannot drift
+    in the last bit under different accumulation orders."""
+    tbl = spark.createDataFrame(
+        [
+            (1, 1.5, "a", True),
+            (2, 2.5, "b", False),
+            (4, 42.0, "a", True),
+            (101, 1.5, "b", True),
+            (150, 2.5, "c", False),
+            (150, -0.5, "c", True),
+            (8, 0.25, "b", False),
+            (207, 42.0, "a", True),
+        ],
+        "int_col int, double_col double, string_col string, bool_col boolean",
+    )
+    jl = spark.createDataFrame(
+        [("k1", 10), ("k1", 5), ("k2", 7), ("k3", 1), ("k3", 2), ("k4", 9)],
+        "key_col string, value_col int",
+    )
+    jr = spark.createDataFrame(
+        [("k1", 100), ("k2", 50), ("k2", 25), ("k5", 3)],
+        "key_col string, metric_col int",
+    )
+    nq1 = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "num int, name string"
+    )
+    nq2 = spark.createDataFrame(
+        [(2, 20.0), (3, 30.0), (4, 40.0)], "num int, val double"
+    )
+    con = duckdb.connect()
+    for name, df in [("agg_tbl", tbl), ("jl", jl), ("jr", jr), ("nq1", nq1), ("nq2", nq2)]:
+        df.createOrReplaceTempView(name)
+        con.register(name, df.toPandas())
+    return con
+
+
+def test_joins_corpus_agg_subquery_shapes(spark, corpus2):
+    """Joins.json hash_distributed_join_with_aggregates: joins of two
+    GROUP BY subqueries, counted, re-aggregated globally, and the
+    join-then-group variant."""
+    sub = (
+        "(SELECT key_col, SUM(value_col) AS sum_val FROM jl GROUP BY key_col) l "
+        "JOIN (SELECT key_col, SUM(metric_col) AS sum_metric FROM jr GROUP BY key_col) r "
+        "ON l.key_col = r.key_col"
+    )
+    _match(spark, corpus2,
+           f"SELECT l.key_col, l.sum_val, r.sum_metric FROM {sub} ORDER BY l.key_col")
+    _match(spark, corpus2, f"SELECT COUNT(*) AS n FROM {sub}")
+    _match(spark, corpus2,
+           f"SELECT SUM(l.sum_val) AS sv, SUM(r.sum_metric) AS sm FROM {sub}")
+    _match(spark, corpus2,
+           "SELECT a.key_col, SUM(a.value_col) AS sv, SUM(b.metric_col) AS sm "
+           "FROM jl a JOIN jr b ON a.key_col = b.key_col "
+           "GROUP BY a.key_col ORDER BY a.key_col")
+
+
+def test_aggregates_corpus_families(spark, corpus2):
+    """Aggregates.json general_aggregate classes: the full min/max/avg/
+    sum/count/count-distinct family, unfiltered, filtered, and grouped
+    (incl. grouping by a column absent from the projection and ORDER BY
+    an alias)."""
+    fam = ("min({c}) AS mn, max({c}) AS mx, avg({c}) AS av, sum({c}) AS sm, "
+           "count({c}) AS c1, count(distinct {c}) AS cd, count(*) AS n")
+    _match(spark, corpus2, f"SELECT {fam.format(c='double_col')} FROM agg_tbl")
+    _match(spark, corpus2, f"SELECT {fam.format(c='int_col')} FROM agg_tbl")
+    _match(spark, corpus2,
+           f"SELECT {fam.format(c='double_col')} FROM agg_tbl WHERE string_col = 'b'")
+    _match(spark, corpus2,
+           f"SELECT {fam.format(c='int_col')} FROM agg_tbl "
+           "WHERE int_col > 100 AND double_col <= 2.5")
+    _match(spark, corpus2,
+           "SELECT bool_and(bool_col) AS ba, bool_or(bool_col) AS bo, "
+           "count(bool_col) AS c1, count(distinct bool_col) AS cd, count(*) AS n "
+           "FROM agg_tbl")
+    _match(spark, corpus2,
+           f"SELECT int_col, string_col, {fam.format(c='double_col')} FROM agg_tbl "
+           "GROUP BY int_col, string_col ORDER BY int_col, string_col")
+    _match(spark, corpus2,
+           "SELECT string_col, string_col AS alias, count(int_col) AS c, count(*) AS n "
+           "FROM agg_tbl GROUP BY bool_col, string_col ORDER BY bool_col, alias")
+    _match(spark, corpus2,
+           "SELECT SUM(1 / int_col) AS s FROM agg_tbl WHERE int_col IN (1, 2, 4, 8)")
+
+
+def test_aggregates_corpus_transform_and_empty(spark, corpus2):
+    """Aggregates.json aggregations_with_transform + empty_return_type:
+    aggregates over a computed CONCAT(col, col, sep) expression (Pinot's
+    3-arg CONCAT takes a separator), and aggregates over empty inputs
+    (literal no-match IN list and an empty IN-subquery) returning the
+    SQL NULL/zero row."""
+    _match(spark, corpus2,
+           "SELECT count(CONCAT(string_col, bool_col, '-')) AS c, "
+           "count(distinct CONCAT(string_col, bool_col, '-')) AS cd, count(*) AS n "
+           "FROM agg_tbl",
+           "SELECT count(concat(string_col, '-', CAST(bool_col AS VARCHAR))) AS c, "
+           "count(DISTINCT concat(string_col, '-', CAST(bool_col AS VARCHAR))) AS cd, "
+           "count(*) AS n FROM agg_tbl")
+    _match(spark, corpus2,
+           "SELECT sum(int_col) AS s, min(int_col) AS mn, max(int_col) AS mx, "
+           "avg(int_col) AS av, count(int_col) AS c, count(*) AS n "
+           "FROM agg_tbl WHERE string_col IN ('foo', 'bar')")
+    _match(spark, corpus2,
+           "SELECT sum(int_col) AS s, count(*) AS n FROM agg_tbl WHERE string_col IN "
+           "(SELECT string_col FROM agg_tbl WHERE int_col BETWEEN 1 AND 0 GROUP BY string_col)")
+    _match(spark, corpus2,
+           "SELECT bool_and(bool_col) AS ba, bool_or(bool_col) AS bo "
+           "FROM agg_tbl WHERE string_col IN ('foo', 'bar')")
+
+
+def test_count_distinct_corpus(spark, corpus2):
+    """CountDistinct.json classes: global, grouped, across a join (two
+    distinct counts in one agg), over a computed CONCAT, and through the
+    Pinot DISTINCTCOUNT / SEGMENT_PARTITIONED_DISTINCT_COUNT names."""
+    _match(spark, corpus2, "SELECT COUNT(DISTINCT value_col) AS dc FROM jl")
+    _match(spark, corpus2,
+           "SELECT key_col, COUNT(DISTINCT value_col) AS dc FROM jl "
+           "GROUP BY key_col ORDER BY key_col")
+    _match(spark, corpus2,
+           "SELECT l.key_col, COUNT(DISTINCT l.value_col) AS dl, "
+           "COUNT(DISTINCT r.metric_col) AS dr "
+           "FROM jl l JOIN jr r ON l.key_col = r.key_col "
+           "GROUP BY l.key_col ORDER BY l.key_col")
+    _match(spark, corpus2,
+           "SELECT l.key_col, COUNT(DISTINCT CONCAT(l.value_col, r.metric_col)) AS dc "
+           "FROM jl l JOIN jr r ON l.key_col = r.key_col "
+           "GROUP BY l.key_col ORDER BY l.key_col",
+           "SELECT l.key_col, COUNT(DISTINCT concat(l.value_col, r.metric_col)) AS dc "
+           "FROM jl l JOIN jr r ON l.key_col = r.key_col "
+           "GROUP BY l.key_col ORDER BY l.key_col")
+    _match(spark, corpus2,
+           "SELECT DISTINCTCOUNT(value_col) AS dc FROM jl",
+           "SELECT COUNT(DISTINCT value_col) AS dc FROM jl")
+    _match(spark, corpus2,
+           "SELECT key_col, SEGMENT_PARTITIONED_DISTINCT_COUNT(value_col) AS dc "
+           "FROM jl GROUP BY key_col ORDER BY key_col",
+           "SELECT key_col, COUNT(DISTINCT value_col) AS dc FROM jl "
+           "GROUP BY key_col ORDER BY key_col")
+
+
+def test_time_types_corpus(spark):
+    """TimeTypes.json ts_without_tz: timestamp literals at second and
+    millisecond precision plus a far-future year must round-trip,
+    order, and compare correctly. Fresh VALUES-based tables on both
+    sides (a pandas bridge would overflow datetime64[ns] at year 5760)."""
+    eng = PinotEngine(spark, default_limit=1000)
+    spark.sql(
+        "SELECT data FROM VALUES (TIMESTAMP '1999-01-08 04:05:06'), "
+        "(TIMESTAMP '1999-01-08 22:05:46'), (TIMESTAMP '1999-01-08 04:05:06.001'), "
+        "(TIMESTAMP '5760-01-01 04:05:06') AS t(data)"
+    ).createOrReplaceTempView("ts_corpus")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW ts_corpus AS SELECT * FROM (VALUES "
+        "(TIMESTAMP '1999-01-08 04:05:06'), (TIMESTAMP '1999-01-08 22:05:46'), "
+        "(TIMESTAMP '1999-01-08 04:05:06.001'), (TIMESTAMP '5760-01-01 04:05:06')"
+        ") t(data)"
+    )
+    for sql in [
+        "SELECT data FROM ts_corpus ORDER BY data",
+        "SELECT data FROM ts_corpus WHERE data > TIMESTAMP '1999-01-08 04:05:06' ORDER BY data",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM ts_corpus "
+        "WHERE data = TIMESTAMP '1999-01-08 04:05:06.001'",
+        "SELECT min(data) AS mn, max(data) AS mx FROM ts_corpus",
+    ]:
+        got = sorted(map(repr, (tuple(r) for r in eng.sql(sql).collect())))
+        want = sorted(map(repr, (tuple(r) for r in con.sql(sql).fetchall())))
+        assert got == want, f"{sql}\n got: {got}\nwant: {want}"
+
+
+def test_non_equi_outer_joins_corpus(spark, corpus2):
+    """NonEquiOuterJoins.json: RIGHT and FULL OUTER joins whose only
+    condition is an inequality — unmatched sides must null-extend."""
+    _match(spark, corpus2,
+           "SELECT nq1.num AS n1, nq1.name AS nm, nq2.num AS n2, nq2.val AS v "
+           "FROM nq1 RIGHT JOIN nq2 ON nq1.num < nq2.num")
+    _match(spark, corpus2,
+           "SELECT nq1.num AS n1, nq1.name AS nm, nq2.num AS n2, nq2.val AS v "
+           "FROM nq1 FULL OUTER JOIN nq2 ON nq1.num < nq2.num")
