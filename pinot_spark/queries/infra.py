@@ -190,3 +190,82 @@ def ingestion_pipeline_conform(spark, sf_dir):
     return out.select(
         "n_nationkey", "name_u", "tagged", "r_name"
     ).orderBy("n_nationkey")
+
+
+@query(
+    "stream_kafka_batch_decode",
+    oracle="""
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def stream_kafka_batch_decode(spark, sf_dir):
+    """Stream-source decode path without a broker (§2.1,
+    pinot-spi/.../stream/StreamConfig.java decoder wiring +
+    pinot-plugins confluent-avro stream decoder): nation rows are framed
+    executor-side into Confluent wire-format messages (magic 0x00 +
+    BE schema id + avro binary body) inside a kafka-shaped micro-batch
+    (key/value/topic/partition/offset columns exactly as
+    spark-sql-kafka emits them), then decoded back through the SAME
+    decode_stream_batch used by the foreachBatch realtime sink, and
+    aggregated. Encode and decode both run Arrow-batched in
+    mapInPandas — no driver-side row loop, so the plan scales with
+    partitions like a real consumer group."""
+    import pandas as pd
+
+    from pinot_spark.sources.avrocodec import _encode_value
+    from pinot_spark.streaming.ingest import decode_stream_batch
+
+    schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+        ],
+    }
+    schema_id = 7
+
+    t = load_tables(spark, sf_dir)
+    src = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+
+    def _encode(batches):
+        import io
+
+        for pdf in batches:
+            values = []
+            for rec in pdf.to_dict("records"):
+                w = io.BytesIO()
+                _encode_value(w, schema, rec)
+                values.append(
+                    b"\x00" + schema_id.to_bytes(4, "big") + w.getvalue()
+                )
+            yield pd.DataFrame(
+                {
+                    "key": [str(k).encode() for k in pdf["n_nationkey"]],
+                    "value": values,
+                    "topic": ["nation"] * len(pdf),
+                    "partition": (pdf["n_regionkey"] % 4).astype("int32"),
+                    "offset": pdf["n_nationkey"].astype("int64"),
+                }
+            )
+
+    kafka_shaped = src.mapInPandas(
+        _encode,
+        schema="key binary, value binary, topic string, partition int, offset long",
+    )
+    decoded = decode_stream_batch(
+        kafka_shaped, "confluent_avro", schemas_by_id={schema_id: schema}
+    )
+    return (
+        decoded.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
