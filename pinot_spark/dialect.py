@@ -318,6 +318,17 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "mod": lambda a: f"({a[0]} % {a[1]})",
+    # --- bitwise (BitFunctions.json corpus; scalar twins in scalar_ext.py) ---
+    "bitand": lambda a: f"({a[0]} & {a[1]})",
+    "bitor": lambda a: f"({a[0]} | {a[1]})",
+    "bitxor": lambda a: f"({a[0]} ^ {a[1]})",
+    "bitnot": lambda a: f"(~{a[0]})",
+    "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    "bitshiftrightunsigned": lambda a: f"shiftrightunsigned({a[0]}, {a[1]})",
+    "bitmask": lambda a: f"shiftleft(1, {a[0]})",
+    "bitextract": lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
+    "extractbit": lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
     # ArithmeticFunctions.java aliases (corpus SpecialSyntax.json calls
     # ADD/PLUS/TIMES interchangeably, case-insensitive)
     "add": lambda a: f"({a[0]} + {a[1]})",

@@ -480,3 +480,206 @@ def test_non_equi_outer_joins_corpus(spark, corpus2):
     _match(spark, corpus2,
            "SELECT nq1.num AS n1, nq1.name AS nm, nq2.num AS n2, nq2.val AS v "
            "FROM nq1 FULL OUTER JOIN nq2 ON nq1.num < nq2.num")
+
+
+# ---------------------------------------------------------------------------
+# round-6 breadth, batch 2: Case / Comparisons / MathFuncs /
+# StatisticAggregates / SelectHaving / BooleanLogic / BitFunctions classes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus3(spark):
+    """Mixed-type scalar table (int/long/float/double/string/bool + a
+    shift column) for the expression-level corpus classes. Numeric
+    values are exact binary fractions."""
+    mixed = spark.createDataFrame(
+        [
+            (1, 10, 2.5, 2.5, "alpha", True, "g1", 1),
+            (2, 2, 0.5, 4.25, "beta", False, "g1", 3),
+            (6, 12, -1.5, -1.5, "gamma", True, "g2", 2),
+            (4, 4, 8.0, 0.25, "delta", False, "g2", 5),
+            (3, 30, 2.5, 3.0, "alpha", True, "g3", 0),
+        ],
+        "intCol int, longCol bigint, floatCol float, doubleCol double, "
+        "strCol string, boolCol boolean, groupKey string, shiftCol int",
+    )
+    con = duckdb.connect()
+    mixed.createOrReplaceTempView("mixed")
+    con.register("mixed", mixed.toPandas())
+    return con
+
+
+def test_case_corpus(spark, corpus3):
+    """Case.json case_when_test: CASE without ELSE yields NULL, CASE on
+    a modulo condition, conditional-count SUM(CASE...), and nested CASE
+    selecting between columns."""
+    _match(spark, corpus3,
+           "SELECT intCol, CASE WHEN boolCol = true THEN 'Yes' ELSE 'No' END AS bv, "
+           "strCol FROM mixed")
+    _match(spark, corpus3,
+           "SELECT intCol, CASE WHEN boolCol = true THEN 'Yes' END AS bv FROM mixed")
+    _match(spark, corpus3,
+           "SELECT intCol, CASE WHEN intCol % 2 = 0 THEN intCol END AS ev FROM mixed")
+    _match(spark, corpus3,
+           "SELECT groupKey, SUM(CASE WHEN boolCol THEN 1 ELSE 0 END) AS bc "
+           "FROM mixed GROUP BY groupKey ORDER BY groupKey")
+    _match(spark, corpus3,
+           "SELECT intCol, CASE WHEN strCol = 'alpha' THEN strCol "
+           "ELSE CASE WHEN intCol > 3 THEN 'big' ELSE 'small' END END AS d FROM mixed")
+
+
+def test_comparisons_corpus(spark, corpus3):
+    """Comparisons.json: the full operator family over same-type and
+    mixed-type pairs, IS DISTINCT FROM, and BETWEEN variants including
+    reversed bounds, NOT BETWEEN, literal bounds, and string BETWEEN."""
+    for lhs, rhs in [("intCol", "longCol"), ("intCol", "doubleCol"),
+                     ("floatCol", "doubleCol")]:
+        _match(spark, corpus3,
+               f"SELECT {lhs} < {rhs} AS c1, {rhs} < {lhs} AS c2, "
+               f"{lhs} <= {rhs} AS c3, {lhs} > {rhs} AS c4, "
+               f"{lhs} >= {rhs} AS c5, {lhs} != {rhs} AS c6, "
+               f"{lhs} <> {rhs} AS c7, {lhs} = {rhs} AS c8 FROM mixed")
+    _match(spark, corpus3,
+           "SELECT floatCol IS DISTINCT FROM doubleCol AS d1, "
+           "doubleCol IS DISTINCT FROM floatCol AS d2 FROM mixed")
+    _match(spark, corpus3,
+           "SELECT intCol BETWEEN 2 AND 4 AS b1, intCol BETWEEN 4 AND 2 AS b2, "
+           "intCol NOT BETWEEN 2 AND 4 AS b3, 3 BETWEEN intCol AND longCol AS b4, "
+           "doubleCol BETWEEN 0.0 AND 3.0 AS b5 FROM mixed")
+    _match(spark, corpus3,
+           "SELECT strCol BETWEEN 'alpha' AND 'delta' AS s1, "
+           "'c' BETWEEN 'a' AND 'b' AS s2, strCol NOT BETWEEN 'b' AND 'z' AS s3 "
+           "FROM mixed")
+
+
+def test_math_funcs_corpus(spark, corpus3):
+    """MathFuncs.json: mixed-type arithmetic, floor/ceil, and the whole
+    unary-minus family (projection, aggregation both orders, GROUP BY a
+    negated key, HAVING on a negated aggregate, DISTINCT, IN/BETWEEN on
+    negated values)."""
+    _match(spark, corpus3,
+           "SELECT intCol + longCol AS a, intCol - longCol AS s, "
+           "intCol * longCol AS m, intCol + 10 AS al, intCol * 1.5 AS md "
+           "FROM mixed")
+    _match(spark, corpus3,
+           "SELECT intCol / longCol AS d1, doubleCol / floatCol AS d2, "
+           "intCol % longCol AS m1 FROM mixed")
+    # CAST both sides: Spark floor/ceil return BIGINT, DuckDB DOUBLE
+    _match(spark, corpus3,
+           "SELECT CAST(floor(doubleCol) AS BIGINT) AS f, "
+           "CAST(ceil(doubleCol) AS BIGINT) AS c, "
+           "CAST(floor(floatCol) AS BIGINT) AS ff, "
+           "CAST(ceil(intCol) AS BIGINT) AS ci FROM mixed")
+    _match(spark, corpus3,
+           "SELECT -intCol AS ni, -longCol AS nl, -doubleCol AS nd, "
+           "+intCol AS pi, +(-intCol) AS pni FROM mixed")
+    _match(spark, corpus3,
+           "SELECT SUM(-intCol) AS s1, -SUM(intCol) AS s2, MAX(-intCol) AS m1, "
+           "-MIN(intCol) AS m2, COUNT(-intCol) AS c FROM mixed")
+    _match(spark, corpus3,
+           "SELECT -intCol AS k, COUNT(*) AS n FROM mixed GROUP BY -intCol "
+           "ORDER BY -intCol")
+    _match(spark, corpus3,
+           "SELECT groupKey, SUM(intCol) AS s FROM mixed GROUP BY groupKey "
+           "HAVING -SUM(intCol) < -2 ORDER BY groupKey")
+    # ORDER BY the alias: Spark resolves post-DISTINCT sorts against the
+    # projected output only (DuckDB accepts the re-derived expression too)
+    _match(spark, corpus3,
+           "SELECT DISTINCT -intCol AS k FROM mixed ORDER BY k")
+    _match(spark, corpus3,
+           "SELECT -intCol AS k FROM mixed WHERE -intCol IN (-1, -2, -3) "
+           "ORDER BY -intCol")
+    _match(spark, corpus3,
+           "SELECT -intCol AS k FROM mixed WHERE -intCol BETWEEN -4 AND -2 "
+           "ORDER BY -intCol")
+
+
+def test_statistic_aggregates_corpus(spark, corpus3):
+    """StatisticAggregates.json: the variance/stddev/covar family plus
+    SKEWNESS/KURTOSIS (population moments — the DuckDB twin derives them
+    from raw power sums since its built-ins are sample-corrected),
+    grouped and filtered."""
+    # Pinot's 2-arg ROUND is bucket rounding; decimal rounding is
+    # roundDecimal (ArithmeticFunctions) — the DuckDB twin uses round
+    _match(spark, corpus3,
+           "SELECT groupKey, roundDecimal(VAR_POP(doubleCol), 6) AS vp, "
+           "roundDecimal(VAR_SAMP(doubleCol), 6) AS vs, "
+           "roundDecimal(STDDEV_POP(doubleCol), 6) AS sp, "
+           "roundDecimal(STDDEV_SAMP(doubleCol), 6) AS ss, "
+           "roundDecimal(COVAR_POP(intCol, doubleCol), 6) AS cp, "
+           "roundDecimal(COVAR_SAMP(intCol, doubleCol), 6) AS cs "
+           "FROM mixed GROUP BY groupKey ORDER BY groupKey",
+           "SELECT groupKey, round(VAR_POP(doubleCol), 6) AS vp, "
+           "round(VAR_SAMP(doubleCol), 6) AS vs, "
+           "round(STDDEV_POP(doubleCol), 6) AS sp, "
+           "round(STDDEV_SAMP(doubleCol), 6) AS ss, "
+           "round(COVAR_POP(intCol, doubleCol), 6) AS cp, "
+           "round(COVAR_SAMP(intCol, doubleCol), 6) AS cs "
+           "FROM mixed GROUP BY groupKey ORDER BY groupKey")
+    _match(spark, corpus3,
+           "SELECT roundDecimal(SKEWNESS(doubleCol), 4) AS sk, "
+           "roundDecimal(KURTOSIS(doubleCol), 4) AS ku FROM mixed",
+           """
+           WITH m AS (SELECT count(*)::DOUBLE AS n, avg(doubleCol) AS mu,
+                      sum(pow(doubleCol,2)) AS s2, sum(pow(doubleCol,3)) AS s3,
+                      sum(pow(doubleCol,4)) AS s4 FROM mixed)
+           SELECT round((s3/n - 3*mu*(s2/n) + 2*pow(mu,3)) / pow(s2/n - mu*mu, 1.5), 4) AS sk,
+                  round((s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*pow(mu,4)) / pow(s2/n - mu*mu, 2) - 3, 4) AS ku
+           FROM m
+           """)
+
+
+def test_select_having_corpus(spark, corpus3):
+    """SelectHaving.json: HAVING on a count, HAVING on a grouping
+    column, HAVING with OR of aggregates, and global HAVING without
+    GROUP BY."""
+    _match(spark, corpus3,
+           "SELECT groupKey, strCol FROM mixed GROUP BY groupKey, strCol "
+           "HAVING count(*) = 1 ORDER BY groupKey, strCol")
+    _match(spark, corpus3,
+           "SELECT groupKey, intCol FROM mixed GROUP BY groupKey, intCol "
+           "HAVING intCol > 3 ORDER BY groupKey, intCol")
+    _match(spark, corpus3,
+           "SELECT groupKey, max(intCol) AS mx FROM mixed GROUP BY groupKey "
+           "HAVING count(*) > 1 OR min(intCol) = max(intCol) ORDER BY groupKey")
+    _match(spark, corpus3,
+           "SELECT min(intCol) AS mn, max(intCol) AS mx FROM mixed "
+           "HAVING min(intCol) = max(intCol)")
+    _match(spark, corpus3,
+           "SELECT min(intCol) AS mn, max(intCol) AS mx FROM mixed "
+           "HAVING min(intCol) < max(intCol)")
+
+
+def test_boolean_logic_corpus(spark, corpus3):
+    """BooleanLogic.json: boolean projection, bare-boolean WHERE,
+    equality against literals, and AND/OR/NOT compositions."""
+    _match(spark, corpus3, "SELECT boolCol FROM mixed WHERE boolCol")
+    _match(spark, corpus3, "SELECT boolCol FROM mixed WHERE boolCol = false")
+    _match(spark, corpus3,
+           "SELECT boolCol = true AS e1, boolCol = false AS e2, "
+           "boolCol != true AS n1, boolCol <> false AS n2 FROM mixed")
+    _match(spark, corpus3,
+           "SELECT boolCol AND (intCol > 2) AS a, boolCol OR (intCol > 2) AS o, "
+           "NOT boolCol AS n, (boolCol AND (intCol > 2)) = true AS e FROM mixed")
+
+
+def test_bit_functions_corpus(spark, corpus3):
+    """BitFunctions.json: bitAnd/bitOr/bitXor (camel and snake names),
+    bitNot, the shift family, bitMask and bitExtract/extractBit through
+    the dialect."""
+    _match(spark, corpus3,
+           "SELECT bitAnd(intCol, longCol) AS a, bit_or(intCol, longCol) AS o, "
+           "bitXor(intCol, longCol) AS x FROM mixed",
+           "SELECT intCol & longCol AS a, intCol | longCol AS o, "
+           "xor(intCol, longCol) AS x FROM mixed")
+    _match(spark, corpus3,
+           "SELECT bitNot(intCol) AS n, bitShiftLeft(intCol, shiftCol) AS sl, "
+           "bitShiftRight(longCol, shiftCol) AS sr FROM mixed",
+           "SELECT ~intCol AS n, (intCol << shiftCol)::INT AS sl, "
+           "(longCol >> shiftCol)::BIGINT AS sr FROM mixed")
+    _match(spark, corpus3,
+           "SELECT bitMask(shiftCol) AS m, bitExtract(longCol, shiftCol) AS e, "
+           "extractBit(longCol, 2) AS e2 FROM mixed",
+           "SELECT (1 << shiftCol)::INT AS m, ((longCol >> shiftCol) & 1)::BIGINT AS e, "
+           "((longCol >> 2) & 1)::BIGINT AS e2 FROM mixed")
