@@ -665,6 +665,27 @@ def _split_args(s: str) -> list[str]:
     return args
 
 
+_QUOTED_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
+
+
+def rewrite_quoted_identifiers(sql: str) -> str:
+    """Calcite/Pinot double-quoted identifiers → Spark backticks
+    (LexicalStructure / SelectExpressions corpus shapes: Pinot string
+    literals are single-quoted, so a double-quoted token is ALWAYS an
+    identifier — including reserved words used as aliases, e.g.
+    ``AS "from"``). ``\"\"`` escapes collapse to a literal quote;
+    backticks inside are escaped by doubling."""
+
+    def repl(m: re.Match) -> str:
+        ident = m.group(1).replace('""', '"').replace("`", "``")
+        return f"`{ident}`"
+
+    return "".join(
+        seg if is_lit else _QUOTED_IDENT_RE.sub(repl, seg)
+        for is_lit, seg in _scan_strings(sql)
+    )
+
+
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
     spans, pos = [], 0
     for is_lit, seg in _scan_strings(sql):
@@ -1596,6 +1617,7 @@ class PinotEngine:
         options, sql = split_options(pinot_sql)
         consume_options(options)
         sql = rewrite_pinot_hints(sql)
+        sql = rewrite_quoted_identifiers(sql)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
             sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):
@@ -1635,6 +1657,7 @@ class PinotEngine:
             # selection default LIMIT (that's a query-surface default)
             def _translate_no_limit(sql: str):
                 options, s = split_options(sql)
+                s = rewrite_quoted_identifiers(s)
                 s = rewrite_functions(s)
                 s = rewrite_mv_predicates(self.spark, s)
                 return s, options

@@ -683,3 +683,124 @@ def test_bit_functions_corpus(spark, corpus3):
            "extractBit(longCol, 2) AS e2 FROM mixed",
            "SELECT (1 << shiftCol)::INT AS m, ((longCol >> shiftCol) & 1)::BIGINT AS e, "
            "((longCol >> 2) & 1)::BIGINT AS e2 FROM mixed")
+
+
+# ---------------------------------------------------------------------------
+# round-6 breadth, batch 3: Distincts / FilterAggregates /
+# SelectExpressions / OrderBy / WithStatements / TableExpressions classes
+# ---------------------------------------------------------------------------
+
+
+def test_distincts_corpus(spark, corpus3):
+    """Distincts.json: DISTINCT vs GROUP-BY-as-distinct equivalences,
+    multi-column distinct in both column orders, selecting a subset of
+    the grouping columns, and DISTINCT with ORDER BY."""
+    _match(spark, corpus3, "SELECT DISTINCT intCol FROM mixed")
+    _match(spark, corpus3, "SELECT intCol FROM mixed GROUP BY intCol")
+    _match(spark, corpus3, "SELECT DISTINCT strCol, boolCol FROM mixed")
+    _match(spark, corpus3, "SELECT strCol, boolCol FROM mixed GROUP BY boolCol, strCol")
+    _match(spark, corpus3, "SELECT strCol FROM mixed GROUP BY strCol, boolCol")
+    _match(spark, corpus3, "SELECT boolCol FROM mixed GROUP BY strCol, boolCol")
+    _match(spark, corpus3,
+           "SELECT DISTINCT intCol, doubleCol FROM mixed ORDER BY doubleCol")
+
+
+def test_filter_aggregates_corpus(spark, corpus2, corpus3):
+    """FilterAggregates.json: FILTER (WHERE ...) per-aggregate — plain,
+    beside count(*), under an outer WHERE with GROUP BY, and after a
+    join."""
+    _match(spark, corpus3,
+           "SELECT min(doubleCol) FILTER (WHERE strCol IN ('alpha', 'beta')) AS mn, "
+           "count(*) AS n FROM mixed")
+    _match(spark, corpus3,
+           "SELECT count(*) FILTER (WHERE strCol = 'alpha' OR intCol > 3) AS c "
+           "FROM mixed GROUP BY intCol ORDER BY intCol")
+    _match(spark, corpus3,
+           "SELECT groupKey, count(intCol) FILTER (WHERE boolCol) AS ct, "
+           "max(doubleCol) FILTER (WHERE intCol > 1) AS mx "
+           "FROM mixed WHERE intCol < 6 GROUP BY groupKey ORDER BY groupKey")
+    _match(spark, corpus2,
+           "SELECT min(l.value_col) FILTER (WHERE r.metric_col > 25) AS mn, "
+           "count(*) AS n FROM jl l JOIN jr r ON l.key_col = r.key_col")
+
+
+def test_select_expressions_corpus(spark, corpus2, corpus3):
+    """SelectExpressions.json: comma-join with qualified stars,
+    double-quoted aliases including a reserved word (Pinot/Calcite
+    identifiers — rewritten to backticks for Spark), and re-aggregation
+    of a grouped subquery."""
+    _match(spark, corpus3,
+           'SELECT intCol AS "value", doubleCol + floatCol AS "sum" FROM mixed')
+    _match(spark, corpus3, 'SELECT intCol AS "from" FROM mixed')
+    _match(spark, corpus2,
+           "SELECT l.*, r.metric_col FROM jl l, jr r "
+           "WHERE l.key_col = r.key_col ORDER BY l.key_col, l.value_col, r.metric_col")
+    _match(spark, corpus3,
+           'SELECT intCol AS "key", SUM(doubleCol + floatCol) AS aggSum '
+           "FROM mixed GROUP BY intCol ORDER BY intCol")
+    _match(spark, corpus3,
+           "SELECT groupKey, SUM(avgVal) AS s FROM "
+           "(SELECT strCol, groupKey, AVG(doubleCol) AS avgVal FROM mixed "
+           "GROUP BY groupKey, strCol) GROUP BY groupKey ORDER BY groupKey")
+
+
+def test_order_by_corpus(spark, corpus2, corpus3):
+    """OrderBy.json: LIMIT/OFFSET tiling, ORDER BY an expression,
+    ORDER BY aggregate and by a grouping column absent from the select,
+    and nested ordered-subquery chains."""
+    _match(spark, corpus3,
+           "SELECT intCol FROM mixed ORDER BY intCol LIMIT 2 OFFSET 1")
+    _match(spark, corpus3,
+           "SELECT intCol FROM mixed ORDER BY intCol * 2 LIMIT 2 OFFSET 1",
+           "SELECT intCol FROM mixed ORDER BY intCol * 2 LIMIT 2 OFFSET 1")
+    _match(spark, corpus3,
+           "SELECT groupKey, SUM(intCol) AS s FROM mixed GROUP BY groupKey "
+           "ORDER BY s LIMIT 2 OFFSET 1")
+    _match(spark, corpus3,
+           "SELECT SUM(intCol) AS s FROM mixed GROUP BY groupKey ORDER BY groupKey")
+    _match(spark, corpus3,
+           "SELECT * FROM (SELECT intCol, doubleCol FROM mixed "
+           "ORDER BY intCol LIMIT 4 OFFSET 1) ORDER BY doubleCol LIMIT 2 OFFSET 1")
+    _match(spark, corpus2,
+           "SELECT l.value_col, r.metric_col FROM jl l JOIN jr r "
+           "ON l.key_col = r.key_col ORDER BY l.value_col, r.metric_col "
+           "LIMIT 3 OFFSET 1")
+
+
+def test_with_statements_corpus(spark, corpus2, corpus3):
+    """WithStatements.json: a grouped CTE joined back to a base table,
+    a CTE carrying the whole aggregate family, and two CTEs joined."""
+    _match(spark, corpus2,
+           "WITH w AS (SELECT key_col, SUM(value_col) AS sumRes FROM jl GROUP BY key_col) "
+           "SELECT w.key_col, r.metric_col, w.sumRes FROM w JOIN jr r "
+           "ON w.key_col = r.key_col ORDER BY w.key_col, r.metric_col")
+    _match(spark, corpus3,
+           "WITH w AS (SELECT groupKey, SUM(intCol) AS c1, AVG(intCol) AS c2, "
+           "MIN(intCol) AS c3, MAX(intCol) AS c4, COUNT(*) AS c5, "
+           "COUNT(DISTINCT strCol) AS c6 FROM mixed GROUP BY groupKey) "
+           "SELECT * FROM w ORDER BY groupKey")
+    _match(spark, corpus2,
+           "WITH agg1 AS (SELECT key_col, SUM(value_col) AS sumVal FROM jl GROUP BY key_col), "
+           "agg2 AS (SELECT key_col, SUM(metric_col) AS mVal, COUNT(*) AS n FROM jr GROUP BY key_col) "
+           "SELECT agg1.key_col, sumVal, mVal, n FROM agg1 JOIN agg2 "
+           "ON agg1.key_col = agg2.key_col ORDER BY agg1.key_col")
+
+
+def test_table_expressions_corpus(spark, corpus2, corpus3):
+    """TableExpressions.json: IN / NOT IN subqueries (null-free keys, so
+    SQL three-valued NOT IN semantics agree), duplicate literal IN
+    lists, and an inequality-only inner join."""
+    _match(spark, corpus3,
+           "SELECT intCol, strCol FROM mixed WHERE strCol IN "
+           "(SELECT strCol FROM mixed WHERE intCol < 4) ORDER BY intCol")
+    _match(spark, corpus3,
+           "SELECT intCol, strCol FROM mixed WHERE strCol NOT IN "
+           "(SELECT strCol FROM mixed WHERE intCol > 4) ORDER BY intCol")
+    _match(spark, corpus3,
+           "SELECT intCol FROM mixed WHERE strCol IN "
+           "('alpha', 'beta', 'alpha', 'beta', 'alpha') ORDER BY intCol")
+    _match(spark, corpus3,
+           "SELECT intCol FROM mixed WHERE intCol IN (196883, 42) ORDER BY intCol")
+    _match(spark, corpus2,
+           "SELECT a.value_col, b.metric_col FROM jl a INNER JOIN jr b "
+           "ON a.key_col > b.key_col ORDER BY a.value_col, b.metric_col")
