@@ -144,6 +144,8 @@ _WINDOW_FIRST_TIME = [
     "scan_format_roundtrip", "segment_build_time_pruning",
     "skew_safe_operators", "cursor_result_table_pages",
     "ingestion_pipeline_conform",
+    # stream-source driver evidence (§2.1 — confluent wire-format decode)
+    "stream_kafka_batch_decode",
     # round-5 overlap-deferred
     "agg_mv_grouped_percentile", "agg_theta_setop_distinct",
     "agg_sum_array_scale_path", "agg_distinctcount_mv_scale_path",
@@ -154,7 +156,8 @@ _WINDOW_FIRST_TIME = [
 # Oldest parked greens (r2: full TPC-H suite + relational core) cycled
 # back through the window as regression re-proof — output-shape edits
 # elsewhere this round make fresh driver evidence on the bedrock queries
-# worth 30 slots.
+# worth 29 slots (distinct_select ceded its slot to the stream-decode
+# first-timer; it stays parity-guarded in tests/test_oracle_parity.py).
 _REPROOF_R6 = [
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority_exists", "q5_local_supplier_volume",
@@ -167,7 +170,7 @@ _REPROOF_R6 = [
     "q21_last_shipper_in_order", "q22_anti_join",
     "join_full_outer", "join_right_outer", "join_non_equi_theta",
     "join_lookup_dimension", "set_ops_union_intersect_except",
-    "set_ops_all_variants", "distinct_select", "grouping_sets",
+    "set_ops_all_variants", "grouping_sets",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_R6
