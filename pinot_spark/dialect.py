@@ -237,6 +237,17 @@ def _percentile_family(fn: str) -> Callable[[list[str]], str]:
 
 _ARR_SUM = "aggregate({0}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+
+def _theta_nominal_entries(a: list[str]) -> int:
+    """Parse the optional 'nominalEntries=N' parameter string of
+    DISTINCT_COUNT_RAW_THETA_SKETCH (CommonConstants default 4096)."""
+    for arg in a[1:]:
+        m = re.search(r"nominalEntries\s*=\s*(\d+)", arg, re.IGNORECASE)
+        if m:
+            return int(m.group(1))
+    return 4096
+
+
 FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # --- string (StringFunctions.java) ---
     # Pinot strPos = StringUtils.indexOf/ordinalIndexOf: 0-based, -1 on miss
@@ -267,6 +278,20 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     ),
     "regexpreplace": "regexp_replace",
     "regexpextract": "regexp_extract",
+    # Pinot substr is 0-based with an END INDEX 3rd arg, -1 = to end
+    # (StringFunctions.java:112-130); Spark substring is 1-based + length.
+    # `substring` (canon "substring") stays 1-based — distinct function.
+    "substr": lambda a: (
+        f"substring({a[0]}, ({a[1]}) + 1)"
+        if len(a) == 2
+        else (
+            f"CASE WHEN ({a[2]}) = -1 THEN substring({a[0]}, ({a[1]}) + 1) "
+            f"ELSE substring({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]})) END"
+        )
+    ),
+    # corpus spells these starts_with/ends_with; Spark has no-underscore names
+    "startswith": "startswith",
+    "endswith": "endswith",
     # Pinot StringFunctions.concat(s1, s2, separator): the THIRD arg is a
     # separator between the first two (corpus WindowFunctions.json uses
     # CONCAT(col1, col2, '-')) — Spark's concat would append it instead
@@ -343,7 +368,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "truncate": lambda a: f"trunc({a[0]}, {a[1]})" if len(a) > 1 else f"trunc({a[0]})",
     # --- json (JsonFunctions.java) ---
     "jsonextractscalar": _json_extract_scalar,
-    "jsonextractkey": lambda a: f"json_object_keys({a[0]})",
+    # Pinot returns JsonPath-formatted keys: $['key'] (JsonFunctions.java
+    # jsonExtractKey; JsonType.json corpus output shape). char(39) = '
+    "jsonextractkey": lambda a: (
+        f"transform(json_object_keys({a[0]}), "
+        f"k -> concat('$[', char(39), k, char(39), ']'))"
+    ),
     "jsonformat": "to_json",
     "jsonpath": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "jsonpathstring": lambda a: f"get_json_object({a[0]}, {a[1]})",
@@ -386,6 +416,32 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcountsmarthll": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountthetasketch": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountcpcsketch": lambda a: f"approx_count_distinct({a[0]})",
+    # --- raw theta sketch pipeline (UDFAggregates.json corpus:
+    # GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_DIFF(DISTINCT_COUNT_RAW_THETA_
+    # SKETCH(col,'nominalEntries=16'), ...))). Values are hashed JVM-side
+    # (xxhash64); the KMV top-k + engine-own wire format is operators/
+    # theta.py's ThetaSketch, exposed through pandas UDFs that
+    # PinotEngine registers lazily (_ensure_theta_sql_udfs). ---
+    # KMV build as NATIVE aggregates (collect_set → sort → k+1 smallest;
+    # the +1 carries the theta boundary) + a SCALAR pandas UDF for the
+    # wire format — a grouped-agg pandas UDF can't mix with other
+    # aggregates in one SELECT (INVALID_PANDAS_UDF_PLACEMENT), and the
+    # corpus does exactly that (AVG(x), GET_THETA_SKETCH_ESTIMATE(...)).
+    # Scale note: collect_set holds all distinct hashes; the bounded
+    # per-partition top-k path is operators/theta.theta_sketch.
+    "distinctcountrawthetasketch": lambda a: (
+        "__theta_from_hashes(slice(sort_array(collect_set(xxhash64({0}))), 1, {1}), {2})".format(
+            a[0], _theta_nominal_entries(a) + 1, _theta_nominal_entries(a)
+        )
+    ),
+    "getthetasketchestimate": lambda a: f"__theta_estimate({a[0]})",
+    "thetasketchdiff": lambda a: f"__theta_diff({a[0]}, {a[1]})",
+    "thetasketchunion": lambda a: (
+        a[0]
+        if len(a) == 1
+        else "__theta_union(" + ", __theta_union(".join(a[:-1]) + ", " + a[-1] + ")" * (len(a) - 1)
+    ),
+    "thetasketchintersect": lambda a: f"__theta_intersect({a[0]}, {a[1]})",
     "distinctsum": lambda a: f"sum(DISTINCT {a[0]})",
     "distinctavg": lambda a: f"avg(DISTINCT {a[0]})",
     "sumprecision": lambda a: f"sum(CAST({a[0]} AS DECIMAL(38,18)))",
@@ -1039,49 +1095,97 @@ def rewrite_asof_join(spark: SparkSession, sql: str) -> str:
     strict = op in (">", "<")
 
     pairs = []
-    for term in re.split(r"\bAND\b", on_sql, flags=re.IGNORECASE):
-        em = _ON_EQ_RE.match(term)
-        if not em:
-            raise PinotSqlError(f"ASOF JOIN ON must be AND-ed equi conditions, got {term!r}")
-        es1, c1 = side(em.group("l"))
-        es2, c2 = side(em.group("r"))
-        if es1 == es2:
-            raise PinotSqlError("ASOF JOIN ON condition must join the two sides")
-        pairs.append((c1, c2) if es1 == "L" else (c2, c1))
+    if not re.fullmatch(r"\s*\(?\s*true\s*\)?\s*", on_sql, re.IGNORECASE):
+        for term in re.split(r"\bAND\b", on_sql, flags=re.IGNORECASE):
+            em = _ON_EQ_RE.match(term)
+            if not em:
+                raise PinotSqlError(f"ASOF JOIN ON must be AND-ed equi conditions, got {term!r}")
+            es1, c1 = side(em.group("l"))
+            es2, c2 = side(em.group("r"))
+            if es1 == es2:
+                raise PinotSqlError("ASOF JOIN ON condition must join the two sides")
+            pairs.append((c1, c2) if es1 == "L" else (c2, c1))
+    # else: ON true = global as-of with no partition key (AsOfJoin.json
+    # as_of_join_queries_without_hash_key_join). asof_join handles on=[]
+    # as a single global window — a documented single-partition sort,
+    # matching the reference's own degenerate keyless broadcast shape.
+
+    from pyspark.sql import functions as F
 
     left_df, right_df = spark.table(lname), spark.table(rname)
     keys = []
     for lk, rk in pairs:
-        if rk != lk:
-            if lk in right_df.columns:
-                raise PinotSqlError(f"ASOF JOIN: key rename {rk}->{lk} collides on right side")
-            right_df = right_df.withColumnRenamed(rk, lk)
+        if rk != lk and lk in right_df.columns:
+            raise PinotSqlError(f"ASOF JOIN: key rename {rk}->{lk} collides on right side")
         keys.append(lk)
-    overlap = (set(right_df.columns) - set(keys)) & set(left_df.columns)
-    if overlap:
-        raise PinotSqlError(
-            f"ASOF JOIN requires disjoint non-key column names, overlapping: {sorted(overlap)}"
-        )
+    overlap = (set(right_df.columns) - {rk for _, rk in pairs}) & set(left_df.columns)
 
+    if not overlap and pairs:
+        # disjoint fast path: the view carries both sides' columns
+        # unqualified; qualifiers are stripped from the statement tail
+        for lk, rk in pairs:
+            if rk != lk:
+                right_df = right_df.withColumnRenamed(rk, lk)
+        joined = asof_join(
+            left_df, right_df, on=keys,
+            left_time=left_time, right_time=right_time,
+            direction=direction, strict=strict,
+        )
+        if not is_left:
+            joined = joined.filter(F.col(right_time).isNotNull())
+
+        _ASOF_VIEW_SEQ[0] += 1
+        view = f"__asof_join_{_ASOF_VIEW_SEQ[0]}"
+        joined.createOrReplaceTempView(view)
+
+        out = sql[: m.start()] + f"FROM {view} " + sql[on_end:]
+        out = re.sub(
+            rf"\b({re.escape(lalias)}|{re.escape(ralias)}|{re.escape(lname)}|{re.escape(rname)})\s*\.\s*",
+            "",
+            out,
+            flags=re.IGNORECASE,
+        )
+        return out
+
+    # qualified-output mode: the two sides share column names (or there
+    # is no partition key), so the view prefixes every column with its
+    # side's alias and the statement tail's qualified refs are rewritten
+    # to the prefixed names. Right-side KEY columns are re-emitted as
+    # NULL-when-unmatched copies, matching reference LEFT ASOF output.
+    if lalias == ralias:
+        raise PinotSqlError("ASOF JOIN self-join needs distinct aliases")
+    lpre, rpre = f"{lalias}__", f"{ralias}__"
+    left_p = left_df.select(*[F.col(c).alias(lpre + c) for c in left_df.columns])
+    right_p = right_df.select(*[F.col(c).alias(rpre + c) for c in right_df.columns])
+    keys_p = []
+    for lk, rk in pairs:
+        right_p = right_p.withColumnRenamed(rpre + rk, lpre + lk)
+        keys_p.append(lpre + lk)
     joined = asof_join(
-        left_df, right_df, on=keys,
-        left_time=left_time, right_time=right_time,
+        left_p, right_p, on=keys_p,
+        left_time=lpre + left_time, right_time=rpre + right_time,
         direction=direction, strict=strict,
     )
+    matched = F.col(rpre + right_time).isNotNull()
+    for lk, rk in pairs:
+        joined = joined.withColumn(rpre + rk, F.when(matched, F.col(lpre + lk)))
     if not is_left:
-        from pyspark.sql import functions as F
-
-        joined = joined.filter(F.col(right_time).isNotNull())
+        joined = joined.filter(matched)
 
     _ASOF_VIEW_SEQ[0] += 1
     view = f"__asof_join_{_ASOF_VIEW_SEQ[0]}"
     joined.createOrReplaceTempView(view)
 
     out = sql[: m.start()] + f"FROM {view} " + sql[on_end:]
-    # the view carries both sides' columns unqualified
     out = re.sub(
-        rf"\b({re.escape(lalias)}|{re.escape(ralias)}|{re.escape(lname)}|{re.escape(rname)})\s*\.\s*",
-        "",
+        rf"\b({re.escape(lalias)}|{re.escape(lname)})\s*\.\s*([A-Za-z_]\w*)",
+        lambda mm: lpre + mm.group(2),
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        rf"\b({re.escape(ralias)}|{re.escape(rname)})\s*\.\s*([A-Za-z_]\w*)",
+        lambda mm: rpre + mm.group(2),
         out,
         flags=re.IGNORECASE,
     )
@@ -1311,6 +1415,10 @@ _KNOWN_OPTIONS = {
     "numreplicagroupstoquery": "accepted no-op: replica routing is a "
     "serving-cluster concern (Spark has no replica groups)",
     "explain": "accepted no-op: use DataFrame.explain()",
+    "stageparallelism": "accepted no-op: Spark task parallelism is "
+    "spark.sql.shuffle.partitions / input splits (Parallelism.json corpus)",
+    "skipplannerrules": "accepted no-op: Catalyst rule set is not "
+    "user-maskable per query (SetOpsH2.json corpus)",
     "usespools": "accepted no-op: Catalyst reuses repeated subplans "
     "automatically (ReusedExchange/ReusedSubquery — corpus Spool.json)",
     "maxexecutionthreads": "accepted no-op: parallelism is the Spark "
@@ -1489,6 +1597,116 @@ def rewrite_pinot_hints(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_U_AMP_LIT_RE = re.compile(r"U&'((?:[^']|'')*)'", re.IGNORECASE)
+
+
+def rewrite_unicode_literals(sql: str) -> str:
+    """Decode SQL-standard ``U&'...'`` unicode-escape string constants
+    (LexicalStructure.json corpus, psql 4.1.2.3): ``\\XXXX`` is a 4-hex
+    escape, ``\\+XXXXXX`` a 6-hex escape, ``\\\\`` a literal backslash.
+    The decoded text is re-emitted as a plain quoted literal."""
+
+    def decode(m: re.Match) -> str:
+        body = m.group(1)
+        out, i = [], 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\":
+                if body[i + 1 : i + 2] == "\\":
+                    out.append("\\")
+                    i += 2
+                elif body[i + 1 : i + 2] == "+":
+                    out.append(chr(int(body[i + 2 : i + 8], 16)))
+                    i += 8
+                else:
+                    out.append(chr(int(body[i + 1 : i + 5], 16)))
+                    i += 5
+            else:
+                out.append(c)
+                i += 1
+        return "'" + "".join(out).replace("'", "''") + "'"
+
+    return _U_AMP_LIT_RE.sub(decode, sql)
+
+
+_THETA_SQL_RE = re.compile(
+    r"\b(DISTINCT_?COUNT_?RAW_?THETA_?SKETCH|GET_?THETA_?SKETCH_?ESTIMATE"
+    r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT))\s*\(",
+    re.IGNORECASE,
+)
+_THETA_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
+    """Register the raw-theta-sketch pandas UDFs FUNCTION_MAP's
+    rewrites call (__theta_agg grouped-agg + scalar estimate/diff/
+    union/intersect over the engine-own wire format, operators/theta.py).
+    Idempotent per SparkSession."""
+    if id(spark) in _THETA_UDF_SESSIONS:
+        return
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from pinot_spark.operators.theta import ThetaSketch
+
+    def _from_hash_list(hs, k: int) -> bytes:
+        raw = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        raw += np.uint64(2**63)  # signed xxhash64 → unsigned, order-preserving
+        return ThetaSketch.from_hashes(k, raw).to_bytes()
+
+    # eval types are explicit: hint strings can't resolve the
+    # function-local pandas import
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_from_hashes(arrs, k):
+        kk = int(k.iloc[0]) if len(k) else 4096
+        return pd.Series(
+            [_from_hash_list(hs if hs is not None else [], kk) for hs in arrs]
+        )
+
+    def _binop(op):
+        def f(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    op(ThetaSketch.from_bytes(x), ThetaSketch.from_bytes(y)).to_bytes()
+                    if x is not None and y is not None
+                    else None
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        return f
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_diff(a, b):
+        return _binop(ThetaSketch.a_not_b)(a, b)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_union(a, b):
+        return _binop(ThetaSketch.union)(a, b)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_intersect(a, b):
+        return _binop(ThetaSketch.intersect)(a, b)
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __theta_estimate(a):
+        return pd.Series(
+            [
+                round(ThetaSketch.from_bytes(x).estimate()) if x is not None else None
+                for x in a
+            ],
+            dtype="Int64",
+        )
+
+    spark.udf.register("__theta_from_hashes", __theta_from_hashes)
+    spark.udf.register("__theta_diff", __theta_diff)
+    spark.udf.register("__theta_union", __theta_union)
+    spark.udf.register("__theta_intersect", __theta_intersect)
+    spark.udf.register("__theta_estimate", __theta_estimate)
+    _THETA_UDF_SESSIONS.add(id(spark))
+
+
 @dataclass
 class PinotEngine:
     """``PinotEngine(spark).sql("SELECT ... FROM tbl")`` — the Pinot
@@ -1617,7 +1835,10 @@ class PinotEngine:
         options, sql = split_options(pinot_sql)
         consume_options(options)
         sql = rewrite_pinot_hints(sql)
+        sql = rewrite_unicode_literals(sql)
         sql = rewrite_quoted_identifiers(sql)
+        if _THETA_SQL_RE.search(sql):
+            _ensure_theta_sql_udfs(self.spark)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
             sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):

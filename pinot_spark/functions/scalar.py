@@ -63,12 +63,25 @@ def call(name: str, *args) -> Column:
 _reg("upper")(lambda s: F.upper(_c(s)))
 _reg("lower")(lambda s: F.lower(_c(s)))
 _reg("reverse")(lambda s: F.reverse(_c(s)))
-@_reg("substr", "substring")
-def _substr(s, start, length=None):
-    # Pinot substr is 0-based start (StringFunctions.java substr); Spark is 1-based
-    if length is None:
+@_reg("substr")
+def _substr(s, start, end=None):
+    # Pinot substr: 0-based start, 3rd arg is an END INDEX with -1 = "to
+    # end" (StringFunctions.java:112-130); Spark substring is 1-based+length
+    if end is None:
         return F.substring(_c(s), _c(start) + F.lit(1), F.lit(2147483647))
-    return F.substring(_c(s), _c(start) + F.lit(1), _c(length))
+    e, b = _c(end), _c(start)
+    return F.when(e == F.lit(-1), F.substring(_c(s), b + F.lit(1), F.lit(2147483647))).otherwise(
+        F.substring(_c(s), b + F.lit(1), e - b)
+    )
+
+
+@_reg("substring")
+def _substring(s, start, length=None):
+    # Pinot substring: 1-based start, 3rd arg is a LENGTH
+    # (StringFunctions.java:136-152) — Spark-compatible directly
+    if length is None:
+        return F.substring(_c(s), _c(start), F.lit(2147483647))
+    return F.substring(_c(s), _c(start), _c(length))
 
 
 # Pinot strPos = StringUtils.indexOf: 0-based, -1 on miss

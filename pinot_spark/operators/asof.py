@@ -56,6 +56,15 @@ def asof_join(
     #   backward strict    → right row sorts AFTER  left (invisible)
     # forward is the mirror image under a descending scan.
     right_first = not strict
+    # a NULL time can never satisfy the match inequality and a NULL key
+    # never equi-joins: drop such right rows, and (below) order NULLs
+    # FIRST in both scan directions so NULL-time left rows see no right
+    # payload (AsOfJoin.json nulls group). NULL-key LEFT rows share a
+    # window partition but, with all NULL-key right rows gone, find no
+    # payload there — exactly LEFT semantics.
+    right = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias(_T),
@@ -73,9 +82,9 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
-        order = [F.col(_T).asc(), F.col(_TAG).asc()]
+        order = [F.col(_T).asc_nulls_first(), F.col(_TAG).asc()]
     else:
-        order = [F.col(_T).desc(), F.col(_TAG).asc()]
+        order = [F.col(_T).desc_nulls_first(), F.col(_TAG).asc()]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
     filled = unioned.select(

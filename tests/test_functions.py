@@ -25,7 +25,14 @@ SCALAR_CASES = [
     ("upper", lambda: [F.lit("abc")], "ABC"),
     ("lower", lambda: [F.lit("AbC")], "abc"),
     ("reverse", lambda: [F.lit("abc")], "cba"),
-    ("substr", lambda: [F.lit("hello"), 1, 3], "ell"),  # Pinot 0-based start
+    # Pinot substr: 0-based start, 3rd arg = END index, -1 = rest
+    # (StringFunctions.java:112-130)
+    ("substr", lambda: [F.lit("hello"), 1, 3], "el"),
+    ("substr", lambda: [F.lit("hello"), 3], "lo"),
+    ("substr", lambda: [F.lit("hello"), 1, -1], "ello"),
+    # Pinot substring: 1-based start, 3rd arg = LENGTH (ibid:136-152)
+    ("substring", lambda: [F.lit("hello"), 1], "hello"),
+    ("substring", lambda: [F.lit("hello"), 2, 3], "ell"),
     ("strpos", lambda: [F.lit("hello"), F.lit("llo")], 2),  # Pinot 0-based
     ("strpos", lambda: [F.lit("hello"), F.lit("zz")], -1),  # -1 on miss
     ("dayofweek", lambda: [F.lit("2024-01-07").cast("timestamp")], 7),  # ISO Sun=7
