@@ -65,6 +65,7 @@ from pinot_spark.queries import temporal  # noqa: E402,F401
 from pinot_spark.queries import pipeline  # noqa: E402,F401
 from pinot_spark.queries import dialect_queries  # noqa: E402,F401
 from pinot_spark.queries import infra  # noqa: E402,F401
+from pinot_spark.queries import advanced  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration-order management for the driver's 50-entry CORRECTNESS window.
