@@ -9,7 +9,7 @@ path, so they stay inside whole-stage codegen at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 
 # tiny English stopword list for the language-ID / quality heuristics
 STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
@@ -138,4 +138,65 @@ def chunk_plan(
             ).alias("chunk_text"),
         )
         .filter(F.col("chunk_len") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch sequence packing (concat-and-chunk) and PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace email addresses and phone numbers with typed placeholder
+    tokens — the standard pre-training PII scrub. Pure Column
+    expressions (two regexp_replace passes, whole-stage codegen); the
+    patterns stay in the Java-regex/RE2 common subset so a SQL oracle
+    reproduces them byte-for-byte."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, _EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(c, _PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text: str | Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit metrics."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_EMAIL_RE)), F.regexp_count(c, F.lit(_PHONE_RE))
+
+
+def sequence_pack(
+    df,
+    tokens_col: str,
+    budget: int,
+    order_cols: list[str],
+    shard_col: str | None = None,
+):
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in ``order_cols`` order (per ``shard_col`` shard) and cut into
+    fixed-``budget`` token windows — LLM pre-training's standard packing.
+    Adds ``pack_start`` (token offset of the doc), ``first_pack`` and
+    ``n_packs`` (how many windows the doc straddles; 0 for empty docs).
+
+    Scale shape: one shuffle on the shard key for the running-sum
+    window, no UDF, no collect. Sharding keeps the prefix-sum local —
+    the global variant (shard_col=None) is a single-partition sort,
+    only for small corpora."""
+    part = [shard_col] if shard_col else []
+    w = Window.partitionBy(*part).orderBy(*order_cols)
+    start = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    end = start + F.col(tokens_col)
+    return (
+        df.withColumn("pack_start", start)
+        .withColumn("first_pack", F.floor(F.col("pack_start") / budget))
+        .withColumn(
+            "n_packs",
+            F.when(F.col(tokens_col) <= 0, F.lit(0)).otherwise(
+                F.floor((end - 1) / budget) - F.floor(F.col("pack_start") / budget) + 1
+            ),
+        )
     )

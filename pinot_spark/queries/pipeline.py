@@ -722,3 +722,116 @@ def multimodal_resize_and_windows(spark, sf_dir):
         resized.select("media_id").join(counts, "media_id")
         .orderBy(F.col("media_id").cast("int"))
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+               AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_start
+      FROM toks
+    ), spans AS (
+      SELECT lang, n_tok, pack_start,
+             pack_start // 2048 AS first_pack,
+             CASE WHEN n_tok <= 0 THEN 0
+                  ELSE (pack_start + n_tok - 1) // 2048 - pack_start // 2048 + 1
+             END AS n_packs
+      FROM packed
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(max(first_pack + n_packs) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM spans GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing (operators/text.sequence_pack):
+    documents concat-and-chunked into 2048-token context windows per
+    language shard — the standard LLM pre-training packing. Output per
+    shard: window count, how many docs straddle a window boundary, and
+    the token budget they fill."""
+    from pinot_spark.operators.text import bpe_token_count, sequence_pack
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "lang", bpe_token_count("text").alias("n_tok")
+    )
+    packed = sequence_pack(
+        docs, "n_tok", budget=2048, order_cols=["doc_id"], shard_col="lang"
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.col("first_pack") + F.col("n_packs")).cast("bigint").alias("n_windows"),
+            F.sum((F.col("n_packs") > 1).cast("int")).cast("bigint").alias("n_straddlers"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +001-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_emails,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+           CAST(sum(len(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'))) AS BIGINT)
+             AS redacted_chars
+    FROM aug GROUP BY lang ORDER BY lang
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub (operators/text.redact_pii): email/phone matches are
+    counted for audit and replaced with typed placeholders. The corpus
+    text is synthetic, so a deterministic contact line derived from
+    doc_id is appended first — every doc then carries exactly one email
+    and one phone, and the redacted lengths are oracle-checkable."""
+    from pinot_spark.operators.text import pii_counts, redact_pii
+
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +001-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    n_email, n_phone = pii_counts("text")
+    return (
+        aug.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_email).cast("bigint").alias("n_emails"),
+            F.sum(n_phone).cast("bigint").alias("n_phones"),
+            F.sum(F.length(redact_pii("text"))).cast("bigint").alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )

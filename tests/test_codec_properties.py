@@ -45,7 +45,13 @@ _scalar = st.one_of(
 )
 _bson_doc = st.dictionaries(
     st.text(
-        alphabet=st.characters(min_codepoint=1, blacklist_characters="\x00"),
+        # BSON e_names are cstrings: no NUL, and must be encodable UTF-8
+        # (lone surrogates U+D800-DFFF are not valid BSON keys)
+        alphabet=st.characters(
+            min_codepoint=1,
+            blacklist_characters="\x00",
+            blacklist_categories=("Cs",),
+        ),
         min_size=1,
         max_size=10,
     ),

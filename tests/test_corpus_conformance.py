@@ -753,9 +753,11 @@ def test_order_by_corpus(spark, corpus2, corpus3):
     _match(spark, corpus3,
            "SELECT intCol FROM mixed ORDER BY intCol * 2 LIMIT 2 OFFSET 1",
            "SELECT intCol FROM mixed ORDER BY intCol * 2 LIMIT 2 OFFSET 1")
+    # groupKey tiebreak: g1 and g3 both sum to 3 — a LIMIT/OFFSET window
+    # over a non-total ordering selects engine-dependent rows
     _match(spark, corpus3,
            "SELECT groupKey, SUM(intCol) AS s FROM mixed GROUP BY groupKey "
-           "ORDER BY s LIMIT 2 OFFSET 1")
+           "ORDER BY s, groupKey LIMIT 2 OFFSET 1")
     _match(spark, corpus3,
            "SELECT SUM(intCol) AS s FROM mixed GROUP BY groupKey ORDER BY groupKey")
     _match(spark, corpus3,
