@@ -912,3 +912,4 @@ _wkb.register(_reg, _lazy_udf, _c)
 # Extended long-tail surface (typed array variants, MV datetime variants,
 # URL/IP/hash/UUID families, …) registers itself into SCALAR_FUNCTIONS.
 from pinot_spark.functions import scalar_ext  # noqa: E402,F401
+from pinot_spark.functions import sketches  # noqa: E402,F401

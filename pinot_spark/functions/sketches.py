@@ -1,0 +1,289 @@
+"""Scalar sketch constructors / set operations — the SketchFunctions
+surface (reference pinot-core/src/main/java/org/apache/pinot/core/
+function/scalar/SketchFunctions.java): toThetaSketch,
+thetaSketchToString, toIntegerSumTupleSketch, the int{Sum,Min,Max}
+tuple-sketch union/intersect/diff family, getIntTupleSketchEstimate,
+avgReduce, and the geometry/geography converters.
+
+Wire formats are ENGINE-OWN (operators/theta.py ThetaSketch for theta;
+TupleSketch below adds a parallel int64 summary array) — mergeable and
+self-consistent, not DataSketches-binary-compatible (COVERAGE.md Known
+gaps). Values are hashed JVM-side with xxhash64 before the Arrow-batched
+serializer UDF, so the sketch content matches operators/theta.theta_sketch.
+
+HLL / ULL / CPC byte constructors raise loudly by name: those are
+DataSketches register formats with no engine-own analog here.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as _pd
+import pyspark.sql.functions as F
+
+from pinot_spark.functions.scalar import _c, _lazy_udf, _reg
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+_DEFAULT_K = 4096  # 2^DEFAULT_TUPLE_SKETCH_LGK (CommonConstants 16 → 65536 is
+# the reference tuple default; 4096 matches our theta default — engine-own
+# formats use one K so theta and tuple sketches stay mutually consistent)
+
+
+def _shift_u64(h: _pd.Series) -> np.ndarray:
+    raw = h.to_numpy(dtype=np.int64).astype(np.uint64)
+    return raw + np.uint64(2**63)  # signed xxhash64 → unsigned, order-preserving
+
+
+@dataclass
+class TupleSketch:
+    """KMV theta sketch with a parallel int64 summary per retained hash
+    (the IntegerSummary tuple sketch analog). ``mode`` decides how
+    duplicate keys combine: sum / min / max."""
+
+    k: int
+    theta_u64: int
+    hashes: np.ndarray  # sorted uint64
+    values: np.ndarray  # int64, parallel to hashes
+
+    @classmethod
+    def singleton(cls, k: int, h_u64: int, value: int) -> "TupleSketch":
+        return cls(
+            k, 2**64,
+            np.array([h_u64], dtype=np.uint64),
+            np.array([value], dtype=np.int64),
+        )
+
+    @classmethod
+    def empty(cls, k: int = _DEFAULT_K) -> "TupleSketch":
+        return cls(k, 2**64, np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+
+    def estimate(self) -> float:
+        if self.theta_u64 >= 2**64:
+            return float(len(self.hashes))
+        return len(self.hashes) / (self.theta_u64 / float(2**64))
+
+    def _combine(self, other: "TupleSketch", keep, mode) -> "TupleSketch":
+        th = min(self.theta_u64, other.theta_u64)
+        merged: dict[int, int] = {}
+        for h, v in zip(self.hashes.tolist(), self.values.tolist()):
+            merged[h] = v
+        for h, v in zip(other.hashes.tolist(), other.values.tolist()):
+            merged[h] = mode(merged[h], v) if h in merged else v
+        in_a = set(self.hashes.tolist())
+        in_b = set(other.hashes.tolist())
+        hs = sorted(h for h in merged if h < th and keep(h in in_a, h in in_b))
+        if len(hs) > self.k:
+            th = hs[self.k]
+            hs = hs[: self.k]
+        return TupleSketch(
+            self.k, th,
+            np.array(hs, dtype=np.uint64),
+            np.array([merged[h] for h in hs], dtype=np.int64),
+        )
+
+    def union(self, other: "TupleSketch", mode) -> "TupleSketch":
+        return self._combine(other, lambda a, b: True, mode)
+
+    def intersect(self, other: "TupleSketch", mode) -> "TupleSketch":
+        return self._combine(other, lambda a, b: a and b, mode)
+
+    def a_not_b(self, other: "TupleSketch") -> "TupleSketch":
+        return self._combine(other, lambda a, b: a and not b, lambda x, y: x)
+
+    def to_bytes(self) -> bytes:
+        th = self.theta_u64 if self.theta_u64 < 2**64 else 0
+        return (
+            struct.pack("<iQi", self.k, th, len(self.hashes))
+            + self.hashes.astype("<u8").tobytes()
+            + self.values.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TupleSketch":
+        k, th, n = struct.unpack("<iQi", b[:16])
+        hashes = np.frombuffer(b[16 : 16 + 8 * n], dtype="<u8").copy()
+        values = np.frombuffer(b[16 + 8 * n : 16 + 16 * n], dtype="<i8").copy()
+        return cls(k, th if th != 0 else 2**64, hashes, values)
+
+
+_MODES = {"sum": lambda a, b: a + b, "min": min, "max": max}
+
+
+# --- theta singleton / to-string ------------------------------------------
+
+
+def _make_theta_singleton():
+    from pinot_spark.operators.theta import ThetaSketch
+
+    @_pandas_udf("binary")
+    def _f(h: _pd.Series, k: _pd.Series) -> _pd.Series:
+        kk = int(k.iloc[0]) if len(k) else _DEFAULT_K
+        shifted = _shift_u64(h.fillna(0))
+        return _pd.Series(
+            [
+                ThetaSketch(kk, 2**64, np.array([], dtype=np.uint64)).to_bytes()
+                if _pd.isna(raw)
+                else ThetaSketch(kk, 2**64, np.array([u], dtype=np.uint64)).to_bytes()
+                for raw, u in zip(h, shifted)
+            ]
+        )
+
+    return _f
+
+
+def _make_theta_to_string():
+    from pinot_spark.operators.theta import ThetaSketch
+
+    @_pandas_udf("string")
+    def _f(b: _pd.Series) -> _pd.Series:
+        def fmt(x):
+            if x is None:
+                return None
+            s = ThetaSketch.from_bytes(bytes(x))
+            return (
+                f"ThetaSketch(k={s.k}, theta={s.theta:.6f}, "
+                f"retained={len(s.hashes)}, estimate={s.estimate():.1f})"
+            )
+
+        return b.map(fmt)
+
+    return _f
+
+
+def _null_safe_hash(col):
+    # xxhash64(NULL) returns the seed, not NULL — mask it so NULL inputs
+    # become EMPTY sketches (reference nullableParameters behavior)
+    c = _c(col)
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(F.xxhash64(c))
+
+
+# reference: toThetaSketch(value[, nominalEntries]) — a singleton (or
+# empty, for NULL input) serialized sketch for pre-aggregated ingest
+_reg("tothetasketch")(
+    lambda v, k=_DEFAULT_K: _lazy_udf("theta_singleton", _make_theta_singleton)(
+        _null_safe_hash(v), F.lit(int(k))
+    )
+)
+_reg("thetasketchtostring")(
+    lambda b: _lazy_udf("theta_to_string", _make_theta_to_string)(_c(b))
+)
+
+
+# --- integer tuple sketch family ------------------------------------------
+
+
+def _make_tuple_singleton():
+    @_pandas_udf("binary")
+    def _f(h: _pd.Series, v: _pd.Series, k: _pd.Series) -> _pd.Series:
+        kk = int(k.iloc[0]) if len(k) else _DEFAULT_K
+        shifted = _shift_u64(h.fillna(0))
+        out = []
+        for raw, u, val in zip(h, shifted, v):
+            if _pd.isna(raw) or _pd.isna(val):
+                out.append(TupleSketch.empty(kk).to_bytes())
+            else:
+                out.append(TupleSketch.singleton(kk, int(u), int(val)).to_bytes())
+        return _pd.Series(out)
+
+    return _f
+
+
+def _make_tuple_binop(op: str, mode: str):
+    combine = _MODES[mode]
+
+    @_pandas_udf("binary")
+    def _f(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        def run(x, y):
+            if x is None or y is None:
+                return None
+            sa, sb = TupleSketch.from_bytes(bytes(x)), TupleSketch.from_bytes(bytes(y))
+            return getattr(sa, op)(sb, mode=combine).to_bytes() if op != "a_not_b" else sa.a_not_b(sb).to_bytes()
+
+        return _pd.Series([run(x, y) for x, y in zip(a, b)])
+
+    return _f
+
+
+def _make_tuple_estimate():
+    @_pandas_udf("bigint")
+    def _f(b: _pd.Series) -> _pd.Series:
+        return _pd.Series(
+            [None if x is None else round(TupleSketch.from_bytes(bytes(x)).estimate()) for x in b],
+            dtype="Int64",
+        )
+
+    return _f
+
+
+def _tuple_singleton(key, value, lg_k=None):
+    k = _DEFAULT_K if lg_k is None else 2 ** int(lg_k)
+    return _lazy_udf("tuple_singleton", _make_tuple_singleton)(
+        _null_safe_hash(key), _c(value).cast("long"), F.lit(int(k))
+    )
+
+
+_reg("tointegersumtuplesketch")(_tuple_singleton)
+
+for _mode in ("sum", "min", "max"):
+    _reg(f"int{_mode}tuplesketchunion")(
+        lambda a, b, _m=_mode: _lazy_udf(
+            f"tuple_union_{_m}", lambda _m=_m: _make_tuple_binop("union", _m)
+        )(_c(a), _c(b))
+    )
+    _reg(f"int{_mode}tuplesketchintersect")(
+        lambda a, b, _m=_mode: _lazy_udf(
+            f"tuple_intersect_{_m}", lambda _m=_m: _make_tuple_binop("intersect", _m)
+        )(_c(a), _c(b))
+    )
+_reg("intsumtuplesketchdiff")(
+    lambda a, b: _lazy_udf("tuple_diff", lambda: _make_tuple_binop("a_not_b", "sum"))(
+        _c(a), _c(b)
+    )
+)
+_reg("getinttuplesketchestimate")(
+    lambda b: _lazy_udf("tuple_estimate", _make_tuple_estimate)(_c(b))
+)
+
+
+# --- avgReduce (InternalReduceFunctions.java:34) --------------------------
+
+_reg("avgreduce")(
+    lambda s, c: F.when(
+        _c(c).isNull() | (_c(c) == 0) | _c(s).isNull(), F.lit(None).cast("double")
+    ).otherwise(_c(s).cast("double") / _c(c))
+)
+
+
+# --- geometry/geography converters ----------------------------------------
+# The engine keeps ONE WKB representation for both (functions/wkb.py);
+# the reference tags a geography bit in its own serialization
+# (geospatial ScalarFunctions.java:137-152). Planar-vs-spherical choice
+# here is per-function, so the converters are identities on WKB.
+
+_reg("togeometry")(lambda b: _c(b))
+_reg("tosphericalgeography")(lambda b: _c(b))
+
+
+# --- DataSketches register formats: loud boundary --------------------------
+
+
+def _wire_gap(name: str):
+    def f(*_a, **_k):
+        raise NotImplementedError(
+            f"{name}: DataSketches HLL/ULL/CPC register wire formats are a "
+            "documented gap (COVERAGE.md Known gaps) — use "
+            "DISTINCTCOUNTHLL/approx_count_distinct for estimates, or the "
+            "engine-own theta/tuple sketch bytes for mergeable state"
+        )
+
+    return f
+
+
+for _n in (
+    "tohll", "toull", "fromull", "tocpcsketch", "getcpcsketchestimate",
+    "cpcsketchunion", "cpcsketchtostring",
+):
+    _reg(_n)(_wire_gap(_n))

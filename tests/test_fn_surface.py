@@ -17,6 +17,13 @@ import re
 import pytest
 
 REF_FN_DIR = "/root/reference/pinot-common/src/main/java/org/apache/pinot/common/function"
+# pinot-core registers additional @ScalarFunction surfaces: sketch
+# constructors/set-ops, geospatial converters, internal reduce fns
+REF_CORE_FN_DIRS = [
+    "/root/reference/pinot-core/src/main/java/org/apache/pinot/core/function/scalar",
+    "/root/reference/pinot-core/src/main/java/org/apache/pinot/core/geospatial/transform/function",
+    "/root/reference/pinot-core/src/main/java/org/apache/pinot/core/query/reduce/function",
+]
 
 
 def _canon(n: str) -> str:
@@ -30,7 +37,10 @@ def _reference_names() -> set[str]:
     for m in re.finditer(r"^\s{2}([A-Z_0-9]+)\s*\(([^;]*?)\)\s*[,;]", src, re.M | re.S):
         names.add(m.group(1))
         names.update(re.findall(r'"([^"]+)"', m.group(2)))
-    for path in glob.glob(os.path.join(REF_FN_DIR, "scalar", "**", "*.java"), recursive=True):
+    scan = glob.glob(os.path.join(REF_FN_DIR, "scalar", "**", "*.java"), recursive=True)
+    for d in REF_CORE_FN_DIRS:
+        scan += glob.glob(os.path.join(d, "**", "*.java"), recursive=True)
+    for path in scan:
         s = open(path).read()
         for m in re.finditer(
             r"@ScalarFunction(\s*\(([^)]*)\))?\s*(?:public\s+)?(?:static\s+)?[\w\[\]<>, .?]+\s+(\w+)\s*\(",
@@ -51,9 +61,11 @@ def test_reference_name_coverage():
     ours = {_canon(n) for n in SCALAR_FUNCTIONS} | {_canon(n) for n in FUNCTION_MAP}
     missing = sorted(ref - ours)
     coverage = len(ref & ours) / len(ref)
-    assert coverage >= 0.90, f"coverage {coverage:.1%}; missing: {missing[:40]}"
-    # the long tail should stay essentially closed: a handful of names at most
-    assert len(missing) <= 10, f"unexpected regression, missing: {missing}"
+    assert coverage >= 0.95, f"coverage {coverage:.1%}; missing: {missing[:40]}"
+    # the long tail should stay essentially closed: with the round-6
+    # sketch-family additions (functions/sketches.py) every product
+    # @ScalarFunction name resolves; allow a couple for future ref drift
+    assert len(missing) <= 3, f"unexpected regression, missing: {missing}"
 
 
 def test_hash_test_vectors():

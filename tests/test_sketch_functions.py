@@ -1,0 +1,117 @@
+"""functions/sketches.py: theta singletons, the integer tuple sketch
+family (engine-own wire format), avgReduce, geo converters, and the
+loud DataSketches-wire boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pinot_spark.functions.scalar import call
+from pinot_spark.functions.sketches import TupleSketch
+from pinot_spark.operators.theta import ThetaSketch
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    return spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3), (None, 4)], "k string, v int"
+    )
+
+
+def test_theta_singleton_and_tostring(spark, kv):
+    rows = kv.select(call("tothetasketch", F.col("k")).alias("ts")).collect()
+    sks = [ThetaSketch.from_bytes(bytes(r.ts)) for r in rows]
+    # null key -> empty sketch; duplicate key -> identical singleton
+    assert [len(s.hashes) for s in sks] == [1, 1, 1, 0]
+    assert sks[0].hashes[0] == sks[2].hashes[0] != sks[1].hashes[0]
+    acc = sks[0]
+    for s in sks[1:]:
+        acc = acc.union(s)
+    assert acc.estimate() == 2.0
+    txt = kv.limit(1).select(
+        call("thetasketchtostring", call("tothetasketch", F.lit("x"))).alias("s")
+    ).collect()[0].s
+    assert "retained=1" in txt and txt.startswith("ThetaSketch(")
+
+
+def test_tuple_sketch_union_modes(spark, kv):
+    rows = kv.select(
+        call("tointegersumtuplesketch", F.col("k"), F.col("v")).alias("ts")
+    ).collect()
+    sks = [TupleSketch.from_bytes(bytes(r.ts)) for r in rows]
+    acc = sks[0]
+    for s in sks[1:]:
+        acc = acc.union(s, mode=lambda a, b: a + b)
+    # a -> 1+3, b -> 2; null key contributed an empty sketch
+    assert round(acc.estimate()) == 2
+    assert sorted(acc.values.tolist()) == [2, 4]
+
+    def pair(fn_name, v1, v2):
+        b = kv.limit(1).select(
+            call(fn_name,
+                 call("tointegersumtuplesketch", F.lit("x"), F.lit(v1)),
+                 call("tointegersumtuplesketch", F.lit("x"), F.lit(v2))).alias("b")
+        ).collect()[0].b
+        return TupleSketch.from_bytes(bytes(b))
+
+    assert pair("intsumtuplesketchunion", 5, 7).values.tolist() == [12]
+    assert pair("intmintuplesketchunion", 5, 7).values.tolist() == [5]
+    assert pair("intmaxtuplesketchunion", 5, 7).values.tolist() == [7]
+    assert pair("intsumtuplesketchintersect", 5, 7).values.tolist() == [12]
+    assert pair("intsumtuplesketchdiff", 5, 7).estimate() == 0.0
+
+
+def test_tuple_sketch_estimate_and_roundtrip(spark, kv):
+    est = kv.limit(1).select(
+        call("getinttuplesketchestimate",
+             call("intsumtuplesketchunion",
+                  call("tointegersumtuplesketch", F.lit("x"), F.lit(5)),
+                  call("tointegersumtuplesketch", F.lit("y"), F.lit(7)))).alias("e")
+    ).collect()[0].e
+    assert est == 2
+    s = TupleSketch(
+        16, 2**64,
+        np.array([3, 9], dtype=np.uint64),
+        np.array([10, -2], dtype=np.int64),
+    )
+    back = TupleSketch.from_bytes(s.to_bytes())
+    assert back.k == 16 and back.theta_u64 == 2**64
+    assert back.hashes.tolist() == [3, 9] and back.values.tolist() == [10, -2]
+
+
+def test_tuple_sketch_truncation():
+    # k=4: union of 6 singletons keeps the 4 smallest hashes, theta = 5th
+    sks = [TupleSketch.singleton(4, h, 1) for h in (10, 20, 30, 40, 50, 60)]
+    acc = sks[0]
+    for s in sks[1:]:
+        acc = acc.union(s, mode=lambda a, b: a + b)
+    assert len(acc.hashes) == 4 and acc.theta_u64 == 50
+    assert acc.estimate() == pytest.approx(4 / (50 / 2**64), rel=1e-9)
+
+
+def test_avg_reduce(spark, kv):
+    row = kv.limit(1).select(
+        call("avgreduce", F.lit(10.0), F.lit(4)).alias("a"),
+        call("avgreduce", F.lit(10.0), F.lit(0)).alias("b"),
+        call("avgreduce", F.lit(None).cast("double"), F.lit(3)).alias("c"),
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (2.5, None, None)
+
+
+def test_geo_converters_identity(spark, kv):
+    from pinot_spark.functions.wkb import wkt_to_wkb
+
+    b = wkt_to_wkb("POINT (1 2)")
+    row = spark.createDataFrame([(bytearray(b),)], "g binary").select(
+        call("togeometry", call("tosphericalgeography", F.col("g"))).alias("g2")
+    ).collect()[0]
+    assert bytes(row.g2) == b
+
+
+def test_datasketches_wire_boundary_raises():
+    for name in ("tohll", "toull", "fromull", "tocpcsketch",
+                 "getcpcsketchestimate", "cpcsketchunion", "cpcsketchtostring"):
+        with pytest.raises(NotImplementedError, match="wire"):
+            call(name, F.lit("x"))
