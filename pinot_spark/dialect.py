@@ -238,6 +238,47 @@ def _percentile_family(fn: str) -> Callable[[list[str]], str]:
 _ARR_SUM = "aggregate({0}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
 
+def _sql_gap(name: str, why: str) -> Callable[[list[str]], str]:
+    """A FUNCTION_MAP entry that resolves the name but raises a clear
+    PinotSqlError at rewrite time — the SQL-surface analog of the
+    registry's loud NotImplementedError boundaries."""
+
+    def f(_a: list[str]) -> str:
+        raise PinotSqlError(f"{name}: {why}")
+
+    return f
+
+
+_MV_DISTINCT_FLAT = (
+    "array_distinct(flatten(collect_set(array_distinct(array_compact({0})))))"
+)
+_MV_FLAT_SORTED = "array_sort(flatten(collect_list(array_compact({0}))))"
+
+
+def _percentile_mv_family() -> Callable[[list[str]], str]:
+    """PERCENTILEMV(arr, p): interpolated percentile of the flattened MV
+    values — the in-expression bounded form (groups buffer their value
+    arrays; the structural explode path is queries/aggregates.py
+    agg_mv_grouped_percentile). Interpolation matches Spark/DuckDB
+    percentile/quantile_cont."""
+
+    def tpl(a: list[str]) -> str:
+        pct = a[1].strip()
+        try:
+            frac = str(float(pct) / 100.0)
+        except ValueError:
+            frac = f"(({pct}) / 100.0)"
+        arr = _MV_FLAT_SORTED.format(a[0])
+        pos = f"({frac} * (size({arr}) - 1))"
+        lo = f"CAST(floor({pos}) AS INT)"
+        return (
+            f"(element_at({arr}, {lo} + 1) + ({pos} - {lo}) * "
+            f"(element_at({arr}, CAST(ceil({pos}) AS INT) + 1) - element_at({arr}, {lo} + 1)))"
+        )
+
+    return tpl
+
+
 def _theta_nominal_entries(a: list[str]) -> int:
     """Parse the optional 'nominalEntries=N' parameter string of
     DISTINCT_COUNT_RAW_THETA_SKETCH (CommonConstants default 4096)."""
@@ -442,8 +483,137 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         else "__theta_union(" + ", __theta_union(".join(a[:-1]) + ", " + a[-1] + ")" * (len(a) - 1)
     ),
     "thetasketchintersect": lambda a: f"__theta_intersect({a[0]}, {a[1]})",
+    # integer tuple sketch aggregations over serialized sketch columns
+    # (functions/sketches.py wire format; built scalar-side by
+    # TO_INTEGER_SUM_TUPLE_SKETCH) — merge with sum mode, then extract
+    "distinctcounttuplesketch": lambda a: (
+        f"__tuple_estimate(__tuple_merge_sum(collect_list({a[0]})))"
+    ),
+    "distinctcountrawintegersumtuplesketch": lambda a: (
+        f"__tuple_merge_sum(collect_list({a[0]}))"
+    ),
+    "sumvaluesintegersumtuplesketch": lambda a: (
+        f"__tuple_sum_values(__tuple_merge_sum(collect_list({a[0]})))"
+    ),
+    "avgvalueintegersumtuplesketch": lambda a: (
+        f"__tuple_avg_value(__tuple_merge_sum(collect_list({a[0]})))"
+    ),
+    "getinttuplesketchestimate": lambda a: f"__tuple_estimate({a[0]})",
+    "tointegersumtuplesketch": lambda a: (
+        "__tuple_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64({0}) END, CAST({1} AS BIGINT), {2})".format(
+            a[0], a[1], 2 ** int(a[2]) if len(a) > 2 and a[2].strip().isdigit() else 4096
+        )
+    ),
+    "tothetasketch": lambda a: (
+        "__theta_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64({0}) END, {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 4096
+        )
+    ),
+    "thetasketchtostring": lambda a: f"__theta_to_string({a[0]})",
+    # DataSketches register/items wire formats: loud SQL boundary
+    # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
+    "distinctcountrawhll": _sql_gap(
+        "DISTINCTCOUNTRAWHLL", "DataSketches HLL wire format is a documented gap — "
+        "use DISTINCTCOUNTHLL for the estimate or DISTINCT_COUNT_RAW_THETA_SKETCH "
+        "for engine-own mergeable bytes"
+    ),
+    "distinctcountrawhllmv": _sql_gap(
+        "DISTINCTCOUNTRAWHLLMV", "DataSketches HLL wire format is a documented gap"
+    ),
+    "distinctcountrawhllplus": _sql_gap(
+        "DISTINCTCOUNTRAWHLLPLUS", "DataSketches HLL++ wire format is a documented gap"
+    ),
+    "distinctcountrawhllplusmv": _sql_gap(
+        "DISTINCTCOUNTRAWHLLPLUSMV", "DataSketches HLL++ wire format is a documented gap"
+    ),
+    "distinctcountrawull": _sql_gap(
+        "DISTINCTCOUNTRAWULL", "UltraLogLog wire format is a documented gap"
+    ),
+    "distinctcountrawcpcsketch": _sql_gap(
+        "DISTINCTCOUNTRAWCPCSKETCH", "DataSketches CPC wire format is a documented gap"
+    ),
+    "frequentstringssketch": _sql_gap(
+        "FREQUENTSTRINGSSKETCH", "DataSketches ItemsSketch wire format is a documented "
+        "gap — FREQUENTSTRINGS serves the same top-k answer"
+    ),
+    "frequentlongssketch": _sql_gap(
+        "FREQUENTLONGSSKETCH", "DataSketches ItemsSketch wire format is a documented "
+        "gap — FREQUENTLONGS serves the same top-k answer"
+    ),
+    "percentilerawest": _sql_gap(
+        "PERCENTILERAWEST", "QDigest wire format is a documented gap — "
+        "PERCENTILEEST serves the estimate; engine-own digest bytes via "
+        "operators/tdigest.py (agg_raw_sketch_bytes)"
+    ),
+    "percentilerawestmv": _sql_gap("PERCENTILERAWESTMV", "QDigest wire format is a documented gap"),
+    "percentilerawkll": _sql_gap("PERCENTILERAWKLL", "KLL wire format is a documented gap"),
+    "percentilerawkllmv": _sql_gap("PERCENTILERAWKLLMV", "KLL wire format is a documented gap"),
+    "percentilerawtdigest": _sql_gap(
+        "PERCENTILERAWTDIGEST", "t-digest DataSketches wire format is a documented gap — "
+        "engine-own digest bytes via operators/tdigest.py (agg_raw_sketch_bytes)"
+    ),
+    "percentilerawtdigestmv": _sql_gap(
+        "PERCENTILERAWTDIGESTMV", "t-digest wire format is a documented gap"
+    ),
+    "percentilesmarttdigest": lambda a: _percentile_family("percentile_approx")(a),
+    # funnel family: the SQL STEPS(...)/CORRELATE_BY(...) surface is not
+    # wired; the operators and driver-green queries are operators/funnel.py
+    "funnelcount": _sql_gap(
+        "FUNNELCOUNT", "SQL STEPS()/CORRELATE_BY() form not wired — use "
+        "operators/funnel.py funnel_count (driver-green agg_funnel_count)"
+    ),
+    "funnelcompletecount": _sql_gap(
+        "FUNNELCOMPLETECOUNT", "use operators/funnel.py (funnel_complete_count query)"
+    ),
+    "funnelmatchstep": _sql_gap(
+        "FUNNELMATCHSTEP", "use operators/funnel.py (funnel_match_step query)"
+    ),
+    "funnelmaxstep": _sql_gap(
+        "FUNNELMAXSTEP", "use operators/funnel.py (funnel_max_step query)"
+    ),
+    "funnelstepdurationstats": _sql_gap(
+        "FUNNELSTEPDURATIONSTATS", "use operators/funnel.py (funnel_step_duration_stats query)"
+    ),
+    "funneleventsfunctioneval": _sql_gap(
+        "FUNNELEVENTSFUNCTIONEVAL", "use operators/funnel.py (agg_funnel_events_eval query)"
+    ),
+    "timeseriesaggregate": _sql_gap(
+        "TIMESERIESAGGREGATE", "internal time-series engine name — use the "
+        "plans/timeseries.py range-query surface or M3QL (plans/m3ql.py)"
+    ),
     "distinctsum": lambda a: f"sum(DISTINCT {a[0]})",
     "distinctavg": lambda a: f"avg(DISTINCT {a[0]})",
+    # --- typed min/max/sum variants (AggregationFunctionType MINLONG
+    # family — leaf-stage typed specializations; semantics are the plain
+    # aggregate in the named domain) ---
+    "minlong": lambda a: f"CAST(min({a[0]}) AS BIGINT)",
+    "maxlong": lambda a: f"CAST(max({a[0]}) AS BIGINT)",
+    "minstring": lambda a: f"min(CAST({a[0]} AS STRING))",
+    "maxstring": lambda a: f"max(CAST({a[0]} AS STRING))",
+    "sumint": lambda a: f"CAST(sum({a[0]}) AS BIGINT)",
+    "sumlong": lambda a: f"CAST(sum({a[0]}) AS BIGINT)",
+    # Calcite $SUM0: empty input sums to 0, not NULL
+    "sum0": lambda a: f"coalesce(sum({a[0]}), 0)",
+    # internal EXPRMIN/EXPRMAX planner decomposition names — never valid
+    # in user SQL (the reference planner synthesizes them); resolve with
+    # a clear redirect instead of an unknown-function passthrough
+    "pinotchildaggexprmin": _sql_gap(
+        "PINOT_CHILD_AGGREGATE_EXPRMIN", "internal planner name — write EXPRMIN(proj, measure)"
+    ),
+    "pinotchildaggexprmax": _sql_gap(
+        "PINOT_CHILD_AGGREGATE_EXPRMAX", "internal planner name — write EXPRMAX(proj, measure)"
+    ),
+    "pinotparentaggexprmin": _sql_gap(
+        "PINOT_PARENT_AGGREGATE_EXPRMIN", "internal planner name — write EXPRMIN(proj, measure)"
+    ),
+    "pinotparentaggexprmax": _sql_gap(
+        "PINOT_PARENT_AGGREGATE_EXPRMAX", "internal planner name — write EXPRMAX(proj, measure)"
+    ),
+    "distinctcountoffheap": lambda a: f"count(DISTINCT {a[0]})",
+    "distinctcountsmarthllplus": lambda a: f"approx_count_distinct({a[0]})",
+    "distinctcountsmartull": lambda a: f"approx_count_distinct({a[0]})",
     "sumprecision": lambda a: f"sum(CAST({a[0]} AS DECIMAL(38,18)))",
     "minmaxrange": lambda a: f"(max({a[0]}) - min({a[0]}))",
     "anyvalue": "any_value",
@@ -489,6 +659,26 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
             f"array_distinct(flatten(collect_set(array_distinct(array_compact({a[0]})))))"
         )
         + ")"
+    ),
+    "distinctavgmv": lambda a: (
+        "(" + _ARR_SUM.format(_MV_DISTINCT_FLAT.format(a[0]))
+        + f" / size({_MV_DISTINCT_FLAT.format(a[0])}))"
+    ),
+    # bitmap/HLL/HLL++ MV distinct-counts: exact bounded form (the MV
+    # approximate variants exist for memory, not different answers)
+    "distinctcountbitmapmv": lambda a: f"size({_MV_DISTINCT_FLAT.format(a[0])})",
+    "distinctcounthllmv": lambda a: f"size({_MV_DISTINCT_FLAT.format(a[0])})",
+    "distinctcounthllplusmv": lambda a: f"size({_MV_DISTINCT_FLAT.format(a[0])})",
+    # MV percentiles: interpolated percentile of the flattened values
+    "percentilemv": _percentile_mv_family(),
+    "percentileestmv": _percentile_mv_family(),
+    "percentilekllmv": _percentile_mv_family(),
+    "percentiletdigestmv": _percentile_mv_family(),
+    # IDSET: the engine's idset form is the sorted comma-joined distinct
+    # string (queries/aggregates.py agg_idset_membership), consumed by
+    # IN_ID_SET membership checks
+    "idset": lambda a: (
+        f"array_join(array_sort(collect_set(CAST({a[0]} AS STRING))), ',')"
     ),
     # --- vector (VectorFunctions.java) ---
     "cosinedistance": lambda a: (
@@ -1631,7 +1821,10 @@ def rewrite_unicode_literals(sql: str) -> str:
 
 _THETA_SQL_RE = re.compile(
     r"\b(DISTINCT_?COUNT_?RAW_?THETA_?SKETCH|GET_?THETA_?SKETCH_?ESTIMATE"
-    r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT))\s*\(",
+    r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT|TO_?STRING)|TO_?THETA_?SKETCH"
+    r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
+    r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
+    r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -1699,11 +1892,96 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             dtype="Int64",
         )
 
+    from pinot_spark.functions.sketches import TupleSketch, _MODES
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_singleton(h, k):
+        kk = int(k.iloc[0]) if len(k) else 4096
+        out = []
+        for raw in h:
+            if pd.isna(raw):
+                out.append(ThetaSketch(kk, 2**64, np.array([], dtype=np.uint64)).to_bytes())
+            else:
+                u = np.int64(raw).astype(np.uint64) + np.uint64(2**63)
+                out.append(ThetaSketch(kk, 2**64, np.array([u], dtype=np.uint64)).to_bytes())
+        return pd.Series(out)
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def __theta_to_string(b):
+        def fmt(x):
+            if x is None:
+                return None
+            s = ThetaSketch.from_bytes(bytes(x))
+            return (
+                f"ThetaSketch(k={s.k}, theta={s.theta:.6f}, "
+                f"retained={len(s.hashes)}, estimate={s.estimate():.1f})"
+            )
+
+        return b.map(fmt)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __tuple_singleton(h, v, k):
+        kk = int(k.iloc[0]) if len(k) else 4096
+        out = []
+        for raw, val in zip(h, v):
+            if pd.isna(raw) or pd.isna(val):
+                out.append(TupleSketch.empty(kk).to_bytes())
+            else:
+                u = int(np.int64(raw).astype(np.uint64) + np.uint64(2**63))
+                out.append(TupleSketch.singleton(kk, u, int(val)).to_bytes())
+        return pd.Series(out)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __tuple_merge_sum(arrs):
+        def run(lst):
+            if lst is None:
+                return None
+            acc = None
+            for b in lst:
+                if b is None:
+                    continue
+                s = TupleSketch.from_bytes(bytes(b))
+                acc = s if acc is None else acc.union(s, mode=_MODES["sum"])
+            return (acc or TupleSketch.empty()).to_bytes()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __tuple_estimate(b):
+        return pd.Series(
+            [None if x is None else round(TupleSketch.from_bytes(bytes(x)).estimate()) for x in b],
+            dtype="Int64",
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __tuple_sum_values(b):
+        return pd.Series(
+            [None if x is None else int(TupleSketch.from_bytes(bytes(x)).values.sum()) for x in b],
+            dtype="Int64",
+        )
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def __tuple_avg_value(b):
+        def run(x):
+            if x is None:
+                return None
+            s = TupleSketch.from_bytes(bytes(x))
+            return float(s.values.mean()) if len(s.values) else None
+
+        return pd.Series([run(x) for x in b])
+
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)
     spark.udf.register("__theta_diff", __theta_diff)
     spark.udf.register("__theta_union", __theta_union)
     spark.udf.register("__theta_intersect", __theta_intersect)
     spark.udf.register("__theta_estimate", __theta_estimate)
+    spark.udf.register("__theta_singleton", __theta_singleton)
+    spark.udf.register("__theta_to_string", __theta_to_string)
+    spark.udf.register("__tuple_singleton", __tuple_singleton)
+    spark.udf.register("__tuple_merge_sum", __tuple_merge_sum)
+    spark.udf.register("__tuple_estimate", __tuple_estimate)
+    spark.udf.register("__tuple_sum_values", __tuple_sum_values)
+    spark.udf.register("__tuple_avg_value", __tuple_avg_value)
     _THETA_UDF_SESSIONS.add(id(spark))
 
 
