@@ -145,3 +145,36 @@ def test_null_mode_queries_stay_scan_simple(spark, sf_dir):
     for name in ("null_mode_default_value", "null_mode_sql_semantics", "dialect_null_option"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Join" not in plan, name
+
+
+def test_sessionize_single_shuffle_window(spark, sf_dir):
+    """Gap sessionization: ONE shuffle on user_id feeds both the window
+    and the session aggregation (same key) — a second hashpartitioning
+    exchange on user_id would double the 100-TB shuffle bill."""
+    plan = _plan(QUERIES["sessionize_gap_sessions"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("HashAggregate") >= 2  # partial/final above the window
+
+
+def test_pack_sequences_shard_local_window(spark, sf_dir):
+    """Sequence packing: the running-sum window partitions on the shard
+    key (lang) — no single-partition global window, which would serialize
+    the whole corpus through one task."""
+    plan = _plan(QUERIES["pipeline_pack_sequences"](spark, sf_dir))
+    assert "Window" in plan
+    # a global (unpartitioned) window prints 'Exchange SinglePartition'
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_colocated_bucketed_join_no_exchange(spark, sf_dir):
+    """The bucketed sort-merge join must read co-located buckets: no
+    shuffle exchange on either join side (the whole point at 100 TB)."""
+    df = QUERIES["colocated_bucketed_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    join_seg = plan.split("SortMergeJoin", 1)[1]
+    # exchanges above the join (for the final agg) are fine; the join
+    # inputs themselves must come straight from the bucketed scans
+    before_join = plan.split("SortMergeJoin", 1)[0]
+    assert "Exchange hashpartitioning" not in join_seg.split("HashAggregate", 1)[0], plan
