@@ -570,8 +570,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "funnelmatchstep": _sql_gap(
         "FUNNELMATCHSTEP", "use operators/funnel.py (funnel_match_step query)"
     ),
+    # FUNNELMAXSTEP is handled structurally by rewrite_funnel_max_step
+    # (runs earlier in translate); reaching this entry means the
+    # statement shape wasn't the standard grouped form
     "funnelmaxstep": _sql_gap(
-        "FUNNELMAXSTEP", "use operators/funnel.py (funnel_max_step query)"
+        "FUNNELMAXSTEP", "only the SELECT key, FUNNELMAXSTEP(...) FROM t "
+        "GROUP BY key shape is wired — use operators/funnel.py otherwise"
     ),
     "funnelstepdurationstats": _sql_gap(
         "FUNNELSTEPDURATIONSTATS", "use operators/funnel.py (funnel_step_duration_stats query)"
@@ -1787,6 +1791,96 @@ def rewrite_pinot_hints(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_FUNNEL_MAXSTEP_RE = re.compile(r"\bFUNNEL_?MAX_?STEP\s*\(", re.IGNORECASE)
+_FUNNEL_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[A-Za-z_]\w*)\b(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
+    """Structural rewrite of the reference's SQL funnel form
+    (FunnelBaseAggregationFunction.java:53-97):
+
+        SELECT <key>, FUNNELMAXSTEP(tsExpr, windowSize, numSteps,
+                                    step1, .., [mode, ..]) FROM t
+        [WHERE p] GROUP BY <key> [HAVING/ORDER BY/LIMIT ...]
+
+    The GROUP BY key is the correlation key; the call becomes
+    operators/funnel.funnel_max_step_window over the (filtered) table,
+    materialized as a temp view keyed by <key>, and the statement is
+    re-pointed at the view (HAVING degrades to WHERE — the aggregation
+    already happened inside the operator)."""
+    from pyspark.sql import functions as F
+
+    from pinot_spark.operators.funnel import funnel_max_step_window
+
+    call = _FUNNEL_MAXSTEP_RE.search(sql)
+    if not call:
+        return sql
+    open_idx = sql.index("(", call.end() - 1)
+    close_idx = _find_matching(sql, open_idx)
+    args = _split_args(sql[open_idx + 1 : close_idx])
+    if len(args) < 4:
+        raise PinotSqlError(
+            "FUNNELMAXSTEP expects (timestampExpr, windowSize, numSteps, stepExpr, ...)"
+        )
+    ts_expr = rewrite_functions(args[0].strip())
+    window_ms = int(args[1].strip().strip("'\""))
+    num_steps = int(args[2].strip())
+    if len(args) < 3 + num_steps:
+        raise PinotSqlError(f"FUNNELMAXSTEP: {num_steps} step expressions expected")
+    steps = [F.expr(rewrite_functions(a.strip())) for a in args[3 : 3 + num_steps]]
+    modes: set[str] = set()
+    for extra in args[3 + num_steps :]:
+        e = extra.strip().strip("'\"").upper()
+        if "=" in e:
+            k, v = e.split("=", 1)
+            if k.strip() == "MODE":
+                modes |= {x.strip().lower() for x in v.split(",")}
+            else:
+                raise PinotSqlError(f"FUNNELMAXSTEP: unsupported extra argument {e!r}")
+        elif e:
+            modes.add(e.lower())
+
+    am = re.match(r"\s+AS\s+([A-Za-z_]\w*)", sql[close_idx + 1 :], re.IGNORECASE)
+    alias = am.group(1) if am else "max_step"
+    call_end = close_idx + 1 + (am.end() if am else 0)
+
+    stmt = _FUNNEL_STMT_RE.match(sql)
+    if not stmt:
+        raise PinotSqlError(
+            "FUNNELMAXSTEP needs the shape SELECT <key>, FUNNELMAXSTEP(...) "
+            "FROM <table> [WHERE ..] GROUP BY <key> — use operators/funnel.py "
+            "for other statement shapes"
+        )
+    table, where, group = stmt.group("table"), stmt.group("where"), stmt.group("group")
+
+    df = spark.table(table)
+    if where:
+        df = df.filter(F.expr(rewrite_functions(where.strip())))
+    # the operator orders by the raw time expression; project it if computed
+    ts_col = ts_expr.strip()
+    if not re.fullmatch(r"[A-Za-z_]\w*", ts_col):
+        df = df.withColumn("__funnel_ts", F.expr(ts_col))
+        ts_col = "__funnel_ts"
+    out = funnel_max_step_window(
+        df, group, ts_col, window_ms, steps, modes or None, out_col=alias
+    )
+    _ASOF_VIEW_SEQ[0] += 1
+    view = f"__funnel_{_ASOF_VIEW_SEQ[0]}"
+    out.createOrReplaceTempView(view)
+
+    # re-point the statement: call → alias column, FROM/GROUP BY → view
+    new_sql = sql[: call.start()] + alias + sql[call_end:]
+    stmt2 = _FUNNEL_STMT_RE.match(new_sql)
+    tail = stmt2.group("tail")
+    tail = re.sub(r"^\s*HAVING\b", " WHERE", tail, flags=re.IGNORECASE)
+    return f"SELECT {stmt2.group('select')} FROM {view}{tail}"
+
+
 _U_AMP_LIT_RE = re.compile(r"U&'((?:[^']|'')*)'", re.IGNORECASE)
 
 
@@ -2115,6 +2209,8 @@ class PinotEngine:
         sql = rewrite_pinot_hints(sql)
         sql = rewrite_unicode_literals(sql)
         sql = rewrite_quoted_identifiers(sql)
+        if _FUNNEL_MAXSTEP_RE.search(sql):
+            sql = rewrite_funnel_max_step(self.spark, sql)
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):

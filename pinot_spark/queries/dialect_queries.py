@@ -353,3 +353,48 @@ def dialect_query_hints(spark, sf_dir):
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment ORDER BY seg"
     )
+
+
+@query(
+    "dialect_funnel_max_step",
+    # same answer as agg_funnel_max_step_window — the SQL surface and the
+    # operator must agree; oracle is that query's lead-window mirror
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, epoch_ms(ts) AS tms,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, s, tms,
+             lead(s, 1) OVER win AS s1, lead(tms, 1) OVER win AS t1,
+             lead(s, 2) OVER win AS s2, lead(tms, 2) OVER win AS t2
+      FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, s)
+    ),
+    per_anchor AS (
+      SELECT user_id,
+             CASE WHEN s = 0 THEN
+               CASE WHEN s1 = 1 AND t1 < tms + 604800000 THEN
+                 CASE WHEN s2 = 2 AND t2 < tms + 604800000 THEN 3 ELSE 2 END
+               ELSE 1 END
+             ELSE 0 END AS reached
+      FROM w
+    )
+    SELECT user_id, CAST(max(reached) AS INT) AS max_step
+    FROM per_anchor GROUP BY user_id
+    HAVING max(reached) > 0 ORDER BY user_id
+    """,
+)
+def dialect_funnel_max_step(spark, sf_dir):
+    """The reference's SQL funnel form end-to-end through the dialect
+    (FunnelBaseAggregationFunction.java:53-97 argument convention →
+    rewrite_funnel_max_step → operators/funnel.funnel_max_step_window):
+    FUNNELMAXSTEP(ts, windowSize, numSteps, steps..., mode) grouped by
+    the correlation key, with HAVING on the funnel result."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT user_id, FUNNELMAXSTEP(ts, '604800000', 3, "
+        "event_type = 'view', event_type = 'click', event_type = 'purchase', "
+        "'STRICT_ORDER') AS max_step "
+        "FROM events GROUP BY user_id HAVING max_step > 0 ORDER BY user_id "
+        "LIMIT 100000"
+    )
