@@ -678,6 +678,19 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "percentileestmv": _percentile_mv_family(),
     "percentilekllmv": _percentile_mv_family(),
     "percentiletdigestmv": _percentile_mv_family(),
+    # elementwise array sums: bounded fold over the group's arrays (the
+    # scale path is the posexplode structural form, queries/aggregates.py
+    # agg_sum_array_scale_path)
+    "sumarraylong": lambda a: (
+        f"aggregate(collect_list({a[0]}), CAST(array() AS array<bigint>), "
+        "(acc, v) -> CASE WHEN size(acc) = 0 THEN v "
+        "ELSE zip_with(acc, v, (x, y) -> x + y) END)"
+    ),
+    "sumarraydouble": lambda a: (
+        f"aggregate(collect_list({a[0]}), CAST(array() AS array<double>), "
+        "(acc, v) -> CASE WHEN size(acc) = 0 THEN CAST(v AS array<double>) "
+        "ELSE zip_with(acc, v, (x, y) -> x + y) END)"
+    ),
     # IDSET: the engine's idset form is the sorted comma-joined distinct
     # string (queries/aggregates.py agg_idset_membership), consumed by
     # IN_ID_SET membership checks

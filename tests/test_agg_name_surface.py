@@ -37,15 +37,11 @@ def test_aggregation_enum_names_resolve():
         _canon(m.group(1)) for m in re.finditer(r"^\s{2}([A-Z_0-9]+)\s*\(", src, re.M)
     }
     ours = {_canon(k) for k in FUNCTION_MAP} | _SPARK_NATIVE
-    # sumarraylong/sumarraydouble resolve via the structural query path
-    # (agg_sum_array) and the scalar registry's array-sum expressions
     from pinot_spark.functions.scalar import SCALAR_FUNCTIONS
 
     ours |= set(SCALAR_FUNCTIONS)
     missing = sorted(n for n in names if n not in ours)
-    assert missing in ([], ["sumarraydouble", "sumarraylong"]) or len(missing) <= 2, (
-        f"unresolved aggregation names: {missing}"
-    )
+    assert missing == [], f"unresolved aggregation names: {missing}"
 
 
 @pytest.fixture(scope="module")
@@ -100,3 +96,39 @@ def test_idset_sql_form(spark, at):
 def test_documented_gap_names_raise_loudly(spark, at, expr):
     with pytest.raises(PinotSqlError):
         at.sql(f"SELECT {expr} FROM agg_names_t")
+
+
+def test_sum_array_sql_forms(spark, at):
+    spark.createDataFrame(
+        [("a", [1, 2]), ("a", [3, 4]), ("b", [10, 20])], "k string, arr array<int>"
+    ).createOrReplaceTempView("sum_arr_t")
+    rows = at.sql(
+        "SELECT k, SUMARRAYLONG(arr) AS s, SUMARRAYDOUBLE(arr) AS d "
+        "FROM sum_arr_t GROUP BY k ORDER BY k"
+    ).collect()
+    assert [(r.k, r.s, r.d) for r in rows] == [
+        ("a", [4, 6], [4.0, 6.0]), ("b", [10, 20], [10.0, 20.0])
+    ]
+
+
+def test_sql_funnel_max_step_matches_operator(spark, sf_dir, at):
+    """The SQL FUNNELMAXSTEP form must agree with the operator-built
+    driver query (same window, steps and STRICT_ORDER mode)."""
+    from pinot_spark.catalog import load_tables
+    from pinot_spark.queries import QUERIES
+
+    load_tables(spark, sf_dir)
+    got = sorted(
+        (r.user_id, r.max_step)
+        for r in at.sql(
+            "SELECT user_id, FUNNELMAXSTEP(ts, '604800000', 3, "
+            "event_type = 'view', event_type = 'click', event_type = 'purchase', "
+            "'STRICT_ORDER') AS max_step FROM events GROUP BY user_id "
+            "HAVING max_step > 0 LIMIT 100000"
+        ).collect()
+    )
+    want = sorted(
+        (r.user_id, r.max_step)
+        for r in QUERIES["agg_funnel_max_step_window"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
