@@ -1197,6 +1197,39 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             seg,
             flags=re.IGNORECASE,
         )
+
+        def between(m: re.Match) -> str:
+            qual, col, neg, lo, hi = (
+                m.group(1) or "", m.group(2), m.group(3), m.group(4), m.group(5),
+            )
+            if col.lower() not in mv:
+                return m.group(0)
+            base = f"exists({qual}{col}, x -> x >= {lo} AND x <= {hi})"
+            return f"(NOT {base})" if neg else base
+
+        lit_pat = r"'[^']*'|[0-9][0-9.]*"
+        seg = re.sub(
+            rf"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s+"
+            rf"(NOT\s+)?BETWEEN\s+({lit_pat})\s+AND\s+({lit_pat})",
+            between,
+            seg,
+            flags=re.IGNORECASE,
+        )
+
+        def cmp(m: re.Match) -> str:
+            # range predicate on an MV column: ANY element in range
+            # (BaseRawValueBasedPredicateEvaluator.java:72-85)
+            qual, col, op, lit = m.group(1) or "", m.group(2), m.group(3), m.group(4)
+            if col.lower() not in mv:
+                return m.group(0)
+            return f"exists({qual}{col}, x -> x {op} {lit})"
+
+        seg = re.sub(
+            rf"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s*"
+            rf"(>=|<=|>|<)\s*({lit_pat})",
+            cmp,
+            seg,
+        )
         return seg
 
     # operate on the full SQL: the patterns need the literal operand in
