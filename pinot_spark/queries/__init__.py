@@ -152,6 +152,13 @@ _WINDOW_FIRST_TIME = [
     "agg_sum_array_scale_path", "agg_distinctcount_mv_scale_path",
     "regex_fst_dictionary_match", "similarity_pairwise_label",
     "dialect_mv_distinct_scale",
+    # round-6 additions (UDTF §2.9, exchange §2.6, sessionize §2.7,
+    # packing/PII pipeline ops, SQL funnel form) — parity-verified at
+    # sf0.01; they take six re-proof slots (the ceded relational greens
+    # are re-proven daily by the corpus-conformance suites instead)
+    "udtf_sequence_explode", "colocated_bucketed_join",
+    "sessionize_gap_sessions", "pipeline_pack_sequences",
+    "text_pii_redaction", "dialect_funnel_max_step",
 ]
 
 # Oldest parked greens (r2: full TPC-H suite + relational core) cycled
@@ -169,9 +176,7 @@ _REPROOF_R6 = [
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_disjunctive_predicates", "q20_excess_suppliers",
     "q21_last_shipper_in_order", "q22_anti_join",
-    "join_full_outer", "join_right_outer", "join_non_equi_theta",
-    "join_lookup_dimension", "set_ops_union_intersect_except",
-    "set_ops_all_variants", "grouping_sets",
+    "set_ops_union_intersect_except",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_R6
