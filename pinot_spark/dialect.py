@@ -1863,7 +1863,10 @@ def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
 
     from pinot_spark.operators.funnel import funnel_max_step_window
 
+    spans = _literal_spans(sql)
     call = _FUNNEL_MAXSTEP_RE.search(sql)
+    while call and any(a <= call.start() < b for a, b in spans):
+        call = _FUNNEL_MAXSTEP_RE.search(sql, call.end())
     if not call:
         return sql
     open_idx = sql.index("(", call.end() - 1)
