@@ -200,3 +200,53 @@ def sequence_pack(
             ),
         )
     )
+
+
+def _token_trigrams(text_col: str | Column) -> Column:
+    """Distinct token 3-gram shingles of a document (lowercased,
+    whitespace-tokenized) — empty for docs under 3 tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.split(F.lower(F.trim(c)), " ")
+    idx = F.when(F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - F.lit(2))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        )
+    )
+
+
+def ngram_decontaminate(train, bench, id_col: str, text_col: str):
+    """Benchmark decontamination (the GPT-3-style n-gram overlap scrub):
+    flag training documents whose token 3-grams overlap a held-out
+    benchmark set, with the containment ratio |doc ∩ bench| / |doc|.
+
+    Scale shape: the benchmark's distinct n-gram set is exploded once
+    and broadcast (benchmark corpora are small next to training data);
+    training docs explode their n-grams, inner-join on the n-gram, and
+    partial/final count per doc — no all-pairs comparison anywhere.
+    Returns (id, n_grams, n_hit, containment) for docs with any hit."""
+    train_g = train.select(
+        F.col(id_col), _token_trigrams(text_col).alias("__grams")
+    ).withColumn("n_grams", F.size("__grams"))
+    bench_g = (
+        bench.select(F.explode(_token_trigrams(text_col)).alias("__g")).distinct()
+    )
+    hits = (
+        train_g.select(id_col, "n_grams", F.explode("__grams").alias("__g"))
+        .join(F.broadcast(bench_g), "__g")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)), 4).alias(
+            "containment"
+        ),
+    )

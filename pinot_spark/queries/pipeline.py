@@ -835,3 +835,42 @@ def text_pii_redaction(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents WHERE doc_id < 200
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ), bench AS (
+      SELECT list_distinct(flatten(list(g))) AS bg FROM grams WHERE doc_id % 17 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0
+    )
+    SELECT t.doc_id, CAST(len(t.g) AS INT) AS n_grams,
+           CAST(len(list_intersect(t.g, b.bg)) AS BIGINT) AS n_hit,
+           round(len(list_intersect(t.g, b.bg))::DOUBLE /
+                 greatest(len(t.g), 1), 4) AS containment
+    FROM train t CROSS JOIN bench b
+    WHERE len(list_intersect(t.g, b.bg)) > 0
+    ORDER BY doc_id
+    """,
+)
+def pipeline_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/text.ngram_decontaminate):
+    docs with doc_id % 17 = 0 stand in as the held-out benchmark; every
+    training doc sharing a token 3-gram with it is reported with its
+    containment ratio — broadcast n-gram semi-join, no all-pairs."""
+    from pinot_spark.operators.text import ngram_decontaminate
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(train, bench, "doc_id", "text").orderBy("doc_id")
