@@ -178,3 +178,12 @@ def test_colocated_bucketed_join_no_exchange(spark, sf_dir):
     # inputs themselves must come straight from the bucketed scans
     before_join = plan.split("SortMergeJoin", 1)[0]
     assert "Exchange hashpartitioning" not in join_seg.split("HashAggregate", 1)[0], plan
+
+
+def test_decontamination_broadcast_ngram_join(spark, sf_dir):
+    """Decontamination joins exploded training n-grams against the
+    BROADCAST benchmark set — a shuffle join here would move the whole
+    training corpus's n-grams at 100 TB."""
+    plan = _plan(QUERIES["pipeline_decontamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial/final hit counting
