@@ -62,22 +62,27 @@ def colocated_bucketed_join(spark, sf_dir):
     key with equal bucket counts, sort-merge joined with NO shuffle
     exchange (plan asserted in tests/test_ingestion.py
     test_bucketed_colocated_join); results must equal the plain join.
-    Table names are pid-scoped so concurrent driver runs can't collide
-    in the shared spark-warehouse."""
+    Table names are pid-scoped so concurrent driver runs can't collide,
+    and the data lands at explicit tempdir paths (external tables) so
+    the query never depends on the driver process's cwd being a
+    writable spark-warehouse."""
+    import tempfile
+
     from pinot_spark.sources.segments import write_bucketed_table
 
     t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pinot_spark_colo_")
     o_name = f"colo_orders_{os.getpid()}"
     l_name = f"colo_lineitem_{os.getpid()}"
     write_bucketed_table(
         t["orders"].select("o_orderkey", "o_orderpriority"),
         o_name, bucket_cols=["o_orderkey"], num_buckets=8,
-        sort_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"], path=os.path.join(base, o_name),
     )
     write_bucketed_table(
         t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
         l_name, bucket_cols=["l_orderkey"], num_buckets=8,
-        sort_cols=["l_orderkey"],
+        sort_cols=["l_orderkey"], path=os.path.join(base, l_name),
     )
     joined = (
         spark.table(o_name)

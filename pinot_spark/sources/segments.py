@@ -114,6 +114,7 @@ def write_bucketed_table(
     num_buckets: int = 8,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed catalog table: Pinot's partitioned-segment
     colocated joins (SegmentPartitionConfig + PinotImplicitTableHintRule)
@@ -126,4 +127,8 @@ def write_bucketed_table(
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        # external table at an explicit path: independent of the
+        # session's warehouse dir (= the driver process's cwd)
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
