@@ -29,6 +29,13 @@ REPRESENTATIVE = [
     "agg_funnel_events_eval", "funnel_step_duration_stats",
     "multimodal_feature_extract", "dialect_null_option",
     "timeseries_m3ql_pipeline",
+    # round-6-window representatives: UDTF registration, external-path
+    # bucketed tables, NTZ-timestamp window math, SQL funnel rewrite,
+    # stream-decoder mapInPandas — each exercises session machinery
+    # beyond plain DataFrame ops
+    "udtf_sequence_explode", "colocated_bucketed_join",
+    "sessionize_gap_sessions", "dialect_funnel_max_step",
+    "stream_kafka_batch_decode",
 ]
 
 
