@@ -542,21 +542,27 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         "FREQUENTLONGSSKETCH", "DataSketches ItemsSketch wire format is a documented "
         "gap — FREQUENTLONGS serves the same top-k answer"
     ),
-    "percentilerawest": _sql_gap(
-        "PERCENTILERAWEST", "QDigest wire format is a documented gap — "
-        "PERCENTILEEST serves the estimate; engine-own digest bytes via "
-        "operators/tdigest.py (agg_raw_sketch_bytes)"
+    # raw percentile sketches: ENGINE-OWN t-digest bytes (operators/
+    # tdigest.py wire format — k/n/means/weights; merging-compatible with
+    # tdigest_sketch and agg_raw_sketch_bytes). The reference emits
+    # QDigest/KLL/t-digest DataSketches binaries per flavor; here every
+    # raw percentile flavor serializes the same engine-own digest (the
+    # percentile arg is part of the CLIENT's later query, not the bytes).
+    "percentilerawest": lambda a: f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))",
+    "percentilerawestmv": lambda a: (
+        f"__tdigest_from_values(flatten(collect_list({a[0]})))"
     ),
-    "percentilerawestmv": _sql_gap("PERCENTILERAWESTMV", "QDigest wire format is a documented gap"),
-    "percentilerawkll": _sql_gap("PERCENTILERAWKLL", "KLL wire format is a documented gap"),
-    "percentilerawkllmv": _sql_gap("PERCENTILERAWKLLMV", "KLL wire format is a documented gap"),
-    "percentilerawtdigest": _sql_gap(
-        "PERCENTILERAWTDIGEST", "t-digest DataSketches wire format is a documented gap — "
-        "engine-own digest bytes via operators/tdigest.py (agg_raw_sketch_bytes)"
+    "percentilerawkll": lambda a: f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))",
+    "percentilerawkllmv": lambda a: (
+        f"__tdigest_from_values(flatten(collect_list({a[0]})))"
     ),
-    "percentilerawtdigestmv": _sql_gap(
-        "PERCENTILERAWTDIGESTMV", "t-digest wire format is a documented gap"
+    "percentilerawtdigest": lambda a: (
+        f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))"
     ),
+    "percentilerawtdigestmv": lambda a: (
+        f"__tdigest_from_values(flatten(collect_list({a[0]})))"
+    ),
+    "gettdigestquantile": lambda a: f"__tdigest_quantile({a[0]}, {a[1]})",
     "percentilesmarttdigest": lambda a: _percentile_family("percentile_approx")(a),
     # funnel family: the SQL STEPS(...)/CORRELATE_BY(...) surface is not
     # wired; the operators and driver-green queries are operators/funnel.py
@@ -1967,7 +1973,8 @@ _THETA_SQL_RE = re.compile(
     r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT|TO_?STRING)|TO_?THETA_?SKETCH"
     r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
-    r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH)\s*\(",
+    r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2113,6 +2120,29 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(x) for x in b])
 
+    from pinot_spark.operators.tdigest import TDigest
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __tdigest_from_values(arrs):
+        def run(vals):
+            td = TDigest()
+            if vals is not None and len(vals):
+                td.add([float(v) for v in vals if v is not None])
+            return td.to_bytes()
+
+        return pd.Series([run(vals) for vals in arrs])
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def __tdigest_quantile(b, pct):
+        def run(x, p):
+            if x is None or p is None:
+                return None
+            return TDigest.from_bytes(bytes(x)).quantile(float(p) / 100.0)
+
+        return pd.Series([run(x, p) for x, p in zip(b, pct)])
+
+    spark.udf.register("__tdigest_from_values", __tdigest_from_values)
+    spark.udf.register("__tdigest_quantile", __tdigest_quantile)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)
     spark.udf.register("__theta_diff", __theta_diff)
     spark.udf.register("__theta_union", __theta_union)

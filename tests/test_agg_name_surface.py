@@ -90,7 +90,7 @@ def test_idset_sql_form(spark, at):
 
 
 @pytest.mark.parametrize(
-    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWHLL(k)", "PERCENTILERAWKLL(v, 50)",
+    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWHLL(k)", "DISTINCTCOUNTRAWULL(v)",
              "FREQUENTSTRINGSSKETCH(k)", "PINOTCHILDAGGEXPRMIN(1, v, k)"],
 )
 def test_documented_gap_names_raise_loudly(spark, at, expr):
@@ -132,3 +132,25 @@ def test_sql_funnel_max_step_matches_operator(spark, sf_dir, at):
         for r in QUERIES["agg_funnel_max_step_window"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_raw_percentile_digest_bytes(spark, at):
+    """PERCENTILERAW{EST,KLL,TDIGEST}[MV] emit engine-own t-digest bytes
+    (operators/tdigest.py wire format), readable offline and via the
+    GETTDIGESTQUANTILE engine extension."""
+    from pinot_spark.operators.tdigest import TDigest
+
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k int, v double"
+    ).createOrReplaceTempView("raw_pct_t")
+    row = at.sql(
+        "SELECT GETTDIGESTQUANTILE(PERCENTILERAWTDIGEST(v, 90), 90) AS p90, "
+        "GETTDIGESTQUANTILE(PERCENTILE_RAW_EST(v, 50), 50) AS p50 FROM raw_pct_t"
+    ).collect()[0]
+    assert (row.p90, row.p50) == (90.5, 50.5)
+    b = at.sql("SELECT PERCENTILERAWKLL(v, 99) AS b FROM raw_pct_t").collect()[0].b
+    assert TDigest.from_bytes(bytes(b)).quantile(0.5) == 50.5
+    mv = at.sql("SELECT GETTDIGESTQUANTILE(PERCENTILERAWTDIGESTMV(arr, 50), 50) AS p "
+                "FROM agg_names_t").collect()[0].p
+    # flattened values [1,2,2,2,3,4,1,5,5]: digest median
+    assert 2.0 <= mv <= 3.0
