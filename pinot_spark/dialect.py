@@ -514,19 +514,34 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "thetasketchtostring": lambda a: f"__theta_to_string({a[0]})",
     # DataSketches register/items wire formats: loud SQL boundary
     # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
-    "distinctcountrawhll": _sql_gap(
-        "DISTINCTCOUNTRAWHLL", "DataSketches HLL wire format is a documented gap — "
-        "use DISTINCTCOUNTHLL for the estimate or DISTINCT_COUNT_RAW_THETA_SKETCH "
-        "for engine-own mergeable bytes"
+    # raw HLL: ENGINE-OWN register bytes (operators/hll.py — log2m byte +
+    # dense registers, merged register-wise; clearspring/DataSketches
+    # binary stays a documented gap). GETHLLESTIMATE is the engine's
+    # reader extension; optional 2nd arg is log2m.
+    "distinctcountrawhll": lambda a: (
+        "__hll_from_hashes(collect_list(CASE WHEN {0} IS NULL THEN "
+        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END), {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12
+        )
     ),
-    "distinctcountrawhllmv": _sql_gap(
-        "DISTINCTCOUNTRAWHLLMV", "DataSketches HLL wire format is a documented gap"
+    "distinctcountrawhllplus": lambda a: (
+        "__hll_from_hashes(collect_list(CASE WHEN {0} IS NULL THEN "
+        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END), 12)".format(a[0])
     ),
-    "distinctcountrawhllplus": _sql_gap(
-        "DISTINCTCOUNTRAWHLLPLUS", "DataSketches HLL++ wire format is a documented gap"
+    "distinctcountrawhllmv": lambda a: (
+        "__hll_from_hashes(flatten(collect_list(transform("
+        "filter({0}, x -> x IS NOT NULL), x -> xxhash64(x)))), 12)".format(a[0])
     ),
-    "distinctcountrawhllplusmv": _sql_gap(
-        "DISTINCTCOUNTRAWHLLPLUSMV", "DataSketches HLL++ wire format is a documented gap"
+    "distinctcountrawhllplusmv": lambda a: (
+        "__hll_from_hashes(flatten(collect_list(transform("
+        "filter({0}, x -> x IS NOT NULL), x -> xxhash64(x)))), 12)".format(a[0])
+    ),
+    "gethllestimate": lambda a: f"__hll_estimate({a[0]})",
+    "tohll": lambda a: (
+        "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64({0}) END, {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12
+        )
     ),
     "distinctcountrawull": _sql_gap(
         "DISTINCTCOUNTRAWULL", "UltraLogLog wire format is a documented gap"
@@ -1974,7 +1989,8 @@ _THETA_SQL_RE = re.compile(
     r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
-    r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE)\s*\(",
+    r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE"
+    r"|DISTINCT_?COUNT_?RAW_?HLL(?:PLUS)?(?:MV|_MV)?|TO_?HLL|GET_?HLL_?ESTIMATE)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2120,7 +2136,34 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(x) for x in b])
 
+    from pinot_spark.operators.hll import HllSketch
     from pinot_spark.operators.tdigest import TDigest
+
+    def _hll_from_hash_list(hs, log2m: int) -> bytes:
+        raw = np.asarray([h for h in hs if h is not None], dtype=np.int64).astype(np.uint64)
+        raw += np.uint64(2**63)  # signed xxhash64 → unsigned shift
+        return HllSketch.from_hashes(raw, log2m).to_bytes()
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __hll_from_hashes(arrs, log2m):
+        lm = int(log2m.iloc[0]) if len(log2m) else 12
+        return pd.Series(
+            [_hll_from_hash_list(hs if hs is not None else [], lm) for hs in arrs]
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __hll_singleton(h, log2m):
+        lm = int(log2m.iloc[0]) if len(log2m) else 12
+        return pd.Series(
+            [_hll_from_hash_list([] if pd.isna(x) else [x], lm) for x in h]
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __hll_estimate(b):
+        return pd.Series(
+            [None if x is None else round(HllSketch.from_bytes(bytes(x)).estimate()) for x in b],
+            dtype="Int64",
+        )
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __tdigest_from_values(arrs):
@@ -2143,6 +2186,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
     spark.udf.register("__tdigest_quantile", __tdigest_quantile)
+    spark.udf.register("__hll_from_hashes", __hll_from_hashes)
+    spark.udf.register("__hll_singleton", __hll_singleton)
+    spark.udf.register("__hll_estimate", __hll_estimate)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)
     spark.udf.register("__theta_diff", __theta_diff)
     spark.udf.register("__theta_union", __theta_union)

@@ -283,7 +283,40 @@ def _wire_gap(name: str):
 
 
 for _n in (
-    "tohll", "toull", "fromull", "tocpcsketch", "getcpcsketchestimate",
+    "toull", "fromull", "tocpcsketch", "getcpcsketchestimate",
     "cpcsketchunion", "cpcsketchtostring",
 ):
     _reg(_n)(_wire_gap(_n))
+
+
+# --- engine-own HLL (operators/hll.py) ------------------------------------
+
+
+def _make_hll_singleton():
+    from pinot_spark.operators.hll import DEFAULT_LOG2M, HllSketch
+
+    @_pandas_udf("binary")
+    def _f(h: _pd.Series, log2m: _pd.Series) -> _pd.Series:
+        lm = int(log2m.iloc[0]) if len(log2m) else DEFAULT_LOG2M
+        shifted = _shift_u64(h.fillna(0))
+        return _pd.Series(
+            [
+                HllSketch.empty(lm).to_bytes()
+                if _pd.isna(raw)
+                else HllSketch.from_hashes(np.array([u], dtype=np.uint64), lm).to_bytes()
+                for raw, u in zip(h, shifted)
+            ]
+        )
+
+    return _f
+
+
+# reference toHLL(value[, log2m]) (SketchFunctions.java:139-162): a
+# singleton (or empty, for NULL) serialized HLL for pre-aggregated ingest
+# — engine-own register format, mergeable with DISTINCTCOUNTRAWHLL output
+_reg("tohll")(
+    lambda v, log2m=None: _lazy_udf("hll_singleton", _make_hll_singleton)(
+        _null_safe_hash(v),
+        F.lit(int(log2m) if log2m is not None else 12),
+    )
+)

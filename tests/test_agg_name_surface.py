@@ -90,7 +90,7 @@ def test_idset_sql_form(spark, at):
 
 
 @pytest.mark.parametrize(
-    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWHLL(k)", "DISTINCTCOUNTRAWULL(v)",
+    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWCPCSKETCH(k)", "DISTINCTCOUNTRAWULL(v)",
              "FREQUENTSTRINGSSKETCH(k)", "PINOTCHILDAGGEXPRMIN(1, v, k)"],
 )
 def test_documented_gap_names_raise_loudly(spark, at, expr):
@@ -154,3 +154,16 @@ def test_raw_percentile_digest_bytes(spark, at):
                 "FROM agg_names_t").collect()[0].p
     # flattened values [1,2,2,2,3,4,1,5,5]: digest median
     assert 2.0 <= mv <= 3.0
+
+
+def test_raw_hll_sql_pipeline(spark, at):
+    """DISTINCTCOUNTRAWHLL[MV] / TOHLL emit engine-own HLL register
+    bytes (operators/hll.py); GETHLLESTIMATE reads them back. Exact in
+    the linear-counting regime at these cardinalities."""
+    row = at.sql(
+        "SELECT GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(k)) AS dc, "
+        "GETHLLESTIMATE(DISTINCTCOUNTRAWHLLMV(arr)) AS dcm, "
+        "GETHLLESTIMATE(TOHLL('x')) AS one FROM agg_names_t"
+    ).collect()[0]
+    # keys {a,b,c}; MV values {1,2,3,4,5}
+    assert (row.dc, row.dcm, row.one) == (3, 5, 1)

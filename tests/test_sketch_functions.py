@@ -111,7 +111,38 @@ def test_geo_converters_identity(spark, kv):
 
 
 def test_datasketches_wire_boundary_raises():
-    for name in ("tohll", "toull", "fromull", "tocpcsketch",
+    for name in ("toull", "fromull", "tocpcsketch",
                  "getcpcsketchestimate", "cpcsketchunion", "cpcsketchtostring"):
         with pytest.raises(NotImplementedError, match="wire"):
             call(name, F.lit("x"))
+
+
+def test_tohll_singleton_and_merge(spark, kv):
+    """toHLL emits engine-own HLL register bytes; singletons merge into
+    the per-key distinct count (operators/hll.py)."""
+    from pinot_spark.operators.hll import HllSketch
+
+    rows = kv.select(call("tohll", F.col("k")).alias("b")).collect()
+    sks = [HllSketch.from_bytes(bytes(r.b)) for r in rows]
+    acc = sks[0]
+    for s in sks[1:]:
+        acc = acc.merge(s)
+    # keys a, b, a, NULL -> 2 distinct; NULL contributes an empty sketch
+    assert round(acc.estimate()) == 2
+    assert int(sks[3].registers.sum()) == 0  # NULL -> empty
+
+
+def test_hll_accuracy_and_roundtrip():
+    import numpy as np
+
+    from pinot_spark.operators.hll import HllSketch
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**64, size=50000, dtype=np.uint64)
+    s = HllSketch.from_hashes(h)
+    assert abs(s.estimate() - 50000) / 50000 < 0.05  # 3 sigma at log2m=12
+    back = HllSketch.from_bytes(s.to_bytes())
+    assert np.array_equal(back.registers, s.registers)
+    # merge of overlapping halves equals the whole
+    a, b = HllSketch.from_hashes(h[:30000]), HllSketch.from_hashes(h[20000:])
+    assert np.array_equal(a.merge(b).registers, s.registers)
