@@ -40,6 +40,7 @@ Catalyst.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -176,6 +177,31 @@ def _json_extract_scalar(a: list[str]) -> str:
     return expr
 
 
+def _json_extract_key(a: list[str]) -> str:
+    """JSONEXTRACTKEY(json, path) — see FUNCTION_MAP entry comment."""
+    top_level = (
+        f"transform(json_object_keys({a[0]}), "
+        f"k -> concat('$[', char(39), k, char(39), ']'))"
+    )
+    if len(a) < 2:
+        return f"__json_all_keys({a[0]})"  # reference: missing/empty → all
+    p = a[1].strip()
+    if p.startswith("'") and p.endswith("'"):
+        inner = p[1:-1]
+        if inner in ("$.*", "$[*]"):
+            return top_level
+        if inner in ("", "$..", "$..**"):
+            return f"__json_all_keys({a[0]})"
+        raise PinotSqlError(
+            f"JSONEXTRACTKEY: only '$.*' (top-level) and ''/'$..'/'$..**' "
+            f"(recursive) paths are wired — got {inner!r}; arbitrary "
+            f"JsonPath key extraction is a documented gap"
+        )
+    raise PinotSqlError(
+        "JSONEXTRACTKEY: the jsonPath argument must be a string literal"
+    )
+
+
 _DTC_UNIT_MS = {
     "milliseconds": 1,
     "seconds": 1000,
@@ -271,12 +297,97 @@ def _percentile_mv_family() -> Callable[[list[str]], str]:
         arr = _MV_FLAT_SORTED.format(a[0])
         pos = f"({frac} * (size({arr}) - 1))"
         lo = f"CAST(floor({pos}) AS INT)"
-        return (
+        # empty-group guard: when every MV array in the group is empty,
+        # size(arr)=0 makes pos negative and element_at(arr, 0) raises
+        # INVALID_INDEX_OF_ZERO — return NULL like the scalar percentile
+        # over zero rows would
+        interp = (
             f"(element_at({arr}, {lo} + 1) + ({pos} - {lo}) * "
             f"(element_at({arr}, CAST(ceil({pos}) AS INT) + 1) - element_at({arr}, {lo} + 1)))"
         )
+        return f"(CASE WHEN size({arr}) = 0 THEN CAST(NULL AS DOUBLE) ELSE {interp} END)"
 
     return tpl
+
+
+def _hll_pair_expr(col: str, log2m: int) -> str:
+    """Encode one value's HyperLogLog contribution as a single BIGINT
+    ``register_index * 64 + rho`` — computed entirely JVM-side so the
+    raw-HLL SQL names can aggregate with a BOUNDED-domain collect_set
+    instead of collecting every value's hash (the 100 TB scale fix).
+
+    Bit-for-bit identical to operators/hll.py HllSketch.from_hashes:
+    signed xxhash64 → unsigned via the order-preserving +2^63 shift
+    (= XOR of the sign bit), top ``log2m`` bits pick the register, and
+    rho = leading zeros of the remaining bits (left-aligned) + 1. The
+    leading-zero count uses ``bin()`` string length — exact, unlike a
+    float log2. The pair domain has at most 2^log2m * (64-log2m+1)
+    values (~15k at log2m=8), so the aggregation state is sketch-sized
+    no matter how many rows flow through, and collect_set's map-side
+    partial dedup keeps the shuffle bounded too."""
+    flip = f"(xxhash64({col}) ^ shiftleft(CAST(1 AS BIGINT), 63))"
+    rest = f"shiftleft({flip}, {log2m})"
+    rho = (
+        f"(CASE WHEN {rest} = 0 THEN {64 - log2m + 1} "
+        f"WHEN {rest} < 0 THEN 1 "
+        f"ELSE CAST(65 - length(bin({rest})) AS INT) END)"
+    )
+    idx = f"shiftrightunsigned({flip}, {64 - log2m})"
+    return (
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {idx} * 64 + {rho} END"
+    )
+
+
+def _raw_hll_sql(a: list[str], default_log2m: int) -> str:
+    log2m = (
+        int(a[1].strip())
+        if len(a) > 1 and a[1].strip().isdigit()
+        else default_log2m
+    )
+    return f"__hll_from_regs(collect_set({_hll_pair_expr(a[0], log2m)}), {log2m})"
+
+
+def _raw_hll_mv_sql(a: list[str], default_log2m: int) -> str:
+    """MV variant: each row contributes its array's (deduplicated)
+    register pairs; the bounded pair domain keeps every buffer element
+    tiny, though the collect_list entry count still scales with rows —
+    the fully bounded path is the SV form over an exploded view."""
+    log2m = (
+        int(a[1].strip())
+        if len(a) > 1 and a[1].strip().isdigit()
+        else default_log2m
+    )
+    pair = _hll_pair_expr("x", log2m)
+    return (
+        f"__hll_from_regs(array_distinct(flatten(collect_list("
+        f"array_distinct(transform(filter({a[0]}, x -> x IS NOT NULL), "
+        f"x -> {pair}))))), {log2m})"
+    )
+
+
+# t-digest quantile grid: Chebyshev (cosine) spacing — denser at the
+# tails, mirroring the t-digest k1 scale function. 129 probes keep the
+# percentile_approx result array small while bounding the rank error of
+# the reconstructed digest to ~(1/128)/2 mid-range and much tighter at
+# the tails.
+_TDIGEST_GRID = [
+    (1 - math.cos(math.pi * i / 128)) / 2 for i in range(129)
+]
+
+
+def _raw_tdigest_sql(values_expr: str) -> str:
+    """PERCENTILERAW* scale shape: Spark-native percentile_approx
+    (bounded GK/KLL state, partial/final map-side combine) probes a
+    fixed quantile grid; a scalar UDF reassembles engine-own t-digest
+    bytes from (grid quantiles, row count). No per-value collection
+    anywhere — the aggregation state is sketch-sized at any row count."""
+    grid = ", ".join(f"{q!r}" for q in _TDIGEST_GRID)
+    return (
+        f"__tdigest_from_quantiles("
+        f"percentile_approx({values_expr}, array({grid}), 10000), "
+        f"count({values_expr}))"
+    )
 
 
 def _theta_nominal_entries(a: list[str]) -> int:
@@ -410,11 +521,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # --- json (JsonFunctions.java) ---
     "jsonextractscalar": _json_extract_scalar,
     # Pinot returns JsonPath-formatted keys: $['key'] (JsonFunctions.java
-    # jsonExtractKey; JsonType.json corpus output shape). char(39) = '
-    "jsonextractkey": lambda a: (
-        f"transform(json_object_keys({a[0]}), "
-        f"k -> concat('$[', char(39), k, char(39), ']'))"
-    ),
+    # jsonExtractKey:567-600; JsonType.json corpus output shape).
+    # char(39) = '. Wired paths: '$.*'/'$[*]' → top-level keys (native
+    # json_object_keys); ''/'$..'/'$..**' → recursive all-keys
+    # (reference isExtractAllKeys) via __json_all_keys; any other path
+    # raises loudly rather than silently returning top-level keys.
+    "jsonextractkey": _json_extract_key,
     "jsonformat": "to_json",
     "jsonpath": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "jsonpathstring": lambda a: f"get_json_object({a[0]}, {a[1]})",
@@ -470,8 +582,15 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # corpus does exactly that (AVG(x), GET_THETA_SKETCH_ESTIMATE(...)).
     # Scale note: collect_set holds all distinct hashes; the bounded
     # per-partition top-k path is operators/theta.theta_sketch.
+    # NULLs are masked (CASE → NULL, collect_set drops NULLs) so raw and
+    # non-raw theta names agree: DISTINCTCOUNTTHETASKETCH's
+    # approx_count_distinct skips NULLs and TO_THETA_SKETCH emits an
+    # empty sketch for NULL — xxhash64(NULL) would otherwise contribute
+    # the seed hash as a phantom distinct value
     "distinctcountrawthetasketch": lambda a: (
-        "__theta_from_hashes(slice(sort_array(collect_set(xxhash64({0}))), 1, {1}), {2})".format(
+        "__theta_from_hashes(slice(sort_array(collect_set("
+        "CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) ELSE xxhash64({0}) END"
+        ")), 1, {1}), {2})".format(
             a[0], _theta_nominal_entries(a) + 1, _theta_nominal_entries(a)
         )
     ),
@@ -517,30 +636,20 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # raw HLL: ENGINE-OWN register bytes (operators/hll.py — log2m byte +
     # dense registers, merged register-wise; clearspring/DataSketches
     # binary stays a documented gap). GETHLLESTIMATE is the engine's
-    # reader extension; optional 2nd arg is log2m.
-    "distinctcountrawhll": lambda a: (
-        "__hll_from_hashes(collect_list(CASE WHEN {0} IS NULL THEN "
-        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END), {1})".format(
-            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12
-        )
-    ),
-    "distinctcountrawhllplus": lambda a: (
-        "__hll_from_hashes(collect_list(CASE WHEN {0} IS NULL THEN "
-        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END), 12)".format(a[0])
-    ),
-    "distinctcountrawhllmv": lambda a: (
-        "__hll_from_hashes(flatten(collect_list(transform("
-        "filter({0}, x -> x IS NOT NULL), x -> xxhash64(x)))), 12)".format(a[0])
-    ),
-    "distinctcountrawhllplusmv": lambda a: (
-        "__hll_from_hashes(flatten(collect_list(transform("
-        "filter({0}, x -> x IS NOT NULL), x -> xxhash64(x)))), 12)".format(a[0])
-    ),
+    # reader extension; optional 2nd arg is log2m (reference default 8,
+    # CommonConstants.DEFAULT_HYPERLOGLOG_LOG2M). SCALE SHAPE: values
+    # reduce JVM-side to bounded-domain register pairs (_hll_pair_expr)
+    # aggregated with collect_set — the state is sketch-sized (≤ m*57
+    # bigints) at ANY row count; no per-value collection remains.
+    "distinctcountrawhll": lambda a: _raw_hll_sql(a, 8),
+    "distinctcountrawhllplus": lambda a: _raw_hll_sql(a[:1], 8),
+    "distinctcountrawhllmv": lambda a: _raw_hll_mv_sql(a, 8),
+    "distinctcountrawhllplusmv": lambda a: _raw_hll_mv_sql(a[:1], 8),
     "gethllestimate": lambda a: f"__hll_estimate({a[0]})",
     "tohll": lambda a: (
         "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64({0}) END, {1})".format(
-            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 8
         )
     ),
     "distinctcountrawull": _sql_gap(
@@ -563,17 +672,18 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # QDigest/KLL/t-digest DataSketches binaries per flavor; here every
     # raw percentile flavor serializes the same engine-own digest (the
     # percentile arg is part of the CLIENT's later query, not the bytes).
-    "percentilerawest": lambda a: f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))",
+    # SCALE SHAPE: Spark-native percentile_approx probes a Chebyshev
+    # quantile grid (bounded partial/final state), and the digest bytes
+    # are assembled from (grid, count) — no per-value collection.
+    "percentilerawest": lambda a: _raw_tdigest_sql(f"CAST({a[0]} AS DOUBLE)"),
     "percentilerawestmv": lambda a: (
         f"__tdigest_from_values(flatten(collect_list({a[0]})))"
     ),
-    "percentilerawkll": lambda a: f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))",
+    "percentilerawkll": lambda a: _raw_tdigest_sql(f"CAST({a[0]} AS DOUBLE)"),
     "percentilerawkllmv": lambda a: (
         f"__tdigest_from_values(flatten(collect_list({a[0]})))"
     ),
-    "percentilerawtdigest": lambda a: (
-        f"__tdigest_from_values(collect_list(CAST({a[0]} AS DOUBLE)))"
-    ),
+    "percentilerawtdigest": lambda a: _raw_tdigest_sql(f"CAST({a[0]} AS DOUBLE)"),
     "percentilerawtdigestmv": lambda a: (
         f"__tdigest_from_values(flatten(collect_list({a[0]})))"
     ),
@@ -1188,6 +1298,20 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
     if not mv:
         return sql
 
+    def sub_outside(pattern: str, repl, s: str, flags: int = 0) -> str:
+        # span-aware like rewrite_pinot_hints: a match starting inside a
+        # string literal is left untouched (the patterns need the
+        # literal OPERAND in view, so the SQL can't be pre-split into
+        # literal/non-literal segments — guard per match instead)
+        spans = _literal_spans(s)
+
+        def guarded(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)
+            return repl(m)
+
+        return re.sub(pattern, guarded, s, flags=flags)
+
     def seg_rewrite(seg: str) -> str:
         def eq(m: re.Match) -> str:
             qual, col, op, lit = m.group(1) or "", m.group(2), m.group(3), m.group(4)
@@ -1198,8 +1322,8 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
                 return f"array_contains({ref}, {lit})"
             return f"(NOT array_contains({ref}, {lit}))"
 
-        seg = re.sub(
-            r"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<>)\s*('[^']*'|[0-9.]+)",
+        seg = sub_outside(
+            r"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<>)\s*('[^']*'|-?[0-9.]+)",
             eq,
             seg,
         )
@@ -1212,7 +1336,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             base = f"arrays_overlap({qual}{col}, {arr})"
             return f"(NOT {base})" if neg else base
 
-        seg = re.sub(
+        seg = sub_outside(
             r"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s+(NOT\s+)?IN\s*\(([^()]*)\)",
             in_list,
             seg,
@@ -1228,8 +1352,8 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             base = f"exists({qual}{col}, x -> x >= {lo} AND x <= {hi})"
             return f"(NOT {base})" if neg else base
 
-        lit_pat = r"'[^']*'|[0-9][0-9.]*"
-        seg = re.sub(
+        lit_pat = r"'[^']*'|-?[0-9][0-9.]*"
+        seg = sub_outside(
             rf"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s+"
             rf"(NOT\s+)?BETWEEN\s+({lit_pat})\s+AND\s+({lit_pat})",
             between,
@@ -1245,7 +1369,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
                 return m.group(0)
             return f"exists({qual}{col}, x -> x {op} {lit})"
 
-        seg = re.sub(
+        seg = sub_outside(
             rf"\b((?:[A-Za-z_][A-Za-z0-9_]*\.)?)([A-Za-z_][A-Za-z0-9_]*)\s*"
             rf"(>=|<=|>|<)\s*({lit_pat})",
             cmp,
@@ -1253,9 +1377,9 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
         )
         return seg
 
-    # operate on the full SQL: the patterns need the literal operand in
-    # view (col = 'v'); identifiers inside string literals cannot match
-    # because a literal is never followed by an operator+literal pair.
+    # operate on the full SQL (the patterns need the literal operand in
+    # view, e.g. col = 'v'); sub_outside guards each match against
+    # starting inside a string literal.
     return seg_rewrite(sql)
 
 
@@ -1990,7 +2114,8 @@ _THETA_SQL_RE = re.compile(
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE"
-    r"|DISTINCT_?COUNT_?RAW_?HLL(?:PLUS)?(?:MV|_MV)?|TO_?HLL|GET_?HLL_?ESTIMATE)\s*\(",
+    r"|DISTINCT_?COUNT_?RAW_?HLL(?:PLUS)?(?:MV|_MV)?|TO_?HLL|GET_?HLL_?ESTIMATE"
+    r"|JSON_?EXTRACT_?KEY|DISTINCT_?COUNT_?(?:RAW_?)?ULL)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2146,14 +2271,28 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __hll_from_hashes(arrs, log2m):
-        lm = int(log2m.iloc[0]) if len(log2m) else 12
+        lm = int(log2m.iloc[0]) if len(log2m) else 8
         return pd.Series(
             [_hll_from_hash_list(hs if hs is not None else [], lm) for hs in arrs]
         )
 
+    def _hll_from_pair_list(pairs, log2m: int) -> bytes:
+        s = HllSketch.empty(log2m)
+        if pairs is not None and len(pairs):
+            p = np.asarray(pairs, dtype=np.int64)
+            np.maximum.at(s.registers, p >> 6, (p & 63).astype(np.uint8))
+        return s.to_bytes()
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __hll_from_regs(arrs, log2m):
+        # bounded-domain register pairs (idx*64+rho, _hll_pair_expr)
+        # → engine-own dense registers; byte-identical to from_hashes
+        lm = int(log2m.iloc[0]) if len(log2m) else 8
+        return pd.Series([_hll_from_pair_list(ps, lm) for ps in arrs])
+
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __hll_singleton(h, log2m):
-        lm = int(log2m.iloc[0]) if len(log2m) else 12
+        lm = int(log2m.iloc[0]) if len(log2m) else 8
         return pd.Series(
             [_hll_from_hash_list([] if pd.isna(x) else [x], lm) for x in h]
         )
@@ -2175,6 +2314,65 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(vals) for vals in arrs])
 
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __tdigest_from_quantiles(qs, n):
+        # reassemble engine-own t-digest bytes from percentile_approx's
+        # Chebyshev-grid probes (_raw_tdigest_sql): centroid means are
+        # the grid quantiles; weights apportion the row count by the
+        # half-open rank interval around each probe
+        def run(grid, count):
+            td = TDigest()
+            if grid is None or count is None or count == 0 or len(grid) == 0:
+                return td.to_bytes()
+            means = np.asarray(grid, dtype=np.float64)
+            k = len(means)
+            if k == 1:
+                w = np.array([float(count)])
+            else:
+                qs_grid = np.array(_TDIGEST_GRID[:k])
+                gaps = np.empty(k)
+                gaps[0] = (qs_grid[1] - qs_grid[0]) / 2
+                gaps[-1] = (qs_grid[-1] - qs_grid[-2]) / 2
+                gaps[1:-1] = (qs_grid[2:] - qs_grid[:-2]) / 2
+                w = gaps / gaps.sum() * float(count)
+            td.means, td.weights = means, w
+            td._compress()
+            return td.to_bytes()
+
+        return pd.Series([run(g, c) for g, c in zip(qs, n)])
+
+    import json as _json
+
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def __json_all_keys(docs):
+        # recursive key extraction in reference path format
+        # (JsonFunctions.extractKeysFromNode:639-669): objects emit
+        # path['field'], arrays emit path[i], preorder, parse errors
+        # yield an empty list
+        def walk(node, path, out):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    p = f"{path}['{k}']"
+                    out.append(p)
+                    walk(v, p, out)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    p = f"{path}[{i}]"
+                    out.append(p)
+                    walk(v, p, out)
+
+        def run(doc):
+            if doc is None:
+                return None
+            out: list[str] = []
+            try:
+                walk(_json.loads(doc), "$", out)
+            except Exception:
+                return []
+            return out
+
+        return pd.Series([run(d) for d in docs])
+
     @pandas_udf("double", PandasUDFType.SCALAR)
     def __tdigest_quantile(b, pct):
         def run(x, p):
@@ -2185,8 +2383,11 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
         return pd.Series([run(x, p) for x, p in zip(b, pct)])
 
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
+    spark.udf.register("__tdigest_from_quantiles", __tdigest_from_quantiles)
     spark.udf.register("__tdigest_quantile", __tdigest_quantile)
+    spark.udf.register("__json_all_keys", __json_all_keys)
     spark.udf.register("__hll_from_hashes", __hll_from_hashes)
+    spark.udf.register("__hll_from_regs", __hll_from_regs)
     spark.udf.register("__hll_singleton", __hll_singleton)
     spark.udf.register("__hll_estimate", __hll_estimate)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-DEFAULT_LOG2M = 12  # clearspring default used by Pinot (log2m=12, ~1.6% err)
+DEFAULT_LOG2M = 8  # reference default (CommonConstants.DEFAULT_HYPERLOGLOG_LOG2M=8, ~6.5% err)
 
 
 def _alpha(m: int) -> float:
@@ -54,20 +54,15 @@ class HllSketch:
         # rho = leading zeros of rest + 1, capped: all-zero rest -> max
         rho = np.full(len(h), 64 - log2m + 1, dtype=np.uint8)
         nz = rest != 0
-        # count leading zeros via float64 exponent trick is lossy; do it
-        # with a 64-step-free loop over bits using log2 on the top 53
-        # bits — exact because we only need the position of the MSB
-        r = rest[nz]
-        msb = np.zeros(len(r), dtype=np.uint8)
-        shift = np.uint64(32)
-        cur = r.copy()
-        count = np.zeros(len(r), dtype=np.uint8)
+        # exact vectorized count-leading-zeros: binary-search shift loop
+        # (a float64 log2 would be lossy near exact powers of two)
+        cur = rest[nz].copy()
+        nlz = np.zeros(len(cur), dtype=np.uint8)
         for s_bits in (32, 16, 8, 4, 2, 1):
             mask = cur >> np.uint64(64 - s_bits) == 0
-            count[mask] += np.uint8(s_bits)
+            nlz[mask] += np.uint8(s_bits)
             cur[mask] = cur[mask] << np.uint64(s_bits)
-        msb = count  # number of leading zeros
-        rho[nz] = np.minimum(msb + 1, 64 - log2m + 1).astype(np.uint8)
+        rho[nz] = np.minimum(nlz + 1, 64 - log2m + 1).astype(np.uint8)
         np.maximum.at(s.registers, idx, rho)
         return s
 

@@ -398,3 +398,42 @@ def dialect_funnel_max_step(spark, sf_dir):
         "FROM events GROUP BY user_id HAVING max_step > 0 ORDER BY user_id "
         "LIMIT 100000"
     )
+
+
+@query(
+    "dialect_raw_sketch_scale",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_dc,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dialect_raw_sketch_scale(spark, sf_dir):
+    """Grouped RAW-sketch SQL names at the 100 TB-safe scale shape
+    (AggregationFunctionType RAW variants, SketchFunctions.java:139-162):
+    DISTINCTCOUNTRAWHLL reduces values JVM-side to bounded-domain
+    (register, rho) pairs — the aggregation buffer is sketch-sized
+    (≤ 2^log2m * 57 bigints) at any group size — and PERCENTILERAWTDIGEST
+    assembles engine-own digest bytes from native percentile_approx grid
+    probes (bounded GK state, partial/final). Neither path collects
+    per-value state; tests/test_plan_quality.py gates the plans.
+
+    Approximate estimates are deterministic but engine-specific, so the
+    emitted columns are the exact values plus in-envelope booleans (the
+    oracle emits the same exacts and literal TRUE): HLL log2m=12 → 1.7%
+    standard error, checked at 5%; the grid digest's p50 must land
+    within 1% of the exact median's range."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT l_returnflag, "
+        "DISTINCTCOUNT(l_partkey) AS exact_dc, "
+        "ABS(CAST(GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(l_partkey, 12)) AS DOUBLE) "
+        "  - DISTINCTCOUNT(l_partkey)) <= 0.05 * DISTINCTCOUNT(l_partkey) "
+        "  AS hll_within_5pct, "
+        "ABS(GETTDIGESTQUANTILE(PERCENTILERAWTDIGEST(l_extendedprice), 50) "
+        "  - PERCENTILE(l_extendedprice, 50)) "
+        "  <= 0.01 * (MAX(l_extendedprice) - MIN(l_extendedprice)) "
+        "  AS p50_within_1pct "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 100"
+    )

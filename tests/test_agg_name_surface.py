@@ -137,7 +137,10 @@ def test_sql_funnel_max_step_matches_operator(spark, sf_dir, at):
 def test_raw_percentile_digest_bytes(spark, at):
     """PERCENTILERAW{EST,KLL,TDIGEST}[MV] emit engine-own t-digest bytes
     (operators/tdigest.py wire format), readable offline and via the
-    GETTDIGESTQUANTILE engine extension."""
+    GETTDIGESTQUANTILE engine extension. The SQL names build the digest
+    from native percentile_approx grid probes (bounded state at any row
+    count — dialect._raw_tdigest_sql), so quantiles land within the
+    documented 1%-of-range t-digest envelope rather than exactly."""
     from pinot_spark.operators.tdigest import TDigest
 
     spark.createDataFrame(
@@ -147,9 +150,9 @@ def test_raw_percentile_digest_bytes(spark, at):
         "SELECT GETTDIGESTQUANTILE(PERCENTILERAWTDIGEST(v, 90), 90) AS p90, "
         "GETTDIGESTQUANTILE(PERCENTILE_RAW_EST(v, 50), 50) AS p50 FROM raw_pct_t"
     ).collect()[0]
-    assert (row.p90, row.p50) == (90.5, 50.5)
+    assert abs(row.p90 - 90.5) <= 1.0 and abs(row.p50 - 50.5) <= 1.0
     b = at.sql("SELECT PERCENTILERAWKLL(v, 99) AS b FROM raw_pct_t").collect()[0].b
-    assert TDigest.from_bytes(bytes(b)).quantile(0.5) == 50.5
+    assert abs(TDigest.from_bytes(bytes(b)).quantile(0.5) - 50.5) <= 1.0
     mv = at.sql("SELECT GETTDIGESTQUANTILE(PERCENTILERAWTDIGESTMV(arr, 50), 50) AS p "
                 "FROM agg_names_t").collect()[0].p
     # flattened values [1,2,2,2,3,4,1,5,5]: digest median

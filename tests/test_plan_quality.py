@@ -187,3 +187,16 @@ def test_decontamination_broadcast_ngram_join(spark, sf_dir):
     plan = _plan(QUERIES["pipeline_decontamination"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial/final hit counting
+
+
+def test_raw_sketch_sql_bounded_aggregation(spark, sf_dir):
+    """The raw-sketch SQL names must not collect per-value state (the
+    round-6 scale-killer): DISTINCTCOUNTRAWHLL aggregates a BOUNDED-
+    domain collect_set of register pairs (≤ 2^log2m * 57 bigints per
+    group at any row count) and PERCENTILERAW* probes a fixed quantile
+    grid with native percentile_approx — no collect_list anywhere in
+    the plan, and the digest aggregation keeps partial/final shape."""
+    plan = _plan(QUERIES["dialect_raw_sketch_scale"](spark, sf_dir))
+    assert "collect_list" not in plan
+    assert "percentile_approx" in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2

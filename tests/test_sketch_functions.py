@@ -146,3 +146,35 @@ def test_hll_accuracy_and_roundtrip():
     # merge of overlapping halves equals the whole
     a, b = HllSketch.from_hashes(h[:30000]), HllSketch.from_hashes(h[20000:])
     assert np.array_equal(a.merge(b).registers, s.registers)
+
+
+def test_raw_hll_sql_bytes_match_from_hashes(spark):
+    """The scale-safe DISTINCTCOUNTRAWHLL path (bounded-domain register
+    pairs, dialect._hll_pair_expr + __hll_from_regs) must produce
+    byte-identical sketches to HllSketch.from_hashes over the same
+    values — the aggregation shape changed, the wire bytes must not."""
+    from pinot_spark.dialect import PinotEngine
+    from pinot_spark.operators.hll import HllSketch
+
+    df = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 50 = 0 THEN NULL ELSE CAST((id * 37) % 1500 AS STRING) END AS v"
+    )
+    df.createOrReplaceTempView("hll_bytes_t")
+    eng = PinotEngine(spark, default_limit=1000)
+    for log2m in (8, 12):
+        got = bytes(
+            eng.sql(
+                f"SELECT DISTINCTCOUNTRAWHLL(v, {log2m}) AS b FROM hll_bytes_t"
+            ).collect()[0].b
+        )
+        hashes = np.array(
+            [
+                r.h
+                for r in df.where("v IS NOT NULL")
+                .selectExpr("xxhash64(v) AS h")
+                .collect()
+            ],
+            dtype=np.int64,
+        ).astype(np.uint64) + np.uint64(2**63)
+        want = HllSketch.from_hashes(hashes, log2m).to_bytes()
+        assert got == want
