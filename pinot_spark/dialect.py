@@ -689,21 +689,24 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     ),
     "gettdigestquantile": lambda a: f"__tdigest_quantile({a[0]}, {a[1]})",
     "percentilesmarttdigest": lambda a: _percentile_family("percentile_approx")(a),
-    # funnel family: the SQL STEPS(...)/CORRELATE_BY(...) surface is not
-    # wired; the operators and driver-green queries are operators/funnel.py
+    # funnel family: handled structurally BEFORE function rewriting —
+    # FUNNELCOUNT's STEPS()/CORRELATE_BY() form by rewrite_funnel_count,
+    # the windowed FUNNEL{MAX,MATCH}STEP / FUNNELCOMPLETECOUNT forms by
+    # rewrite_funnel_window. Reaching these entries means the statement
+    # shape wasn't the canonical grouped form.
     "funnelcount": _sql_gap(
-        "FUNNELCOUNT", "SQL STEPS()/CORRELATE_BY() form not wired — use "
-        "operators/funnel.py funnel_count (driver-green agg_funnel_count)"
+        "FUNNELCOUNT", "only the SELECT [dims,] FUNNEL_COUNT(STEPS(..), "
+        "CORRELATE_BY(key)) FROM t [GROUP BY dims] shape is wired — use "
+        "operators/funnel.py funnel_count otherwise"
     ),
     "funnelcompletecount": _sql_gap(
-        "FUNNELCOMPLETECOUNT", "use operators/funnel.py (funnel_complete_count query)"
+        "FUNNELCOMPLETECOUNT", "only the SELECT key, FUNNELCOMPLETECOUNT(...) "
+        "FROM t GROUP BY key shape is wired — use operators/funnel.py otherwise"
     ),
     "funnelmatchstep": _sql_gap(
-        "FUNNELMATCHSTEP", "use operators/funnel.py (funnel_match_step query)"
+        "FUNNELMATCHSTEP", "only the SELECT key, FUNNELMATCHSTEP(...) FROM t "
+        "GROUP BY key shape is wired — use operators/funnel.py otherwise"
     ),
-    # FUNNELMAXSTEP is handled structurally by rewrite_funnel_max_step
-    # (runs earlier in translate); reaching this entry means the
-    # statement shape wasn't the standard grouped form
     "funnelmaxstep": _sql_gap(
         "FUNNELMAXSTEP", "only the SELECT key, FUNNELMAXSTEP(...) FROM t "
         "GROUP BY key shape is wired — use operators/funnel.py otherwise"
@@ -1982,7 +1985,10 @@ def rewrite_pinot_hints(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-_FUNNEL_MAXSTEP_RE = re.compile(r"\bFUNNEL_?MAX_?STEP\s*\(", re.IGNORECASE)
+_FUNNEL_WINDOW_RE = re.compile(
+    r"\bFUNNEL_?(?P<kind>MAX_?STEP|MATCH_?STEP|COMPLETE_?COUNT)\s*\(", re.IGNORECASE
+)
+_FUNNEL_COUNT_RE = re.compile(r"\bFUNNEL_?COUNT\s*\(", re.IGNORECASE)
 _FUNNEL_STMT_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
@@ -1991,41 +1997,50 @@ _FUNNEL_STMT_RE = re.compile(
 )
 
 
-def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
-    """Structural rewrite of the reference's SQL funnel form
-    (FunnelBaseAggregationFunction.java:53-97):
+def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
+    """Structural rewrite of the reference's windowed SQL funnel forms
+    (FunnelBaseAggregationFunction.java:53-97 argument convention):
 
-        SELECT <key>, FUNNELMAXSTEP(tsExpr, windowSize, numSteps,
-                                    step1, .., [mode, ..]) FROM t
+        SELECT <key>, FUNNEL{MAXSTEP|MATCHSTEP|COMPLETECOUNT}(
+            tsExpr, windowSize, numSteps, step1, .., [mode, ..]) FROM t
         [WHERE p] GROUP BY <key> [HAVING/ORDER BY/LIMIT ...]
 
-    The GROUP BY key is the correlation key; the call becomes
-    operators/funnel.funnel_max_step_window over the (filtered) table,
-    materialized as a temp view keyed by <key>, and the statement is
-    re-pointed at the view (HAVING degrades to WHERE — the aggregation
-    already happened inside the operator)."""
+    The GROUP BY key is the correlation key; the call becomes the
+    matching operators/funnel.py window operator over the (filtered)
+    table — FUNNELMAXSTEP → funnel_max_step_window (int),
+    FUNNELMATCHSTEP → the same window then the reference's 0/1 step
+    array (FunnelMatchStepAggregationFunction.java:49-77),
+    FUNNELCOMPLETECOUNT → funnel_completed_rounds_window (completed
+    rounds per key) — materialized as a temp view keyed by <key>, and
+    the statement is re-pointed at the view (HAVING degrades to WHERE —
+    the aggregation already happened inside the operator)."""
     from pyspark.sql import functions as F
 
-    from pinot_spark.operators.funnel import funnel_max_step_window
+    from pinot_spark.operators.funnel import (
+        funnel_completed_rounds_window,
+        funnel_max_step_window,
+    )
 
     spans = _literal_spans(sql)
-    call = _FUNNEL_MAXSTEP_RE.search(sql)
+    call = _FUNNEL_WINDOW_RE.search(sql)
     while call and any(a <= call.start() < b for a, b in spans):
-        call = _FUNNEL_MAXSTEP_RE.search(sql, call.end())
+        call = _FUNNEL_WINDOW_RE.search(sql, call.end())
     if not call:
         return sql
+    kind = re.sub("_", "", call.group("kind")).lower()  # maxstep|matchstep|completecount
+    fname = f"FUNNEL{kind.upper()}"
     open_idx = sql.index("(", call.end() - 1)
     close_idx = _find_matching(sql, open_idx)
     args = _split_args(sql[open_idx + 1 : close_idx])
     if len(args) < 4:
         raise PinotSqlError(
-            "FUNNELMAXSTEP expects (timestampExpr, windowSize, numSteps, stepExpr, ...)"
+            f"{fname} expects (timestampExpr, windowSize, numSteps, stepExpr, ...)"
         )
     ts_expr = rewrite_functions(args[0].strip())
     window_ms = int(args[1].strip().strip("'\""))
     num_steps = int(args[2].strip())
     if len(args) < 3 + num_steps:
-        raise PinotSqlError(f"FUNNELMAXSTEP: {num_steps} step expressions expected")
+        raise PinotSqlError(f"{fname}: {num_steps} step expressions expected")
     steps = [F.expr(rewrite_functions(a.strip())) for a in args[3 : 3 + num_steps]]
     modes: set[str] = set()
     for extra in args[3 + num_steps :]:
@@ -2035,18 +2050,22 @@ def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
             if k.strip() == "MODE":
                 modes |= {x.strip().lower() for x in v.split(",")}
             else:
-                raise PinotSqlError(f"FUNNELMAXSTEP: unsupported extra argument {e!r}")
+                raise PinotSqlError(f"{fname}: unsupported extra argument {e!r}")
         elif e:
             modes.add(e.lower())
 
     am = re.match(r"\s+AS\s+([A-Za-z_]\w*)", sql[close_idx + 1 :], re.IGNORECASE)
-    alias = am.group(1) if am else "max_step"
+    default_alias = {
+        "maxstep": "max_step", "matchstep": "match_step",
+        "completecount": "complete_count",
+    }[kind]
+    alias = am.group(1) if am else default_alias
     call_end = close_idx + 1 + (am.end() if am else 0)
 
     stmt = _FUNNEL_STMT_RE.match(sql)
     if not stmt:
         raise PinotSqlError(
-            "FUNNELMAXSTEP needs the shape SELECT <key>, FUNNELMAXSTEP(...) "
+            f"{fname} needs the shape SELECT <key>, {fname}(...) "
             "FROM <table> [WHERE ..] GROUP BY <key> — use operators/funnel.py "
             "for other statement shapes"
         )
@@ -2060,9 +2079,23 @@ def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
     if not re.fullmatch(r"[A-Za-z_]\w*", ts_col):
         df = df.withColumn("__funnel_ts", F.expr(ts_col))
         ts_col = "__funnel_ts"
-    out = funnel_max_step_window(
-        df, group, ts_col, window_ms, steps, modes or None, out_col=alias
-    )
+    if kind == "completecount":
+        out = funnel_completed_rounds_window(
+            df, group, ts_col, window_ms, steps, modes or None, out_col=alias
+        )
+    else:
+        out = funnel_max_step_window(
+            df, group, ts_col, window_ms, steps, modes or None,
+            out_col="__ms" if kind == "matchstep" else alias,
+        )
+        if kind == "matchstep":
+            out = out.select(
+                group,
+                F.expr(
+                    f"transform(sequence(1, {num_steps}), "
+                    f"i -> CAST(CASE WHEN i <= __ms THEN 1 ELSE 0 END AS INT))"
+                ).alias(alias),
+            )
     _ASOF_VIEW_SEQ[0] += 1
     view = f"__funnel_{_ASOF_VIEW_SEQ[0]}"
     out.createOrReplaceTempView(view)
@@ -2073,6 +2106,136 @@ def rewrite_funnel_max_step(spark: SparkSession, sql: str) -> str:
     tail = stmt2.group("tail")
     tail = re.sub(r"^\s*HAVING\b", " WHERE", tail, flags=re.IGNORECASE)
     return f"SELECT {stmt2.group('select')} FROM {view}{tail}"
+
+
+_FUNNEL_COUNT_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?P<tail>\s+(?:HAVING|ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_funnel_count(spark: SparkSession, sql: str) -> str:
+    """Structural rewrite of the reference's set-based funnel form
+    (FunnelCountAggregationFunction.java:45-62):
+
+        SELECT [dims ..,] FUNNEL_COUNT(
+            STEPS(step1, .., stepN), CORRELATE_BY(key)
+            [, SETTINGS('strategy', ..)]) [AS alias]
+        FROM t [WHERE p] [GROUP BY dims] [HAVING/ORDER BY/LIMIT ...]
+
+    Routed to operators/funnel.funnel_count (progressive set
+    intersections, one shuffle per (dims, key)); dims may be plain
+    columns, aliased select expressions, or select ordinals (the
+    reference's ``GROUP BY 1``). SETTINGS strategy hints (bitmap / set /
+    sorted / partitioned / theta_sketch) pick the reference's internal
+    accumulator; the counts are the same, so they are accepted and
+    ignored — this engine always serves the exact counts."""
+    from pyspark.sql import functions as F
+
+    from pinot_spark.operators.funnel import funnel_count
+
+    spans = _literal_spans(sql)
+    call = _FUNNEL_COUNT_RE.search(sql)
+    while call and any(a <= call.start() < b for a, b in spans):
+        call = _FUNNEL_COUNT_RE.search(sql, call.end())
+    if not call:
+        return sql
+    open_idx = sql.index("(", call.end() - 1)
+    close_idx = _find_matching(sql, open_idx)
+    steps_exprs: list[str] | None = None
+    key_expr: str | None = None
+    for part in _split_args(sql[open_idx + 1 : close_idx]):
+        m = re.match(r"\s*(STEPS|CORRELATE_BY|SETTINGS)\s*\(", part, re.IGNORECASE)
+        if not m:
+            raise PinotSqlError(
+                "FUNNELCOUNT arguments must be STEPS(...), CORRELATE_BY(...)"
+                " [, SETTINGS(...)]"
+            )
+        p_open = part.index("(", m.end() - 1)
+        inner = part[p_open + 1 : _find_matching(part, p_open)]
+        word = m.group(1).upper()
+        if word == "STEPS":
+            steps_exprs = _split_args(inner)
+        elif word == "CORRELATE_BY":
+            key_expr = inner.strip()
+        # SETTINGS: accepted, ignored (docstring)
+    if not steps_exprs or not key_expr:
+        raise PinotSqlError("FUNNELCOUNT needs both STEPS(...) and CORRELATE_BY(...)")
+    if not re.fullmatch(r"[A-Za-z_]\w*", key_expr):
+        raise PinotSqlError("FUNNELCOUNT: CORRELATE_BY must name a single column")
+
+    am = re.match(r"\s+AS\s+([A-Za-z_]\w*)", sql[close_idx + 1 :], re.IGNORECASE)
+    alias = am.group(1) if am else "step_counts"
+    call_end = close_idx + 1 + (am.end() if am else 0)
+    new_sql = sql[: call.start()] + alias + sql[call_end:]
+
+    stmt = _FUNNEL_COUNT_STMT_RE.match(new_sql)
+    if not stmt:
+        raise PinotSqlError(
+            "FUNNELCOUNT needs the shape SELECT [dims ..,] FUNNEL_COUNT(...) "
+            "FROM <table> [WHERE ..] [GROUP BY dims] — use operators/funnel.py "
+            "for other statement shapes"
+        )
+    sel_items = [x.strip() for x in _split_args(stmt.group("select"))]
+    group = stmt.group("group")
+    group_dims = [g.strip() for g in group.split(",")] if group else []
+
+    def split_alias(item: str) -> tuple[str, str]:
+        ma = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        if ma:
+            return ma.group(1).strip(), ma.group(2)
+        if re.fullmatch(r"[A-Za-z_]\w*", item):
+            return item, item
+        raise PinotSqlError(
+            f"FUNNELCOUNT: GROUP BY dimension {item!r} must be a column, "
+            "an aliased expression, or a select ordinal"
+        )
+
+    aliases = {split_alias(i)[1]: i for i in sel_items if i != alias}
+    resolved: list[tuple[str, str]] = []
+    for gdim in group_dims:
+        if gdim.isdigit():
+            item = sel_items[int(gdim) - 1]
+        elif gdim in aliases:
+            item = aliases[gdim]
+        else:
+            item = gdim
+        resolved.append(split_alias(item))
+
+    df = spark.table(stmt.group("table"))
+    where = stmt.group("where")
+    if where:
+        df = df.filter(F.expr(rewrite_functions(where.strip())))
+    for expr_s, name in resolved:
+        if expr_s != name:
+            df = df.withColumn(name, F.expr(rewrite_functions(expr_s)))
+    steps = [F.expr(rewrite_functions(x.strip())) for x in steps_exprs]
+    out = funnel_count(
+        df, key_expr, steps, out_col=alias, group_cols=[n for _, n in resolved]
+    )
+    _ASOF_VIEW_SEQ[0] += 1
+    view = f"__funnel_{_ASOF_VIEW_SEQ[0]}"
+    out.createOrReplaceTempView(view)
+
+    dim_names = {n for _, n in resolved}
+    new_items = []
+    for item in sel_items:
+        if item == alias:
+            new_items.append(alias)
+            continue
+        _, name = split_alias(item)
+        if name not in dim_names:
+            raise PinotSqlError(
+                f"FUNNELCOUNT: select item {item!r} is neither the funnel "
+                "call nor a GROUP BY dimension — use operators/funnel.py"
+            )
+        new_items.append(name)
+    tail = stmt.group("tail") or ""
+    tail = re.sub(r"^\s*HAVING\b", " WHERE", tail, flags=re.IGNORECASE)
+    return f"SELECT {', '.join(new_items)} FROM {view}{tail}"
 
 
 _U_AMP_LIT_RE = re.compile(r"U&'((?:[^']|'')*)'", re.IGNORECASE)
@@ -2535,8 +2698,10 @@ class PinotEngine:
         sql = rewrite_pinot_hints(sql)
         sql = rewrite_unicode_literals(sql)
         sql = rewrite_quoted_identifiers(sql)
-        if _FUNNEL_MAXSTEP_RE.search(sql):
-            sql = rewrite_funnel_max_step(self.spark, sql)
+        if _FUNNEL_WINDOW_RE.search(sql):
+            sql = rewrite_funnel_window(self.spark, sql)
+        if _FUNNEL_COUNT_RE.search(sql):
+            sql = rewrite_funnel_count(self.spark, sql)
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):

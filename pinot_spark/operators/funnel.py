@@ -149,6 +149,7 @@ def funnel_count(
     key: str,
     steps: list[Column],
     out_col: str = "step_counts",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """FUNNELCOUNT(STEPS(...), CORRELATE_BY(key)) — per-step conversion
     counts as progressive set intersections: count[i] = |S_1 ∩ … ∩ S_i|
@@ -158,13 +159,19 @@ def funnel_count(
 
     Returns a 1-row DataFrame with ``out_col`` = array<bigint>.
 
-    Scale shape: one groupBy(key) with per-step MAX flags (map-side
-    partial aggregation — the shuffle carries one row per key, not per
-    event), then a single global sum of cumulative ANDs.  This is the
-    Spark analog of Pinot's per-segment bitmap sets + broker merge.
+    With ``group_cols`` the counts are computed independently per group
+    (the reference's ``GROUP BY dims`` form — each group intersects its
+    own correlate-key sets).
+
+    Scale shape: one groupBy(group_cols + key) with per-step MAX flags
+    (map-side partial aggregation — the shuffle carries one row per
+    (group, key), not per event), then a partial/final sum of cumulative
+    ANDs per group.  This is the Spark analog of Pinot's per-segment
+    bitmap sets + broker merge.
     """
     n = len(steps)
-    flags = df.groupBy(F.col(key).alias("k")).agg(
+    g = list(group_cols or [])
+    flags = df.groupBy(*g, F.col(key).alias("k")).agg(
         *[F.max(F.when(p, 1).otherwise(0)).alias(f"m{i}") for i, p in enumerate(steps)]
     )
     cum = []
@@ -172,7 +179,11 @@ def funnel_count(
     for i in range(n):
         acc = F.col(f"m{i}") if acc is None else (acc * F.col(f"m{i}"))
         cum.append(F.sum(acc).cast("long").alias(f"c{i}"))
-    return flags.agg(*cum).select(F.array(*[F.col(f"c{i}") for i in range(n)]).alias(out_col))
+    return (
+        flags.groupBy(*g)
+        .agg(*cum)
+        .select(*g, F.array(*[F.col(f"c{i}") for i in range(n)]).alias(out_col))
+    )
 
 
 def funnel_events_eval(
@@ -359,4 +370,96 @@ def funnel_step_times(
     return out.select(
         F.col("k").alias(key),
         *[F.element_at("__times", i).alias(f"t{i}") for i in range(1, n_steps + 1)],
+    )
+
+
+def funnel_completed_rounds_window(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_ms: int,
+    steps: list[Column],
+    modes: set[str] | None = None,
+    out_col: str = "complete_rounds",
+) -> DataFrame:
+    """Per-key FUNNELCOMPLETECOUNT — the number of completed funnel
+    rounds, mirroring the reference loop exactly (funnel/window/
+    FunnelCompleteCountAggregationFunction.java:48-108 +
+    FunnelBaseAggregationFunction.fillWindow:267-300): windows anchor at
+    a step-1 event, the whole window is scanned counting rounds (the
+    step counter resets after each completion and the window start
+    advances past consumed events), then the window slides.
+
+    Same pre-filtered single-shuffle applyInPandas shape as
+    funnel_max_step_window; per-group state is bounded by that key's
+    matching events.
+    """
+    from collections import deque
+
+    modes = modes or set()
+    strict_dedup = "strict_deduplication" in modes
+    strict_order = "strict_order" in modes
+    strict_increase = "strict_increase" in modes
+    n_steps = len(steps)
+    step_col = F.lit(-1)
+    for i, pred in enumerate(reversed(steps)):
+        step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
+    slim = df.select(
+        F.col(key).alias("k"),
+        F.col(time_col).cast("timestamp").alias("t"),
+        step_col.alias("s"),
+    ).filter(F.col("s") >= 0)
+    schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} int"
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "s"], kind="mergesort")
+        ts = (pdf["t"].astype("int64") // 1_000_000).to_numpy()
+        ss = pdf["s"].to_numpy()
+        n = len(pdf)
+        total = 0
+        win: deque[int] = deque()
+        i = 0
+        while i < n:
+            # fillWindow: head must be a step-1 event
+            while win and ss[win[0]] != 0:
+                win.popleft()
+            if not win:
+                while i < n and ss[i] != 0:
+                    i += 1
+                if i >= n:
+                    break
+                win.append(i)
+                i += 1
+            window_end = ts[win[0]] + window_ms
+            while i < n and ts[i] < window_end:
+                win.append(i)
+                i += 1
+            # scan the whole window counting completed rounds
+            max_step, prev_ts = 0, -1
+            window_start = ts[win[0]]
+            for j in win:
+                cur = ss[j]
+                if strict_dedup and cur == max_step - 1:
+                    max_step = 0
+                if strict_order and cur != max_step:
+                    max_step = 0
+                if strict_increase and prev_ts == ts[j]:
+                    continue
+                prev_ts = ts[j]
+                if max_step == cur:
+                    max_step += 1
+                if max_step == n_steps:
+                    total += 1
+                    max_step = 0
+                    window_start = ts[j]
+            if win:
+                win.popleft()
+            while win and ts[win[0]] < window_start:
+                win.popleft()
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], out_col: [total]})
+
+    return (
+        slim.groupBy("k")
+        .applyInPandas(_one_group, schema=schema)
+        .withColumnRenamed("k", key)
     )

@@ -437,3 +437,100 @@ def dialect_raw_sketch_scale(spark, sf_dir):
         "  AS p50_within_1pct "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 100"
     )
+
+
+@query(
+    "dialect_funnel_count",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m0,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m2
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(m0) AS BIGINT) AS step1_cnt,
+           CAST(sum(m0 * m1) AS BIGINT) AS step2_cnt,
+           CAST(sum(m0 * m1 * m2) AS BIGINT) AS step3_cnt
+    FROM flags
+    """,
+)
+def dialect_funnel_count(spark, sf_dir):
+    """The reference's set-based SQL funnel form end-to-end through the
+    dialect (FunnelCountAggregationFunction.java:45-62 STEPS()/
+    CORRELATE_BY() convention → rewrite_funnel_count →
+    operators/funnel.funnel_count): per-step conversion counts as
+    progressive correlate-key set intersections, no time ordering.
+    The oracle mirrors the retainAll cascade with max-flag sums."""
+    return (
+        _engine(spark, sf_dir)
+        .sql(
+            "SELECT FUNNEL_COUNT(STEPS(event_type = 'view', "
+            "event_type = 'click', event_type = 'purchase'), "
+            "CORRELATE_BY(user_id)) AS sc FROM events"
+        )
+        .selectExpr(
+            "element_at(sc, 1) AS step1_cnt",
+            "element_at(sc, 2) AS step2_cnt",
+            "element_at(sc, 3) AS step3_cnt",
+        )
+    )
+
+
+@query(
+    "dialect_funnel_match_step",
+    # same lead-window mirror as dialect_funnel_max_step, re-expressed
+    # as the reference's 0/1 per-step match array (flattened to columns)
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, epoch_ms(ts) AS tms,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, s, tms,
+             lead(s, 1) OVER win AS s1, lead(tms, 1) OVER win AS t1,
+             lead(s, 2) OVER win AS s2, lead(tms, 2) OVER win AS t2
+      FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, s)
+    ),
+    per_anchor AS (
+      SELECT user_id,
+             CASE WHEN s = 0 THEN
+               CASE WHEN s1 = 1 AND t1 < tms + 604800000 THEN
+                 CASE WHEN s2 = 2 AND t2 < tms + 604800000 THEN 3 ELSE 2 END
+               ELSE 1 END
+             ELSE 0 END AS reached
+      FROM w
+    ),
+    ms AS (
+      SELECT user_id, max(reached) AS max_step
+      FROM per_anchor GROUP BY user_id HAVING max(reached) > 0
+    )
+    SELECT user_id,
+           CAST(CASE WHEN max_step >= 1 THEN 1 ELSE 0 END AS INT) AS hit1,
+           CAST(CASE WHEN max_step >= 2 THEN 1 ELSE 0 END AS INT) AS hit2,
+           CAST(CASE WHEN max_step >= 3 THEN 1 ELSE 0 END AS INT) AS hit3
+    FROM ms ORDER BY user_id
+    """,
+)
+def dialect_funnel_match_step(spark, sf_dir):
+    """FUNNELMATCHSTEP through the dialect
+    (funnel/window/FunnelMatchStepAggregationFunction.java:49-77 —
+    FUNNELMAXSTEP's window scan re-emitted as the 0/1 per-step array),
+    STRICT_ORDER mode, grouped by the correlation key."""
+    return (
+        _engine(spark, sf_dir)
+        .sql(
+            "SELECT user_id, FUNNELMATCHSTEP(ts, '604800000', 3, "
+            "event_type = 'view', event_type = 'click', event_type = 'purchase', "
+            "'STRICT_ORDER') AS msteps "
+            "FROM events GROUP BY user_id "
+            "HAVING element_at(msteps, 1) = 1 ORDER BY user_id LIMIT 100000"
+        )
+        .selectExpr(
+            "user_id",
+            "element_at(msteps, 1) AS hit1",
+            "element_at(msteps, 2) AS hit2",
+            "element_at(msteps, 3) AS hit3",
+        )
+    )

@@ -170,3 +170,87 @@ def test_raw_hll_sql_pipeline(spark, at):
     ).collect()[0]
     # keys {a,b,c}; MV values {1,2,3,4,5}
     assert (row.dc, row.dcm, row.one) == (3, 5, 1)
+
+
+@pytest.fixture(scope="module")
+def funnel_sql_t(spark):
+    """Deterministic funnel fixture: user 1 completes two rounds inside
+    the 1h window, user 2 stalls at step 2, user 3 completes but with
+    >1h gaps (outside the window)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    def ev(u, minutes, e):
+        t = base + datetime.timedelta(minutes=minutes)
+        rows.append((u, t, int(t.timestamp() * 1000), e))
+    for t, e in [(0, "view"), (1, "click"), (2, "buy"),
+                 (3, "view"), (4, "click"), (5, "buy")]:
+        ev(1, t, e)
+    for t, e in [(0, "view"), (1, "click")]:
+        ev(2, t, e)
+    for t, e in [(0, "view"), (130, "click"), (260, "buy")]:
+        ev(3, t, e)
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp, tms long, etype string"
+    ).createOrReplaceTempView("funnel_sql_t")
+
+
+STEPS3 = "etype = 'view', etype = 'click', etype = 'buy'"
+
+
+def test_sql_funnel_complete_count(spark, at, funnel_sql_t):
+    """FUNNELCOMPLETECOUNT counts completed rounds per correlation key,
+    window-bounded (FunnelCompleteCountAggregationFunction.java:48-108:
+    the step counter resets after each completion)."""
+    got = sorted(
+        (r.user_id, r.rounds)
+        for r in at.sql(
+            f"SELECT user_id, FUNNELCOMPLETECOUNT(ts, '3600000', 3, {STEPS3}) "
+            "AS rounds FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        ).collect()
+    )
+    assert got == [(1, 2), (2, 0), (3, 0)]
+
+
+def test_sql_funnel_match_step(spark, at, funnel_sql_t):
+    """FUNNELMATCHSTEP emits the 0/1 per-step array up to the windowed
+    max step (FunnelMatchStepAggregationFunction.java:49-77)."""
+    got = sorted(
+        (r.user_id, list(r.ms))
+        for r in at.sql(
+            f"SELECT user_id, FUNNELMATCHSTEP(ts, '3600000', 3, {STEPS3}) "
+            "AS ms FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        ).collect()
+    )
+    assert got == [(1, [1, 1, 1]), (2, [1, 1, 0]), (3, [1, 0, 0])]
+
+
+def test_sql_funnel_count_steps_correlate_by(spark, at, funnel_sql_t):
+    """FUNNEL_COUNT(STEPS(...), CORRELATE_BY(key)) — progressive set
+    intersections, no time ordering (FunnelCountAggregationFunction
+    example:45-62), global and grouped (dims + GROUP BY ordinal), with
+    SETTINGS strategy hints accepted."""
+    row = at.sql(
+        f"SELECT FUNNEL_COUNT(STEPS({STEPS3}), CORRELATE_BY(user_id)) "
+        "AS sc FROM funnel_sql_t LIMIT 10"
+    ).collect()[0]
+    # users with view={1,2,3}, then ∩click={1,2,3}, then ∩buy={1,3}
+    assert list(row.sc) == [3, 3, 2]
+    grouped = at.sql(
+        "SELECT dateTrunc('day', tms) AS d, "
+        f"FUNNEL_COUNT(STEPS({STEPS3}), CORRELATE_BY(user_id), "
+        "SETTINGS('theta_sketch', 'nominalEntries=4096')) AS sc "
+        "FROM funnel_sql_t GROUP BY 1 ORDER BY d LIMIT 10"
+    ).collect()
+    assert [(r.d, list(r.sc)) for r in grouped] == [(1704067200000, [3, 3, 2])]
+
+
+def test_sql_funnel_count_rejects_free_shape(spark, at, funnel_sql_t):
+    from pinot_spark.dialect import PinotSqlError
+
+    with pytest.raises(PinotSqlError):
+        at.sql(
+            "SELECT count(*), FUNNEL_COUNT(STEPS(etype = 'view'), "
+            "CORRELATE_BY(user_id)) FROM funnel_sql_t LIMIT 10"
+        )
