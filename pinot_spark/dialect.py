@@ -652,8 +652,32 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
             a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 8
         )
     ),
-    "distinctcountrawull": _sql_gap(
-        "DISTINCTCOUNTRAWULL", "UltraLogLog wire format is a documented gap"
+    # raw ULL: ENGINE-OWN UltraLogLog register bytes (operators/ull.py —
+    # Ertl's packed 4*u+flags layout; hash4j binary stays a documented
+    # gap). Same bounded-domain register-pair scale shape as raw HLL;
+    # optional 2nd arg is p (reference default 12,
+    # CommonConstants.DEFAULT_ULTRALOGLOG_P). GETULLESTIMATE is the
+    # engine's reader extension.
+    "distinctcountrawull": lambda a: (
+        "__ull_from_regs(collect_set({0}), {1})".format(
+            _hll_pair_expr(
+                a[0],
+                int(a[1].strip()) if len(a) > 1 and a[1].strip().isdigit() else 12,
+            ),
+            a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12,
+        )
+    ),
+    "getullestimate": lambda a: f"__ull_estimate({a[0]})",
+    "toull": lambda a: (
+        "__ull_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64({0}) END, {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 12
+        )
+    ),
+    "fromull": _sql_gap(
+        "FROMULL", "re-wrapping hash4j-serialized UltraLogLog bytes needs the "
+        "foreign wire format — a documented gap; engine-own ULL bytes come "
+        "from DISTINCTCOUNTRAWULL / TOULL"
     ),
     "distinctcountrawcpcsketch": _sql_gap(
         "DISTINCTCOUNTRAWCPCSKETCH", "DataSketches CPC wire format is a documented gap"
@@ -2278,7 +2302,8 @@ _THETA_SQL_RE = re.compile(
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE"
     r"|DISTINCT_?COUNT_?RAW_?HLL(?:PLUS)?(?:MV|_MV)?|TO_?HLL|GET_?HLL_?ESTIMATE"
-    r"|JSON_?EXTRACT_?KEY|DISTINCT_?COUNT_?(?:RAW_?)?ULL)\s*\(",
+    r"|JSON_?EXTRACT_?KEY|DISTINCT_?COUNT_?(?:RAW_?)?ULL|TO_?ULL"
+    r"|GET_?ULL_?ESTIMATE)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2453,6 +2478,39 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
         lm = int(log2m.iloc[0]) if len(log2m) else 8
         return pd.Series([_hll_from_pair_list(ps, lm) for ps in arrs])
 
+    from pinot_spark.operators.ull import UllSketch
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ull_from_regs(arrs, p):
+        pp = int(p.iloc[0]) if len(p) else 12
+        return pd.Series(
+            [
+                UllSketch.from_pairs(
+                    np.asarray(ps if ps is not None else [], dtype=np.int64), pp
+                ).to_bytes()
+                for ps in arrs
+            ]
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ull_singleton(h, p):
+        pp = int(p.iloc[0]) if len(p) else 12
+
+        def one(x):
+            if pd.isna(x):
+                return UllSketch.empty(pp).to_bytes()
+            raw = np.array([x], dtype=np.int64).astype(np.uint64) + np.uint64(2**63)
+            return UllSketch.from_hashes(raw, pp).to_bytes()
+
+        return pd.Series([one(x) for x in h])
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __ull_estimate(b):
+        return pd.Series(
+            [None if x is None else round(UllSketch.from_bytes(bytes(x)).estimate()) for x in b],
+            dtype="Int64",
+        )
+
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __hll_singleton(h, log2m):
         lm = int(log2m.iloc[0]) if len(log2m) else 8
@@ -2551,6 +2609,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__json_all_keys", __json_all_keys)
     spark.udf.register("__hll_from_hashes", __hll_from_hashes)
     spark.udf.register("__hll_from_regs", __hll_from_regs)
+    spark.udf.register("__ull_from_regs", __ull_from_regs)
+    spark.udf.register("__ull_singleton", __ull_singleton)
+    spark.udf.register("__ull_estimate", __ull_estimate)
     spark.udf.register("__hll_singleton", __hll_singleton)
     spark.udf.register("__hll_estimate", __hll_estimate)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)

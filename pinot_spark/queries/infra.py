@@ -269,3 +269,82 @@ def stream_kafka_batch_decode(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "stream_rate_upsert_loop",
+    # the landed table is fully determined by the value-derived rows
+    # (value < 500, key = value % 50), independent of micro-batch
+    # boundaries — the oracle regenerates it arithmetically
+    oracle="""
+    SELECT CAST(k AS BIGINT) AS key,
+           CAST(k + 450 AS BIGINT) AS latest_val,
+           CAST(10 AS BIGINT) AS n_versions
+    FROM range(0, 50) t(k) ORDER BY key
+    """,
+)
+def stream_rate_upsert_loop(spark, sf_dir):
+    """LIVE realtime consumption loop (§2.7, reference
+    pinot-core/.../realtime/RealtimeSegmentDataManager.java:129 —
+    consume, commit, queryable): a real Structured Streaming query over
+    the built-in rate source (no broker needed) runs micro-batches
+    through foreachBatch, each batch committing its rows to the segment
+    store (append, the consuming→committed segment lifecycle), until 500
+    messages have landed; the stream is then stopped and the landed
+    table is queried through the FULL-upsert view (latest value per
+    key), proving ingestion → commit → queryable end-to-end.
+
+    Determinism: every row derives from the rate source's monotonic
+    ``value`` (key = value % 50, seq = value, value < 500), so the final
+    upsert state is independent of wall clock, batch sizes and batch
+    count; seq is the upsert comparison column exactly like a Kafka
+    offset. Scale shape: foreachBatch appends columnar files per batch
+    (the segment-commit analog), the upsert view is one shuffle on key.
+    """
+    import time
+
+    from pinot_spark.operators.upsert import upsert_view
+
+    sink = tempfile.mkdtemp(prefix="pinot_spark_rate_sink_")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .load()
+        .where(F.col("value") < 500)
+        .select(
+            (F.col("value") % 50).alias("key"),
+            F.col("value").alias("seq"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= 500:
+                    break
+            except Exception:
+                pass  # sink not yet created by the first batch
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    landed = spark.read.parquet(sink).where(F.col("seq") < 500)
+    latest = upsert_view(landed, keys=["key"], comparison=["seq"])
+    versions = landed.groupBy("key").agg(
+        F.count_distinct("seq").alias("n_versions")
+    )
+    return (
+        latest.join(versions, "key")
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.col("seq").cast("long").alias("latest_val"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+        .orderBy("key")
+    )

@@ -90,7 +90,7 @@ def test_idset_sql_form(spark, at):
 
 
 @pytest.mark.parametrize(
-    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWCPCSKETCH(k)", "DISTINCTCOUNTRAWULL(v)",
+    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWCPCSKETCH(k)", "FROMULL(CAST(k AS BINARY))",
              "FREQUENTSTRINGSSKETCH(k)", "PINOTCHILDAGGEXPRMIN(1, v, k)"],
 )
 def test_documented_gap_names_raise_loudly(spark, at, expr):
