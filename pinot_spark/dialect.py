@@ -178,20 +178,47 @@ def _json_extract_scalar(a: list[str]) -> str:
 
 
 def _json_extract_key(a: list[str]) -> str:
-    """JSONEXTRACTKEY(json, path) — see FUNCTION_MAP entry comment."""
-    top_level = (
-        f"transform(json_object_keys({a[0]}), "
-        f"k -> concat('$[', char(39), k, char(39), ']'))"
-    )
+    """JSONEXTRACTKEY(json, path[, paramString]) — see FUNCTION_MAP
+    entry comment. The optional 3rd arg is the reference's
+    ``'maxDepth=N;dotNotation=BOOL'`` parameter string
+    (JsonFunctions.JsonExtractFunctionParameters:792-830)."""
+    max_depth, dot = 2**31 - 1, False
+    if len(a) > 2:
+        ps = a[2].strip()
+        if not (ps.startswith("'") and ps.endswith("'")):
+            raise PinotSqlError(
+                "JSONEXTRACTKEY: the parameter string must be a literal"
+            )
+        for pair in ps[1:-1].split(";"):
+            if not pair.strip():
+                continue
+            k, _, v = pair.partition("=")
+            key = k.strip().upper()
+            if key == "MAXDEPTH":
+                max_depth = int(v.strip())
+                if max_depth < 0:
+                    max_depth = 2**31 - 1  # non-positive → unlimited
+            elif key == "DOTNOTATION":
+                dot = v.strip().lower() == "true"
+            else:
+                raise PinotSqlError(f"JSONEXTRACTKEY: invalid parameter {pair!r}")
+        if max_depth == 0:
+            return "CAST(array() AS ARRAY<STRING>)"
+    all_keys = f"__json_all_keys({a[0]}, {max_depth}, {str(dot).lower()})"
     if len(a) < 2:
-        return f"__json_all_keys({a[0]})"  # reference: missing/empty → all
+        return all_keys  # reference: missing/empty path → all keys
     p = a[1].strip()
     if p.startswith("'") and p.endswith("'"):
         inner = p[1:-1]
         if inner in ("$.*", "$[*]"):
-            return top_level
+            if dot:
+                return f"json_object_keys({a[0]})"
+            return (
+                f"transform(json_object_keys({a[0]}), "
+                f"k -> concat('$[', char(39), k, char(39), ']'))"
+            )
         if inner in ("", "$..", "$..**"):
-            return f"__json_all_keys({a[0]})"
+            return all_keys
         raise PinotSqlError(
             f"JSONEXTRACTKEY: only '$.*' (top-level) and ''/'$..'/'$..**' "
             f"(recursive) paths are wired — got {inner!r}; arbitrary "
@@ -1184,12 +1211,15 @@ def rewrite_functions(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _mv_columns(spark: SparkSession, sql: str) -> set[str]:
-    """Array-typed columns of every table referenced in FROM/JOIN."""
+def _mv_columns(spark: SparkSession, sql: str) -> dict[str, str]:
+    """Array-typed columns of every table referenced in FROM/JOIN:
+    lowercased name → element type DDL string (the rewrites cast numeric
+    literals to it — a bare 25.0 parses as DECIMAL(3,1), which Spark
+    refuses to compare against ARRAY<FLOAT> elements)."""
     tables = set(
         re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
     )
-    cols: set[str] = set()
+    cols: dict[str, str] = {}
     for t in tables:
         try:
             schema = spark.table(t).schema
@@ -1197,7 +1227,7 @@ def _mv_columns(spark: SparkSession, sql: str) -> set[str]:
             continue
         for f in schema.fields:
             if isinstance(f.dataType, T.ArrayType):
-                cols.add(f.name.lower())
+                cols[f.name.lower()] = f.dataType.elementType.simpleString()
     return cols
 
 
@@ -1345,6 +1375,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             if col.lower() not in mv:
                 return m.group(0)
             ref = f"{qual}{col}"  # keep the table qualifier inside the call
+            lit = f"CAST({lit} AS {mv[col.lower()]})"
             if op == "=":
                 return f"array_contains({ref}, {lit})"
             return f"(NOT array_contains({ref}, {lit}))"
@@ -1359,7 +1390,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             qual, col, neg, items = m.group(1) or "", m.group(2), m.group(3), m.group(4)
             if col.lower() not in mv:
                 return m.group(0)
-            arr = f"array({items})"
+            arr = f"CAST(array({items}) AS ARRAY<{mv[col.lower()]}>)"
             base = f"arrays_overlap({qual}{col}, {arr})"
             return f"(NOT {base})" if neg else base
 
@@ -2010,7 +2041,9 @@ def rewrite_pinot_hints(sql: str) -> str:
 
 
 _FUNNEL_WINDOW_RE = re.compile(
-    r"\bFUNNEL_?(?P<kind>MAX_?STEP|MATCH_?STEP|COMPLETE_?COUNT)\s*\(", re.IGNORECASE
+    r"\bFUNNEL_?(?P<kind>MAX_?STEP|MATCH_?STEP|COMPLETE_?COUNT"
+    r"|EVENTS_?FUNCTION_?EVAL)\s*\(",
+    re.IGNORECASE,
 )
 _FUNNEL_COUNT_RE = re.compile(r"\bFUNNEL_?COUNT\s*\(", re.IGNORECASE)
 _FUNNEL_STMT_RE = re.compile(
@@ -2051,7 +2084,8 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
         call = _FUNNEL_WINDOW_RE.search(sql, call.end())
     if not call:
         return sql
-    kind = re.sub("_", "", call.group("kind")).lower()  # maxstep|matchstep|completecount
+    # maxstep | matchstep | completecount | eventsfunctioneval
+    kind = re.sub("_", "", call.group("kind")).lower()
     fname = f"FUNNEL{kind.upper()}"
     open_idx = sql.index("(", call.end() - 1)
     close_idx = _find_matching(sql, open_idx)
@@ -2066,8 +2100,21 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     if len(args) < 3 + num_steps:
         raise PinotSqlError(f"{fname}: {num_steps} step expressions expected")
     steps = [F.expr(rewrite_functions(a.strip())) for a in args[3 : 3 + num_steps]]
+    extra_exprs: list[str] = []
+    mode_args = args[3 + num_steps :]
+    if kind == "eventsfunctioneval":
+        # (ts, windowSize, numSteps, steps.., numExtraFields, extraExpr..,
+        # modes..) — FunnelEventsFunctionEvalAggregationFunction.java:58-90
+        if len(args) < 4 + num_steps:
+            raise PinotSqlError(f"{fname}: numExtraFields argument expected")
+        n_extra = int(args[3 + num_steps].strip())
+        extra_exprs = [
+            rewrite_functions(a.strip())
+            for a in args[4 + num_steps : 4 + num_steps + n_extra]
+        ]
+        mode_args = args[4 + num_steps + n_extra :]
     modes: set[str] = set()
-    for extra in args[3 + num_steps :]:
+    for extra in mode_args:
         e = extra.strip().strip("'\"").upper()
         if "=" in e:
             k, v = e.split("=", 1)
@@ -2082,6 +2129,7 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     default_alias = {
         "maxstep": "max_step", "matchstep": "match_step",
         "completecount": "complete_count",
+        "eventsfunctioneval": "matched_events",
     }[kind]
     alias = am.group(1) if am else default_alias
     call_end = close_idx + 1 + (am.end() if am else 0)
@@ -2103,7 +2151,25 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     if not re.fullmatch(r"[A-Za-z_]\w*", ts_col):
         df = df.withColumn("__funnel_ts", F.expr(ts_col))
         ts_col = "__funnel_ts"
-    if kind == "completecount":
+    if kind == "eventsfunctioneval":
+        from pinot_spark.operators.funnel import funnel_events_eval
+
+        if modes:
+            raise PinotSqlError(
+                f"{fname}: only the default mode is wired in SQL — use "
+                "operators/funnel.funnel_events_eval for mode variants"
+            )
+        extra_cols = []
+        for i, ex in enumerate(extra_exprs):
+            if re.fullmatch(r"[A-Za-z_]\w*", ex):
+                extra_cols.append(ex)
+            else:
+                df = df.withColumn(f"__funnel_x{i}", F.expr(ex))
+                extra_cols.append(f"__funnel_x{i}")
+        out = funnel_events_eval(
+            df, group, ts_col, window_ms, steps, extra_cols, out_col=alias
+        )
+    elif kind == "completecount":
         out = funnel_completed_rounds_window(
             df, group, ts_col, window_ms, steps, modes or None, out_col=alias
         )
@@ -2565,29 +2631,39 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     import json as _json
 
     @pandas_udf("array<string>", PandasUDFType.SCALAR)
-    def __json_all_keys(docs):
-        # recursive key extraction in reference path format
+    def __json_all_keys(docs, max_depth, dot_notation):
+        # recursive key extraction in reference path formats
         # (JsonFunctions.extractKeysFromNode:639-669): objects emit
-        # path['field'], arrays emit path[i], preorder, parse errors
-        # yield an empty list
-        def walk(node, path, out):
-            if isinstance(node, dict):
-                for k, v in node.items():
+        # path['field'] (dot: a.b), arrays emit path[i] (dot: a.0),
+        # preorder, depth-limited, parse errors yield an empty list
+        md = int(max_depth.iloc[0]) if len(max_depth) else 2**31 - 1
+        dot = bool(dot_notation.iloc[0]) if len(dot_notation) else False
+
+        def walk(node, path, out, depth):
+            if depth > md:
+                return
+            items = (
+                node.items()
+                if isinstance(node, dict)
+                else enumerate(node) if isinstance(node, list) else ()
+            )
+            for k, v in items:
+                if dot:
+                    p = str(k) if path == "" else f"{path}.{k}"
+                elif isinstance(node, dict):
                     p = f"{path}['{k}']"
-                    out.append(p)
-                    walk(v, p, out)
-            elif isinstance(node, list):
-                for i, v in enumerate(node):
-                    p = f"{path}[{i}]"
-                    out.append(p)
-                    walk(v, p, out)
+                else:
+                    p = f"{path}[{k}]"
+                out.append(p)
+                if depth < md and isinstance(v, (dict, list)):
+                    walk(v, p, out, depth + 1)
 
         def run(doc):
             if doc is None:
                 return None
             out: list[str] = []
             try:
-                walk(_json.loads(doc), "$", out)
+                walk(_json.loads(doc), "" if dot else "$", out, 1)
             except Exception:
                 return []
             return out

@@ -220,7 +220,9 @@ def _token_trigrams(text_col: str | Column) -> Column:
     )
 
 
-def ngram_decontaminate(train, bench, id_col: str, text_col: str):
+def ngram_decontaminate(
+    train, bench, id_col: str, text_col: str, max_broadcast_docs: int = 100_000
+):
     """Benchmark decontamination (the GPT-3-style n-gram overlap scrub):
     flag training documents whose token 3-grams overlap a held-out
     benchmark set, with the containment ratio |doc ∩ bench| / |doc|.
@@ -229,6 +231,10 @@ def ngram_decontaminate(train, bench, id_col: str, text_col: str):
     and broadcast (benchmark corpora are small next to training data);
     training docs explode their n-grams, inner-join on the n-gram, and
     partial/final count per doc — no all-pairs comparison anywhere.
+    A ``bench`` side above ``max_broadcast_docs`` documents skips the
+    broadcast hint (size guard: a mistakenly-huge "benchmark" should
+    degrade to a shuffle join, not OOM the driver) — Catalyst/AQE then
+    picks the join strategy from actual sizes.
     Returns (id, n_grams, n_hit, containment) for docs with any hit."""
     train_g = train.select(
         F.col(id_col), _token_trigrams(text_col).alias("__grams")
@@ -236,9 +242,11 @@ def ngram_decontaminate(train, bench, id_col: str, text_col: str):
     bench_g = (
         bench.select(F.explode(_token_trigrams(text_col)).alias("__g")).distinct()
     )
+    if bench.count() <= max_broadcast_docs:
+        bench_g = F.broadcast(bench_g)
     hits = (
         train_g.select(id_col, "n_grams", F.explode("__grams").alias("__g"))
-        .join(F.broadcast(bench_g), "__g")
+        .join(bench_g, "__g")
         .groupBy(id_col, "n_grams")
         .agg(F.count("*").alias("n_hit"))
     )

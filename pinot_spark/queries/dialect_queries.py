@@ -534,3 +534,29 @@ def dialect_funnel_match_step(spark, sf_dir):
             "element_at(msteps, 3) AS hit3",
         )
     )
+
+
+@query(
+    "dialect_raw_ull_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_dc,
+           TRUE AS ull_within_7pct
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dialect_raw_ull_distinct(spark, sf_dir):
+    """Grouped DISTINCTCOUNTRAWULL → GETULLESTIMATE through the dialect
+    (DistinctCountRawULLAggregationFunction.java; engine-own UltraLogLog
+    register bytes, operators/ull.py): same bounded-domain register-pair
+    aggregation as raw HLL — sketch-sized state at any group size. The
+    emitted columns are the exact distinct counts plus an in-envelope
+    boolean (p=12 → ~1.6% standard error, checked at 7%)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderstatus, "
+        "DISTINCTCOUNT(o_custkey) AS exact_dc, "
+        "ABS(CAST(GETULLESTIMATE(DISTINCTCOUNTRAWULL(o_custkey)) AS DOUBLE) "
+        "  - DISTINCTCOUNT(o_custkey)) <= 0.07 * DISTINCTCOUNT(o_custkey) "
+        "  AS ull_within_7pct "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 100"
+    )

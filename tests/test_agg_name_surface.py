@@ -254,3 +254,38 @@ def test_sql_funnel_count_rejects_free_shape(spark, at, funnel_sql_t):
             "SELECT count(*), FUNNEL_COUNT(STEPS(etype = 'view'), "
             "CORRELATE_BY(user_id)) FROM funnel_sql_t LIMIT 10"
         )
+
+
+def test_sql_funnel_events_function_eval(spark, at, sf_dir, funnel_sql_t):
+    """FUNNELEVENTSFUNCTIONEVAL SQL form (argument convention
+    FunnelEventsFunctionEvalAggregationFunction.java:58-90: ts, window,
+    numSteps, steps.., numExtraFields, extraExprs..) matches the
+    operator-built driver query on the events table."""
+    from pinot_spark.catalog import load_tables
+    from pinot_spark.queries import QUERIES
+
+    load_tables(spark, sf_dir)
+    got = sorted(
+        (r.user_id, ",".join(r.matched_events))
+        for r in at.sql(
+            "SELECT user_id, FUNNELEVENTSFUNCTIONEVAL(ts, '604800000', 3, "
+            "event_type = 'view', event_type = 'click', event_type = 'purchase', "
+            "2, event_type, TOEPOCHMILLIS(ts)) AS matched_events "
+            "FROM events GROUP BY user_id LIMIT 100000"
+        ).collect()
+        if r.matched_events
+    )
+    want = sorted(
+        (r.user_id, r.matched_events)
+        for r in QUERIES["agg_funnel_events_eval"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    from pinot_spark.dialect import PinotSqlError
+    import pytest as _pytest
+
+    with _pytest.raises(PinotSqlError):
+        at.sql(
+            "SELECT user_id, FUNNELEVENTSFUNCTIONEVAL(ts, '3600000', 1, "
+            "etype = 'view', 0, 'STRICT_ORDER') AS m "
+            "FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        )

@@ -63,7 +63,7 @@ MV_COLS = {n for n, _, mv in SCHEMA if mv}
 _LIT = r"'[^']*'|[0-9][0-9.]*"
 
 
-def _literal_pools() -> dict[str, list]:
+def _literal_pools(queries: list[str]) -> dict[str, list]:
     """Per-column literal operands harvested from the corpus filters, so
     generated data overlaps the predicates (non-vacuous selectivity)."""
     pools: dict[str, list] = {}
@@ -76,7 +76,7 @@ def _literal_pools() -> dict[str, list]:
             return
         pools.setdefault(col, []).append(v)
 
-    for q in QUERIES:
+    for q in queries:
         for m in re.finditer(
             rf"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:>=|<=|<>|!=|>|<|=)\s*({_LIT})", q
         ):
@@ -95,12 +95,13 @@ def _literal_pools() -> dict[str, list]:
     return pools
 
 
-@pytest.fixture(scope="module")
-def airline(spark):
-    if not QUERIES:
-        pytest.skip("reference repo not present")
+def build_table(spark, queries: list[str], view_name: str, n_rows: int = _N_ROWS):
+    """Generate the synthetic airline table for a query corpus (literal
+    pools harvested from THAT corpus so filters stay non-vacuous),
+    register it as a Spark temp view + DuckDB relation, return the
+    DuckDB connection."""
     rng = random.Random(2014)
-    pools = _literal_pools()
+    pools = _literal_pools(queries)
 
     def gen(name, ptype, mv):
         pool = pools.get(name, [])
@@ -120,7 +121,7 @@ def airline(spark):
             return [scalar() for _ in range(rng.randint(0, 3))]
         return scalar()
 
-    rows = [tuple(gen(n, t, mv) for n, t, mv in SCHEMA) for _ in range(_N_ROWS)]
+    rows = [tuple(gen(n, t, mv) for n, t, mv in SCHEMA) for _ in range(n_rows)]
     spark_types = {"INT": "int", "LONG": "bigint", "FLOAT": "float",
                    "DOUBLE": "double", "STRING": "string"}
 
@@ -130,10 +131,17 @@ def airline(spark):
 
     ddl = ", ".join(field(n, t, mv) for n, t, mv in SCHEMA)
     df = spark.createDataFrame(rows, ddl)
-    df.createOrReplaceTempView("mytable")
+    df.createOrReplaceTempView(view_name)
     con = duckdb.connect()
-    con.register("mytable", df.toPandas())
+    con.register(view_name, df.toPandas())
     return con
+
+
+@pytest.fixture(scope="module")
+def airline(spark):
+    if not QUERIES:
+        pytest.skip("reference repo not present")
+    return build_table(spark, QUERIES, "mytable")
 
 
 def _duck_mv_rewrite(sql: str) -> str:
@@ -190,51 +198,85 @@ def _duck_mv_rewrite(sql: str) -> str:
 def _norm(v):
     if v is None or isinstance(v, bool):
         return v
+    if hasattr(v, "tolist"):  # numpy array/scalar out of pandas
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, float) and v != v:
+        return None  # pandas renders SQL NULL as NaN in float columns
     if isinstance(v, (int, float)):
         return float(v)
     return v
 
 
-@pytest.mark.parametrize("idx", range(len(QUERIES)))
-def test_airline_query(spark, airline, idx):
-    sql = QUERIES[idx]
+def check_airline_query(spark, con, sql: str) -> None:
+    """Run one corpus query through PinotEngine and compare to DuckDB
+    (shared by the 200-query suite and the 10K sample).
+
+    LIMIT semantics: when the full result has no more rows than the
+    effective limit (explicit, or Pinot's implicit 10), the comparison
+    is exact. Otherwise the returned SUBSET is engine-dependent (SQL
+    gives no total order), so the checks are row count, containment in
+    the full result, and — when ORDER BY names projected columns — the
+    ordered key-prefix sequence."""
+    from collections import Counter
+
+    airline = con
     eng = PinotEngine(spark, default_limit=10)  # Pinot's implicit LIMIT 10
-    got = [tuple(_norm(x) for x in r) for r in eng.sql(sql).collect()]
+    res = eng.sql(sql)
+    got = [tuple(_norm(x) for x in r) for r in res.collect()]
     duck_sql = _duck_mv_rewrite(sql)
 
-    is_selection = not re.search(r"\b(AVG|SUM|MIN|MAX|COUNT)\s*\(", sql, re.IGNORECASE)
     lim = re.search(r"\bLIMIT\s+(\d+)", sql, re.IGNORECASE)
-    if is_selection and lim:
-        # selection + LIMIT: the row SUBSET is tie/scan-order-dependent
-        # (no total ordering) — check containment in the full result,
-        # the row count, and (if ordered) the ORDER BY key sequence
-        from collections import Counter
-
-        full_sql = re.sub(r"\bLIMIT\s+\d+", "", duck_sql, flags=re.IGNORECASE)
-        full = Counter(
-            repr(tuple(_norm(x) for x in r)) for r in airline.sql(full_sql).fetchall()
+    eff_lim = int(lim.group(1)) if lim else 10
+    full_sql = re.sub(r"\bLIMIT\s+\d+", "", duck_sql, flags=re.IGNORECASE)
+    fdf = airline.sql(full_sql).df()
+    full_rows = [
+        tuple(_norm(x) for x in r) for r in fdf.itertuples(index=False, name=None)
+    ]
+    if len(full_rows) <= eff_lim:
+        assert sorted(map(repr, got)) == sorted(map(repr, full_rows)), (
+            f"{sql}\n got({len(got)}): {sorted(map(repr, got))[:4]}\n"
+            f"want({len(full_rows)}): {sorted(map(repr, full_rows))[:4]}"
         )
-        assert len(got) == min(int(lim.group(1)), sum(full.values())), sql
-        got_counts = Counter(map(repr, got))
-        assert all(full[r] >= c for r, c in got_counts.items()), sql
-        ob = re.search(r"ORDER BY\s+(.+?)\s+LIMIT", sql, re.IGNORECASE)
-        if ob:
-            cols = [c.strip().strip('"') for c in ob.group(1).split(",")]
-            proj = ", ".join(f'"{c}"' for c in cols)
-            base = re.sub(r"\bSELECT\b.*?\bFROM\b", f"SELECT {proj} FROM", full_sql,
-                          count=1, flags=re.IGNORECASE | re.DOTALL)
-            keys_want = [tuple(_norm(x) for x in r)
-                         for r in airline.sql(base + f" LIMIT {lim.group(1)}").fetchall()]
-            sel = eng.sql(sql).select(*[f"`{c}`" for c in cols]).collect()
-            keys_got = [tuple(_norm(x) for x in r) for r in sel]
-            assert keys_got == keys_want, sql
         return
 
-    # DuckDB has no implicit LIMIT: apply Pinot's default when absent
-    if not lim:
-        duck_sql += " LIMIT 10"
-    want = [tuple(_norm(x) for x in r) for r in airline.sql(duck_sql).fetchall()]
-    assert sorted(map(repr, got)) == sorted(map(repr, want)), (
-        f"{sql}\n got({len(got)}): {sorted(map(repr, got))[:4]}\n"
-        f"want({len(want)}): {sorted(map(repr, want))[:4]}"
-    )
+    assert len(got) == eff_lim, sql
+    full = Counter(map(repr, full_rows))
+    got_counts = Counter(map(repr, got))
+    assert all(full[r] >= c for r, c in got_counts.items()), sql
+
+    ob = re.search(r"ORDER BY\s+(.+?)(?:\s+LIMIT\b|\s*$)", sql, re.IGNORECASE | re.DOTALL)
+    if not ob:
+        return
+    # ordered: the key sequence must match for the longest prefix of
+    # sort columns that are in the result schema (the corpus also sorts
+    # by unprojected columns and ordinals; ties beyond the prefix are
+    # resolved identically by both engines via the full sort spec)
+    out_map = {c.lower(): c for c in res.columns}
+    duck_map = {c.lower(): c for c in fdf.columns}
+    pref = []
+    for tok in ob.group(1).split(","):
+        name = tok.strip().strip('"').split()[0]
+        if name.isdigit() and 1 <= int(name) <= len(res.columns):
+            name = res.columns[int(name) - 1]
+        if name.lower() in out_map and name.lower() in duck_map:
+            pref.append(name)
+        else:
+            break
+    if not pref:
+        return
+    keys_want = [
+        tuple(_norm(x) for x in r)
+        for r in fdf[[duck_map[c.lower()] for c in pref]]
+        .head(eff_lim)
+        .itertuples(index=False, name=None)
+    ]
+    sel = res.select(*[f"`{out_map[c.lower()]}`" for c in pref]).collect()
+    keys_got = [tuple(_norm(x) for x in r) for r in sel]
+    assert keys_got == keys_want, sql
+
+
+@pytest.mark.parametrize("idx", range(len(QUERIES)))
+def test_airline_query(spark, airline, idx):
+    check_airline_query(spark, airline, QUERIES[idx])

@@ -1,0 +1,51 @@
+"""The reference's 10K-query airline workload
+(pinot-integration-tests/src/test/resources/
+On_Time_On_Time_Performance_2014_100k_subset.test_queries_10K.sql),
+run as a deterministic 1-in-10 sample (~1000 queries) through the same
+PinotEngine-vs-DuckDB harness as the 200-query suite — the widest
+dialect-edge net available. The sample retargets its own table name so
+the two suites' synthetic datasets (each generated from its own
+corpus's literal pools) can't cross-contaminate."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from test_airline_corpus import QUERIES as Q200
+from test_airline_corpus import _RES, build_table, check_airline_query
+
+_QFILE_10K = f"{_RES}/On_Time_On_Time_Performance_2014_100k_subset.test_queries_10K.sql"
+
+
+def _load_sample() -> list[str]:
+    if not os.path.isfile(_QFILE_10K):
+        return []
+    raw = []
+    for line in open(_QFILE_10K):
+        line = line.strip()
+        if line and not line.startswith("#"):
+            raw.append(json.loads(line)["sql"])
+    seen_200 = set(Q200)
+    # deterministic stride sample, skipping exact duplicates of the
+    # 200-query suite (already covered there)
+    sample = [q for q in raw[::10] if q not in seen_200]
+    return [re.sub(r"\bmytable\b", "mytable10k", q) for q in sample]
+
+
+SAMPLE = _load_sample()
+
+
+@pytest.fixture(scope="module")
+def airline10k(spark):
+    if not SAMPLE:
+        pytest.skip("reference repo not present")
+    return build_table(spark, SAMPLE, "mytable10k")
+
+
+@pytest.mark.parametrize("idx", range(len(SAMPLE)))
+def test_airline_10k_query(spark, airline10k, idx):
+    check_airline_query(spark, airline10k, SAMPLE[idx])

@@ -487,6 +487,25 @@ def test_json_type_corpus(spark, jsontbl):
     assert eng.sql(
         "SELECT jsonextractscalar(jsonCol,'$.key1111', 'FLOAT') AS k "
         "FROM js_tbl where stringCol='str44'").collect()[0].k == pytest.approx(22.23)
+    # recursive all-keys (isExtractAllKeys: '', '$..', '$..**') with the
+    # maxDepth / dotNotation parameter string
+    # (JsonFunctions.extractKeysFromNode:639-669)
+    assert eng.sql(
+        "SELECT JSONEXTRACTKEY(jsonCol, '$..**') AS keys FROM js_tbl "
+        "where stringCol='str33'"
+    ).collect()[0].keys == ["$['key111']", "$['key222']", "$['key222']['key222_a']"]
+    assert eng.sql(
+        "SELECT JSONEXTRACTKEY(jsonCol, '$..', 'maxDepth=1') AS keys FROM js_tbl "
+        "where stringCol='str33'"
+    ).collect()[0].keys == ["$['key111']", "$['key222']"]
+    assert eng.sql(
+        "SELECT JSONEXTRACTKEY(jsonCol, '', 'dotNotation=true') AS keys FROM js_tbl "
+        "where stringCol='str33'"
+    ).collect()[0].keys == ["key111", "key222", "key222.key222_a"]
+    from pinot_spark.dialect import PinotSqlError
+
+    with pytest.raises(PinotSqlError):
+        eng.sql("SELECT JSONEXTRACTKEY(jsonCol, '$.key222.*') AS k FROM js_tbl")
 
 
 # ---------------------------------------------------------------------------
