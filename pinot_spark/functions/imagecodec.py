@@ -11,10 +11,13 @@ whose specifications need nothing beyond ``zlib`` (stdlib) and numpy:
 - **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB, bottom-up or
   top-down.
 - **PPM** (netpbm P6): binary RGB, maxval 255.
+- **JPEG** (ITU-T T.81 baseline): full codec in functions/jpegcodec.py
+  (sequential DCT, Huffman, chroma subsampling on decode), dispatched
+  from here by magic sniff.
 
-JPEG/WebP/GIF/TIFF need codec libraries not present in this container
-and raise NotImplementedError with the sniffed format name — the honest
-boundary, now format-specific instead of blanket.
+WebP/GIF/TIFF need codec libraries not present in this container and
+raise NotImplementedError with the sniffed format name — the honest
+boundary, format-specific instead of blanket.
 """
 
 from __future__ import annotations
@@ -217,7 +220,18 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 # dispatch + transforms
 # ---------------------------------------------------------------------------
 
-_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from pinot_spark.functions.jpegcodec import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "jpeg": _decode_jpeg,
+}
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -228,7 +242,7 @@ def decode(data: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"image format {fmt!r} requires a codec library not present in "
-            "this container (supported here: png, bmp, ppm)"
+            "this container (supported here: png, bmp, ppm, jpeg)"
         )
     return dec(data)
 

@@ -3,7 +3,7 @@ with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
 The decode step is REAL for PNG/BMP/PPM (pure-stdlib codecs in
 functions/imagecodec.py — zlib inflate + numpy unfiltering); formats
-needing external codec libraries (JPEG/WebP/GIF) raise
+needing external codec libraries (WebP/GIF/TIFF) raise
 NotImplementedError naming the format. ``fake=True`` keeps the seeded
 content-hash decoder for plumbing tests on non-image payloads.
 
@@ -66,9 +66,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real decode → FEATURE_DIM integer-luma thumbnail features.
-    PNG/BMP/PPM are decoded with the pure-stdlib codecs
-    (functions/imagecodec.py); other formats raise NotImplementedError
-    naming the format (JPEG/WebP need codec libs absent here)."""
+    PNG/BMP/PPM/JPEG are decoded with the pure-stdlib codecs
+    (functions/imagecodec.py, jpegcodec.py); other formats raise
+    NotImplementedError naming the format (WebP/GIF need codec libs
+    absent here)."""
     from pinot_spark.functions import imagecodec
 
     arr = imagecodec.decode(payload)

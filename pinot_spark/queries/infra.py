@@ -303,8 +303,13 @@ def stream_rate_upsert_loop(spark, sf_dir):
     """
     import time
 
+    from pinot_spark.catalog import ensure_runtime_confs
     from pinot_spark.operators.upsert import upsert_view
 
+    # the only registered query that never reads the test tables — apply
+    # the runtime confs itself so a vanilla driver session behaves the
+    # same whether or not another query ran first
+    ensure_runtime_confs(spark)
     sink = tempfile.mkdtemp(prefix="pinot_spark_rate_sink_")
     stream = (
         spark.readStream.format("rate")

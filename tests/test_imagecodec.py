@@ -131,8 +131,8 @@ def test_ppm_roundtrip_and_comments():
 
 
 def test_unsupported_formats_raise_with_name():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        ic.decode(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match="webp"):
+        ic.decode(b"RIFF\x00\x00\x00\x00WEBPrest")
     with pytest.raises(NotImplementedError, match="gif"):
         ic.decode(b"GIF89a....")
 
@@ -163,15 +163,19 @@ def test_luma_features_integer_valued():
 
 
 def test_extract_features_real_decode(spark):
-    """End-to-end: genuine PPM payloads through the Arrow mapInPandas
-    path decode for real; a JPEG magic payload reports the boundary."""
+    """End-to-end: genuine PPM/PNG/JPEG payloads through the Arrow
+    mapInPandas path decode for real; a WebP magic payload reports the
+    decoder boundary and truncated JPEG bytes report corruption."""
+    from pinot_spark.functions.jpegcodec import encode_jpeg
     from pinot_spark.operators.multimodal import extract_features
 
     arr = _img(4, 4, seed=11)
     rows = [
         ("m1", bytearray(ic.encode_ppm(arr)), "image/x-portable-pixmap", 4, 4, None),
         ("m2", bytearray(ic.encode_png(arr)), "image/png", 4, 4, None),
-        ("m3", bytearray(b"\xff\xd8\xff\xe0jpeg"), "image/jpeg", None, None, None),
+        ("m3", bytearray(b"RIFF\x00\x00\x00\x00WEBPdata"), "image/webp", None, None, None),
+        ("m4", bytearray(encode_jpeg(arr, 95)), "image/jpeg", 4, 4, None),
+        ("m5", bytearray(b"\xff\xd8\xff\xe0trunc"), "image/jpeg", None, None, None),
     ]
     df = spark.createDataFrame(
         rows,
@@ -187,6 +191,12 @@ def test_extract_features_real_decode(spark):
     assert out["m1"].features == [float(x) for x in expect.flatten()]
     assert out["m1"].features == out["m2"].features  # same pixels, two containers
     assert out["m3"].decode_ok == "decoder_unavailable"
+    # real JPEG decode: lossy, so features land near (not exactly on) the
+    # lossless containers' values
+    assert out["m4"].decode_ok == "ok"
+    jerr = max(abs(a - b) for a, b in zip(out["m4"].features, out["m1"].features))
+    assert jerr <= 16.0
+    assert out["m5"].decode_ok == "corrupt"
 
 
 def test_resize_images_real_roundtrip(spark):

@@ -36,6 +36,13 @@ REPRESENTATIVE = [
     "udtf_sequence_explode", "colocated_bucketed_join",
     "sessionize_gap_sessions", "dialect_funnel_max_step",
     "stream_kafka_batch_decode",
+    # round-7-window representatives: lazy pandas-UDF registration for
+    # the raw-sketch/ULL names, the structural funnel-count rewrite, and
+    # a LIVE readStream→foreachBatch loop — the streaming query needs a
+    # working temp checkpoint dir and parquet sink under a vanilla
+    # session
+    "dialect_raw_sketch_scale", "dialect_raw_ull_distinct",
+    "dialect_funnel_count", "stream_rate_upsert_loop",
 ]
 
 
