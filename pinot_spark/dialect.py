@@ -607,8 +607,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # wire format — a grouped-agg pandas UDF can't mix with other
     # aggregates in one SELECT (INVALID_PANDAS_UDF_PLACEMENT), and the
     # corpus does exactly that (AVG(x), GET_THETA_SKETCH_ESTIMATE(...)).
-    # Scale note: collect_set holds all distinct hashes; the bounded
-    # per-partition top-k path is operators/theta.theta_sketch.
+    # Scale note: canonical grouped statements are restructured FIRST by
+    # rewrite_raw_sketch_two_phase (partial-per-bucket + final merge,
+    # bounded buffers); this in-expression form is the fallback for
+    # non-canonical shapes, where collect_set holds all distinct hashes
+    # (map-side-deduped). The DataFrame-level bounded path is
+    # operators/theta.theta_sketch.
     # NULLs are masked (CASE → NULL, collect_set drops NULLs) so raw and
     # non-raw theta names agree: DISTINCTCOUNTTHETASKETCH's
     # approx_count_distinct skips NULLs and TO_THETA_SKETCH emits an
@@ -2374,6 +2378,179 @@ _THETA_SQL_RE = re.compile(
 )
 _THETA_UDF_SESSIONS: set[int] = set()
 
+# ---------------------------------------------------------------------------
+# Two-phase raw theta/tuple aggregation — the KMV top-k and sketch-merge
+# aggregates have no bounded single-expression form in native Spark SQL
+# (there is no bounded top-k-distinct aggregate), so the canonical
+# grouped statement is restructured into partial-per-bucket + final
+# merge: the inner level groups by (keys, pmod(hash, 256)) and reduces
+# each bucket to ONE bounded partial (k+1 hashes / one merged sketch),
+# the outer level merges ≤256 bounded partials per group. Same
+# asymptotics as the reference's segment→broker merge
+# (AggregationFunction.java:63,86,132) and the repo's two-phase distinct
+# (operators/skew.py). Basic co-occurring aggregates (COUNT/SUM/MIN/MAX/
+# AVG) decompose into partial/final alongside; any other aggregate or a
+# non-canonical shape falls back to the in-expression path.
+# ---------------------------------------------------------------------------
+
+_RAW_SKETCH_CALL_RE = re.compile(
+    r"\b(?P<name>DISTINCT_?COUNT_?RAW_?THETA_?SKETCH"
+    r"|DISTINCT_?COUNT_?RAW_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|SUM_?VALUES_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|AVG_?VALUE_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|DISTINCT_?COUNT_?TUPLE_?SKETCH)\s*\(",
+    re.IGNORECASE,
+)
+_BASIC_AGG_CALL_RE = re.compile(r"\b(?P<name>COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
+_RS_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[A-Za-z_][\w,\s]*?))?"
+    r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+# scalar wrappers allowed around the hoisted aggregates in the outer
+# level, plus the final-merge machinery hoisting itself introduces
+# (sum/count/min/max over the __ag partials)
+_RS_SCALAR_ALLOW = {
+    "getthetasketchestimate", "thetasketchdiff", "thetasketchunion",
+    "thetasketchintersect", "thetasketchtostring",
+    "getinttuplesketchestimate", "round", "cast", "abs", "coalesce",
+    "sum", "count", "min", "max",
+}
+_RS_FANOUT = 256
+
+
+def rewrite_raw_sketch_two_phase(sql: str) -> str:
+    """Restructure ``SELECT [keys,] ...RAW_THETA/TUPLE_SKETCH aggs...
+    FROM t [WHERE] [GROUP BY keys] [ORDER BY/LIMIT]`` into the bounded
+    two-phase shape (see block comment). Returns the SQL unchanged when
+    the statement doesn't match the canonical shape."""
+    if not _RAW_SKETCH_CALL_RE.search(sql):
+        return sql
+    stmt = _RS_STMT_RE.match(sql)
+    if not stmt or re.search(r"\bJOIN\b|\bHAVING\b|\bOVER\s*\(", sql, re.IGNORECASE):
+        return sql
+    group = stmt.group("group")
+    keys = [g.strip() for g in group.split(",")] if group else []
+    if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        return sql
+
+    items = [x.strip() for x in _split_args(stmt.group("select"))]
+    partials: list[str] = []
+    placeholders: dict[str, str] = {}
+    bucket_arg: list[str] = []
+    seq = [0]
+
+    def hoist_raw(item: str) -> str:
+        out = []
+        i = 0
+        while True:
+            m = _RAW_SKETCH_CALL_RE.search(item, i)
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            args = _split_args(item[open_idx + 1 : close_idx])
+            name = re.sub("_", "", m.group("name")).lower()
+            n = seq[0]
+            seq[0] += 1
+            a0 = args[0].strip()
+            if not bucket_arg:
+                bucket_arg.append(a0)
+            if name == "distinctcountrawthetasketch":
+                k = _theta_nominal_entries(args)
+                partials.append(
+                    "slice(sort_array(collect_set(CASE WHEN {0} IS NULL THEN "
+                    "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END)), 1, {1}) "
+                    "AS __rs{2}".format(a0, k + 1, n)
+                )
+                outer = (
+                    "__theta_from_hashes(slice(sort_array(array_distinct("
+                    "flatten(collect_list(__rs{0})))), 1, {1}), {2})".format(n, k + 1, k)
+                )
+            else:
+                partials.append(f"__tuple_merge_sum(collect_list({a0})) AS __rs{n}")
+                merged = f"__tuple_merge_sum(collect_list(__rs{n}))"
+                outer = {
+                    "distinctcountrawintegersumtuplesketch": merged,
+                    "distinctcounttuplesketch": f"__tuple_estimate({merged})",
+                    "sumvaluesintegersumtuplesketch": f"__tuple_sum_values({merged})",
+                    "avgvalueintegersumtuplesketch": f"__tuple_avg_value({merged})",
+                }[name]
+            ph = f"__RSPH{n}__"
+            placeholders[ph] = outer
+            out.append(item[i : m.start()])
+            out.append(ph)
+            i = close_idx + 1
+        return "".join(out)
+
+    def hoist_basic(item: str) -> str | None:
+        out = []
+        i = 0
+        while True:
+            m = _BASIC_AGG_CALL_RE.search(item, i)
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            inside = item[open_idx + 1 : close_idx].strip()
+            if re.match(r"DISTINCT\b", inside, re.IGNORECASE):
+                return None  # not decomposable — fall back
+            fn = m.group("name").lower()
+            n = seq[0]
+            seq[0] += 1
+            if fn == "avg":
+                partials.append(f"sum({inside}) AS __ag{n}_s")
+                partials.append(f"count({inside}) AS __ag{n}_c")
+                outer = f"(sum(__ag{n}_s) / sum(__ag{n}_c))"
+            elif fn == "count":
+                partials.append(f"count({inside}) AS __ag{n}")
+                outer = f"sum(__ag{n})"
+            else:
+                partials.append(f"{fn}({inside}) AS __ag{n}")
+                outer = f"{fn}(__ag{n})"
+            out.append(item[i : m.start()])
+            out.append(outer)
+            i = close_idx + 1
+        return "".join(out)
+
+    rebuilt: list[str] = []
+    for item in items:
+        am = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+        if expr.strip() in keys:
+            rebuilt.append(item)
+            continue
+        expr2 = hoist_raw(expr)
+        expr2 = hoist_basic(expr2)
+        if expr2 is None:
+            return sql
+        # every remaining call must be an allowed scalar wrapper
+        for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr2):
+            if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
+                return sql
+        rebuilt.append(expr2 + (f" AS {alias}" if alias else ""))
+    if not placeholders:
+        return sql
+    for ph, outer in placeholders.items():
+        rebuilt = [x.replace(ph, outer) for x in rebuilt]
+
+    bucket = f"pmod(xxhash64({bucket_arg[0]}), {_RS_FANOUT})"
+    inner_select = ", ".join(keys + partials)
+    inner_group = ", ".join(keys + [bucket])
+    where = stmt.group("where")
+    inner = (
+        f"SELECT {inner_select} FROM {stmt.group('table')}"
+        + (f" WHERE {where}" if where else "")
+        + f" GROUP BY {inner_group}"
+    )
+    outer_group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    tail = stmt.group("tail") or ""
+    return f"SELECT {', '.join(rebuilt)} FROM ({inner}) __rs_partials{outer_group}{tail}"
+
 
 def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     """Register the raw-theta-sketch pandas UDFs FUNCTION_MAP's
@@ -2447,7 +2624,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             if pd.isna(raw):
                 out.append(ThetaSketch(kk, 2**64, np.array([], dtype=np.uint64)).to_bytes())
             else:
-                u = np.int64(raw).astype(np.uint64) + np.uint64(2**63)
+                # XOR of the sign bit == +2^63 mod 2^64 without the
+                # numpy scalar-overflow warning
+                u = np.int64(raw).astype(np.uint64) ^ np.uint64(1 << 63)
                 out.append(ThetaSketch(kk, 2**64, np.array([u], dtype=np.uint64)).to_bytes())
         return pd.Series(out)
 
@@ -2472,7 +2651,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             if pd.isna(raw) or pd.isna(val):
                 out.append(TupleSketch.empty(kk).to_bytes())
             else:
-                u = int(np.int64(raw).astype(np.uint64) + np.uint64(2**63))
+                u = int(np.int64(raw).astype(np.uint64) ^ np.uint64(1 << 63))
                 out.append(TupleSketch.singleton(kk, u, int(val)).to_bytes())
         return pd.Series(out)
 
@@ -2841,6 +3020,7 @@ class PinotEngine:
             sql = rewrite_funnel_count(self.spark, sql)
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
+            sql = rewrite_raw_sketch_two_phase(sql)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
             sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):

@@ -289,3 +289,47 @@ def test_sql_funnel_events_function_eval(spark, at, sf_dir, funnel_sql_t):
             "etype = 'view', 0, 'STRICT_ORDER') AS m "
             "FROM funnel_sql_t GROUP BY user_id LIMIT 10"
         )
+
+
+def test_raw_theta_tuple_two_phase_rewrite(spark, at):
+    """Canonical grouped raw-theta/tuple statements restructure into the
+    bounded two-phase shape (dialect.rewrite_raw_sketch_two_phase):
+    inner partial per (keys, pmod-bucket) — one k+1-hash slice / one
+    merged sketch per bucket — outer merge of ≤256 bounded partials,
+    with co-occurring COUNT/SUM/MIN/MAX/AVG decomposed partial/final.
+    Results must equal the in-expression path; non-canonical shapes
+    (HAVING, other aggregates) fall back unchanged."""
+    spark.range(0, 20000).selectExpr(
+        "CAST(id % 4 AS INT) AS g",
+        "CAST((id * 7) % 3000 AS BIGINT) AS u",
+        "CAST(id % 13 AS INT) AS v",
+    ).createOrReplaceTempView("rs2_t")
+    q = (
+        "SELECT g, COUNT(*) AS n, AVG(v) AS av, MAX(v) AS mx, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u, "
+        "'nominalEntries=4096')) AS dc, "
+        "SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH(TO_INTEGER_SUM_TUPLE_SKETCH(u, v)) AS sv "
+        "FROM rs2_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    translated = at.translate(q)[0]
+    assert "__rs_partials" in translated and "pmod" in translated
+    got = at.sql(q).collect()
+    want = spark.sql(
+        "SELECT g, COUNT(*) AS n, AVG(v) AS av, MAX(v) AS mx, "
+        "COUNT(DISTINCT u) AS dc, SUM(v) AS sv "
+        "FROM rs2_t GROUP BY g ORDER BY g"
+    ).collect()
+    # 3000 distinct < nominalEntries → theta exact; sum-tuple exact here
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # plan: the per-value collect_set is keyed by (g, bucket) BEFORE any
+    # final collect — both aggregate levels present
+    plan = at.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 4
+    # fallback: HAVING keeps the legacy in-expression path
+    q2 = (
+        "SELECT g, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u)) "
+        "AS dc FROM rs2_t GROUP BY g HAVING dc > 0 LIMIT 10"
+    )
+    assert "__rs_partials" not in at.translate(q2)[0]
+    assert len(at.sql(q2).collect()) == 4
