@@ -767,7 +767,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         "GROUP BY key shape is wired — use operators/funnel.py otherwise"
     ),
     "funnelstepdurationstats": _sql_gap(
-        "FUNNELSTEPDURATIONSTATS", "use operators/funnel.py (funnel_step_duration_stats query)"
+        "FUNNELSTEPDURATIONSTATS", "only the SELECT key, "
+        "FUNNELSTEPDURATIONSTATS(..., 'DURATIONFUNCTIONS=..') FROM t "
+        "GROUP BY key shape is wired — use operators/funnel.py otherwise"
     ),
     "funneleventsfunctioneval": _sql_gap(
         "FUNNELEVENTSFUNCTIONEVAL", "use operators/funnel.py (agg_funnel_events_eval query)"
@@ -2046,7 +2048,7 @@ def rewrite_pinot_hints(sql: str) -> str:
 
 _FUNNEL_WINDOW_RE = re.compile(
     r"\bFUNNEL_?(?P<kind>MAX_?STEP|MATCH_?STEP|COMPLETE_?COUNT"
-    r"|EVENTS_?FUNCTION_?EVAL)\s*\(",
+    r"|EVENTS_?FUNCTION_?EVAL|STEP_?DURATION_?STATS)\s*\(",
     re.IGNORECASE,
 )
 _FUNNEL_COUNT_RE = re.compile(r"\bFUNNEL_?COUNT\s*\(", re.IGNORECASE)
@@ -2118,22 +2120,31 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
         ]
         mode_args = args[4 + num_steps + n_extra :]
     modes: set[str] = set()
+    duration_fns: list[str] = []
     for extra in mode_args:
         e = extra.strip().strip("'\"").upper()
         if "=" in e:
             k, v = e.split("=", 1)
             if k.strip() == "MODE":
                 modes |= {x.strip().lower() for x in v.split(",")}
+            elif k.strip() == "DURATIONFUNCTIONS" and kind == "stepdurationstats":
+                duration_fns = [x.strip() for x in v.split(",")]
             else:
                 raise PinotSqlError(f"{fname}: unsupported extra argument {e!r}")
         elif e:
             modes.add(e.lower())
+    if kind == "stepdurationstats" and not duration_fns:
+        raise PinotSqlError(
+            "FUNNELSTEPDURATIONSTATS: 'DURATIONFUNCTIONS=avg,median,..' "
+            "must be provided (reference contract)"
+        )
 
     am = re.match(r"\s+AS\s+([A-Za-z_]\w*)", sql[close_idx + 1 :], re.IGNORECASE)
     default_alias = {
         "maxstep": "max_step", "matchstep": "match_step",
         "completecount": "complete_count",
         "eventsfunctioneval": "matched_events",
+        "stepdurationstats": "duration_stats",
     }[kind]
     alias = am.group(1) if am else default_alias
     call_end = close_idx + 1 + (am.end() if am else 0)
@@ -2155,7 +2166,17 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     if not re.fullmatch(r"[A-Za-z_]\w*", ts_col):
         df = df.withColumn("__funnel_ts", F.expr(ts_col))
         ts_col = "__funnel_ts"
-    if kind == "eventsfunctioneval":
+    if kind == "stepdurationstats":
+        from pinot_spark.operators.funnel import funnel_step_duration_stats_window
+
+        try:
+            out = funnel_step_duration_stats_window(
+                df, group, ts_col, window_ms, steps, duration_fns,
+                modes or None, out_col=alias,
+            )
+        except ValueError as e:
+            raise PinotSqlError(f"{fname}: {e}") from e
+    elif kind == "eventsfunctioneval":
         from pinot_spark.operators.funnel import funnel_events_eval
 
         if modes:
@@ -2398,7 +2419,9 @@ _RAW_SKETCH_CALL_RE = re.compile(
     r"|DISTINCT_?COUNT_?RAW_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|SUM_?VALUES_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|AVG_?VALUE_?INTEGER_?SUM_?TUPLE_?SKETCH"
-    r"|DISTINCT_?COUNT_?TUPLE_?SKETCH)\s*\(",
+    r"|DISTINCT_?COUNT_?TUPLE_?SKETCH"
+    r"|DISTINCT_?COUNT_?RAW_?HLL(?:_?PLUS)?_?MV"
+    r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)_?MV)\s*\(",
     re.IGNORECASE,
 )
 _BASIC_AGG_CALL_RE = re.compile(r"\b(?P<name>COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
@@ -2417,6 +2440,7 @@ _RS_SCALAR_ALLOW = {
     "thetasketchintersect", "thetasketchtostring",
     "getinttuplesketchestimate", "round", "cast", "abs", "coalesce",
     "sum", "count", "min", "max",
+    "gethllestimate", "getullestimate", "gettdigestquantile",
 }
 _RS_FANOUT = 256
 
@@ -2459,7 +2483,31 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
             a0 = args[0].strip()
             if not bucket_arg:
                 bucket_arg.append(a0)
-            if name == "distinctcountrawthetasketch":
+            if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+                log2m = (
+                    int(args[1].strip())
+                    if name == "distinctcountrawhllmv"
+                    and len(args) > 1 and args[1].strip().isdigit()
+                    else 8
+                )
+                pair = _hll_pair_expr("x", log2m)
+                partials.append(
+                    "array_distinct(flatten(collect_list(array_distinct("
+                    "transform(filter({0}, x -> x IS NOT NULL), "
+                    "x -> {1}))))) AS __rs{2}".format(a0, pair, n)
+                )
+                outer = (
+                    f"__hll_from_regs(array_distinct(flatten("
+                    f"collect_list(__rs{n}))), {log2m})"
+                )
+            elif name in (
+                "percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"
+            ):
+                partials.append(
+                    f"__tdigest_from_values(flatten(collect_list({a0}))) AS __rs{n}"
+                )
+                outer = f"__tdigest_merge(collect_list(__rs{n}))"
+            elif name == "distinctcountrawthetasketch":
                 k = _theta_nominal_entries(args)
                 partials.append(
                     "slice(sort_array(collect_set(CASE WHEN {0} IS NULL THEN "
@@ -2849,6 +2897,21 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(d) for d in docs])
 
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __tdigest_merge(arrs):
+        # merge a (bounded) list of engine-own digests — the final level
+        # of the two-phase MV percentile shape
+        def run(lst):
+            acc = TDigest()
+            if lst is None:
+                return acc.to_bytes()
+            for b in lst:
+                if b is not None:
+                    acc = acc.merge(TDigest.from_bytes(bytes(b)))
+            return acc.to_bytes()
+
+        return pd.Series([run(lst) for lst in arrs])
+
     @pandas_udf("double", PandasUDFType.SCALAR)
     def __tdigest_quantile(b, pct):
         def run(x, p):
@@ -2860,6 +2923,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
     spark.udf.register("__tdigest_from_quantiles", __tdigest_from_quantiles)
+    spark.udf.register("__tdigest_merge", __tdigest_merge)
     spark.udf.register("__tdigest_quantile", __tdigest_quantile)
     spark.udf.register("__json_all_keys", __json_all_keys)
     spark.udf.register("__hll_from_hashes", __hll_from_hashes)

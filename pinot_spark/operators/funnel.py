@@ -463,3 +463,151 @@ def funnel_completed_rounds_window(
         .applyInPandas(_one_group, schema=schema)
         .withColumnRenamed("k", key)
     )
+
+
+def funnel_step_duration_stats_window(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_ms: int,
+    steps: list[Column],
+    duration_functions: list[str],
+    modes: set[str] | None = None,
+    out_col: str = "duration_stats",
+) -> DataFrame:
+    """Per-key FUNNELSTEPDURATIONSTATS, mirroring the reference loop
+    (funnel/window/FunnelStepDurationStatsAggregationFunction.java:
+    95-218): per complete window the first timestamp of each step level
+    is collected and the durations between consecutive levels feed
+    per-step aggregators; the output is the flat double array
+    [fn(step0), .., fn(stepN-1)] per duration function in declaration
+    order. COUNT emits the reached-flag (0/1); other functions emit the
+    reference's 0.0 null placeholder when no funnel matched or at the
+    last step; keys with no matched funnel return an empty array unless
+    COUNT was requested (_canSkipNonMatchedFunnel). MEDIAN/MIN/MAX/
+    PERCENTILEnn are exact (the reference's QuantileDigest is built with
+    maxError=0).
+
+    Same pre-filtered single-shuffle applyInPandas shape as the other
+    window funnels.
+    """
+    import math
+    from collections import deque
+
+    fns = [f.strip().upper() for f in duration_functions]
+    for f in fns:
+        if f in ("AVG", "MEDIAN", "MIN", "MAX", "COUNT"):
+            continue
+        if f.startswith("PERCENTILE"):
+            q = float(f[len("PERCENTILE"):]) / 100.0
+            if not 0 <= q <= 1:
+                raise ValueError(f"invalid percentile duration function {f}")
+            continue
+        raise ValueError(f"unsupported duration function {f}")
+    can_skip = "COUNT" not in fns
+    modes = modes or set()
+    strict_dedup = "strict_deduplication" in modes
+    strict_order = "strict_order" in modes
+    strict_increase = "strict_increase" in modes
+    n_steps = len(steps)
+    step_col = F.lit(-1)
+    for i, pred in enumerate(reversed(steps)):
+        step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
+    slim = df.select(
+        F.col(key).alias("k"),
+        F.col(time_col).cast("timestamp").alias("t"),
+        step_col.alias("s"),
+    ).filter(F.col("s") >= 0)
+    schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} array<double>"
+
+    def _process(ts, ss, win):
+        max_step, prev_ts = 0, -1
+        for j in win:
+            cur = ss[j]
+            if strict_dedup and cur == max_step - 1:
+                return max_step
+            if strict_order and cur != max_step:
+                return max_step
+            if strict_increase and prev_ts == ts[j]:
+                continue
+            prev_ts = ts[j]
+            if max_step == cur:
+                max_step += 1
+            if max_step == n_steps:
+                return max_step
+        return max_step
+
+    def _quantile(sorted_d, q):
+        if not sorted_d:
+            return 0.0
+        return sorted_d[max(0, math.ceil(q * len(sorted_d)) - 1)]
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "s"], kind="mergesort")
+        ts = (pdf["t"].astype("int64") // 1_000_000).to_numpy()
+        ss = pdf["s"].to_numpy()
+        n = len(pdf)
+        counts = [0] * n_steps
+        durs: list[list[float]] = [[] for _ in range(n_steps)]
+        matched = False
+        win: deque[int] = deque()
+        i = 0
+        while i < n:
+            while win and ss[win[0]] != 0:
+                win.popleft()
+            if not win:
+                while i < n and ss[i] != 0:
+                    i += 1
+                if i >= n:
+                    break
+                win.append(i)
+                i += 1
+            window_end = ts[win[0]] + window_ms
+            while i < n and ts[i] < window_end:
+                win.append(i)
+                i += 1
+            max_steps = _process(ts, ss, win)
+            if max_steps == n_steps:
+                st: list[int] = []
+                for j in win:
+                    if len(st) <= ss[j]:
+                        st.append(int(ts[j]))
+                for x in range(len(st) - 1):
+                    d = float(st[x + 1] - st[x])
+                    counts[x] = 1
+                    durs[x].append(d)
+                counts[n_steps - 1] = 1
+                matched = True
+            else:
+                for x in range(max_steps):
+                    counts[x] = 1
+            if win:
+                win.popleft()
+        if can_skip and not matched:
+            out: list[float] = []
+        else:
+            out = []
+            for step in range(n_steps):
+                sd = sorted(durs[step])
+                for f in fns:
+                    if f == "COUNT":
+                        out.append(float(counts[step]))
+                    elif not matched or step == n_steps - 1:
+                        out.append(0.0)  # reference NullValuePlaceHolder.DOUBLE
+                    elif f == "AVG":
+                        out.append(sum(sd) / len(sd) if sd else float("nan"))
+                    elif f == "MEDIAN":
+                        out.append(_quantile(sd, 0.5))
+                    elif f == "MIN":
+                        out.append(_quantile(sd, 0.0))
+                    elif f == "MAX":
+                        out.append(_quantile(sd, 1.0))
+                    else:
+                        out.append(_quantile(sd, float(f[len("PERCENTILE"):]) / 100.0))
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], out_col: [out]})
+
+    return (
+        slim.groupBy("k")
+        .applyInPandas(_one_group, schema=schema)
+        .withColumnRenamed("k", key)
+    )

@@ -333,3 +333,47 @@ def test_raw_theta_tuple_two_phase_rewrite(spark, at):
     )
     assert "__rs_partials" not in at.translate(q2)[0]
     assert len(at.sql(q2).collect()) == 4
+
+
+def test_sql_funnel_step_duration_stats(spark, at, funnel_sql_t):
+    """FUNNELSTEPDURATIONSTATS SQL form (FunnelStepDurationStats
+    AggregationFunction.java:95-218): per-key flat array of
+    [fn(step_i)] per DURATIONFUNCTIONS entry; COUNT emits reached
+    flags, other functions the 0.0 placeholder at the last step or for
+    unmatched keys; keys without a matched funnel return an empty
+    array when COUNT is absent."""
+    rows = {
+        r.user_id: list(r.ds)
+        for r in at.sql(
+            "SELECT user_id, FUNNELSTEPDURATIONSTATS(ts, '3600000', 3, "
+            f"{STEPS3}, 'DURATIONFUNCTIONS=count,avg,max') AS ds "
+            "FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        ).collect()
+    }
+    # user 1: two complete rounds, each step 1 minute apart → avg/max 60000
+    assert rows[1] == [
+        1.0, 60000.0, 60000.0,  # step0: reached, avg, max
+        1.0, 60000.0, 60000.0,  # step1
+        1.0, 0.0, 0.0,          # last step: placeholder for non-COUNT
+    ]
+    # user 2 stalls at step 2: reached flags only, no matched funnel
+    assert rows[2] == [1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # user 3: window-broken — only step 0 reached
+    assert rows[3] == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # without COUNT, unmatched keys skip entirely (empty array)
+    rows2 = {
+        r.user_id: list(r.ds)
+        for r in at.sql(
+            "SELECT user_id, FUNNELSTEPDURATIONSTATS(ts, '3600000', 3, "
+            f"{STEPS3}, 'DURATIONFUNCTIONS=median,min') AS ds "
+            "FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        ).collect()
+    }
+    assert rows2[1] == [60000.0, 60000.0, 60000.0, 60000.0, 0.0, 0.0]
+    assert rows2[2] == [] and rows2[3] == []
+    # missing DURATIONFUNCTIONS is the reference's loud contract
+    with pytest.raises(PinotSqlError, match="DURATIONFUNCTIONS"):
+        at.sql(
+            "SELECT user_id, FUNNELSTEPDURATIONSTATS(ts, '3600000', 3, "
+            f"{STEPS3}) AS ds FROM funnel_sql_t GROUP BY user_id LIMIT 10"
+        )
