@@ -2455,6 +2455,13 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     stmt = _RS_STMT_RE.match(sql)
     if not stmt or re.search(r"\bJOIN\b|\bHAVING\b|\bOVER\s*\(", sql, re.IGNORECASE):
         return sql
+    # a GROUP BY the group pattern could not parse (qualified/expression
+    # keys) backtracks into the non-greedy WHERE — fall back rather than
+    # emit a corrupted inner statement
+    if stmt.group("where") and re.search(
+        r"\bGROUP\s+BY\b", stmt.group("where"), re.IGNORECASE
+    ):
+        return sql
     group = stmt.group("group")
     keys = [g.strip() for g in group.split(",")] if group else []
     if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
@@ -2469,8 +2476,11 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     def hoist_raw(item: str) -> str:
         out = []
         i = 0
+        spans = _literal_spans(item)
         while True:
             m = _RAW_SKETCH_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _RAW_SKETCH_CALL_RE.search(item, m.end())
             if not m:
                 out.append(item[i:])
                 break
@@ -2537,8 +2547,11 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     def hoist_basic(item: str) -> str | None:
         out = []
         i = 0
+        spans = _literal_spans(item)
         while True:
             m = _BASIC_AGG_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _BASIC_AGG_CALL_RE.search(item, m.end())
             if not m:
                 out.append(item[i:])
                 break
