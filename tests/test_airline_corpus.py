@@ -60,7 +60,7 @@ QUERIES = _load_queries() if __import__("os").path.isfile(_QFILE) else []
 SCHEMA = _load_schema() if __import__("os").path.isfile(_SCHEMA) else []
 MV_COLS = {n for n, _, mv in SCHEMA if mv}
 
-_LIT = r"'[^']*'|[0-9][0-9.]*"
+_LIT = r"'[^']*'|-?[0-9][0-9.]*"  # negatives: corpus uses -9999 sentinels
 
 
 def _literal_pools(queries: list[str]) -> dict[str, list]:
