@@ -729,7 +729,11 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # percentile arg is part of the CLIENT's later query, not the bytes).
     # SCALE SHAPE: Spark-native percentile_approx probes a Chebyshev
     # quantile grid (bounded partial/final state), and the digest bytes
-    # are assembled from (grid, count) — no per-value collection.
+    # are assembled from (grid, count) — no per-value collection. The MV
+    # flavors restructure through rewrite_raw_sketch_two_phase in
+    # canonical grouped statements (per-bucket partial digests +
+    # __tdigest_merge final); the flatten(collect_list) entries below
+    # are their non-canonical-shape fallback.
     "percentilerawest": lambda a: _raw_tdigest_sql(f"CAST({a[0]} AS DOUBLE)"),
     "percentilerawestmv": lambda a: (
         f"__tdigest_from_values(flatten(collect_list({a[0]})))"
