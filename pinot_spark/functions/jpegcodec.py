@@ -330,6 +330,10 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             x0 = (mx * comp["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = f
             except _RestartMarker:
+                # marker consumed mid-MCU (foreign DRI streams): resync
+                # the bit buffer at the byte boundary past the marker
+                reader.acc = 0
+                reader.n = 0
                 preds = [0] * len(scan)
             mcu_count += 1
     # upsample each plane to full MCU-grid resolution, crop, color-convert

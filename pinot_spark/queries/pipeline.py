@@ -874,3 +874,50 @@ def pipeline_decontamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return ngram_decontaminate(train, bench, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "similarity_topk_hnsw",
+    # HNSW is approximate and graph-order-dependent, so the emitted
+    # columns are the deterministic validation of the approximate
+    # result (the agg_approx_distinct pattern): result size, sorted
+    # ascending flag, and recall-vs-exact within the documented bound
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS distances_sorted,
+           TRUE AS recall_at_least_8_of_10
+    """,
+)
+def similarity_topk_hnsw(spark, sf_dir):
+    """HNSW approximate nearest neighbor (VECTOR_SIMILARITY with the
+    reference's HNSW index — pinot-segment-local/.../vector/
+    HnswVectorIndexCreator.java wraps Lucene HNSW; engine-own
+    operators/hnsw.py implements the public Malkov-Yashunin algorithm):
+    per-partition graphs built in one mapInPandas pass, local top-k
+    merged with a global TakeOrderedAndProject — the reference's
+    per-segment index + broker merge shape. Deterministic: insertion
+    levels are hash-derived, so recall vs the exact brute-force top-10
+    is a stable quantity asserted ≥ 8/10."""
+    from pinot_spark.operators.hnsw import hnsw_topk
+    from pinot_spark.operators.similarity import topk_cosine
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    approx = hnsw_topk(emb, "vec_id", "embedding", qvec, k=10, ef_search=120)
+    rows = approx.collect()
+    exact_ids = {r.vec_id for r in topk_cosine(emb, "embedding", "vec_id", qvec, k=10).collect()}
+    dists = [r.distance for r in rows]
+    out = [
+        (
+            len(rows),
+            dists == sorted(dists),
+            len({r.vec_id for r in rows} & exact_ids) >= 8,
+        )
+    ]
+    return spark.createDataFrame(
+        out, "k_returned bigint, distances_sorted boolean, recall_at_least_8_of_10 boolean"
+    )
