@@ -530,9 +530,9 @@ def funnel_step_duration_stats_window(
                 return max_step
             if strict_increase and prev_ts == ts[j]:
                 continue
-            prev_ts = ts[j]
             if max_step == cur:
                 max_step += 1
+                prev_ts = ts[j]
             if max_step == n_steps:
                 return max_step
         return max_step

@@ -22,8 +22,13 @@ corpora remains the write-time-partitioned IVF index
 serves the high-recall per-segment regime.
 
 Determinism: insertion levels derive from a hash of the row id (no
-RNG), so the graph — and therefore the approximate result — is stable
-across runs and executors.
+RNG), so for a FIXED partitioning of the input the graphs — and
+therefore the approximate result — are stable across runs and
+executors. Repartitioning the corpus (or changing
+``spark.sql.files.maxPartitionBytes``) regroups rows into different
+per-partition graphs and can change which local top-k candidates reach
+the merge, exactly as re-segmenting changes the reference's per-segment
+Lucene-HNSW answers.
 """
 
 from __future__ import annotations

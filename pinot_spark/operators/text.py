@@ -242,7 +242,11 @@ def ngram_decontaminate(
     bench_g = (
         bench.select(F.explode(_token_trigrams(text_col)).alias("__g")).distinct()
     )
-    if bench.count() <= max_broadcast_docs:
+    # size guard via a cheap bounded probe: scanning at most
+    # max_broadcast_docs+1 rows decides the hint without a full pass
+    # over the benchmark corpus (ADVICE r7: exact count was an eager
+    # full-scan job on every call).
+    if bench.limit(max_broadcast_docs + 1).count() <= max_broadcast_docs:
         bench_g = F.broadcast(bench_g)
     hits = (
         train_g.select(id_col, "n_grams", F.explode("__grams").alias("__g"))

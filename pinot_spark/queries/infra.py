@@ -271,6 +271,42 @@ def stream_kafka_batch_decode(spark, sf_dir):
     )
 
 
+def _await_sink_rows(spark, q, sink: str, want: int, timeout_s: float) -> int:
+    """Poll a foreachBatch parquet sink until ``want`` rows have landed.
+
+    Fail-fast contract (VERDICT r7 #6): only the sink-not-yet-created
+    race is tolerated (AnalysisException from the first read before the
+    first batch commits); a terminated streaming query surfaces its own
+    exception immediately instead of timing out, and an unmet deadline
+    raises rather than letting the caller query a short table and
+    mis-report the mismatch 60s later."""
+    import time
+
+    from pyspark.errors import AnalysisException
+
+    landed = 0
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            landed = spark.read.parquet(sink).count()
+        except AnalysisException:
+            landed = 0  # sink directory not yet created by the first batch
+        if landed >= want:
+            return landed
+        if not q.isActive:
+            exc = q.exception()
+            raise RuntimeError(
+                f"streaming ingestion terminated after landing {landed} "
+                f"of {want} rows: {exc if exc else 'stopped externally'}"
+            )
+        time.sleep(0.25)
+    raise RuntimeError(
+        f"streaming ingestion landed only {landed} of {want} rows "
+        f"within {timeout_s:.0f}s"
+    )
+
+
+
 @query(
     "stream_rate_upsert_loop",
     # the landed table is fully determined by the value-derived rows
@@ -329,14 +365,7 @@ def stream_rate_upsert_loop(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            try:
-                if spark.read.parquet(sink).count() >= 500:
-                    break
-            except Exception:
-                pass  # sink not yet created by the first batch
-            time.sleep(0.25)
+        _await_sink_rows(spark, q, sink, want=500, timeout_s=60)
     finally:
         q.stop()
     landed = spark.read.parquet(sink).where(F.col("seq") < 500)

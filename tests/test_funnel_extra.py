@@ -85,6 +85,28 @@ def test_funnel_max_step_window_modes(spark):
     assert run(rows)[4] == 1
 
 
+def test_step_duration_stats_strict_increase_non_advancing_repeat(spark):
+    """Reference FunnelStepDurationStatsAggregationFunction.java:243-250
+    sets previousTimestamp only when the step ADVANCES — so a
+    non-advancing repeat (A@t0, A@t1) must not poison the strict_increase
+    check for a matching B sharing t1: the funnel still completes."""
+    from pinot_spark.operators.funnel import funnel_step_duration_stats_window
+
+    steps2 = [F.col("e") == s for s in ("A", "B")]
+    W = 60 * 60 * 1000
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "A"), (1, _ts(1), "B")]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, e string")
+    out = {
+        r.user_id: r.duration_stats
+        for r in funnel_step_duration_stats_window(
+            df, "user_id", "ts", W, steps2, ["COUNT"], {"strict_increase"}
+        ).collect()
+    }
+    # both steps reached: A@t0 advances (prev_ts=t0), the repeat A@t1
+    # does not advance and must NOT update prev_ts, so B@t1 matches.
+    assert out[1] == [1.0, 1.0]
+
+
 def test_partial_upsert_all_strategies(spark):
     """UpsertConfig.Strategy full set (UpsertConfig.java:40-42)."""
     from pinot_spark.operators.upsert import partial_upsert_view

@@ -190,3 +190,55 @@ def test_stream_source_factory_and_batch_decoder(spark, tmp_path):
     batch = spark.createDataFrame([(bytearray(payload),)], "value binary")
     out = decode_stream_batch(batch, "confluent_avro", schemas_by_id={7: schema})
     assert out.collect()[0].k == 42
+
+
+def test_await_sink_fail_fast_on_dead_batch(spark, tmp_path):
+    """A foreachBatch that fails must red out the poll loop immediately
+    with the streaming query's own exception — not time out and leave
+    the caller to misdiagnose a count mismatch (VERDICT r7 #6)."""
+    import pytest
+
+    from pinot_spark.queries.infra import _await_sink_rows
+
+    sink = str(tmp_path / "dead_sink")
+
+    def _boom(bdf, _bid):
+        raise RuntimeError("simulated segment-commit failure")
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .writeStream.foreachBatch(_boom)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="terminated after landing 0"):
+            _await_sink_rows(spark, q, sink, want=500, timeout_s=30)
+    finally:
+        q.stop()
+
+
+def test_await_sink_times_out_when_short(spark, tmp_path):
+    """An active stream that never reaches the target must raise at the
+    deadline with the landed/wanted counts, not return a short table."""
+    import pytest
+
+    from pinot_spark.queries.infra import _await_sink_rows
+
+    sink = str(tmp_path / "short_sink")
+    spark.range(3).toDF("seq").write.parquet(sink)
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .where(F.lit(False))  # nothing ever lands
+        .writeStream.foreachBatch(lambda bdf, _bid: None)
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="landed only 3 of 500"):
+            _await_sink_rows(spark, q, sink, want=500, timeout_s=3)
+    finally:
+        q.stop()
