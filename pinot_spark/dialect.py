@@ -41,6 +41,7 @@ Catalyst.
 from __future__ import annotations
 
 import math
+import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -1225,19 +1226,33 @@ def _mv_columns(spark: SparkSession, sql: str) -> dict[str, str]:
     """Array-typed columns of every table referenced in FROM/JOIN:
     lowercased name → element type DDL string (the rewrites cast numeric
     literals to it — a bare 25.0 parses as DECIMAL(3,1), which Spark
-    refuses to compare against ARRAY<FLOAT> elements)."""
-    tables = set(
-        re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
+    refuses to compare against ARRAY<FLOAT> elements).
+
+    Keys carry BOTH forms: ``"col"`` (unqualified — last-scanned table
+    wins on a cross-table name clash) and ``"tbl.col"`` / ``"alias.col"``
+    so a qualified predicate resolves against its own table's element
+    type even when two tables share a column name (ADVICE r7)."""
+    refs = re.findall(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)"
+        r"(?:\s+(?:AS\s+)?((?!ON\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|LEFT\b|"
+        r"RIGHT\b|FULL\b|INNER\b|CROSS\b|JOIN\b|ASOF\b|HAVING\b|USING\b|"
+        r"SET\b|UNION\b|INTERSECT\b|EXCEPT\b)[A-Za-z_][A-Za-z0-9_]*))?",
+        sql,
+        re.IGNORECASE,
     )
     cols: dict[str, str] = {}
-    for t in tables:
+    for t, alias in refs:
         try:
             schema = spark.table(t).schema
         except Exception:
             continue
         for f in schema.fields:
             if isinstance(f.dataType, T.ArrayType):
-                cols[f.name.lower()] = f.dataType.elementType.simpleString()
+                el = f.dataType.elementType.simpleString()
+                cols[f.name.lower()] = el
+                cols[f"{t.lower()}.{f.name.lower()}"] = el
+                if alias:
+                    cols[f"{alias.lower()}.{f.name.lower()}"] = el
     return cols
 
 
@@ -1365,6 +1380,20 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
     if not mv:
         return sql
 
+    def mv_type(qual: str, col: str) -> str | None:
+        """Element type for a predicate reference, honoring the table/
+        alias qualifier; a qualified ref whose table is known but whose
+        column is not MV THERE must not fall back to another table's
+        same-named column."""
+        if qual:
+            q = qual.rstrip(".").lower()
+            k = f"{q}.{col.lower()}"
+            if k in mv:
+                return mv[k]
+            if any(key.startswith(q + ".") for key in mv):
+                return None
+        return mv.get(col.lower())
+
     def sub_outside(pattern: str, repl, s: str, flags: int = 0) -> str:
         # span-aware like rewrite_pinot_hints: a match starting inside a
         # string literal is left untouched (the patterns need the
@@ -1382,10 +1411,11 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
     def seg_rewrite(seg: str) -> str:
         def eq(m: re.Match) -> str:
             qual, col, op, lit = m.group(1) or "", m.group(2), m.group(3), m.group(4)
-            if col.lower() not in mv:
+            el = mv_type(qual, col)
+            if el is None:
                 return m.group(0)
             ref = f"{qual}{col}"  # keep the table qualifier inside the call
-            lit = f"CAST({lit} AS {mv[col.lower()]})"
+            lit = f"CAST({lit} AS {el})"
             if op == "=":
                 return f"array_contains({ref}, {lit})"
             return f"(NOT array_contains({ref}, {lit}))"
@@ -1398,9 +1428,10 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
 
         def in_list(m: re.Match) -> str:
             qual, col, neg, items = m.group(1) or "", m.group(2), m.group(3), m.group(4)
-            if col.lower() not in mv:
+            el = mv_type(qual, col)
+            if el is None:
                 return m.group(0)
-            arr = f"CAST(array({items}) AS ARRAY<{mv[col.lower()]}>)"
+            arr = f"CAST(array({items}) AS ARRAY<{el}>)"
             base = f"arrays_overlap({qual}{col}, {arr})"
             return f"(NOT {base})" if neg else base
 
@@ -1415,7 +1446,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             qual, col, neg, lo, hi = (
                 m.group(1) or "", m.group(2), m.group(3), m.group(4), m.group(5),
             )
-            if col.lower() not in mv:
+            if mv_type(qual, col) is None:
                 return m.group(0)
             base = f"exists({qual}{col}, x -> x >= {lo} AND x <= {hi})"
             return f"(NOT {base})" if neg else base
@@ -1433,7 +1464,7 @@ def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
             # range predicate on an MV column: ANY element in range
             # (BaseRawValueBasedPredicateEvaluator.java:72-85)
             qual, col, op, lit = m.group(1) or "", m.group(2), m.group(3), m.group(4)
-            if col.lower() not in mv:
+            if mv_type(qual, col) is None:
                 return m.group(0)
             return f"exists({qual}{col}, x -> x {op} {lit})"
 
@@ -2300,7 +2331,8 @@ def rewrite_funnel_count(spark: SparkSession, sql: str) -> str:
         )
     sel_items = [x.strip() for x in _split_args(stmt.group("select"))]
     group = stmt.group("group")
-    group_dims = [g.strip() for g in group.split(",")] if group else []
+    # paren-aware split so dims like DATETRUNC('day', ts) stay whole
+    group_dims = [g.strip() for g in _split_args(group)] if group else []
 
     def split_alias(item: str) -> tuple[str, str]:
         ma = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
@@ -2314,6 +2346,14 @@ def rewrite_funnel_count(spark: SparkSession, sql: str) -> str:
         )
 
     aliases = {split_alias(i)[1]: i for i in sel_items if i != alias}
+    # a GROUP BY dim may also repeat an aliased select EXPRESSION verbatim
+    # (e.g. GROUP BY DATETRUNC('day', ts) with SELECT DATETRUNC('day', ts)
+    # AS d) — resolve it through the select list by normalized text.
+    by_expr = {
+        re.sub(r"\s+", "", split_alias(i)[0]).lower(): i
+        for i in sel_items
+        if i != alias
+    }
     resolved: list[tuple[str, str]] = []
     for gdim in group_dims:
         if gdim.isdigit():
@@ -2321,7 +2361,7 @@ def rewrite_funnel_count(spark: SparkSession, sql: str) -> str:
         elif gdim in aliases:
             item = aliases[gdim]
         else:
-            item = gdim
+            item = by_expr.get(re.sub(r"\s+", "", gdim).lower(), gdim)
         resolved.append(split_alias(item))
 
     df = spark.table(stmt.group("table"))
@@ -2408,14 +2448,34 @@ _THETA_UDF_SESSIONS: set[int] = set()
 # aggregates have no bounded single-expression form in native Spark SQL
 # (there is no bounded top-k-distinct aggregate), so the canonical
 # grouped statement is restructured into partial-per-bucket + final
-# merge: the inner level groups by (keys, pmod(hash, 256)) and reduces
-# each bucket to ONE bounded partial (k+1 hashes / one merged sketch),
-# the outer level merges ≤256 bounded partials per group. Same
+# merge: the inner level groups by (keys, pmod(hash, fanout)), the outer
+# level merges ≤ fanout bounded partial blobs per group. Same
 # asymptotics as the reference's segment→broker merge
 # (AggregationFunction.java:63,86,132) and the repo's two-phase distinct
-# (operators/skew.py). Basic co-occurring aggregates (COUNT/SUM/MIN/MAX/
-# AVG) decompose into partial/final alongside; any other aggregate or a
-# non-canonical shape falls back to the in-expression path.
+# (operators/skew.py).
+#
+# TWO inner shapes, chosen by what else the statement aggregates:
+#
+# - PURE-SKETCH statements (no co-occurring COUNT/SUM/MIN/MAX/AVG): the
+#   inner partial is a pandas GROUPED_AGG UDAF (__theta_partial /
+#   __tuple_partial / __tdigest_partial / __hll_mv_partial) — the
+#   persistent aggregation state IS the sketch blob at every level; the
+#   bucket's rows only stream transiently through Arrow, bounded by the
+#   fanout. This matches the reference's partial-state contract exactly.
+#
+# - MIXED statements (sketch + basic aggregates in one SELECT): Spark
+#   cannot place a pandas UDAF and a native aggregate in the same
+#   aggregation (INVALID_PANDAS_UDF_PLACEMENT — verified on 4.1.2), so
+#   the inner keeps NATIVE partials. HONEST BOUND: the theta collect_set
+#   / tuple collect_list aggregation BUFFER there is O(distinct/fanout)
+#   per bucket — the emitted partial is sketch-sized but the buffer is
+#   not. Raise PINOT_SPARK_RAW_SKETCH_FANOUT for very-high-cardinality
+#   groups (256 → ~40 M hashes/bucket at 10^10 distinct; 65536 → ~150 k).
+#   Basic aggregates decompose into partial/final alongside.
+#
+# Non-canonical statements (JOIN/HAVING/window/subquery) route through
+# rewrite_raw_sketch_inexpr_udaf below; only mixed-aggregate
+# non-canonical statements remain on the per-value fallback entries.
 # ---------------------------------------------------------------------------
 
 _RAW_SKETCH_CALL_RE = re.compile(
@@ -2446,7 +2506,46 @@ _RS_SCALAR_ALLOW = {
     "sum", "count", "min", "max",
     "gethllestimate", "getullestimate", "gettdigestquantile",
 }
-_RS_FANOUT = 256
+_RS_FANOUT = int(os.environ.get("PINOT_SPARK_RAW_SKETCH_FANOUT", "256"))
+
+
+def _strip_raw_calls(s: str) -> str:
+    """Excise every raw-sketch call span (name through matching close
+    paren) so co-occurring aggregate detection can't be confused by
+    aggregate-looking text inside the sketch arguments."""
+    out, i = [], 0
+    spans = _literal_spans(s)
+    while True:
+        m = _RAW_SKETCH_CALL_RE.search(s, i)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _RAW_SKETCH_CALL_RE.search(s, m.end())
+        if not m:
+            out.append(s[i:])
+            break
+        open_idx = s.index("(", m.end() - 1)
+        close_idx = _find_matching(s, open_idx)
+        out.append(s[i : m.start()])
+        i = close_idx + 1
+    return "".join(out)
+
+
+def _search_outside_literals(pattern: re.Pattern, s: str):
+    spans = _literal_spans(s)
+    m = pattern.search(s)
+    while m and any(a <= m.start() < b for a, b in spans):
+        m = pattern.search(s, m.end())
+    return m
+
+
+def _split_hash_expr(a0: str) -> tuple[str, str]:
+    """NULL-masked xxhash64 of a value expression, SPLIT into hi/lo
+    32-bit halves — a nullable BIGINT reaches a pandas UDAF as float64,
+    which cannot hold a 64-bit hash exactly; the halves can."""
+    h = (
+        "CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64({0}) END".format(a0)
+    )
+    return f"shiftrightunsigned({h}, 32)", f"({h}) & 4294967295"
 
 
 def rewrite_raw_sketch_two_phase(sql: str) -> str:
@@ -2467,11 +2566,19 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     ):
         return sql
     group = stmt.group("group")
-    keys = [g.strip() for g in group.split(",")] if group else []
+    keys = [g.strip() for g in _split_args(group)] if group else []
     if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
         return sql
 
     items = [x.strip() for x in _split_args(stmt.group("select"))]
+    # shape decision: pure-sketch statements get GROUPED_AGG UDAF
+    # partials (sketch-sized aggregation state); statements that also
+    # aggregate natively must keep native partials (no pandas/native
+    # aggregate mixing in one SELECT)
+    has_basic = any(
+        _search_outside_literals(_BASIC_AGG_CALL_RE, _strip_raw_calls(item))
+        for item in items
+    )
     partials: list[str] = []
     placeholders: dict[str, str] = {}
     bucket_arg: list[str] = []
@@ -2505,35 +2612,70 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
                     else 8
                 )
                 pair = _hll_pair_expr("x", log2m)
-                partials.append(
-                    "array_distinct(flatten(collect_list(array_distinct("
-                    "transform(filter({0}, x -> x IS NOT NULL), "
-                    "x -> {1}))))) AS __rs{2}".format(a0, pair, n)
+                pairs_arr = (
+                    "array_distinct(transform(filter({0}, "
+                    "x -> x IS NOT NULL), x -> {1}))".format(a0, pair)
                 )
-                outer = (
-                    f"__hll_from_regs(array_distinct(flatten("
-                    f"collect_list(__rs{n}))), {log2m})"
-                )
+                if has_basic:
+                    # native bounded-DOMAIN partial (≤ m*57 pair values)
+                    partials.append(
+                        "array_distinct(flatten(collect_list("
+                        "{0}))) AS __rs{1}".format(pairs_arr, n)
+                    )
+                    outer = (
+                        f"__hll_from_regs(array_distinct(flatten("
+                        f"collect_list(__rs{n}))), {log2m})"
+                    )
+                else:
+                    partials.append(
+                        f"__hll_mv_partial({pairs_arr}, {log2m}) AS __rs{n}"
+                    )
+                    outer = f"__hll_merge_blobs(collect_list(__rs{n}))"
             elif name in (
                 "percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"
             ):
-                partials.append(
-                    f"__tdigest_from_values(flatten(collect_list({a0}))) AS __rs{n}"
-                )
+                if has_basic:
+                    # HONEST BOUND: collect_list buffers the bucket's MV
+                    # arrays (O(rows/fanout)) before the digest build
+                    partials.append(
+                        f"__tdigest_from_values(flatten(collect_list({a0}))) "
+                        f"AS __rs{n}"
+                    )
+                else:
+                    partials.append(f"__tdigest_partial({a0}) AS __rs{n}")
                 outer = f"__tdigest_merge(collect_list(__rs{n}))"
             elif name == "distinctcountrawthetasketch":
                 k = _theta_nominal_entries(args)
-                partials.append(
-                    "slice(sort_array(collect_set(CASE WHEN {0} IS NULL THEN "
-                    "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END)), 1, {1}) "
-                    "AS __rs{2}".format(a0, k + 1, n)
-                )
-                outer = (
-                    "__theta_from_hashes(slice(sort_array(array_distinct("
-                    "flatten(collect_list(__rs{0})))), 1, {1}), {2})".format(n, k + 1, k)
-                )
+                if has_basic:
+                    # HONEST BOUND: the collect_set BUFFER holds the
+                    # bucket's distinct hashes (O(distinct/fanout));
+                    # only the emitted partial is k+1 hashes
+                    partials.append(
+                        "slice(sort_array(collect_set(CASE WHEN {0} IS NULL THEN "
+                        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END)), 1, {1}) "
+                        "AS __rs{2}".format(a0, k + 1, n)
+                    )
+                    outer = (
+                        "__theta_from_hashes(slice(sort_array(array_distinct("
+                        "flatten(collect_list(__rs{0})))), 1, {1}), {2})".format(
+                            n, k + 1, k
+                        )
+                    )
+                else:
+                    hi, lo = _split_hash_expr(a0)
+                    partials.append(
+                        f"__theta_partial({hi}, {lo}, {k}) AS __rs{n}"
+                    )
+                    outer = f"__theta_merge_blobs(collect_list(__rs{n}))"
             else:
-                partials.append(f"__tuple_merge_sum(collect_list({a0})) AS __rs{n}")
+                if has_basic:
+                    # HONEST BOUND: collect_list buffers the bucket's
+                    # singleton sketch blobs (O(rows/fanout))
+                    partials.append(
+                        f"__tuple_merge_sum(collect_list({a0})) AS __rs{n}"
+                    )
+                else:
+                    partials.append(f"__tuple_partial({a0}) AS __rs{n}")
                 merged = f"__tuple_merge_sum(collect_list(__rs{n}))"
                 outer = {
                     "distinctcountrawintegersumtuplesketch": merged,
@@ -2615,6 +2757,98 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     outer_group = f" GROUP BY {', '.join(keys)}" if keys else ""
     tail = stmt.group("tail") or ""
     return f"SELECT {', '.join(rebuilt)} FROM ({inner}) __rs_partials{outer_group}{tail}"
+
+
+# Function names that may remain in a statement (outside the raw-sketch
+# call spans) for the in-expression UDAF path to apply: the sketch scalar
+# wrappers, a few scalar conveniences, and structural SQL tokens the
+# fn-name regex also matches. Anything else — especially ANY native
+# aggregate — declines to the per-value fallback, because Spark cannot
+# mix pandas UDAFs with native aggregates in one SELECT.
+_RS_INEXPR_ALLOW = {
+    "getthetasketchestimate", "thetasketchdiff", "thetasketchunion",
+    "thetasketchintersect", "thetasketchtostring",
+    "getinttuplesketchestimate", "gethllestimate", "getullestimate",
+    "gettdigestquantile", "tointegersumtuplesketch", "tothetasketch",
+    "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
+    "in", "not", "exists", "values", "any", "all", "some", "using",
+    # known-SCALAR conveniences (safe next to a pandas UDAF; only
+    # aggregates break placement) — common dims/filters in sketch queries
+    "datetrunc", "datetimeconvert", "year", "month", "day", "hour",
+    "minute", "second", "dayofweek", "dayofmonth", "concat", "length",
+    "trim", "ltrim", "rtrim", "replace", "split", "elementat",
+    "fromepochseconds", "fromepochdays", "toepochseconds", "toepochdays",
+    "floor", "ceil", "mod", "sqrt", "exp", "power", "if", "ifnull",
+    "nullif", "greatest", "least",
+}
+
+
+def _inexpr_udaf_expr(name: str, args: list[str]) -> str:
+    a0 = args[0].strip()
+    if name == "distinctcountrawthetasketch":
+        k = _theta_nominal_entries(args)
+        hi, lo = _split_hash_expr(a0)
+        return f"__theta_partial({hi}, {lo}, {k})"
+    if name == "distinctcountrawintegersumtuplesketch":
+        return f"__tuple_partial({a0})"
+    if name == "distinctcounttuplesketch":
+        return f"__tuple_estimate(__tuple_partial({a0}))"
+    if name == "sumvaluesintegersumtuplesketch":
+        return f"__tuple_sum_values(__tuple_partial({a0}))"
+    if name == "avgvalueintegersumtuplesketch":
+        return f"__tuple_avg_value(__tuple_partial({a0}))"
+    if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
+        return f"__tdigest_partial({a0})"
+    # distinctcountrawhllmv / plusmv
+    log2m = (
+        int(args[1].strip())
+        if name == "distinctcountrawhllmv"
+        and len(args) > 1 and args[1].strip().isdigit()
+        else 8
+    )
+    pair = _hll_pair_expr("x", log2m)
+    pairs_arr = (
+        f"array_distinct(transform(filter({a0}, x -> x IS NOT NULL), x -> {pair}))"
+    )
+    return f"__hll_mv_partial({pairs_arr}, {log2m})"
+
+
+def rewrite_raw_sketch_inexpr_udaf(sql: str) -> str:
+    """Bounded aggregation for raw THETA/TUPLE/MV-digest/MV-HLL names in
+    NON-canonical statements (JOIN / HAVING / subqueries — shapes where
+    ``rewrite_raw_sketch_two_phase`` declines): when nothing else in the
+    statement aggregates, each raw call becomes a pandas GROUPED_AGG
+    UDAF **in place** — a plain aggregate expression, valid under any
+    statement shape, whose aggregation state is the sketch blob itself
+    (the reference's partial-state contract,
+    AggregationFunction.java:63,86,132). Statements mixing raw names
+    with other aggregates keep the per-value fallback entries (Spark
+    disallows pandas UDAFs next to native aggregates in one SELECT)."""
+    if not _RAW_SKETCH_CALL_RE.search(sql):
+        return sql
+    stripped = _strip_raw_calls(sql)
+    for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", stripped):
+        if any(a <= cm.start() < b for a, b in _literal_spans(stripped)):
+            continue
+        if re.sub("_", "", cm.group(1)).lower() not in _RS_INEXPR_ALLOW:
+            return sql
+    out, i = [], 0
+    spans = _literal_spans(sql)
+    while True:
+        m = _RAW_SKETCH_CALL_RE.search(sql, i)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _RAW_SKETCH_CALL_RE.search(sql, m.end())
+        if not m:
+            out.append(sql[i:])
+            break
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_matching(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close_idx])
+        name = re.sub("_", "", m.group("name")).lower()
+        out.append(sql[i : m.start()])
+        out.append(_inexpr_udaf_expr(name, args))
+        i = close_idx + 1
+    return "".join(out)
 
 
 def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
@@ -2938,6 +3172,94 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(x, p) for x, p in zip(b, pct)])
 
+    # ---- bounded GROUPED_AGG partials (two-phase inner / in-expression
+    # path for pure-sketch statements). Persistent aggregation state is
+    # the emitted sketch blob; the group's rows stream to Python as Arrow
+    # batches (the transient feed is bounded by the two-phase bucket
+    # fanout where the rewrite applies). 64-bit hashes arrive SPLIT into
+    # hi/lo 32-bit halves: a nullable BIGINT column reaches pandas as
+    # float64, which cannot represent xxhash64 exactly — 32-bit halves
+    # can (both < 2^32), and NULLs stay detectable as NaN.
+    def _join_halves(hi: pd.Series, lo: pd.Series) -> np.ndarray:
+        mask = hi.notna().to_numpy()
+        h = np.asarray(hi, dtype=np.float64)[mask].astype(np.uint64)
+        l = np.asarray(lo, dtype=np.float64)[mask].astype(np.uint64)
+        # (hi<<32)|lo reassembles the unsigned reinterpretation of the
+        # signed xxhash64; ^2^63 matches the +2^63 shift used everywhere
+        return ((h << np.uint64(32)) | l) ^ np.uint64(1 << 63)
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __theta_partial(hi, lo, k):
+        kk = int(k.iloc[0]) if len(k) else 4096
+        return ThetaSketch.from_hashes(kk, _join_halves(hi, lo)).to_bytes()
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __tuple_partial(blobs):
+        acc = None
+        for b in blobs:
+            if b is None:
+                continue
+            s = TupleSketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.union(s, mode=_MODES["sum"])
+        return (acc or TupleSketch.empty()).to_bytes()
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __tdigest_partial(arrs):
+        td = TDigest()
+        for vals in arrs:
+            if vals is None or len(vals) == 0:
+                continue
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v):
+                td.add(v.tolist())
+        return td.to_bytes()
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __hll_mv_partial(pair_arrs, log2m):
+        lm = int(log2m.iloc[0]) if len(log2m) else 8
+        s = HllSketch.empty(lm)
+        for ps in pair_arrs:
+            if ps is None or len(ps) == 0:
+                continue
+            p = np.asarray(ps, dtype=np.int64)
+            np.maximum.at(s.registers, p >> 6, (p & 63).astype(np.uint8))
+        return s.to_bytes()
+
+    # ---- scalar merges over the BOUNDED (≤ fanout) partial-blob lists
+    # the two-phase outer level collects
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_merge_blobs(arrs):
+        def run(lst):
+            acc = None
+            for b in lst if lst is not None else []:
+                if b is None:
+                    continue
+                s = ThetaSketch.from_bytes(bytes(b))
+                acc = s if acc is None else acc.union(s)
+            return (acc or ThetaSketch(4096, 2**64, np.array([], dtype=np.uint64))).to_bytes()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __hll_merge_blobs(arrs):
+        def run(lst):
+            acc = None
+            for b in lst if lst is not None else []:
+                if b is None:
+                    continue
+                s = HllSketch.from_bytes(bytes(b))
+                acc = s if acc is None else acc.merge(s)
+            return (acc or HllSketch.empty()).to_bytes()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    spark.udf.register("__theta_partial", __theta_partial)
+    spark.udf.register("__tuple_partial", __tuple_partial)
+    spark.udf.register("__tdigest_partial", __tdigest_partial)
+    spark.udf.register("__hll_mv_partial", __hll_mv_partial)
+    spark.udf.register("__theta_merge_blobs", __theta_merge_blobs)
+    spark.udf.register("__hll_merge_blobs", __hll_merge_blobs)
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
     spark.udf.register("__tdigest_from_quantiles", __tdigest_from_quantiles)
     spark.udf.register("__tdigest_merge", __tdigest_merge)
@@ -3102,6 +3424,7 @@ class PinotEngine:
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
             sql = rewrite_raw_sketch_two_phase(sql)
+            sql = rewrite_raw_sketch_inexpr_udaf(sql)
         if re.search(r"\bGROOVY\s*\(", sql, re.IGNORECASE):
             sql = self._register_groovy_calls(sql)
         while has_asof_join(sql):

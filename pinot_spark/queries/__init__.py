@@ -78,105 +78,103 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Every query driver-green in CORRECTNESS_r01-r06 that is not taking a
-# round-7 window slot (125 of the 173 ever-green; regression-guarded
+# Every query driver-green in CORRECTNESS_r01-r07 that is not taking a
+# round-8 window slot (128 of the 175 ever-green; regression-guarded
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_approx_distinct", "agg_bool_and_or",
-    "agg_count_by_segment_partition", "agg_distinctcount_mv_scale_path",
-    "agg_exprminmax", "agg_firstlast_withtime", "agg_fourth_moment",
-    "agg_frequent_items", "agg_funnel_count", "agg_funnel_events_eval",
-    "agg_funnel_max_step_window", "agg_histogram", "agg_hll_sketch_union",
-    "agg_idset_membership", "agg_listagg_arrayagg", "agg_mode",
-    "agg_mv_grouped_percentile", "agg_mv_variants", "agg_percentile_approx",
-    "agg_percentiles", "agg_raw_sketch_bytes", "agg_skew_kurt",
-    "agg_st_union_points", "agg_startree_rollup_route", "agg_stats_family",
+    "agg_approx_distinct", "agg_basic_family", "agg_count_metadata_only",
+    "agg_distinct_family", "agg_distinctcount_mv_scale_path",
+    "agg_funnel_events_eval", "agg_funnel_max_step_window",
+    "agg_hll_sketch_union", "agg_mv_grouped_percentile",
+    "agg_percentile_approx", "agg_startree_rollup_route", "agg_stats_family",
     "agg_sum_array", "agg_sum_array_scale_path", "agg_sum_precision_decimal",
     "agg_theta_setop_distinct", "agg_theta_sketch_distinct",
-    "asof_join_backward", "clp_encode_decode_roundtrip",
-    "colocated_bucketed_join", "cursor_result_table_pages",
-    "dedup_duplicate_clusters", "dedup_embedding_cosine",
-    "dedup_exact_documents", "dedup_first_per_key", "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs", "dedup_simhash_buckets",
-    "dialect_funnel_max_step", "dialect_mv_distinct_scale",
-    "dialect_null_option", "dialect_query_hints", "events_time_bucket_agg",
-    "fn_binary_conversion", "fn_conditional_null", "fn_datetime_family",
-    "fn_geo_contains", "fn_geo_point_family", "fn_groovy_inline",
-    "fn_h3_grid", "fn_hash_family", "fn_ip_subnet_family",
-    "fn_json_match_rewrite", "fn_map_family", "fn_math_family",
-    "fn_string_family", "fn_text_match_like", "fn_trig_family",
-    "fn_url_family", "funnel_complete_count", "funnel_match_step",
-    "funnel_max_step_pandas", "funnel_step_duration_stats",
-    "gapfill_fill_default", "gapfill_fill_previous",
-    "hybrid_table_time_boundary", "ingestion_pipeline_conform",
-    "json_index_match", "multimodal_feature_extract",
-    "multimodal_resize_and_windows", "null_mode_default_value",
+    "case_when_projection", "colocated_bucketed_join", "cte_with_reuse",
+    "cursor_result_table_pages", "dedup_embedding_cosine",
+    "dedup_first_per_key", "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
+    "dialect_asof_join", "dialect_datetime_convert",
+    "dialect_ddl_mv_roundtrip", "dialect_default_limit_selection",
+    "dialect_epoch_functions", "dialect_fn_surface_ext",
+    "dialect_funnel_count", "dialect_funnel_match_step",
+    "dialect_funnel_max_step", "dialect_gapfill", "dialect_lookup_transform",
+    "dialect_mv_distinct_scale", "dialect_null_option",
+    "dialect_pinot_agg_names", "dialect_query_hints",
+    "dialect_raw_sketch_scale", "dialect_raw_ull_distinct", "distinct_select",
+    "events_time_bucket_agg", "filtered_aggregation", "fn_binary_conversion",
+    "fn_groovy_inline", "fn_in_not_in_range", "fn_json_extract",
+    "fn_regex_family", "fn_surface_ext", "fn_surface_udf_families",
+    "fn_trig_family", "funnel_complete_count", "funnel_match_step",
+    "funnel_max_step", "funnel_max_step_pandas", "funnel_step_duration_stats",
+    "gapfill_fill_default", "grouping_sets", "having_clause",
+    "ingestion_pipeline_conform", "join_full_outer", "join_lookup_dimension",
+    "join_non_equi_theta", "join_right_outer", "multimodal_feature_extract",
+    "mv_all_match_exclusive_filter", "mv_any_match_filter",
+    "mv_array_functions", "null_mode_default_value",
     "null_mode_sql_semantics", "partial_upsert_merge",
-    "pipeline_pack_sequences", "q10_returned_items", "q11_important_parts",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_predicates", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
-    "q2_min_cost_supplier", "q3_shipping_priority",
+    "pipeline_decontamination", "pipeline_pack_sequences",
+    "q10_returned_items", "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q1_pricing_summary", "q20_excess_suppliers", "q21_last_shipper_in_order",
+    "q22_anti_join", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority_exists", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match",
+    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
     "sample_stratified_split", "scan_format_roundtrip",
     "segment_build_time_pruning", "sessionize_gap_sessions",
-    "set_ops_union_intersect_except", "similarity_pairwise_label",
-    "similarity_radius_filter", "similarity_topk_cosine",
+    "set_ops_all_variants", "set_ops_union_intersect_except",
+    "similarity_pairwise_label", "similarity_radius_filter",
     "similarity_topk_ivf", "skew_safe_operators", "stream_kafka_batch_decode",
-    "text_bpe_token_count", "text_chunking", "text_fingerprints",
+    "stream_rate_upsert_loop", "text_bpe_token_count", "text_chunking",
+    "text_pii_redaction", "timeseries_keep_last_value",
+    "timeseries_m3ql_pipeline", "udtf_sequence_explode", "unnest_explode",
+    "unnest_posexplode_zip", "values_literal", "window_first_last_ntile",
+    "window_frame_exclude", "window_lead_lag", "window_percent_cume",
+    "window_range_frame", "window_rank_topn_per_group", "window_running_sum",
+    "window_sliding_rows_frame",
+]
+
+# Round-8 window = 3 first-time slots + 47 regression re-proof slots.
+# First-timers: similarity_topk_hnsw (the only round-7 query without
+# driver evidence — VERDICT r7 #1) and the two round-8 bounded raw-theta
+# queries (the GROUPED_AGG two-phase inner at high cardinality, and the
+# in-expression UDAF path under a JOIN — VERDICT r7 #2/#3).
+_WINDOW_FIRST_TIME = [
+    "similarity_topk_hnsw", "dialect_raw_theta_scale",
+    "dialect_raw_theta_join",
+]
+
+# Re-proof: the 31 stalest greens (last driver evidence round 4 —
+# scalar-fn families, geo/text/lucene, dedup, multimodal, timeseries) ...
+_REPROOF_STALE_R4 = [
+    "asof_join_backward", "clp_encode_decode_roundtrip",
+    "dedup_duplicate_clusters", "dedup_exact_documents",
+    "dedup_ngram_jaccard_pairs", "fn_conditional_null", "fn_datetime_family",
+    "fn_geo_contains", "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
+    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
+    "fn_math_family", "fn_string_family", "fn_text_match_like",
+    "fn_url_family", "gapfill_fill_previous", "hybrid_table_time_boundary",
+    "json_index_match", "multimodal_resize_and_windows",
+    "similarity_topk_cosine", "text_fingerprints",
     "text_inverted_index_search", "text_lang_id", "text_match_lucene",
-    "text_pii_redaction", "text_quality_scores", "text_token_stats",
-    "timeseries_keep_last_value", "timeseries_m3ql_pipeline",
-    "timeseries_range_query", "udtf_sequence_explode",
+    "text_quality_scores", "text_token_stats", "timeseries_range_query",
     "upsert_latest_per_key",
 ]
 
-# Round-7 window = 6 first-time slots + 44 regression re-proof slots.
-# First-timers: pipeline_decontamination (the only registered query with
-# zero driver evidence — parked behind the round-6 window at position
-# 58) and the five round-7 queries (scale-safe raw sketches, the live
-# rate-source ingestion loop, the funnel SQL forms, engine-own ULL).
-_WINDOW_FIRST_TIME = [
-    "pipeline_decontamination", "dialect_raw_sketch_scale",
-    "stream_rate_upsert_loop", "dialect_funnel_count",
-    "dialect_funnel_match_step", "dialect_raw_ull_distinct",
+# ... plus the 16 next-stalest round-5 aggregate-family greens.
+_REPROOF_STALE_R5 = [
+    "agg_bool_and_or", "agg_count_by_segment_partition", "agg_exprminmax",
+    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
+    "agg_funnel_count", "agg_histogram", "agg_idset_membership",
+    "agg_listagg_arrayagg", "agg_mode", "agg_mv_variants", "agg_percentiles",
+    "agg_raw_sketch_bytes", "agg_skew_kurt", "agg_st_union_points",
 ]
 
-# Re-proof: the 26 stalest greens (last driver evidence round 2 —
-# relational core, windows, set ops) ...
-_REPROOF_STALE_R2 = [
-    "agg_basic_family", "agg_count_metadata_only", "agg_distinct_family",
-    "case_when_projection", "cte_with_reuse", "distinct_select",
-    "filtered_aggregation", "grouping_sets", "having_clause",
-    "join_full_outer", "join_lookup_dimension", "join_non_equi_theta",
-    "join_right_outer", "rollup_cube", "set_ops_all_variants",
-    "unnest_explode", "unnest_posexplode_zip", "values_literal",
-    "window_first_last_ntile", "window_frame_exclude", "window_lead_lag",
-    "window_percent_cume", "window_range_frame", "window_rank_topn_per_group",
-    "window_running_sum", "window_sliding_rows_frame",
-]
+_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R4 + _REPROOF_STALE_R5
 
-# ... plus the 18 round-4 greens whose code paths this round touched
-# (MV predicate rewrites went span-aware, JSONEXTRACTKEY honors paths,
-# funnel rewrites generalized, raw-sketch SQL reshaped, HLL default
-# log2m now 8) — fresh driver evidence where the diff landed.
-_REPROOF_TOUCHED_R4 = [
-    "mv_any_match_filter", "mv_all_match_exclusive_filter",
-    "mv_array_functions", "fn_json_extract", "funnel_max_step",
-    "dialect_pinot_agg_names", "dialect_fn_surface_ext", "fn_surface_ext",
-    "fn_surface_udf_families", "dialect_datetime_convert",
-    "dialect_epoch_functions", "dialect_gapfill", "dialect_lookup_transform",
-    "dialect_asof_join", "dialect_ddl_mv_roundtrip",
-    "dialect_default_limit_selection", "fn_in_not_in_range",
-    "fn_regex_family",
-]
 
-_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R2 + _REPROOF_TOUCHED_R4
 
 
 

@@ -244,6 +244,14 @@ def test_sql_funnel_count_steps_correlate_by(spark, at, funnel_sql_t):
         "FROM funnel_sql_t GROUP BY 1 ORDER BY d LIMIT 10"
     ).collect()
     assert [(r.d, list(r.sc)) for r in grouped] == [(1704067200000, [3, 3, 2])]
+    # GROUP BY repeating the aliased expression verbatim (comma inside the
+    # dim — needs the paren-aware GROUP BY split + select-list resolution)
+    grouped2 = at.sql(
+        "SELECT dateTrunc('day', tms) AS d, "
+        f"FUNNEL_COUNT(STEPS({STEPS3}), CORRELATE_BY(user_id)) AS sc "
+        "FROM funnel_sql_t GROUP BY dateTrunc('day', tms) ORDER BY d LIMIT 10"
+    ).collect()
+    assert [(r.d, list(r.sc)) for r in grouped2] == [(1704067200000, [3, 3, 2])]
 
 
 def test_sql_funnel_count_rejects_free_shape(spark, at, funnel_sql_t):

@@ -119,6 +119,30 @@ def test_mv_any_all_semantics(engine, spark):
     assert [r["id"] for r in not_in.collect()] == [3]
 
 
+def test_mv_qualified_predicate_same_name_different_type(engine, spark):
+    """Two tables sharing an array column NAME with different element
+    types: a table/alias-qualified MV predicate must CAST the literal to
+    ITS table's element type, not whichever table was scanned last
+    (ADVICE r7 — _mv_columns keyed by (qualifier, column))."""
+    spark.createDataFrame(
+        [(1, [10, 20]), (2, [30])], "id int, vals array<int>"
+    ).createOrReplaceTempView("mv_q_a")
+    spark.createDataFrame(
+        [(1, [10.5, 20.0]), (2, [30.0])], "id int, vals array<float>"
+    ).createOrReplaceTempView("mv_q_b")
+    got = engine.sql(
+        "SELECT mv_q_a.id FROM mv_q_a JOIN mv_q_b ON mv_q_a.id = mv_q_b.id "
+        "WHERE mv_q_b.vals = 10.5 ORDER BY mv_q_a.id"
+    )
+    assert [r["id"] for r in got.collect()] == [1]
+    # alias-qualified form against the int-element table
+    got2 = engine.sql(
+        "SELECT a.id FROM mv_q_a a JOIN mv_q_b b ON a.id = b.id "
+        "WHERE a.vals = 30 ORDER BY a.id"
+    )
+    assert [r["id"] for r in got2.collect()] == [2]
+
+
 def test_mv_aggregate_variants(engine, spark):
     spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [3.0])], "id int, vals array<double>"

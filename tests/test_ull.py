@@ -97,3 +97,51 @@ def test_sql_raw_ull_plan_is_bounded(spark):
     q = eng.translate("SELECT DISTINCTCOUNTRAWULL(v) AS b FROM ull_plan_t")[0]
     plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan and "collect_set" in plan
+
+
+def test_ml_estimator_beats_hll_at_equal_bytes():
+    """VERDICT r7 #4: the served estimator must extract the flag-bit
+    information so DISTINCTCOUNTULL's error envelope beats HLL's at
+    equal register bytes (the reason the reference adopted ULL —
+    DistinctCountULLAggregationFunction.java). Both sketches here use
+    2^p one-byte registers; across deterministic seeds and
+    cardinalities the ML estimate's mean |error| must come in clearly
+    under both plain HLL and ULL's own harmonic estimate."""
+    from pinot_spark.operators.hll import HllSketch
+
+    p = 10
+    errs_ml, errs_harm, errs_hll = [], [], []
+    for n in (2000, 10000, 50000):
+        for seed in (1, 2, 3, 4, 5):
+            rng = np.random.default_rng(seed * 1000 + n)
+            h = np.unique(rng.integers(0, 2**64, size=n, dtype=np.uint64))
+            nn = len(h)
+            ull = UllSketch.from_hashes(h, p)
+            hll = HllSketch.from_hashes(h, p)
+            errs_ml.append(abs(ull.estimate() - nn) / nn)
+            errs_harm.append(abs(ull.estimate_harmonic() - nn) / nn)
+            errs_hll.append(abs(hll.estimate() - nn) / nn)
+    assert np.mean(errs_ml) < 0.85 * np.mean(errs_hll)
+    assert np.mean(errs_ml) < 0.85 * np.mean(errs_harm)
+    # and the envelope itself stays sane (~1.04/sqrt(1024) = 3.3%)
+    assert np.mean(errs_ml) < 0.033
+
+
+def test_ml_estimator_merge_of_halves_consistent():
+    """The ML estimate is a pure function of the registers, so the
+    merge-of-halves sketch must estimate exactly like the full build."""
+    h = _hashes(30000)
+    full = UllSketch.from_hashes(h)
+    merged = UllSketch.from_hashes(h[:15000]).merge(UllSketch.from_hashes(h[15000:]))
+    assert full.to_bytes() == merged.to_bytes()
+    assert full.estimate() == merged.estimate()
+    n = len(np.unique(h))
+    assert abs(full.estimate() - n) / n < 0.05
+
+
+def test_ml_estimator_small_and_empty():
+    assert UllSketch.empty().estimate() == 0.0
+    h = _hashes(5)
+    s = UllSketch.from_hashes(h)
+    n = len(np.unique(h))
+    assert abs(s.estimate() - n) <= max(1.0, 0.2 * n)
