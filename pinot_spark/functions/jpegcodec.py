@@ -6,11 +6,14 @@ same way functions/imagecodec.py does for PNG/BMP/PPM, using nothing
 beyond ``struct`` and numpy:
 
 - **decode_jpeg**: baseline + extended-sequential Huffman JPEG (SOF0 /
-  SOF1): DQT (8/16-bit), multiple DHT, DRI restart intervals, 1- or
-  3-component scans, chroma subsampling up to 2x2 (4:2:0 / 4:2:2 /
-  4:4:4), byte-stuffed entropy data → (H, W, 3) uint8 RGB.
-  Progressive (SOF2) and arithmetic-coded variants raise
-  NotImplementedError by name.
+  SOF1) AND progressive (SOF2): DQT (8/16-bit), multiple DHT, DRI
+  restart intervals, 1- or 3-component scans, chroma subsampling up to
+  2x2 (4:2:0 / 4:2:2 / 4:4:4), byte-stuffed entropy data → (H, W, 3)
+  uint8 RGB. Progressive scans implement the full T.81 Annex G Huffman
+  procedures: DC first/refinement with the successive-approximation
+  point transform, AC first with EOB-run coding, AC refinement with
+  interleaved correction bits (G.1.2.3). Arithmetic-coded and
+  lossless/hierarchical variants raise NotImplementedError by name.
 - **encode_jpeg**: baseline 4:4:4 with the Annex-K quantization tables
   scaled by the IJG quality formula. The Huffman tables are ENGINE-OWN
   canonical tables (DC: twelve 4-bit codes; AC: 8/9-bit two-level
@@ -18,6 +21,12 @@ beyond ``struct`` and numpy:
   decoder reads them from the stream, so interoperability is preserved;
   compression is a few percent worse than the Annex-K defaults, which
   this engine does not hand-copy.
+- **encode_jpeg_progressive**: the same quantized coefficients emitted
+  through a 2·DC + 2·AC-per-component successive-approximation scan
+  script — decode_jpeg(progressive bytes) reconstructs BIT-IDENTICAL
+  pixels to the baseline encoding of the same image, which is exactly
+  how the progressive decode path is validated in
+  tests/test_jpegcodec.py.
 
 The per-block Python loops are fine for the pipeline's thumbnail-scale
 payloads; multimodal operators batch whole Arrow record-batches per UDF
@@ -220,7 +229,8 @@ def _category(v: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG bytes → (H, W, 3) uint8 RGB."""
+    """Baseline/extended-sequential/progressive JPEG bytes → (H, W, 3)
+    uint8 RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -228,6 +238,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    coefs = None  # progressive: per-component accumulated coefficients
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -237,6 +248,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            if coefs is not None:
+                return _reconstruct_progressive(frame, coefs, qt)
             break
         seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seg_len]
@@ -273,8 +286,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not implemented")
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} not implemented")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (non-baseline coding) not implemented"
@@ -291,8 +311,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tbl >> 4, tbl & 0xF))
             pos += seg_len
-            return _decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                huff, restart_interval, coefs,
+            )
+            continue
         pos += seg_len
+    if coefs is not None:  # truncated progressive stream (no EOI)
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -337,20 +369,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                 preds = [0] * len(scan)
             mcu_count += 1
     # upsample each plane to full MCU-grid resolution, crop, color-convert
-    out_planes = []
-    for (comp, _, _), plane in zip(scan, planes):
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out_planes.append(plane[:h, :w])
-    if len(out_planes) == 1:
-        y = np.clip(out_planes[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
-    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    return _finish_planes([c for c, _, _ in scan], planes, frame)
 
 
 def _decode_block(reader, dc_tbl, ac_tbl, preds, ci):
@@ -377,12 +396,240 @@ def _decode_block(reader, dc_tbl, ac_tbl, preds, ci):
 
 
 # --------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G, Huffman procedures)
+# --------------------------------------------------------------------------
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component zigzag coefficient arrays on the MCU-grid block
+    layout, accumulated across the scans of a progressive stream."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _nonint_blocks(frame, comp) -> tuple[int, int]:
+    """Block-grid dims for a NON-interleaved scan of one component
+    (T.81 A.2.2: ceil of the component's sample dims over 8)."""
+    cw = -(-frame["w"] * comp["h"] // frame["hmax"])
+    ch = -(-frame["h"] * comp["v"] // frame["vmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart_interval, coefs
+):
+    """One progressive SOS: DC first/refinement (interleaved or not) or
+    AC first/refinement (always single-component). Coefficients
+    accumulate into ``coefs``; returns the stream position at the next
+    marker."""
+    reader = _BitReader(data, pos)
+    comps = frame["comps"]
+    idxs = [comps.index(comp) for comp, _, _ in scan]
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def maybe_restart(unit: int) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_restart()
+            preds[:] = [0] * len(scan)
+            state["eobrun"] = 0
+
+    def dc_first(si: int, cf: np.ndarray) -> None:
+        s = _huff_decode(reader, huff[(0, scan[si][1])])
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        preds[si] += diff
+        cf[0] = preds[si] << al
+
+    def dc_refine(cf: np.ndarray) -> None:
+        if reader.read_bit():
+            cf[0] |= 1 << al
+
+    if ss == 0:  # DC scan (se must be 0)
+        unit = 0
+        if len(scan) > 1:
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    maybe_restart(unit)
+                    try:
+                        for si, (comp, _, _) in enumerate(scan):
+                            ci = idxs[si]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    cf = coefs[ci][my * comp["v"] + by, mx * comp["h"] + bx]
+                                    if ah == 0:
+                                        dc_first(si, cf)
+                                    else:
+                                        dc_refine(cf)
+                    except _RestartMarker:
+                        reader.acc = reader.n = 0
+                        preds[:] = [0] * len(scan)
+                    unit += 1
+        else:
+            comp = scan[0][0]
+            ci = idxs[0]
+            bh, bw = _nonint_blocks(frame, comp)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(unit)
+                    try:
+                        cf = coefs[ci][by, bx]
+                        if ah == 0:
+                            dc_first(0, cf)
+                        else:
+                            dc_refine(cf)
+                    except _RestartMarker:
+                        reader.acc = reader.n = 0
+                        preds[:] = [0] * len(scan)
+                    unit += 1
+    else:  # AC scan: single component only (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must have one component")
+        comp, _, ac_id = scan[0]
+        ci = idxs[0]
+        ac_tbl = huff[(1, ac_id)]
+        bh, bw = _nonint_blocks(frame, comp)
+
+        def ac_first(cf: np.ndarray) -> None:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:  # EOBn: run covers this + eobrun more blocks
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        return
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band")
+                    cf[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+
+        def ac_refine(cf: np.ndarray) -> None:
+            # T.81 G.1.2.3: newly-nonzero coefficients interleaved with
+            # correction bits for already-nonzero ones
+            p1, m1 = 1 << al, -1 << al
+
+            def correct(k: int) -> None:
+                if reader.read_bit() and (cf[k] & p1) == 0:
+                    cf[k] += p1 if cf[k] > 0 else m1
+
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    elif s == 1:
+                        val = p1 if reader.read_bit() else m1
+                    else:
+                        raise ValueError("invalid AC refinement symbol")
+                    while k <= se:
+                        if cf[k] != 0:
+                            correct(k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        cf[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if cf[k] != 0:
+                        correct(k)
+                    k += 1
+                state["eobrun"] -= 1
+
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(unit)
+                try:
+                    if ah == 0:
+                        ac_first(coefs[ci][by, bx])
+                    else:
+                        ac_refine(coefs[ci][by, bx])
+                except _RestartMarker:
+                    reader.acc = reader.n = 0
+                    state["eobrun"] = 0
+                unit += 1
+
+    # position of the next marker (skip pad bits / fill bytes / restarts)
+    p = reader.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7 or data[p + 1] == 0xFF:
+                p += 2 if data[p + 1] != 0xFF else 1
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients and finish like the
+    sequential path (upsample per sampling factors, crop, color-convert)."""
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        by, bx, _ = coefs[ci].shape
+        natural = np.zeros((by, bx, 64))
+        natural[:, :, _ZIGZAG] = coefs[ci]
+        blocks = natural.reshape(by, bx, 8, 8) * qt[comp["tq"]]
+        idct = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        planes.append(idct.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _finish_planes(frame["comps"], planes, frame)
+
+
+def _finish_planes(comps, planes, frame) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for comp, plane in zip(comps, planes):
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # encoder (baseline, 4:4:4)
 # --------------------------------------------------------------------------
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
-    """(H, W, 3) uint8 RGB (or (H, W) gray) → baseline JFIF bytes."""
+def _quantize_planes(arr: np.ndarray, quality: int):
+    """Shared front half of both encoders: RGB → YCbCr → per-component
+    (by, bx, 64) ZIGZAG-ordered quantized coefficient blocks (4:4:4),
+    plus the zigzag quantization tables for the DQT segments."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = np.dstack([arr, arr, arr])
@@ -397,15 +644,40 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     qt_luma[_ZIGZAG] = qly
     qt_chroma = np.empty(64)
     qt_chroma[_ZIGZAG] = qlc
+    qmats = (qt_luma.reshape(8, 8), qt_chroma.reshape(8, 8), qt_chroma.reshape(8, 8))
+    by, bx = -(-h // 8), -(-w // 8)
+    blocks = [np.zeros((by, bx, 64), dtype=np.int64) for _ in range(3)]
+    for yb in range(by):
+        for xb in range(bx):
+            for ci, plane in enumerate((y, cb, cr)):
+                blk = plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                if blk.shape != (8, 8):  # edge padding by replication
+                    blk = np.pad(
+                        blk, ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])), mode="edge"
+                    )
+                coef = _C @ (blk - 128.0) @ _C.T
+                blocks[ci][yb, xb] = (
+                    np.round(coef / qmats[ci]).astype(np.int64).reshape(-1)[_ZIGZAG]
+                )
+    return h, w, blocks, qly, qlc
 
+
+def _header_segments(h: int, w: int, qly, qlc, sof_marker: bytes) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, tbl in ((0, qly), (1, qlc)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(v) for v in tbl)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += sof_marker + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, tq])  # 4:4:4
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → baseline JFIF bytes."""
+    h, w, blocks, qly, qlc = _quantize_planes(arr, quality)
+    out = _header_segments(h, w, qly, qlc, b"\xff\xc0")
     for tc, th, bits, vals in (
         (0, 0, _ENC_DC_BITS, _ENC_DC_VALS),
         (0, 1, _ENC_DC_BITS, _ENC_DC_VALS),
@@ -419,20 +691,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
 
     dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    qmats = (qt_luma.reshape(8, 8), qt_chroma.reshape(8, 8), qt_chroma.reshape(8, 8))
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for y0 in range(0, h, 8):
-        for x0 in range(0, w, 8):
-            for ci, plane in enumerate((y, cb, cr)):
-                blk = plane[y0 : y0 + 8, x0 : x0 + 8]
-                if blk.shape != (8, 8):  # edge padding by replication
-                    blk = np.pad(
-                        blk, ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])), mode="edge"
-                    )
-                coef = _C @ (blk - 128.0) @ _C.T
-                qz = np.round(coef / qmats[ci]).astype(np.int64).reshape(-1)[_ZIGZAG]
-                _encode_block(bw, qz, preds, ci, dc_codes, ac_codes)
+    by, bx = blocks[0].shape[:2]
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                _encode_block(bw, blocks[ci][yb, xb], preds, ci, dc_codes, ac_codes)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
@@ -469,3 +734,208 @@ def _encode_block(bw, qz, preds, ci, dc_codes, ac_codes):
     if last_nz < 63:
         code, ln = ac_codes[0x00]
         bw.write(code, ln)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (SOF2; successive-approximation scan script)
+# --------------------------------------------------------------------------
+
+# progressive AC table: the sequential symbols plus EOBn run codes
+# (ENGINE-OWN canonical layout, carried in the DHT like the others)
+_PROG_AC_SYMBOLS = sorted(
+    [r << 4 for r in range(15)] + [0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 100, 76, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = _PROG_AC_SYMBOLS
+assert len(_PROG_AC_SYMBOLS) == 176 == 100 + 76
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    rounding toward zero (T.81 G.1.1.2 — DC uses an arithmetic shift)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _flush_eobrun(bw: _BitWriter, state: dict, ac_codes) -> None:
+    """Emit the pending EOBn symbol(s) with their extension bits, then
+    the correction bits buffered for the EOB'd blocks (refinement)."""
+    while state["eobrun"]:
+        run = min(state["eobrun"], 32767)
+        r = run.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(run - (1 << r), r)
+        state["eobrun"] -= run
+        for b in state["pending"]:
+            bw.write(b, 1)
+        state["pending"] = []
+
+
+def _encode_ac_first_block(bw, vz, state, ac_codes, al) -> None:
+    t = [_pt_ac(int(x), al) for x in vz]
+    last = -1
+    for k, x in enumerate(t):
+        if x:
+            last = k
+    if last < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 32767:
+            _flush_eobrun(bw, state, ac_codes)
+        return
+    _flush_eobrun(bw, state, ac_codes)
+    r = 0
+    for k in range(last + 1):
+        x = t[k]
+        if x == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = _category(x)
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(x if x > 0 else x + (1 << s) - 1, s)
+        r = 0
+    if last < len(t) - 1:
+        state["eobrun"] += 1
+        if state["eobrun"] == 32767:
+            _flush_eobrun(bw, state, ac_codes)
+
+
+def _encode_ac_refine_block(bw, vz, state, ac_codes) -> None:
+    """T.81 G.1.2.2 refinement emission (the figure G.7 procedure, same
+    structure as every interoperable encoder): newly-nonzero coefficients
+    (|v| == 1 at this approximation) carry (run-of-zero-history, 1)
+    symbols; already-nonzero coefficients contribute buffered correction
+    bits emitted after the next symbol; trailing stretches fold into the
+    shared EOB run."""
+    v = [int(x) for x in vz]
+    absv = [abs(x) for x in v]
+    eob = 0  # 1-based position AFTER the last newly-nonzero coefficient
+    for k, a in enumerate(absv):
+        if a == 1:
+            eob = k + 1
+    r = 0
+    br: list[int] = []
+    for k, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and (k + 1) <= eob:
+            _flush_eobrun(bw, state, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if a > 1:  # nonzero history: correction bit only
+            br.append(a & 1)
+            continue
+        _flush_eobrun(bw, state, ac_codes)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v[k] > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 32767:
+            _flush_eobrun(bw, state, ac_codes)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → progressive (SOF2) JFIF
+    bytes carrying the SAME quantized coefficients as ``encode_jpeg``,
+    re-ordered through a successive-approximation scan script:
+
+      1. DC first, interleaved, Al=1   (Annex G shifted DC diffs)
+      2. DC refinement, Al=0           (one raw bit per block)
+      3-5. per component: AC first Ss=1..63, Al=1 (EOB-run coding)
+      6-8. per component: AC refinement, Al=0     (correction bits)
+
+    decode_jpeg of this stream reconstructs BIT-IDENTICAL pixels to the
+    baseline encoding — the self-consistency check the tests rely on."""
+    h, w, blocks, qly, qlc = _quantize_planes(arr, quality)
+    out = _header_segments(h, w, qly, qlc, b"\xff\xc2")
+    for tc, th, bits, vals in (
+        (0, 0, _ENC_DC_BITS, _ENC_DC_VALS),
+        (1, 0, _PROG_AC_BITS, _PROG_AC_VALS),
+        (1, 1, _PROG_AC_BITS, _PROG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + sum(bits))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    by, bx = blocks[0].shape[:2]
+
+    def sos(comp_specs, ss, se, ah, al) -> bytes:
+        seg = bytes([len(comp_specs)])
+        for cid, tbl in comp_specs:
+            seg += bytes([cid, tbl])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # scan 1: DC first (Al=1), interleaved over all three components
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                dc = int(blocks[ci][yb, xb, 0]) >> 1  # DC point transform
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _category(diff)
+                code, ln = dc_codes[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement (Al=0) — one raw bit per block, same order
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                bw.write(int(blocks[ci][yb, xb, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # scans 3-5: AC first per component (Al=1)
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += sos([(cid, 0x00 | (0 if ci == 0 else 1))], 1, 63, 0, 1)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        for yb in range(by):
+            for xb in range(bx):
+                _encode_ac_first_block(bw, blocks[ci][yb, xb, 1:], state, ac_codes, 1)
+        _flush_eobrun(bw, state, ac_codes)
+        bw.flush()
+        out += bw.out
+
+    # scans 6-8: AC refinement per component (Al=0)
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += sos([(cid, 0x00 | (0 if ci == 0 else 1))], 1, 63, 1, 0)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        for yb in range(by):
+            for xb in range(bx):
+                _encode_ac_refine_block(bw, blocks[ci][yb, xb, 1:], state, ac_codes)
+        _flush_eobrun(bw, state, ac_codes)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

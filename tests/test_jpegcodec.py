@@ -77,13 +77,58 @@ def test_category_widths():
     ]
 
 
-def test_progressive_and_arithmetic_raise_loudly():
-    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(sof2)
+def test_arithmetic_raises_loudly():
     sof9 = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(9)
     with pytest.raises(NotImplementedError, match="0xc9"):
         decode_jpeg(sof9)
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """encode_jpeg_progressive carries the SAME quantized coefficients
+    as encode_jpeg through the Annex-G scan script (DC first/refine, AC
+    first with EOB runs, AC refine with correction bits) — so decoding
+    both streams must give BIT-IDENTICAL pixels. This validates every
+    progressive decode procedure against the conformance-tested
+    sequential path."""
+    from pinot_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(42)
+    h, w = 41, 67
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.dstack(
+        [(xx * 3 + yy * 2) % 256, ((xx // 8) * 32) % 256,
+         rng.integers(0, 256, (h, w))]
+    ).astype(np.uint8)
+    for q in (10, 50, 75, 95):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, q)),
+            decode_jpeg(encode_jpeg_progressive(img, q)),
+        ), f"progressive != baseline at quality {q}"
+    prog = encode_jpeg_progressive(img, 75)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog  # SOF2 frame
+    assert prog.count(b"\xff\xda") >= 8  # 2 DC + 6 AC scans
+
+
+def test_progressive_edge_shapes_and_eob_runs():
+    """Flat images drive maximal EOBn runs, sparse ones drive ZRL in
+    both AC passes, tiny/gray inputs drive the edge-padding paths."""
+    from pinot_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    sparse = np.full((48, 48, 3), 128, np.uint8)
+    sparse[::7, ::11] = 255
+    cases = [
+        np.full((64, 64, 3), 130, np.uint8),          # flat → EOB runs
+        rng.integers(0, 256, (3, 5, 3)).astype(np.uint8),
+        np.full((1, 1, 3), 7, np.uint8),
+        rng.integers(0, 256, (17, 23)).astype(np.uint8),  # gray 2-D
+        sparse,                                        # ZRL paths
+    ]
+    for img in cases:
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, 75)),
+            decode_jpeg(encode_jpeg_progressive(img, 75)),
+        )
 
 
 def _handcraft_420(y_dc: list[int], cb_dc: int, cr_dc: int) -> bytes:
