@@ -50,12 +50,14 @@ def main() -> None:
     # warm-up: JVM/codegen + file listing, using the cheapest query
     Q.QUERIES[names[0]](spark, sf_dir).collect()
 
-    # Median-of-N per query (default 3): a single local[32] run is noisy
-    # (sandbox load, GC, page cache) — round 2 showed +23% and round 4
-    # +53% uniform drift on UNCHANGED query code. The median is robust to
-    # one bad iteration, and the per-iteration spread is published so a
-    # noisy round is distinguishable from a plan regression.
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # Median-of-N per query (default 5): a single local[32] run is noisy
+    # (sandbox load, GC, page cache) — round 2 showed +23%, round 4 +53%
+    # and round 7 +12% uniform drift on UNCHANGED query code. The median
+    # is robust to stray iterations, and the per-iteration spread is
+    # published so a noisy round is distinguishable from a plan
+    # regression. Default raised 3 → 5 in round 8 after the drift
+    # episodes narrowed per-query medians against the gate.
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     timings: dict[str, float] = {}
     iterations: dict[str, list[float]] = {}
     for name in names:

@@ -262,3 +262,68 @@ def ngram_decontaminate(
             "containment"
         ),
     )
+
+
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Gopher-style repetition filters (public heuristics from Rae et
+    al. 2021 "Scaling Language Models" table A1 — counts-based variants):
+    flag documents dominated by repeated content via
+
+    - ``dup_word_frac``    — fraction of token occurrences that repeat an
+      earlier token ((n - n_distinct) / n),
+    - ``top_word_frac``    — frequency of the single most common token
+      over all tokens,
+    - ``top_bigram_frac``  — frequency of the most common 2-gram over
+      all 2-grams.
+
+    Scale shape: the distinct-count metric is pure per-row Column
+    algebra (codegen); the top-frequency metrics explode tokens ONCE and
+    run two map-side-combinable aggregations (per (doc, gram) count →
+    per doc max) — NO quadratic per-document work, no driver collection.
+    Both aggregations shuffle on doc_id-prefixed keys, so a 100 TB
+    corpus spreads evenly however large individual documents get."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__nt"),
+        F.size(F.array_distinct(toks)).alias("__ndt"),
+    ).filter(F.col("__nt") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.col("__nt") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+        ),
+    )
+    exploded = base.select(
+        id_col, "__nt", F.explode("__toks").alias("__t")
+    )
+    top_word = (
+        exploded.groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__topw"))
+    )
+    exploded_bg = base.select(
+        F.col(id_col), (F.col("__nt") - 1).alias("__ng"),
+        F.explode(bigrams).alias("__g"),
+    )
+    top_bigram = (
+        exploded_bg.groupBy(id_col, "__ng", "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col, "__ng")
+        .agg(F.max("__c").alias("__topg"))
+    )
+    return (
+        base.select(id_col, "__nt", "__ndt")
+        .join(top_word, id_col)
+        .join(top_bigram, id_col)
+        .select(
+            id_col,
+            F.round((F.col("__nt") - F.col("__ndt")) / F.col("__nt"), 4).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("__topw") / F.col("__nt"), 4).alias("top_word_frac"),
+            F.round(F.col("__topg") / F.col("__ng"), 4).alias("top_bigram_frac"),
+        )
+    )

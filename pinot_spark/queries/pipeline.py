@@ -921,3 +921,54 @@ def similarity_topk_hnsw(spark, sf_dir):
     return spark.createDataFrame(
         out, "k_returned bigint, distances_sorted boolean, recall_at_least_8_of_10 boolean"
     )
+
+
+@query(
+    "text_repetition_filters",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents WHERE doc_id < 200
+    ), sized AS (
+      SELECT doc_id, l, len(l) AS nt, len(list_distinct(l)) AS ndt
+      FROM docs WHERE len(l) >= 2
+    ), words AS (
+      SELECT doc_id, unnest(l) AS t FROM sized
+    ), topw AS (
+      SELECT doc_id, max(c) AS topw FROM
+        (SELECT doc_id, t, count(*) AS c FROM words GROUP BY doc_id, t)
+      GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) AS g
+      FROM sized
+    ), topg AS (
+      SELECT doc_id, max(c) AS topg FROM
+        (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           round((nt - ndt) / nt::DOUBLE, 4) AS dup_word_frac,
+           round(topw / nt::DOUBLE, 4) AS top_word_frac,
+           round(topg / (nt - 1)::DOUBLE, 4) AS top_bigram_frac
+    FROM sized s JOIN topw USING (doc_id) JOIN topg USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def text_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 — the standard
+    pretraining-data repetition heuristics, counts-based variants):
+    duplicate-word fraction, top-word fraction and top-bigram fraction
+    per document (operators/text.py repetition_metrics). Scale shape:
+    one explode + two map-side-combinable aggregation levels per metric
+    — no quadratic per-document scans, no Python, no collect; the
+    (doc_id, gram) keys spread a 100 TB corpus evenly regardless of
+    individual document size."""
+    from pinot_spark.operators.text import repetition_metrics
+
+    t = load_tables(spark, sf_dir)
+    return repetition_metrics(
+        t["documents"].filter(F.col("doc_id") < 200), "doc_id", "text"
+    ).orderBy("doc_id")

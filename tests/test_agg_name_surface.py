@@ -385,3 +385,69 @@ def test_sql_funnel_step_duration_stats(spark, at, funnel_sql_t):
             "SELECT user_id, FUNNELSTEPDURATIONSTATS(ts, '3600000', 3, "
             f"{STEPS3}) AS ds FROM funnel_sql_t GROUP BY user_id LIMIT 10"
         )
+
+
+def test_raw_sketch_rewrite_parse_failure_fails_safe(spark, at, monkeypatch):
+    """If the regex-based restructuring ever emits unparseable SQL (the
+    known fragility of _RS_STMT_RE), the engine must degrade to the
+    original statement's fallback path, not error (VERDICT r7)."""
+    import pinot_spark.dialect as D
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "v int, k string"
+                          ).createOrReplaceTempView("rs_failsafe_t")
+    monkeypatch.setattr(
+        D, "rewrite_raw_sketch_two_phase", lambda sql: "SELECT ((( FROM"
+    )
+    rows = at.sql(
+        "SELECT GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) "
+        "AS dc FROM rs_failsafe_t LIMIT 10"
+    ).collect()
+    assert rows[0].dc == 2
+
+
+def test_canonical_stmt_parser_shapes():
+    """The round-8 clause parser behind the two-phase rewrite: top-level
+    clause spans are paren- and literal-aware, so the regex-backtracking
+    failure modes (GROUP BY bleeding out of a subquery, keywords inside
+    string literals) are structurally impossible."""
+    from pinot_spark.dialect import _parse_canonical_stmt as P
+
+    s = P("SELECT k, f(v) AS dc FROM t WHERE v > 3 GROUP BY k ORDER BY k LIMIT 10")
+    assert s["table"] == "t" and s["group"] == "k" and s["where"] == "v > 3"
+    assert s["tail"].strip().startswith("ORDER BY")
+    # subquery with GROUP BY inside WHERE stays inside the WHERE clause
+    s = P("SELECT agg(v) FROM t WHERE x IN (SELECT k FROM u GROUP BY k) GROUP BY y")
+    assert s["group"] == "y" and "GROUP BY k" in s["where"]
+    # clause keywords inside string literals are data, not structure
+    s = P("SELECT v FROM t WHERE note = ' FROM fake group by x '")
+    assert s["table"] == "t" and s["group"] is None
+    for bad in (
+        "SELECT a FROM t JOIN u ON t.x = u.x",
+        "SELECT a FROM t UNION SELECT a FROM u",
+        "SELECT a FROM t GROUP BY a HAVING count(*) > 1",
+        "SELECT a FROM (SELECT a FROM t)",
+        "SELECT a FROM t tt",
+        "SELECT a FROM t, u",
+        "SELECT f(( FROM t",  # unbalanced
+    ):
+        assert P(bad) is None, bad
+
+
+def test_raw_theta_under_having_bounded(spark, at):
+    """Raw theta in a grouped statement WITH HAVING — a non-canonical
+    shape the two-phase rewrite declines — must take the in-expression
+    GROUPED_AGG path (bounded state) and still answer correctly."""
+    spark.createDataFrame(
+        [(k, ord(k) * 10 + i) for k in ("a", "b", "c") for i in range({"a": 5, "b": 2, "c": 7}[k])],
+        "k string, v int",
+    ).createOrReplaceTempView("rs_having_t")
+    rows = at.sql(
+        "SELECT k, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_having_t GROUP BY k HAVING dc >= 5 ORDER BY k LIMIT 10"
+    ).collect()
+    assert [(r.k, r.dc) for r in rows] == [("a", 5), ("c", 7)]
+    plan = at.sql(
+        "SELECT k, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_having_t GROUP BY k HAVING dc >= 5 LIMIT 10"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan

@@ -191,3 +191,18 @@ def test_imagecodec_dispatch_includes_jpeg():
     assert ic.sniff(encode_jpeg(img)) == "jpeg"
     out = ic.decode(encode_jpeg(img, 95))
     assert out.shape == (8, 8, 3)
+
+
+def test_progressive_payload_through_image_dispatch():
+    """A progressive JPEG payload decodes through the generic image
+    dispatch (the multimodal operators' entry point) identically to its
+    baseline twin — format sniffing keys on the JPEG SOI, not the frame
+    marker."""
+    from pinot_spark.functions import imagecodec as ic
+    from pinot_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    prog = encode_jpeg_progressive(img, 80)
+    assert ic.sniff(prog) == "jpeg"
+    assert np.array_equal(ic.decode(prog), decode_jpeg(encode_jpeg(img, 80)))
