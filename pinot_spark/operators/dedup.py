@@ -272,3 +272,64 @@ def simhash_dedup(
     sh = df.select(F.col(id_col), simhash(text_col, hash_fn=hash_fn).alias("__sh"))
     keep = sh.groupBy("__sh").agg(F.min(id_col).alias(id_col)).drop("__sh")
     return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join: prefix filtering (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_similarity_join(
+    docs: DataFrame, id_col: str, tokens_col: str, threshold: float
+) -> DataFrame:
+    """EXACT token-set Jaccard join above ``threshold`` WITHOUT the N²
+    cross join — the public prefix-filtering algorithm (Bayardo et al.
+    "Scaling Up All Pairs Similarity Search", WWW'07 / PPJoin): order
+    every set by global token rarity; any pair with J(x, y) ≥ t must
+    share a token inside each set's first ``|x| - ⌈t·|x|⌉ + 1`` tokens
+    under that shared order, so an equi-join on exploded PREFIX tokens
+    generates a candidate superset with guaranteed recall, and the exact
+    Jaccard verifies only those candidates.
+
+    Scale shape: two aggregations (token document-frequency; per-doc
+    rarity sort), one equi-join on the prefix token (rare tokens first →
+    short postings), candidate pair distinct, then verification joins on
+    the (already aggregated) doc token arrays. Every join is a hash
+    equi-join — the plan gate asserts no cartesian/nested-loop — and no
+    step holds more than a doc's token array per row. Input ``tokens_col``
+    must be element-distinct."""
+    tok = docs.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
+    dfreq = tok.groupBy("__t").agg(F.count("*").alias("__df"))
+    ordered = (
+        tok.join(dfreq, "__t")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
+                lambda s: s["__t"],
+            ).alias("__toks")
+        )
+    )
+    n = F.size("__toks")
+    prefix_len = (n - F.ceil(n * F.lit(float(threshold))) + 1).cast("int")
+    pref = ordered.select(
+        "__id", F.explode(F.slice("__toks", F.lit(1), prefix_len)).alias("__p")
+    )
+    cand = (
+        pref.select(F.col("__id").alias("id_a"), "__p")
+        .join(pref.select(F.col("__id").alias("id_b"), "__p"), "__p")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    with_toks = (
+        cand.join(ordered.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")), "id_a")
+        .join(ordered.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size(F.array_union("__ta", "__tb"))
+    jac = inter.cast("double") / union
+    return (
+        with_toks.filter(jac > threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

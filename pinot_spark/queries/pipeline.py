@@ -143,26 +143,24 @@ def dedup_simhash_buckets(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
-    """Token-set Jaccard similarity pairs above threshold (the verification
-    stage of near-dup detection, exact form; 1-gram shingles so the oracle
-    is SQL-expressible)."""
+    """Exact token-set Jaccard pairs above threshold via PREFIX FILTERING
+    (operators/dedup.jaccard_similarity_join — the public AllPairs/PPJoin
+    algorithm, round 8): rarity-ordered prefix tokens equi-join into a
+    guaranteed-recall candidate set, exact Jaccard verifies candidates
+    only — NO all-pairs cross join anywhere (plan-gated in
+    tests/test_plan_quality.py). The oracle keeps the brute-force
+    all-pairs SQL: at a 100%-recall candidate stage both produce the
+    identical pair set. The doc_id slice only bounds the ORACLE's N²
+    side — the Spark plan is the full-corpus shape."""
+    from pinot_spark.operators.dedup import jaccard_similarity_join
+
     t = load_tables(spark, sf_dir)
     sh = (
         t["documents"]
         .filter(F.col("doc_id") < 60)
         .select("doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias("toks"))
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(jac > 0.9)
-        .select("id_a", "id_b", _r4(jac).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    return jaccard_similarity_join(sh, "doc_id", "toks", 0.9).orderBy("id_a", "id_b")
 
 
 @query(

@@ -451,3 +451,22 @@ def test_raw_theta_under_having_bounded(spark, at):
         "FROM rs_having_t GROUP BY k HAVING dc >= 5 LIMIT 10"
     )._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
+    """Raw theta + a NATIVE aggregate under a JOIN — the one statement
+    class that stays on the per-value fallback (Spark cannot co-place
+    pandas UDAFs with native aggregates; COVERAGE.md documents the
+    bound). It must still answer correctly."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "g int, v int"
+    ).createOrReplaceTempView("rs_mix_a")
+    spark.createDataFrame([(1, "x"), (2, "y")], "g int, lbl string"
+                          ).createOrReplaceTempView("rs_mix_b")
+    rows = at.sql(
+        "SELECT lbl, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_mix_a JOIN rs_mix_b ON rs_mix_a.g = rs_mix_b.g "
+        "GROUP BY lbl ORDER BY lbl LIMIT 10"
+    ).collect()
+    assert [(r.lbl, r.n, r.dc) for r in rows] == [("x", 2, 2), ("y", 1, 1)]

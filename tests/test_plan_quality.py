@@ -241,3 +241,13 @@ def test_raw_theta_under_join_no_per_value_collection(spark, sf_dir):
     assert "collect_set" not in plan, plan
     assert "collect_list" not in plan, plan
     assert "__theta_partial" in plan or "ArrowAggregatePython" in plan, plan
+
+
+def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
+    """The exact Jaccard join must candidate-generate via the prefix-
+    token equi-join (AllPairs/PPJoin) — a cartesian or nested-loop join
+    here is the N² shape that melts at corpus scale (round-7 perf_weak
+    item, closed in round 8)."""
+    plan = _plan(QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
