@@ -11,12 +11,16 @@ whose specifications need nothing beyond ``zlib`` (stdlib) and numpy:
 - **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB, bottom-up or
   top-down.
 - **PPM** (netpbm P6): binary RGB, maxval 255.
-- **JPEG** (ITU-T T.81 baseline): full codec in functions/jpegcodec.py
-  (sequential DCT, Huffman, chroma subsampling on decode), dispatched
-  from here by magic sniff.
+- **JPEG** (ITU-T T.81): full codec in functions/jpegcodec.py
+  (sequential AND progressive decode, baseline + progressive encode),
+  dispatched from here by magic sniff.
+- **GIF** (87a/89a): full LZW codec in functions/gifcodec.py
+  (variable-width LSB codes, interlacing, local/global palettes).
+- **TIFF** (6.0 baseline): functions/tiffcodec.py (II/MM byte orders,
+  strip layout, uncompressed + PackBits, 8-bit gray/RGB).
 
-WebP/GIF/TIFF need codec libraries not present in this container and
-raise NotImplementedError with the sniffed format name — the honest
+WebP needs a VP8 entropy decoder not present in this container and
+raises NotImplementedError with the sniffed format name — the honest
 boundary, format-specific instead of blanket.
 """
 
@@ -46,6 +50,8 @@ def sniff(data: bytes) -> str:
         return "webp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -226,11 +232,25 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _decode_gif(data: bytes) -> np.ndarray:
+    from pinot_spark.functions.gifcodec import decode_gif
+
+    return decode_gif(data)
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    from pinot_spark.functions.tiffcodec import decode_tiff
+
+    return decode_tiff(data)
+
+
 _DECODERS = {
     "png": decode_png,
     "bmp": decode_bmp,
     "ppm": decode_ppm,
     "jpeg": _decode_jpeg,
+    "gif": _decode_gif,
+    "tiff": _decode_tiff,
 }
 
 
@@ -242,7 +262,7 @@ def decode(data: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"image format {fmt!r} requires a codec library not present in "
-            "this container (supported here: png, bmp, ppm, jpeg)"
+            "this container (supported here: png, bmp, ppm, jpeg, gif, tiff)"
         )
     return dec(data)
 

@@ -1,0 +1,147 @@
+"""functions/gifcodec.py + tiffcodec.py: lossless roundtrips (the
+validation both formats admit — unlike JPEG there is no transcoding
+tolerance to hide behind), LZW table-reset and interlace paths,
+PackBits primitives, byte-order and boundary handling."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pinot_spark.functions.gifcodec import _lzw_decode, _lzw_encode, decode_gif, encode_gif
+from pinot_spark.functions.tiffcodec import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+)
+
+
+def test_gif_roundtrip_shapes_and_interlace():
+    rng = np.random.default_rng(5)
+    cases = [
+        np.where(rng.random((20, 30)) > 0.5, 200, 40).astype(np.uint8),
+        (rng.integers(0, 16, (33, 17)) * 16).astype(np.uint8),
+        np.full((5, 9, 3), 123, np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), (4, 1)),  # full 256-palette
+        np.stack([rng.integers(0, 4, (25, 25)) * 60] * 3, axis=-1).astype(np.uint8),
+    ]
+    for img in cases:
+        want = np.dstack([img] * 3) if img.ndim == 2 else img
+        for interlace in (False, True):
+            assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), want)
+
+
+def test_gif_lzw_table_reset_path():
+    """A large noisy 256-color image drives the LZW dictionary to 4096
+    and through CLEAR-code resets on both sides."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), np.dstack([img] * 3))
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code==next_code (KwKwK) decoder special case: aaa... streams
+    hit it immediately."""
+    data = bytes([1] * 50 + [2] + [1] * 50)
+    assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+
+
+def test_gif_palette_overflow_raises():
+    rng = np.random.default_rng(1)
+    with pytest.raises(NotImplementedError, match="palette"):
+        encode_gif(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+
+
+def test_gif_bad_signature():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + bytes(20))
+
+
+def test_packbits_primitives():
+    rng = np.random.default_rng(9)
+    for _ in range(30):
+        n = int(rng.integers(0, 600))
+        data = bytes(rng.choice([0, 0, 0, 7, 255], size=n).astype(np.uint8))
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+    # long literal (>128) and long run (>128) boundaries
+    lit = bytes(range(200)) + bytes(range(200))
+    assert packbits_decode(packbits_encode(lit), len(lit)) == lit
+    run = bytes([9]) * 400
+    enc = packbits_encode(run)
+    assert len(enc) < 10
+    assert packbits_decode(enc, 400) == run
+
+
+def test_tiff_roundtrip_strips_and_compression():
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(0, 256, (37, 23, 3)).astype(np.uint8),
+        rng.integers(0, 256, (16, 40)).astype(np.uint8),
+        np.full((50, 50, 3), 9, np.uint8),
+        rng.integers(0, 256, (1, 1, 3)).astype(np.uint8),
+    ]
+    for img in cases:
+        want = np.dstack([img] * 3) if img.ndim == 2 else img
+        for packbits in (False, True):
+            for rps in (5, 16, 1000):
+                got = decode_tiff(encode_tiff(img, packbits=packbits, rows_per_strip=rps))
+                assert np.array_equal(got, want)
+
+
+def test_tiff_big_endian_decode():
+    """Hand-build a minimal MM (big-endian) gray TIFF: the decoder must
+    honor the declared byte order."""
+    w, h = 3, 2
+    pixels = bytes(range(6))
+    ifd_off = 8
+    n = 8
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+    out += struct.pack(">H", n)
+    data_off = ifd_off + 2 + 12 * n + 4
+
+    def entry(tag, ftype, count, value):
+        if ftype == 3:
+            payload = struct.pack(">HH", value, 0)
+        else:
+            payload = struct.pack(">I", value)
+        return struct.pack(">HHI", tag, ftype, count) + payload
+
+    out += entry(256, 3, 1, w)
+    out += entry(257, 3, 1, h)
+    out += entry(258, 3, 1, 8)
+    out += entry(259, 3, 1, 1)
+    out += entry(262, 3, 1, 1)  # black-is-zero gray
+    out += entry(273, 4, 1, data_off)
+    out += entry(277, 3, 1, 1)
+    out += entry(279, 4, 1, len(pixels))
+    out += struct.pack(">I", 0)
+    out += pixels
+    got = decode_tiff(bytes(out))
+    assert got.shape == (2, 3, 3)
+    assert got[:, :, 0].tobytes() == pixels
+
+
+def test_tiff_white_is_zero_inverts():
+    w, h = 2, 1
+    pixels = bytes([0, 255])
+    base = encode_tiff(np.frombuffer(pixels, np.uint8).reshape(h, w))
+    # flip the photometric tag (262) from 1 to 0 in place
+    flipped = bytearray(base)
+    i = flipped.find(struct.pack("<HHI", 262, 3, 1))
+    flipped[i + 8] = 0
+    got = decode_tiff(bytes(flipped))
+    assert got[0, 0, 0] == 255 and got[0, 1, 0] == 0
+
+
+def test_tiff_unsupported_raise_loudly():
+    img = np.zeros((4, 4, 3), np.uint8)
+    blob = bytearray(encode_tiff(img))
+    i = blob.find(struct.pack("<HHI", 259, 3, 1))
+    blob[i + 8] = 5  # compression 5 = LZW
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(blob))
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x00\x00" + bytes(16))

@@ -133,8 +133,21 @@ def test_ppm_roundtrip_and_comments():
 def test_unsupported_formats_raise_with_name():
     with pytest.raises(NotImplementedError, match="webp"):
         ic.decode(b"RIFF\x00\x00\x00\x00WEBPrest")
-    with pytest.raises(NotImplementedError, match="gif"):
-        ic.decode(b"GIF89a....")
+
+
+def test_gif_tiff_roundtrip_through_dispatch():
+    """GIF and TIFF are full codecs since round 8 — lossless, so the
+    dispatch roundtrip must be exact."""
+    from pinot_spark.functions.gifcodec import encode_gif
+    from pinot_spark.functions.tiffcodec import encode_tiff
+
+    img = (_img(13, 21, seed=4) // 64) * 64  # ≤64 colors for the GIF palette
+    for blob, fmt in (
+        (encode_gif(img, interlace=True), "gif"),
+        (encode_tiff(img, packbits=True), "tiff"),
+    ):
+        assert ic.sniff(blob) == fmt
+        assert np.array_equal(ic.decode(blob), img)
 
 
 def test_resize_nearest():
