@@ -191,3 +191,46 @@ def topk_cosine_ivf_indexed(
     probe = order[:nprobe]
     df = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
     return topk_cosine(df, vec_col, id_col, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — embedding storage compression
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard 4× embedding
+    storage compression at 100 TB): each float becomes
+    ``floor((x - min) * 255 / (max - min) + 0.5)`` ∈ [0, 255] with the
+    per-vector ``(q_min, q_step)`` pair for dequantization
+    ``x̂ = q_min + q * q_step``; reconstruction error is bounded by
+    ``q_step / 2`` per element.
+
+    Everything is per-row Column algebra in DOUBLE (whole-stage codegen,
+    no shuffle, no Python) and uses only IEEE-deterministic ops plus
+    ``floor(.. + 0.5)`` — NOT engine-specific ``round`` tie-breaking —
+    so any engine replaying the formula reproduces the codes exactly
+    (the driver oracle does, in DuckDB list algebra). Constant vectors
+    (max == min) quantize to all-zero codes with q_step 0."""
+    v = _vec(vec_col).cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    step = (mx - mn) / F.lit(255.0)
+    q = F.when(mx == mn, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    max_err = F.array_max(
+        F.zip_with(v, q, lambda x, c: F.abs(mn + c * step - x))
+    )
+    return df.select(
+        "*",
+        q.alias("q_codes"),
+        mn.alias("q_min"),
+        step.alias("q_step"),
+        (max_err <= step / 2 + F.lit(1e-9)).alias("q_within_half_step"),
+    )

@@ -144,6 +144,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "similarity_topk_hnsw", "dialect_raw_theta_scale",
     "dialect_raw_theta_join", "text_repetition_filters",
+    "embedding_quantize_int8",
 ]
 
 # Re-proof: the 31 stalest greens (last driver evidence round 4 —
@@ -169,7 +170,7 @@ _REPROOF_STALE_R5 = [
     "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
     "agg_funnel_count", "agg_histogram", "agg_idset_membership",
     "agg_listagg_arrayagg", "agg_mode", "agg_mv_variants", "agg_percentiles",
-    "agg_raw_sketch_bytes", "agg_skew_kurt",
+    "agg_raw_sketch_bytes",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R4 + _REPROOF_STALE_R5

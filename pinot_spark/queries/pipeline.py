@@ -970,3 +970,43 @@ def text_repetition_filters(spark, sf_dir):
     return repetition_metrics(
         t["documents"].filter(F.col("doc_id") < 200), "doc_id", "text"
     ).orderBy("doc_id")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=r"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id < 100
+    ), s AS (
+      SELECT vec_id, e,
+             list_min(e) AS mn, list_max(e) AS mx,
+             (list_max(e) - list_min(e)) / 255.0 AS step
+      FROM v
+    )
+    SELECT vec_id,
+           CASE WHEN mx = mn
+                THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x -> CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT))
+           END AS q_codes,
+           mn AS q_min, step AS q_step,
+           TRUE AS q_within_half_step
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (operators/similarity.quantize_int8) — the 4× storage-compression
+    step a 100 TB embedding corpus ships through. The codes use only
+    IEEE-deterministic double algebra + floor(..+0.5), so the DuckDB
+    oracle reproduces every code and the (q_min, q_step) pairs EXACTLY;
+    the reconstruction-error bound is asserted Spark-side (oracle emits
+    literal TRUE)."""
+    from pinot_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir)
+    return (
+        quantize_int8(t["embeddings"].filter(F.col("vec_id") < 100), "embedding")
+        .select("vec_id", "q_codes", "q_min", "q_step", "q_within_half_step")
+        .orderBy("vec_id")
+    )

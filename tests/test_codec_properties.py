@@ -124,3 +124,56 @@ def test_thrift_roundtrip_property(fields):
     spec = {fid: f"f{fid}" for fid, _ in fields}
     out = thriftcodec.decode_struct(thriftcodec.encode_struct(fields), spec)
     assert out == {f"f{fid}": v for fid, v in fields}
+
+
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    ncolors=st.integers(1, 256), seed=st.integers(0, 10**6),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(h, w, ncolors, seed, interlace):
+    from pinot_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    img = palette[rng.integers(0, ncolors, (h, w))]
+    assert np.array_equal(
+        decode_gif(encode_gif(img, interlace=interlace)), img
+    )
+
+
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 10**6),
+    packbits=st.booleans(), rps=st.sampled_from([1, 3, 16, 999]),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(h, w, seed, packbits, rps):
+    from pinot_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, packbits=packbits, rows_per_strip=rps))
+    assert np.array_equal(got, img)
+
+
+@given(data=st.binary(max_size=800))
+@settings(max_examples=60, deadline=None)
+def test_packbits_roundtrip_property(data):
+    from pinot_spark.functions.tiffcodec import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@given(
+    n=st.integers(0, 600), alphabet=st.integers(2, 256),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(n, alphabet, seed):
+    from pinot_spark.functions.gifcodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, alphabet, n).astype(np.uint8))
+    mcs = max(2, int(np.ceil(np.log2(max(alphabet, 2)))))
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
