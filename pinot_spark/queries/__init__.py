@@ -144,7 +144,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "similarity_topk_hnsw", "dialect_raw_theta_scale",
     "dialect_raw_theta_join", "text_repetition_filters",
-    "embedding_quantize_int8",
+    "embedding_quantize_int8", "multimodal_gif_tiff_features",
 ]
 
 # Re-proof: the 31 stalest greens (last driver evidence round 4 —
@@ -169,7 +169,7 @@ _REPROOF_STALE_R5 = [
     "agg_bool_and_or", "agg_count_by_segment_partition", "agg_exprminmax",
     "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
     "agg_funnel_count", "agg_histogram", "agg_idset_membership",
-    "agg_listagg_arrayagg", "agg_mode", "agg_mv_variants", "agg_percentiles",
+    "agg_listagg_arrayagg", "agg_mv_variants", "agg_percentiles",
     "agg_raw_sketch_bytes",
 ]
 

@@ -1010,3 +1010,85 @@ def embedding_quantize_int8(spark, sf_dir):
         .select("vec_id", "q_codes", "q_min", "q_step", "q_within_half_step")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "multimodal_gif_tiff_features",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'), 48, 'x'), 1, 48) AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, fmt,
+           CAST(list_sum(list_transform(range(16), i ->
+               (77 * ascii(substr(t, i*3 + 1, 1)) +
+                150 * ascii(substr(t, i*3 + 2, 1)) +
+                29 * ascii(substr(t, i*3 + 3, 1))) // 256)) AS DOUBLE) AS feat_sum,
+           'ok' AS decode_ok
+    FROM px CROSS JOIN (VALUES ('gif'), ('tiff')) AS f(fmt)
+    ORDER BY CAST(media_id AS INT), fmt
+    """,
+)
+def multimodal_gif_tiff_features(spark, sf_dir):
+    """GIF + TIFF end-to-end under the driver gate (round 8): each
+    document's first 48 printable bytes become 16 RGB pixels encoded as
+    a REAL interlaced GIF and a REAL PackBits TIFF (pandas UDF,
+    Arrow-batched), then decoded back through the generic image dispatch
+    and reduced to the integer-luma features. Both containers are
+    LOSSLESS, so the decoded pixels equal the text bytes and the oracle
+    recomputes the features from the text directly — the same
+    SQL-checkable construction the PPM query uses, now proving the two
+    round-8 codecs and their dispatch wiring."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from pinot_spark.operators.multimodal import extract_features
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def _encode_payload(txt, fmt):
+        import numpy as np
+
+        from pinot_spark.functions.gifcodec import encode_gif
+        from pinot_spark.functions.tiffcodec import encode_tiff
+
+        out = []
+        for t, f in zip(txt, fmt):
+            arr = np.frombuffer(t.encode("ascii")[:48], np.uint8).reshape(4, 4, 3)
+            out.append(
+                encode_gif(arr, interlace=True)
+                if f == "gif"
+                else encode_tiff(arr, packbits=True)
+            )
+        return pd.Series(out)
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.substring(
+            F.rpad(F.regexp_replace(F.col("text"), "[^ -~]", ""), 48, "x"), 1, 48
+        ).alias("__t"),
+        F.explode(F.array(F.lit("gif"), F.lit("tiff"))).alias("fmt"),
+    )
+    media = base.select(
+        "media_id",
+        "fmt",
+        _encode_payload("__t", "fmt").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    # tag the format into media_id so the (doc, fmt) pair survives the
+    # extract schema, then split it back out
+    feats = extract_features(
+        media.withColumn("media_id", F.concat_ws(":", "media_id", "fmt"))
+    )
+    return feats.select(
+        F.split("media_id", ":")[0].alias("media_id"),
+        F.split("media_id", ":")[1].alias("fmt"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("feat_sum"),
+        "decode_ok",
+    ).orderBy(F.col("media_id").cast("int"), "fmt")
