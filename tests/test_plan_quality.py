@@ -251,3 +251,26 @@ def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
     plan = _plan(QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_metrics_two_level_aggregation(spark, sf_dir):
+    """Repetition filters must run explode → per-(doc, gram) count →
+    per-doc max (map-side-combinable partial/final levels), never a
+    quadratic per-document expression; and the scan prunes to the two
+    needed columns."""
+    plan = _plan(QUERIES["text_repetition_filters"](spark, sf_dir))
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_quantize_int8_no_shuffle_pure_projection(spark, sf_dir):
+    """Int8 quantization is per-row Column algebra: the plan must contain
+    NO Exchange before the final ordering and no Python evaluation."""
+    from pinot_spark.catalog import load_tables
+    from pinot_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(quantize_int8(t["embeddings"], "embedding"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
