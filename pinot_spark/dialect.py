@@ -2593,20 +2593,32 @@ def _top_level_clauses(body: str) -> list[tuple[str, int, int]] | None:
     return out if depth == 0 else None
 
 
-def _parse_canonical_stmt(sql: str) -> dict[str, str | None] | None:
-    """Recognize the canonical single-table grouped-aggregate statement
-    ``SELECT ... FROM t [WHERE ...] [GROUP BY ...] [ORDER BY ...]
-    [LIMIT n]`` via top-level clause spans (paren- and literal-aware —
-    the round-8 replacement for the backtracking ``_RS_STMT_RE`` regex).
-    Returns {"select", "table", "where", "group", "tail"} or None for
-    any other shape (joins, set ops, HAVING, subquery FROM, aliases)."""
+def _parse_canonical_stmt(
+    sql: str, allow_join: bool = False
+) -> dict[str, str | None] | None:
+    """Recognize the canonical grouped-aggregate statement ``SELECT ...
+    FROM <src> [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n]`` via
+    top-level clause spans (paren- and literal-aware — the round-8
+    replacement for the backtracking ``_RS_STMT_RE`` regex). Returns
+    {"select", "table", "where", "group", "tail"} or None for any other
+    shape (set ops, HAVING; joins/subquery-FROM/aliases decline unless
+    ``allow_join``, in which case the whole FROM source text — joins,
+    aliases and all — is carried verbatim into "table" for the caller to
+    re-emit)."""
     body = sql.strip().rstrip(";").strip()
     kws = _top_level_clauses(body)
     if not kws or kws[0][0] != "SELECT" or kws[0][1] != 0:
         return None
     names = [k[0] for k in kws]
-    if any(n in ("UNION", "INTERSECT", "EXCEPT", "HAVING", "JOIN") for n in names):
+    if any(n in ("UNION", "INTERSECT", "EXCEPT", "HAVING") for n in names):
         return None
+    if "JOIN" in names:
+        if not allow_join:
+            return None
+        # JOIN keywords are part of the FROM source text, not clause
+        # boundaries — drop them so FROM spans the whole join tree
+        kws = [k for k in kws if k[0] != "JOIN"]
+        names = [k[0] for k in kws]
     order = ["SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT"]
     if "FROM" not in names or any(n not in order for n in names):
         return None
@@ -2618,7 +2630,7 @@ def _parse_canonical_stmt(sql: str) -> dict[str, str | None] | None:
         clause_end = kws[i + 1][1] if i + 1 < len(kws) else len(body)
         bounds[name] = (kw_end, clause_end)
     table_txt = body[bounds["FROM"][0] : bounds["FROM"][1]].strip()
-    if not re.fullmatch(r"[A-Za-z_]\w*", table_txt):
+    if not allow_join and not re.fullmatch(r"[A-Za-z_]\w*", table_txt):
         return None  # subqueries, aliases, comma-joins all decline
     tail = None
     for t in ("ORDER BY", "LIMIT"):
@@ -2652,7 +2664,10 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         return sql
     if re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
         return sql
-    stmt = _parse_canonical_stmt(sql)
+    # joins allowed since round 8: the FROM source text (join tree,
+    # aliases, subqueries) carries verbatim into the inner level, so
+    # post-JOIN grouped raw sketches get the same bucketed partials
+    stmt = _parse_canonical_stmt(sql, allow_join=True)
     if stmt is None:
         return sql
     group = stmt["group"]

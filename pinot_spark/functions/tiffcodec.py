@@ -163,7 +163,6 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False, rows_per_strip: int = 1
         chunk = arr[y0 : y0 + rows_per_strip].tobytes()
         strips.append(packbits_encode(chunk) if packbits else chunk)
     n_strips = len(strips)
-    entries = []  # (tag, type, count, value_or_offset_payload)
 
     def short(v):
         return struct.pack("<HH", v, 0)
@@ -187,7 +186,6 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False, rows_per_strip: int = 1
         if spp == 1
         else long_(ext_array("H", [8, 8, 8]))
     )
-    data_base_placeholder = ext_base  # strip offsets filled after ext known
     strip_sizes = [len(s) for s in strips]
     # reserve external arrays for offsets/counts when n_strips > 1
     entries = [

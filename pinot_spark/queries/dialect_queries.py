@@ -623,16 +623,17 @@ def dialect_raw_theta_scale(spark, sf_dir):
     """,
 )
 def dialect_raw_theta_join(spark, sf_dir):
-    """DISTINCTCOUNTRAWTHETASKETCH under a JOIN — the non-canonical
-    statement shape that round 7 served with per-value collect_set
-    state. Now routed through rewrite_raw_sketch_inexpr_udaf: the raw
-    call becomes a GROUPED_AGG pandas UDAF in place (sketch-sized
-    aggregation state under ANY statement shape — the reference's
-    partial-state contract, AggregationFunction.java:63,86,132); the
-    plan gate asserts no per-value collection. Regional customer
-    cardinalities stay under the nominal entries, so the KMV sketch is
-    EXACT and the oracle mirrors the column with the exact distinct
-    count."""
+    """DISTINCTCOUNTRAWTHETASKETCH under a JOIN — the statement shape
+    round 7 served with per-value collect_set state. The bucketed
+    two-phase now accepts JOIN statements (the FROM join tree carries
+    verbatim into the inner level), so this runs GROUPED_AGG partials
+    per (key, bucket) with sketch-sized aggregation state — the
+    reference's partial-state contract
+    (AggregationFunction.java:63,86,132); the plan gate asserts no
+    per-value collection. Non-canonical shapes (HAVING, subqueries)
+    take the in-expression UDAF path instead. Cardinalities here stay
+    under the nominal entries, so the KMV sketch is EXACT and the oracle
+    mirrors the column with the exact distinct count."""
     return _engine(spark, sf_dir).sql(
         "SELECT r_name, "
         "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(c_custkey)) "

@@ -454,10 +454,9 @@ def test_raw_theta_under_having_bounded(spark, at):
 
 
 def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
-    """Raw theta + a NATIVE aggregate under a JOIN — the one statement
-    class that stays on the per-value fallback (Spark cannot co-place
-    pandas UDAFs with native aggregates; COVERAGE.md documents the
-    bound). It must still answer correctly."""
+    """Raw theta + a NATIVE aggregate under a JOIN — since the two-phase
+    accepts JOIN statements this runs the bucketed native Shape B
+    (O(distinct/fanout) buffer); it must answer correctly."""
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 30)], "g int, v int"
     ).createOrReplaceTempView("rs_mix_a")
@@ -470,3 +469,19 @@ def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
         "GROUP BY lbl ORDER BY lbl LIMIT 10"
     ).collect()
     assert [(r.lbl, r.n, r.dc) for r in rows] == [("x", 2, 2), ("y", 1, 1)]
+
+
+def test_raw_theta_mixed_aggs_having_fallback_correct(spark, at):
+    """Mixed native aggregate + raw theta WITH HAVING — the one
+    remaining per-value-fallback class (two-phase rejects HAVING, the
+    in-expression UDAF path rejects native co-aggregates; COVERAGE.md
+    documents the bound). It must still answer correctly."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "g int, v int"
+    ).createOrReplaceTempView("rs_mix_h")
+    rows = at.sql(
+        "SELECT g, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_mix_h GROUP BY g HAVING n > 1 ORDER BY g LIMIT 10"
+    ).collect()
+    assert [(r.g, r.n, r.dc) for r in rows] == [(1, 2, 2)]

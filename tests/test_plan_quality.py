@@ -224,10 +224,12 @@ def test_raw_theta_two_phase_udaf_inner(spark, sf_dir):
 
 
 def test_raw_theta_under_join_no_per_value_collection(spark, sf_dir):
-    """Raw theta under a JOIN (non-canonical shape — the round-7 per-value
-    fallback) must now route through the in-expression GROUPED_AGG path:
-    the plan shows a pandas aggregation of the hash halves and NO
-    collect_set/collect_list of per-value state (VERDICT r7 #3)."""
+    """Raw theta under a JOIN (the round-7 per-value fallback) now takes
+    the bucketed two-phase with GROUPED_AGG partials — the FROM join
+    tree carries verbatim into the inner level. The plan shows a pandas
+    aggregation of the hash halves, NO collect_set of per-value state;
+    the only collect_list is the bounded (≤ fanout) blob-list merge
+    (VERDICT r7 #3)."""
     from pinot_spark.dialect import PinotEngine
 
     load_tables(spark, sf_dir)
@@ -239,8 +241,25 @@ def test_raw_theta_under_join_no_per_value_collection(spark, sf_dir):
     )
     plan = _plan(df)
     assert "collect_set" not in plan, plan
-    assert "collect_list" not in plan, plan
-    assert "__theta_partial" in plan or "ArrowAggregatePython" in plan, plan
+    assert "ArrowAggregatePython" in plan or "__theta_partial" in plan, plan
+
+
+def test_raw_theta_mixed_under_join_bounded_native(spark, sf_dir):
+    """Mixed native aggregates + raw theta under a JOIN — round 7's
+    per-value fallback — now restructures through the bucketed native
+    two-phase: the collect_set feeds per (key, BUCKET) (O(distinct/
+    fanout) buffer) and is sliced to k+1 before the merge level."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    plan = _plan(PinotEngine(spark).sql(
+        "SELECT n_name, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(c_custkey)) AS dc "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name LIMIT 100"
+    ))
+    assert "slice" in plan and "xxhash64" in plan, plan
+    assert "pmod" in plan, plan  # bucketed inner grouping
 
 
 def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
