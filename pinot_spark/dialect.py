@@ -2597,20 +2597,20 @@ def _parse_canonical_stmt(
     sql: str, allow_join: bool = False
 ) -> dict[str, str | None] | None:
     """Recognize the canonical grouped-aggregate statement ``SELECT ...
-    FROM <src> [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n]`` via
-    top-level clause spans (paren- and literal-aware — the round-8
-    replacement for the backtracking ``_RS_STMT_RE`` regex). Returns
-    {"select", "table", "where", "group", "tail"} or None for any other
-    shape (set ops, HAVING; joins/subquery-FROM/aliases decline unless
-    ``allow_join``, in which case the whole FROM source text — joins,
-    aliases and all — is carried verbatim into "table" for the caller to
-    re-emit)."""
+    FROM <src> [WHERE ...] [GROUP BY ...] [HAVING ...] [ORDER BY ...]
+    [LIMIT n]`` via top-level clause spans (paren- and literal-aware —
+    the round-8 replacement for the backtracking ``_RS_STMT_RE`` regex).
+    Returns {"select", "table", "where", "group", "having", "tail"} or
+    None for any other shape (set ops; joins/subquery-FROM/aliases
+    decline unless ``allow_join``, in which case the whole FROM source
+    text — joins, aliases and all — is carried verbatim into "table"
+    for the caller to re-emit)."""
     body = sql.strip().rstrip(";").strip()
     kws = _top_level_clauses(body)
     if not kws or kws[0][0] != "SELECT" or kws[0][1] != 0:
         return None
     names = [k[0] for k in kws]
-    if any(n in ("UNION", "INTERSECT", "EXCEPT", "HAVING") for n in names):
+    if any(n in ("UNION", "INTERSECT", "EXCEPT") for n in names):
         return None
     if "JOIN" in names:
         if not allow_join:
@@ -2619,7 +2619,7 @@ def _parse_canonical_stmt(
         # boundaries — drop them so FROM spans the whole join tree
         kws = [k for k in kws if k[0] != "JOIN"]
         names = [k[0] for k in kws]
-    order = ["SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT"]
+    order = ["SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
     if "FROM" not in names or any(n not in order for n in names):
         return None
     ranks = [order.index(n) for n in names]
@@ -2649,6 +2649,11 @@ def _parse_canonical_stmt(
         "group": (
             body[bounds["GROUP BY"][0] : bounds["GROUP BY"][1]].strip()
             if "GROUP BY" in bounds
+            else None
+        ),
+        "having": (
+            body[bounds["HAVING"][0] : bounds["HAVING"][1]].strip()
+            if "HAVING" in bounds
             else None
         ),
         "tail": tail,
@@ -2682,7 +2687,7 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
     # aggregate mixing in one SELECT)
     has_basic = any(
         _search_outside_literals(_BASIC_AGG_CALL_RE, _strip_raw_calls(item))
-        for item in items
+        for item in items + ([stmt["having"]] if stmt["having"] else [])
     )
     partials: list[str] = []
     placeholders: dict[str, str] = {}
@@ -2845,10 +2850,23 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
             if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
                 return sql
         rebuilt.append(expr2 + (f" AS {alias}" if alias else ""))
+    having2 = stmt["having"]
+    if having2:
+        # the HAVING predicate rides on the OUTER aggregation: its agg
+        # calls decompose exactly like select items (alias references
+        # pass through — Spark resolves select aliases in HAVING)
+        having2 = hoist_basic(hoist_raw(having2))
+        if having2 is None:
+            return sql
+        for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", having2):
+            if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
+                return sql
     if not placeholders:
         return sql
     for ph, outer in placeholders.items():
         rebuilt = [x.replace(ph, outer) for x in rebuilt]
+        if having2:
+            having2 = having2.replace(ph, outer)
 
     bucket = f"pmod(xxhash64({bucket_arg[0]}), {_RS_FANOUT})"
     inner_select = ", ".join(keys + partials)
@@ -2860,8 +2878,12 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         + f" GROUP BY {inner_group}"
     )
     outer_group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    having_sql = f" HAVING {having2}" if having2 else ""
     tail = stmt["tail"] or ""
-    return f"SELECT {', '.join(rebuilt)} FROM ({inner}) __rs_partials{outer_group}{tail}"
+    return (
+        f"SELECT {', '.join(rebuilt)} FROM ({inner}) "
+        f"__rs_partials{outer_group}{having_sql}{tail}"
+    )
 
 
 # Function names that may remain in a statement (outside the raw-sketch

@@ -334,12 +334,13 @@ def test_raw_theta_tuple_two_phase_rewrite(spark, at):
     plan = at.sql(q)._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan
     assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 4
-    # fallback: HAVING keeps the legacy in-expression path
+    # HAVING rides on the two-phase outer since round 8
     q2 = (
         "SELECT g, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u)) "
         "AS dc FROM rs2_t GROUP BY g HAVING dc > 0 LIMIT 10"
     )
-    assert "__rs_partials" not in at.translate(q2)[0]
+    t2 = at.translate(q2)[0]
+    assert "__rs_partials" in t2 and "HAVING dc > 0" in t2
     assert len(at.sql(q2).collect()) == 4
 
 
@@ -421,10 +422,15 @@ def test_canonical_stmt_parser_shapes():
     # clause keywords inside string literals are data, not structure
     s = P("SELECT v FROM t WHERE note = ' FROM fake group by x '")
     assert s["table"] == "t" and s["group"] is None
+    # HAVING parses (round 8: it rides on the two-phase outer)
+    s = P("SELECT a FROM t GROUP BY a HAVING count(*) > 1")
+    assert s["having"] == "count(*) > 1" and s["group"] == "a"
+    # JOIN parses only when allowed; FROM carries the join tree verbatim
+    j = "SELECT a FROM t JOIN u ON t.x = u.x GROUP BY a"
+    assert P(j) is None
+    assert P(j, allow_join=True)["table"] == "t JOIN u ON t.x = u.x"
     for bad in (
-        "SELECT a FROM t JOIN u ON t.x = u.x",
         "SELECT a FROM t UNION SELECT a FROM u",
-        "SELECT a FROM t GROUP BY a HAVING count(*) > 1",
         "SELECT a FROM (SELECT a FROM t)",
         "SELECT a FROM t tt",
         "SELECT a FROM t, u",
@@ -434,9 +440,10 @@ def test_canonical_stmt_parser_shapes():
 
 
 def test_raw_theta_under_having_bounded(spark, at):
-    """Raw theta in a grouped statement WITH HAVING — a non-canonical
-    shape the two-phase rewrite declines — must take the in-expression
-    GROUPED_AGG path (bounded state) and still answer correctly."""
+    """Raw theta in a grouped statement WITH HAVING — the HAVING
+    predicate rides on the two-phase OUTER aggregation (alias refs pass
+    through, agg expressions decompose), keeping the bucketed
+    GROUPED_AGG inner (bounded state)."""
     spark.createDataFrame(
         [(k, ord(k) * 10 + i) for k in ("a", "b", "c") for i in range({"a": 5, "b": 2, "c": 7}[k])],
         "k string, v int",
@@ -450,7 +457,9 @@ def test_raw_theta_under_having_bounded(spark, at):
         "SELECT k, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
         "FROM rs_having_t GROUP BY k HAVING dc >= 5 LIMIT 10"
     )._jdf.queryExecution().executedPlan().toString()
-    assert "collect_set" not in plan and "collect_list" not in plan
+    # Shape A: pandas partials, no per-value collect_set; the only
+    # collect_list is the bounded blob merge
+    assert "collect_set" not in plan
 
 
 def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
@@ -471,11 +480,10 @@ def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
     assert [(r.lbl, r.n, r.dc) for r in rows] == [("x", 2, 2), ("y", 1, 1)]
 
 
-def test_raw_theta_mixed_aggs_having_fallback_correct(spark, at):
-    """Mixed native aggregate + raw theta WITH HAVING — the one
-    remaining per-value-fallback class (two-phase rejects HAVING, the
-    in-expression UDAF path rejects native co-aggregates; COVERAGE.md
-    documents the bound). It must still answer correctly."""
+def test_raw_theta_mixed_aggs_having_two_phase(spark, at):
+    """Mixed native aggregate + raw theta WITH HAVING — since round 8
+    the HAVING clause rides on the two-phase outer, so this runs the
+    bucketed native Shape B, not the per-value fallback."""
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 30)], "g int, v int"
     ).createOrReplaceTempView("rs_mix_h")
@@ -485,3 +493,25 @@ def test_raw_theta_mixed_aggs_having_fallback_correct(spark, at):
         "FROM rs_mix_h GROUP BY g HAVING n > 1 ORDER BY g LIMIT 10"
     ).collect()
     assert [(r.g, r.n, r.dc) for r in rows] == [(1, 2, 2)]
+    plan = at.sql(
+        "SELECT g, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_mix_h GROUP BY g HAVING n > 1 LIMIT 10"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "slice" in plan  # bucketed Shape B
+
+
+def test_raw_theta_mixed_expression_key_fallback_correct(spark, at):
+    """Mixed aggregates + raw theta grouped by an EXPRESSION key — the
+    remaining per-value-fallback class (two-phase requires identifier
+    keys, the in-expression path rejects native co-aggregates). Must
+    still answer correctly."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "g int, v int"
+    ).createOrReplaceTempView("rs_mix_e")
+    rows = at.sql(
+        "SELECT g % 2 AS p, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_mix_e GROUP BY g % 2 ORDER BY p LIMIT 10"
+    ).collect()
+    assert [(r.p, r.n, r.dc) for r in rows] == [(0, 2, 2), (1, 2, 2)]
