@@ -985,10 +985,10 @@ def text_repetition_filters(spark, sf_dir):
       FROM v
     )
     SELECT vec_id,
-           CASE WHEN mx = mn
+           array_to_string(CASE WHEN mx = mn
                 THEN list_transform(e, x -> 0)
                 ELSE list_transform(e, x -> CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT))
-           END AS q_codes,
+           END, ',') AS q_codes,
            mn AS q_min, step AS q_step,
            TRUE AS q_within_half_step
     FROM s ORDER BY vec_id
@@ -1007,7 +1007,16 @@ def embedding_quantize_int8(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return (
         quantize_int8(t["embeddings"].filter(F.col("vec_id") < 100), "embedding")
-        .select("vec_id", "q_codes", "q_min", "q_step", "q_within_half_step")
+        .select(
+            "vec_id",
+            # the driver canonicalizer cannot hash array cells —
+            # stringify the codes (r03/r04/r05 lesson, gate in
+            # tests/test_oracle_parity.py)
+            F.array_join("q_codes", ",").alias("q_codes"),
+            "q_min",
+            "q_step",
+            "q_within_half_step",
+        )
         .orderBy("vec_id")
     )
 
