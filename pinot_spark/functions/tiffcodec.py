@@ -76,8 +76,14 @@ def packbits_encode(data: bytes) -> bytes:
             if j - i >= 3:
                 break
             i = j
-        out.append(i - lit_start - 1)
-        out += data[lit_start:i]
+        # The stretch loop can overshoot 128 by one 2-byte mini-run; a
+        # single record of 129 literals would need count byte 128 — the
+        # PackBits NO-OP — so emit the segment in ≤128-byte chunks.
+        seg = data[lit_start:i]
+        for off in range(0, len(seg), 128):
+            chunk = seg[off : off + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
     return bytes(out)
 
 

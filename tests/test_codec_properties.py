@@ -6,14 +6,14 @@ must be identity over generated inputs, not just the fixture cases.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pinot_spark.functions import imagecodec as ic
 from pinot_spark.sources import avrocodec, bsoncodec, thriftcodec
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(
     h=st.integers(1, 12),
     w=st.integers(1, 12),
@@ -24,7 +24,7 @@ def test_png_roundtrip_property(h, w, seed):
     assert np.array_equal(ic.decode_png(ic.encode_png(arr)), arr)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(
     h=st.integers(1, 10),
     w=st.integers(1, 10),
@@ -131,7 +131,7 @@ def test_thrift_roundtrip_property(fields):
     ncolors=st.integers(1, 256), seed=st.integers(0, 10**6),
     interlace=st.booleans(),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=200, deadline=None)
 def test_gif_roundtrip_property(h, w, ncolors, seed, interlace):
     from pinot_spark.functions.gifcodec import decode_gif, encode_gif
 
@@ -147,7 +147,8 @@ def test_gif_roundtrip_property(h, w, ncolors, seed, interlace):
     h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 10**6),
     packbits=st.booleans(), rps=st.sampled_from([1, 3, 16, 999]),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=200, deadline=None)
+@example(h=9, w=15, seed=187841, packbits=True, rps=16)  # r8 falsifier
 def test_tiff_roundtrip_property(h, w, seed, packbits, rps):
     from pinot_spark.functions.tiffcodec import decode_tiff, encode_tiff
 
@@ -157,19 +158,45 @@ def test_tiff_roundtrip_property(h, w, seed, packbits, rps):
     assert np.array_equal(got, img)
 
 
+def test_packbits_129_literal_regression():
+    """Pinned r8 bug: a 129-byte literal stretch (127 non-run bytes then a
+    2-byte mini-run) must not emit count byte 128 — the PackBits NO-OP."""
+    from pinot_spark.functions.tiffcodec import packbits_decode, packbits_encode
+
+    data = bytes((b * 7 + 3) % 251 for b in range(127)) + b"\xff\xff"
+    enc = packbits_encode(data)
+    assert packbits_decode(enc, len(data)) == data
+    # walk the record stream: no record may start with the no-op byte
+    i = 0
+    while i < len(enc):
+        c = enc[i]
+        assert c != 128, "encoder emitted the PackBits no-op count byte"
+        i += 2 if c > 128 else c + 2
+    assert i == len(enc)
+
+
 @given(data=st.binary(max_size=800))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=300, deadline=None)
 def test_packbits_roundtrip_property(data):
     from pinot_spark.functions.tiffcodec import packbits_decode, packbits_encode
 
-    assert packbits_decode(packbits_encode(data), len(data)) == data
+    enc = packbits_encode(data)
+    assert packbits_decode(enc, len(data)) == data
+    # structural invariant: the record stream never contains a no-op count
+    # byte and is exactly consumed by spec-compliant record walking
+    i = 0
+    while i < len(enc):
+        c = enc[i]
+        assert c != 128
+        i += 2 if c > 128 else c + 2
+    assert i == len(enc)
 
 
 @given(
     n=st.integers(0, 600), alphabet=st.integers(2, 256),
     seed=st.integers(0, 10**6),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=300, deadline=None)
 def test_gif_lzw_roundtrip_property(n, alphabet, seed):
     from pinot_spark.functions.gifcodec import _lzw_decode, _lzw_encode
 
