@@ -2472,15 +2472,19 @@ _THETA_UDF_SESSIONS: set[int] = set()
 # - MIXED statements (sketch + basic aggregates in one SELECT): Spark
 #   cannot place a pandas UDAF and a native aggregate in the same
 #   aggregation (INVALID_PANDAS_UDF_PLACEMENT — verified on 4.1.2), so
-#   the inner keeps NATIVE partials. HONEST BOUND: the theta collect_set
-#   / tuple collect_list aggregation BUFFER there is O(distinct/fanout)
-#   per bucket — the emitted partial is sketch-sized but the buffer is
-#   not. Raise PINOT_SPARK_RAW_SKETCH_FANOUT for very-high-cardinality
-#   groups (256 → ~40 M hashes/bucket at 10^10 distinct; 65536 → ~150 k).
-#   Basic aggregates decompose into partial/final alongside.
+#   since round 9 the statement SPLITS into two subqueries joined
+#   null-safely on the group keys: the native aggregates stay a plain
+#   grouped subquery (Catalyst partial/final, map-side combine); the raw
+#   sketch calls take the same bounded GROUPED_AGG two-phase as
+#   pure-sketch statements. Memory is sketch-bounded at every level on
+#   BOTH sides — this retires the round-8 native-partial inner whose
+#   collect_set BUFFER was O(distinct/fanout) per bucket. The trade is a
+#   second scan of the source (a columnar re-read at 100 TB, not a
+#   buffer blowup; the reference pays one pass with sketch state,
+#   AggregationFunction.java:63,86,132).
 #
-# Non-canonical statements (JOIN/HAVING/window/subquery) route through
-# rewrite_raw_sketch_inexpr_udaf below; only mixed-aggregate
+# Non-canonical statements (set ops/window/subquery-SELECT) route
+# through rewrite_raw_sketch_inexpr_udaf below; only mixed-aggregate
 # non-canonical statements remain on the per-value fallback entries.
 # ---------------------------------------------------------------------------
 
@@ -2504,6 +2508,10 @@ _RS_SCALAR_ALLOW = {
     "getinttuplesketchestimate", "round", "cast", "abs", "coalesce",
     "sum", "count", "min", "max",
     "gethllestimate", "getullestimate", "gettdigestquantile",
+    # structural SQL keywords the call-shaped regex also matches when a
+    # paren follows (AND (expr), CASE WHEN (..) ...) — not functions
+    "and", "or", "not", "in", "when", "then", "else", "case", "between",
+    "like", "is", "exists",
 }
 _RS_FANOUT = int(os.environ.get("PINOT_SPARK_RAW_SKETCH_FANOUT", "256"))
 
@@ -2660,6 +2668,65 @@ def _parse_canonical_stmt(
     }
 
 
+def _rs_pandas_forms(name: str, args: list[str], n: int) -> tuple[str, str]:
+    """(inner partial expr, outer final-merge expr over ``__rs{n}``) for
+    the GROUPED_AGG pandas path — the aggregation state IS the sketch
+    blob at every level (the reference's partial-state contract,
+    AggregationFunction.java:63,86,132)."""
+    a0 = args[0].strip()
+    if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        log2m = (
+            int(args[1].strip())
+            if name == "distinctcountrawhllmv"
+            and len(args) > 1 and args[1].strip().isdigit()
+            else 8
+        )
+        pair = _hll_pair_expr("x", log2m)
+        pairs_arr = (
+            "array_distinct(transform(filter({0}, "
+            "x -> x IS NOT NULL), x -> {1}))".format(a0, pair)
+        )
+        return (
+            f"__hll_mv_partial({pairs_arr}, {log2m})",
+            f"__hll_merge_blobs(collect_list(__rs{n}))",
+        )
+    if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
+        return (
+            f"__tdigest_partial({a0})",
+            f"__tdigest_merge(collect_list(__rs{n}))",
+        )
+    if name == "distinctcountrawthetasketch":
+        k = _theta_nominal_entries(args)
+        hi, lo = _split_hash_expr(a0)
+        return (
+            f"__theta_partial({hi}, {lo}, {k})",
+            f"__theta_merge_blobs(collect_list(__rs{n}))",
+        )
+    merged = f"__tuple_merge_sum(collect_list(__rs{n}))"
+    return (
+        f"__tuple_partial({a0})",
+        {
+            "distinctcountrawintegersumtuplesketch": merged,
+            "distinctcounttuplesketch": f"__tuple_estimate({merged})",
+            "sumvaluesintegersumtuplesketch": f"__tuple_sum_values({merged})",
+            "avgvalueintegersumtuplesketch": f"__tuple_avg_value({merged})",
+        }[name],
+    )
+
+
+def _replace_word_outside_literals(text: str, word: str, repl: str) -> str:
+    spans = _literal_spans(text)
+    out, i = [], 0
+    for m in re.finditer(r"\b%s\b" % re.escape(word), text):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(text[i : m.start()])
+        out.append(repl)
+        i = m.end()
+    out.append(text[i:])
+    return "".join(out)
+
+
 def rewrite_raw_sketch_two_phase(sql: str) -> str:
     """Restructure ``SELECT [keys,] ...RAW_THETA/TUPLE_SKETCH aggs...
     FROM t [WHERE] [GROUP BY keys] [ORDER BY/LIMIT]`` into the bounded
@@ -2681,14 +2748,16 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         return sql
 
     items = [x.strip() for x in _split_args(stmt["select"])]
-    # shape decision: pure-sketch statements get GROUPED_AGG UDAF
-    # partials (sketch-sized aggregation state); statements that also
-    # aggregate natively must keep native partials (no pandas/native
-    # aggregate mixing in one SELECT)
+    # shape decision: pure-sketch statements become a single two-phase
+    # statement (GROUPED_AGG partials, sketch-sized aggregation state);
+    # statements that also aggregate natively split into two subqueries
+    # joined on the group keys (no pandas/native mixing in one SELECT)
     has_basic = any(
         _search_outside_literals(_BASIC_AGG_CALL_RE, _strip_raw_calls(item))
         for item in items + ([stmt["having"]] if stmt["having"] else [])
     )
+    if has_basic:
+        return _rewrite_mixed_split(sql, stmt, keys, items)
     partials: list[str] = []
     placeholders: dict[str, str] = {}
     bucket_arg: list[str] = []
@@ -2711,126 +2780,14 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
             name = re.sub("_", "", m.group("name")).lower()
             n = seq[0]
             seq[0] += 1
-            a0 = args[0].strip()
             if not bucket_arg:
-                bucket_arg.append(a0)
-            if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
-                log2m = (
-                    int(args[1].strip())
-                    if name == "distinctcountrawhllmv"
-                    and len(args) > 1 and args[1].strip().isdigit()
-                    else 8
-                )
-                pair = _hll_pair_expr("x", log2m)
-                pairs_arr = (
-                    "array_distinct(transform(filter({0}, "
-                    "x -> x IS NOT NULL), x -> {1}))".format(a0, pair)
-                )
-                if has_basic:
-                    # native bounded-DOMAIN partial (≤ m*57 pair values)
-                    partials.append(
-                        "array_distinct(flatten(collect_list("
-                        "{0}))) AS __rs{1}".format(pairs_arr, n)
-                    )
-                    outer = (
-                        f"__hll_from_regs(array_distinct(flatten("
-                        f"collect_list(__rs{n}))), {log2m})"
-                    )
-                else:
-                    partials.append(
-                        f"__hll_mv_partial({pairs_arr}, {log2m}) AS __rs{n}"
-                    )
-                    outer = f"__hll_merge_blobs(collect_list(__rs{n}))"
-            elif name in (
-                "percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"
-            ):
-                if has_basic:
-                    # HONEST BOUND: collect_list buffers the bucket's MV
-                    # arrays (O(rows/fanout)) before the digest build
-                    partials.append(
-                        f"__tdigest_from_values(flatten(collect_list({a0}))) "
-                        f"AS __rs{n}"
-                    )
-                else:
-                    partials.append(f"__tdigest_partial({a0}) AS __rs{n}")
-                outer = f"__tdigest_merge(collect_list(__rs{n}))"
-            elif name == "distinctcountrawthetasketch":
-                k = _theta_nominal_entries(args)
-                if has_basic:
-                    # HONEST BOUND: the collect_set BUFFER holds the
-                    # bucket's distinct hashes (O(distinct/fanout));
-                    # only the emitted partial is k+1 hashes
-                    partials.append(
-                        "slice(sort_array(collect_set(CASE WHEN {0} IS NULL THEN "
-                        "CAST(NULL AS BIGINT) ELSE xxhash64({0}) END)), 1, {1}) "
-                        "AS __rs{2}".format(a0, k + 1, n)
-                    )
-                    outer = (
-                        "__theta_from_hashes(slice(sort_array(array_distinct("
-                        "flatten(collect_list(__rs{0})))), 1, {1}), {2})".format(
-                            n, k + 1, k
-                        )
-                    )
-                else:
-                    hi, lo = _split_hash_expr(a0)
-                    partials.append(
-                        f"__theta_partial({hi}, {lo}, {k}) AS __rs{n}"
-                    )
-                    outer = f"__theta_merge_blobs(collect_list(__rs{n}))"
-            else:
-                if has_basic:
-                    # HONEST BOUND: collect_list buffers the bucket's
-                    # singleton sketch blobs (O(rows/fanout))
-                    partials.append(
-                        f"__tuple_merge_sum(collect_list({a0})) AS __rs{n}"
-                    )
-                else:
-                    partials.append(f"__tuple_partial({a0}) AS __rs{n}")
-                merged = f"__tuple_merge_sum(collect_list(__rs{n}))"
-                outer = {
-                    "distinctcountrawintegersumtuplesketch": merged,
-                    "distinctcounttuplesketch": f"__tuple_estimate({merged})",
-                    "sumvaluesintegersumtuplesketch": f"__tuple_sum_values({merged})",
-                    "avgvalueintegersumtuplesketch": f"__tuple_avg_value({merged})",
-                }[name]
+                bucket_arg.append(args[0].strip())
+            partial, outer = _rs_pandas_forms(name, args, n)
+            partials.append(f"{partial} AS __rs{n}")
             ph = f"__RSPH{n}__"
             placeholders[ph] = outer
             out.append(item[i : m.start()])
             out.append(ph)
-            i = close_idx + 1
-        return "".join(out)
-
-    def hoist_basic(item: str) -> str | None:
-        out = []
-        i = 0
-        spans = _literal_spans(item)
-        while True:
-            m = _BASIC_AGG_CALL_RE.search(item, i)
-            while m and any(a <= m.start() < b for a, b in spans):
-                m = _BASIC_AGG_CALL_RE.search(item, m.end())
-            if not m:
-                out.append(item[i:])
-                break
-            open_idx = item.index("(", m.end() - 1)
-            close_idx = _find_matching(item, open_idx)
-            inside = item[open_idx + 1 : close_idx].strip()
-            if re.match(r"DISTINCT\b", inside, re.IGNORECASE):
-                return None  # not decomposable — fall back
-            fn = m.group("name").lower()
-            n = seq[0]
-            seq[0] += 1
-            if fn == "avg":
-                partials.append(f"sum({inside}) AS __ag{n}_s")
-                partials.append(f"count({inside}) AS __ag{n}_c")
-                outer = f"(sum(__ag{n}_s) / sum(__ag{n}_c))"
-            elif fn == "count":
-                partials.append(f"count({inside}) AS __ag{n}")
-                outer = f"sum(__ag{n})"
-            else:
-                partials.append(f"{fn}({inside}) AS __ag{n}")
-                outer = f"{fn}(__ag{n})"
-            out.append(item[i : m.start()])
-            out.append(outer)
             i = close_idx + 1
         return "".join(out)
 
@@ -2842,9 +2799,6 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
             rebuilt.append(item)
             continue
         expr2 = hoist_raw(expr)
-        expr2 = hoist_basic(expr2)
-        if expr2 is None:
-            return sql
         # every remaining call must be an allowed scalar wrapper
         for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr2):
             if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
@@ -2852,12 +2806,10 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         rebuilt.append(expr2 + (f" AS {alias}" if alias else ""))
     having2 = stmt["having"]
     if having2:
-        # the HAVING predicate rides on the OUTER aggregation: its agg
-        # calls decompose exactly like select items (alias references
-        # pass through — Spark resolves select aliases in HAVING)
-        having2 = hoist_basic(hoist_raw(having2))
-        if having2 is None:
-            return sql
+        # the HAVING predicate rides on the OUTER aggregation: its raw
+        # calls hoist exactly like select items (alias references pass
+        # through — Spark resolves select aliases in HAVING)
+        having2 = hoist_raw(having2)
         for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", having2):
             if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
                 return sql
@@ -2884,6 +2836,153 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         f"SELECT {', '.join(rebuilt)} FROM ({inner}) "
         f"__rs_partials{outer_group}{having_sql}{tail}"
     )
+
+
+def _rewrite_mixed_split(
+    sql: str, stmt: dict[str, str | None], keys: list[str], items: list[str]
+) -> str:
+    """MIXED raw-sketch statements (native aggregates + raw sketch names
+    in one SELECT/HAVING) split into two subqueries joined NULL-SAFELY
+    on the group keys: the native aggregates stay a plain grouped
+    subquery (Catalyst partial/final, map-side combine — DISTINCT and
+    arbitrary native aggregates welcome); the raw sketch calls take the
+    same bounded GROUPED_AGG two-phase as pure-sketch statements.
+    Memory is sketch-bounded at every level on both sides — this
+    retires the round-8 O(distinct/fanout) collect_set inner. The trade
+    is a second scan of the source: a columnar re-read at 100 TB, not a
+    buffer blowup. Returns ``sql`` unchanged when the statement resists
+    the split (exotic aggregates mixed into a sketch expression)."""
+    NAT, SK = "__rsn", "__rss"
+    sk_partials: list[str] = []
+    sk_finals: list[str] = []
+    nat_items: list[str] = []
+    bucket_arg: list[str] = []
+    seq = [0]
+
+    def hoist_raw(item: str) -> str:
+        out, i = [], 0
+        spans = _literal_spans(item)
+        while True:
+            m = _RAW_SKETCH_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _RAW_SKETCH_CALL_RE.search(item, m.end())
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            args = _split_args(item[open_idx + 1 : close_idx])
+            name = re.sub("_", "", m.group("name")).lower()
+            n = seq[0]
+            seq[0] += 1
+            if not bucket_arg:
+                bucket_arg.append(args[0].strip())
+            partial, final = _rs_pandas_forms(name, args, n)
+            sk_partials.append(f"{partial} AS __rs{n}")
+            sk_finals.append(f"{final} AS __rsph{n}")
+            out.append(item[i : m.start()])
+            out.append(f"{SK}.__rsph{n}")
+            i = close_idx + 1
+        return "".join(out)
+
+    def hoist_basic(item: str) -> str:
+        # native aggregate calls move VERBATIM into the native subquery
+        # (evaluated finally there — no partial/final decomposition
+        # needed, Catalyst does that); the outer references the column
+        out, i = [], 0
+        spans = _literal_spans(item)
+        while True:
+            m = _BASIC_AGG_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _BASIC_AGG_CALL_RE.search(item, m.end())
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            n = seq[0]
+            seq[0] += 1
+            nat_items.append(f"{item[m.start() : close_idx + 1]} AS __ag{n}")
+            out.append(item[i : m.start()])
+            out.append(f"{NAT}.__ag{n}")
+            i = close_idx + 1
+        return "".join(out)
+
+    def qualify(text: str) -> str:
+        # group-key references become native-side references so the
+        # post-join expression is unambiguous
+        for k in keys:
+            text = _replace_word_outside_literals(text, k, f"{NAT}.{k}")
+        return text
+
+    rebuilt: list[str] = []
+    alias_map: dict[str, str] = {}
+    for item in items:
+        am = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+        if expr.strip() in keys:
+            k = expr.strip()
+            rebuilt.append(f"{NAT}.{k} AS {alias or k}")
+            alias_map[alias or k] = f"{NAT}.{k}"
+            continue
+        if not _search_outside_literals(_RAW_SKETCH_CALL_RE, expr):
+            # pure-native item: the whole expression evaluates in the
+            # native subquery (any aggregate/scalar shape is fine there)
+            n = seq[0]
+            seq[0] += 1
+            nat_items.append(f"{expr} AS __nat{n}")
+            out_ref = f"{NAT}.__nat{n}"
+            rebuilt.append(out_ref + (f" AS {alias}" if alias else ""))
+            if alias:
+                alias_map[alias] = out_ref
+            continue
+        e2 = hoist_basic(hoist_raw(expr))
+        for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", e2):
+            if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
+                return sql
+        e2 = qualify(e2)
+        rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
+        if alias:
+            alias_map[alias] = e2
+    having2 = stmt["having"]
+    if having2:
+        # the HAVING predicate becomes a WHERE over the joined result —
+        # select-alias references must inline first (WHERE cannot see
+        # select aliases the way HAVING can)
+        for alias, out_ref in alias_map.items():
+            having2 = _replace_word_outside_literals(
+                having2, alias, f"({out_ref})"
+            )
+        having2 = hoist_basic(hoist_raw(having2))
+        for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", having2):
+            if re.sub("_", "", cm.group(1)).lower() not in _RS_SCALAR_ALLOW:
+                return sql
+        having2 = qualify(having2)
+    if not sk_finals:
+        return sql
+    where = f" WHERE {stmt['where']}" if stmt["where"] else ""
+    key_csv = ", ".join(keys)
+    nat_sub = (
+        f"SELECT {', '.join(keys + nat_items)} FROM {stmt['table']}{where}"
+        + (f" GROUP BY {key_csv}" if keys else "")
+    )
+    bucket = f"pmod(xxhash64({bucket_arg[0]}), {_RS_FANOUT})"
+    sk_inner = (
+        f"SELECT {', '.join(keys + sk_partials)} FROM {stmt['table']}{where}"
+        f" GROUP BY {', '.join(keys + [bucket])}"
+    )
+    sk_sub = (
+        f"SELECT {', '.join(keys + sk_finals)} FROM ({sk_inner}) __rs_partials"
+        + (f" GROUP BY {key_csv}" if keys else "")
+    )
+    if keys:
+        on = " AND ".join(f"{NAT}.{k} <=> {SK}.{k}" for k in keys)
+        join = f"({nat_sub}) {NAT} JOIN ({sk_sub}) {SK} ON {on}"
+    else:
+        join = f"({nat_sub}) {NAT} CROSS JOIN ({sk_sub}) {SK}"
+    having_sql = f" WHERE {having2}" if having2 else ""
+    tail = stmt["tail"] or ""
+    return f"SELECT {', '.join(rebuilt)} FROM {join}{having_sql}{tail}"
 
 
 # Function names that may remain in a statement (outside the raw-sketch
@@ -3636,8 +3735,173 @@ class PinotEngine:
             view = f"__gapfill_{_ASOF_VIEW_SEQ[0]}"
             self._gapfill(bare[s + 1 : e]).createOrReplaceTempView(view)
             return self.sql(bare[:s] + view + bare[e + 1 :])
+        routed = self._route_pure_theta_zero_shuffle(pinot_sql)
+        if routed is not None:
+            return routed
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    def _route_pure_theta_zero_shuffle(self, pinot_sql: str) -> DataFrame | None:
+        """Map-side combine for canonical PURE raw-theta statements over
+        a single named table: the SQL two-phase's GROUPED_AGG inner
+        shuffles O(rows) on (keys, bucket) because pandas UDAFs have no
+        partial aggregation, where the reference ships segment-local
+        sketches (LeafOperator → broker merge). This route executes the
+        FROM/WHERE as a DataFrame, builds partition-local per-group
+        sketch partials in ONE mapInPandas pass
+        (operators/theta.grouped_theta_partials — no data shuffle), and
+        re-enters the dialect with the outer merge statement over a temp
+        view of the partials, so the only exchange moves
+        O(groups × partitions) sketch blobs.
+
+        Declines (returns None → the bounded SQL two-phase handles it)
+        when: any non-theta raw name or native aggregate co-occurs, the
+        FROM is not a single plain table, keys/args are not plain
+        columns, a key is 64-bit or decimal/timestamp typed (nullable
+        BIGINT loses exactness through Arrow→pandas float64), or
+        default-value null mode applies (the route would bypass the
+        null-default view substitution)."""
+        options, sql = split_options(pinot_sql)
+        if not _RAW_SKETCH_CALL_RE.search(sql):
+            return None
+        if re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
+            return None
+        sql = rewrite_quoted_identifiers(sql)
+        stmt = _parse_canonical_stmt(sql, allow_join=False)
+        if stmt is None:
+            return None
+        src_table = stmt["table"]
+        if not null_handling_enabled(options, self.null_handling_default):
+            # default-value null mode: scan the same null-defaulted view
+            # the SQL path would substitute (_apply_default_null_views)
+            try:
+                allowed = self.null_default_tables
+                if allowed is None:
+                    from pinot_spark.catalog import TABLE_NAMES
+
+                    allowed = frozenset(TABLE_NAMES)
+                if (
+                    src_table in allowed
+                    and not src_table.startswith("__")
+                    and self.spark.catalog.tableExists(src_table)
+                ):
+                    src_table = self._ensure_nulldef_view(src_table)
+            except Exception:
+                return None
+        group = stmt["group"]
+        keys = [g.strip() for g in _split_args(group)] if group else []
+        if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+            return None
+        items = [x.strip() for x in _split_args(stmt["select"])]
+        if any(
+            _search_outside_literals(_BASIC_AGG_CALL_RE, _strip_raw_calls(item))
+            for item in items + ([stmt["having"]] if stmt["having"] else [])
+        ):
+            return None  # mixed → split-subquery path
+        calls: list[tuple[str, int]] = []  # (a0 column, nominal entries)
+
+        def hoist_raw(item: str) -> str | None:
+            out, i = [], 0
+            spans = _literal_spans(item)
+            while True:
+                m = _RAW_SKETCH_CALL_RE.search(item, i)
+                while m and any(a <= m.start() < b for a, b in spans):
+                    m = _RAW_SKETCH_CALL_RE.search(item, m.end())
+                if not m:
+                    out.append(item[i:])
+                    break
+                if re.sub("_", "", m.group("name")).lower() != "distinctcountrawthetasketch":
+                    return None  # only theta has the grouped-partials op
+                open_idx = item.index("(", m.end() - 1)
+                close_idx = _find_matching(item, open_idx)
+                args = _split_args(item[open_idx + 1 : close_idx])
+                a0 = args[0].strip()
+                if not re.fullmatch(r"[A-Za-z_]\w*", a0):
+                    return None
+                n = len(calls)
+                calls.append((a0, _theta_nominal_entries(args)))
+                out.append(item[i : m.start()])
+                out.append(f"__theta_merge_blobs(collect_list(__rs{n}))")
+                i = close_idx + 1
+            return "".join(out)
+
+        rebuilt: list[str] = []
+        for item in items:
+            am = re.match(
+                r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE
+            )
+            expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+            if expr.strip() in keys:
+                rebuilt.append(item)
+                continue
+            e2 = hoist_raw(expr)
+            if e2 is None:
+                return None
+            for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", e2):
+                name = re.sub("_", "", cm.group(1)).lower()
+                if name not in _RS_SCALAR_ALLOW and name not in (
+                    "thetamergeblobs", "collectlist",
+                ):
+                    return None
+            rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
+        having2 = stmt["having"]
+        if having2:
+            having2 = hoist_raw(having2)
+            if having2 is None:
+                return None
+            for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", having2):
+                name = re.sub("_", "", cm.group(1)).lower()
+                if name not in _RS_SCALAR_ALLOW and name not in (
+                    "thetamergeblobs", "collectlist",
+                ):
+                    return None
+        if not calls:
+            return None
+        try:
+            from pyspark.sql import functions as F
+
+            src = self.spark.table(src_table)
+            ok_key_types = ("string", "int", "smallint", "tinyint",
+                            "boolean", "date", "float", "double")
+            for k in keys:
+                if src.schema[k].dataType.simpleString() not in ok_key_types:
+                    return None
+            if stmt["where"]:
+                mini = f"SELECT * FROM {src_table} WHERE {stmt['where']}"
+                mini = rewrite_array_constructor(mini)
+                mini = rewrite_functions(mini)
+                mini = rewrite_cast_types(mini)
+                mini = rewrite_timestamp_coercion(self.spark, mini)
+                mini = rewrite_mv_predicates(self.spark, mini)
+                wm = _top_level_kw(mini, "WHERE")
+                src = src.where(F.expr(mini[wm.end() :]))
+            hash_cols = []
+            pair_cols: list[tuple[str, str, int]] = []
+            for i, (a0, k) in enumerate(calls):
+                hi, lo = _split_hash_expr(a0)
+                hash_cols += [
+                    F.expr(hi).alias(f"__hi{i}"), F.expr(lo).alias(f"__lo{i}")
+                ]
+                pair_cols.append((f"__hi{i}", f"__lo{i}", k))
+            from pinot_spark.operators.theta import grouped_theta_partials
+
+            partials = grouped_theta_partials(
+                src.select(*keys, *hash_cols), keys, pair_cols
+            )
+        except Exception:
+            return None  # unresolvable column/expression → SQL path
+        _ASOF_VIEW_SEQ[0] += 1
+        view = f"__theta_zs_{_ASOF_VIEW_SEQ[0]}"
+        partials.createOrReplaceTempView(view)
+        _ensure_theta_sql_udfs(self.spark)
+        outer_group = f" GROUP BY {', '.join(keys)}" if keys else ""
+        having_sql = f" HAVING {having2}" if having2 else ""
+        tail = stmt["tail"] or ""
+        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+        return self.sql(
+            f"{prefix}SELECT {', '.join(rebuilt)} FROM {view} "
+            f"__rs_partials{outer_group}{having_sql}{tail}"
+        )
 
     def _explain(self, pinot_sql: str) -> DataFrame:
         """``EXPLAIN PLAN FOR <query>`` (reference: the broker's EXPLAIN

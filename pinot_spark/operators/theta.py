@@ -130,10 +130,14 @@ def theta_sketch(df: DataFrame, col: str, k: int = 4096) -> ThetaSketch:
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
     def _topk(cand: np.ndarray) -> np.ndarray:
-        cand = np.unique(cand)
-        if len(cand) > k:
-            cand.sort()
-            cand = cand[:k]
+        cand = np.unique(cand)  # sorted
+        if len(cand) > k + 1:
+            # keep k+1, not k: if every partition held exactly k
+            # candidates the merged set could land on len == k and
+            # from_hashes would claim the EXACT regime while values
+            # beyond the k-th were silently dropped; the (k+1)-th
+            # candidate is what becomes theta
+            cand = cand[: k + 1]
         return cand
 
     def _partition_topk(batches):
@@ -167,3 +171,93 @@ def theta_sketch(df: DataFrame, col: str, k: int = 4096) -> ThetaSketch:
         return ThetaSketch(k, 2**64, np.array([], dtype=np.uint64))
     allh = np.concatenate([np.frombuffer(r.hs, dtype="<u8") for r in rows])
     return ThetaSketch.from_hashes(k, allh)
+
+
+def grouped_theta_partials(
+    src: DataFrame, keys: list[str], calls: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Partition-local GROUPED theta partials — the map-side combine the
+    SQL two-phase cannot express (pandas UDAFs have no partial
+    aggregation, so the GROUPED_AGG inner shuffles O(rows)).
+
+    ``src`` must already carry the key columns plus, for each raw theta
+    call i, the NULL-masked xxhash64 split into 32-bit halves as columns
+    ``__hi{i}``/``__lo{i}`` (a nullable BIGINT reaches pandas as
+    float64, which cannot hold a 64-bit hash exactly; the halves can —
+    dialect._split_hash_expr). ``calls`` is [(hi_col, lo_col, k), ...].
+
+    One ``mapInPandas`` pass accumulates, per (key-tuple, call), the ≤ k
+    smallest distinct hashes across the partition's Arrow batches, then
+    emits ONE row per key per partition: (keys..., __rs0 blob, ...).
+    The only shuffle after this is of partial rows — O(groups ×
+    partitions × blob) — mirroring Pinot's segment-local sketch build +
+    broker merge (AggregationFunction.java:63,86,132). Candidate
+    truncation at k is associative, so the downstream blob merge is
+    exact w.r.t. the flat build.
+
+    Groups whose values are all NULL still emit (empty-sketch blob), so
+    the group list matches the SQL GROUP BY exactly."""
+    key_fields = [src.schema[k] for k in keys]
+    out_fields = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+        + [f"__rs{i} binary" for i in range(len(calls))]
+    )
+
+    def _build(batches):
+        acc: dict[tuple, list[np.ndarray | None]] = {}
+        for pdf in batches:
+            groups = (
+                pdf.groupby(keys, dropna=False, sort=False)
+                if keys
+                else [((), pdf)]  # ungrouped: the partition is one group
+            )
+            for kt, g in groups:
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                slot = acc.setdefault(kt, [None] * len(calls))
+                for i, (hi_c, lo_c, k) in enumerate(calls):
+                    hi = g[hi_c].to_numpy(dtype="float64")
+                    lo = g[lo_c].to_numpy(dtype="float64")
+                    mask = ~np.isnan(hi)
+                    if not mask.any():
+                        continue
+                    u = (
+                        hi[mask].astype(np.int64).astype(np.uint64) << np.uint64(32)
+                    ) | lo[mask].astype(np.int64).astype(np.uint64)
+                    u ^= np.uint64(1 << 63)  # signed hash → unsigned order
+                    cand = u if slot[i] is None else np.concatenate([slot[i], u])
+                    cand = np.unique(cand)  # sorted
+                    if len(cand) > k + 1:
+                        # keep k+1: the (k+1)-th value BECOMES theta in
+                        # from_hashes — truncating to k would silently
+                        # flip the sketch into its "exact" regime
+                        cand = cand[: k + 1]
+                    slot[i] = cand
+        if not acc:
+            return
+        rows = []
+        for kt, slots in acc.items():
+            row = [None if (v is None or v != v) else v for v in kt]
+            for i, (_, _, k) in enumerate(calls):
+                cand = slots[i]
+                if cand is None:
+                    cand = np.array([], dtype=np.uint64)
+                row.append(ThetaSketch.from_hashes(k, cand).to_bytes())
+            rows.append(row)
+        out = pd.DataFrame(
+            rows, columns=keys + [f"__rs{i}" for i in range(len(calls))]
+        )
+        # integral key columns may have ridden through pandas as float64
+        # (null-carrying Arrow batches); hand them back as objects so the
+        # Arrow writer casts per the declared schema without float noise
+        for f in key_fields:
+            if f.dataType.simpleString() in ("int", "smallint", "tinyint"):
+                out[f.name] = [
+                    None if v is None else int(v) for v in out[f.name]
+                ]
+        yield out
+
+    return src.select(
+        *keys,
+        *[c for hi_c, lo_c, _ in calls for c in (hi_c, lo_c)],
+    ).mapInPandas(_build, schema=out_fields)

@@ -463,9 +463,9 @@ def test_raw_theta_under_having_bounded(spark, at):
 
 
 def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
-    """Raw theta + a NATIVE aggregate under a JOIN — since the two-phase
-    accepts JOIN statements this runs the bucketed native Shape B
-    (O(distinct/fanout) buffer); it must answer correctly."""
+    """Raw theta + a NATIVE aggregate under a JOIN — since round 9 this
+    splits into a native-aggregate subquery joined with the pure-sketch
+    pandas two-phase (sketch-bounded memory); it must answer correctly."""
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 30)], "g int, v int"
     ).createOrReplaceTempView("rs_mix_a")
@@ -481,9 +481,11 @@ def test_raw_theta_mixed_aggs_under_join_falls_back_correct(spark, at):
 
 
 def test_raw_theta_mixed_aggs_having_two_phase(spark, at):
-    """Mixed native aggregate + raw theta WITH HAVING — since round 8
-    the HAVING clause rides on the two-phase outer, so this runs the
-    bucketed native Shape B, not the per-value fallback."""
+    """Mixed native aggregate + raw theta WITH HAVING — since round 9
+    the statement splits into a native subquery joined with the
+    pure-sketch pandas two-phase; the HAVING (referencing a select
+    alias) becomes a WHERE over the joined result. No collect_set of
+    hashes anywhere; the sketch side aggregates in pandas."""
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 30)], "g int, v int"
     ).createOrReplaceTempView("rs_mix_h")
@@ -498,7 +500,8 @@ def test_raw_theta_mixed_aggs_having_two_phase(spark, at):
         "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
         "FROM rs_mix_h GROUP BY g HAVING n > 1 LIMIT 10"
     )._jdf.queryExecution().executedPlan().toString()
-    assert "pmod" in plan and "slice" in plan  # bucketed Shape B
+    assert "collect_set" not in plan
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
 
 
 def test_raw_theta_mixed_expression_key_fallback_correct(spark, at):
