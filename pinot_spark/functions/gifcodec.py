@@ -208,19 +208,84 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF has no image frame")
 
 
-def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+def median_cut_palette(flat: np.ndarray, n: int = 256) -> np.ndarray:
+    """Median-cut palette (Heckbert 1982, the public algorithm): start
+    with one box of all distinct colors, repeatedly split the most
+    populous box at the median of its widest channel, until ``n`` boxes;
+    each box contributes its population-weighted mean color. Pure numpy
+    over the DISTINCT colors (≤ 2^24 rows), not the pixels."""
+    colors, counts = np.unique(
+        flat.reshape(-1, 3), axis=0, return_counts=True
+    )
+    boxes = [(colors, counts)]
+    while len(boxes) < n:
+        # split the box holding the most pixels that is still splittable
+        order = sorted(
+            range(len(boxes)),
+            key=lambda i: int(boxes[i][1].sum()),
+            reverse=True,
+        )
+        for bi in order:
+            cols, cnts = boxes[bi]
+            if len(cols) > 1:
+                break
+        else:
+            break  # every box is a single color
+        cols, cnts = boxes.pop(bi)
+        ch = int(np.argmax(cols.max(axis=0) - cols.min(axis=0)))
+        sel = np.argsort(cols[:, ch], kind="stable")
+        cols, cnts = cols[sel], cnts[sel]
+        # median by pixel population, clamped so both halves are non-empty
+        cut = int(np.searchsorted(np.cumsum(cnts), cnts.sum() / 2)) + 1
+        cut = min(max(cut, 1), len(cols) - 1)
+        boxes.append((cols[:cut], cnts[:cut]))
+        boxes.append((cols[cut:], cnts[cut:]))
+    pal = np.array(
+        [
+            np.round(
+                (cols.astype(np.float64) * cnts[:, None]).sum(axis=0)
+                / cnts.sum()
+            )
+            for cols, cnts in boxes
+        ],
+        dtype=np.uint8,
+    )
+    return pal
+
+
+def _nearest_palette_indices(flat: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Exact nearest palette entry (squared-L2 in RGB) per pixel,
+    chunked so the (pixels × palette) distance block stays small."""
+    idx = np.empty(len(flat), dtype=np.uint8)
+    p = palette.astype(np.int32)
+    for off in range(0, len(flat), 1 << 16):
+        chunk = flat[off : off + (1 << 16)].astype(np.int32)
+        d = ((chunk[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+        idx[off : off + (1 << 16)] = np.argmin(d, axis=1).astype(np.uint8)
+    return idx
+
+
+def encode_gif(
+    arr: np.ndarray, interlace: bool = False, quantize: bool = False
+) -> bytes:
     """(H, W, 3) uint8 RGB (≤256 distinct colors) or (H, W) gray →
-    still GIF89a bytes. Lossless for palettized content."""
+    still GIF89a bytes. Lossless for palettized content. With
+    ``quantize=True``, >256-color images are median-cut quantized to a
+    256-entry palette first (lossy, nearest-color mapping); the default
+    keeps the loud boundary so the lossless contract stays checkable."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = np.dstack([arr, arr, arr])
     h, w = arr.shape[:2]
     flat = arr.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
+    if len(colors) > 256 and quantize:
+        colors = median_cut_palette(flat, 256)
+        inverse = _nearest_palette_indices(flat, colors)
+    elif len(colors) > 256:
         raise NotImplementedError(
             f"GIF encoding needs a palette: {len(colors)} distinct colors > 256 "
-            "(palette quantization is out of scope — pre-quantize the image)"
+            "(pass quantize=True for median-cut quantization, or pre-quantize)"
         )
     # palette size: power of two ≥ max(2, n_colors)
     bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))

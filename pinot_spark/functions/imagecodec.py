@@ -19,9 +19,11 @@ whose specifications need nothing beyond ``zlib`` (stdlib) and numpy:
 - **TIFF** (6.0 baseline): functions/tiffcodec.py (II/MM byte orders,
   strip layout, uncompressed + PackBits, 8-bit gray/RGB).
 
-WebP needs a VP8 entropy decoder not present in this container and
-raises NotImplementedError with the sniffed format name — the honest
-boundary, format-specific instead of blanket.
+- **WebP lossless** (VP8L, RFC 9649): functions/webpcodec.py — full
+  decoder (prefix codes, color cache, meta groups, LZ77, all four
+  transforms) + a literal/cache/run encoder. Lossy 'VP8 ' still raises
+  NotImplementedError by name (boolean-coder DCT codec) — the honest
+  boundary, format-specific instead of blanket.
 """
 
 from __future__ import annotations
@@ -244,6 +246,13 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     return decode_tiff(data)
 
 
+def _decode_webp(data: bytes) -> np.ndarray:
+    from pinot_spark.functions.webpcodec import decode_webp
+
+    # VP8L lossless decodes fully; lossy 'VP8 ' raises by name inside
+    return decode_webp(data)
+
+
 _DECODERS = {
     "png": decode_png,
     "bmp": decode_bmp,
@@ -251,6 +260,7 @@ _DECODERS = {
     "jpeg": _decode_jpeg,
     "gif": _decode_gif,
     "tiff": _decode_tiff,
+    "webp": _decode_webp,
 }
 
 
@@ -262,7 +272,7 @@ def decode(data: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"image format {fmt!r} requires a codec library not present in "
-            "this container (supported here: png, bmp, ppm, jpeg, gif, tiff)"
+            "this container (supported: png, bmp, ppm, jpeg, gif, tiff, webp-lossless)"
         )
     return dec(data)
 

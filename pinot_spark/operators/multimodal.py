@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
-The decode step is REAL for PNG/BMP/PPM (pure-stdlib codecs in
-functions/imagecodec.py — zlib inflate + numpy unfiltering); formats
-needing external codec libraries (WebP/GIF/TIFF) raise
-NotImplementedError naming the format. ``fake=True`` keeps the seeded
-content-hash decoder for plumbing tests on non-image payloads.
+The decode step is REAL for PNG/BMP/PPM/JPEG/GIF/TIFF/WebP-lossless
+(pure-stdlib codecs in functions/imagecodec.py + jpegcodec/gifcodec/
+tiffcodec/webpcodec); only lossy VP8 WebP raises NotImplementedError
+naming the codec. ``fake=True`` keeps the seeded content-hash decoder
+for plumbing tests on non-image payloads.
 
 Scale design: mapInPandas streams Arrow record batches; binary payloads
 never round-trip through Python objects row-at-a-time. Batch size is
@@ -66,10 +66,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real decode → FEATURE_DIM integer-luma thumbnail features.
-    PNG/BMP/PPM/JPEG are decoded with the pure-stdlib codecs
-    (functions/imagecodec.py, jpegcodec.py); other formats raise
-    NotImplementedError naming the format (WebP/GIF need codec libs
-    absent here)."""
+    PNG/BMP/PPM/JPEG/GIF/TIFF/WebP-lossless are decoded with the
+    pure-stdlib codecs (functions/imagecodec.py and the per-format
+    codec modules); only lossy VP8 WebP raises NotImplementedError by
+    name."""
     from pinot_spark.functions import imagecodec
 
     arr = imagecodec.decode(payload)

@@ -1101,3 +1101,86 @@ def multimodal_gif_tiff_features(spark, sf_dir):
         ).alias("feat_sum"),
         "decode_ok",
     ).orderBy(F.col("media_id").cast("int"), "fmt")
+
+
+@query(
+    "multimodal_webp_features",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'), 48, 'x'), 1, 48) AS t
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, fmt,
+           CAST(list_sum(list_transform(range(16), i ->
+               (77 * ascii(substr(t, i*3 + 1, 1)) +
+                150 * ascii(substr(t, i*3 + 2, 1)) +
+                29 * ascii(substr(t, i*3 + 3, 1))) // 256)) AS DOUBLE) AS feat_sum,
+           'ok' AS decode_ok
+    FROM px CROSS JOIN (VALUES ('plain'), ('pal'), ('pred')) AS f(fmt)
+    ORDER BY CAST(media_id AS INT), fmt
+    """,
+)
+def multimodal_webp_features(spark, sf_dir):
+    """WebP LOSSLESS (VP8L, RFC 9649) end-to-end under the driver gate
+    (round 9): each document's first 48 printable bytes become 16 RGB
+    pixels encoded as a REAL VP8L stream three ways — plain
+    (literal + color cache + runs), color-indexing ('pal': delta-coded
+    palette, sub-byte packing when small) and predictor transform
+    ('pred': uniform mode 7 Average2(L,T)) — then decoded back through
+    the generic image dispatch (functions/webpcodec.py) and reduced to
+    integer-luma features. VP8L is lossless, so the decoded pixels
+    equal the text bytes for every variant and the oracle recomputes
+    the features from the text directly."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from pinot_spark.operators.multimodal import extract_features
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def _encode_payload(txt, fmt):
+        import numpy as np
+
+        from pinot_spark.functions.webpcodec import encode_webp
+
+        out = []
+        for t, f in zip(txt, fmt):
+            arr = np.frombuffer(t.encode("ascii")[:48], np.uint8).reshape(4, 4, 3)
+            if f == "pal":
+                out.append(encode_webp(arr, palette=True))
+            elif f == "pred":
+                out.append(encode_webp(arr, predictor=7))
+            else:
+                out.append(encode_webp(arr))
+        return pd.Series(out)
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.substring(
+            F.rpad(F.regexp_replace(F.col("text"), "[^ -~]", ""), 48, "x"), 1, 48
+        ).alias("__t"),
+        F.explode(
+            F.array(F.lit("plain"), F.lit("pal"), F.lit("pred"))
+        ).alias("fmt"),
+    )
+    media = base.select(
+        "media_id",
+        "fmt",
+        _encode_payload("__t", "fmt").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(
+        media.withColumn("media_id", F.concat_ws(":", "media_id", "fmt"))
+    )
+    return feats.select(
+        F.split("media_id", ":")[0].alias("media_id"),
+        F.split("media_id", ":")[1].alias("fmt"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("feat_sum"),
+        "decode_ok",
+    ).orderBy(F.col("media_id").cast("int"), "fmt")

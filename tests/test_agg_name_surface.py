@@ -518,3 +518,31 @@ def test_raw_theta_mixed_expression_key_fallback_correct(spark, at):
         "FROM rs_mix_e GROUP BY g % 2 ORDER BY p LIMIT 10"
     ).collect()
     assert [(r.p, r.n, r.dc) for r in rows] == [(0, 2, 2), (1, 2, 2)]
+
+
+def test_raw_theta_nondefault_fanout_correct(spark, at, monkeypatch):
+    """PINOT_SPARK_RAW_SKETCH_FANOUT governs the bucketed two-phase's
+    inner fan-out; a non-default (odd, tiny) value must not change any
+    answer — the bucket column only shapes the partial distribution
+    (VERDICT r8 optional item). The JOIN form declines the zero-shuffle
+    route, so this pins the bucketed SQL path specifically."""
+    import pinot_spark.dialect as D
+
+    spark.createDataFrame(
+        [(i % 3, i % 17) for i in range(200)], "g int, v int"
+    ).createOrReplaceTempView("rs_fan_a")
+    spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "g int, lbl string"
+                          ).createOrReplaceTempView("rs_fan_b")
+    q = (
+        "SELECT lbl, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_fan_a JOIN rs_fan_b ON rs_fan_a.g = rs_fan_b.g "
+        "GROUP BY lbl ORDER BY lbl LIMIT 10"
+    )
+    expected = [(r.lbl, r.dc) for r in at.sql(q).collect()]
+    # gcd(3, 17) = 1: every g-class sees all 17 residues of v
+    assert expected == [("x", 17), ("y", 17), ("z", 17)]
+    monkeypatch.setattr(D, "_RS_FANOUT", 7)
+    assert [(r.lbl, r.dc) for r in at.sql(q).collect()] == expected
+    monkeypatch.setattr(D, "_RS_FANOUT", 1)  # degenerate single bucket
+    assert [(r.lbl, r.dc) for r in at.sql(q).collect()] == expected

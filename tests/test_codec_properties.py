@@ -204,3 +204,72 @@ def test_gif_lzw_roundtrip_property(n, alphabet, seed):
     data = bytes(rng.integers(0, alphabet, n).astype(np.uint8))
     mcs = max(2, int(np.ceil(np.log2(max(alphabet, 2)))))
     assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_lzw_table_reset_and_width12_boundaries():
+    """The ≤600-byte LZW property never reaches the 4096-entry table
+    reset or the 12-bit code width — the exact greedy-boundary class
+    the round-8 PackBits bug lived in. Force both: long random streams
+    (every alphabet shape), and a full-frame noise GIF through both
+    interlace modes."""
+    from pinot_spark.functions.gifcodec import (
+        _lzw_decode, _lzw_encode, decode_gif, encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for alphabet, n in [(256, 30000), (2, 60000), (16, 40000), (251, 12289)]:
+        data = bytes(rng.integers(0, alphabet, n).astype(np.uint8))
+        mcs = max(2, int(np.ceil(np.log2(max(alphabet, 2)))))
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data, (alphabet, n)
+    palette = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    img = palette[rng.integers(0, 256, (128, 128))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+
+def test_theta_partial_truncation_keeps_theta():
+    """Round-9 regression: a partition accumulator that truncates its
+    candidate set to k (not k+1) silently flips the merged sketch into
+    the 'exact' regime — estimate == k — when the true cardinality
+    exceeds k. Both top-k accumulators must preserve the (k+1)-th value
+    that becomes theta."""
+    import numpy as np
+
+    from pinot_spark.operators.theta import ThetaSketch
+
+    k = 64
+    n = 50 * k  # uniform 64-bit hashes, as xxhash64 produces
+    raw = np.random.default_rng(42).integers(
+        0, 2**64, n, dtype=np.uint64
+    )
+    sk = ThetaSketch.from_hashes(k, np.unique(raw))
+    assert sk.theta_u64 < 2**64  # approximate regime, not "exact"
+    est = sk.estimate()
+    assert abs(est - n) / n < 0.5  # ~1/sqrt(k) error envelope, 4 sigma
+
+
+def test_gif_median_cut_quantization():
+    """encode_gif(quantize=True) median-cuts >256-color images to a
+    256-entry palette: bounded reconstruction error on smooth content,
+    lossless passthrough at ≤256 colors, quantized output re-encodes
+    losslessly, and the default path still raises the loud boundary."""
+    import pytest
+
+    from pinot_spark.functions.gifcodec import decode_gif, encode_gif
+
+    h, w = 60, 80
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.dstack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (w + h))]
+    ).astype(np.uint8)
+    with pytest.raises(NotImplementedError):
+        encode_gif(img)
+    dec = decode_gif(encode_gif(img, quantize=True))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6 and err.max() < 48
+    assert len(np.unique(dec.reshape(-1, 3), axis=0)) <= 256
+    assert np.array_equal(decode_gif(encode_gif(dec)), dec)
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    exact = pal[rng.integers(0, 256, (40, 40))]
+    assert np.array_equal(decode_gif(encode_gif(exact, quantize=True)), exact)

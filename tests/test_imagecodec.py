@@ -130,8 +130,31 @@ def test_ppm_roundtrip_and_comments():
     assert np.array_equal(ic.decode_ppm(with_comment), arr)
 
 
+def _lossy_webp() -> bytes:
+    """A minimal RIFF/WEBP container holding a (bogus) lossy 'VP8 '
+    chunk — the decoder must classify it decoder_unavailable, not
+    corrupt: the chunk is recognized, the codec is the named gap."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+
+
 def test_unsupported_formats_raise_with_name():
-    with pytest.raises(NotImplementedError, match="webp"):
+    # lossless VP8L decodes since round 9; the LOSSY 'VP8 ' codec is
+    # the remaining named boundary
+    import struct
+
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="VP8"):
+        ic.decode(lossy)
+    # a RIFF/WEBP container with no image chunk at all is corrupt
+    with pytest.raises(ValueError):
         ic.decode(b"RIFF\x00\x00\x00\x00WEBPrest")
 
 
@@ -186,7 +209,7 @@ def test_extract_features_real_decode(spark):
     rows = [
         ("m1", bytearray(ic.encode_ppm(arr)), "image/x-portable-pixmap", 4, 4, None),
         ("m2", bytearray(ic.encode_png(arr)), "image/png", 4, 4, None),
-        ("m3", bytearray(b"RIFF\x00\x00\x00\x00WEBPdata"), "image/webp", None, None, None),
+        ("m3", bytearray(_lossy_webp()), "image/webp", None, None, None),
         ("m4", bytearray(encode_jpeg(arr, 95)), "image/jpeg", 4, 4, None),
         ("m5", bytearray(b"\xff\xd8\xff\xe0trunc"), "image/jpeg", None, None, None),
     ]

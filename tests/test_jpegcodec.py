@@ -206,3 +206,32 @@ def test_progressive_payload_through_image_dispatch():
     prog = encode_jpeg_progressive(img, 80)
     assert ic.sniff(prog) == "jpeg"
     assert np.array_equal(ic.decode(prog), decode_jpeg(encode_jpeg(img, 80)))
+
+
+def test_progressive_property_random_shapes():
+    """Property sweep of the progressive==baseline bit-identity over
+    random shapes/contents/qualities (the round-9 greedy-boundary
+    audit: refinement-bit and EOB-run paths under arbitrary block
+    occupancy). Seeded loop rather than hypothesis: each case costs
+    ~100 ms of pure-python DCT, and the invariant is cross-path
+    identity, not a parsed-input property."""
+    from pinot_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(20260814)
+    for _ in range(24):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        q = int(rng.choice([8, 25, 50, 80, 97]))
+        if rng.integers(0, 2):
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        else:  # low-frequency content drives long EOB runs
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            img = np.dstack([
+                (xx * int(rng.integers(1, 5))) % 256,
+                (yy * int(rng.integers(1, 5))) % 256,
+                np.full((h, w), int(rng.integers(0, 256))),
+            ]).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, q)),
+            decode_jpeg(encode_jpeg_progressive(img, q)),
+        ), (h, w, q)
