@@ -2839,7 +2839,11 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
 
 
 def _rewrite_mixed_split(
-    sql: str, stmt: dict[str, str | None], keys: list[str], items: list[str]
+    sql: str,
+    stmt: dict[str, str | None],
+    keys: list[str],
+    items: list[str],
+    theta_view_builder=None,
 ) -> str:
     """MIXED raw-sketch statements (native aggregates + raw sketch names
     in one SELECT/HAVING) split into two subqueries joined NULL-SAFELY
@@ -2851,13 +2855,23 @@ def _rewrite_mixed_split(
     retires the round-8 O(distinct/fanout) collect_set inner. The trade
     is a second scan of the source: a columnar re-read at 100 TB, not a
     buffer blowup. Returns ``sql`` unchanged when the statement resists
-    the split (exotic aggregates mixed into a sketch expression)."""
+    the split (exotic aggregates mixed into a sketch expression).
+
+    ``theta_view_builder`` (engine-provided, round 9): when every raw
+    call is a theta sketch, the callback receives [(a0, k), ...] and may
+    register a ZERO-SHUFFLE partials temp view (one mapInPandas pass,
+    operators/theta.grouped_theta_partials) returning its name — the
+    sketch subquery then merges view blobs instead of running the
+    bucketed GROUPED_AGG inner, so neither side of the split shuffles
+    raw rows. Returning None keeps the bucketed SQL inner."""
     NAT, SK = "__rsn", "__rss"
     sk_partials: list[str] = []
     sk_finals: list[str] = []
     nat_items: list[str] = []
     bucket_arg: list[str] = []
     seq = [0]
+    theta_calls: list[tuple[str, int]] = []  # (a0, nominal k) in view order
+    call_meta: list[tuple[int, str]] = []  # (seq n, canonical name)
 
     def hoist_raw(item: str) -> str:
         out, i = [], 0
@@ -2880,6 +2894,11 @@ def _rewrite_mixed_split(
             partial, final = _rs_pandas_forms(name, args, n)
             sk_partials.append(f"{partial} AS __rs{n}")
             sk_finals.append(f"{final} AS __rsph{n}")
+            if name == "distinctcountrawthetasketch":
+                theta_calls.append(
+                    (args[0].strip(), _theta_nominal_entries(args))
+                )
+            call_meta.append((n, name))
             out.append(item[i : m.start()])
             out.append(f"{SK}.__rsph{n}")
             i = close_idx + 1
@@ -2966,15 +2985,32 @@ def _rewrite_mixed_split(
         f"SELECT {', '.join(keys + nat_items)} FROM {stmt['table']}{where}"
         + (f" GROUP BY {key_csv}" if keys else "")
     )
-    bucket = f"pmod(xxhash64({bucket_arg[0]}), {_RS_FANOUT})"
-    sk_inner = (
-        f"SELECT {', '.join(keys + sk_partials)} FROM {stmt['table']}{where}"
-        f" GROUP BY {', '.join(keys + [bucket])}"
-    )
-    sk_sub = (
-        f"SELECT {', '.join(keys + sk_finals)} FROM ({sk_inner}) __rs_partials"
-        + (f" GROUP BY {key_csv}" if keys else "")
-    )
+    view = None
+    if theta_view_builder is not None and all(
+        name == "distinctcountrawthetasketch" for _, name in call_meta
+    ):
+        view = theta_view_builder(theta_calls)
+    if view is not None:
+        # zero-shuffle sketch side: view columns __rs0.. are in CALL
+        # order; re-alias the merges to the seq-numbered __rsph refs
+        finals = [
+            f"__theta_merge_blobs(collect_list(__rs{j})) AS __rsph{n}"
+            for j, (n, _) in enumerate(call_meta)
+        ]
+        sk_sub = (
+            f"SELECT {', '.join(keys + finals)} FROM {view} __rs_partials"
+            + (f" GROUP BY {key_csv}" if keys else "")
+        )
+    else:
+        bucket = f"pmod(xxhash64({bucket_arg[0]}), {_RS_FANOUT})"
+        sk_inner = (
+            f"SELECT {', '.join(keys + sk_partials)} FROM {stmt['table']}{where}"
+            f" GROUP BY {', '.join(keys + [bucket])}"
+        )
+        sk_sub = (
+            f"SELECT {', '.join(keys + sk_finals)} FROM ({sk_inner}) __rs_partials"
+            + (f" GROUP BY {key_csv}" if keys else "")
+        )
     if keys:
         on = " AND ".join(f"{NAT}.{k} <=> {SK}.{k}" for k in keys)
         join = f"({nat_sub}) {NAT} JOIN ({sk_sub}) {SK} ON {on}"
@@ -3742,63 +3778,96 @@ class PinotEngine:
         return self.spark.sql(spark_sql)
 
     def _route_pure_theta_zero_shuffle(self, pinot_sql: str) -> DataFrame | None:
-        """Map-side combine for canonical PURE raw-theta statements over
-        a single named table: the SQL two-phase's GROUPED_AGG inner
-        shuffles O(rows) on (keys, bucket) because pandas UDAFs have no
-        partial aggregation, where the reference ships segment-local
-        sketches (LeafOperator → broker merge). This route executes the
-        FROM/WHERE as a DataFrame, builds partition-local per-group
-        sketch partials in ONE mapInPandas pass
-        (operators/theta.grouped_theta_partials — no data shuffle), and
-        re-enters the dialect with the outer merge statement over a temp
-        view of the partials, so the only exchange moves
-        O(groups × partitions) sketch blobs.
+        """Map-side combine for canonical raw-theta statements — pure
+        AND mixed, single tables AND join trees: the SQL two-phase's
+        GROUPED_AGG inner shuffles O(rows) on (keys, bucket) because
+        pandas UDAFs have no partial aggregation, where the reference
+        ships segment-local sketches (LeafOperator → broker merge).
+        This route executes the FROM/WHERE as a DataFrame (one
+        translated mini-statement, so join trees, Pinot functions in
+        WHERE, and null-default views all resolve), builds
+        partition-local per-group sketch partials in ONE mapInPandas
+        pass (operators/theta.grouped_theta_partials — no row shuffle),
+        and re-enters the dialect with the merge statement over a temp
+        view of the partials: the only exchange moves
+        O(groups × partitions) sketch blobs. MIXED statements keep
+        their split shape (native subquery null-safe-joined) with the
+        sketch side reading the same zero-shuffle view.
 
-        Declines (returns None → the bounded SQL two-phase handles it)
-        when: any non-theta raw name or native aggregate co-occurs, the
-        FROM is not a single plain table, keys/args are not plain
-        columns, a key is 64-bit or decimal/timestamp typed (nullable
-        BIGINT loses exactness through Arrow→pandas float64), or
-        default-value null mode applies (the route would bypass the
-        null-default view substitution)."""
+        Declines (returns None → the bounded SQL two-phase / bucketed
+        split handles it) when: any raw name is not theta, keys are not
+        plain columns, a key is 64-bit or decimal/timestamp typed
+        (nullable BIGINT loses exactness through Arrow→pandas float64),
+        or the source mini-statement fails to analyze."""
         options, sql = split_options(pinot_sql)
         if not _RAW_SKETCH_CALL_RE.search(sql):
             return None
         if re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
             return None
         sql = rewrite_quoted_identifiers(sql)
-        stmt = _parse_canonical_stmt(sql, allow_join=False)
+        stmt = _parse_canonical_stmt(sql, allow_join=True)
         if stmt is None:
             return None
-        src_table = stmt["table"]
-        if not null_handling_enabled(options, self.null_handling_default):
-            # default-value null mode: scan the same null-defaulted view
-            # the SQL path would substitute (_apply_default_null_views)
-            try:
-                allowed = self.null_default_tables
-                if allowed is None:
-                    from pinot_spark.catalog import TABLE_NAMES
-
-                    allowed = frozenset(TABLE_NAMES)
-                if (
-                    src_table in allowed
-                    and not src_table.startswith("__")
-                    and self.spark.catalog.tableExists(src_table)
-                ):
-                    src_table = self._ensure_nulldef_view(src_table)
-            except Exception:
-                return None
         group = stmt["group"]
         keys = [g.strip() for g in _split_args(group)] if group else []
         if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
             return None
         items = [x.strip() for x in _split_args(stmt["select"])]
-        if any(
+        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+
+        def build_partials_view(theta_calls: list[tuple[str, int]]) -> str | None:
+            """Translate + analyze the FROM/WHERE once, hash each theta
+            arg JVM-side (split 32-bit halves), build the mapInPandas
+            grouped partials, register the temp view."""
+            try:
+                sel = list(keys)
+                pair_cols: list[tuple[str, str, int]] = []
+                for i, (a0, k) in enumerate(theta_calls):
+                    hi, lo = _split_hash_expr(a0)
+                    sel += [f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}"]
+                    pair_cols.append((f"__hi{i}", f"__lo{i}", k))
+                mini = (
+                    f"SELECT {', '.join(sel)} FROM {stmt['table']}"
+                    + (f" WHERE {stmt['where']}" if stmt["where"] else "")
+                )
+                mini = rewrite_array_constructor(mini)
+                mini = rewrite_functions(mini)
+                mini = rewrite_cast_types(mini)
+                mini = rewrite_timestamp_coercion(self.spark, mini)
+                mini = rewrite_mv_predicates(self.spark, mini)
+                if not null_handling_enabled(options, self.null_handling_default):
+                    mini = self._apply_default_null_views(mini)
+                src = self.spark.sql(mini)
+                ok_key_types = ("string", "int", "smallint", "tinyint",
+                                "boolean", "date", "float", "double")
+                for k in keys:
+                    if src.schema[k].dataType.simpleString() not in ok_key_types:
+                        return None
+                from pinot_spark.operators.theta import grouped_theta_partials
+
+                partials = grouped_theta_partials(src, keys, pair_cols)
+            except Exception:
+                return None  # unresolvable source → SQL path
+            _ASOF_VIEW_SEQ[0] += 1
+            view = f"__theta_zs_{_ASOF_VIEW_SEQ[0]}"
+            partials.createOrReplaceTempView(view)
+            _ensure_theta_sql_udfs(self.spark)
+            return view
+
+        has_basic = any(
             _search_outside_literals(_BASIC_AGG_CALL_RE, _strip_raw_calls(item))
             for item in items + ([stmt["having"]] if stmt["having"] else [])
-        ):
-            return None  # mixed → split-subquery path
-        calls: list[tuple[str, int]] = []  # (a0 column, nominal entries)
+        )
+        if has_basic:
+            cand = _rewrite_mixed_split(
+                sql, stmt, keys, items, theta_view_builder=build_partials_view
+            )
+            if cand == sql or "__theta_zs_" not in cand:
+                return None  # split declined or fell back to bucketed SQL
+            return self.sql(prefix + cand)
+
+        # --- pure path -------------------------------------------------
+        calls: list[tuple[str, int]] = []  # (a0 expr, nominal entries)
 
         def hoist_raw(item: str) -> str | None:
             out, i = [], 0
@@ -3815,11 +3884,8 @@ class PinotEngine:
                 open_idx = item.index("(", m.end() - 1)
                 close_idx = _find_matching(item, open_idx)
                 args = _split_args(item[open_idx + 1 : close_idx])
-                a0 = args[0].strip()
-                if not re.fullmatch(r"[A-Za-z_]\w*", a0):
-                    return None
                 n = len(calls)
-                calls.append((a0, _theta_nominal_entries(args)))
+                calls.append((args[0].strip(), _theta_nominal_entries(args)))
                 out.append(item[i : m.start()])
                 out.append(f"__theta_merge_blobs(collect_list(__rs{n}))")
                 i = close_idx + 1
@@ -3857,47 +3923,12 @@ class PinotEngine:
                     return None
         if not calls:
             return None
-        try:
-            from pyspark.sql import functions as F
-
-            src = self.spark.table(src_table)
-            ok_key_types = ("string", "int", "smallint", "tinyint",
-                            "boolean", "date", "float", "double")
-            for k in keys:
-                if src.schema[k].dataType.simpleString() not in ok_key_types:
-                    return None
-            if stmt["where"]:
-                mini = f"SELECT * FROM {src_table} WHERE {stmt['where']}"
-                mini = rewrite_array_constructor(mini)
-                mini = rewrite_functions(mini)
-                mini = rewrite_cast_types(mini)
-                mini = rewrite_timestamp_coercion(self.spark, mini)
-                mini = rewrite_mv_predicates(self.spark, mini)
-                wm = _top_level_kw(mini, "WHERE")
-                src = src.where(F.expr(mini[wm.end() :]))
-            hash_cols = []
-            pair_cols: list[tuple[str, str, int]] = []
-            for i, (a0, k) in enumerate(calls):
-                hi, lo = _split_hash_expr(a0)
-                hash_cols += [
-                    F.expr(hi).alias(f"__hi{i}"), F.expr(lo).alias(f"__lo{i}")
-                ]
-                pair_cols.append((f"__hi{i}", f"__lo{i}", k))
-            from pinot_spark.operators.theta import grouped_theta_partials
-
-            partials = grouped_theta_partials(
-                src.select(*keys, *hash_cols), keys, pair_cols
-            )
-        except Exception:
-            return None  # unresolvable column/expression → SQL path
-        _ASOF_VIEW_SEQ[0] += 1
-        view = f"__theta_zs_{_ASOF_VIEW_SEQ[0]}"
-        partials.createOrReplaceTempView(view)
-        _ensure_theta_sql_udfs(self.spark)
+        view = build_partials_view(calls)
+        if view is None:
+            return None
         outer_group = f" GROUP BY {', '.join(keys)}" if keys else ""
         having_sql = f" HAVING {having2}" if having2 else ""
         tail = stmt["tail"] or ""
-        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
         return self.sql(
             f"{prefix}SELECT {', '.join(rebuilt)} FROM {view} "
             f"__rs_partials{outer_group}{having_sql}{tail}"

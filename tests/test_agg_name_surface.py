@@ -501,7 +501,8 @@ def test_raw_theta_mixed_aggs_having_two_phase(spark, at):
         "FROM rs_mix_h GROUP BY g HAVING n > 1 LIMIT 10"
     )._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan
-    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    # round 9: zero-shuffle grouped partials (int key → route accepts)
+    assert "MapInPandas" in plan or "ArrowAggregatePython" in plan
 
 
 def test_raw_theta_mixed_expression_key_fallback_correct(spark, at):

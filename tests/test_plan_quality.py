@@ -247,7 +247,10 @@ def test_raw_theta_under_join_no_per_value_collection(spark, sf_dir):
     )
     plan = _plan(df)
     assert "collect_set" not in plan, plan
-    assert "ArrowAggregatePython" in plan or "__theta_partial" in plan, plan
+    # round 9: join trees route through the zero-shuffle grouped
+    # partials too (the FROM text executes as a DataFrame)
+    assert "MapInPandas" in plan, plan
+    assert "pmod" not in plan, plan
 
 
 def test_raw_theta_mixed_under_join_bounded_native(spark, sf_dir):
@@ -267,8 +270,10 @@ def test_raw_theta_mixed_under_join_bounded_native(spark, sf_dir):
         "GROUP BY n_name ORDER BY n_name LIMIT 100"
     ))
     assert "collect_set" not in plan, plan
-    assert "ArrowAggregatePython" in plan or "__theta_partial" in plan, plan
-    assert "pmod" in plan, plan  # bucketed sketch-side inner grouping
+    # round 9: the sketch side of the split reads the zero-shuffle
+    # partials view — no bucketed (keys, pmod) row shuffle remains
+    assert "MapInPandas" in plan, plan
+    assert "pmod" not in plan, plan
     assert "xxhash64" in plan, plan
 
 
@@ -288,8 +293,43 @@ def test_raw_theta_mixed_single_table_no_collect_set(spark, sf_dir):
         "ORDER BY l_returnflag LIMIT 100"
     ))
     assert "collect_set" not in plan, plan
-    assert "ArrowAggregatePython" in plan or "__theta_partial" in plan, plan
+    assert "MapInPandas" in plan, plan  # zero-shuffle sketch side
     assert plan.count("HashAggregate") >= 2, plan  # native partial/final
+
+
+def test_raw_theta_bigint_key_keeps_bucketed_sql_path(spark, sf_dir):
+    """64-bit group keys decline the zero-shuffle route (nullable
+    BIGINT loses exactness through Arrow→pandas float64), so the
+    bucketed GROUPED_AGG two-phase must still serve them — pure AND
+    mixed — with correct answers and no collect_set of hashes."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    spark.createDataFrame(
+        [(int(i % 5), i % 13) for i in range(300)], "g long, v int"
+    ).createOrReplaceTempView("rs_big_t")
+    df = eng.sql(
+        "SELECT g, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_big_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    plan = _plan(df)
+    assert "pmod" in plan, plan  # bucketed SQL inner, not the route
+    assert "collect_set" not in plan, plan
+    assert [(r.g, r.dc) for r in df.collect()] == [
+        (0, 13), (1, 13), (2, 13), (3, 13), (4, 13)
+    ]
+    mixed = eng.sql(
+        "SELECT g, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_big_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    mplan = _plan(mixed)
+    assert "collect_set" not in mplan, mplan
+    assert [(r.g, r.n, r.dc) for r in mixed.collect()] == [
+        (0, 60, 13), (1, 60, 13), (2, 60, 13), (3, 60, 13), (4, 60, 13)
+    ]
 
 
 def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
