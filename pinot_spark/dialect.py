@@ -2714,6 +2714,26 @@ def _rs_pandas_forms(name: str, args: list[str], n: int) -> tuple[str, str]:
     )
 
 
+def _alias_map_of(items: list[str]) -> dict[str, str]:
+    """select alias → aliased expression text."""
+    out = {}
+    for item in items:
+        am = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        if am:
+            out[am.group(2)] = am.group(1).strip()
+    return out
+
+
+def _keys_shadowed_by_alias(keys: list[str], items: list[str]) -> bool:
+    """True when a GROUP BY key token is really a select ALIAS of some
+    other expression — copying such a key into a generated subquery
+    would emit SQL that parses but cannot resolve (the round-9 latent
+    bug class; the engine normalizes these shapes before the text
+    rewrites run, so the text layer declines them)."""
+    amap = _alias_map_of(items)
+    return any(k in amap and amap[k] != k for k in keys)
+
+
 def _replace_word_outside_literals(text: str, word: str, repl: str) -> str:
     spans = _literal_spans(text)
     out, i = [], 0
@@ -2748,6 +2768,8 @@ def rewrite_raw_sketch_two_phase(sql: str) -> str:
         return sql
 
     items = [x.strip() for x in _split_args(stmt["select"])]
+    if _keys_shadowed_by_alias(keys, items):
+        return sql  # alias keys normalize at the engine; decline here
     # shape decision: pure-sketch statements become a single two-phase
     # statement (GROUPED_AGG partials, sketch-sized aggregation state);
     # statements that also aggregate natively split into two subqueries
@@ -3771,11 +3793,95 @@ class PinotEngine:
             view = f"__gapfill_{_ASOF_VIEW_SEQ[0]}"
             self._gapfill(bare[s + 1 : e]).createOrReplaceTempView(view)
             return self.sql(bare[:s] + view + bare[e + 1 :])
+        pinot_sql = self._normalize_sketch_group_keys(pinot_sql)
         routed = self._route_pure_theta_zero_shuffle(pinot_sql)
         if routed is not None:
             return routed
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    def _normalize_sketch_group_keys(self, pinot_sql: str) -> str:
+        """Rewrite canonical raw-sketch statements whose GROUP BY keys
+        are select ALIASES or EXPRESSIONS into an equivalent statement
+        over a derived table that materializes those keys as plain
+        columns — after which every bounded path (zero-shuffle route,
+        split, bucketed two-phase) applies unchanged. Copying an alias
+        key into a generated subquery is the round-9 latent-bug class:
+        the SQL parses but cannot resolve. Single named-table FROM only
+        (SELECT * in the derived table is unambiguous there); other
+        shapes keep the per-value fallback."""
+        options, sql = split_options(pinot_sql)
+        if not _RAW_SKETCH_CALL_RE.search(sql):
+            return pinot_sql
+        if re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
+            return pinot_sql
+        sql2 = rewrite_quoted_identifiers(sql)
+        stmt = _parse_canonical_stmt(sql2, allow_join=False)
+        if stmt is None or not stmt["group"]:
+            return pinot_sql
+        keys = [g.strip() for g in _split_args(stmt["group"])]
+        items = [x.strip() for x in _split_args(stmt["select"])]
+        amap = _alias_map_of(items)
+        try:
+            src_cols = set(self.spark.table(stmt["table"]).columns)
+        except Exception:
+            return pinot_sql
+        extra: list[str] = []
+        new_keys: list[str] = []
+        expr_renames: list[tuple[str, str]] = []  # (expr text, new name)
+        changed = False
+        for i, k in enumerate(keys):
+            if re.fullmatch(r"[A-Za-z_]\w*", k):
+                # a key that names a source column resolves to the
+                # column (standard SQL), even if an alias shadows it
+                if k in src_cols or k not in amap or amap[k] == k:
+                    new_keys.append(k)
+                    continue
+                extra.append(f"{amap[k]} AS {k}")
+                new_keys.append(k)
+                # select items referencing the aliased expression must
+                # reference the derived column instead, or they'd be
+                # non-grouping expressions in the rewritten statement
+                expr_renames.append((amap[k], k))
+                changed = True
+            else:
+                name = f"__k{i}"
+                extra.append(f"{k} AS {name}")
+                new_keys.append(name)
+                expr_renames.append((k, name))
+                changed = True
+        if not changed:
+            return pinot_sql
+        derived = f"(SELECT *, {', '.join(extra)} FROM {stmt['table']}) __rs_src"
+
+        def subst(text: str) -> str:
+            # expression keys: replace exact expression text occurrences
+            # with the derived column name (normalized-whitespace match)
+            for expr, name in expr_renames:
+                pat = re.escape(expr)
+                pat = re.sub(r"\\\s+", r"\\s+", pat)
+                spans = _literal_spans(text)
+                out, pos = [], 0
+                for m in re.finditer(pat, text):
+                    if any(a <= m.start() < b for a, b in spans):
+                        continue
+                    out.append(text[pos : m.start()])
+                    out.append(name)
+                    pos = m.end()
+                out.append(text[pos:])
+                text = "".join(out)
+            return text
+
+        sel = ", ".join(subst(it) for it in items)
+        where = f" WHERE {stmt['where']}" if stmt["where"] else ""
+        having = f" HAVING {subst(stmt['having'])}" if stmt["having"] else ""
+        tail = subst(stmt["tail"]) if stmt["tail"] else ""
+        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+        cand = (
+            f"{prefix}SELECT {sel} FROM {derived}{where} "
+            f"GROUP BY {', '.join(new_keys)}{having}{tail}"
+        )
+        return cand
 
     def _route_pure_theta_zero_shuffle(self, pinot_sql: str) -> DataFrame | None:
         """Map-side combine for canonical raw-theta statements — pure
@@ -3813,6 +3919,8 @@ class PinotEngine:
         if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
             return None
         items = [x.strip() for x in _split_args(stmt["select"])]
+        if _keys_shadowed_by_alias(keys, items):
+            return None  # unresolvable in generated subqueries
         prefix = "".join(f"SET {k}={v};" for k, v in options.items())
 
         def build_partials_view(theta_calls: list[tuple[str, int]]) -> str | None:

