@@ -2714,6 +2714,57 @@ def _rs_pandas_forms(name: str, args: list[str], n: int) -> tuple[str, str]:
     )
 
 
+_TUPLE_RAW_NAMES = {
+    "distinctcountrawintegersumtuplesketch", "distinctcounttuplesketch",
+    "sumvaluesintegersumtuplesketch", "avgvalueintegersumtuplesketch",
+}
+
+
+def _parse_tuple_build(a0: str):
+    """``TO_INTEGER_SUM_TUPLE_SKETCH(key, val[, lgK])`` call text →
+    (key expr, value expr, nominal k) or None when ``a0`` is anything
+    else (a pre-built blob column, a nested expression, ...)."""
+    a0 = a0.strip()
+    m = re.match(r"(?i)^TO_?INTEGER_?SUM_?TUPLE_?SKETCH\s*\(", a0)
+    if not m:
+        return None
+    open_idx = a0.index("(", m.end() - 1)
+    close_idx = _find_matching(a0, open_idx)
+    if close_idx != len(a0) - 1:
+        return None
+    args = _split_args(a0[open_idx + 1 : close_idx])
+    if len(args) < 2:
+        return None
+    k = 2 ** int(args[2]) if len(args) > 2 and args[2].strip().isdigit() else 4096
+    return args[0].strip(), args[1].strip(), k
+
+
+def _zs_descriptor(name: str, args: list[str]):
+    """Zero-shuffle call descriptor for the grouped-partials route:
+    ("theta", a0, k), ("tuple", key, val, k), or None (not routable)."""
+    if name == "distinctcountrawthetasketch":
+        return ("theta", args[0].strip(), _theta_nominal_entries(args))
+    if name in _TUPLE_RAW_NAMES:
+        p = _parse_tuple_build(args[0])
+        if p:
+            return ("tuple", p[0], p[1], p[2])
+    return None
+
+
+def _zs_final(name: str, col: str) -> str:
+    """Final merge expression over a partials-view blob column for the
+    given raw-sketch canonical name."""
+    if name == "distinctcountrawthetasketch":
+        return f"__theta_merge_blobs(collect_list({col}))"
+    merged = f"__tuple_merge_sum(collect_list({col}))"
+    return {
+        "distinctcountrawintegersumtuplesketch": merged,
+        "distinctcounttuplesketch": f"__tuple_estimate({merged})",
+        "sumvaluesintegersumtuplesketch": f"__tuple_sum_values({merged})",
+        "avgvalueintegersumtuplesketch": f"__tuple_avg_value({merged})",
+    }[name]
+
+
 def _alias_map_of(items: list[str]) -> dict[str, str]:
     """select alias → aliased expression text."""
     out = {}
@@ -2882,7 +2933,7 @@ def _rewrite_mixed_split(
     ``theta_view_builder`` (engine-provided, round 9): when every raw
     call is a theta sketch, the callback receives [(a0, k), ...] and may
     register a ZERO-SHUFFLE partials temp view (one mapInPandas pass,
-    operators/theta.grouped_theta_partials) returning its name — the
+    operators/theta.grouped_sketch_partials) returning its name — the
     sketch subquery then merges view blobs instead of running the
     bucketed GROUPED_AGG inner, so neither side of the split shuffles
     raw rows. Returning None keeps the bucketed SQL inner."""
@@ -2892,7 +2943,7 @@ def _rewrite_mixed_split(
     nat_items: list[str] = []
     bucket_arg: list[str] = []
     seq = [0]
-    theta_calls: list[tuple[str, int]] = []  # (a0, nominal k) in view order
+    zs_calls: list = []  # zero-shuffle descriptors, view order (or None)
     call_meta: list[tuple[int, str]] = []  # (seq n, canonical name)
 
     def hoist_raw(item: str) -> str:
@@ -2916,10 +2967,7 @@ def _rewrite_mixed_split(
             partial, final = _rs_pandas_forms(name, args, n)
             sk_partials.append(f"{partial} AS __rs{n}")
             sk_finals.append(f"{final} AS __rsph{n}")
-            if name == "distinctcountrawthetasketch":
-                theta_calls.append(
-                    (args[0].strip(), _theta_nominal_entries(args))
-                )
+            zs_calls.append(_zs_descriptor(name, args))
             call_meta.append((n, name))
             out.append(item[i : m.start()])
             out.append(f"{SK}.__rsph{n}")
@@ -3008,16 +3056,16 @@ def _rewrite_mixed_split(
         + (f" GROUP BY {key_csv}" if keys else "")
     )
     view = None
-    if theta_view_builder is not None and all(
-        name == "distinctcountrawthetasketch" for _, name in call_meta
+    if theta_view_builder is not None and zs_calls and all(
+        c is not None for c in zs_calls
     ):
-        view = theta_view_builder(theta_calls)
+        view = theta_view_builder(zs_calls)
     if view is not None:
         # zero-shuffle sketch side: view columns __rs0.. are in CALL
         # order; re-alias the merges to the seq-numbered __rsph refs
         finals = [
-            f"__theta_merge_blobs(collect_list(__rs{j})) AS __rsph{n}"
-            for j, (n, _) in enumerate(call_meta)
+            f"{_zs_final(name, f'__rs{j}')} AS __rsph{n}"
+            for j, (n, name) in enumerate(call_meta)
         ]
         sk_sub = (
             f"SELECT {', '.join(keys + finals)} FROM {view} __rs_partials"
@@ -3893,7 +3941,7 @@ class PinotEngine:
         translated mini-statement, so join trees, Pinot functions in
         WHERE, and null-default views all resolve), builds
         partition-local per-group sketch partials in ONE mapInPandas
-        pass (operators/theta.grouped_theta_partials — no row shuffle),
+        pass (operators/theta.grouped_sketch_partials — no row shuffle),
         and re-enters the dialect with the merge statement over a temp
         view of the partials: the only exchange moves
         O(groups × partitions) sketch blobs. MIXED statements keep
@@ -3923,17 +3971,28 @@ class PinotEngine:
             return None  # unresolvable in generated subqueries
         prefix = "".join(f"SET {k}={v};" for k, v in options.items())
 
-        def build_partials_view(theta_calls: list[tuple[str, int]]) -> str | None:
-            """Translate + analyze the FROM/WHERE once, hash each theta
-            arg JVM-side (split 32-bit halves), build the mapInPandas
-            grouped partials, register the temp view."""
+        def build_partials_view(zs_calls: list[tuple]) -> str | None:
+            """Translate + analyze the FROM/WHERE once, hash each sketch
+            arg JVM-side (split 32-bit halves; tuple calls also carry an
+            exact BIGINT value column), build the mapInPandas grouped
+            partials, register the temp view."""
             try:
                 sel = list(keys)
-                pair_cols: list[tuple[str, str, int]] = []
-                for i, (a0, k) in enumerate(theta_calls):
-                    hi, lo = _split_hash_expr(a0)
-                    sel += [f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}"]
-                    pair_cols.append((f"__hi{i}", f"__lo{i}", k))
+                op_calls: list[tuple] = []
+                for i, d in enumerate(zs_calls):
+                    if d[0] == "theta":
+                        hi, lo = _split_hash_expr(d[1])
+                        sel += [f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}"]
+                        op_calls.append(("theta", f"__hi{i}", f"__lo{i}", d[2]))
+                    else:  # tuple: (kind, keyexpr, valexpr, k)
+                        hi, lo = _split_hash_expr(d[1])
+                        sel += [
+                            f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}",
+                            f"CAST({d[2]} AS BIGINT) AS __val{i}",
+                        ]
+                        op_calls.append(
+                            ("tuple", f"__hi{i}", f"__lo{i}", d[3], f"__val{i}")
+                        )
                 mini = (
                     f"SELECT {', '.join(sel)} FROM {stmt['table']}"
                     + (f" WHERE {stmt['where']}" if stmt["where"] else "")
@@ -3951,9 +4010,9 @@ class PinotEngine:
                 for k in keys:
                     if src.schema[k].dataType.simpleString() not in ok_key_types:
                         return None
-                from pinot_spark.operators.theta import grouped_theta_partials
+                from pinot_spark.operators.theta import grouped_sketch_partials
 
-                partials = grouped_theta_partials(src, keys, pair_cols)
+                partials = grouped_sketch_partials(src, keys, op_calls)
             except Exception:
                 return None  # unresolvable source → SQL path
             _ASOF_VIEW_SEQ[0] += 1
@@ -3975,7 +4034,7 @@ class PinotEngine:
             return self.sql(prefix + cand)
 
         # --- pure path -------------------------------------------------
-        calls: list[tuple[str, int]] = []  # (a0 expr, nominal entries)
+        calls: list[tuple] = []  # zero-shuffle descriptors, view order
 
         def hoist_raw(item: str) -> str | None:
             out, i = [], 0
@@ -3987,15 +4046,17 @@ class PinotEngine:
                 if not m:
                     out.append(item[i:])
                     break
-                if re.sub("_", "", m.group("name")).lower() != "distinctcountrawthetasketch":
-                    return None  # only theta has the grouped-partials op
+                name = re.sub("_", "", m.group("name")).lower()
                 open_idx = item.index("(", m.end() - 1)
                 close_idx = _find_matching(item, open_idx)
                 args = _split_args(item[open_idx + 1 : close_idx])
+                d = _zs_descriptor(name, args)
+                if d is None:
+                    return None  # HLL-MV/digest families keep the SQL path
                 n = len(calls)
-                calls.append((args[0].strip(), _theta_nominal_entries(args)))
+                calls.append(d)
                 out.append(item[i : m.start()])
-                out.append(f"__theta_merge_blobs(collect_list(__rs{n}))")
+                out.append(_zs_final(name, f"__rs{n}"))
                 i = close_idx + 1
             return "".join(out)
 
@@ -4014,7 +4075,8 @@ class PinotEngine:
             for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", e2):
                 name = re.sub("_", "", cm.group(1)).lower()
                 if name not in _RS_SCALAR_ALLOW and name not in (
-                    "thetamergeblobs", "collectlist",
+                    "thetamergeblobs", "collectlist", "tuplemergesum",
+                    "tupleestimate", "tuplesumvalues", "tupleavgvalue",
                 ):
                     return None
             rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
@@ -4026,7 +4088,8 @@ class PinotEngine:
             for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", having2):
                 name = re.sub("_", "", cm.group(1)).lower()
                 if name not in _RS_SCALAR_ALLOW and name not in (
-                    "thetamergeblobs", "collectlist",
+                    "thetamergeblobs", "collectlist", "tuplemergesum",
+                    "tupleestimate", "tuplesumvalues", "tupleavgvalue",
                 ):
                     return None
         if not calls:

@@ -173,38 +173,58 @@ def theta_sketch(df: DataFrame, col: str, k: int = 4096) -> ThetaSketch:
     return ThetaSketch.from_hashes(k, allh)
 
 
-def grouped_theta_partials(
-    src: DataFrame, keys: list[str], calls: list[tuple[str, str, int]]
+def grouped_sketch_partials(
+    src: DataFrame, keys: list[str], calls: list[tuple]
 ) -> DataFrame:
-    """Partition-local GROUPED theta partials — the map-side combine the
-    SQL two-phase cannot express (pandas UDAFs have no partial
+    """Partition-local GROUPED sketch partials — the map-side combine
+    the SQL two-phase cannot express (pandas UDAFs have no partial
     aggregation, so the GROUPED_AGG inner shuffles O(rows)).
 
-    ``src`` must already carry the key columns plus, for each raw theta
-    call i, the NULL-masked xxhash64 split into 32-bit halves as columns
-    ``__hi{i}``/``__lo{i}`` (a nullable BIGINT reaches pandas as
-    float64, which cannot hold a 64-bit hash exactly; the halves can —
-    dialect._split_hash_expr). ``calls`` is [(hi_col, lo_col, k), ...].
+    ``src`` must already carry the key columns plus, per call i, the
+    NULL-masked xxhash64 split into 32-bit halves as ``__hi{i}``/
+    ``__lo{i}`` (a nullable BIGINT reaches pandas as float64, which
+    cannot hold a 64-bit hash exactly; the halves can —
+    dialect._split_hash_expr), and for tuple calls a value column.
+    ``calls`` entries are ("theta", hi_col, lo_col, k) or
+    ("tuple", hi_col, lo_col, k, val_col) — the integer-sum tuple
+    sketch accumulates exact int64 per-hash sums alongside the KMV
+    candidates.
 
-    One ``mapInPandas`` pass accumulates, per (key-tuple, call), the ≤ k
-    smallest distinct hashes across the partition's Arrow batches, then
-    emits ONE row per key per partition: (keys..., __rs0 blob, ...).
-    The only shuffle after this is of partial rows — O(groups ×
-    partitions × blob) — mirroring Pinot's segment-local sketch build +
-    broker merge (AggregationFunction.java:63,86,132). Candidate
-    truncation at k is associative, so the downstream blob merge is
-    exact w.r.t. the flat build.
+    One ``mapInPandas`` pass accumulates, per (key-tuple, call), the
+    ≤ k+1 smallest distinct hashes (k+1, not k: the (k+1)-th value
+    BECOMES theta downstream — truncating to k silently flips the
+    sketch into its "exact" regime) across the partition's Arrow
+    batches, then emits ONE row per key per partition:
+    (keys..., __rs0 blob, ...). The only shuffle after this is of
+    partial rows — O(groups × partitions × blob) — mirroring Pinot's
+    segment-local sketch build + broker merge
+    (AggregationFunction.java:63,86,132). Candidate truncation at k+1
+    is associative, so the downstream blob merge is exact w.r.t. the
+    flat build; tuple value sums are per-hash and combine across
+    partials in the merge.
 
     Groups whose values are all NULL still emit (empty-sketch blob), so
     the group list matches the SQL GROUP BY exactly."""
+    from pinot_spark.functions.sketches import TupleSketch
+
     key_fields = [src.schema[k] for k in keys]
     out_fields = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
         + [f"__rs{i} binary" for i in range(len(calls))]
     )
 
+    def _u64_of(g, hi_c, lo_c):
+        hi = g[hi_c].to_numpy(dtype="float64")
+        lo = g[lo_c].to_numpy(dtype="float64")
+        mask = ~np.isnan(hi)
+        u = (
+            hi[mask].astype(np.int64).astype(np.uint64) << np.uint64(32)
+        ) | lo[mask].astype(np.int64).astype(np.uint64)
+        u ^= np.uint64(1 << 63)  # signed hash → unsigned order
+        return u, mask
+
     def _build(batches):
-        acc: dict[tuple, list[np.ndarray | None]] = {}
+        acc: dict[tuple, list] = {}
         for pdf in batches:
             groups = (
                 pdf.groupby(keys, dropna=False, sort=False)
@@ -215,34 +235,66 @@ def grouped_theta_partials(
                 if not isinstance(kt, tuple):
                     kt = (kt,)
                 slot = acc.setdefault(kt, [None] * len(calls))
-                for i, (hi_c, lo_c, k) in enumerate(calls):
-                    hi = g[hi_c].to_numpy(dtype="float64")
-                    lo = g[lo_c].to_numpy(dtype="float64")
-                    mask = ~np.isnan(hi)
-                    if not mask.any():
-                        continue
-                    u = (
-                        hi[mask].astype(np.int64).astype(np.uint64) << np.uint64(32)
-                    ) | lo[mask].astype(np.int64).astype(np.uint64)
-                    u ^= np.uint64(1 << 63)  # signed hash → unsigned order
-                    cand = u if slot[i] is None else np.concatenate([slot[i], u])
-                    cand = np.unique(cand)  # sorted
-                    if len(cand) > k + 1:
-                        # keep k+1: the (k+1)-th value BECOMES theta in
-                        # from_hashes — truncating to k would silently
-                        # flip the sketch into its "exact" regime
-                        cand = cand[: k + 1]
-                    slot[i] = cand
+                for i, call in enumerate(calls):
+                    kind, hi_c, lo_c, k = call[0], call[1], call[2], call[3]
+                    if kind == "theta":
+                        u, _ = _u64_of(g, hi_c, lo_c)
+                        if not len(u):
+                            continue
+                        cand = (
+                            u if slot[i] is None
+                            else np.concatenate([slot[i], u])
+                        )
+                        cand = np.unique(cand)  # sorted
+                        slot[i] = cand[: k + 1]
+                    else:  # tuple: exact int64 per-hash sums ride along
+                        u, mask = _u64_of(g, hi_c, lo_c)
+                        v = g[call[4]].to_numpy(dtype="float64")[mask]
+                        vmask = ~np.isnan(v)
+                        u, v = u[vmask], v[vmask].astype(np.int64)
+                        if slot[i] is not None:
+                            pu, pv = slot[i]
+                            u = np.concatenate([pu, u])
+                            v = np.concatenate([pv, v])
+                        if not len(u):
+                            continue
+                        order = np.argsort(u, kind="stable")
+                        us, vs = u[order], v[order]
+                        first = np.empty(len(us), dtype=bool)
+                        first[0] = True
+                        first[1:] = us[1:] != us[:-1]
+                        starts = np.flatnonzero(first)
+                        sums = np.add.reduceat(vs, starts)  # int64 exact
+                        uh = us[starts]
+                        slot[i] = (uh[: k + 1], sums[: k + 1])
         if not acc:
             return
         rows = []
         for kt, slots in acc.items():
             row = [None if (v is None or v != v) else v for v in kt]
-            for i, (_, _, k) in enumerate(calls):
-                cand = slots[i]
-                if cand is None:
-                    cand = np.array([], dtype=np.uint64)
-                row.append(ThetaSketch.from_hashes(k, cand).to_bytes())
+            for i, call in enumerate(calls):
+                kind, k = call[0], call[3]
+                if kind == "theta":
+                    cand = slots[i]
+                    if cand is None:
+                        cand = np.array([], dtype=np.uint64)
+                    row.append(ThetaSketch.from_hashes(k, cand).to_bytes())
+                else:
+                    if slots[i] is None:
+                        uh = np.array([], dtype=np.uint64)
+                        sums = np.array([], dtype=np.int64)
+                    else:
+                        uh, sums = slots[i]
+                    if len(uh) > k:
+                        th = int(uh[k])
+                        uh, sums = uh[:k], sums[:k]
+                    else:
+                        th = 2**64
+                    row.append(
+                        TupleSketch(
+                            k, th, uh.astype(np.uint64), sums.astype(np.int64)
+                        ).to_bytes()
+                    )
             rows.append(row)
         out = pd.DataFrame(
             rows, columns=keys + [f"__rs{i}" for i in range(len(calls))]
@@ -257,7 +309,9 @@ def grouped_theta_partials(
                 ]
         yield out
 
-    return src.select(
-        *keys,
-        *[c for hi_c, lo_c, _ in calls for c in (hi_c, lo_c)],
-    ).mapInPandas(_build, schema=out_fields)
+    needed = list(keys)
+    for call in calls:
+        needed += [call[1], call[2]]
+        if call[0] == "tuple":
+            needed.append(call[4])
+    return src.select(*needed).mapInPandas(_build, schema=out_fields)

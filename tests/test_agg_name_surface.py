@@ -300,13 +300,13 @@ def test_sql_funnel_events_function_eval(spark, at, sf_dir, funnel_sql_t):
 
 
 def test_raw_theta_tuple_two_phase_rewrite(spark, at):
-    """Canonical grouped raw-theta/tuple statements restructure into the
-    bounded two-phase shape (dialect.rewrite_raw_sketch_two_phase):
-    inner partial per (keys, pmod-bucket) — one k+1-hash slice / one
-    merged sketch per bucket — outer merge of ≤256 bounded partials,
-    with co-occurring COUNT/SUM/MIN/MAX/AVG decomposed partial/final.
-    Results must equal the in-expression path; non-canonical shapes
-    (HAVING, other aggregates) fall back unchanged."""
+    """Canonical grouped raw-theta/tuple statements: the TEXT layer
+    still restructures into the bounded two-phase shape
+    (dialect.rewrite_raw_sketch_two_phase — asserted on translate()
+    output, the fallback when the engine route declines), while the
+    ENGINE executes the zero-shuffle grouped-partials route since
+    round 9 (MapInPandas, no bucket column). Results must equal the
+    exact natives in the sub-nominal regime either way."""
     spark.range(0, 20000).selectExpr(
         "CAST(id % 4 AS INT) AS g",
         "CAST((id * 7) % 3000 AS BIGINT) AS u",
@@ -329,11 +329,11 @@ def test_raw_theta_tuple_two_phase_rewrite(spark, at):
     ).collect()
     # 3000 distinct < nominalEntries → theta exact; sum-tuple exact here
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    # plan: the per-value collect_set is keyed by (g, bucket) BEFORE any
-    # final collect — both aggregate levels present
+    # executed plan: the zero-shuffle route — grouped MapInPandas
+    # partials, no bucketed row shuffle, no per-value collection
     plan = at.sql(q)._jdf.queryExecution().executedPlan().toString()
-    assert "pmod" in plan
-    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 4
+    assert "MapInPandas" in plan
+    assert "pmod" not in plan and "collect_set" not in plan
     # HAVING rides on the two-phase outer since round 8
     q2 = (
         "SELECT g, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u)) "

@@ -363,3 +363,38 @@ def test_quantize_int8_no_shuffle_pure_projection(spark, sf_dir):
     plan = _plan(quantize_int8(t["embeddings"], "embedding"))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_raw_tuple_zero_shuffle_route(spark, sf_dir):
+    """TO_INTEGER_SUM_TUPLE_SKETCH inside the raw tuple aggregates
+    (pure, mixed, and alongside theta) takes the grouped-partials
+    route since round 9: one MapInPandas pass, no per-row
+    __tuple_singleton blob construction, no (keys, bucket) row
+    shuffle, exact int64 per-hash sums in the partials."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    df = eng.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH("
+        "TO_INTEGER_SUM_TUPLE_SKETCH(o_orderpriority, 2)) AS sv "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10"
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "__tuple_singleton" not in plan, plan
+    assert "pmod" not in plan, plan
+    rows = df.collect()
+    assert all(r.sv == 2 * r.n for r in rows) and len(rows) > 0
+    both = eng.sql(
+        "SELECT o_orderstatus, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "o_custkey)) AS tdc, "
+        "GET_INT_TUPLE_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_INTEGER_SUM_"
+        "TUPLE_SKETCH(TO_INTEGER_SUM_TUPLE_SKETCH(o_orderpriority, 1))) AS dc "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10"
+    )
+    bplan = _plan(both)
+    assert "MapInPandas" in bplan and "pmod" not in bplan, bplan
+    assert all(r.dc == 5 for r in both.collect())
