@@ -3986,12 +3986,19 @@ class PinotEngine:
                         op_calls.append(("theta", f"__hi{i}", f"__lo{i}", d[2]))
                     else:  # tuple: (kind, keyexpr, valexpr, k)
                         hi, lo = _split_hash_expr(d[1])
+                        # the value also splits into 32-bit halves — a
+                        # nullable BIGINT reaches pandas as float64,
+                        # which is lossy past 2^53 (arithmetic shift
+                        # keeps the sign in the hi half)
+                        vc = f"CAST({d[2]} AS BIGINT)"
                         sel += [
                             f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}",
-                            f"CAST({d[2]} AS BIGINT) AS __val{i}",
+                            f"shiftright({vc}, 32) AS __vhi{i}",
+                            f"({vc} & 4294967295) AS __vlo{i}",
                         ]
                         op_calls.append(
-                            ("tuple", f"__hi{i}", f"__lo{i}", d[3], f"__val{i}")
+                            ("tuple", f"__hi{i}", f"__lo{i}", d[3],
+                             f"__vhi{i}", f"__vlo{i}")
                         )
                 mini = (
                     f"SELECT {', '.join(sel)} FROM {stmt['table']}"

@@ -186,9 +186,11 @@ def grouped_sketch_partials(
     cannot hold a 64-bit hash exactly; the halves can —
     dialect._split_hash_expr), and for tuple calls a value column.
     ``calls`` entries are ("theta", hi_col, lo_col, k) or
-    ("tuple", hi_col, lo_col, k, val_col) — the integer-sum tuple
-    sketch accumulates exact int64 per-hash sums alongside the KMV
-    candidates.
+    ("tuple", hi_col, lo_col, k, vhi_col, vlo_col) — the integer-sum
+    tuple sketch accumulates exact int64 per-hash sums alongside the
+    KMV candidates; the VALUE also arrives as 32-bit halves
+    (arithmetic-shift hi keeps the sign) because nullable BIGINTs reach
+    pandas as float64, lossy past 2^53.
 
     One ``mapInPandas`` pass accumulates, per (key-tuple, call), the
     ≤ k+1 smallest distinct hashes (k+1, not k: the (k+1)-th value
@@ -249,9 +251,13 @@ def grouped_sketch_partials(
                         slot[i] = cand[: k + 1]
                     else:  # tuple: exact int64 per-hash sums ride along
                         u, mask = _u64_of(g, hi_c, lo_c)
-                        v = g[call[4]].to_numpy(dtype="float64")[mask]
-                        vmask = ~np.isnan(v)
-                        u, v = u[vmask], v[vmask].astype(np.int64)
+                        vhi = g[call[4]].to_numpy(dtype="float64")[mask]
+                        vlo = g[call[5]].to_numpy(dtype="float64")[mask]
+                        vmask = ~np.isnan(vhi)
+                        u = u[vmask]
+                        v = (
+                            vhi[vmask].astype(np.int64) << np.int64(32)
+                        ) | vlo[vmask].astype(np.int64)
                         if slot[i] is not None:
                             pu, pv = slot[i]
                             u = np.concatenate([pu, u])
@@ -313,5 +319,5 @@ def grouped_sketch_partials(
     for call in calls:
         needed += [call[1], call[2]]
         if call[0] == "tuple":
-            needed.append(call[4])
+            needed += [call[4], call[5]]
     return src.select(*needed).mapInPandas(_build, schema=out_fields)

@@ -398,3 +398,52 @@ def test_raw_tuple_zero_shuffle_route(spark, sf_dir):
     bplan = _plan(both)
     assert "MapInPandas" in bplan and "pmod" not in bplan, bplan
     assert all(r.dc == 5 for r in both.collect())
+
+
+def test_raw_tuple_values_exact_past_float53(spark, sf_dir):
+    """Tuple value sums must stay exact int64 through the pandas
+    boundary: nullable BIGINTs arrive as float64 (lossy past 2^53), so
+    the route ships the value as 32-bit halves. Pin with magnitudes
+    where a float64 path would drift, both signs."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    spark.sql(
+        "SELECT CAST(id % 3 AS INT) g, CONCAT('k', id % 7) ky, "
+        "CAST(9007199254740993 + id AS BIGINT) v FROM range(0, 100)"
+    ).createOrReplaceTempView("rs_huge_v")
+    got = [
+        (r.g, r.sv)
+        for r in eng.sql(
+            "SELECT g, SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH("
+            "TO_INTEGER_SUM_TUPLE_SKETCH(ky, v)) AS sv "
+            "FROM rs_huge_v GROUP BY g ORDER BY g LIMIT 10"
+        ).collect()
+    ]
+    want = [
+        (r.g, r.s)
+        for r in spark.sql(
+            "SELECT g, SUM(v) s FROM rs_huge_v GROUP BY g ORDER BY g"
+        ).collect()
+    ]
+    assert got == want
+    spark.sql(
+        "SELECT CAST(id % 2 AS INT) g, CONCAT('k', id % 5) ky, "
+        "CAST(-9007199254740995 - id AS BIGINT) v FROM range(0, 50)"
+    ).createOrReplaceTempView("rs_neg_v")
+    got = [
+        (r.g, r.sv)
+        for r in eng.sql(
+            "SELECT g, SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH("
+            "TO_INTEGER_SUM_TUPLE_SKETCH(ky, v)) AS sv "
+            "FROM rs_neg_v GROUP BY g ORDER BY g LIMIT 10"
+        ).collect()
+    ]
+    want = [
+        (r.g, r.s)
+        for r in spark.sql(
+            "SELECT g, SUM(v) s FROM rs_neg_v GROUP BY g ORDER BY g"
+        ).collect()
+    ]
+    assert got == want
