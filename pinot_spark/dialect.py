@@ -3904,10 +3904,16 @@ class PinotEngine:
 
         def subst(text: str) -> str:
             # expression keys: replace exact expression text occurrences
-            # with the derived column name (normalized-whitespace match)
+            # with the derived column name (normalized-whitespace match,
+            # boundary-guarded so a match can't start or end inside a
+            # longer identifier)
             for expr, name in expr_renames:
                 pat = re.escape(expr)
                 pat = re.sub(r"\\\s+", r"\\s+", pat)
+                if re.match(r"[A-Za-z0-9_]", expr):
+                    pat = r"(?<![A-Za-z0-9_])" + pat
+                if re.search(r"[A-Za-z0-9_]$", expr):
+                    pat = pat + r"(?![A-Za-z0-9_])"
                 spans = _literal_spans(text)
                 out, pos = [], 0
                 for m in re.finditer(pat, text):
