@@ -830,7 +830,10 @@ def _make_hash_udf(key: str):
             "sha224": "string",
             "murmur3bit128": "binary",
             "murmur3x64bit128": "binary",
+            "cityhash32": "long",
             "cityhash64": "long",
+            "cityhash128": "binary",
+            "md2": "string",
         }[key]
 
         @_pandas_udf(ret)
@@ -871,11 +874,24 @@ def _make_hash_udf(key: str):
                 if key == "sha224":
                     # reference sha224 is actually SHA3-224 (DigestUtils.sha3_224Hex)
                     return hashlib.sha3_224(b).hexdigest()
+                if key == "cityhash32":
+                    # exact CityHash v1.1; Java widens the int result to
+                    # long (HashFunctions.java:289), so sign-extend
+                    from pinot_spark.functions.cityhash import city_hash_32
+
+                    return city_hash_32(b)
                 if key == "cityhash64":
-                    # deterministic stand-in (xxhash-free env): murmur64a —
-                    # CityHash's exact constants/algorithm are not
-                    # reproduced here; documented non-parity stand-in
-                    return _signed(_murmur2_64a(b, seed=0x9AE16A3B2F90404F & _M64), 64)
+                    from pinot_spark.functions.cityhash import city_hash_64
+
+                    return city_hash_64(b)
+                if key == "cityhash128":
+                    from pinot_spark.functions.cityhash import city_hash_128
+
+                    return city_hash_128(b)
+                if key == "md2":
+                    from pinot_spark.functions.md2 import md2_hex
+
+                    return md2_hex(b)
                 raise AssertionError(key)
 
             return _pd.Series([one(v) for v in s], dtype="object")
@@ -899,9 +915,10 @@ for _hname, _hkey in [
     ("fnv1ahash64", "fnv1ahash64"),
     ("crc32c", "crc32c"),
     ("sha224", "sha224"),
-    ("cityhash32", "crc32c"),  # 32-bit stand-in: crc32c (deterministic, documented)
+    ("cityhash32", "cityhash32"),  # exact CityHash v1.1 (cityhash.py)
     ("cityhash64", "cityhash64"),
-    ("cityhash128", "murmur3bit128"),  # 128-bit stand-in
+    ("cityhash128", "cityhash128"),
+    ("md2", "md2"),  # exact RFC 1319 (md2.py)
 ]:
     _reg(_hname)(lambda x, _k=_hkey: _lazy_udf(f"hash_{_k}", _make_hash_udf(_k))(_c(x)))
 
@@ -911,15 +928,48 @@ for _hname in ("fnv1hash32", "fnv1ahash32", "fnv1hash64", "fnv1ahash64"):
 SCALAR_FUNCTIONS["murmurhash2utf8"] = SCALAR_FUNCTIONS["murmurhash2"]
 
 
-def _md2_stub(*_a):
-    raise NotImplementedError(
-        "MD2 (HashFunctions.java:84) needs the MD2 S-box table; no "
-        "crypto library with MD2 is present in this environment — "
-        "declared gap (MD2 is cryptographically obsolete)"
-    )
+def _make_cityhash64_seeded(nseeds: int):
+    """cityHash64(input, seed[, seed2]) — exact CityHash v1.1 with seeds
+    (HashFunctions.java:302-320). Seed columns are cast to long; a literal
+    seed rides through Arrow as exact int64."""
+
+    def factory():
+        @_pandas_udf("long")
+        def _udf(*cols: _pd.Series) -> _pd.Series:
+            from pinot_spark.functions.cityhash import (
+                city_hash_64_with_seed,
+                city_hash_64_with_seeds,
+            )
+
+            out = []
+            for row in zip(*cols):
+                v = row[0]
+                if v is None or any(x is None for x in row[1:]):
+                    out.append(None)
+                    continue
+                b = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+                if nseeds == 1:
+                    out.append(city_hash_64_with_seed(b, int(row[1])))
+                else:
+                    out.append(city_hash_64_with_seeds(b, int(row[1]), int(row[2])))
+            return _pd.Series(out, dtype="object")
+
+        return _udf
+
+    return factory
 
 
-_reg("md2")(_md2_stub)
+def _cityhash64_dispatch(x, *seeds):
+    if not seeds:
+        return _lazy_udf("hash_cityhash64", _make_hash_udf("cityhash64"))(_c(x))
+    if len(seeds) > 2:
+        raise TypeError("cityHash64 takes 1-3 arguments")
+    key = f"cityhash64_seed{len(seeds)}"
+    cols = [_c(s).cast("long") for s in seeds]
+    return _lazy_udf(key, _make_cityhash64_seeded(len(seeds)))(_c(x), *cols)
+
+
+_reg("cityhash64")(_cityhash64_dispatch)
 
 # ---------------------------------------------------------------------------
 # uuid (scalar/uuid/*.java)

@@ -147,6 +147,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "dialect_raw_theta_mixed_split", "dialect_raw_theta_expr_key",
     "multimodal_webp_features", "multimodal_gif_tiff_features",
+    "fn_exact_hash_parity",
 ]
 
 # all 31 round-5-stale greens (scalar/aggregate families, funnel,
@@ -167,8 +168,10 @@ _REPROOF_STALE_R5 = [
     "timeseries_m3ql_pipeline",
 ]
 
-# 15 round-6-stale greens, sketch/dialect-adjacent first (the dialect
-# two-phase changed this round) plus pipeline/dedup coverage
+# 14 round-6-stale greens, sketch/dialect-adjacent first (the dialect
+# two-phase changed this round) plus pipeline/dedup coverage; the
+# remaining r6 greens (dedup_simhash_buckets, ingestion_pipeline_conform,
+# pipeline_pack_sequences, ...) are the stalest pool for the r10 window
 _REPROOF_STALE_R6 = [
     "agg_approx_distinct", "agg_distinctcount_mv_scale_path",
     "agg_hll_sketch_union", "agg_mv_grouped_percentile",
@@ -177,8 +180,6 @@ _REPROOF_STALE_R6 = [
     "agg_funnel_events_eval", "agg_funnel_max_step_window",
     "dialect_funnel_max_step", "colocated_bucketed_join",
     "cursor_result_table_pages", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets", "ingestion_pipeline_conform",
-    "pipeline_pack_sequences",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R5 + _REPROOF_STALE_R6

@@ -248,6 +248,68 @@ def fn_hash_family(spark, sf_dir):
     )
 
 
+def _exact_hash_oracle() -> str:
+    """Literal-map oracle for the engine-specific exact hashes: the expected
+    values are produced by the pure-Python CityHash v1.1 / RFC 1319 MD2
+    implementations, which are themselves bit-exact against 211
+    reference-generated Java vectors (tests/test_exact_hashes.py). The
+    driver row therefore proves the Spark-side plumbing (registry dispatch,
+    Arrow pandas-UDF batches, null handling) reproduces those values."""
+    from pinot_spark.functions.cityhash import (
+        city_hash_32,
+        city_hash_64,
+        city_hash_64_with_seed,
+        city_hash_128,
+    )
+    from pinot_spark.functions.md2 import md2_hex
+
+    names = [f"NATION_{i}" for i in range(25)]
+
+    def case(expr_fn, quote=False):
+        arms = []
+        for n in names:
+            v = expr_fn(n.encode())
+            lit = f"'{v}'" if quote else str(v)
+            arms.append(f"WHEN '{n}' THEN {lit}")
+        return "CASE n_name " + " ".join(arms) + " END"
+
+    in_list = ", ".join(f"'{n}'" for n in names)
+    return f"""
+    SELECT n_name,
+           {case(md2_hex, quote=True)} AS md2_hex,
+           {case(city_hash_32)} AS city32,
+           {case(city_hash_64)} AS city64,
+           {case(lambda b: city_hash_64_with_seed(b, 42))} AS city64_seed,
+           {case(lambda b: city_hash_128(b).hex(), quote=True)} AS city128_hex
+    FROM nation WHERE n_name IN ({in_list}) ORDER BY n_name
+    """
+
+
+@query("fn_exact_hash_parity", oracle=_exact_hash_oracle())
+def fn_exact_hash_parity(spark, sf_dir):
+    """Exact engine-specific hashes through the Spark scalar surface:
+    MD2 (HashFunctions.java:84, RFC 1319 incl. the pi-derived S-box) and
+    CityHash v1.1 32/64/64-with-seed/128 (HashFunctions.java:289-330,
+    CityHashFunctions.java) — formerly documented stand-ins, now bit-exact
+    (round 9)."""
+    t = load_tables(spark, sf_dir)
+    names = [f"NATION_{i}" for i in range(25)]
+    b = F.encode(F.col("n_name"), "utf-8")
+    return (
+        t["nation"]
+        .filter(F.col("n_name").isin(names))
+        .select(
+            "n_name",
+            scalar.call("md2", b).alias("md2_hex"),
+            scalar.call("cityHash32", b).alias("city32"),
+            scalar.call("cityHash64", b).alias("city64"),
+            scalar.call("cityHash64", b, F.lit(42)).alias("city64_seed"),
+            F.lower(F.hex(scalar.call("cityHash128", b))).alias("city128_hex"),
+        )
+        .orderBy("n_name")
+    )
+
+
 @query(
     "fn_conditional_null",
     oracle="""
