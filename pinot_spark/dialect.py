@@ -3187,6 +3187,77 @@ def rewrite_raw_sketch_inexpr_udaf(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_raw_sketch_setop(sql: str) -> str:
+    """Bounded aggregation for raw-sketch statements under TOP-LEVEL set
+    operations (the last per-value-fallback shape class): split the
+    statement at top-level UNION/INTERSECT/EXCEPT [ALL|DISTINCT]
+    (paren- and literal-aware via ``_top_level_clauses``), detach a
+    trailing set-op-global ORDER BY/LIMIT, run each branch through the
+    canonical two-phase / in-place-UDAF rewrites independently, and
+    reassemble with parenthesized branches.  Branch results are
+    bit-identical to the per-value forms (KMV truncation at k+1 is
+    associative), so UNION-DISTINCT/INTERSECT/EXCEPT semantics over the
+    branch outputs are unchanged.  Declines (returns ``sql`` unchanged)
+    whenever any raw-call branch fails to bound — fail-safe to the
+    per-value fallback, never a half-rewritten statement."""
+    if not _RAW_SKETCH_CALL_RE.search(sql):
+        return sql
+    if re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
+        return sql
+    body = sql.strip().rstrip(";").strip()
+    kws = _top_level_clauses(body)
+    if not kws:
+        return sql
+    setops = [k for k in kws if k[0] in ("UNION", "INTERSECT", "EXCEPT")]
+    if not setops:
+        return sql
+    # a trailing ORDER BY / LIMIT after the last set operator binds to
+    # the whole set operation — detach it before branch rewriting
+    tail = ""
+    last_op_end = setops[-1][2]
+    tail_kws = [
+        k for k in kws if k[0] in ("ORDER BY", "LIMIT") and k[1] > last_op_end
+    ]
+    if tail_kws:
+        cut = tail_kws[0][1]
+        tail = " " + body[cut:].strip()
+        body = body[:cut].rstrip()
+        kws = _top_level_clauses(body) or []
+        setops = [k for k in kws if k[0] in ("UNION", "INTERSECT", "EXCEPT")]
+        if not setops:
+            return sql
+    pieces: list[str] = []
+    ops: list[str] = []
+    pos = 0
+    for name, start, kw_end in setops:
+        pieces.append(body[pos:start].strip())
+        qual = re.match(r"(?is)\s*(ALL|DISTINCT)\b", body[kw_end:])
+        op_end = kw_end + (qual.end() if qual else 0)
+        ops.append(re.sub(r"\s+", " ", body[start:op_end]).upper())
+        pos = op_end
+    pieces.append(body[pos:].strip())
+    changed = False
+    rewritten: list[str] = []
+    for piece in pieces:
+        cand = piece
+        if _search_outside_literals(_RAW_SKETCH_CALL_RE, piece):
+            for rw in (rewrite_raw_sketch_two_phase, rewrite_raw_sketch_inexpr_udaf):
+                cand = rw(piece)
+                if cand != piece:
+                    break
+            if cand == piece:
+                return sql  # this branch can't bound — keep the original
+            changed = True
+        rewritten.append(cand)
+    if not changed:
+        return sql
+    out = " ".join(
+        p if i == 0 else f"{ops[i - 1]} {p}"
+        for i, p in enumerate(f"({b})" for b in rewritten)
+    )
+    return out + tail
+
+
 def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     """Register the raw-theta-sketch pandas UDFs FUNCTION_MAP's
     rewrites call (__theta_agg grouped-agg + scalar estimate/diff/
@@ -3774,7 +3845,8 @@ class PinotEngine:
             # the original form's per-value fallback instead of erroring
             # — any future canonical-shape extension that corrupts a
             # rewrite fails safe. Syntax-only check, no execution.
-            for rewrite in (rewrite_raw_sketch_two_phase,
+            for rewrite in (rewrite_raw_sketch_setop,
+                            rewrite_raw_sketch_two_phase,
                             rewrite_raw_sketch_inexpr_udaf):
                 cand = rewrite(sql)
                 if cand != sql and not self._syntax_ok(cand):

@@ -584,3 +584,77 @@ def test_raw_theta_alias_and_expression_keys_normalized(spark, at):
     assert [(r.grp, r.n) for r in df3.collect()] == [
         ("AB", 2), ("CD", 2), ("EF", 1)
     ]
+
+
+def test_raw_theta_setop_branches_bounded(spark, at):
+    """Raw-sketch statements under TOP-LEVEL set operations (round 9,
+    rewrite_raw_sketch_setop): each branch rewrites independently into
+    the bounded two-phase / split shape, so NO per-value collect_set of
+    hashes survives even when a branch mixes raw theta with native
+    aggregates — the last per-value fallback class outside window
+    frames. A trailing set-op-global ORDER BY/LIMIT must be preserved."""
+    spark.range(0, 2000).selectExpr(
+        "CAST(id % 3 AS INT) AS g",
+        "CAST((id * 11) % 500 AS INT) AS u",
+    ).createOrReplaceTempView("rs_setop_t")
+    q = (
+        "SELECT g, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u, "
+        "'nominalEntries=4096')) AS dc "
+        "FROM rs_setop_t WHERE g < 2 GROUP BY g "
+        "UNION ALL "
+        "SELECT g, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(u, "
+        "'nominalEntries=4096')) AS dc "
+        "FROM rs_setop_t WHERE g = 2 GROUP BY g ORDER BY g LIMIT 100"
+    )
+    from pinot_spark.dialect import rewrite_raw_sketch_setop
+
+    rewritten = rewrite_raw_sketch_setop(q)
+    assert rewritten != q
+    assert "collect_set" not in rewritten
+    assert rewritten.rstrip().endswith("LIMIT 100")
+    df = at.sql(q)
+    got = [(r.g, r.n, round(r.dc)) for r in df.collect()]
+    want = [
+        (r.g, r.n, r.dc)
+        for r in spark.sql(
+            "SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS dc "
+            "FROM rs_setop_t GROUP BY g ORDER BY g"
+        ).collect()
+    ]
+    assert got == want and len(got) == 3  # 500 distinct < 4096 → exact
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+
+
+def test_raw_theta_setop_pure_and_distinct_semantics(spark, at):
+    """Pure-sketch branches under UNION (DISTINCT): branch outputs are
+    deterministic engine-own values, so set semantics are unchanged by
+    the rewrite — two identical branches collapse to one row."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "g int, v int"
+    ).createOrReplaceTempView("rs_setop_p")
+    q = (
+        "SELECT GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) "
+        "AS dc FROM rs_setop_p "
+        "UNION "
+        "SELECT GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) "
+        "AS dc FROM rs_setop_p LIMIT 10"
+    )
+    rows = at.sql(q).collect()
+    assert [round(r.dc) for r in rows] == [3]
+
+
+def test_raw_theta_setop_unboundable_branch_fails_safe(spark, at):
+    """A set-op statement whose raw-call branch can't bound (window
+    frame co-occurring) must return unchanged from the setop rewrite —
+    never a half-rewritten statement."""
+    from pinot_spark.dialect import rewrite_raw_sketch_setop
+
+    q = (
+        "SELECT g, GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) "
+        "OVER (PARTITION BY g) AS dc FROM t1 "
+        "UNION ALL SELECT g, 0.0 AS dc FROM t2"
+    )
+    assert rewrite_raw_sketch_setop(q) == q
