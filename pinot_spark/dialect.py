@@ -663,6 +663,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         )
     ),
     "thetasketchtostring": lambda a: f"__theta_to_string({a[0]})",
+    # engine extension: single-item sketch in the DataSketches COMPACT
+    # wire format (murmur-9001 update-hash domain, operators/ds_theta.py)
+    # — byte-level twin of the reference toThetaSketch output
+    # (SketchFunctions.java:98-106) for cross-engine exchange; consumers
+    # auto-detect the format and refuse mixed-domain set operations
+    "todatasketchestheta": lambda a: f"__ds_theta_single({a[0]})",
     # DataSketches register/items wire formats: loud SQL boundary
     # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
     # raw HLL: ENGINE-OWN register bytes (operators/hll.py — log2m byte +
@@ -2432,6 +2438,7 @@ def rewrite_unicode_literals(sql: str) -> str:
 _THETA_SQL_RE = re.compile(
     r"\b(DISTINCT_?COUNT_?RAW_?THETA_?SKETCH|GET_?THETA_?SKETCH_?ESTIMATE"
     r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT|TO_?STRING)|TO_?THETA_?SKETCH"
+    r"|TO_?DATA_?SKETCHES_?THETA"
     r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
@@ -3102,6 +3109,7 @@ _RS_INEXPR_ALLOW = {
     "thetasketchintersect", "thetasketchtostring",
     "getinttuplesketchestimate", "gethllestimate", "getullestimate",
     "gettdigestquantile", "tointegersumtuplesketch", "tothetasketch",
+    "todatasketchestheta",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3285,36 +3293,61 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             [_from_hash_list(hs if hs is not None else [], kk) for hs in arrs]
         )
 
-    def _binop(op):
+    # DataSketches wire-format interop (operators/ds_theta.py): every
+    # theta consumer auto-detects the compact DataSketches layout per
+    # argument, so foreign sketches exchanged with a real Pinot cluster
+    # estimate/union/intersect/diff correctly. The two hash domains
+    # (engine xxhash64 vs DataSketches murmur-9001) must never mix in
+    # one set operation — that would silently double-count — so a mixed
+    # pair raises loudly by name instead.
+    from pinot_spark.operators.ds_theta import DsThetaSketch, is_ds_theta_bytes
+
+    def _load_any_theta(x):
+        b = bytes(x)
+        if is_ds_theta_bytes(b):
+            return "ds", DsThetaSketch.parse(b)
+        return "own", ThetaSketch.from_bytes(b)
+
+    def _binop(own_op: str):
         def f(a: pd.Series, b: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    op(ThetaSketch.from_bytes(x), ThetaSketch.from_bytes(y)).to_bytes()
-                    if x is not None and y is not None
-                    else None
-                    for x, y in zip(a, b)
-                ]
-            )
+            out = []
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                da, sa = _load_any_theta(x)
+                db, sb = _load_any_theta(y)
+                if da != db:
+                    raise ValueError(
+                        "theta set operation mixes a DataSketches-format "
+                        "sketch (murmur-9001 hash domain) with an "
+                        "engine-native sketch (xxhash64 domain) — the "
+                        "domains are incompatible; rebuild both sides in "
+                        "one format"
+                    )
+                r = getattr(sa, own_op)(sb)
+                out.append(r.serialize() if da == "ds" else r.to_bytes())
+            return pd.Series(out)
 
         return f
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __theta_diff(a, b):
-        return _binop(ThetaSketch.a_not_b)(a, b)
+        return _binop("a_not_b")(a, b)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __theta_union(a, b):
-        return _binop(ThetaSketch.union)(a, b)
+        return _binop("union")(a, b)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __theta_intersect(a, b):
-        return _binop(ThetaSketch.intersect)(a, b)
+        return _binop("intersect")(a, b)
 
     @pandas_udf("bigint", PandasUDFType.SCALAR)
     def __theta_estimate(a):
         return pd.Series(
             [
-                round(ThetaSketch.from_bytes(x).estimate()) if x is not None else None
+                round(_load_any_theta(x)[1].estimate()) if x is not None else None
                 for x in a
             ],
             dtype="Int64",
@@ -3336,12 +3369,20 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
                 out.append(ThetaSketch(kk, 2**64, np.array([u], dtype=np.uint64)).to_bytes())
         return pd.Series(out)
 
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_theta_single(v):
+        from pinot_spark.functions.sketches import ds_theta_single_series
+
+        return ds_theta_single_series(v)
+
     @pandas_udf("string", PandasUDFType.SCALAR)
     def __theta_to_string(b):
         def fmt(x):
             if x is None:
                 return None
-            s = ThetaSketch.from_bytes(bytes(x))
+            domain, s = _load_any_theta(bytes(x))
+            if domain == "ds":
+                return s.to_string()
             return (
                 f"ThetaSketch(k={s.k}, theta={s.theta:.6f}, "
                 f"retained={len(s.hashes)}, estimate={s.estimate():.1f})"
@@ -3686,6 +3727,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__theta_estimate", __theta_estimate)
     spark.udf.register("__theta_singleton", __theta_singleton)
     spark.udf.register("__theta_to_string", __theta_to_string)
+    spark.udf.register("__ds_theta_single", __ds_theta_single)
     spark.udf.register("__tuple_singleton", __tuple_singleton)
     spark.udf.register("__tuple_merge_sum", __tuple_merge_sum)
     spark.udf.register("__tuple_estimate", __tuple_estimate)

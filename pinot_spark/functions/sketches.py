@@ -139,9 +139,13 @@ def _make_theta_to_string():
 
     @_pandas_udf("string")
     def _f(b: _pd.Series) -> _pd.Series:
+        from pinot_spark.operators.ds_theta import DsThetaSketch, is_ds_theta_bytes
+
         def fmt(x):
             if x is None:
                 return None
+            if is_ds_theta_bytes(bytes(x)):
+                return DsThetaSketch.parse(bytes(x)).to_string()
             s = ThetaSketch.from_bytes(bytes(x))
             return (
                 f"ThetaSketch(k={s.k}, theta={s.theta:.6f}, "
@@ -151,6 +155,65 @@ def _make_theta_to_string():
         return b.map(fmt)
 
     return _f
+
+
+def ds_theta_single_series(v: "_pd.Series") -> "_pd.Series":
+    """Single-item DataSketches-format sketches for a value Series (the
+    shared body behind both the registry UDF and the SQL
+    ``__ds_theta_single``)."""
+    import numpy as _np
+
+    from pinot_spark.operators.ds_theta import (
+        DsThetaSketch,
+        update_hash_bytes,
+        update_hash_long,
+    )
+
+    def one(x):
+        if x is None or (isinstance(x, float) and _np.isnan(x)):
+            return DsThetaSketch.empty().serialize()
+        if isinstance(x, (int, _np.integer)):
+            h = update_hash_long(int(x))
+        elif isinstance(x, (float, _np.floating)):
+            # a nullable int column reaches pandas as float64: integral
+            # values hash as longs (the Java update(long) domain);
+            # true doubles hash their canonical IEEE bit pattern
+            # (DataSketches update(double))
+            if float(x).is_integer():
+                h = update_hash_long(int(x))
+            else:
+                bits = int(_np.float64(x).view(_np.int64))
+                h = update_hash_long(bits)
+        else:
+            b = bytes(x) if isinstance(x, (bytes, bytearray)) else str(x).encode()
+            if not b:
+                return DsThetaSketch.empty().serialize()
+            h = update_hash_bytes(b)
+        return DsThetaSketch(
+            (1 << 63) - 1, _np.array([h], dtype=_np.uint64)
+        ).serialize()
+
+    return _pd.Series([one(x) for x in v])
+
+
+def _make_ds_theta_single():
+    @_pandas_udf("binary")
+    def _f(v: _pd.Series) -> _pd.Series:
+        return ds_theta_single_series(v)
+
+    return _f
+
+
+# engine extension: single-item sketch in the DataSketches COMPACT wire
+# format + murmur-9001 update-hash domain (operators/ds_theta.py) — the
+# byte-level twin of the reference's toThetaSketch output
+# (SketchFunctions.java:98-106), for exchanging sketches with a real
+# Pinot/DataSketches deployment. The engine-own toThetaSketch stays the
+# fast xxhash64 path; the two domains never mix (consumers auto-detect
+# and raise on a mixed pair).
+_reg("todatasketchestheta")(
+    lambda v: _lazy_udf("ds_theta_single", _make_ds_theta_single)(_c(v))
+)
 
 
 def _null_safe_hash(col):

@@ -136,18 +136,21 @@ _VERIFIED_PRIOR_ROUNDS = [
     "window_sliding_rows_frame",
 ]
 
-# Round-9 window = 4 first-time/re-proof priority slots + 46 stale-green
+# Round-9 window = 6 first-time/re-proof priority slots + 44 stale-green
 # re-proof slots. Priority: dialect_raw_theta_mixed_split (the round-9
 # split-subquery rewrite for mixed native+raw-sketch statements — VERDICT
-# r8 'missing #1' done-criterion) and multimodal_gif_tiff_features (re-
-# proof on the FIXED PackBits encoder — VERDICT r8 'wrong #1' done-
-# criterion). Re-proof fill: all 31 r5-stale greens (the stalest
-# evidence) + the 17 sketch/dialect-adjacent r6 greens, so after this
-# round no green's latest driver evidence is older than round 6.
+# r8 'missing #1' done-criterion), dialect_raw_theta_expr_key (alias/
+# expression GROUP BY keys on the zero-shuffle route),
+# multimodal_webp_features (VP8L codec), multimodal_gif_tiff_features
+# (re-proof on the FIXED PackBits encoder — VERDICT r8 'wrong #1'),
+# fn_exact_hash_parity (bit-exact CityHash/MD2) and fn_ds_theta_interop
+# (DataSketches theta wire-format interop). Re-proof fill: all 31
+# r5-stale greens (the stalest evidence) + 13 sketch/dialect-adjacent
+# r6 greens.
 _WINDOW_FIRST_TIME = [
     "dialect_raw_theta_mixed_split", "dialect_raw_theta_expr_key",
     "multimodal_webp_features", "multimodal_gif_tiff_features",
-    "fn_exact_hash_parity",
+    "fn_exact_hash_parity", "fn_ds_theta_interop",
 ]
 
 # all 31 round-5-stale greens (scalar/aggregate families, funnel,
@@ -168,10 +171,10 @@ _REPROOF_STALE_R5 = [
     "timeseries_m3ql_pipeline",
 ]
 
-# 14 round-6-stale greens, sketch/dialect-adjacent first (the dialect
+# 13 round-6-stale greens, sketch/dialect-adjacent first (the dialect
 # two-phase changed this round) plus pipeline/dedup coverage; the
-# remaining r6 greens (dedup_simhash_buckets, ingestion_pipeline_conform,
-# pipeline_pack_sequences, ...) are the stalest pool for the r10 window
+# remaining r6 greens (dedup_minhash_lsh_pairs, dedup_simhash_buckets,
+# ingestion_pipeline_conform, pipeline_pack_sequences, ...) are the stalest pool for the r10 window
 _REPROOF_STALE_R6 = [
     "agg_approx_distinct", "agg_distinctcount_mv_scale_path",
     "agg_hll_sketch_union", "agg_mv_grouped_percentile",
@@ -179,7 +182,7 @@ _REPROOF_STALE_R6 = [
     "dialect_mv_distinct_scale", "agg_sum_array_scale_path",
     "agg_funnel_events_eval", "agg_funnel_max_step_window",
     "dialect_funnel_max_step", "colocated_bucketed_join",
-    "cursor_result_table_pages", "dedup_minhash_lsh_pairs",
+    "cursor_result_table_pages",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R5 + _REPROOF_STALE_R6

@@ -711,3 +711,82 @@ def dialect_raw_theta_expr_key(spark, sf_dir):
         "FROM customer GROUP BY SUBSTR(c_mktsegment, 0, 4) "
         "ORDER BY seg4 LIMIT 100"
     )
+
+
+def _ds_theta_oracle() -> str:
+    """Literal oracle for the DataSketches wire-format interop row: the
+    expected values come from the pure-Python DsThetaSketch — itself
+    byte-canonical against datasketches-java 6.2.0 golden vectors and a
+    live Java round-trip (tests/test_ds_theta.py) — so this driver row
+    proves the Spark plumbing (mapInPandas export partials, SQL scalar
+    surface, format auto-detection) reproduces those values on real
+    tables."""
+    import json
+    import os
+
+    from pinot_spark.operators.ds_theta import DsThetaSketch
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_theta_vectors.json",
+    )
+    java100 = next(
+        v for v in json.load(open(vec_path))["sketches"] if v["n"] == 100
+    )
+    nations = DsThetaSketch.build_from_values(range(25), k=4096)
+    return f"""
+    SELECT CAST(25 AS DOUBLE) AS nations_est,
+           '{nations.serialize().hex()}' AS nations_sketch_hex,
+           CAST({round(java100["est"])} AS BIGINT) AS java_foreign_est,
+           CAST(2 AS BIGINT) AS union_est
+    """
+
+
+@query("fn_ds_theta_interop", oracle=_ds_theta_oracle())
+def fn_ds_theta_interop(spark, sf_dir):
+    """DataSketches theta WIRE-FORMAT interop (round 9,
+    operators/ds_theta.py): (1) the grouped export operator builds a
+    compact DataSketches sketch over n_nationkey — 25 distinct, exact
+    regime, so bytes are canonical and the hex matches the library
+    byte-for-byte; (2) a PINNED Java-generated estimating-mode sketch
+    (n=100, k=16, from datasketches-java 6.2.0) is parsed and estimated
+    by the engine — the foreign-read path; (3) single-item DataSketches
+    sketches union in SQL. Reference surface:
+    SketchFunctions.java:98-254 (Pinot serializes these exact bytes)."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.ds_theta import DsThetaSketch, grouped_ds_theta
+
+    eng = _engine(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+
+    export = grouped_ds_theta(
+        t["nation"].withColumn("__one", F.lit(1)), ["__one"], "n_nationkey", k=4096
+    ).select(
+        F.lower(F.hex(F.col("ds_theta"))).alias("nations_sketch_hex")
+    )
+    export.createOrReplaceTempView("__ds_export")
+
+    import json
+    import os
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_theta_vectors.json",
+    )
+    jhex = next(
+        v for v in json.load(open(vec_path))["sketches"] if v["n"] == 100
+    )["bytes"]
+
+    return eng.sql(
+        f"""
+        SELECT CAST(GET_THETA_SKETCH_ESTIMATE(unhex(nations_sketch_hex)) AS DOUBLE)
+                 AS nations_est,
+               nations_sketch_hex,
+               GET_THETA_SKETCH_ESTIMATE(X'{jhex}') AS java_foreign_est,
+               GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(
+                 TO_DATA_SKETCHES_THETA('interop'),
+                 TO_DATA_SKETCHES_THETA('works'))) AS union_est
+        FROM __ds_export LIMIT 1
+        """
+    )

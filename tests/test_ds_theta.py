@@ -1,0 +1,201 @@
+"""DataSketches theta wire-format interop (operators/ds_theta.py).
+
+Golden vectors in tests/data/ds_theta_vectors.json come from a one-off
+harness driving datasketches-java 6.2.0 (the library the reference wraps,
+SketchFunctions.java:98-254): murmur-9001 hash probes, and compact-sketch
+byte dumps at n = 0,1,2,5,15,16,17,100,10000 (k=16) plus a string-keyed
+sketch.  The live Java round-trip test compiles against the
+datasketches jar bundled with PySpark and proves the library heapifies
+Python-emitted sketches with bit-identical estimates.
+"""
+
+import json
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from pinot_spark.operators.ds_theta import (
+    MAX_THETA,
+    DsThetaSketch,
+    grouped_ds_theta,
+    is_ds_theta_bytes,
+    update_hash_bytes,
+    update_hash_long,
+)
+
+_VEC = json.load(
+    open(os.path.join(os.path.dirname(__file__), "data", "ds_theta_vectors.json"))
+)
+_U64 = 1 << 64
+_JARS = "/root/.pyenv/versions/3.11.7/lib/python3.11/site-packages/pyspark/jars"
+
+
+def test_update_hash_domain_bit_exact():
+    for v, h1, _h2 in _VEC["long_hashes"]:
+        assert update_hash_long(v) == (h1 % _U64) >> 1, v
+    for s, h1, _h2 in _VEC["string_hashes"]:
+        if not s:
+            continue
+        assert update_hash_bytes(s.encode()) == (h1 % _U64) >> 1, s
+
+
+def test_parse_estimate_and_canonical_serialize():
+    for v in _VEC["sketches"]:
+        b = bytes.fromhex(v["bytes"])
+        assert is_ds_theta_bytes(b)
+        sk = DsThetaSketch.parse(b)
+        assert len(sk.hashes) == v["retained"], v["n"]
+        assert sk.theta == v["thetaLong"], v["n"]
+        assert abs(sk.estimate() - v["est"]) <= 1e-6 * max(1.0, v["est"]), v["n"]
+        # the writer is byte-canonical with the library for every shape
+        assert sk.serialize() == b, v["n"]
+
+
+def test_exact_mode_build_byte_parity_with_java():
+    for v in _VEC["sketches"]:
+        if v["n"] > 16:
+            continue  # estimating mode retains QuickSelect-specific sets
+        sk = DsThetaSketch.build_from_values(range(v["n"]), k=16)
+        assert sk.serialize() == bytes.fromhex(v["bytes"]), v["n"]
+    ss = DsThetaSketch.build_from_values(
+        ["alpha", "beta", "gamma", "delta", "epsilon"], k=32
+    )
+    assert ss.serialize().hex() == _VEC["string_sketch"]["bytes"]
+
+
+def test_engine_own_bytes_not_misdetected():
+    from pinot_spark.operators.theta import ThetaSketch
+
+    for k in (16, 256, 4096, 65536):
+        own = ThetaSketch(k, 2**64, np.array([1, 2, 3], dtype=np.uint64)).to_bytes()
+        assert not is_ds_theta_bytes(own)
+
+
+def test_set_ops_exact_regime():
+    A = DsThetaSketch.build_from_values(range(100), k=4096)
+    B = DsThetaSketch.build_from_values(range(50, 150), k=4096)
+    assert A.union(B).estimate() == 150.0
+    assert A.intersect(B).estimate() == 50.0
+    assert A.a_not_b(B).estimate() == 50.0
+    # estimating regime: union theta = min, result parses/serializes
+    C = DsThetaSketch.build_from_values(range(10000), k=64)
+    D = DsThetaSketch.build_from_values(range(5000, 15000), k=64)
+    u = C.union(D, k=64)
+    assert u.theta <= min(C.theta, D.theta)
+    est = u.estimate()
+    assert abs(est - 15000) / 15000 < 0.5  # k=64: loose bound
+    assert DsThetaSketch.parse(u.serialize()).estimate() == est
+
+
+def test_non_default_seed_rejected_loudly():
+    b = bytearray(bytes.fromhex(_VEC["sketches"][2]["bytes"]))
+    struct.pack_into("<H", b, 6, 12345)  # corrupt the seed hash
+    with pytest.raises(ValueError, match="seed"):
+        DsThetaSketch.parse(bytes(b))
+
+
+def test_sql_surface_ds_domain(spark):
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    spark.createDataFrame([(1,)], "v int").createOrReplaceTempView("ds_sql_t")
+    r = eng.sql(
+        "SELECT GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION("
+        "TO_DATA_SKETCHES_THETA(1), TO_DATA_SKETCHES_THETA(2))) AS est, "
+        "GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT("
+        "TO_DATA_SKETCHES_THETA('x'), TO_DATA_SKETCHES_THETA('x'))) AS inter, "
+        "THETA_SKETCH_TO_STRING(TO_DATA_SKETCHES_THETA('hello')) AS txt "
+        "FROM ds_sql_t LIMIT 1"
+    ).collect()[0]
+    assert r.est == 2 and r.inter == 1
+    assert "DataSketches" in r.txt and "estimate 1.0" in r.txt
+    # a PINNED Java-built sketch literal (n=100, k=16) estimates correctly
+    java_hex = next(v for v in _VEC["sketches"] if v["n"] == 100)["bytes"]
+    est = eng.sql(
+        f"SELECT GET_THETA_SKETCH_ESTIMATE(X'{java_hex}') AS e FROM ds_sql_t LIMIT 1"
+    ).collect()[0].e
+    assert est == 136  # round(136.16), bit-identical parse
+
+
+def test_sql_mixed_domain_raises(spark):
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    spark.createDataFrame([(1,)], "v int").createOrReplaceTempView("ds_mix_t")
+    with pytest.raises(Exception, match="domain"):
+        eng.sql(
+            "SELECT GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION("
+            "TO_DATA_SKETCHES_THETA(1), TO_THETA_SKETCH(2))) AS x "
+            "FROM ds_mix_t LIMIT 1"
+        ).collect()
+
+
+def test_grouped_ds_theta_export(spark):
+    df = spark.range(0, 3000).selectExpr(
+        "CAST(id % 3 AS INT) AS g", "CAST(id AS BIGINT) AS u"
+    )
+    out = grouped_ds_theta(df, ["g"], "u", k=4096).collect()
+    assert len(out) == 3
+    for r in out:
+        sk = DsThetaSketch.parse(bytes(r.ds_theta))
+        assert sk.theta == MAX_THETA  # 1000 < 4096: exact regime
+        assert sk.estimate() == 1000.0
+    # string column path
+    sdf = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "a"), ("g2", None)], "g string, s string"
+    )
+    rows = {r.g: DsThetaSketch.parse(bytes(r.ds_theta))
+            for r in grouped_ds_theta(sdf, ["g"], "s", k=64).collect()}
+    assert rows["g1"].estimate() == 2.0 and rows["g2"].estimate() == 0.0
+    # scale shape: partition-local partials; the only exchange moves blobs
+    plan = (
+        grouped_ds_theta(df, ["g"], "u", k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan and "collect_set" not in plan
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_java_round_trip(tmp_path):
+    """The DataSketches library itself must heapify Python-emitted bytes:
+    identical estimate for an estimating-mode sketch, and a correct
+    cross-engine union with a Java-built sketch."""
+    sk = DsThetaSketch.build_from_values(range(10000), k=64)
+    (tmp_path / "py_est.bin").write_bytes(sk.serialize())
+    exact = DsThetaSketch.build_from_values(range(50), k=4096)
+    (tmp_path / "py_exact.bin").write_bytes(exact.serialize())
+    src = tmp_path / "RT.java"
+    src.write_text(
+        """
+import org.apache.datasketches.theta.*;
+import org.apache.datasketches.memory.Memory;
+import java.nio.file.*;
+public class RT {
+  public static void main(String[] a) throws Exception {
+    Sketch est = Sketches.wrapSketch(Memory.wrap(Files.readAllBytes(Paths.get(a[0]))));
+    System.out.println("EST=" + est.getEstimate());
+    Sketch exact = Sketches.wrapSketch(Memory.wrap(Files.readAllBytes(Paths.get(a[1]))));
+    UpdateSketch us = UpdateSketch.builder().setNominalEntries(4096).build();
+    for (long i = 25; i < 75; i++) us.update(i);
+    Union u = SetOperation.builder().setNominalEntries(4096).buildUnion();
+    u.union(exact); u.union(us.compact(true, null));
+    System.out.println("UNION=" + u.getResult().getEstimate());
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/datasketches-java-6.2.0.jar:{_JARS}/datasketches-memory-3.0.2.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    out = subprocess.run(
+        ["java", "-cp", f".:{cp}", "RT", "py_est.bin", "py_exact.bin"],
+        cwd=tmp_path, check=True, capture_output=True, text=True,
+    ).stdout
+    lines = dict(ln.split("=") for ln in out.strip().splitlines())
+    assert float(lines["EST"]) == sk.estimate()  # bit-identical double
+    assert float(lines["UNION"]) == 75.0  # 0..49 ∪ 25..74, exact regime
