@@ -669,6 +669,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # (SketchFunctions.java:98-106) for cross-engine exchange; consumers
     # auto-detect the format and refuse mixed-domain set operations
     "todatasketchestheta": lambda a: f"__ds_theta_single({a[0]})",
+    "todatasketchestuple": lambda a: f"__ds_tuple_single({a[0]}, {a[1]})",
     # DataSketches register/items wire formats: loud SQL boundary
     # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
     # raw HLL: ENGINE-OWN register bytes (operators/hll.py — log2m byte +
@@ -2438,7 +2439,7 @@ def rewrite_unicode_literals(sql: str) -> str:
 _THETA_SQL_RE = re.compile(
     r"\b(DISTINCT_?COUNT_?RAW_?THETA_?SKETCH|GET_?THETA_?SKETCH_?ESTIMATE"
     r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT|TO_?STRING)|TO_?THETA_?SKETCH"
-    r"|TO_?DATA_?SKETCHES_?THETA"
+    r"|TO_?DATA_?SKETCHES_?(?:THETA|TUPLE)"
     r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
@@ -3109,7 +3110,7 @@ _RS_INEXPR_ALLOW = {
     "thetasketchintersect", "thetasketchtostring",
     "getinttuplesketchestimate", "gethllestimate", "getullestimate",
     "gettdigestquantile", "tointegersumtuplesketch", "tothetasketch",
-    "todatasketchestheta",
+    "todatasketchestheta", "todatasketchestuple",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3375,6 +3376,12 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return ds_theta_single_series(v)
 
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_tuple_single(k, v):
+        from pinot_spark.functions.sketches import ds_tuple_single_series
+
+        return ds_tuple_single_series(k, v)
+
     @pandas_udf("string", PandasUDFType.SCALAR)
     def __theta_to_string(b):
         def fmt(x):
@@ -3404,30 +3411,63 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __tuple_merge_sum(arrs):
+        from pinot_spark.operators.ds_theta import DsTupleSketch, is_ds_tuple_bytes
+
         def run(lst):
             if lst is None:
                 return None
             acc = None
+            domain = None
             for b in lst:
                 if b is None:
                     continue
-                s = TupleSketch.from_bytes(bytes(b))
-                acc = s if acc is None else acc.union(s, mode=_MODES["sum"])
-            return (acc or TupleSketch.empty()).to_bytes()
+                if is_ds_tuple_bytes(bytes(b)):
+                    s, d = DsTupleSketch.parse(bytes(b)), "ds"
+                else:
+                    s, d = TupleSketch.from_bytes(bytes(b)), "own"
+                if domain is None:
+                    domain = d
+                elif domain != d:
+                    raise ValueError(
+                        "tuple sketch merge mixes DataSketches-format "
+                        "(murmur-9001) and engine-native (xxhash64) "
+                        "sketches — the hash domains are incompatible"
+                    )
+                if acc is None:
+                    acc = s
+                elif d == "ds":
+                    acc = acc.union(s)
+                else:
+                    acc = acc.union(s, mode=_MODES["sum"])
+            if acc is None:
+                return TupleSketch.empty().to_bytes()
+            return acc.serialize() if domain == "ds" else acc.to_bytes()
 
         return pd.Series([run(lst) for lst in arrs])
+
+    # DataSketches integer-tuple interop: consumers auto-detect the
+    # library's compact tuple layout (operators/ds_theta.DsTupleSketch)
+    # so sketches exchanged with a real Pinot cluster estimate and
+    # aggregate correctly; engine-own tuple bytes stay the fast path.
+    from pinot_spark.operators.ds_theta import DsTupleSketch, is_ds_tuple_bytes
+
+    def _load_any_tuple(x):
+        b = bytes(x)
+        if is_ds_tuple_bytes(b):
+            return "ds", DsTupleSketch.parse(b)
+        return "own", TupleSketch.from_bytes(b)
 
     @pandas_udf("bigint", PandasUDFType.SCALAR)
     def __tuple_estimate(b):
         return pd.Series(
-            [None if x is None else round(TupleSketch.from_bytes(bytes(x)).estimate()) for x in b],
+            [None if x is None else round(_load_any_tuple(x)[1].estimate()) for x in b],
             dtype="Int64",
         )
 
     @pandas_udf("bigint", PandasUDFType.SCALAR)
     def __tuple_sum_values(b):
         return pd.Series(
-            [None if x is None else int(TupleSketch.from_bytes(bytes(x)).values.sum()) for x in b],
+            [None if x is None else int(_load_any_tuple(x)[1].values.sum()) for x in b],
             dtype="Int64",
         )
 
@@ -3436,7 +3476,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
         def run(x):
             if x is None:
                 return None
-            s = TupleSketch.from_bytes(bytes(x))
+            s = _load_any_tuple(x)[1]
             return float(s.values.mean()) if len(s.values) else None
 
         return pd.Series([run(x) for x in b])
@@ -3643,13 +3683,34 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
     def __tuple_partial(blobs):
+        from pinot_spark.operators.ds_theta import DsTupleSketch, is_ds_tuple_bytes
+
         acc = None
+        domain = None
         for b in blobs:
             if b is None:
                 continue
-            s = TupleSketch.from_bytes(bytes(b))
-            acc = s if acc is None else acc.union(s, mode=_MODES["sum"])
-        return (acc or TupleSketch.empty()).to_bytes()
+            if is_ds_tuple_bytes(bytes(b)):
+                s, d = DsTupleSketch.parse(bytes(b)), "ds"
+            else:
+                s, d = TupleSketch.from_bytes(bytes(b)), "own"
+            if domain is None:
+                domain = d
+            elif domain != d:
+                raise ValueError(
+                    "tuple sketch aggregation mixes DataSketches-format "
+                    "(murmur-9001) and engine-native (xxhash64) sketches "
+                    "— the hash domains are incompatible"
+                )
+            if acc is None:
+                acc = s
+            elif d == "ds":
+                acc = acc.union(s)
+            else:
+                acc = acc.union(s, mode=_MODES["sum"])
+        if acc is None:
+            return TupleSketch.empty().to_bytes()
+        return acc.serialize() if domain == "ds" else acc.to_bytes()
 
     @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
     def __tdigest_partial(arrs):
@@ -3728,6 +3789,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__theta_singleton", __theta_singleton)
     spark.udf.register("__theta_to_string", __theta_to_string)
     spark.udf.register("__ds_theta_single", __ds_theta_single)
+    spark.udf.register("__ds_tuple_single", __ds_tuple_single)
     spark.udf.register("__tuple_singleton", __tuple_singleton)
     spark.udf.register("__tuple_merge_sum", __tuple_merge_sum)
     spark.udf.register("__tuple_estimate", __tuple_estimate)

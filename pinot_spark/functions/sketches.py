@@ -196,6 +196,44 @@ def ds_theta_single_series(v: "_pd.Series") -> "_pd.Series":
     return _pd.Series([one(x) for x in v])
 
 
+def ds_tuple_single_series(k: "_pd.Series", v: "_pd.Series") -> "_pd.Series":
+    """Single-item DataSketches integer-tuple sketches for (key, value)
+    Series — shared body for the registry UDF and SQL __ds_tuple_single."""
+    import numpy as _np
+
+    from pinot_spark.operators.ds_theta import DsTupleSketch
+
+    def one(key, val):
+        if (
+            key is None
+            or val is None
+            or (isinstance(key, float) and _np.isnan(key))
+            or (isinstance(val, float) and _np.isnan(val))
+        ):
+            return DsTupleSketch.empty().serialize()
+        if isinstance(key, float) and float(key).is_integer():
+            key = int(key)
+        return DsTupleSketch.build_from_pairs([key], [int(val)]).serialize()
+
+    return _pd.Series([one(a, b) for a, b in zip(k, v)])
+
+
+def _make_ds_tuple_single():
+    @_pandas_udf("binary")
+    def _f(k: _pd.Series, v: _pd.Series) -> _pd.Series:
+        return ds_tuple_single_series(k, v)
+
+    return _f
+
+
+# engine extension: single-item integer-tuple sketch in the DataSketches
+# wire format (tuple family 9, Sum mode) — for exchanging value-carrying
+# sketches with a real Pinot/DataSketches deployment
+_reg("todatasketchestuple")(
+    lambda k, v: _lazy_udf("ds_tuple_single", _make_ds_tuple_single)(_c(k), _c(v))
+)
+
+
 def _make_ds_theta_single():
     @_pandas_udf("binary")
     def _f(v: _pd.Series) -> _pd.Series:

@@ -362,3 +362,169 @@ def grouped_ds_theta(df, keys: list[str], col: str, k: int = 4096):
         + ["ds_theta binary"]
     )
     return merged.mapInPandas(merge, schema=final_schema)
+
+
+# ---------------------------------------------------------------------------
+# DataSketches INTEGER TUPLE sketch (tuple/aninteger.IntegerSketch) interop
+# ---------------------------------------------------------------------------
+# Layout facts (verified against datasketches-java 6.2.0 byte dumps —
+# tests/data/ds_tuple_vectors.json):
+#   byte 0  1 empty/single, 2 exact, 3 estimating
+#   byte 1  serial version = 3;  byte 2  family id = 9 (TUPLE)
+#   byte 3  sketch type = 1 (compact);  byte 4  0
+#   byte 5  flags: 0x0e empty, 0x0a otherwise
+#   bytes 6-7  seed hash (present even when empty)
+#   [byte0>=2] bytes 8-11 retained (LE int32) + 4 pad bytes
+#   [byte0==3] bytes 16-23 theta (LE int64)
+#   entries: per retained entry, hash (LE uint64) then summary =
+#            int32 value LE + 1 mode byte (0 = Sum), ascending by hash.
+
+_TUPLE_FAMILY = 9
+_TUPLE_MODE_SUM = 0
+
+
+def is_ds_tuple_bytes(b: bytes) -> bool:
+    return (
+        len(b) >= 8
+        and b[1] == _SER_VER
+        and b[2] == _TUPLE_FAMILY
+        and (b[0] & 0x3F) in (1, 2, 3)
+    )
+
+
+@dataclass
+class DsTupleSketch:
+    """Parsed DataSketches integer-tuple sketch (Sum mode): sorted uint64
+    hashes < theta with one int32 summary value per hash."""
+
+    theta: int
+    hashes: np.ndarray  # sorted uint64
+    values: np.ndarray  # int64 (int32 domain), aligned with hashes
+
+    @classmethod
+    def empty(cls) -> "DsTupleSketch":
+        return cls(
+            MAX_THETA,
+            np.array([], dtype=np.uint64),
+            np.array([], dtype=np.int64),
+        )
+
+    @classmethod
+    def parse(cls, b: bytes) -> "DsTupleSketch":
+        b = bytes(b)
+        if not is_ds_tuple_bytes(b):
+            raise ValueError("not a DataSketches integer-tuple sketch")
+        pre = b[0] & 0x3F
+        if b[5] & _F_EMPTY:
+            return cls.empty()
+        seed_hash = struct.unpack_from("<H", b, 6)[0]
+        if seed_hash != DS_SEED_HASH:
+            raise ValueError(
+                f"tuple sketch built with a non-default seed "
+                f"(seed hash {seed_hash}, expected {DS_SEED_HASH})"
+            )
+        if pre == 1:
+            retained, theta, off = 1, MAX_THETA, 8
+        elif pre == 2:
+            retained = struct.unpack_from("<i", b, 8)[0]
+            theta, off = MAX_THETA, 16
+        else:
+            retained = struct.unpack_from("<i", b, 8)[0]
+            theta = struct.unpack_from("<q", b, 16)[0]
+            off = 24
+        hashes = np.empty(retained, dtype=np.uint64)
+        values = np.empty(retained, dtype=np.int64)
+        for i in range(retained):
+            hashes[i] = struct.unpack_from("<Q", b, off)[0]
+            values[i] = struct.unpack_from("<i", b, off + 8)[0]
+            off += 13
+        order = np.argsort(hashes)
+        return cls(theta, hashes[order], values[order])
+
+    def serialize(self) -> bytes:
+        n = len(self.hashes)
+        if n == 0 and self.theta == MAX_THETA:
+            return bytes(
+                [1, _SER_VER, _TUPLE_FAMILY, 1, 0, 0x0E]
+            ) + struct.pack("<H", DS_SEED_HASH)
+        if n == 1 and self.theta == MAX_THETA:
+            out = bytearray([1, _SER_VER, _TUPLE_FAMILY, 1, 0, 0x0A])
+            out += struct.pack("<H", DS_SEED_HASH)
+        elif self.theta == MAX_THETA:
+            out = bytearray([2, _SER_VER, _TUPLE_FAMILY, 1, 0, 0x0A])
+            out += struct.pack("<H", DS_SEED_HASH)
+            out += struct.pack("<i", n) + b"\x00" * 4
+        else:
+            out = bytearray([3, _SER_VER, _TUPLE_FAMILY, 1, 0, 0x0A])
+            out += struct.pack("<H", DS_SEED_HASH)
+            out += struct.pack("<i", n) + b"\x00" * 4
+            out += struct.pack("<q", self.theta)
+        order = np.argsort(self.hashes)
+        for i in order:
+            out += struct.pack("<Q", int(self.hashes[i]))
+            out += struct.pack("<i", int(np.int32(self.values[i])))
+            out.append(_TUPLE_MODE_SUM)
+        return bytes(out)
+
+    @classmethod
+    def build_from_pairs(cls, keys, values, k: int = 4096) -> "DsTupleSketch":
+        """Sum-mode build: per distinct key, summary = int32 wrap-sum of its
+        values (IntegerSummary.Mode.Sum).  Integer keys hash as longs,
+        everything else as UTF-8 bytes."""
+        agg: dict[int, int] = {}
+        for key, val in zip(keys, values):
+            if key is None or val is None:
+                continue
+            if isinstance(key, (int, np.integer)):
+                h = update_hash_long(int(key))
+            else:
+                kb = (
+                    bytes(key)
+                    if isinstance(key, (bytes, bytearray))
+                    else str(key).encode()
+                )
+                if not kb:
+                    continue
+                h = update_hash_bytes(kb)
+            agg[h] = int(np.int32(agg.get(h, 0) + int(val)))
+        if not agg:
+            return cls.empty()
+        hashes = np.array(sorted(agg), dtype=np.uint64)
+        values_arr = np.array([agg[int(h)] for h in hashes], dtype=np.int64)
+        if len(hashes) <= k:
+            return cls(MAX_THETA, hashes, values_arr)
+        return cls(int(hashes[k]), hashes[:k], values_arr[:k])
+
+    def estimate(self) -> float:
+        if self.theta == MAX_THETA:
+            return float(len(self.hashes))
+        return len(self.hashes) * float(1 << 63) / self.theta
+
+    def sum_values(self) -> int:
+        return int(self.values.sum())
+
+    def union(self, other: "DsTupleSketch", k: int | None = 4096) -> "DsTupleSketch":
+        th = min(self.theta, other.theta)
+        agg: dict[int, int] = {}
+        for sk in (self, other):
+            for h, v in zip(sk.hashes, sk.values):
+                if int(h) < th:
+                    agg[int(h)] = int(np.int32(agg.get(int(h), 0) + int(v)))
+        hashes = np.array(sorted(agg), dtype=np.uint64)
+        values = np.array([agg[int(h)] for h in hashes], dtype=np.int64)
+        if k is not None and len(hashes) > k:
+            th = int(hashes[k])
+            hashes, values = hashes[:k], values[:k]
+        return DsTupleSketch(th, hashes, values)
+
+    def intersect(self, other: "DsTupleSketch") -> "DsTupleSketch":
+        th = min(self.theta, other.theta)
+        mine = {int(h): int(v) for h, v in zip(self.hashes, self.values)}
+        agg = {
+            int(h): int(np.int32(mine[int(h)] + int(v)))
+            for h, v in zip(other.hashes, other.values)
+            if int(h) in mine and int(h) < th
+        }
+        hashes = np.array(sorted(agg), dtype=np.uint64)
+        values = np.array([agg[int(h)] for h in hashes], dtype=np.int64)
+        return DsTupleSketch(th, hashes, values)

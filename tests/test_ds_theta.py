@@ -199,3 +199,113 @@ public class RT {
     lines = dict(ln.split("=") for ln in out.strip().splitlines())
     assert float(lines["EST"]) == sk.estimate()  # bit-identical double
     assert float(lines["UNION"]) == 75.0  # 0..49 ∪ 25..74, exact regime
+
+
+# ---------------------------------------------------------------------------
+# integer tuple sketch (family 9)
+# ---------------------------------------------------------------------------
+
+_TVEC = json.load(
+    open(os.path.join(os.path.dirname(__file__), "data", "ds_tuple_vectors.json"))
+)
+
+
+def test_tuple_parse_estimate_and_reserialize_equivalence():
+    from pinot_spark.operators.ds_theta import DsTupleSketch
+
+    for v in _TVEC["sketches"]:
+        b = bytes.fromhex(v["bytes"])
+        sk = DsTupleSketch.parse(b)
+        assert len(sk.hashes) == v["retained"], v["n"]
+        assert sk.theta == v["thetaLong"], v["n"]
+        assert abs(sk.estimate() - v["est"]) <= 1e-6 * max(1.0, v["est"]), v["n"]
+        # Java stores entries in hash-table slot order (table size is not
+        # serialized), so byte-canonical rewriting is impossible; instead
+        # the sorted rewrite must PARSE back identical
+        rt = DsTupleSketch.parse(sk.serialize())
+        assert rt.theta == sk.theta
+        assert np.array_equal(rt.hashes, sk.hashes)
+        assert np.array_equal(rt.values, sk.values)
+
+
+def test_tuple_build_semantic_parity_with_java():
+    from pinot_spark.operators.ds_theta import DsTupleSketch
+
+    for v in _TVEC["sketches"]:
+        if v["n"] > 16:
+            continue
+        java = DsTupleSketch.parse(bytes.fromhex(v["bytes"]))
+        ours = DsTupleSketch.build_from_pairs(
+            range(v["n"]), [i % 7 for i in range(v["n"])], k=16
+        )
+        assert ours.theta == java.theta, v["n"]
+        assert np.array_equal(ours.hashes, java.hashes), v["n"]
+        assert np.array_equal(ours.values, java.values), v["n"]
+    # single-item serialization is order-free, hence byte-exact
+    one = next(v for v in _TVEC["sketches"] if v["n"] == 1)
+    assert (
+        DsTupleSketch.build_from_pairs([0], [0], k=16).serialize().hex()
+        == one["bytes"]
+    )
+
+
+def test_tuple_sql_foreign_blob_aggregation(spark):
+    import pyspark.sql.functions as F
+
+    from pinot_spark.dialect import PinotEngine
+    from pinot_spark.functions.scalar import call
+
+    eng = PinotEngine(spark)
+    df = spark.createDataFrame([("a", 5), ("b", 7), ("a", 3)], "k string, v int")
+    df.select(
+        call("todatasketchestuple", F.col("k"), F.col("v")).alias("blob")
+    ).createOrReplaceTempView("ds_tuple_blobs")
+    r = eng.sql(
+        "SELECT GET_INT_TUPLE_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(blob)) AS est, "
+        "SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH(blob) AS sv, "
+        "AVG_VALUE_INTEGER_SUM_TUPLE_SKETCH(blob) AS av "
+        "FROM ds_tuple_blobs LIMIT 1"
+    ).collect()[0]
+    assert r.est == 2 and r.sv == 15 and r.av == 7.5
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_tuple_java_round_trip(tmp_path):
+    from pinot_spark.operators.ds_theta import DsTupleSketch
+
+    sk = DsTupleSketch.build_from_pairs(
+        range(5000), [i % 7 for i in range(5000)], k=64
+    )
+    (tmp_path / "py_tuple.bin").write_bytes(sk.serialize())
+    src = tmp_path / "TRT.java"
+    src.write_text(
+        """
+import org.apache.datasketches.tuple.*;
+import org.apache.datasketches.tuple.aninteger.*;
+import org.apache.datasketches.memory.Memory;
+import java.nio.file.*;
+public class TRT {
+  public static void main(String[] a) throws Exception {
+    Sketch<IntegerSummary> s = Sketches.heapifySketch(
+        Memory.wrap(Files.readAllBytes(Paths.get(a[0]))), new IntegerSummaryDeserializer());
+    long sum = 0;
+    TupleSketchIterator<IntegerSummary> it = s.iterator();
+    while (it.next()) sum += it.getSummary().getValue();
+    System.out.println("EST=" + s.getEstimate());
+    System.out.println("SUM=" + sum);
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/datasketches-java-6.2.0.jar:{_JARS}/datasketches-memory-3.0.2.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    out = subprocess.run(
+        ["java", "-cp", f".:{cp}", "TRT", "py_tuple.bin"],
+        cwd=tmp_path, check=True, capture_output=True, text=True,
+    ).stdout
+    lines = dict(ln.split("=") for ln in out.strip().splitlines())
+    assert float(lines["EST"]) == sk.estimate()
+    assert int(lines["SUM"]) == sk.sum_values()
