@@ -297,7 +297,9 @@ def _read_entropy_image(br, w, h, allow_meta):
 
 
 def _avg2(a, b):
-    return ((a & 0xFEFEFEFE) >> 1) + (a & b & 0x01010101)
+    # RFC 9649 Average2 per channel: (a + b) / 2, packed SWAR form.
+    # (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b) — idempotent (_avg2(x, x) == x).
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
 
 
 def _ch(v, sh):
@@ -313,11 +315,15 @@ def _clamp_add_sub_full(a, b, c):
 
 
 def _clamp_add_sub_half(a, b):
+    # a is already the per-channel Average2(L, T); per spec (libwebp
+    # AddSubtractComponentHalf): clamp(ave + (ave - b) / 2) with C
+    # truncation-toward-zero division (matters for odd negative deltas).
     out = 0
     for sh in (24, 16, 8, 0):
-        ave = (_ch(a, sh) + _ch(b, sh)) >> 1  # a here is avg input
-        # per spec: clamp(ave + (ave - b) / 2)
-        val = ave + ((ave - _ch(b, sh)) >> 1)
+        ave = _ch(a, sh)
+        d = ave - _ch(b, sh)
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        val = ave + half
         out |= max(0, min(255, val)) << sh
     return out
 
@@ -341,7 +347,9 @@ def _apply_predictor(px: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray
                 L = int(out[y, x - 1])
                 T = int(out[y - 1, x])
                 TL = int(out[y - 1, x - 1])
-                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                # rightmost column: linear-buffer addressing (pos - w + 1)
+                # wraps to the leftmost pixel of the CURRENT row
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -672,7 +680,9 @@ def _forward_predictor(argb2d: "np.ndarray", mode: int) -> "np.ndarray":
                 L = int(argb2d[y, x - 1])
                 T = int(argb2d[y - 1, x])
                 TL = int(argb2d[y - 1, x - 1])
-                TR = int(argb2d[y - 1, x + 1]) if x + 1 < w else int(argb2d[y - 1, 0])
+                # rightmost column wraps to current row's leftmost (decoded
+                # before x == w-1, so the decoder sees the same value)
+                TR = int(argb2d[y - 1, x + 1]) if x + 1 < w else int(argb2d[y, 0])
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

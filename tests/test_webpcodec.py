@@ -131,3 +131,135 @@ def test_webp_imagecodec_dispatch():
     data = encode_webp(img)
     assert ic.sniff(data) == "webp"
     assert np.array_equal(ic.decode(data), img)
+
+
+# ---------------------------------------------------------------------------
+# Foreign-decode conformance: the encoder and decoder share predictor
+# helpers, so a shared formula bug self-validates through roundtrips
+# (the round-9 _avg2 bug class). These tests pin the helpers and the
+# full inverse-predictor pass against an INDEPENDENT per-channel
+# reference written directly from RFC 9649 §4.4.1 / libwebp
+# lossless_common.h semantics — different code shape, no shared helpers.
+
+
+def _chans(v):
+    return [(v >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+
+def _pack(cs):
+    return (cs[0] << 24) | (cs[1] << 16) | (cs[2] << 8) | cs[3]
+
+
+def _ref_avg2(a, b):
+    return _pack([(ca + cb) >> 1 for ca, cb in zip(_chans(a), _chans(b))])
+
+
+def _ref_select(L, T, TL):
+    p = sum(abs(ct - ctl) for ct, ctl in zip(_chans(T), _chans(TL)))
+    q = sum(abs(cl - ctl) for cl, ctl in zip(_chans(L), _chans(TL)))
+    return L if p < q else T
+
+
+def _ref_casf(L, T, TL):
+    return _pack([
+        max(0, min(255, cl + ct - ctl))
+        for cl, ct, ctl in zip(_chans(L), _chans(T), _chans(TL))
+    ])
+
+
+def _ref_cash(L, T, TL):
+    out = []
+    for cl, ct, ctl in zip(_chans(L), _chans(T), _chans(TL)):
+        ave = (cl + ct) >> 1
+        d = ave - ctl
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-zero
+        out.append(max(0, min(255, ave + half)))
+    return _pack(out)
+
+
+def _ref_predict(mode, L, T, TL, TR):
+    a2 = _ref_avg2
+    return [
+        lambda: 0xFF000000,
+        lambda: L,
+        lambda: T,
+        lambda: TR,
+        lambda: TL,
+        lambda: a2(a2(L, TR), T),
+        lambda: a2(L, TL),
+        lambda: a2(L, T),
+        lambda: a2(TL, T),
+        lambda: a2(T, TR),
+        lambda: a2(a2(L, TL), a2(T, TR)),
+        lambda: _ref_select(L, T, TL),
+        lambda: _ref_casf(L, T, TL),
+        lambda: _ref_cash(L, T, TL),
+    ][mode]()
+
+
+def _ref_inverse_predictor(residuals, mode):
+    """Independent uniform inverse-predictor pass. Rightmost-column TR
+    uses linear-buffer addressing pos - w + 1 = leftmost pixel of the
+    CURRENT row (already decoded)."""
+    h, w = residuals.shape
+    out = np.zeros((h, w), np.uint32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                pred = _ref_predict(
+                    mode,
+                    int(out[y, x - 1]),
+                    int(out[y - 1, x]),
+                    int(out[y - 1, x - 1]),
+                    int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0]),
+                )
+            out[y, x] = _pack([
+                (cr + cp) & 0xFF
+                for cr, cp in zip(_chans(int(residuals[y, x])), _chans(pred))
+            ])
+    return out
+
+
+def test_webp_avg2_matches_spec():
+    from pinot_spark.functions.webpcodec import _avg2
+
+    rng = np.random.default_rng(42)
+    for a, b in rng.integers(0, 2**32, (500, 2), dtype=np.uint64):
+        assert _avg2(int(a), int(b)) == _ref_avg2(int(a), int(b))
+    # idempotence — the exact failure of the pre-fix formula
+    for v in (0xFF00FF00, 0x01020304, 0xDEADBEEF, 0xFFFFFFFF):
+        assert _avg2(v, v) == v
+
+
+def test_webp_clamp_add_sub_half_trunc_toward_zero():
+    from pinot_spark.functions.webpcodec import _avg2, _clamp_add_sub_half
+
+    # ave=10, b=13 → d=-3 → C trunc -1 → 9 (floor shift gave 8)
+    L, T, TL = 0x0A0A0A0A, 0x0A0A0A0A, 0x0D0D0D0D
+    assert _clamp_add_sub_half(_avg2(L, T), TL) == 0x09090909
+    rng = np.random.default_rng(7)
+    for L, T, TL in rng.integers(0, 2**32, (500, 3), dtype=np.uint64):
+        L, T, TL = int(L), int(T), int(TL)
+        assert _clamp_add_sub_half(_avg2(L, T), TL) == _ref_cash(L, T, TL)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_webp_inverse_predictor_matches_independent_reference(mode):
+    """Foreign-stream semantics: feed the SAME residuals to the codec's
+    _apply_predictor and the independent reference — they must decode to
+    identical pixels (catches TR addressing and helper-formula drift the
+    encoder/decoder roundtrip can't see)."""
+    from pinot_spark.functions.webpcodec import _apply_predictor
+
+    rng = np.random.default_rng(mode * 31 + 5)
+    res = rng.integers(0, 2**32, (13, 17), dtype=np.uint64).astype(np.uint32)
+    modes_img = np.full((1, 1), 0xFF000000 | (mode << 8), np.uint32)
+    got = _apply_predictor(res, modes_img, bits=10)
+    want = _ref_inverse_predictor(res, mode)
+    assert np.array_equal(got, want)
