@@ -668,7 +668,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # — byte-level twin of the reference toThetaSketch output
     # (SketchFunctions.java:98-106) for cross-engine exchange; consumers
     # auto-detect the format and refuse mixed-domain set operations
-    "todatasketchestheta": lambda a: f"__ds_theta_single({a[0]})",
+    # typeof() threads the Spark column type so true double columns hash
+    # IEEE bit patterns for ALL values (Java update(double) domain)
+    "todatasketchestheta": lambda a: f"__ds_theta_single({a[0]}, typeof({a[0]}))",
     "todatasketchestuple": lambda a: f"__ds_tuple_single({a[0]}, {a[1]})",
     # DataSketches register/items wire formats: loud SQL boundary
     # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
@@ -2789,8 +2791,12 @@ def _keys_shadowed_by_alias(keys: list[str], items: list[str]) -> bool:
     would emit SQL that parses but cannot resolve (the round-9 latent
     bug class; the engine normalizes these shapes before the text
     rewrites run, so the text layer declines them)."""
-    amap = _alias_map_of(items)
-    return any(k in amap and amap[k] != k for k in keys)
+    amap = {a.lower(): e for a, e in _alias_map_of(items).items()}
+    # Spark resolves identifiers case-insensitively: GROUP BY K hits
+    # alias k, so the shadow check must compare folded names too
+    return any(
+        k.lower() in amap and amap[k.lower()].lower() != k.lower() for k in keys
+    )
 
 
 def _replace_word_outside_literals(text: str, word: str, repl: str) -> str:
@@ -3371,10 +3377,10 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
         return pd.Series(out)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
-    def __ds_theta_single(v):
+    def __ds_theta_single(v, t):
         from pinot_spark.functions.sketches import ds_theta_single_series
 
-        return ds_theta_single_series(v)
+        return ds_theta_single_series(v, str(t.iloc[0]) if len(t) else None)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __ds_tuple_single(k, v):
@@ -4045,9 +4051,12 @@ class PinotEngine:
             return pinot_sql
         keys = [g.strip() for g in _split_args(stmt["group"])]
         items = [x.strip() for x in _split_args(stmt["select"])]
-        amap = _alias_map_of(items)
+        # Spark identifier resolution is case-insensitive: fold alias
+        # and source-column lookups (GROUP BY SUBSTR(..) must still hit
+        # a select item written substr(..))
+        amap = {a.lower(): e for a, e in _alias_map_of(items).items()}
         try:
-            src_cols = set(self.spark.table(stmt["table"]).columns)
+            src_cols = {c.lower() for c in self.spark.table(stmt["table"]).columns}
         except Exception:
             return pinot_sql
         extra: list[str] = []
@@ -4056,17 +4065,18 @@ class PinotEngine:
         changed = False
         for i, k in enumerate(keys):
             if re.fullmatch(r"[A-Za-z_]\w*", k):
+                kl = k.lower()
                 # a key that names a source column resolves to the
                 # column (standard SQL), even if an alias shadows it
-                if k in src_cols or k not in amap or amap[k] == k:
+                if kl in src_cols or kl not in amap or amap[kl].lower() == kl:
                     new_keys.append(k)
                     continue
-                extra.append(f"{amap[k]} AS {k}")
+                extra.append(f"{amap[kl]} AS {k}")
                 new_keys.append(k)
                 # select items referencing the aliased expression must
                 # reference the derived column instead, or they'd be
                 # non-grouping expressions in the rewritten statement
-                expr_renames.append((amap[k], k))
+                expr_renames.append((amap[kl], k))
                 changed = True
             else:
                 name = f"__k{i}"
@@ -4078,21 +4088,26 @@ class PinotEngine:
             return pinot_sql
         derived = f"(SELECT *, {', '.join(extra)} FROM {stmt['table']}) __rs_src"
 
+        def _expr_pat(expr: str) -> str:
+            # whitespace-flexible, case-insensitive, boundary-guarded
+            # pattern for an expression's text; string literals stay
+            # atomic so flexibility never reaches inside quotes
+            toks = re.findall(r"'(?:[^']|'')*'|\w+|\S", expr)
+            pat = r"\s*".join(re.escape(t) for t in toks)
+            if re.match(r"\w", expr):
+                pat = r"(?<!\w)" + pat
+            if re.search(r"\w$", expr):
+                pat = pat + r"(?!\w)"
+            return pat
+
         def subst(text: str) -> str:
             # expression keys: replace exact expression text occurrences
-            # with the derived column name (normalized-whitespace match,
-            # boundary-guarded so a match can't start or end inside a
-            # longer identifier)
+            # with the derived column name
             for expr, name in expr_renames:
-                pat = re.escape(expr)
-                pat = re.sub(r"\\\s+", r"\\s+", pat)
-                if re.match(r"[A-Za-z0-9_]", expr):
-                    pat = r"(?<![A-Za-z0-9_])" + pat
-                if re.search(r"[A-Za-z0-9_]$", expr):
-                    pat = pat + r"(?![A-Za-z0-9_])"
+                pat = _expr_pat(expr)
                 spans = _literal_spans(text)
                 out, pos = [], 0
-                for m in re.finditer(pat, text):
+                for m in re.finditer(pat, text, re.IGNORECASE):
                     if any(a <= m.start() < b for a, b in spans):
                         continue
                     out.append(text[pos : m.start()])
@@ -4106,6 +4121,17 @@ class PinotEngine:
         where = f" WHERE {stmt['where']}" if stmt["where"] else ""
         having = f" HAVING {subst(stmt['having'])}" if stmt["having"] else ""
         tail = subst(stmt["tail"]) if stmt["tail"] else ""
+        # commit guard: the rewrite is returned unconditionally, so an
+        # unsubstituted select item (formatting the pattern didn't
+        # anticipate) must fall back to the original SQL rather than
+        # emit a non-grouping-expression candidate that fails analysis
+        for expr, _name in expr_renames:
+            pat = _expr_pat(expr)
+            for text in (sel, having, tail):
+                spans = _literal_spans(text)
+                for m in re.finditer(pat, text, re.IGNORECASE):
+                    if not any(a <= m.start() < b for a, b in spans):
+                        return pinot_sql
         prefix = "".join(f"SET {k}={v};" for k, v in options.items())
         cand = (
             f"{prefix}SELECT {sel} FROM {derived}{where} "
@@ -4130,11 +4156,15 @@ class PinotEngine:
         their split shape (native subquery null-safe-joined) with the
         sketch side reading the same zero-shuffle view.
 
+        BIGINT group keys (GROUP BY user_id — the dominant real sketch
+        shape) travel as split 32-bit halves and recombine JVM-side, the
+        same exactness trick the sketch hashes and tuple values use.
+
         Declines (returns None → the bounded SQL two-phase / bucketed
         split handles it) when: any raw name is not theta, keys are not
-        plain columns, a key is 64-bit or decimal/timestamp typed
-        (nullable BIGINT loses exactness through Arrow→pandas float64),
-        or the source mini-statement fails to analyze."""
+        plain columns, a key is decimal/timestamp typed (no exact
+        pandas carrier wired yet), or the source mini-statement fails
+        to analyze."""
         options, sql = split_options(pinot_sql)
         if not _RAW_SKETCH_CALL_RE.search(sql):
             return None
@@ -4196,12 +4226,57 @@ class PinotEngine:
                 src = self.spark.sql(mini)
                 ok_key_types = ("string", "int", "smallint", "tinyint",
                                 "boolean", "date", "float", "double")
-                for k in keys:
-                    if src.schema[k].dataType.simpleString() not in ok_key_types:
+                # BIGINT group keys (the dominant real sketch shape:
+                # GROUP BY user_id) ride as split 32-bit halves — the
+                # same trick sketch hashes and tuple values already use
+                # — because a nullable int64 loses exactness through
+                # Arrow→pandas float64; each half is exact in float64
+                # and the halves recombine JVM-side below. decimal/
+                # timestamp keys still decline to the bucketed SQL path.
+                part_keys: list[str] = []
+                split_keys: dict[str, tuple[str, str]] = {}
+                for j, k in enumerate(keys):
+                    t = src.schema[k].dataType.simpleString()
+                    if t == "bigint":
+                        split_keys[k] = (f"__khi{j}", f"__klo{j}")
+                        part_keys += list(split_keys[k])
+                    elif t in ok_key_types:
+                        part_keys.append(k)
+                    else:
                         return None
+                if split_keys:
+                    key_sel = []
+                    for k in keys:
+                        if k in split_keys:
+                            khi, klo = split_keys[k]
+                            key_sel += [
+                                f"shiftright(`{k}`, 32) AS `{khi}`",
+                                f"(`{k}` & 4294967295) AS `{klo}`",
+                            ]
+                        else:
+                            key_sel.append(f"`{k}`")
+                    rest = [f"`{c}`" for c in src.columns if c not in keys]
+                    src = src.selectExpr(*key_sel, *rest)
                 from pinot_spark.operators.theta import grouped_sketch_partials
 
-                partials = grouped_sketch_partials(src, keys, op_calls)
+                partials = grouped_sketch_partials(src, part_keys, op_calls)
+                if split_keys:
+                    # recombine halves into the original exact BIGINT key
+                    # (pure projection — no extra exchange); consumers of
+                    # the view see the original key names/types
+                    out_sel = []
+                    for k in keys:
+                        if k in split_keys:
+                            khi, klo = split_keys[k]
+                            out_sel.append(
+                                f"CASE WHEN `{khi}` IS NULL THEN "
+                                f"CAST(NULL AS BIGINT) ELSE "
+                                f"shiftleft(`{khi}`, 32) | `{klo}` END AS `{k}`"
+                            )
+                        else:
+                            out_sel.append(f"`{k}`")
+                    out_sel += [f"__rs{i}" for i in range(len(op_calls))]
+                    partials = partials.selectExpr(*out_sel)
             except Exception:
                 return None  # unresolvable source → SQL path
             _ASOF_VIEW_SEQ[0] += 1

@@ -157,10 +157,22 @@ def _make_theta_to_string():
     return _f
 
 
-def ds_theta_single_series(v: "_pd.Series") -> "_pd.Series":
+def ds_theta_single_series(
+    v: "_pd.Series", type_name: "str | None" = None
+) -> "_pd.Series":
     """Single-item DataSketches-format sketches for a value Series (the
     shared body behind both the registry UDF and the SQL
-    ``__ds_theta_single``)."""
+    ``__ds_theta_single``).
+
+    ``type_name`` is the Spark column type (via ``typeof``): for a true
+    DOUBLE/FLOAT column, Java DataSketches update(double) hashes
+    Double.doubleToLongBits(d) for ALL values — including integral ones
+    — so 2.0 must NOT collapse to update(long 2). Without the type flag
+    (None) integral floats keep the long shortcut, which is right for
+    nullable int columns riding through pandas as float64. Residual
+    ambiguity: a pandas NaN in a double column is indistinguishable from
+    NULL, so NaN maps to the empty sketch while Java would hash the
+    canonical NaN bits."""
     import numpy as _np
 
     from pinot_spark.operators.ds_theta import (
@@ -169,10 +181,17 @@ def ds_theta_single_series(v: "_pd.Series") -> "_pd.Series":
         update_hash_long,
     )
 
+    is_double_col = type_name in ("double", "float")
+
     def one(x):
         if x is None or (isinstance(x, float) and _np.isnan(x)):
             return DsThetaSketch.empty().serialize()
-        if isinstance(x, (int, _np.integer)):
+        if is_double_col and isinstance(x, (int, float, _np.integer, _np.floating)):
+            d = float(x)
+            if d == 0.0:
+                d = 0.0  # Java canonicalizes -0.0 to +0.0 before bits
+            h = update_hash_long(int(_np.float64(d).view(_np.int64)))
+        elif isinstance(x, (int, _np.integer)):
             h = update_hash_long(int(x))
         elif isinstance(x, (float, _np.floating)):
             # a nullable int column reaches pandas as float64: integral
@@ -236,8 +255,8 @@ _reg("todatasketchestuple")(
 
 def _make_ds_theta_single():
     @_pandas_udf("binary")
-    def _f(v: _pd.Series) -> _pd.Series:
-        return ds_theta_single_series(v)
+    def _f(v: _pd.Series, t: _pd.Series) -> _pd.Series:
+        return ds_theta_single_series(v, str(t.iloc[0]) if len(t) else None)
 
     return _f
 
@@ -250,7 +269,9 @@ def _make_ds_theta_single():
 # fast xxhash64 path; the two domains never mix (consumers auto-detect
 # and raise on a mixed pair).
 _reg("todatasketchestheta")(
-    lambda v: _lazy_udf("ds_theta_single", _make_ds_theta_single)(_c(v))
+    lambda v: _lazy_udf("ds_theta_single", _make_ds_theta_single)(
+        _c(v), F.typeof(_c(v))
+    )
 )
 
 

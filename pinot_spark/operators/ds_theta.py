@@ -306,13 +306,20 @@ def grouped_ds_theta(df, keys: list[str], col: str, k: int = 4096):
                         ) | lo.to_numpy(dtype=np.int64)
                         lst.append(hash_longs(vals))
                 else:
-                    hs = [
-                        update_hash_bytes(
-                            v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    # Java update(byte[]) is a no-op for EMPTY byte arrays:
+                    # encode first, then skip falsy bytes (len(str(b"")) is
+                    # 3, so a str-length guard never catches b"")
+                    hs = []
+                    for v in grp["__v"].dropna():
+                        if v is None:
+                            continue
+                        b = (
+                            bytes(v)
+                            if isinstance(v, (bytes, bytearray))
+                            else str(v).encode()
                         )
-                        for v in grp["__v"].dropna()
-                        if v is not None and len(str(v)) > 0
-                    ]
+                        if b:
+                            hs.append(update_hash_bytes(b))
                     if hs:
                         lst.append(np.array(hs, dtype=np.uint64))
         rows = []

@@ -307,11 +307,17 @@ def grouped_sketch_partials(
         )
         # integral key columns may have ridden through pandas as float64
         # (null-carrying Arrow batches); hand them back as objects so the
-        # Arrow writer casts per the declared schema without float noise
+        # Arrow writer casts per the declared schema without float noise.
+        # bigint is safe here ONLY because 64-bit dialect keys arrive as
+        # split 32-bit halves (__khi/__klo) — each half is exact in
+        # float64, so int() cannot round
         for f in key_fields:
-            if f.dataType.simpleString() in ("int", "smallint", "tinyint"):
+            if f.dataType.simpleString() in ("int", "smallint", "tinyint", "bigint"):
+                # v != v: pd.DataFrame turns None back into NaN when the
+                # column is otherwise numeric
                 out[f.name] = [
-                    None if v is None else int(v) for v in out[f.name]
+                    None if (v is None or v != v) else int(v)
+                    for v in out[f.name]
                 ]
         yield out
 

@@ -713,6 +713,37 @@ def dialect_raw_theta_expr_key(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_raw_theta_bigint_key",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS types_dc
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 50
+    """,
+)
+def dialect_raw_theta_bigint_key(spark, sf_dir):
+    """Raw theta grouped by a BIGINT key (GROUP BY user_id — the
+    dominant real-world sketch shape). Round 9 declined 64-bit keys on
+    the zero-shuffle route (nullable int64 loses exactness through
+    Arrow→pandas float64) and fell back to an O(rows) bucketed shuffle;
+    since round 10 the key travels as split 32-bit halves — exactly how
+    sketch hashes and tuple values already ride — and recombines
+    JVM-side, so the plan shows ONE mapInPandas partials pass with no
+    pmod bucket column (plan-gated,
+    tests/test_plan_quality.py::test_raw_theta_bigint_key_takes_zero_shuffle_route).
+    Mixed with native COUNT(*), so the split + zero-shuffle paths
+    compose on the bigint key too. Per-group event_type cardinality is
+    far under the nominal entries, so the KMV sketch is EXACT and the
+    oracle mirrors count(DISTINCT). Reference:
+    AggregationFunction.java:63,86,132 (segment-partial contract)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(event_type)) "
+        "  AS types_dc "
+        "FROM events GROUP BY user_id ORDER BY user_id LIMIT 50"
+    )
+
+
 def _ds_theta_oracle() -> str:
     """Literal oracle for the DataSketches wire-format interop row: the
     expected values come from the pure-Python DsThetaSketch — itself

@@ -658,3 +658,37 @@ def test_raw_theta_setop_unboundable_branch_fails_safe(spark, at):
         "UNION ALL SELECT g, 0.0 AS dc FROM t2"
     )
     assert rewrite_raw_sketch_setop(q) == q
+
+
+def test_raw_theta_expression_keys_case_and_space_insensitive(spark, at):
+    """Spark resolves identifiers/functions case-insensitively, so
+    'SELECT substr(s,0,1) ... GROUP BY SUBSTR(s , 0 , 1)' is one valid
+    grouping — the round-9 normalizer matched expression text
+    case-sensitively (and required identical spacing), leaving the
+    select item unsubstituted and emitting a candidate that failed
+    analysis. The match is now case-folded and whitespace-flexible,
+    with a commit guard that falls back when any select item survives
+    unsubstituted."""
+    spark.createDataFrame(
+        [("ab", 1), ("AB", 2), ("cd", 2), ("cd", 2), ("ef", 3)],
+        "s string, v int",
+    ).createOrReplaceTempView("rs_ci_t")
+    df = at.sql(
+        "SELECT substr(s,0,1) AS p, COUNT(*) AS n, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_ci_t GROUP BY SUBSTR(s , 0 , 1) ORDER BY p LIMIT 10"
+    )
+    assert [(r.p, r.n, r.dc) for r in df.collect()] == [
+        ("A", 1, 1), ("a", 1, 1), ("c", 2, 1), ("e", 1, 1)
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "MapInPandas" in plan
+    # alias key written in a different case than the GROUP BY token
+    df2 = at.sql(
+        "SELECT UPPER(s) AS U, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_ci_t GROUP BY u ORDER BY u LIMIT 10"
+    )
+    assert [(r.U, r.n, r.dc) for r in df2.collect()] == [
+        ("AB", 2, 2), ("CD", 2, 1), ("EF", 1, 1)
+    ]

@@ -309,3 +309,64 @@ public class TRT {
     lines = dict(ln.split("=") for ln in out.strip().splitlines())
     assert float(lines["EST"]) == sk.estimate()
     assert int(lines["SUM"]) == sk.sum_values()
+
+
+def test_grouped_ds_theta_skips_empty_bytes(spark):
+    """Java update(byte[]) / update(String) are NO-OPS for empty input —
+    b'' must not be hashed as an item (ADVICE r9: len(str(b'')) is 3, so
+    a str-length guard never skipped it)."""
+    sdf = spark.createDataFrame(
+        [("g", b"x"), ("g", b""), ("g", None), ("h", b"")],
+        "g string, s binary",
+    )
+    rows = {r.g: DsThetaSketch.parse(bytes(r.ds_theta))
+            for r in grouped_ds_theta(sdf, ["g"], "s", k=64).collect()}
+    assert rows["g"].estimate() == 1.0
+    assert rows["h"].estimate() == 0.0
+    # empty STRING is equally a no-op
+    tdf = spark.createDataFrame(
+        [("g", "a"), ("g", "")], "g string, s string"
+    )
+    est = DsThetaSketch.parse(bytes(
+        grouped_ds_theta(tdf, ["g"], "s", k=64).collect()[0].ds_theta
+    )).estimate()
+    assert est == 1.0
+
+
+def test_to_ds_theta_double_column_hashes_ieee_bits(spark):
+    """DataSketches Java update(double) hashes doubleToLongBits(d) for
+    ALL values — including integral ones — so TO_DATA_SKETCHES_THETA
+    over a true DOUBLE column must NOT collapse 2.0 to update(long 2)
+    (ADVICE r9). The column type rides in via typeof(); nullable int
+    columns (pandas float64) keep the long shortcut, and ±0.0
+    canonicalizes like Java."""
+    import struct as _struct
+
+    from pinot_spark.dialect import PinotEngine
+    from pinot_spark.operators.ds_theta import update_hash_long
+
+    eng = PinotEngine(spark)
+    spark.createDataFrame(
+        [(2.0, 2, -0.0), (None, None, None)],
+        "d double, i int, z double",
+    ).createOrReplaceTempView("ds_dbl_t")
+    rows = eng.sql(
+        "SELECT TO_DATA_SKETCHES_THETA(d) AS sd, TO_DATA_SKETCHES_THETA(i) AS si, "
+        "TO_DATA_SKETCHES_THETA(z) AS sz FROM ds_dbl_t WHERE d IS NOT NULL LIMIT 1"
+    ).collect()[0]
+    h_double = DsThetaSketch.parse(bytes(rows.sd)).hashes
+    h_int = DsThetaSketch.parse(bytes(rows.si)).hashes
+    bits_2 = _struct.unpack("<q", _struct.pack("<d", 2.0))[0]
+    assert list(h_double) == [update_hash_long(bits_2)]
+    assert list(h_int) == [update_hash_long(2)]
+    assert h_double[0] != h_int[0]
+    # -0.0 canonicalizes to +0.0 before taking bits (Java contract)
+    assert list(DsThetaSketch.parse(bytes(rows.sz)).hashes) == [
+        update_hash_long(_struct.unpack("<q", _struct.pack("<d", 0.0))[0])
+    ]
+    # null rows of any type stay EMPTY sketches
+    empt = eng.sql(
+        "SELECT TO_DATA_SKETCHES_THETA(d) AS sd FROM ds_dbl_t "
+        "WHERE d IS NULL LIMIT 1"
+    ).collect()[0]
+    assert DsThetaSketch.parse(bytes(empt.sd)).estimate() == 0.0

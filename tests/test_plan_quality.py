@@ -297,17 +297,22 @@ def test_raw_theta_mixed_single_table_no_collect_set(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan  # native partial/final
 
 
-def test_raw_theta_bigint_key_keeps_bucketed_sql_path(spark, sf_dir):
-    """64-bit group keys decline the zero-shuffle route (nullable
-    BIGINT loses exactness through Arrow→pandas float64), so the
-    bucketed GROUPED_AGG two-phase must still serve them — pure AND
-    mixed — with correct answers and no collect_set of hashes."""
+def test_raw_theta_bigint_key_takes_zero_shuffle_route(spark, sf_dir):
+    """BIGINT group keys (GROUP BY user_id — the dominant real sketch
+    shape) take the zero-shuffle route since round 10: keys travel as
+    split 32-bit halves (the sketch-hash exactness trick) and recombine
+    JVM-side, so plans show MapInPandas partials with NO pmod bucket
+    column and NO collect_set — pure AND mixed — and exactness survives
+    keys past 2^53 and NULL keys."""
     from pinot_spark.dialect import PinotEngine
 
     load_tables(spark, sf_dir)
     eng = PinotEngine(spark)
+    big = 2**61  # float64 would round keys at this magnitude
     spark.createDataFrame(
-        [(int(i % 5), i % 13) for i in range(300)], "g long, v int"
+        [(big + int(i % 5), i % 13) for i in range(300)]
+        + [(None, 7), (None, 7), (-(big + 3), 1)],
+        "g long, v int",
     ).createOrReplaceTempView("rs_big_t")
     df = eng.sql(
         "SELECT g, GET_THETA_SKETCH_ESTIMATE("
@@ -315,10 +320,12 @@ def test_raw_theta_bigint_key_keeps_bucketed_sql_path(spark, sf_dir):
         "FROM rs_big_t GROUP BY g ORDER BY g LIMIT 10"
     )
     plan = _plan(df)
-    assert "pmod" in plan, plan  # bucketed SQL inner, not the route
+    assert "pmod" not in plan, plan  # zero-shuffle route, not bucketed SQL
     assert "collect_set" not in plan, plan
+    assert "MapInPandas" in plan, plan
     assert [(r.g, r.dc) for r in df.collect()] == [
-        (0, 13), (1, 13), (2, 13), (3, 13), (4, 13)
+        (None, 1), (-(big + 3), 1),
+        (big, 13), (big + 1, 13), (big + 2, 13), (big + 3, 13), (big + 4, 13),
     ]
     mixed = eng.sql(
         "SELECT g, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
@@ -327,9 +334,36 @@ def test_raw_theta_bigint_key_keeps_bucketed_sql_path(spark, sf_dir):
     )
     mplan = _plan(mixed)
     assert "collect_set" not in mplan, mplan
+    assert "MapInPandas" in mplan, mplan
     assert [(r.g, r.n, r.dc) for r in mixed.collect()] == [
-        (0, 60, 13), (1, 60, 13), (2, 60, 13), (3, 60, 13), (4, 60, 13)
+        (None, 2, 1), (-(big + 3), 1, 1),
+        (big, 60, 13), (big + 1, 60, 13), (big + 2, 60, 13),
+        (big + 3, 60, 13), (big + 4, 60, 13),
     ]
+
+
+def test_raw_theta_decimal_key_keeps_bucketed_sql_path(spark, sf_dir):
+    """DECIMAL group keys still decline the zero-shuffle route (no
+    exact pandas carrier wired) — the bounded bucketed GROUPED_AGG
+    two-phase must keep serving them with correct answers and no
+    collect_set of hashes."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    spark.sql(
+        "SELECT CAST(id % 3 AS DECIMAL(20,0)) AS g, CAST(id % 7 AS INT) AS v "
+        "FROM range(210)"
+    ).createOrReplaceTempView("rs_dec_t")
+    df = eng.sql(
+        "SELECT g, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_dec_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    plan = _plan(df)
+    assert "pmod" in plan, plan  # bucketed SQL inner, not the route
+    assert "collect_set" not in plan, plan
+    assert [(int(r.g), r.dc) for r in df.collect()] == [(0, 7), (1, 7), (2, 7)]
 
 
 def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
