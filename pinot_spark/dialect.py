@@ -2751,13 +2751,24 @@ def _parse_tuple_build(a0: str):
 
 def _zs_descriptor(name: str, args: list[str]):
     """Zero-shuffle call descriptor for the grouped-partials route:
-    ("theta", a0, k), ("tuple", key, val, k), or None (not routable)."""
+    ("theta", a0, k), ("tuple", key, val, k), ("hll", arr, log2m),
+    ("tdigest", arr), or None (not routable)."""
     if name == "distinctcountrawthetasketch":
         return ("theta", args[0].strip(), _theta_nominal_entries(args))
     if name in _TUPLE_RAW_NAMES:
         p = _parse_tuple_build(args[0])
         if p:
             return ("tuple", p[0], p[1], p[2])
+    if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        log2m = (
+            int(args[1].strip())
+            if name == "distinctcountrawhllmv"
+            and len(args) > 1 and args[1].strip().isdigit()
+            else 8
+        )
+        return ("hll", args[0].strip(), log2m)
+    if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
+        return ("tdigest", args[0].strip())
     return None
 
 
@@ -2766,6 +2777,10 @@ def _zs_final(name: str, col: str) -> str:
     given raw-sketch canonical name."""
     if name == "distinctcountrawthetasketch":
         return f"__theta_merge_blobs(collect_list({col}))"
+    if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        return f"__hll_merge_blobs(collect_list({col}))"
+    if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
+        return f"__tdigest_merge(collect_list({col}))"
     merged = f"__tuple_merge_sum(collect_list({col}))"
     return {
         "distinctcountrawintegersumtuplesketch": merged,
@@ -4196,6 +4211,20 @@ class PinotEngine:
                         hi, lo = _split_hash_expr(d[1])
                         sel += [f"{hi} AS __hi{i}", f"({lo}) AS __lo{i}"]
                         op_calls.append(("theta", f"__hi{i}", f"__lo{i}", d[2]))
+                    elif d[0] == "hll":
+                        # JVM-side bounded-domain register pairs per MV
+                        # element (idx*64+rho ≤ 2^log2m·64+64: exact in
+                        # float64, no split needed)
+                        pair = _hll_pair_expr("x", d[2])
+                        pairs_arr = (
+                            "array_distinct(transform(filter({0}, "
+                            "x -> x IS NOT NULL), x -> {1}))".format(d[1], pair)
+                        )
+                        sel += [f"{pairs_arr} AS __pa{i}"]
+                        op_calls.append(("hll", f"__pa{i}", d[2]))
+                    elif d[0] == "tdigest":
+                        sel += [f"CAST({d[1]} AS ARRAY<DOUBLE>) AS __td{i}"]
+                        op_calls.append(("tdigest", f"__td{i}"))
                     else:  # tuple: (kind, keyexpr, valexpr, k)
                         hi, lo = _split_hash_expr(d[1])
                         # the value also splits into 32-bit halves — a
@@ -4341,6 +4370,7 @@ class PinotEngine:
                 if name not in _RS_SCALAR_ALLOW and name not in (
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
+                    "hllmergeblobs", "tdigestmerge",
                 ):
                     return None
             rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
@@ -4354,6 +4384,7 @@ class PinotEngine:
                 if name not in _RS_SCALAR_ALLOW and name not in (
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
+                    "hllmergeblobs", "tdigestmerge",
                 ):
                     return None
         if not calls:

@@ -185,12 +185,17 @@ def grouped_sketch_partials(
     ``__lo{i}`` (a nullable BIGINT reaches pandas as float64, which
     cannot hold a 64-bit hash exactly; the halves can —
     dialect._split_hash_expr), and for tuple calls a value column.
-    ``calls`` entries are ("theta", hi_col, lo_col, k) or
+    ``calls`` entries are ("theta", hi_col, lo_col, k),
     ("tuple", hi_col, lo_col, k, vhi_col, vlo_col) — the integer-sum
     tuple sketch accumulates exact int64 per-hash sums alongside the
     KMV candidates; the VALUE also arrives as 32-bit halves
     (arithmetic-shift hi keeps the sign) because nullable BIGINTs reach
-    pandas as float64, lossy past 2^53.
+    pandas as float64, lossy past 2^53 —, ("hll", pairs_col, log2m)
+    whose column holds JVM-computed idx*64+rho register pairs
+    (dialect._hll_pair_expr; values < 2^log2m·64+64 so float64-exact,
+    partial state is the fixed register array), or
+    ("tdigest", values_col) accumulating an engine-own t-digest
+    (bounded centroid count) per group.
 
     One ``mapInPandas`` pass accumulates, per (key-tuple, call), the
     ≤ k+1 smallest distinct hashes (k+1, not k: the (k+1)-th value
@@ -238,7 +243,35 @@ def grouped_sketch_partials(
                     kt = (kt,)
                 slot = acc.setdefault(kt, [None] * len(calls))
                 for i, call in enumerate(calls):
-                    kind, hi_c, lo_c, k = call[0], call[1], call[2], call[3]
+                    kind = call[0]
+                    if kind == "hll":
+                        # accumulate max-rho registers per group — the
+                        # HLL partial state is the fixed 2^log2m register
+                        # array regardless of row count
+                        regs = slot[i]
+                        if regs is None:
+                            regs = slot[i] = np.zeros(1 << call[2], np.uint8)
+                        for ps in g[call[1]]:
+                            if ps is None or len(ps) == 0:
+                                continue
+                            p = np.asarray(ps, dtype=np.int64)
+                            np.maximum.at(regs, p >> 6, (p & 63).astype(np.uint8))
+                        continue
+                    if kind == "tdigest":
+                        from pinot_spark.operators.tdigest import TDigest
+
+                        td = slot[i]
+                        if td is None:
+                            td = slot[i] = TDigest()
+                        for vals in g[call[1]]:
+                            if vals is None or len(vals) == 0:
+                                continue
+                            v = np.asarray(vals, dtype=np.float64)
+                            v = v[~np.isnan(v)]
+                            if len(v):
+                                td.add(v.tolist())
+                        continue
+                    hi_c, lo_c, k = call[1], call[2], call[3]
                     if kind == "theta":
                         u, _ = _u64_of(g, hi_c, lo_c)
                         if not len(u):
@@ -279,7 +312,22 @@ def grouped_sketch_partials(
         for kt, slots in acc.items():
             row = [None if (v is None or v != v) else v for v in kt]
             for i, call in enumerate(calls):
-                kind, k = call[0], call[3]
+                kind = call[0]
+                if kind == "hll":
+                    from pinot_spark.operators.hll import HllSketch
+
+                    regs = slots[i]
+                    if regs is None:
+                        regs = np.zeros(1 << call[2], np.uint8)
+                    row.append(HllSketch(call[2], regs).to_bytes())
+                    continue
+                if kind == "tdigest":
+                    from pinot_spark.operators.tdigest import TDigest
+
+                    td = slots[i] if slots[i] is not None else TDigest()
+                    row.append(td.to_bytes())
+                    continue
+                k = call[3]
                 if kind == "theta":
                     cand = slots[i]
                     if cand is None:
@@ -323,6 +371,9 @@ def grouped_sketch_partials(
 
     needed = list(keys)
     for call in calls:
+        if call[0] in ("hll", "tdigest"):
+            needed.append(call[1])
+            continue
         needed += [call[1], call[2]]
         if call[0] == "tuple":
             needed += [call[4], call[5]]

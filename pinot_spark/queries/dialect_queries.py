@@ -744,6 +744,62 @@ def dialect_raw_theta_bigint_key(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_raw_mv_sketch_grouped",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS src_dc,
+           TRUE AS p50_within_5pct
+    FROM documents GROUP BY lang ORDER BY lang LIMIT 100
+    """,
+)
+def dialect_raw_mv_sketch_grouped(spark, sf_dir):
+    """Grouped MV raw-sketch names on the round-10 zero-shuffle route:
+    DISTINCTCOUNTRAWHLLMV and PERCENTILERAWTDIGESTMV partials now build
+    in the same ONE mapInPandas pass as theta/tuple (HLL register
+    arrays and t-digest centroids are fixed-size per group, so the
+    partial state is sketch-bounded and only blobs cross the wire),
+    retiring the bucketed GROUPED_AGG inner that shuffled O(rows) for
+    these families. Mixed with native COUNT(*) so the split composes.
+    Plan-gated MapInPandas/no-pmod
+    (tests/test_plan_quality.py::test_raw_mv_families_zero_shuffle).
+    Source cardinality per lang is tiny, so the log2m=12
+    linear-counting estimate is exactly count(DISTINCT source)
+    (verified against the oracle); the digest p50 emits the
+    within-tolerance boolean convention (5% of range — the engine-own
+    t-digest median interpolation lands within ~3% of range at these
+    group sizes, same as the pre-route path; the exact-median probe
+    joins in as a separate frame because PERCENTILE is not a split-
+    hoistable native). Reference:
+    DistinctCountRawHLLAggregationFunction /
+    PercentileRawTDigestMVAggregationFunction partial-state contract
+    (AggregationFunction.java:63,86,132)."""
+    load_tables(spark, sf_dir)
+    skt = _engine(spark, sf_dir).sql(
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(GETHLLESTIMATE(DISTINCTCOUNTRAWHLLMV(ARRAY(source, source), 12)) "
+        "  AS BIGINT) AS src_dc, "
+        "GETTDIGESTQUANTILE(PERCENTILERAWTDIGESTMV(ARRAY(n_chars), 50), 50) "
+        "  AS __p50d "
+        "FROM documents GROUP BY lang LIMIT 100"
+    )
+    exact = spark.sql(
+        "SELECT lang AS __lang, percentile(n_chars, 0.5) AS __p50x, "
+        "max(n_chars) - min(n_chars) AS __rng "
+        "FROM documents GROUP BY lang"
+    )
+    return (
+        skt.join(exact, skt.lang == exact.__lang)
+        .select(
+            "lang", "n_docs", "src_dc",
+            (F.abs(F.col("__p50d") - F.col("__p50x"))
+             <= 0.05 * F.col("__rng")).alias("p50_within_5pct"),
+        )
+        .orderBy("lang")
+        .limit(100)
+    )
+
+
 def _ds_theta_oracle() -> str:
     """Literal oracle for the DataSketches wire-format interop row: the
     expected values come from the pure-Python DsThetaSketch — itself

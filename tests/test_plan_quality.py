@@ -481,3 +481,44 @@ def test_raw_tuple_values_exact_past_float53(spark, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_raw_mv_families_zero_shuffle(spark, sf_dir):
+    """Grouped DISTINCTCOUNTRAWHLLMV / PERCENTILERAW*MV statements take
+    the round-10 zero-shuffle route: register/centroid partials build in
+    the same ONE MapInPandas pass as theta (fixed-size partial state per
+    group), so the plan shows no pmod bucket column and no collect_set —
+    pure AND mixed-with-native — and only partial blobs cross the wire.
+    Values verified against exact computations on the same frame."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    spark.createDataFrame(
+        [("a", [1, 2, 3], [1.0, 2.0, 3.0]), ("a", [2, 4], [4.0]),
+         ("b", [7] * 5, [10.0, 20.0]), ("b", None, None)],
+        "g string, arr array<int>, vals array<double>",
+    ).createOrReplaceTempView("mv_zs_t")
+    df = eng.sql(
+        "SELECT g, GETHLLESTIMATE(DISTINCTCOUNTRAWHLLMV(arr)) AS dc, "
+        "GETTDIGESTQUANTILE(PERCENTILERAWTDIGESTMV(vals, 50), 50) AS p50 "
+        "FROM mv_zs_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "pmod" not in plan, plan
+    assert "collect_set" not in plan, plan
+    rows = df.collect()
+    assert [(r.g, r.dc) for r in rows] == [("a", 4), ("b", 1)]
+    assert rows[0].p50 == 2.5 and rows[1].p50 == 15.0
+    mixed = eng.sql(
+        "SELECT g, COUNT(*) AS n, GETHLLESTIMATE(DISTINCTCOUNTRAWHLLMV(arr)) "
+        "AS dc FROM mv_zs_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    mplan = _plan(mixed)
+    assert "MapInPandas" in mplan, mplan
+    assert "pmod" not in mplan, mplan
+    assert [(r.g, r.n, r.dc) for r in mixed.collect()] == [("a", 2, 4), ("b", 2, 1)]
+    # the driver row composes both families mixed with COUNT(*)
+    dplan = _plan(QUERIES["dialect_raw_mv_sketch_grouped"](spark, sf_dir))
+    assert "MapInPandas" in dplan and "pmod" not in dplan, dplan
