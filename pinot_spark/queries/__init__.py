@@ -78,114 +78,110 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Every query driver-green in CORRECTNESS_r01-r08 that is not taking a
-# round-9 window slot (132 of the 181 ever-green; regression-guarded
+# Every query driver-green in CORRECTNESS_r01-r09 that is not taking a
+# round-10 window slot (138 of the 186 ever-green; regression-guarded
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_basic_family", "agg_bool_and_or", "agg_count_by_segment_partition",
-    "agg_count_metadata_only", "agg_distinct_family", "agg_exprminmax",
+    "agg_approx_distinct", "agg_bool_and_or",
+    "agg_count_by_segment_partition", "agg_count_metadata_only",
+    "agg_distinctcount_mv_scale_path", "agg_exprminmax",
     "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
-    "agg_funnel_count", "agg_histogram", "agg_idset_membership",
-    "agg_listagg_arrayagg", "agg_mv_variants", "agg_percentiles",
-    "agg_raw_sketch_bytes", "asof_join_backward", "case_when_projection",
-    "clp_encode_decode_roundtrip", "cte_with_reuse",
-    "dedup_duplicate_clusters", "dedup_exact_documents",
-    "dedup_ngram_jaccard_pairs", "dialect_asof_join",
+    "agg_funnel_count", "agg_funnel_events_eval",
+    "agg_funnel_max_step_window", "agg_histogram", "agg_hll_sketch_union",
+    "agg_idset_membership", "agg_listagg_arrayagg", "agg_mode",
+    "agg_mv_grouped_percentile", "agg_mv_variants",
+    "agg_percentile_approx", "agg_percentiles", "agg_raw_sketch_bytes",
+    "agg_skew_kurt", "agg_st_union_points", "agg_startree_rollup_route",
+    "agg_stats_family", "agg_sum_array", "agg_sum_array_scale_path",
+    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
+    "agg_theta_sketch_distinct", "asof_join_backward",
+    "case_when_projection", "clp_encode_decode_roundtrip",
+    "colocated_bucketed_join", "cte_with_reuse",
+    "cursor_result_table_pages", "dedup_duplicate_clusters",
+    "dedup_embedding_cosine", "dedup_exact_documents",
+    "dedup_first_per_key", "dedup_ngram_jaccard_pairs",
     "dialect_datetime_convert", "dialect_ddl_mv_roundtrip",
     "dialect_default_limit_selection", "dialect_epoch_functions",
-    "dialect_fn_surface_ext", "dialect_funnel_count",
-    "dialect_funnel_match_step", "dialect_gapfill", "dialect_lookup_transform",
-    "dialect_pinot_agg_names", "dialect_raw_sketch_scale",
-    "dialect_raw_theta_join", "dialect_raw_theta_scale",
-    "dialect_raw_ull_distinct", "distinct_select", "embedding_quantize_int8",
-    "filtered_aggregation", "fn_conditional_null", "fn_datetime_family",
-    "fn_geo_contains", "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
-    "fn_in_not_in_range", "fn_ip_subnet_family", "fn_json_extract",
-    "fn_json_match_rewrite", "fn_map_family", "fn_math_family",
-    "fn_regex_family", "fn_string_family", "fn_surface_ext",
-    "fn_surface_udf_families", "fn_text_match_like", "fn_url_family",
-    "funnel_max_step", "gapfill_fill_previous", "grouping_sets",
-    "having_clause", "hybrid_table_time_boundary", "join_full_outer",
-    "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
-    "json_index_match", "multimodal_resize_and_windows",
+    "dialect_funnel_match_step", "dialect_funnel_max_step",
+    "dialect_lookup_transform", "dialect_mv_distinct_scale",
+    "dialect_null_option", "dialect_query_hints",
+    "dialect_raw_theta_expr_key", "dialect_raw_theta_join",
+    "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
+    "distinct_select", "embedding_quantize_int8", "events_time_bucket_agg",
+    "filtered_aggregation", "fn_binary_conversion", "fn_conditional_null",
+    "fn_datetime_family", "fn_ds_theta_interop", "fn_exact_hash_parity",
+    "fn_geo_contains", "fn_geo_point_family", "fn_groovy_inline",
+    "fn_h3_grid", "fn_hash_family", "fn_in_not_in_range",
+    "fn_ip_subnet_family", "fn_json_extract", "fn_json_match_rewrite",
+    "fn_map_family", "fn_math_family", "fn_regex_family",
+    "fn_string_family", "fn_surface_ext", "fn_surface_udf_families",
+    "fn_text_match_like", "fn_trig_family", "fn_url_family",
+    "funnel_complete_count", "funnel_match_step", "funnel_max_step",
+    "funnel_max_step_pandas", "funnel_step_duration_stats",
+    "gapfill_fill_default", "gapfill_fill_previous", "grouping_sets",
+    "having_clause", "hybrid_table_time_boundary", "join_lookup_dimension",
+    "join_non_equi_theta", "join_right_outer", "json_index_match",
+    "multimodal_feature_extract", "multimodal_gif_tiff_features",
+    "multimodal_resize_and_windows", "multimodal_webp_features",
     "mv_all_match_exclusive_filter", "mv_any_match_filter",
-    "mv_array_functions", "pipeline_decontamination", "q10_returned_items",
-    "q11_important_parts", "q12_late_shipment_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q1_pricing_summary", "q20_excess_suppliers", "q21_last_shipper_in_order",
-    "q22_anti_join", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
-    "scan_format_roundtrip", "segment_build_time_pruning",
-    "sessionize_gap_sessions", "set_ops_all_variants",
-    "set_ops_union_intersect_except", "similarity_pairwise_label",
-    "similarity_topk_cosine", "similarity_topk_hnsw", "similarity_topk_ivf",
-    "skew_safe_operators", "stream_kafka_batch_decode",
-    "stream_rate_upsert_loop", "text_fingerprints",
-    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
-    "text_pii_redaction", "text_quality_scores", "text_repetition_filters",
-    "text_token_stats", "timeseries_range_query", "udtf_sequence_explode",
-    "unnest_explode", "unnest_posexplode_zip", "upsert_latest_per_key",
-    "values_literal", "window_first_last_ntile", "window_frame_exclude",
-    "window_lead_lag", "window_percent_cume", "window_range_frame",
-    "window_rank_topn_per_group", "window_running_sum",
+    "mv_array_functions", "null_mode_default_value",
+    "null_mode_sql_semantics", "partial_upsert_merge",
+    "pipeline_decontamination", "rollup_cube", "sample_stratified_split",
+    "set_ops_all_variants", "similarity_radius_filter",
+    "similarity_topk_cosine", "similarity_topk_hnsw",
+    "stream_rate_upsert_loop", "text_bpe_token_count", "text_chunking",
+    "text_fingerprints", "text_inverted_index_search", "text_lang_id",
+    "text_match_lucene", "text_quality_scores", "text_repetition_filters",
+    "text_token_stats", "timeseries_keep_last_value",
+    "timeseries_m3ql_pipeline", "timeseries_range_query", "unnest_explode",
+    "unnest_posexplode_zip", "upsert_latest_per_key", "values_literal",
+    "window_first_last_ntile", "window_frame_exclude", "window_lead_lag",
+    "window_percent_cume", "window_range_frame", "window_running_sum",
     "window_sliding_rows_frame",
 ]
 
-# Round-9 window = 6 first-time/re-proof priority slots + 44 stale-green
-# re-proof slots. Priority: dialect_raw_theta_mixed_split (the round-9
-# split-subquery rewrite for mixed native+raw-sketch statements — VERDICT
-# r8 'missing #1' done-criterion), dialect_raw_theta_expr_key (alias/
-# expression GROUP BY keys on the zero-shuffle route),
-# multimodal_webp_features (VP8L codec), multimodal_gif_tiff_features
-# (re-proof on the FIXED PackBits encoder — VERDICT r8 'wrong #1'),
-# fn_exact_hash_parity (bit-exact CityHash/MD2) and fn_ds_theta_interop
-# (DataSketches theta wire-format interop). Re-proof fill: all 31
-# r5-stale greens (the stalest evidence) + 13 sketch/dialect-adjacent
-# r6 greens.
+# Round-10 window = first-time slots for the round-10 additions (bigint
+# zero-shuffle sketch keys, HLL-MV/t-digest-MV grouped partials) + the
+# full 37-entry r6-stale green pool (TPC-H q1-q22 family, dedup LSH/
+# SimHash, ingestion, formats) + 11 stalest r7 greens, dialect/sketch-
+# adjacent first since dialect.py and theta.py changed since their last
+# proof. Done-criterion (VERDICT r9 item 3): max staleness <= r7.
 _WINDOW_FIRST_TIME = [
-    "dialect_raw_theta_mixed_split", "dialect_raw_theta_expr_key",
-    "multimodal_webp_features", "multimodal_gif_tiff_features",
-    "fn_exact_hash_parity", "fn_ds_theta_interop",
+    "dialect_raw_theta_bigint_key", "dialect_raw_mv_sketch_grouped",
 ]
 
-# all 31 round-5-stale greens (scalar/aggregate families, funnel,
-# null modes, timeseries — stalest evidence in the registry)
-_REPROOF_STALE_R5 = [
-    "agg_mode", "agg_skew_kurt", "agg_st_union_points",
-    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
-    "agg_sum_precision_decimal", "agg_theta_sketch_distinct",
-    "dedup_embedding_cosine", "dedup_first_per_key", "dialect_null_option",
-    "dialect_query_hints", "events_time_bucket_agg", "fn_binary_conversion",
-    "fn_groovy_inline", "fn_trig_family", "funnel_complete_count",
-    "funnel_match_step", "funnel_max_step_pandas",
-    "funnel_step_duration_stats", "gapfill_fill_default",
-    "multimodal_feature_extract", "null_mode_default_value",
-    "null_mode_sql_semantics", "partial_upsert_merge",
-    "sample_stratified_split", "similarity_radius_filter",
-    "text_bpe_token_count", "text_chunking", "timeseries_keep_last_value",
-    "timeseries_m3ql_pipeline",
-]
-
-# 13 round-6-stale greens, sketch/dialect-adjacent first (the dialect
-# two-phase changed this round) plus pipeline/dedup coverage; the
-# remaining r6 greens (dedup_minhash_lsh_pairs, dedup_simhash_buckets,
-# ingestion_pipeline_conform, pipeline_pack_sequences, ...) are the stalest pool for the r10 window
+# all 37 round-6-stale greens (stalest evidence in the registry)
 _REPROOF_STALE_R6 = [
-    "agg_approx_distinct", "agg_distinctcount_mv_scale_path",
-    "agg_hll_sketch_union", "agg_mv_grouped_percentile",
-    "agg_percentile_approx", "agg_theta_setop_distinct",
-    "dialect_mv_distinct_scale", "agg_sum_array_scale_path",
-    "agg_funnel_events_eval", "agg_funnel_max_step_window",
-    "dialect_funnel_max_step", "colocated_bucketed_join",
-    "cursor_result_table_pages",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
+    "ingestion_pipeline_conform", "pipeline_pack_sequences",
+    "q10_returned_items", "q11_important_parts",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority_exists", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "regex_fst_dictionary_match",
+    "scan_format_roundtrip", "segment_build_time_pruning",
+    "sessionize_gap_sessions", "set_ops_union_intersect_except",
+    "similarity_pairwise_label", "similarity_topk_ivf",
+    "skew_safe_operators", "stream_kafka_batch_decode",
+    "text_pii_redaction", "udtf_sequence_explode",
 ]
 
-_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R5 + _REPROOF_STALE_R6
+# 11 round-7-stale greens, dialect/sketch surface first
+_REPROOF_STALE_R7 = [
+    "dialect_raw_sketch_scale", "dialect_raw_ull_distinct",
+    "dialect_pinot_agg_names", "dialect_fn_surface_ext",
+    "agg_basic_family", "agg_distinct_family", "dialect_asof_join",
+    "dialect_gapfill", "dialect_funnel_count",
+    "window_rank_topn_per_group", "join_full_outer",
+]
+
+_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R6 + _REPROOF_STALE_R7
 
 
 
