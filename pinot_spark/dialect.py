@@ -687,6 +687,24 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcountrawhllmv": lambda a: _raw_hll_mv_sql(a, 8),
     "distinctcountrawhllplusmv": lambda a: _raw_hll_mv_sql(a[:1], 8),
     "gethllestimate": lambda a: f"__hll_estimate({a[0]})",
+    # engine extensions: clearspring (stream-lib) wire-format emitters —
+    # byte-level twins of the reference toHLL output and of what
+    # DISTINCTCOUNTHLLPLUS serializes (ObjectSerDeUtils.java:741-775;
+    # operators/cs_hll.py) for cross-engine exchange; GETHLLESTIMATE and
+    # HLL_UNION auto-detect the format and refuse mixed-domain unions
+    "toclearspringhll": lambda a: (
+        "__cs_hll_single({0}, typeof({0}), {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 8
+        )
+    ),
+    "toclearspringhllplus": lambda a: (
+        "__cs_hllpp_single({0}, typeof({0}), {1}, {2})".format(
+            a[0],
+            a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 14,
+            a[2].strip() if len(a) > 2 and a[2].strip().isdigit() else 0,
+        )
+    ),
+    "hllunion": lambda a: f"__hll_union({a[0]}, {a[1]})",
     "tohll": lambda a: (
         "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64({0}) END, {1})".format(
@@ -2518,6 +2536,7 @@ _RS_SCALAR_ALLOW = {
     "getinttuplesketchestimate", "round", "cast", "abs", "coalesce",
     "sum", "count", "min", "max",
     "gethllestimate", "getullestimate", "gettdigestquantile",
+    "toclearspringhll", "toclearspringhllplus", "hllunion",
     # structural SQL keywords the call-shaped regex also matches when a
     # paren follows (AND (expr), CASE WHEN (..) ...) — not functions
     "and", "or", "not", "in", "when", "then", "else", "case", "between",
@@ -3132,6 +3151,7 @@ _RS_INEXPR_ALLOW = {
     "getinttuplesketchestimate", "gethllestimate", "getullestimate",
     "gettdigestquantile", "tointegersumtuplesketch", "tothetasketch",
     "todatasketchestheta", "todatasketchestuple",
+    "toclearspringhll", "toclearspringhllplus", "hllunion",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3573,10 +3593,40 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("bigint", PandasUDFType.SCALAR)
     def __hll_estimate(b):
-        return pd.Series(
-            [None if x is None else round(HllSketch.from_bytes(bytes(x)).estimate()) for x in b],
-            dtype="Int64",
+        # auto-detects clearspring plain/plus wire bytes (the formats a
+        # real reference cluster ships, operators/cs_hll.py) vs the
+        # engine-own register blob — foreign sketches estimate with
+        # Java-identical Math.round cardinalities
+        from pinot_spark.functions.sketches import cs_hll_estimate_series
+
+        return cs_hll_estimate_series(b)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cs_hll_single(v, t, log2m):
+        from pinot_spark.functions.sketches import cs_hll_single_series
+
+        return cs_hll_single_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(log2m.iloc[0]) if len(log2m) else 8,
         )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cs_hllpp_single(v, t, p_, sp_):
+        from pinot_spark.functions.sketches import cs_hllpp_single_series
+
+        return cs_hllpp_single_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(p_.iloc[0]) if len(p_) else 14,
+            int(sp_.iloc[0]) if len(sp_) else 0,
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __hll_union(a, b):
+        from pinot_spark.functions.sketches import hll_union_series
+
+        return hll_union_series(a, b)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __tdigest_from_values(arrs):
@@ -3802,6 +3852,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__ull_estimate", __ull_estimate)
     spark.udf.register("__hll_singleton", __hll_singleton)
     spark.udf.register("__hll_estimate", __hll_estimate)
+    spark.udf.register("__cs_hll_single", __cs_hll_single)
+    spark.udf.register("__cs_hllpp_single", __cs_hllpp_single)
+    spark.udf.register("__hll_union", __hll_union)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)
     spark.udf.register("__theta_diff", __theta_diff)
     spark.udf.register("__theta_union", __theta_union)

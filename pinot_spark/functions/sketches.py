@@ -442,3 +442,145 @@ _reg("tohll")(
         F.lit(int(log2m) if log2m is not None else 12),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# clearspring (stream-lib) HLL / HLL++ wire-format interop
+# (operators/cs_hll.py) — the formats a real reference cluster ships for
+# its HLL family (ObjectSerDeUtils.HYPER_LOG_LOG_SER_DE /
+# HYPER_LOG_LOG_PLUS_SER_DE; SketchFunctions.toHLL builds exactly these
+# bytes).  The engine-own fast path (operators/hll.py, xxhash64 domain)
+# stays separate — consumers auto-detect the format per argument and
+# refuse cross-domain unions loudly.
+# ---------------------------------------------------------------------------
+
+
+def cs_hll_single_series(
+    v: "_pd.Series", type_name: "str | None", log2m: int
+) -> "_pd.Series":
+    """Singleton clearspring HyperLogLog bytes per value — byte-identical
+    to the reference's ``toHLL(value, log2m)`` (SketchFunctions.java:
+    139-162).  ``type_name`` (Spark ``typeof``) picks the stream-lib
+    MurmurHash.hash(Object) branch: numerics hash long/IEEE bits, so a
+    true DOUBLE column must hash doubleToLongBits even for integral
+    values, while a nullable int column riding through pandas as float64
+    keeps the long branch; FLOAT hashes floatToIntBits (NOT the widened
+    double)."""
+    import struct as _struct
+
+    from pinot_spark.operators.cs_hll import CsHll, hash32_bytes, hash32_long
+
+    is_double_col = type_name == "double"
+    is_float_col = type_name == "float"
+
+    def one(x):
+        s = CsHll.empty(log2m)
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            return s.serialize()
+        if is_float_col and isinstance(x, (int, float, np.integer, np.floating)):
+            bits = _struct.unpack("<i", _struct.pack("<f", float(x)))[0]
+            s.offer_hash32(hash32_long(bits))
+        elif is_double_col and isinstance(x, (int, float, np.integer, np.floating)):
+            bits = _struct.unpack("<q", _struct.pack("<d", float(x)))[0]
+            s.offer_hash32(hash32_long(bits))
+        elif isinstance(x, (int, np.integer)):
+            s.offer_hash32(hash32_long(int(x)))
+        elif isinstance(x, (float, np.floating)):
+            if float(x).is_integer():
+                s.offer_hash32(hash32_long(int(x)))
+            else:
+                bits = _struct.unpack("<q", _struct.pack("<d", float(x)))[0]
+                s.offer_hash32(hash32_long(bits))
+        elif isinstance(x, (bytes, bytearray)):
+            s.offer_hash32(hash32_bytes(bytes(x)))
+        else:
+            s.offer_hash32(hash32_bytes(str(x).encode("utf-8")))
+        return s.serialize()
+
+    return _pd.Series([one(x) for x in v])
+
+
+def cs_hllpp_single_series(
+    v: "_pd.Series", type_name: "str | None", p: int, sp: int
+) -> "_pd.Series":
+    """Singleton clearspring HyperLogLogPlus bytes per value.  stream-lib
+    hash64(Object) has NO numeric branch — every number hashes its Java
+    ``toString()`` bytes (pinned by probes), so a nullable int column's
+    integral float64 values format as Java longs, true doubles as Java
+    Double.toString."""
+    from pinot_spark.operators.cs_hll import CsHllPlus, hash64_obj, _java_double_str
+
+    is_double_col = type_name in ("double", "float")
+
+    def one(x):
+        s = CsHllPlus.empty(p, sp)
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            return s.serialize()
+        if isinstance(x, (float, np.floating)) and not is_double_col:
+            # nullable int through pandas float64 → Java Long.toString
+            if float(x).is_integer():
+                x = int(x)
+        elif isinstance(x, (int, np.integer)) and is_double_col:
+            x = float(x)
+        s.offer(x)
+        return s.serialize()
+
+    return _pd.Series([one(x) for x in v])
+
+
+def _load_any_hll(b: bytes):
+    """(domain, sketch) for any HLL payload: clearspring HLL++
+    ('cspp'), clearspring plain ('cs'), engine-own ('own')."""
+    from pinot_spark.operators.cs_hll import (
+        CsHll,
+        CsHllPlus,
+        is_cs_hll_bytes,
+        is_cs_hllpp_bytes,
+    )
+    from pinot_spark.operators.hll import HllSketch
+
+    if is_cs_hllpp_bytes(b):
+        return "cspp", CsHllPlus.parse(b)
+    if is_cs_hll_bytes(b):
+        return "cs", CsHll.parse(b)
+    return "own", HllSketch.from_bytes(b)
+
+
+def cs_hll_estimate_series(col: "_pd.Series") -> "_pd.Series":
+    """GETHLLESTIMATE over any HLL payload — auto-detects clearspring
+    plain/plus (Java-identical Math.round cardinalities) vs engine-own
+    registers."""
+    def one(b):
+        if b is None:
+            return None
+        dom, s = _load_any_hll(bytes(b))
+        if dom == "own":
+            return round(s.estimate())
+        return s.cardinality()
+
+    return _pd.Series([one(b) for b in col], dtype="Int64")
+
+
+def hll_union_series(a: "_pd.Series", b: "_pd.Series") -> "_pd.Series":
+    """HLL_UNION(a, b): merge two serialized HLLs of the SAME domain
+    and layout params, emitting the same wire format.  The clearspring
+    murmur domains and the engine xxhash64 domain must never mix in one
+    union — registers built from different hash functions would merge
+    into nonsense — so a mixed pair raises loudly by name."""
+    def one(x, y):
+        if x is None:
+            return None if y is None else bytes(y)
+        if y is None:
+            return bytes(x)
+        da, sa = _load_any_hll(bytes(x))
+        db, sb = _load_any_hll(bytes(y))
+        if da != db:
+            raise ValueError(
+                f"HLL_UNION: mixed sketch domains ({da} vs {db}) — "
+                "clearspring murmur and engine xxhash64 registers cannot "
+                "be merged; re-build one side in the other's format"
+            )
+        merged = sa.merge(sb)
+        return merged.serialize() if da != "own" else merged.to_bytes()
+
+    return _pd.Series([one(x, y) for x, y in zip(a, b)])

@@ -120,7 +120,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "funnel_complete_count", "funnel_match_step", "funnel_max_step",
     "funnel_max_step_pandas", "funnel_step_duration_stats",
     "gapfill_fill_default", "gapfill_fill_previous", "grouping_sets",
-    "having_clause", "hybrid_table_time_boundary", "join_lookup_dimension",
+    "having_clause", "hybrid_table_time_boundary", "join_full_outer",
+    "join_lookup_dimension",
     "join_non_equi_theta", "join_right_outer", "json_index_match",
     "multimodal_feature_extract", "multimodal_gif_tiff_features",
     "multimodal_resize_and_windows", "multimodal_webp_features",
@@ -149,6 +150,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 # proof. Done-criterion (VERDICT r9 item 3): max staleness <= r7.
 _WINDOW_FIRST_TIME = [
     "dialect_raw_theta_bigint_key", "dialect_raw_mv_sketch_grouped",
+    "fn_ds_hll_interop",
 ]
 
 # all 37 round-6-stale greens (stalest evidence in the registry)
@@ -178,7 +180,7 @@ _REPROOF_STALE_R7 = [
     "dialect_pinot_agg_names", "dialect_fn_surface_ext",
     "agg_basic_family", "agg_distinct_family", "dialect_asof_join",
     "dialect_gapfill", "dialect_funnel_count",
-    "window_rank_topn_per_group", "join_full_outer",
+    "window_rank_topn_per_group",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R6 + _REPROOF_STALE_R7

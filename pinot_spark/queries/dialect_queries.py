@@ -877,3 +877,91 @@ def fn_ds_theta_interop(spark, sf_dir):
         FROM __ds_export LIMIT 1
         """
     )
+
+
+def _cs_hll_oracle() -> str:
+    """Literal oracle for the clearspring wire-format interop row: the
+    expected values come from the pure-Python CsHll/CsHllPlus — itself
+    byte-canonical against stream-lib 2.9.8 golden vectors and a live
+    Java round-trip (tests/test_cs_hll.py) — so this driver row proves
+    the Spark plumbing (mapInPandas export partials, SQL scalar surface,
+    per-argument format auto-detection) reproduces those values on real
+    tables."""
+    import json
+    import os
+
+    from pinot_spark.operators.cs_hll import CsHll
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "cs_hll_vectors.json",
+    )
+    vec = json.load(open(vec_path))
+    java_hll = next(
+        v for v in vec["hll"] if v["log2m"] == 12 and v["n"] == 10000 and "kind" not in v
+    )
+    java_hpp = next(
+        v for v in vec["hllplus"] if v["p"] == 14 and v["sp"] == 25 and v.get("n") == 5000
+    )
+    nations = CsHll.build_from_longs(range(25), 8)
+    return f"""
+    SELECT CAST({nations.cardinality()} AS BIGINT) AS nations_est,
+           '{nations.serialize().hex()}' AS nations_hll_hex,
+           CAST({java_hll["card"]} AS BIGINT) AS java_foreign_est,
+           CAST({java_hpp["card"]} AS BIGINT) AS java_hllplus_est,
+           CAST(2 AS BIGINT) AS union_est
+    """
+
+
+@query("fn_ds_hll_interop", oracle=_cs_hll_oracle())
+def fn_ds_hll_interop(spark, sf_dir):
+    """clearspring (stream-lib) HLL WIRE-FORMAT interop (round 10,
+    operators/cs_hll.py): (1) the grouped export operator builds a
+    stream-lib HyperLogLog over n_nationkey — the hex matches the
+    library byte-for-byte and GETHLLESTIMATE auto-detects the foreign
+    layout; (2) PINNED Java-generated sketches — a plain HLL (log2m=12,
+    n=10000) and a sparse HyperLogLogPlus (p=14 sp=25, n=5000), both
+    from stream-lib 2.9.8 — parse and estimate with the library's own
+    Math.round cardinalities — the foreign-read path; (3) singleton
+    clearspring sketches built in SQL union via HLLUNION.  The reference
+    serializes exactly these bytes for its HLL family
+    (ObjectSerDeUtils.java:741-775, SketchFunctions.java:139-162)."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.cs_hll import grouped_cs_hll
+
+    eng = _engine(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+
+    export = grouped_cs_hll(
+        t["nation"].withColumn("__one", F.lit(1)), ["__one"], "n_nationkey", log2m=8
+    ).select(F.lower(F.hex(F.col("cs_hll"))).alias("nations_hll_hex"))
+    export.createOrReplaceTempView("__cs_hll_export")
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "cs_hll_vectors.json",
+    )
+    vec = json.load(open(vec_path))
+    jhll = next(
+        v for v in vec["hll"] if v["log2m"] == 12 and v["n"] == 10000 and "kind" not in v
+    )["bytes"]
+    jhpp = next(
+        v for v in vec["hllplus"] if v["p"] == 14 and v["sp"] == 25 and v.get("n") == 5000
+    )["bytes"]
+
+    return eng.sql(
+        f"""
+        SELECT GETHLLESTIMATE(unhex(nations_hll_hex)) AS nations_est,
+               nations_hll_hex,
+               GETHLLESTIMATE(X'{jhll}') AS java_foreign_est,
+               GETHLLESTIMATE(X'{jhpp}') AS java_hllplus_est,
+               GETHLLESTIMATE(HLLUNION(
+                 TOCLEARSPRINGHLL('interop'),
+                 TOCLEARSPRINGHLL('works'))) AS union_est
+        FROM __cs_hll_export LIMIT 1
+        """
+    )
