@@ -675,8 +675,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # DataSketches register/items wire formats: loud SQL boundary
     # (COVERAGE.md Known gaps) — estimates are served by the non-raw names
     # raw HLL: ENGINE-OWN register bytes (operators/hll.py — log2m byte +
-    # dense registers, merged register-wise; clearspring/DataSketches
-    # binary stays a documented gap). GETHLLESTIMATE is the engine's
+    # dense registers, merged register-wise; TRUE clearspring wire
+    # interop lives in operators/cs_hll.py behind TO_CLEARSPRING_HLL /
+    # HLL_UNION and the auto-detecting reader). GETHLLESTIMATE is the engine's
     # reader extension; optional 2nd arg is log2m (reference default 8,
     # CommonConstants.DEFAULT_HYPERLOGLOG_LOG2M). SCALE SHAPE: values
     # reduce JVM-side to bounded-domain register pairs (_hll_pair_expr)
@@ -2526,6 +2527,22 @@ _RAW_SKETCH_CALL_RE = re.compile(
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)_?MV)\s*\(",
     re.IGNORECASE,
 )
+# raw-sketch names that can appear in WINDOW position (superset of
+# _RAW_SKETCH_CALL_RE: adds the plain HLL/HLLPLUS/ULL and non-MV
+# percentile-raw forms, whose grouped fallbacks are bounded but whose
+# naive OVER() substitution Spark rejects — the scalar wrapper around
+# collect_set cannot carry a window spec)
+_RAW_WINDOW_CALL_RE = re.compile(
+    r"\b(?P<name>DISTINCT_?COUNT_?RAW_?THETA_?SKETCH"
+    r"|DISTINCT_?COUNT_?RAW_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|SUM_?VALUES_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|AVG_?VALUE_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|DISTINCT_?COUNT_?TUPLE_?SKETCH"
+    r"|DISTINCT_?COUNT_?RAW_?HLL(?:_?PLUS)?(?:_?MV)?"
+    r"|DISTINCT_?COUNT_?RAW_?ULL"
+    r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:_?MV)?)\s*\(",
+    re.IGNORECASE,
+)
 _BASIC_AGG_CALL_RE = re.compile(r"\b(?P<name>COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
 # scalar wrappers allowed around the hoisted aggregates in the outer
 # level, plus the final-merge machinery hoisting itself introduces
@@ -4091,12 +4108,118 @@ class PinotEngine:
             view = f"__gapfill_{_ASOF_VIEW_SEQ[0]}"
             self._gapfill(bare[s + 1 : e]).createOrReplaceTempView(view)
             return self.sql(bare[:s] + view + bare[e + 1 :])
+        routed = self._route_raw_sketch_windows(pinot_sql)
+        if routed is not None:
+            return routed
         pinot_sql = self._normalize_sketch_group_keys(pinot_sql)
         routed = self._route_pure_theta_zero_shuffle(pinot_sql)
         if routed is not None:
             return routed
         spark_sql, _options = self.translate(pinot_sql)
         return self.spark.sql(spark_sql)
+
+    def _route_raw_sketch_windows(self, pinot_sql: str) -> DataFrame | None:
+        """Bounded rewrite for RAW-sketch aggregates in window position:
+        ``RAWNAME(args) OVER (PARTITION BY keys)`` computes the sketch
+        per partition via the grouped routes (zero-shuffle map-side
+        combine where canonical; bucketed two-phase otherwise) in a
+        materialized subquery, null-safe LEFT JOINed back on the
+        partition keys — the reference evaluates window aggregations
+        with one aggregation state per partition
+        (pinot-query-runtime .../window/WindowAggregateOperator), so
+        the per-partition sketch IS the window value for an unbounded
+        frame.  ORDER BY / ROWS / RANGE frames (running raw sketches)
+        raise loudly by name: a per-row prefix sketch has no bounded
+        SQL form here.  Without this route, Spark rejects the naive
+        substitution with a misleading MISSING_GROUP_BY (OVER cannot
+        attach to the scalar-wrapped collect_set)."""
+        options, sql = split_options(pinot_sql)
+        if not _RAW_WINDOW_CALL_RE.search(sql) or not re.search(
+            r"\bOVER\s*\(", sql, re.IGNORECASE
+        ):
+            return None
+        sql2 = rewrite_quoted_identifiers(sql)
+        spans = _literal_spans(sql2)
+        hits = []  # (call_start, over_close, call_text, over_body)
+        for m in _RAW_WINDOW_CALL_RE.finditer(sql2):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            close = _find_matching(sql2, m.end() - 1)
+            om = re.match(r"\s*OVER\s*\(", sql2[close + 1 :], re.IGNORECASE)
+            if not om:
+                continue
+            oopen = close + 1 + om.end() - 1
+            oclose = _find_matching(sql2, oopen)
+            hits.append(
+                (m.start(), oclose, sql2[m.start() : close + 1], sql2[oopen + 1 : oclose])
+            )
+        if not hits:
+            return None
+        for *_, over_body in hits:
+            if re.search(r"\bORDER\s+BY\b|\bROWS\b|\bRANGE\b", over_body, re.IGNORECASE):
+                raise NotImplementedError(
+                    "RAW sketch aggregates OVER an ORDER BY / framed window "
+                    "(running sketches) are a named boundary — only "
+                    "partition-unbounded frames (OVER (PARTITION BY ...)) "
+                    "compute, via the bounded grouped routes"
+                )
+        stmt = _parse_canonical_stmt(sql2, allow_join=True)
+        if stmt is None or stmt["group"] or stmt["having"]:
+            raise NotImplementedError(
+                "RAW sketch window aggregates require a canonical "
+                "single-SELECT statement without GROUP BY/HAVING "
+                "(set operations and grouped selects around a raw-sketch "
+                "OVER() have no bounded rewrite)"
+            )
+        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+        where = f" WHERE {stmt['where']}" if stmt["where"] else ""
+        body = sql2.strip().rstrip(";")
+        out_joins: list[str] = []
+        # replace back-to-front so spans stay valid
+        for i, (start, oclose, call_text, over_body) in enumerate(
+            sorted(hits, key=lambda h: -h[0])
+        ):
+            _ASOF_VIEW_SEQ[0] += 1
+            view = f"__rswin_{_ASOF_VIEW_SEQ[0]}"
+            pm = re.match(r"\s*PARTITION\s+BY\s+(.*)$", over_body, re.IGNORECASE | re.DOTALL)
+            if pm:
+                kexprs = [k.strip() for k in _split_args(pm.group(1))]
+            elif over_body.strip():
+                raise NotImplementedError(
+                    "RAW sketch window aggregates accept only "
+                    "OVER (PARTITION BY ...) or the global OVER ()"
+                )
+            else:
+                kexprs = []
+            knames = [f"__rswk_{view[8:]}_{j}" for j in range(len(kexprs))]
+            sel_keys = [f"{e} AS {n}" for e, n in zip(kexprs, knames)]
+            group = f" GROUP BY {', '.join(kexprs)}" if kexprs else ""
+            sub = (
+                f"{prefix}SELECT {', '.join(sel_keys + [f'{call_text} AS __rswv'])} "
+                f"FROM {stmt['table']}{where}{group} LIMIT 2147483647"
+            )
+            self.sql(sub).createOrReplaceTempView(view)
+            cond = (
+                " AND ".join(f"{e} <=> {view}.{n}" for e, n in zip(kexprs, knames))
+                or "true"
+            )
+            out_joins.append(f" LEFT JOIN {view} ON {cond}")
+            body = body[:start] + f"{view}.__rswv" + body[oclose + 1 :]
+        # splice the joins immediately after the FROM source text
+        fm = _parse_canonical_stmt(body, allow_join=True)
+        if fm is None:
+            raise NotImplementedError(
+                "RAW sketch window rewrite produced a non-canonical "
+                "statement — raising instead of executing an unbounded plan"
+            )
+        tail = fm["tail"] or ""
+        outer = (
+            f"{prefix}SELECT {fm['select']} FROM {fm['table']}"
+            + "".join(out_joins)
+            + (f" WHERE {fm['where']}" if fm["where"] else "")
+            + tail
+        )
+        return self.sql(outer)
 
     def _normalize_sketch_group_keys(self, pinot_sql: str) -> str:
         """Rewrite canonical raw-sketch statements whose GROUP BY keys

@@ -11,8 +11,14 @@ self-consistent, not DataSketches-binary-compatible (COVERAGE.md Known
 gaps). Values are hashed JVM-side with xxhash64 before the Arrow-batched
 serializer UDF, so the sketch content matches operators/theta.theta_sketch.
 
-HLL / ULL / CPC byte constructors raise loudly by name: those are
-DataSketches register formats with no engine-own analog here.
+The HLL family additionally gets TRUE wire interop (round 10,
+operators/cs_hll.py — clearspring stream-lib, the library the reference
+actually serializes): cs_hll_single_series / cs_hllpp_single_series
+emit byte-canonical foreign payloads, cs_hll_estimate_series
+auto-detects clearspring plain/plus vs engine-own bytes, and
+hll_union_series merges within a hash domain (mixed domains raise
+loudly).  ULL (hash4j) and CPC byte constructors still raise loudly by
+name: those foreign register formats have no engine-own analog here.
 """
 
 from __future__ import annotations

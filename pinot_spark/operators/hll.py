@@ -7,8 +7,10 @@ SketchFunctions.java:139-162 — the reference serializes
 com.clearspring HyperLogLog). This is the PUBLIC Flajolet et al.
 HyperLogLog algorithm with linear-counting small-range correction —
 engine-own wire format (log2m byte + raw registers), mergeable
-(register-wise max) and self-consistent with functions/sketches.py,
-NOT clearspring/DataSketches binary-compatible (COVERAGE.md Known gaps).
+(register-wise max) and self-consistent with functions/sketches.py —
+NOT clearspring-binary itself; the byte-compatible clearspring
+HLL/HLL++ interop (what a real cluster exchanges) is
+operators/cs_hll.py, and readers auto-detect the two formats.
 
 Hash domain: unsigned-64 mapped from signed xxhash64 by the same
 order-preserving +2^63 shift the theta/tuple sketches use — the top

@@ -138,7 +138,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "timeseries_m3ql_pipeline", "timeseries_range_query", "unnest_explode",
     "unnest_posexplode_zip", "upsert_latest_per_key", "values_literal",
     "window_first_last_ntile", "window_frame_exclude", "window_lead_lag",
-    "window_percent_cume", "window_range_frame", "window_running_sum",
+    "window_percent_cume", "window_range_frame",
+    "window_rank_topn_per_group", "window_running_sum",
     "window_sliding_rows_frame",
 ]
 
@@ -150,7 +151,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 # proof. Done-criterion (VERDICT r9 item 3): max staleness <= r7.
 _WINDOW_FIRST_TIME = [
     "dialect_raw_theta_bigint_key", "dialect_raw_mv_sketch_grouped",
-    "fn_ds_hll_interop",
+    "fn_ds_hll_interop", "dialect_raw_sketch_window",
 ]
 
 # all 37 round-6-stale greens (stalest evidence in the registry)
@@ -180,7 +181,6 @@ _REPROOF_STALE_R7 = [
     "dialect_pinot_agg_names", "dialect_fn_surface_ext",
     "agg_basic_family", "agg_distinct_family", "dialect_asof_join",
     "dialect_gapfill", "dialect_funnel_count",
-    "window_rank_topn_per_group",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R6 + _REPROOF_STALE_R7

@@ -965,3 +965,45 @@ def fn_ds_hll_interop(spark, sf_dir):
         FROM __cs_hll_export LIMIT 1
         """
     )
+
+
+@query(
+    "dialect_raw_sketch_window",
+    oracle="""
+    SELECT o.o_orderkey,
+           g.dc AS prio_dc,
+           h.dc AS ship_dc
+    FROM orders o
+    JOIN (SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS dc
+          FROM orders WHERE o_orderkey <= 2000
+          GROUP BY o_orderstatus) g
+      ON o.o_orderstatus = g.o_orderstatus
+    CROSS JOIN (SELECT COUNT(DISTINCT o_orderstatus) AS dc
+                FROM orders WHERE o_orderkey <= 2000) h
+    WHERE o.o_orderkey <= 2000
+    ORDER BY o.o_orderkey LIMIT 25
+    """,
+)
+def dialect_raw_sketch_window(spark, sf_dir):
+    """RAW-sketch aggregates in WINDOW position (round 10, dialect.py
+    _route_raw_sketch_windows): ``RAW...(x) OVER (PARTITION BY k)``
+    computes the per-partition sketch via the bounded grouped routes
+    (zero-shuffle map-side combine for theta) in a materialized
+    subquery null-safe-joined back — one aggregation state per
+    partition, the reference's window-aggregate semantics
+    (pinot-query-runtime WindowAggregateOperator); the global OVER ()
+    frame rides the same route with a single group.  Cardinalities stay
+    in the exact regime (<=5 distinct priorities, k=4096; <=3
+    distinct statuses at log2m=12) so the estimates equal the oracle's exact distinct
+    counts.  ORDER BY / framed raw windows raise loudly by name
+    (tests/test_raw_sketch_windows.py)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "o_orderpriority) OVER (PARTITION BY o_orderstatus)) AS BIGINT) "
+        "  AS prio_dc, "
+        "GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(o_orderstatus, 12) OVER ()) "
+        "  AS ship_dc "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "ORDER BY o_orderkey LIMIT 25"
+    )
