@@ -706,6 +706,17 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         )
     ),
     "hllunion": lambda a: f"__hll_union({a[0]}, {a[1]})",
+    # engine extensions: DataSketches KLL doubles-sketch wire interop
+    # (operators/ds_kll.py — the layout PERCENTILEKLL exchanges,
+    # ObjectSerDeUtils.KLL_SKETCH_SER_DE); GETTDIGESTQUANTILE
+    # auto-detects foreign KLL blobs vs engine-own t-digest bytes
+    "todatasketcheskll": lambda a: (
+        "__ds_kll_single(CAST({0} AS DOUBLE), {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 200
+        )
+    ),
+    "kllmerge": lambda a: f"__ds_kll_merge({a[0]}, {a[1]})",
+    "kllquantile": lambda a: f"__ds_kll_quantile({a[0]}, CAST({a[1]} AS DOUBLE))",
     "tohll": lambda a: (
         "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64({0}) END, {1})".format(
@@ -2554,6 +2565,7 @@ _RS_SCALAR_ALLOW = {
     "sum", "count", "min", "max",
     "gethllestimate", "getullestimate", "gettdigestquantile",
     "toclearspringhll", "toclearspringhllplus", "hllunion",
+    "todatasketcheskll", "kllmerge", "kllquantile",
     # structural SQL keywords the call-shaped regex also matches when a
     # paren follows (AND (expr), CASE WHEN (..) ...) — not functions
     "and", "or", "not", "in", "when", "then", "else", "case", "between",
@@ -3169,6 +3181,7 @@ _RS_INEXPR_ALLOW = {
     "gettdigestquantile", "tointegersumtuplesketch", "tothetasketch",
     "todatasketchestheta", "todatasketchestuple",
     "toclearspringhll", "toclearspringhllplus", "hllunion",
+    "todatasketcheskll", "kllmerge", "kllquantile",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3646,6 +3659,24 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
         return hll_union_series(a, b)
 
     @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_kll_single(v, k):
+        from pinot_spark.functions.sketches import ds_kll_single_series
+
+        return ds_kll_single_series(v, int(k.iloc[0]) if len(k) else 200)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_kll_merge(a, b):
+        from pinot_spark.functions.sketches import ds_kll_merge_series
+
+        return ds_kll_merge_series(a, b)
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def __ds_kll_quantile(b, p):
+        from pinot_spark.functions.sketches import ds_kll_quantile_series
+
+        return ds_kll_quantile_series(b, p)
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
     def __tdigest_from_values(arrs):
         def run(vals):
             td = TDigest()
@@ -3741,12 +3772,11 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
     @pandas_udf("double", PandasUDFType.SCALAR)
     def __tdigest_quantile(b, pct):
-        def run(x, p):
-            if x is None or p is None:
-                return None
-            return TDigest.from_bytes(bytes(x)).quantile(float(p) / 100.0)
+        # auto-detects foreign DataSketches KLL blobs (family-15
+        # preamble, operators/ds_kll.py) vs engine-own t-digest bytes
+        from pinot_spark.functions.sketches import tdigest_quantile_any_series
 
-        return pd.Series([run(x, p) for x, p in zip(b, pct)])
+        return tdigest_quantile_any_series(b, pct)
 
     # ---- bounded GROUPED_AGG partials (two-phase inner / in-expression
     # path for pure-sketch statements). Persistent aggregation state is
@@ -3872,6 +3902,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__cs_hll_single", __cs_hll_single)
     spark.udf.register("__cs_hllpp_single", __cs_hllpp_single)
     spark.udf.register("__hll_union", __hll_union)
+    spark.udf.register("__ds_kll_single", __ds_kll_single)
+    spark.udf.register("__ds_kll_merge", __ds_kll_merge)
+    spark.udf.register("__ds_kll_quantile", __ds_kll_quantile)
     spark.udf.register("__theta_from_hashes", __theta_from_hashes)
     spark.udf.register("__theta_diff", __theta_diff)
     spark.udf.register("__theta_union", __theta_union)

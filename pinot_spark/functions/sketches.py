@@ -590,3 +590,75 @@ def hll_union_series(a: "_pd.Series", b: "_pd.Series") -> "_pd.Series":
         return merged.serialize() if da != "own" else merged.to_bytes()
 
     return _pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# DataSketches KLL doubles-sketch wire-format interop (operators/ds_kll.py)
+# — the layout PERCENTILEKLL exchanges (ObjectSerDeUtils.KLL_SKETCH_SER_DE
+# wraps KllDoublesSketch.toByteArray()).  Engine-own t-digest bytes keep
+# serving the raw-percentile two-phase; readers auto-detect which format
+# a blob carries (the KLL family id 15 preamble vs the t-digest's
+# leading IEEE-double compression factor).
+# ---------------------------------------------------------------------------
+
+
+def ds_kll_single_series(v: "_pd.Series", k: int) -> "_pd.Series":
+    """Single-item (or empty, for NULL/NaN) KllDoublesSketch bytes per
+    value — the single-item serialized form is fully canonical."""
+    from pinot_spark.operators.ds_kll import DsKllSketch
+
+    def one(x):
+        s = DsKllSketch.empty(k)
+        if x is not None and not (isinstance(x, float) and np.isnan(x)):
+            s.update(float(x))
+        return s.serialize()
+
+    return _pd.Series([one(x) for x in v])
+
+
+def ds_kll_merge_series(a: "_pd.Series", b: "_pd.Series") -> "_pd.Series":
+    from pinot_spark.operators.ds_kll import DsKllSketch
+
+    def one(x, y):
+        if x is None:
+            return None if y is None else bytes(y)
+        if y is None:
+            return bytes(x)
+        return DsKllSketch.parse(bytes(x)).merge(DsKllSketch.parse(bytes(y))).serialize()
+
+    return _pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+def ds_kll_quantile_series(col: "_pd.Series", pct: "_pd.Series") -> "_pd.Series":
+    """KLL_QUANTILE(bytes, percentile 0-100) — Java-identical inclusive
+    quantiles over parsed KllDoublesSketch bytes."""
+    from pinot_spark.operators.ds_kll import DsKllSketch
+
+    def one(b, p):
+        if b is None or p is None:
+            return None
+        s = DsKllSketch.parse(bytes(b))
+        if s.n == 0:
+            return None
+        return s.quantile(float(p) / 100.0)
+
+    return _pd.Series([one(b, p) for b, p in zip(col, pct)], dtype="float64")
+
+
+def tdigest_quantile_any_series(col: "_pd.Series", pct: "_pd.Series") -> "_pd.Series":
+    """GETTDIGESTQUANTILE over any quantile-sketch payload — auto-detects
+    foreign DataSketches KLL bytes (family-15 preamble) vs the
+    engine-own t-digest blob."""
+    from pinot_spark.operators.ds_kll import DsKllSketch, is_ds_kll_bytes
+    from pinot_spark.operators.tdigest import TDigest
+
+    def one(b, p):
+        if b is None or p is None:
+            return None
+        bb = bytes(b)
+        if is_ds_kll_bytes(bb):
+            s = DsKllSketch.parse(bb)
+            return None if s.n == 0 else s.quantile(float(p) / 100.0)
+        return TDigest.from_bytes(bb).quantile(float(p) / 100.0)
+
+    return _pd.Series([one(b, p) for b, p in zip(col, pct)], dtype="float64")

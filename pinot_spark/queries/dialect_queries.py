@@ -1007,3 +1007,81 @@ def dialect_raw_sketch_window(spark, sf_dir):
         "FROM orders WHERE o_orderkey <= 2000 "
         "ORDER BY o_orderkey LIMIT 25"
     )
+
+
+def _ds_kll_oracle() -> str:
+    """Literal oracle for the KLL wire-format interop row: expected
+    values come from the pure-Python DsKllSketch — byte-canonical
+    against datasketches-java 6.2.0 golden vectors and a live Java
+    round-trip (tests/test_ds_kll.py)."""
+    import json
+    import os
+
+    from pinot_spark.operators.ds_kll import DsKllSketch
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_kll_vectors.json",
+    )
+    java10k = next(
+        v for v in json.load(open(vec_path))["sketches"]
+        if v["k"] == 200 and v["n"] == 10000 and "kind" not in v
+    )
+    nations = DsKllSketch.build_from_values(float(i) for i in range(25))
+    return f"""
+    SELECT CAST(12.0 AS DOUBLE) AS nations_p50,
+           '{nations.serialize().hex()}' AS nations_kll_hex,
+           CAST({java10k["quantiles"][2]} AS DOUBLE) AS java_foreign_p50,
+           CAST({java10k["quantiles"][4]} AS DOUBLE) AS java_foreign_p99,
+           CAST(9.0 AS DOUBLE) AS merge_max
+    """
+
+
+@query("fn_ds_kll_interop", oracle=_ds_kll_oracle())
+def fn_ds_kll_interop(spark, sf_dir):
+    """DataSketches KLL doubles-sketch WIRE-FORMAT interop (round 10,
+    operators/ds_kll.py): (1) the grouped export operator builds a
+    KllDoublesSketch over the 25 nation keys — no-compaction regime, so
+    the hex is byte-canonical with datasketches-java and KLL_QUANTILE
+    reads the exact median; (2) a PINNED Java-generated multi-level
+    sketch (k=200, n=10000, library-compacted) is parsed and queried
+    with the library's own inclusive-rank quantiles — the foreign-read
+    path (GETTDIGESTQUANTILE auto-detects the KLL preamble too);
+    (3) single-item sketches built in SQL merge via KLL_MERGE.
+    Reference surface: ObjectSerDeUtils.KLL_SKETCH_SER_DE wraps
+    KllDoublesSketch.toByteArray() (ObjectSerDeUtils.java:1176+)."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.ds_kll import grouped_ds_kll
+
+    eng = _engine(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+
+    export = grouped_ds_kll(
+        t["nation"].withColumn("__one", F.lit(1)), ["__one"], "n_nationkey"
+    ).select(F.lower(F.hex(F.col("ds_kll"))).alias("nations_kll_hex"))
+    export.createOrReplaceTempView("__kll_export")
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_kll_vectors.json",
+    )
+    jhex = next(
+        v for v in json.load(open(vec_path))["sketches"]
+        if v["k"] == 200 and v["n"] == 10000 and "kind" not in v
+    )["bytes"]
+
+    return eng.sql(
+        f"""
+        SELECT KLL_QUANTILE(unhex(nations_kll_hex), 50) AS nations_p50,
+               nations_kll_hex,
+               KLL_QUANTILE(X'{jhex}', 50) AS java_foreign_p50,
+               GETTDIGESTQUANTILE(X'{jhex}', 99) AS java_foreign_p99,
+               KLL_QUANTILE(KLL_MERGE(TO_DATA_SKETCHES_KLL(1),
+                                      TO_DATA_SKETCHES_KLL(9)), 100) AS merge_max
+        FROM __kll_export LIMIT 1
+        """
+    )

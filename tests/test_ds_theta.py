@@ -271,12 +271,21 @@ def test_tuple_sql_foreign_blob_aggregation(spark):
 
 
 @pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
-def test_tuple_java_round_trip(tmp_path):
+@pytest.mark.parametrize(
+    "k,n",
+    [
+        (64, 5000),  # deep estimating mode at small k
+        (4096, 3000),  # EXACT regime at the engine-default k
+        (4096, 10000),  # estimating mode at the engine-default k — the
+        # larger-k leg of the writer's sorted-equivalence claim (Java
+        # stores tuple entries in hash-table slot order; the writer
+        # emits the sorted equivalent the library must accept)
+    ],
+)
+def test_tuple_java_round_trip(tmp_path, k, n):
     from pinot_spark.operators.ds_theta import DsTupleSketch
 
-    sk = DsTupleSketch.build_from_pairs(
-        range(5000), [i % 7 for i in range(5000)], k=64
-    )
+    sk = DsTupleSketch.build_from_pairs(range(n), [i % 7 for i in range(n)], k=k)
     (tmp_path / "py_tuple.bin").write_bytes(sk.serialize())
     src = tmp_path / "TRT.java"
     src.write_text(
