@@ -753,14 +753,26 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcountrawcpcsketch": _sql_gap(
         "DISTINCTCOUNTRAWCPCSKETCH", "DataSketches CPC wire format is a documented gap"
     ),
-    "frequentstringssketch": _sql_gap(
-        "FREQUENTSTRINGSSKETCH", "DataSketches ItemsSketch wire format is a documented "
-        "gap — FREQUENTSTRINGS serves the same top-k answer"
+    # DataSketches frequencies aggregations (round 10,
+    # operators/ds_freq.py — LongsSketch / ItemsSketch<String> wire
+    # formats, Java-parity reverse-purge semantics): canonical grouped
+    # statements take the bounded two-phase (_rs_pandas_forms); these
+    # map entries are the single-level GROUPED_AGG fallback.  BYTES
+    # inputs merge as foreign sketches (the reference's contract).
+    # FREQUENT_STRINGS_ESTIMATE / FREQUENT_LONGS_ESTIMATE are the
+    # engine's reader extensions.
+    "frequentstringssketch": lambda a: (
+        "__freq_str_partial({0}, {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 256
+        )
     ),
-    "frequentlongssketch": _sql_gap(
-        "FREQUENTLONGSSKETCH", "DataSketches ItemsSketch wire format is a documented "
-        "gap — FREQUENTLONGS serves the same top-k answer"
+    "frequentlongssketch": lambda a: (
+        "__freq_long_partial({0}, {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 256
+        )
     ),
+    "frequentstringsestimate": lambda a: f"__freq_str_estimate({a[0]}, {a[1]})",
+    "frequentlongsestimate": lambda a: f"__freq_long_estimate({a[0]}, {a[1]})",
     # raw percentile sketches: ENGINE-OWN t-digest bytes (operators/
     # tdigest.py wire format — k/n/means/weights; merging-compatible with
     # tdigest_sketch and agg_raw_sketch_bytes). The reference emits
@@ -2478,7 +2490,10 @@ _THETA_SQL_RE = re.compile(
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE"
     r"|DISTINCT_?COUNT_?RAW_?HLL(?:PLUS)?(?:MV|_MV)?|TO_?HLL|GET_?HLL_?ESTIMATE"
     r"|JSON_?EXTRACT_?KEY|DISTINCT_?COUNT_?(?:RAW_?)?ULL|TO_?ULL"
-    r"|GET_?ULL_?ESTIMATE)\s*\(",
+    r"|GET_?ULL_?ESTIMATE"
+    r"|TO_?CLEARSPRING_?HLL(?:_?PLUS)?|HLL_?UNION"
+    r"|TO_?DATA_?SKETCHES_?KLL|KLL_?MERGE|KLL_?QUANTILE"
+    r"|FREQUENT_?(?:STRINGS|LONGS)_?(?:SKETCH|ESTIMATE))\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2535,6 +2550,7 @@ _RAW_SKETCH_CALL_RE = re.compile(
     r"|AVG_?VALUE_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|DISTINCT_?COUNT_?TUPLE_?SKETCH"
     r"|DISTINCT_?COUNT_?RAW_?HLL(?:_?PLUS)?_?MV"
+    r"|FREQUENT_?STRINGS_?SKETCH|FREQUENT_?LONGS_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)_?MV)\s*\(",
     re.IGNORECASE,
 )
@@ -2551,6 +2567,7 @@ _RAW_WINDOW_CALL_RE = re.compile(
     r"|DISTINCT_?COUNT_?TUPLE_?SKETCH"
     r"|DISTINCT_?COUNT_?RAW_?HLL(?:_?PLUS)?(?:_?MV)?"
     r"|DISTINCT_?COUNT_?RAW_?ULL"
+    r"|FREQUENT_?STRINGS_?SKETCH|FREQUENT_?LONGS_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:_?MV)?)\s*\(",
     re.IGNORECASE,
 )
@@ -2566,6 +2583,7 @@ _RS_SCALAR_ALLOW = {
     "gethllestimate", "getullestimate", "gettdigestquantile",
     "toclearspringhll", "toclearspringhllplus", "hllunion",
     "todatasketcheskll", "kllmerge", "kllquantile",
+    "frequentstringsestimate", "frequentlongsestimate",
     # structural SQL keywords the call-shaped regex also matches when a
     # paren follows (AND (expr), CASE WHEN (..) ...) — not functions
     "and", "or", "not", "in", "when", "then", "else", "case", "between",
@@ -2759,6 +2777,17 @@ def _rs_pandas_forms(name: str, args: list[str], n: int) -> tuple[str, str]:
         return (
             f"__theta_partial({hi}, {lo}, {k})",
             f"__theta_merge_blobs(collect_list(__rs{n}))",
+        )
+    if name in ("frequentstringssketch", "frequentlongssketch"):
+        mm = (
+            args[1].strip()
+            if len(args) > 1 and args[1].strip().isdigit()
+            else "256"
+        )
+        fl = "str" if name == "frequentstringssketch" else "long"
+        return (
+            f"__freq_{fl}_partial({a0}, {mm})",
+            f"__freq_{fl}_merge(collect_list(__rs{n}))",
         )
     merged = f"__tuple_merge_sum(collect_list(__rs{n}))"
     return (
@@ -3182,6 +3211,7 @@ _RS_INEXPR_ALLOW = {
     "todatasketchestheta", "todatasketchestuple",
     "toclearspringhll", "toclearspringhllplus", "hllunion",
     "todatasketcheskll", "kllmerge", "kllquantile",
+    "frequentstringsestimate", "frequentlongsestimate",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3211,6 +3241,10 @@ def _inexpr_udaf_expr(name: str, args: list[str]) -> str:
         return f"__tuple_avg_value(__tuple_partial({a0}))"
     if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
         return f"__tdigest_partial({a0})"
+    if name in ("frequentstringssketch", "frequentlongssketch"):
+        mm = args[1].strip() if len(args) > 1 and args[1].strip().isdigit() else "256"
+        fl = "str" if name == "frequentstringssketch" else "long"
+        return f"__freq_{fl}_partial({a0}, {mm})"
     # distinctcountrawhllmv / plusmv
     log2m = (
         int(args[1].strip())
@@ -3853,8 +3887,98 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             np.maximum.at(s.registers, p >> 6, (p & 63).astype(np.uint8))
         return s.to_bytes()
 
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __freq_long_partial(vals, mm):
+        # DataSketches frequencies partial (operators/ds_freq.py):
+        # numeric values update the reverse-purge map; BYTES values are
+        # serialized foreign sketches and MERGE (the reference's
+        # BYTES-column contract, FrequentLongsSketchAggregationFunction)
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        m = int(mm.iloc[0]) if len(mm) else 256
+        s = DsFrequentSketch.empty(m)
+        for v in vals:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, (bytes, bytearray)):
+                s = s.merge(DsFrequentSketch.parse(bytes(v), strings=False))
+            else:
+                s.update(int(v))
+        return s.serialize()
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __freq_str_partial(vals, mm):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        m = int(mm.iloc[0]) if len(mm) else 256
+        s = DsFrequentSketch.empty(m)
+        for v in vals:
+            if v is None:
+                continue
+            if isinstance(v, (bytes, bytearray)):
+                s = s.merge(DsFrequentSketch.parse(bytes(v), strings=True))
+            else:
+                s.update(str(v))
+        return s.serialize()
+
     # ---- scalar merges over the BOUNDED (≤ fanout) partial-blob lists
     # the two-phase outer level collects
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __freq_long_merge(arrs):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        def run(lst):
+            acc = None
+            for b in (lst if lst is not None else []):
+                if b is None:
+                    continue
+                s = DsFrequentSketch.parse(bytes(b), strings=False)
+                acc = s if acc is None else acc.merge(s)
+            return (acc or DsFrequentSketch.empty()).serialize()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __freq_str_merge(arrs):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        def run(lst):
+            acc = None
+            for b in (lst if lst is not None else []):
+                if b is None:
+                    continue
+                s = DsFrequentSketch.parse(bytes(b), strings=True)
+                acc = s if acc is None else acc.merge(s)
+            return (acc or DsFrequentSketch.empty()).serialize()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __freq_long_estimate(b, item):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        return pd.Series(
+            [
+                None if x is None or i is None
+                else DsFrequentSketch.parse(bytes(x), strings=False).estimate(int(i))
+                for x, i in zip(b, item)
+            ],
+            dtype="Int64",
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __freq_str_estimate(b, item):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        return pd.Series(
+            [
+                None if x is None or i is None
+                else DsFrequentSketch.parse(bytes(x), strings=True).estimate(str(i))
+                for x, i in zip(b, item)
+            ],
+            dtype="Int64",
+        )
+
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __theta_merge_blobs(arrs):
         def run(lst):
@@ -3884,6 +4008,12 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__theta_partial", __theta_partial)
     spark.udf.register("__tuple_partial", __tuple_partial)
     spark.udf.register("__tdigest_partial", __tdigest_partial)
+    spark.udf.register("__freq_long_partial", __freq_long_partial)
+    spark.udf.register("__freq_str_partial", __freq_str_partial)
+    spark.udf.register("__freq_long_merge", __freq_long_merge)
+    spark.udf.register("__freq_str_merge", __freq_str_merge)
+    spark.udf.register("__freq_long_estimate", __freq_long_estimate)
+    spark.udf.register("__freq_str_estimate", __freq_str_estimate)
     spark.udf.register("__hll_mv_partial", __hll_mv_partial)
     spark.udf.register("__theta_merge_blobs", __theta_merge_blobs)
     spark.udf.register("__hll_merge_blobs", __hll_merge_blobs)

@@ -1085,3 +1085,68 @@ def fn_ds_kll_interop(spark, sf_dir):
         FROM __kll_export LIMIT 1
         """
     )
+
+
+def _ds_freq_oracle() -> str:
+    """Literal-joined oracle for the frequencies wire-format interop
+    row: the Java foreign estimate is pinned from the golden vectors
+    (tests/test_ds_freq.py proves build parity and the live Java
+    round-trip); the grouped estimates are EXACT because 5 distinct
+    priorities never purge at maxMapSize 64."""
+    import json
+    import os
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_freq_vectors.json",
+    )
+    v = next(
+        x for x in json.load(open(vec_path))["longs"]
+        if x["maxMapSize"] == 64 and x.get("n") == 20000
+    )
+    return f"""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS e_urgent,
+           CAST({v["est1"]} AS BIGINT) AS java_foreign_est1,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10
+    """
+
+
+@query("fn_ds_freq_interop", oracle=_ds_freq_oracle())
+def fn_ds_freq_interop(spark, sf_dir):
+    """DataSketches FREQUENT-ITEMS wire-format interop (round 10,
+    operators/ds_freq.py): FREQUENT_STRINGS_SKETCH aggregates per group
+    through the bounded two-phase (mixed with COUNT — the split
+    machinery), FREQUENT_STRINGS_ESTIMATE reads the resulting
+    ItemsSketch<String> bytes (exact here: 5 distinct priorities never
+    purge at maxMapSize 64), and a PINNED Java-generated LongsSketch
+    (maxMapSize=64, n=20000, post-purge) estimates with the library's
+    own upper-bound estimator.  Reference surface:
+    FrequentStringsSketchAggregationFunction / Frequent
+    LongsSketchAggregationFunction (BYTES inputs merge as serialized
+    sketches), ObjectSerDeUtils.FREQUENT_LONGS_SKETCH_SER_DE."""
+    import json
+    import os
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_freq_vectors.json",
+    )
+    v = next(
+        x for x in json.load(open(vec_path))["longs"]
+        if x["maxMapSize"] == 64 and x.get("n") == 20000
+    )
+    return _engine(spark, sf_dir).sql(
+        f"""
+        SELECT o_orderstatus,
+               FREQUENT_STRINGS_ESTIMATE(
+                 FREQUENT_STRINGS_SKETCH(o_orderpriority, 64), '1-URGENT')
+                 AS e_urgent,
+               FREQUENT_LONGS_ESTIMATE(X'{v["bytes"]}', 1)
+                 AS java_foreign_est1,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10
+        """
+    )

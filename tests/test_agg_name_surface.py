@@ -91,11 +91,25 @@ def test_idset_sql_form(spark, at):
 
 @pytest.mark.parametrize(
     "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWCPCSKETCH(k)", "FROMULL(CAST(k AS BINARY))",
-             "FREQUENTSTRINGSSKETCH(k)", "PINOTCHILDAGGEXPRMIN(1, v, k)"],
+             "PINOTCHILDAGGEXPRMIN(1, v, k)"],
 )
 def test_documented_gap_names_raise_loudly(spark, at, expr):
     with pytest.raises(PinotSqlError):
         at.sql(f"SELECT {expr} FROM agg_names_t")
+
+
+def test_frequent_sketch_names_now_execute(spark, at):
+    """FREQUENTSTRINGSSKETCH retired its documented-gap entry in round
+    10 (operators/ds_freq.py): it aggregates to real DataSketches
+    ItemsSketch<String> bytes and the reader estimates from them."""
+    r = at.sql(
+        "SELECT FREQUENT_STRINGS_ESTIMATE(FREQUENTSTRINGSSKETCH(k), 'a') AS e "
+        "FROM agg_names_t"
+    ).collect()[0]
+    exact = at.spark.sql(
+        "SELECT sum(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS n FROM agg_names_t"
+    ).collect()[0].n
+    assert r.e == exact
 
 
 def test_sum_array_sql_forms(spark, at):
