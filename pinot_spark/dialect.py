@@ -2846,6 +2846,14 @@ def _zs_descriptor(name: str, args: list[str]):
         return ("hll", args[0].strip(), log2m)
     if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
         return ("tdigest", args[0].strip())
+    if name in ("frequentstringssketch", "frequentlongssketch"):
+        mm = (
+            int(args[1].strip())
+            if len(args) > 1 and args[1].strip().isdigit()
+            else 256
+        )
+        kind = "freq_str" if name == "frequentstringssketch" else "freq_long"
+        return (kind, args[0].strip(), mm)
     return None
 
 
@@ -2858,6 +2866,10 @@ def _zs_final(name: str, col: str) -> str:
         return f"__hll_merge_blobs(collect_list({col}))"
     if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
         return f"__tdigest_merge(collect_list({col}))"
+    if name == "frequentstringssketch":
+        return f"__freq_str_merge(collect_list({col}))"
+    if name == "frequentlongssketch":
+        return f"__freq_long_merge(collect_list({col}))"
     merged = f"__tuple_merge_sum(collect_list({col}))"
     return {
         "distinctcountrawintegersumtuplesketch": merged,
@@ -4543,6 +4555,18 @@ class PinotEngine:
             exact BIGINT value column), build the mapInPandas grouped
             partials, register the temp view."""
             try:
+                def arg_type(expr: str) -> str:
+                    probe = (
+                        f"SELECT ({expr}) AS __p FROM {stmt['table']} LIMIT 0"
+                    )
+                    probe = rewrite_array_constructor(probe)
+                    probe = rewrite_functions(probe)
+                    probe = rewrite_cast_types(probe)
+                    return (
+                        self.spark.sql(probe)
+                        .schema["__p"].dataType.simpleString()
+                    )
+
                 sel = list(keys)
                 op_calls: list[tuple] = []
                 for i, d in enumerate(zs_calls):
@@ -4564,6 +4588,29 @@ class PinotEngine:
                     elif d[0] == "tdigest":
                         sel += [f"CAST({d[1]} AS ARRAY<DOUBLE>) AS __td{i}"]
                         op_calls.append(("tdigest", f"__td{i}"))
+                    elif d[0] in ("freq_str", "freq_long"):
+                        # the frequencies partial needs RAW values; a
+                        # BYTES column means serialized foreign sketches
+                        # (merge semantics) and a non-matching type means
+                        # the statement wants the UDAF path — both
+                        # decline to the bounded SQL two-phase
+                        t = arg_type(d[1])
+                        if d[0] == "freq_str":
+                            if t != "string":
+                                return None
+                            sel += [f"({d[1]}) AS __fs{i}"]
+                            op_calls.append(("freq_str", f"__fs{i}", d[2]))
+                        else:
+                            if t not in ("tinyint", "smallint", "int", "bigint"):
+                                return None
+                            vc = f"CAST({d[1]} AS BIGINT)"
+                            sel += [
+                                f"shiftright({vc}, 32) AS __fhi{i}",
+                                f"({vc} & 4294967295) AS __flo{i}",
+                            ]
+                            op_calls.append(
+                                ("freq_long", f"__fhi{i}", f"__flo{i}", d[2])
+                            )
                     else:  # tuple: (kind, keyexpr, valexpr, k)
                         hi, lo = _split_hash_expr(d[1])
                         # the value also splits into 32-bit halves — a
@@ -4710,6 +4757,7 @@ class PinotEngine:
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
                     "hllmergeblobs", "tdigestmerge",
+                    "freqstrmerge", "freqlongmerge",
                 ):
                     return None
             rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
@@ -4724,6 +4772,7 @@ class PinotEngine:
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
                     "hllmergeblobs", "tdigestmerge",
+                    "freqstrmerge", "freqlongmerge",
                 ):
                     return None
         if not calls:

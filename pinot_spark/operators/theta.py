@@ -271,6 +271,37 @@ def grouped_sketch_partials(
                             if len(v):
                                 td.add(v.tolist())
                         continue
+                    if kind == "freq_str":
+                        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+                        fs = slot[i]
+                        if fs is None:
+                            fs = slot[i] = DsFrequentSketch.empty(call[2])
+                        col = g[call[1]].dropna()
+                        if len(col):
+                            # batch-level exact pre-aggregation: one
+                            # weighted update per distinct value
+                            vals, cnts = np.unique(
+                                col.to_numpy(dtype=object), return_counts=True
+                            )
+                            for v, c in zip(vals, cnts):
+                                fs.update(str(v), int(c))
+                        continue
+                    if kind == "freq_long":
+                        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+                        fs = slot[i]
+                        if fs is None:
+                            fs = slot[i] = DsFrequentSketch.empty(call[3])
+                        u, _m = _u64_of(g, call[1], call[2])
+                        if len(u):
+                            # halves arrive hash-shifted by _u64_of; undo
+                            # the sign shift to recover the raw int64
+                            raw = (u ^ np.uint64(1 << 63)).view(np.int64)
+                            vals, cnts = np.unique(raw, return_counts=True)
+                            for v, c in zip(vals, cnts):
+                                fs.update(int(v), int(c))
+                        continue
                     hi_c, lo_c, k = call[1], call[2], call[3]
                     if kind == "theta":
                         u, _ = _u64_of(g, hi_c, lo_c)
@@ -327,6 +358,22 @@ def grouped_sketch_partials(
                     td = slots[i] if slots[i] is not None else TDigest()
                     row.append(td.to_bytes())
                     continue
+                if kind == "freq_str":
+                    from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+                    fs = slots[i]
+                    if fs is None:
+                        fs = DsFrequentSketch.empty(call[2])
+                    row.append(fs.serialize())
+                    continue
+                if kind == "freq_long":
+                    from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+                    fs = slots[i]
+                    if fs is None:
+                        fs = DsFrequentSketch.empty(call[3])
+                    row.append(fs.serialize())
+                    continue
                 k = call[3]
                 if kind == "theta":
                     cand = slots[i]
@@ -371,7 +418,7 @@ def grouped_sketch_partials(
 
     needed = list(keys)
     for call in calls:
-        if call[0] in ("hll", "tdigest"):
+        if call[0] in ("hll", "tdigest", "freq_str"):
             needed.append(call[1])
             continue
         needed += [call[1], call[2]]

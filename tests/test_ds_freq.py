@@ -230,3 +230,69 @@ def test_sql_bytes_column_merges_as_sketches(spark):
         "FROM freq_blobs LIMIT 1"
     ).collect()[0].e
     assert got == 3
+
+
+# ---------------------------------------------------------------------------
+# zero-shuffle routing (plan gates)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_freq_grouped_takes_zero_shuffle_route(spark, sf_dir):
+    """Canonical FREQUENT_*_SKETCH statements ride the grouped-partials
+    mapInPandas route — no pmod bucket column, no GROUPED_AGG pandas
+    inner — pure AND mixed with native aggregates; values equal the
+    bucketed path's (both exact below the purge threshold)."""
+    from pinot_spark.catalog import load_tables
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    df = eng.sql(
+        "SELECT o_orderstatus, FREQUENT_STRINGS_ESTIMATE("
+        "FREQUENT_STRINGS_SKETCH(o_orderpriority, 64), '1-URGENT') AS e "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10"
+    )
+    p = _plan(df)
+    assert "MapInPandas" in p and "pmod" not in p, p
+    assert "FlatMapGroupsInPandas" not in p, p
+    exact = {
+        r.o_orderstatus: r.u
+        for r in spark.sql(
+            "SELECT o_orderstatus, "
+            "sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS u "
+            "FROM orders GROUP BY o_orderstatus"
+        ).collect()
+    }
+    assert {r.o_orderstatus: r.e for r in df.collect()} == exact
+
+    mixed = eng.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, FREQUENT_LONGS_ESTIMATE("
+        "FREQUENT_LONGS_SKETCH(o_custkey, 256), 1) AS e "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10"
+    )
+    mp = _plan(mixed)
+    assert "MapInPandas" in mp and "pmod" not in mp, mp
+    assert len(mixed.collect()) == len(exact)
+
+
+def test_freq_bytes_column_declines_to_udaf_path(spark):
+    """A BYTES argument (serialized foreign sketches) declines the
+    zero-shuffle route — the type probe sends it to the UDAF path whose
+    partial merges blobs per the reference contract."""
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    a = DsFrequentSketch.build_from_values([1, 1, 2], 64).serialize()
+    b = DsFrequentSketch.build_from_values([1, 3], 64).serialize()
+    spark.createDataFrame(
+        [(bytes(a),), (bytes(b),)], "blob binary"
+    ).createOrReplaceTempView("freq_blobs_zs")
+    df = eng.sql(
+        "SELECT FREQUENT_LONGS_ESTIMATE(FREQUENT_LONGS_SKETCH(blob, 64), 1) AS e "
+        "FROM freq_blobs_zs LIMIT 1"
+    )
+    assert df.collect()[0].e == 3
