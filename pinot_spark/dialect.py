@@ -751,8 +751,14 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         "from DISTINCTCOUNTRAWULL / TOULL"
     ),
     "distinctcountrawcpcsketch": _sql_gap(
-        "DISTINCTCOUNTRAWCPCSKETCH", "DataSketches CPC wire format is a documented gap"
+        "DISTINCTCOUNTRAWCPCSKETCH", "WRITING DataSketches CPC bytes needs the "
+        "compressed coupon streams (a documented gap); foreign CPC bytes READ "
+        "via GET_CPC_SKETCH_ESTIMATE (operators/ds_cpc.py)"
     ),
+    # foreign-read CPC estimates (round 10, operators/ds_cpc.py): the
+    # reference scalar getCpcSketchEstimate(bytes) rounds getEstimate(),
+    # which needs only preamble fields (HIP accumulator / ICON estimator)
+    "getcpcsketchestimate": lambda a: f"__cpc_estimate({a[0]})",
     # DataSketches frequencies aggregations (round 10,
     # operators/ds_freq.py — LongsSketch / ItemsSketch<String> wire
     # formats, Java-parity reverse-purge semantics): canonical grouped
@@ -2493,7 +2499,8 @@ _THETA_SQL_RE = re.compile(
     r"|GET_?ULL_?ESTIMATE"
     r"|TO_?CLEARSPRING_?HLL(?:_?PLUS)?|HLL_?UNION"
     r"|TO_?DATA_?SKETCHES_?KLL|KLL_?MERGE|KLL_?QUANTILE"
-    r"|FREQUENT_?(?:STRINGS|LONGS)_?(?:SKETCH|ESTIMATE))\s*\(",
+    r"|FREQUENT_?(?:STRINGS|LONGS)_?(?:SKETCH|ESTIMATE)"
+    r"|GET_?CPC_?SKETCH_?ESTIMATE)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -2584,6 +2591,7 @@ _RS_SCALAR_ALLOW = {
     "toclearspringhll", "toclearspringhllplus", "hllunion",
     "todatasketcheskll", "kllmerge", "kllquantile",
     "frequentstringsestimate", "frequentlongsestimate",
+    "getcpcsketchestimate",
     # structural SQL keywords the call-shaped regex also matches when a
     # paren follows (AND (expr), CASE WHEN (..) ...) — not functions
     "and", "or", "not", "in", "when", "then", "else", "case", "between",
@@ -3224,6 +3232,7 @@ _RS_INEXPR_ALLOW = {
     "toclearspringhll", "toclearspringhllplus", "hllunion",
     "todatasketcheskll", "kllmerge", "kllquantile",
     "frequentstringsestimate", "frequentlongsestimate",
+    "getcpcsketchestimate",
     "round", "cast", "abs", "coalesce", "upper", "lower", "substr",
     "in", "not", "exists", "values", "any", "all", "some", "using",
     # known-SCALAR conveniences (safe next to a pandas UDAF; only
@@ -3704,6 +3713,23 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return hll_union_series(a, b)
 
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cpc_estimate(b):
+        # Math.round(CpcSketch.getEstimate()) over foreign CPC bytes
+        # (SketchFunctions.java:388-392; operators/ds_cpc.py)
+        import math
+
+        from pinot_spark.operators.ds_cpc import DsCpcView
+
+        return pd.Series(
+            [
+                None if x is None
+                else int(math.floor(DsCpcView.parse(bytes(x)).estimate() + 0.5))
+                for x in b
+            ],
+            dtype="Int64",
+        )
+
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __ds_kll_single(v, k):
         from pinot_spark.functions.sketches import ds_kll_single_series
@@ -4041,6 +4067,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__ull_estimate", __ull_estimate)
     spark.udf.register("__hll_singleton", __hll_singleton)
     spark.udf.register("__hll_estimate", __hll_estimate)
+    spark.udf.register("__cpc_estimate", __cpc_estimate)
     spark.udf.register("__cs_hll_single", __cs_hll_single)
     spark.udf.register("__cs_hllpp_single", __cs_hllpp_single)
     spark.udf.register("__hll_union", __hll_union)

@@ -101,7 +101,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "cursor_result_table_pages", "dedup_duplicate_clusters",
     "dedup_embedding_cosine", "dedup_exact_documents",
     "dedup_first_per_key", "dedup_ngram_jaccard_pairs",
-    "dialect_datetime_convert", "dialect_ddl_mv_roundtrip",
+    "dialect_asof_join", "dialect_datetime_convert",
+    "dialect_ddl_mv_roundtrip",
     "dialect_default_limit_selection", "dialect_epoch_functions",
     "dialect_funnel_count", "dialect_funnel_match_step",
     "dialect_funnel_max_step", "dialect_gapfill",
@@ -153,7 +154,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "dialect_raw_theta_bigint_key", "dialect_raw_mv_sketch_grouped",
     "fn_ds_hll_interop", "dialect_raw_sketch_window", "fn_ds_kll_interop",
-    "fn_ds_freq_interop",
+    "fn_ds_freq_interop", "fn_ds_cpc_read",
 ]
 
 # all 37 round-6-stale greens (stalest evidence in the registry)
@@ -181,7 +182,7 @@ _REPROOF_STALE_R6 = [
 _REPROOF_STALE_R7 = [
     "dialect_raw_sketch_scale", "dialect_raw_ull_distinct",
     "dialect_pinot_agg_names", "dialect_fn_surface_ext",
-    "agg_basic_family", "agg_distinct_family", "dialect_asof_join",
+    "agg_basic_family", "agg_distinct_family",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R6 + _REPROOF_STALE_R7

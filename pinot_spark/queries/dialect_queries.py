@@ -1150,3 +1150,58 @@ def fn_ds_freq_interop(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 10
         """
     )
+
+
+def _ds_cpc_oracle() -> str:
+    """Literal oracle for the CPC foreign-read row — expected values
+    pinned from datasketches-java getEstimate() on the golden sketches
+    (tests/test_ds_cpc.py proves bit-exact estimate parity)."""
+    import json
+    import math
+    import os
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_cpc_vectors.json",
+    )
+    vec = json.load(open(vec_path))["sketches"]
+    hip = next(v for v in vec if v["lgk"] == 11 and v.get("n") == 100000)
+    small = next(v for v in vec if v["lgk"] == 12 and v.get("n") == 100)
+    merged = next(v for v in vec if v.get("kind") == "merged")
+    r = lambda x: int(math.floor(x + 0.5))
+    return f"""
+    SELECT CAST({r(hip["est"])} AS BIGINT) AS hip_est,
+           CAST({r(small["est"])} AS BIGINT) AS small_est,
+           CAST({r(merged["est"])} AS BIGINT) AS merged_est
+    """
+
+
+@query("fn_ds_cpc_read", oracle=_ds_cpc_oracle())
+def fn_ds_cpc_read(spark, sf_dir):
+    """DataSketches CPC foreign-READ interop (round 10,
+    operators/ds_cpc.py): GET_CPC_SKETCH_ESTIMATE reads real
+    datasketches-java CpcSketch bytes — a deep PINNED_SLIDING_HIP
+    sketch (lgK=11, n=100000), a SPARSE_HYBRID_HIP one (lgK=12,
+    n=100), and a CpcUnion result exercising the reconstructed ICON
+    estimator (merged sketches carry no HIP accumulator) — with the
+    library's own Math.round(getEstimate()) values
+    (SketchFunctions.java:388-392).  Writing CPC bytes (the compressed
+    coupon streams) stays a loud named boundary."""
+    import json
+    import os
+
+    vec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "data", "ds_cpc_vectors.json",
+    )
+    vec = json.load(open(vec_path))["sketches"]
+    hip = next(v for v in vec if v["lgk"] == 11 and v.get("n") == 100000)
+    small = next(v for v in vec if v["lgk"] == 12 and v.get("n") == 100)
+    merged = next(v for v in vec if v.get("kind") == "merged")
+    return _engine(spark, sf_dir).sql(
+        f"""
+        SELECT GET_CPC_SKETCH_ESTIMATE(X'{hip["bytes"]}') AS hip_est,
+               GET_CPC_SKETCH_ESTIMATE(X'{small["bytes"]}') AS small_est,
+               GET_CPC_SKETCH_ESTIMATE(X'{merged["bytes"]}') AS merged_est
+        """
+    )
