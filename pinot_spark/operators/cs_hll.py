@@ -191,47 +191,234 @@ def hash64_bytes(data: bytes) -> int:
 
 
 def _java_double_str(d: float) -> str:
-    """Java Double.toString for finite doubles: shortest round-trip
-    digits (same as Python repr), reformatted to Java's layout —
-    plain decimal with a mandatory fraction for 1e-3 <= |d| < 1e7,
-    ``D.DDDE[-]X`` scientific otherwise."""
+    """Java Double.toString for finite doubles — faithful to JDK 17's
+    LEGACY FloatingDecimal via _legacy_dtoa (shortest-repr is NOT
+    equivalent: the legacy algorithm emits an extra digit at
+    power-of-two mantissas and in its int/long overflow regimes —
+    3,378 of 1.55M probed doubles diverge from Python repr).  Pinned
+    against live-Java probe vectors in tests/test_cs_hll.py."""
     if d != d:
         return "NaN"
     if d == float("inf"):
         return "Infinity"
     if d == float("-inf"):
         return "-Infinity"
-    neg = d < 0 or (d == 0 and str(d)[0] == "-")
-    a = -d if neg else d
+    bits = struct.unpack("<Q", struct.pack("<d", float(d)))[0]
+    neg = bool(bits >> 63)
     sign = "-" if neg else ""
-    if a == 0:
-        return sign + "0.0"
-    # shortest digits + decimal exponent from Python's repr
-    rep = repr(float(a))
-    if "e" in rep or "E" in rep:
-        mant, exp = rep.lower().split("e")
-        exp = int(exp)
+    bin_exp = (bits >> 52) & 0x7FF
+    fract = bits & ((1 << 52) - 1)
+    if bin_exp == 0:
+        if fract == 0:
+            return sign + "0.0"
+        lead = 64 - fract.bit_length()
+        shift = lead - 11
+        fract <<= shift
+        bin_exp = 1 - shift
+        n_sig = 64 - lead
     else:
-        mant, exp = rep, 0
-    if "." in mant:
-        ip, fp = mant.split(".")
+        fract |= 1 << 52
+        n_sig = 53
+    bin_exp -= 1023
+    digits, dec_exp = _legacy_dtoa(bin_exp, fract, n_sig)
+    return _java_digits_layout(sign, digits, dec_exp)
+
+
+def _java_float_str(f: float) -> str:
+    """Java Float.toString for floats — faithful to JDK 17's LEGACY
+    FloatingDecimal (NOT shortest round-trip: Ryū landed in JDK 19).
+    stream-lib hash64(Object) on a Float hashes Float.toString() —
+    widening to double first would hash e.g. '0.10000000149011612'
+    instead of '0.1' for 0.1f and silently diverge from the reference.
+    The legacy digit generation (integer fast path with
+    insignificant-digit rounding, Dragon-style free format with a
+    float-precision half-ulp measure and the power-of-two hack) is
+    reimplemented here with exact Python integers and pinned against
+    7k+ live-Java probe vectors (tests/test_cs_hll.py)."""
+    f32 = np.float32(f)
+    if f32 != f32:
+        return "NaN"
+    if f32 == np.inf:
+        return "Infinity"
+    if f32 == -np.inf:
+        return "-Infinity"
+    neg = bool(np.signbit(f32))
+    sign = "-" if neg else ""
+    bits = struct.unpack("<I", struct.pack("<f", abs(f32)))[0]
+    bin_exp = (bits >> 23) & 0xFF
+    fract = bits & 0x7FFFFF
+    if bin_exp == 0:
+        if fract == 0:
+            return sign + "0.0"
+        # normalize the denormal: HOB to bit 23
+        lead = 32 - fract.bit_length()
+        shift = lead - 8
+        fract <<= shift
+        bin_exp = 1 - shift
+        n_sig = 32 - lead
     else:
-        ip, fp = mant, ""
-    digits = (ip + fp).lstrip("0")
-    # exponent of the first significant digit (power of 10 of digits[0])
-    first_sig = next(i for i, c in enumerate(ip + fp) if c != "0")
-    dec_exp = (len(ip) - 1 - first_sig) + exp
-    digits = digits.rstrip("0") or "0"
-    if -3 <= dec_exp < 7:
-        if dec_exp >= 0:
-            ipart = digits[: dec_exp + 1].ljust(dec_exp + 1, "0")
-            fpart = digits[dec_exp + 1 :] or "0"
+        fract |= 0x800000
+        n_sig = 24
+    bin_exp -= 127
+    digits, dec_exp = _legacy_dtoa(bin_exp, fract << 29, n_sig)
+    return _java_digits_layout(sign, digits, dec_exp)
+
+
+def _legacy_dtoa(bin_exp: int, fract_bits: int, n_sig: int) -> tuple[str, int]:
+    """JDK-legacy FloatingDecimal.dtoa over a 53-bit-normalized
+    mantissa: returns (digit string, decExponent) where the value is
+    0.DIGITS x 10^decExponent.  Faithful to the JDK 17 bytecode
+    (disassembled in-container; no source ships), including its
+    arithmetic-width quirks, because Float.toString's exact output —
+    overflow artifacts and all — is what stream-lib hashes:
+
+    - integer values (binExp in [-21, 62], no fraction bits) develop
+      long digits, rounding away floor(log10(2^(binExp - nSig - 1)))
+      low digits half-up;
+    - otherwise a Dragon-style loop with M = the value's half-ulp
+      (halved again at exact powers of two) runs in int, long, or
+      big-integer arithmetic depending on operand bit counts, and the
+      int/long variants WRAP on overflow: M*10 wrapping to <= 0 forces
+      a stop, and B+M wrapping negative silently falsifies the 'round
+      up allowed' test (observed: 4.6853484...E25 truncates where
+      exact arithmetic would round up);
+    - the int/long paths test B+M > tenS strictly, the big path
+      B+M >= tenS;
+    - E-form (decExp < -3 or >= 8) forces at least two digits."""
+    import math as _math
+
+    tail_zeros = (fract_bits & -fract_bits).bit_length() - 1
+    n_fract = 53 - tail_zeros
+    n_tiny = max(0, n_fract - bin_exp - 1)
+    if -21 <= bin_exp <= 62 and n_tiny == 0:
+        # integer value: develop decimal digits of the long, dropping
+        # insignificant low digits with round-half-up
+        if bin_exp > n_sig:
+            p2 = bin_exp - n_sig - 1
+            insig = len(str(1 << p2)) - 1 if p2 > 1 else 0
         else:
-            ipart = "0"
-            fpart = "0" * (-dec_exp - 1) + digits
-        return f"{sign}{ipart}.{fpart}"
-    fpart = digits[1:] or "0"
-    return f"{sign}{digits[0]}.{fpart}E{dec_exp}"
+            insig = 0
+        lvalue = fract_bits << (bin_exp - 52) if bin_exp >= 52 else fract_bits >> (52 - bin_exp)
+        dec_exp = 0
+        if insig:
+            pow10 = 10**insig
+            lvalue, residue = divmod(lvalue, pow10)
+            dec_exp += insig
+            if residue >= pow10 >> 1:
+                lvalue += 1
+        s = str(lvalue)
+        dec_exp += len(s)
+        return s.rstrip("0"), dec_exp
+    # hard case: scaled digit generation (estimateDecExp constants are
+    # the JDK's literal doubles)
+    d2 = 1.0 + ((fract_bits & ((1 << 52) - 1)) / 2.0**52)
+    est = (d2 - 1.5) * 0.289529654 + 0.176091259 + bin_exp * 0.301029995663981
+    dec_exp = _math.floor(est)
+    b5 = max(0, -dec_exp)
+    b2 = b5 + n_tiny + bin_exp
+    s5 = max(0, dec_exp)
+    s2 = s5 + n_tiny
+    m5 = b5
+    m2 = b2 - n_sig
+    fract_bits >>= tail_zeros
+    b2 -= n_fract - 1
+    common2 = min(b2, s2)
+    b2 -= common2
+    s2 -= common2
+    m2 -= common2
+    if n_fract == 1:
+        m2 -= 1  # ULP halves at exact powers of two
+    if m2 < 0:
+        b2 -= m2
+        s2 -= m2
+        m2 = 0
+    # pick the JDK's arithmetic width from the operand bit counts
+    def _n5bits(i: int) -> int:
+        return 0 if i == 0 else (5**i).bit_length()
+
+    b_bits = n_fract + b2 + (_n5bits(b5) if b5 < 27 else b5 * 3)
+    ten_s_bits = s2 + 1 + (_n5bits(s5 + 1) if s5 + 1 < 27 else (s5 + 1) * 3)
+    s_val = 5**s5 << s2
+    b_val = fract_bits * 5**b5 << b2
+    m_val = 5**m5 << m2
+    ten_s = s_val * 10
+    if b_bits < 64 and ten_s_bits < 64:
+        width = 64 if (b_bits >= 32 or ten_s_bits >= 32) else 32
+        wrap_mod = 1 << width
+        wrap_sign = 1 << (width - 1)
+
+        def w(x: int) -> int:
+            x &= wrap_mod - 1
+            return x - wrap_mod if x >= wrap_sign else x
+
+    else:
+
+        def w(x: int) -> int:  # big-integer path: exact
+            return x
+
+        width = 0
+    out: list[int] = []
+    q, r = divmod(b_val, s_val)
+    b_val = 10 * r
+    m_val = w(m_val * 10)
+    low = b_val < m_val
+    if width:
+        high = w(b_val + m_val) > ten_s
+    else:
+        high = b_val + m_val >= ten_s
+    if q == 0 and not high:
+        dec_exp -= 1  # estimate was one too high; drop the leading zero
+    else:
+        out.append(q)
+    if dec_exp < -3 or dec_exp >= 8:
+        high = low = False  # E-form prints at least two digits
+    while not low and not high:
+        q, r = divmod(b_val, s_val)
+        b_val = 10 * r
+        m_val = w(m_val * 10)
+        if width and m_val <= 0:
+            low = high = True  # M overflowed: forced stop
+        else:
+            low = b_val < m_val
+            if width:
+                high = w(b_val + m_val) > ten_s
+            else:
+                high = b_val + m_val >= ten_s
+        out.append(q)
+    if high:
+        do_round = True
+        if low:
+            diff = w(w(b_val << 1) - ten_s) if width else (b_val << 1) - ten_s
+            if diff < 0:
+                do_round = False
+            elif diff == 0:
+                do_round = bool(out[-1] & 1)  # tie: round to even digit
+        if do_round:
+            i = len(out) - 1
+            while i >= 0 and out[i] == 9:
+                out[i] = 0
+                i -= 1
+            if i < 0:
+                dec_exp += 1
+                out[0] = 1  # legacy keeps the trailing zeros on carryout
+            else:
+                out[i] += 1
+    return "".join(str(d) for d in out), dec_exp + 1
+
+
+def _java_digits_layout(sign: str, digits: str, dec_exp: int) -> str:
+    """FloatingDecimal.getChars: value = 0.DIGITS x 10^decExp laid out
+    as Java prints it — plain decimal for -3 < decExp < 8, D.DDDE[-]X
+    scientific otherwise, always at least one fraction digit."""
+    n = len(digits)
+    if 0 < dec_exp < 8:
+        if n <= dec_exp:
+            return f"{sign}{digits.ljust(dec_exp, '0')}.0"
+        return f"{sign}{digits[:dec_exp]}.{digits[dec_exp:]}"
+    if -3 < dec_exp <= 0:
+        return f"{sign}0.{'0' * -dec_exp}{digits}"
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{dec_exp - 1}"
 
 
 def hash64_obj(v) -> int:
@@ -247,6 +434,10 @@ def hash64_obj(v) -> int:
         return hash64_bytes(str(v).lower().encode())
     if isinstance(v, (int, np.integer)):
         return hash64_bytes(str(int(v)).encode())
+    if isinstance(v, np.float32):
+        # a genuine float32 scalar hashes Float.toString, not the
+        # widened double's digits
+        return hash64_bytes(_java_float_str(float(v)).encode())
     if isinstance(v, (float, np.floating)):
         return hash64_bytes(_java_double_str(float(v)).encode())
     return hash64_bytes(str(v).encode())
@@ -390,7 +581,15 @@ class CsHll:
         register_sum = float(np.sum(np.exp2(-reg)))
         zeros = float(np.count_nonzero(self.registers == 0))
         estimate = _alpha_mm(self.log2m) / register_sum
-        if estimate <= 2.5 * m and zeros > 0:
+        if estimate <= 2.5 * m:
+            # stream-lib has NO zero-register guard: linearCounting with
+            # V=0 is m*log(inf)=Infinity and Math.round(Infinity) is
+            # Long.MAX_VALUE — replicated bit-for-bit (all registers
+            # nonzero can co-occur with a small raw estimate only in
+            # adversarial/foreign register blobs, but Java-identical
+            # means identical there too)
+            if zeros == 0:
+                return (1 << 63) - 1
             return _round_java(m * np.log(m / zeros))
         return _round_java(estimate)
 
@@ -813,3 +1012,69 @@ def grouped_cs_hll(df, keys: list[str], col: str, log2m: int = DEFAULT_LOG2M):
         + ["cs_hll binary"]
     )
     return merged.mapInPandas(merge, schema=final_schema)
+
+
+# ---------------------------------------------------------------------------
+# bounded pair domain (register_index * 64 + run_length) — the SQL raw-HLL
+# routes aggregate these instead of per-value hashes, so the aggregation
+# state is sketch-sized at any row count (same trick as the engine-own
+# dialect._hll_pair_expr, here in the stream-lib hash domains the
+# reference actually serializes)
+# ---------------------------------------------------------------------------
+
+
+def hll_pair32(h32: int, log2m: int) -> int:
+    """Plain-HLL pair from a murmur-int hash: j*64 + r, exactly the
+    (register, run length) HyperLogLog.offerHashed derives."""
+    h = h32 & _M32
+    j = h >> (32 - log2m)
+    probe = ((h << log2m) & _M32) | ((1 << (log2m - 1)) + 1)
+    return j * 64 + (32 - probe.bit_length() + 1)
+
+
+def hll_pairs32(h32s: np.ndarray, log2m: int) -> np.ndarray:
+    """Vectorized hll_pair32 over int32 hashes."""
+    h = h32s.astype(np.int32).view(np.uint32).astype(np.uint64)
+    j = (h >> np.uint64(32 - log2m)).astype(np.int64)
+    probe = ((h << np.uint64(log2m)) & np.uint64(_M32)) | np.uint64(
+        (1 << (log2m - 1)) + 1
+    )
+    bl = np.zeros(len(probe), dtype=np.int64)
+    cur = probe.copy()
+    for s_bits in (16, 8, 4, 2, 1):
+        big = cur >> np.uint64(s_bits) != 0
+        bl[big] += s_bits
+        cur[big] >>= np.uint64(s_bits)
+    bl += (cur != 0).astype(np.int64)
+    return j * 64 + (32 - bl + 1)
+
+
+def hllpp_pair64(h64: int, p: int) -> int:
+    """HLL++ NORMAL-mode pair from a murmur-64 hash: j*64 + r, the
+    (register, run length) HyperLogLogPlus derives in normal format."""
+    h = h64 & _M64
+    return (h >> (64 - p)) * 64 + _normal_rho(h64, p)
+
+
+def cs_hll_from_pairs(pairs, log2m: int) -> "CsHll":
+    """Rebuild the register array from max-rho pairs — associative, so
+    any partial-dedup/collect_set order yields identical bytes."""
+    s = CsHll.empty(log2m)
+    if pairs is not None and len(pairs):
+        pr = np.asarray(pairs, dtype=np.int64)
+        np.maximum.at(s.registers, pr >> 6, (pr & 63).astype(np.uint8))
+    return s
+
+
+def cs_hllpp_from_pairs(pairs, p: int, sp: int) -> "CsHllPlus":
+    """NORMAL-format HLL++ from max-rho pairs.  With the reference's
+    default sp=0 this is byte-canonical with a flat stream-lib build;
+    with sp>0 the library would stay SPARSE below its conversion
+    threshold, so the emitted NORMAL bytes are the post-conversion
+    state — valid to the library, union-compatible, estimate-divergent
+    only in the small-n sparse regime (documented boundary)."""
+    s = CsHllPlus(p, sp, NORMAL, np.zeros(1 << p, dtype=np.uint8), None)
+    if pairs is not None and len(pairs):
+        pr = np.asarray(pairs, dtype=np.int64)
+        np.maximum.at(s.registers, pr >> 6, (pr & 63).astype(np.uint8))
+    return s

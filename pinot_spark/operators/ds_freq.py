@@ -154,10 +154,13 @@ class DsFrequentSketch:
     # -- merge -------------------------------------------------------------
 
     def merge(self, other: "DsFrequentSketch") -> "DsFrequentSketch":
-        """Java's merge: every (item, estimate) of ``other`` feeds
-        ``update(item, estimate)``, then the combined offset adds up
-        (stream length is the true sum)."""
-        if other.stream_length == 0:
+        """Java's merge (LongsSketch/ItemsSketch bytecode, identical):
+        skip iff other.isEmpty() — numActive == 0, so a purged-to-empty
+        partial (counts empty, offset/streamLength > 0) is DROPPED
+        entirely, offset and all; otherwise every (item, RAW stored
+        count) of ``other`` feeds ``update``, the offsets add, and the
+        stream length is the pre-captured true sum."""
+        if not other.counts:
             return self
         out = DsFrequentSketch(
             lg_max=self.lg_max, lg_cur=self.lg_cur,
@@ -166,7 +169,7 @@ class DsFrequentSketch:
         )
         stream = out.stream_length + other.stream_length
         for item, c in other.counts.items():
-            out.update(item, c + other.offset)
+            out.update(item, c)
         out.stream_length = stream
         out.offset += other.offset
         return out

@@ -296,3 +296,72 @@ def test_freq_bytes_column_declines_to_udaf_path(spark):
         "FROM freq_blobs_zs LIMIT 1"
     )
     assert df.collect()[0].e == 3
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_merge_offset_semantics_live_java(tmp_path):
+    """Discriminating live-Java merge cases the offset-free test can't
+    see: (a) merging a POST-PURGE other (offset > 0) feeds the RAW
+    stored counts (not count+offset) and adds offsets once; (b) a
+    purged-to-empty other (numActive == 0, streamLength/offset > 0) is
+    skipped ENTIRELY by Java's isEmpty() gate — offset and stream
+    length dropped."""
+    # both purge: zipf-ish streams over > capacity distinct items
+    a_vals = [i % 97 for i in range(6000)] + [7] * 500
+    b_vals = [i % 89 for i in range(6000)] + [11] * 400
+    a = DsFrequentSketch.build_from_values(a_vals, 64)
+    b = DsFrequentSketch.build_from_values(b_vals, 64)
+    assert a.offset > 0 and b.offset > 0  # the case under test
+    (tmp_path / "a.bin").write_bytes(a.serialize())
+    (tmp_path / "b.bin").write_bytes(b.serialize())
+    # hand-crafted purged-to-empty sketch: no actives, nonzero tallies
+    ghost = DsFrequentSketch(lg_max=6, lg_cur=3, stream_length=100, offset=50)
+    (tmp_path / "g.bin").write_bytes(ghost.serialize())
+
+    src = tmp_path / "FM.java"
+    src.write_text(
+        """
+import org.apache.datasketches.frequencies.*;
+import org.apache.datasketches.memory.Memory;
+import java.nio.file.*;
+
+public class FM {
+  public static void main(String[] args) throws Exception {
+    LongsSketch a = LongsSketch.getInstance(Memory.wrap(Files.readAllBytes(Paths.get(args[0]))));
+    LongsSketch b = LongsSketch.getInstance(Memory.wrap(Files.readAllBytes(Paths.get(args[1]))));
+    LongsSketch g = LongsSketch.getInstance(Memory.wrap(Files.readAllBytes(Paths.get(args[2]))));
+    LongsSketch m = a.merge(b);
+    System.out.println("off=" + m.getMaximumError());
+    System.out.println("len=" + m.getStreamLength());
+    System.out.println("e7=" + m.getEstimate(7L));
+    System.out.println("e11=" + m.getEstimate(11L));
+    System.out.println("n=" + m.getNumActiveItems());
+    LongsSketch m2 = m.merge(g);
+    System.out.println("goff=" + m2.getMaximumError());
+    System.out.println("glen=" + m2.getStreamLength());
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/datasketches-java-6.2.0.jar:{_JARS}/datasketches-memory-3.0.2.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    out = subprocess.run(
+        ["java", "-cp", f".:{cp}", "FM", "a.bin", "b.bin", "g.bin"],
+        cwd=tmp_path,
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout
+    facts = dict(line.split("=") for line in out.strip().splitlines())
+    m = a.merge(b)
+    assert int(facts["off"]) == m.offset
+    assert int(facts["len"]) == m.stream_length
+    assert int(facts["e7"]) == m.estimate(7)
+    assert int(facts["e11"]) == m.estimate(11)
+    assert int(facts["n"]) == len(m.counts)
+    # ghost skip: tallies unchanged through the Java merge AND ours
+    g2 = m.merge(ghost)
+    assert int(facts["goff"]) == g2.offset == m.offset
+    assert int(facts["glen"]) == g2.stream_length == m.stream_length

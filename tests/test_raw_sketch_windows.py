@@ -138,3 +138,52 @@ def test_raw_call_without_over_unaffected(spark, eng):
     assert [(r.n_regionkey, r.dc) for r in rows] == [
         (i, 5.0) for i in range(5)
     ]
+
+
+def test_raw_window_multiline_leading_whitespace(spark, eng):
+    """Triple-quoted / multiline SQL (leading whitespace + newlines)
+    must rewrite cleanly: hit offsets are computed on the SAME string
+    the replacements splice into.  Regression: offsets were computed
+    on the unstripped text but spliced into ``.strip()``-ed text,
+    desyncing every span and corrupting the statement."""
+    rows = eng.sql(
+        """
+        SELECT n_name,
+               GET_THETA_SKETCH_ESTIMATE(
+                 DISTINCT_COUNT_RAW_THETA_SKETCH(n_nationkey)
+                 OVER (PARTITION BY n_regionkey)) AS dc
+        FROM nation
+        ORDER BY n_name
+        LIMIT 100;
+        """
+    ).collect()
+    assert len(rows) == 25
+    assert all(r.dc == 5.0 for r in rows)
+
+
+def test_raw_window_identical_over_bodies_share_one_subquery(spark, eng):
+    """Two raw-window calls with the same (call, OVER body) share ONE
+    materialized grouped subquery — one source scan, one LEFT JOIN —
+    while a distinct OVER body still gets its own."""
+    def _rswin_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__rswin_")
+        }
+
+    before = _rswin_views()
+    rows = eng.sql(
+        "SELECT n_name, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(n_nationkey) "
+        "OVER (PARTITION BY n_regionkey)) AS a, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(n_nationkey) "
+        "OVER (PARTITION BY n_regionkey)) AS b, "
+        "GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH(n_nationkey) "
+        "OVER ()) AS g "
+        "FROM nation ORDER BY n_name LIMIT 100"
+    ).collect()
+    made = _rswin_views() - before
+    assert len(made) == 2, f"expected 2 shared subqueries, created {sorted(made)}"
+    assert len(rows) == 25
+    assert all(r.a == 5.0 and r.b == 5.0 and r.g == 25.0 for r in rows)
