@@ -367,13 +367,126 @@ def _hll_pair_expr(col: str, log2m: int) -> str:
     )
 
 
+# RAW-HLL wire format: 'clearspring' (default — the serialization the
+# reference actually ships, stream-lib bytes via ObjectSerDeUtils.
+# HYPER_LOG_LOG_SER_DE) or 'engine' (the pre-round-11 engine-own
+# xxhash64 register blob; GETHLLESTIMATE/HLL_UNION still read both).
+_HLL_WIRE = os.environ.get("PINOT_SPARK_HLL_WIRE", "clearspring").lower()
+_INT_TYPEOFS = "('tinyint', 'smallint', 'int', 'bigint', 'boolean')"
+_INT_ARR_TYPEOFS = (
+    "('array<tinyint>', 'array<smallint>', 'array<int>', "
+    "'array<bigint>', 'array<boolean>')"
+)
+
+
+def _cs_murmur32_pair_expr(vexpr: str, log2m: int) -> str:
+    """stream-lib MurmurHash.hashLong + the HyperLogLog (register,
+    run-length) pair, composed ENTIRELY from JVM Column arithmetic for
+    integer-family values — murmur2-int is multiply/shift/xor on 32-bit
+    words, every intermediate < 2^63, so plain BIGINT arithmetic is
+    exact with no overflow (ANSI-safe).  Textual substitution duplicates
+    subexpressions (~10 KB per call); Catalyst's common-subexpression
+    elimination collapses them in codegen.  Bit-for-bit identical to
+    operators/cs_hll.hash32_long + hll_pair32 (tests/test_cs_hll.py)."""
+    mul, m32 = 0x5BD1E995, 0xFFFFFFFF
+    v = f"CAST({vexpr} AS BIGINT)"
+    k1 = f"((({v} & {m32}) * {mul}) & {m32})"
+    k1 = f"({k1} ^ shiftrightunsigned({k1}, 24))"
+    h = f"(({k1} * {mul}) & {m32})"
+    k2 = f"((shiftrightunsigned({v}, 32) * {mul}) & {m32})"
+    k2 = f"({k2} ^ shiftrightunsigned({k2}, 24))"
+    h = f"(((({h} * {mul}) & {m32}) ^ (({k2} * {mul}) & {m32})))"
+    h = f"({h} ^ shiftrightunsigned({h}, 13))"
+    h = f"((({h} * {mul}) & {m32}))"
+    h = f"({h} ^ shiftrightunsigned({h}, 15))"
+    j = f"shiftrightunsigned({h}, {32 - log2m})"
+    sentinel = (1 << (log2m - 1)) + 1
+    probe = f"((shiftleft({h}, {log2m}) & {m32}) | {sentinel})"
+    rho = f"(33 - length(bin({probe})))"
+    return (
+        f"CASE WHEN ({vexpr}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {j} * 64 + {rho} END"
+    )
+
+
+def _cs_hll_pair_sql(col: str, log2m: int) -> str:
+    """Clearspring register pair for one value, dispatched on the
+    runtime column type: integer family rides the pure-JVM murmur
+    expression; float/double/string/binary need IEEE bits or byte
+    hashing, which only the Arrow-batched pair UDF can compute."""
+    return (
+        f"CASE WHEN typeof({col}) IN {_INT_TYPEOFS} "
+        f"THEN {_cs_murmur32_pair_expr(col, log2m)} "
+        f"ELSE __cs_hll_pair({col}, typeof({col}), {log2m}) END"
+    )
+
+
+def _cs_hll_pairs_arr_sql(col: str, log2m: int) -> str:
+    """MV pair array: integer-element arrays transform per element with
+    the JVM murmur expression (UDFs cannot appear inside higher-order
+    lambdas); other element types batch through the array pair UDF."""
+    pair = _cs_murmur32_pair_expr("x", log2m)
+    jvm = (
+        f"array_distinct(transform(filter({col}, x -> x IS NOT NULL), "
+        f"x -> {pair}))"
+    )
+    return (
+        f"CASE WHEN typeof({col}) IN {_INT_ARR_TYPEOFS} THEN {jvm} "
+        f"ELSE __cs_hll_pairs_arr({col}, typeof({col}), {log2m}) END"
+    )
+
+
+def _cs_hllpp_pair_sql(col: str, p: int) -> str:
+    """HLL++ NORMAL pair for one value.  stream-lib hash64(Object)
+    hashes toString() bytes for every number — a byte loop no Column
+    expression reaches — so the pair always computes in an
+    Arrow-batched UDF; integer values ship as exact 32-bit halves
+    (nullable int64 is lossy through pandas float64 past 2^53)."""
+    v = f"CAST({col} AS BIGINT)"
+    return (
+        f"CASE WHEN ({col}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN typeof({col}) IN {_INT_TYPEOFS} "
+        f"THEN __cs_hllpp_pair_long(shiftright({v}, 32), {v} & 4294967295, {p}) "
+        f"ELSE __cs_hllpp_pair({col}, typeof({col}), {p}) END"
+    )
+
+
+def _hllpp_params(a: list[str]) -> tuple[int, int]:
+    """(p, sp) from DISTINCTCOUNTRAWHLLPLUS args — reference defaults
+    p=14, sp=0 (CommonConstants.DEFAULT_HYPERLOGLOG_PLUS_{P,SP};
+    DistinctCountHLLPlusAggregationFunction.java:46-64)."""
+    p = int(a[1].strip()) if len(a) > 1 and a[1].strip().isdigit() else 14
+    sp = int(a[2].strip()) if len(a) > 2 and a[2].strip().isdigit() else 0
+    return p, sp
+
+
 def _raw_hll_sql(a: list[str], default_log2m: int) -> str:
     log2m = (
         int(a[1].strip())
         if len(a) > 1 and a[1].strip().isdigit()
         else default_log2m
     )
-    return f"__hll_from_regs(collect_set({_hll_pair_expr(a[0], log2m)}), {log2m})"
+    if _HLL_WIRE == "engine":
+        return f"__hll_from_regs(collect_set({_hll_pair_expr(a[0], log2m)}), {log2m})"
+    return (
+        f"__cs_hll_from_regs(collect_set({_cs_hll_pair_sql(a[0], log2m)}), "
+        f"{log2m})"
+    )
+
+
+def _raw_hllpp_sql(a: list[str]) -> str:
+    """DISTINCTCOUNTRAWHLLPLUS → clearspring HyperLogLogPlus wire bytes
+    (NORMAL format).  Byte-canonical with a flat stream-lib build at the
+    reference default sp=0; explicit sp>0 emits the post-conversion
+    NORMAL state (valid + union-compatible; the library's small-n
+    SPARSE regime is a documented boundary)."""
+    p, sp = _hllpp_params(a)
+    if _HLL_WIRE == "engine":
+        return _raw_hll_sql(a[:1], 8)
+    return (
+        f"__cs_hllpp_from_regs(collect_set({_cs_hllpp_pair_sql(a[0], p)}), "
+        f"{p}, {sp})"
+    )
 
 
 def _raw_hll_mv_sql(a: list[str], default_log2m: int) -> str:
@@ -386,11 +499,26 @@ def _raw_hll_mv_sql(a: list[str], default_log2m: int) -> str:
         if len(a) > 1 and a[1].strip().isdigit()
         else default_log2m
     )
-    pair = _hll_pair_expr("x", log2m)
+    if _HLL_WIRE == "engine":
+        pair = _hll_pair_expr("x", log2m)
+        return (
+            f"__hll_from_regs(array_distinct(flatten(collect_list("
+            f"array_distinct(transform(filter({a[0]}, x -> x IS NOT NULL), "
+            f"x -> {pair}))))), {log2m})"
+        )
     return (
-        f"__hll_from_regs(array_distinct(flatten(collect_list("
-        f"array_distinct(transform(filter({a[0]}, x -> x IS NOT NULL), "
-        f"x -> {pair}))))), {log2m})"
+        f"__cs_hll_from_regs(array_distinct(flatten(collect_list("
+        f"{_cs_hll_pairs_arr_sql(a[0], log2m)}))), {log2m})"
+    )
+
+
+def _raw_hllpp_mv_sql(a: list[str]) -> str:
+    p, sp = _hllpp_params(a)
+    if _HLL_WIRE == "engine":
+        return _raw_hll_mv_sql(a[:1], 8)
+    return (
+        f"__cs_hllpp_from_regs(array_distinct(flatten(collect_list("
+        f"__cs_hllpp_pairs_arr({a[0]}, typeof({a[0]}), {p})))), {p}, {sp})"
     )
 
 
@@ -684,9 +812,9 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # aggregated with collect_set — the state is sketch-sized (≤ m*57
     # bigints) at ANY row count; no per-value collection remains.
     "distinctcountrawhll": lambda a: _raw_hll_sql(a, 8),
-    "distinctcountrawhllplus": lambda a: _raw_hll_sql(a[:1], 8),
+    "distinctcountrawhllplus": lambda a: _raw_hllpp_sql(a),
     "distinctcountrawhllmv": lambda a: _raw_hll_mv_sql(a, 8),
-    "distinctcountrawhllplusmv": lambda a: _raw_hll_mv_sql(a[:1], 8),
+    "distinctcountrawhllplusmv": lambda a: _raw_hllpp_mv_sql(a),
     "gethllestimate": lambda a: f"__hll_estimate({a[0]})",
     # engine extensions: clearspring (stream-lib) wire-format emitters —
     # byte-level twins of the reference toHLL output and of what
@@ -717,8 +845,16 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     ),
     "kllmerge": lambda a: f"__ds_kll_merge({a[0]}, {a[1]})",
     "kllquantile": lambda a: f"__ds_kll_quantile({a[0]}, CAST({a[1]} AS DOUBLE))",
+    # TOHLL emits the reference's ACTUAL bytes (SketchFunctions.toHLL
+    # builds stream-lib HyperLogLog — a clearspring singleton, identical
+    # to TOCLEARSPRINGHLL) so its output unions with the RAWHLL family;
+    # PINOT_SPARK_HLL_WIRE=engine restores the legacy engine-own blob
     "tohll": lambda a: (
-        "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
+        "__cs_hll_single({0}, typeof({0}), {1})".format(
+            a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 8
+        )
+        if _HLL_WIRE != "engine"
+        else "__hll_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64({0}) END, {1})".format(
             a[0], a[1].strip() if len(a) > 1 and a[1].strip().isdigit() else 8
         )
@@ -2759,6 +2895,23 @@ def _rs_pandas_forms(name: str, args: list[str], n: int) -> tuple[str, str]:
     AggregationFunction.java:63,86,132)."""
     a0 = args[0].strip()
     if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        if _HLL_WIRE != "engine":
+            if name == "distinctcountrawhllplusmv":
+                p, sp = _hllpp_params(args)
+                pairs_arr = f"__cs_hllpp_pairs_arr({a0}, typeof({a0}), {p})"
+                return (
+                    f"__cs_hllpp_mv_partial({pairs_arr}, {p}, {sp})",
+                    f"__cs_hll_merge_blobs(collect_list(__rs{n}))",
+                )
+            log2m = (
+                int(args[1].strip())
+                if len(args) > 1 and args[1].strip().isdigit()
+                else 8
+            )
+            return (
+                f"__cs_hll_mv_partial({_cs_hll_pairs_arr_sql(a0, log2m)}, {log2m})",
+                f"__cs_hll_merge_blobs(collect_list(__rs{n}))",
+            )
         log2m = (
             int(args[1].strip())
             if name == "distinctcountrawhllmv"
@@ -2845,6 +2998,16 @@ def _zs_descriptor(name: str, args: list[str]):
         if p:
             return ("tuple", p[0], p[1], p[2])
     if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        if _HLL_WIRE != "engine":
+            if name == "distinctcountrawhllplusmv":
+                p, sp = _hllpp_params(args)
+                return ("cs_hllpp", args[0].strip(), p, sp)
+            log2m = (
+                int(args[1].strip())
+                if len(args) > 1 and args[1].strip().isdigit()
+                else 8
+            )
+            return ("cs_hll", args[0].strip(), log2m)
         log2m = (
             int(args[1].strip())
             if name == "distinctcountrawhllmv"
@@ -2871,6 +3034,8 @@ def _zs_final(name: str, col: str) -> str:
     if name == "distinctcountrawthetasketch":
         return f"__theta_merge_blobs(collect_list({col}))"
     if name in ("distinctcountrawhllmv", "distinctcountrawhllplusmv"):
+        if _HLL_WIRE != "engine":
+            return f"__cs_hll_merge_blobs(collect_list({col}))"
         return f"__hll_merge_blobs(collect_list({col}))"
     if name in ("percentilerawestmv", "percentilerawkllmv", "percentilerawtdigestmv"):
         return f"__tdigest_merge(collect_list({col}))"
@@ -3267,6 +3432,19 @@ def _inexpr_udaf_expr(name: str, args: list[str]) -> str:
         fl = "str" if name == "frequentstringssketch" else "long"
         return f"__freq_{fl}_partial({a0}, {mm})"
     # distinctcountrawhllmv / plusmv
+    if _HLL_WIRE != "engine":
+        if name == "distinctcountrawhllplusmv":
+            p, sp = _hllpp_params(args)
+            return (
+                f"__cs_hllpp_mv_partial("
+                f"__cs_hllpp_pairs_arr({a0}, typeof({a0}), {p}), {p}, {sp})"
+            )
+        log2m = (
+            int(args[1].strip())
+            if len(args) > 1 and args[1].strip().isdigit()
+            else 8
+        )
+        return f"__cs_hll_mv_partial({_cs_hll_pairs_arr_sql(a0, log2m)}, {log2m})"
     log2m = (
         int(args[1].strip())
         if name == "distinctcountrawhllmv"
@@ -4043,6 +4221,105 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(lst) for lst in arrs])
 
+    # --- clearspring RAW-HLL wire route (operators/cs_hll.py;
+    # functions/sketches.py series bodies) — the default
+    # DISTINCTCOUNTRAWHLL[PLUS][MV] serialization since round 11 -------
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cs_hll_pair(v, t, log2m):
+        from pinot_spark.functions.sketches import cs_hll_pair_series
+
+        return cs_hll_pair_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(log2m.iloc[0]) if len(log2m) else 8,
+        )
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def __cs_hll_pairs_arr(arrs, t, log2m):
+        from pinot_spark.functions.sketches import cs_hll_pairs_arr_series
+
+        return cs_hll_pairs_arr_series(
+            arrs,
+            str(t.iloc[0]) if len(t) else None,
+            int(log2m.iloc[0]) if len(log2m) else 8,
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cs_hllpp_pair(v, t, p):
+        from pinot_spark.functions.sketches import cs_hllpp_pair_series
+
+        return cs_hllpp_pair_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(p.iloc[0]) if len(p) else 14,
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cs_hllpp_pair_long(hi, lo, p):
+        from pinot_spark.functions.sketches import cs_hllpp_pair_long_series
+
+        return cs_hllpp_pair_long_series(
+            hi, lo, int(p.iloc[0]) if len(p) else 14
+        )
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def __cs_hllpp_pairs_arr(arrs, t, p):
+        from pinot_spark.functions.sketches import cs_hllpp_pairs_arr_series
+
+        return cs_hllpp_pairs_arr_series(
+            arrs,
+            str(t.iloc[0]) if len(t) else None,
+            int(p.iloc[0]) if len(p) else 14,
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cs_hll_from_regs(arrs, log2m):
+        from pinot_spark.functions.sketches import cs_hll_from_pairs_series
+
+        return cs_hll_from_pairs_series(
+            arrs, int(log2m.iloc[0]) if len(log2m) else 8
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cs_hllpp_from_regs(arrs, p, sp):
+        from pinot_spark.functions.sketches import cs_hllpp_from_pairs_series
+
+        return cs_hllpp_from_pairs_series(
+            arrs,
+            int(p.iloc[0]) if len(p) else 14,
+            int(sp.iloc[0]) if len(sp) else 0,
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cs_hll_merge_blobs(arrs):
+        from pinot_spark.functions.sketches import cs_hll_merge_blobs_series
+
+        return cs_hll_merge_blobs_series(arrs)
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __cs_hll_mv_partial(pair_arrs, log2m):
+        from pinot_spark.operators.cs_hll import cs_hll_from_pairs
+
+        lm = int(log2m.iloc[0]) if len(log2m) else 8
+        pairs = []
+        for ps in pair_arrs:
+            if ps is not None and len(ps):
+                pairs.extend(int(x) for x in ps if x is not None)
+        return cs_hll_from_pairs(pairs, lm).serialize()
+
+    @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def __cs_hllpp_mv_partial(pair_arrs, p, sp):
+        from pinot_spark.operators.cs_hll import cs_hllpp_from_pairs
+
+        pp = int(p.iloc[0]) if len(p) else 14
+        spp = int(sp.iloc[0]) if len(sp) else 0
+        pairs = []
+        for ps in pair_arrs:
+            if ps is not None and len(ps):
+                pairs.extend(int(x) for x in ps if x is not None)
+        return cs_hllpp_from_pairs(pairs, pp, spp).serialize()
+
     spark.udf.register("__theta_partial", __theta_partial)
     spark.udf.register("__tuple_partial", __tuple_partial)
     spark.udf.register("__tdigest_partial", __tdigest_partial)
@@ -4055,6 +4332,16 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__hll_mv_partial", __hll_mv_partial)
     spark.udf.register("__theta_merge_blobs", __theta_merge_blobs)
     spark.udf.register("__hll_merge_blobs", __hll_merge_blobs)
+    spark.udf.register("__cs_hll_pair", __cs_hll_pair)
+    spark.udf.register("__cs_hll_pairs_arr", __cs_hll_pairs_arr)
+    spark.udf.register("__cs_hllpp_pair", __cs_hllpp_pair)
+    spark.udf.register("__cs_hllpp_pair_long", __cs_hllpp_pair_long)
+    spark.udf.register("__cs_hllpp_pairs_arr", __cs_hllpp_pairs_arr)
+    spark.udf.register("__cs_hll_from_regs", __cs_hll_from_regs)
+    spark.udf.register("__cs_hllpp_from_regs", __cs_hllpp_from_regs)
+    spark.udf.register("__cs_hll_merge_blobs", __cs_hll_merge_blobs)
+    spark.udf.register("__cs_hll_mv_partial", __cs_hll_mv_partial)
+    spark.udf.register("__cs_hllpp_mv_partial", __cs_hllpp_mv_partial)
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
     spark.udf.register("__tdigest_from_quantiles", __tdigest_from_quantiles)
     spark.udf.register("__tdigest_merge", __tdigest_merge)
@@ -4340,7 +4627,10 @@ class PinotEngine:
             r"\bOVER\s*\(", sql, re.IGNORECASE
         ):
             return None
-        sql2 = rewrite_quoted_identifiers(sql)
+        # Strip BEFORE computing hit offsets: replacements below splice
+        # into this exact string, and a leading-whitespace (multiline /
+        # triple-quoted) statement would otherwise desync every offset.
+        sql2 = rewrite_quoted_identifiers(sql).strip().rstrip(";")
         spans = _literal_spans(sql2)
         hits = []  # (call_start, over_close, call_text, over_body)
         for m in _RAW_WINDOW_CALL_RE.finditer(sql2):
@@ -4375,12 +4665,23 @@ class PinotEngine:
             )
         prefix = "".join(f"SET {k}={v};" for k, v in options.items())
         where = f" WHERE {stmt['where']}" if stmt["where"] else ""
-        body = sql2.strip().rstrip(";")
+        body = sql2
         out_joins: list[str] = []
+        # Identical (call, OVER body) pairs share one grouped subquery:
+        # two windows over the same sketch expression cost one source
+        # scan and one LEFT JOIN, not N.
+        made: dict[tuple[str, str], str] = {}
         # replace back-to-front so spans stay valid
         for i, (start, oclose, call_text, over_body) in enumerate(
             sorted(hits, key=lambda h: -h[0])
         ):
+            dedup_key = (
+                re.sub(r"\s+", " ", call_text).strip(),
+                re.sub(r"\s+", " ", over_body).strip(),
+            )
+            if dedup_key in made:
+                body = body[:start] + f"{made[dedup_key]}.__rswv" + body[oclose + 1 :]
+                continue
             _ASOF_VIEW_SEQ[0] += 1
             view = f"__rswin_{_ASOF_VIEW_SEQ[0]}"
             pm = re.match(r"\s*PARTITION\s+BY\s+(.*)$", over_body, re.IGNORECASE | re.DOTALL)
@@ -4406,6 +4707,7 @@ class PinotEngine:
                 or "true"
             )
             out_joins.append(f" LEFT JOIN {view} ON {cond}")
+            made[dedup_key] = view
             body = body[:start] + f"{view}.__rswv" + body[oclose + 1 :]
         # splice the joins immediately after the FROM source text
         fm = _parse_canonical_stmt(body, allow_join=True)
@@ -4581,6 +4883,10 @@ class PinotEngine:
             arg JVM-side (split 32-bit halves; tuple calls also carry an
             exact BIGINT value column), build the mapInPandas grouped
             partials, register the temp view."""
+            # the clearspring pair UDFs may appear INSIDE the mini
+            # statement (non-integer MV elements) — register before
+            # analysis or the route silently declines to the two-phase
+            _ensure_theta_sql_udfs(self.spark)
             try:
                 def arg_type(expr: str) -> str:
                     probe = (
@@ -4612,6 +4918,21 @@ class PinotEngine:
                         )
                         sel += [f"{pairs_arr} AS __pa{i}"]
                         op_calls.append(("hll", f"__pa{i}", d[2]))
+                    elif d[0] == "cs_hll":
+                        # clearspring murmur-domain pairs: pure-JVM
+                        # expression for integer-element arrays, the
+                        # Arrow-batched pair UDF otherwise (same bounded
+                        # domain, ≤ 2^log2m·64+64 — float64-exact)
+                        sel += [
+                            f"{_cs_hll_pairs_arr_sql(d[1], d[2])} AS __pa{i}"
+                        ]
+                        op_calls.append(("cs_hll", f"__pa{i}", d[2]))
+                    elif d[0] == "cs_hllpp":
+                        sel += [
+                            f"__cs_hllpp_pairs_arr({d[1]}, typeof({d[1]}), "
+                            f"{d[2]}) AS __pa{i}"
+                        ]
+                        op_calls.append(("cs_hllpp", f"__pa{i}", d[2], d[3]))
                     elif d[0] == "tdigest":
                         sel += [f"CAST({d[1]} AS ARRAY<DOUBLE>) AS __td{i}"]
                         op_calls.append(("tdigest", f"__td{i}"))
@@ -4673,15 +4994,20 @@ class PinotEngine:
                 # same trick sketch hashes and tuple values already use
                 # — because a nullable int64 loses exactness through
                 # Arrow→pandas float64; each half is exact in float64
-                # and the halves recombine JVM-side below. decimal/
-                # timestamp keys still decline to the bucketed SQL path.
+                # and the halves recombine JVM-side below.  TIMESTAMP
+                # keys (native-typed ingest; the dialect itself prefers
+                # epoch-millis BIGINT) ride the SAME trick through
+                # unix_micros — epoch-micros int64 is a lossless carrier
+                # — and recombine via timestamp_micros.  decimal keys
+                # still decline to the bucketed SQL path (no exact
+                # fixed-width carrier wired).
                 part_keys: list[str] = []
-                split_keys: dict[str, tuple[str, str]] = {}
+                split_keys: dict[str, tuple[str, str, str]] = {}
                 for j, k in enumerate(keys):
                     t = src.schema[k].dataType.simpleString()
-                    if t == "bigint":
-                        split_keys[k] = (f"__khi{j}", f"__klo{j}")
-                        part_keys += list(split_keys[k])
+                    if t in ("bigint", "timestamp"):
+                        split_keys[k] = (f"__khi{j}", f"__klo{j}", t)
+                        part_keys += [f"__khi{j}", f"__klo{j}"]
                     elif t in ok_key_types:
                         part_keys.append(k)
                     else:
@@ -4690,10 +5016,15 @@ class PinotEngine:
                     key_sel = []
                     for k in keys:
                         if k in split_keys:
-                            khi, klo = split_keys[k]
+                            khi, klo, t = split_keys[k]
+                            base = (
+                                f"unix_micros(`{k}`)"
+                                if t == "timestamp"
+                                else f"`{k}`"
+                            )
                             key_sel += [
-                                f"shiftright(`{k}`, 32) AS `{khi}`",
-                                f"(`{k}` & 4294967295) AS `{klo}`",
+                                f"shiftright({base}, 32) AS `{khi}`",
+                                f"({base} & 4294967295) AS `{klo}`",
                             ]
                         else:
                             key_sel.append(f"`{k}`")
@@ -4703,18 +5034,26 @@ class PinotEngine:
 
                 partials = grouped_sketch_partials(src, part_keys, op_calls)
                 if split_keys:
-                    # recombine halves into the original exact BIGINT key
+                    # recombine halves into the original exact key type
                     # (pure projection — no extra exchange); consumers of
                     # the view see the original key names/types
                     out_sel = []
                     for k in keys:
                         if k in split_keys:
-                            khi, klo = split_keys[k]
-                            out_sel.append(
-                                f"CASE WHEN `{khi}` IS NULL THEN "
-                                f"CAST(NULL AS BIGINT) ELSE "
-                                f"shiftleft(`{khi}`, 32) | `{klo}` END AS `{k}`"
-                            )
+                            khi, klo, t = split_keys[k]
+                            whole = f"(shiftleft(`{khi}`, 32) | `{klo}`)"
+                            if t == "timestamp":
+                                out_sel.append(
+                                    f"CASE WHEN `{khi}` IS NULL THEN "
+                                    f"CAST(NULL AS TIMESTAMP) ELSE "
+                                    f"timestamp_micros({whole}) END AS `{k}`"
+                                )
+                            else:
+                                out_sel.append(
+                                    f"CASE WHEN `{khi}` IS NULL THEN "
+                                    f"CAST(NULL AS BIGINT) ELSE "
+                                    f"{whole} END AS `{k}`"
+                                )
                         else:
                             out_sel.append(f"`{k}`")
                     out_sel += [f"__rs{i}" for i in range(len(op_calls))]
@@ -4783,7 +5122,7 @@ class PinotEngine:
                 if name not in _RS_SCALAR_ALLOW and name not in (
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
-                    "hllmergeblobs", "tdigestmerge",
+                    "hllmergeblobs", "cshllmergeblobs", "tdigestmerge",
                     "freqstrmerge", "freqlongmerge",
                 ):
                     return None
@@ -4798,7 +5137,7 @@ class PinotEngine:
                 if name not in _RS_SCALAR_ALLOW and name not in (
                     "thetamergeblobs", "collectlist", "tuplemergesum",
                     "tupleestimate", "tuplesumvalues", "tupleavgvalue",
-                    "hllmergeblobs", "tdigestmerge",
+                    "hllmergeblobs", "cshllmergeblobs", "tdigestmerge",
                     "freqstrmerge", "freqlongmerge",
                 ):
                     return None

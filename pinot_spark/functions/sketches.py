@@ -514,15 +514,21 @@ def cs_hllpp_single_series(
     ``toString()`` bytes (pinned by probes), so a nullable int column's
     integral float64 values format as Java longs, true doubles as Java
     Double.toString."""
-    from pinot_spark.operators.cs_hll import CsHllPlus, hash64_obj, _java_double_str
+    from pinot_spark.operators.cs_hll import CsHllPlus, _java_float_str
 
-    is_double_col = type_name in ("double", "float")
+    is_double_col = type_name == "double"
+    is_float_col = type_name == "float"
 
     def one(x):
         s = CsHllPlus.empty(p, sp)
         if x is None or (isinstance(x, float) and np.isnan(x)):
             return s.serialize()
-        if isinstance(x, (float, np.floating)) and not is_double_col:
+        if is_float_col and isinstance(x, (int, float, np.integer, np.floating)):
+            # Java hashes Float.toString() — shortest round-trip at
+            # FLOAT32 precision, not the widened double's digits.
+            # Offering the formatted string hashes identical bytes.
+            x = _java_float_str(float(x))
+        elif isinstance(x, (float, np.floating)) and not is_double_col:
             # nullable int through pandas float64 → Java Long.toString
             if float(x).is_integer():
                 x = int(x)
@@ -662,3 +668,241 @@ def tdigest_quantile_any_series(col: "_pd.Series", pct: "_pd.Series") -> "_pd.Se
         return TDigest.from_bytes(bb).quantile(float(p) / 100.0)
 
     return _pd.Series([one(b, p) for b, p in zip(col, pct)], dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# clearspring bounded pair-domain series (the default RAW-HLL wire route:
+# DISTINCTCOUNTRAWHLL[PLUS][MV] emit stream-lib bytes — the serialization
+# the reference actually ships, ObjectSerDeUtils.java:741-775 — via
+# register pairs so every aggregation state stays sketch-sized)
+# ---------------------------------------------------------------------------
+
+
+def _cs_hash32_of(v, type_name: "str | None") -> int:
+    """stream-lib MurmurHash.hash(Object) with Pinot column-type
+    semantics: int family (and boolean, stored as int in Pinot) hash
+    hashLong; FLOAT hashes floatToIntBits, DOUBLE doubleToLongBits;
+    string/binary hash their bytes."""
+    import struct as _struct
+
+    from pinot_spark.operators.cs_hll import hash32_bytes, hash32_long
+
+    if type_name == "float":
+        bits = _struct.unpack("<i", _struct.pack("<f", float(v)))[0]
+        return hash32_long(bits)
+    if type_name == "double":
+        bits = _struct.unpack("<q", _struct.pack("<d", float(v)))[0]
+        return hash32_long(bits)
+    if isinstance(v, (bool, np.bool_)):
+        return hash32_long(int(v))
+    if isinstance(v, (int, np.integer)):
+        return hash32_long(int(v))
+    if isinstance(v, (float, np.floating)):
+        # integral float64 = a nullable int column riding through pandas
+        if float(v).is_integer():
+            return hash32_long(int(v))
+        bits = _struct.unpack("<q", _struct.pack("<d", float(v)))[0]
+        return hash32_long(bits)
+    if isinstance(v, (bytes, bytearray)):
+        return hash32_bytes(bytes(v))
+    return hash32_bytes(str(v).encode("utf-8"))
+
+
+def _cs_hash64_of(v, type_name: "str | None") -> int:
+    """stream-lib MurmurHash.hash64(Object): numbers hash their Java
+    toString() digits (Float.toString for FLOAT columns at float32
+    precision), strings/bytes their bytes."""
+    from pinot_spark.operators.cs_hll import (
+        _java_double_str,
+        _java_float_str,
+        hash64_bytes,
+    )
+
+    if type_name == "float":
+        return hash64_bytes(_java_float_str(float(v)).encode())
+    if type_name == "double":
+        return hash64_bytes(_java_double_str(float(v)).encode())
+    if isinstance(v, (bool, np.bool_)):
+        return hash64_bytes(str(int(v)).encode())
+    if isinstance(v, (int, np.integer)):
+        return hash64_bytes(str(int(v)).encode())
+    if isinstance(v, (float, np.floating)):
+        if float(v).is_integer():
+            return hash64_bytes(str(int(v)).encode())
+        return hash64_bytes(_java_double_str(float(v)).encode())
+    if isinstance(v, (bytes, bytearray)):
+        return hash64_bytes(bytes(v))
+    return hash64_bytes(str(v).encode("utf-8"))
+
+
+def cs_hll_pair_series(
+    v: "_pd.Series", type_name: "str | None", log2m: int
+) -> "_pd.Series":
+    """Per-value clearspring register pair (j*64+r, murmur-int domain)
+    for the non-integer column types the JVM murmur expression can't
+    reach (float/double/string/binary).  Arrow-batched; doubles arrive
+    exact in float64."""
+    from pinot_spark.operators.cs_hll import hll_pair32
+
+    def one(x):
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            return None
+        return hll_pair32(_cs_hash32_of(x, type_name), log2m)
+
+    return _pd.Series([one(x) for x in v], dtype="Int64")
+
+
+def cs_hllpp_pair_series(
+    v: "_pd.Series", type_name: "str | None", p: int
+) -> "_pd.Series":
+    """Per-value clearspring HLL++ NORMAL pair (murmur64-toString
+    domain) for non-integer column types."""
+    from pinot_spark.operators.cs_hll import hllpp_pair64
+
+    def one(x):
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            return None
+        return hllpp_pair64(_cs_hash64_of(x, type_name), p)
+
+    return _pd.Series([one(x) for x in v], dtype="Int64")
+
+
+def cs_hllpp_pair_long_series(
+    hi: "_pd.Series", lo: "_pd.Series", p: int
+) -> "_pd.Series":
+    """HLL++ pair for BIGINT values shipped as exact 32-bit halves (a
+    nullable int64 is lossy through pandas float64 past 2^53; the
+    halves are exact).  Java hashes Long.toString()."""
+    from pinot_spark.operators.cs_hll import hash64_bytes, hllpp_pair64
+
+    def one(h, l):
+        if h is None or (isinstance(h, float) and np.isnan(h)):
+            return None
+        val = (int(h) << 32) | int(l)
+        return hllpp_pair64(hash64_bytes(str(val).encode()), p)
+
+    return _pd.Series([one(h, l) for h, l in zip(hi, lo)], dtype="Int64")
+
+
+def _elem_type_of(array_type_name: "str | None") -> "str | None":
+    if array_type_name and array_type_name.startswith("array<"):
+        return array_type_name[6:-1]
+    return None
+
+
+def cs_hll_pairs_arr_series(
+    arrs: "_pd.Series", type_name: "str | None", log2m: int
+) -> "_pd.Series":
+    """MV variant: one deduplicated pair array per row (any element
+    type — array elements keep their Arrow dtype exactly, so int64
+    elements need no split)."""
+    from pinot_spark.operators.cs_hll import hll_pair32
+
+    et = _elem_type_of(type_name)
+
+    def one(arr):
+        if arr is None:
+            return None
+        out = {
+            hll_pair32(_cs_hash32_of(x, et), log2m)
+            for x in arr
+            if x is not None and not (isinstance(x, float) and np.isnan(x))
+        }
+        return list(out)
+
+    return _pd.Series([one(a) for a in arrs])
+
+
+def cs_hllpp_pairs_arr_series(
+    arrs: "_pd.Series", type_name: "str | None", p: int
+) -> "_pd.Series":
+    from pinot_spark.operators.cs_hll import hllpp_pair64
+
+    et = _elem_type_of(type_name)
+
+    def one(arr):
+        if arr is None:
+            return None
+        out = {
+            hllpp_pair64(_cs_hash64_of(x, et), p)
+            for x in arr
+            if x is not None and not (isinstance(x, float) and np.isnan(x))
+        }
+        return list(out)
+
+    return _pd.Series([one(a) for a in arrs])
+
+
+def cs_hll_from_pairs_series(arrs: "_pd.Series", log2m: int) -> "_pd.Series":
+    from pinot_spark.operators.cs_hll import cs_hll_from_pairs
+
+    return _pd.Series(
+        [
+            cs_hll_from_pairs(
+                [p for p in (ps if ps is not None else []) if p is not None],
+                log2m,
+            ).serialize()
+            for ps in arrs
+        ]
+    )
+
+
+def cs_hllpp_from_pairs_series(
+    arrs: "_pd.Series", p: int, sp: int
+) -> "_pd.Series":
+    from pinot_spark.operators.cs_hll import cs_hllpp_from_pairs
+
+    return _pd.Series(
+        [
+            cs_hllpp_from_pairs(
+                [x for x in (ps if ps is not None else []) if x is not None],
+                p,
+                sp,
+            ).serialize()
+            for ps in arrs
+        ]
+    )
+
+
+def cs_hll_merge_blobs_series(arrs: "_pd.Series") -> "_pd.Series":
+    """Merge a list of clearspring blobs (all-plain or all-plus; the
+    engine-own domain and mixed domains raise loudly — registers from
+    different hash functions must never max-merge)."""
+    from pinot_spark.operators.cs_hll import (
+        CsHll,
+        CsHllPlus,
+        is_cs_hll_bytes,
+        is_cs_hllpp_bytes,
+    )
+
+    def run(lst):
+        acc = None
+        for b in lst if lst is not None else []:
+            if b is None:
+                continue
+            bb = bytes(b)
+            if is_cs_hllpp_bytes(bb):
+                s = CsHllPlus.parse(bb)
+            elif is_cs_hll_bytes(bb):
+                s = CsHll.parse(bb)
+            else:
+                raise ValueError(
+                    "HLL merge: mixed sketch domains — engine-own register "
+                    "blobs cannot union with clearspring wire bytes"
+                )
+            if acc is None:
+                acc = s
+            elif type(acc) is not type(s):
+                raise ValueError(
+                    "HLL merge: mixed sketch domains — clearspring plain "
+                    "and plus payloads use different hash functions"
+                )
+            else:
+                acc = acc.merge(s)
+        if acc is None:
+            from pinot_spark.operators.cs_hll import CsHll as _C
+
+            acc = _C.empty()
+        return acc.serialize()
+
+    return _pd.Series([run(lst) for lst in arrs])

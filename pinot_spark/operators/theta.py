@@ -244,10 +244,12 @@ def grouped_sketch_partials(
                 slot = acc.setdefault(kt, [None] * len(calls))
                 for i, call in enumerate(calls):
                     kind = call[0]
-                    if kind == "hll":
+                    if kind in ("hll", "cs_hll", "cs_hllpp"):
                         # accumulate max-rho registers per group — the
                         # HLL partial state is the fixed 2^log2m register
-                        # array regardless of row count
+                        # array regardless of row count (engine-own and
+                        # clearspring pairs share the j*64+r layout; only
+                        # the hash domain and final bytes differ)
                         regs = slot[i]
                         if regs is None:
                             regs = slot[i] = np.zeros(1 << call[2], np.uint8)
@@ -352,6 +354,24 @@ def grouped_sketch_partials(
                         regs = np.zeros(1 << call[2], np.uint8)
                     row.append(HllSketch(call[2], regs).to_bytes())
                     continue
+                if kind == "cs_hll":
+                    from pinot_spark.operators.cs_hll import CsHll
+
+                    regs = slots[i]
+                    if regs is None:
+                        regs = np.zeros(1 << call[2], np.uint8)
+                    row.append(CsHll(call[2], regs).serialize())
+                    continue
+                if kind == "cs_hllpp":
+                    from pinot_spark.operators.cs_hll import NORMAL, CsHllPlus
+
+                    regs = slots[i]
+                    if regs is None:
+                        regs = np.zeros(1 << call[2], np.uint8)
+                    row.append(
+                        CsHllPlus(call[2], call[3], NORMAL, regs, None).serialize()
+                    )
+                    continue
                 if kind == "tdigest":
                     from pinot_spark.operators.tdigest import TDigest
 
@@ -418,7 +438,7 @@ def grouped_sketch_partials(
 
     needed = list(keys)
     for call in calls:
-        if call[0] in ("hll", "tdigest", "freq_str"):
+        if call[0] in ("hll", "cs_hll", "cs_hllpp", "tdigest", "freq_str"):
             needed.append(call[1])
             continue
         needed += [call[1], call[2]]

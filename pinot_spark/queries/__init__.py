@@ -78,114 +78,113 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Every query driver-green in CORRECTNESS_r01-r09 that is not taking a
-# round-10 window slot (138 of the 186 ever-green; regression-guarded
+# Every query driver-green in CORRECTNESS_r01-r10 that is not taking a
+# round-11 window slot (144 of the 193 ever-green; regression-guarded
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_approx_distinct", "agg_bool_and_or",
-    "agg_count_by_segment_partition", "agg_count_metadata_only",
+    "agg_approx_distinct", "agg_basic_family", "agg_bool_and_or",
+    "agg_count_by_segment_partition", "agg_distinct_family",
     "agg_distinctcount_mv_scale_path", "agg_exprminmax",
-    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
-    "agg_funnel_count", "agg_funnel_events_eval",
-    "agg_funnel_max_step_window", "agg_histogram", "agg_hll_sketch_union",
-    "agg_idset_membership", "agg_listagg_arrayagg", "agg_mode",
-    "agg_mv_grouped_percentile", "agg_mv_variants",
-    "agg_percentile_approx", "agg_percentiles", "agg_raw_sketch_bytes",
-    "agg_skew_kurt", "agg_st_union_points", "agg_startree_rollup_route",
-    "agg_stats_family", "agg_sum_array", "agg_sum_array_scale_path",
-    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
-    "agg_theta_sketch_distinct", "asof_join_backward",
-    "case_when_projection", "clp_encode_decode_roundtrip",
-    "colocated_bucketed_join", "cte_with_reuse",
-    "cursor_result_table_pages", "dedup_duplicate_clusters",
-    "dedup_embedding_cosine", "dedup_exact_documents",
-    "dedup_first_per_key", "dedup_ngram_jaccard_pairs",
-    "dialect_asof_join", "dialect_datetime_convert",
-    "dialect_ddl_mv_roundtrip",
-    "dialect_default_limit_selection", "dialect_epoch_functions",
-    "dialect_funnel_count", "dialect_funnel_match_step",
-    "dialect_funnel_max_step", "dialect_gapfill",
-    "dialect_lookup_transform", "dialect_mv_distinct_scale",
-    "dialect_null_option", "dialect_query_hints",
-    "dialect_raw_theta_expr_key", "dialect_raw_theta_join",
-    "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
-    "distinct_select", "embedding_quantize_int8", "events_time_bucket_agg",
-    "filtered_aggregation", "fn_binary_conversion", "fn_conditional_null",
-    "fn_datetime_family", "fn_ds_theta_interop", "fn_exact_hash_parity",
-    "fn_geo_contains", "fn_geo_point_family", "fn_groovy_inline",
-    "fn_h3_grid", "fn_hash_family", "fn_in_not_in_range",
-    "fn_ip_subnet_family", "fn_json_extract", "fn_json_match_rewrite",
-    "fn_map_family", "fn_math_family", "fn_regex_family",
-    "fn_string_family", "fn_surface_ext", "fn_surface_udf_families",
-    "fn_text_match_like", "fn_trig_family", "fn_url_family",
-    "funnel_complete_count", "funnel_match_step", "funnel_max_step",
-    "funnel_max_step_pandas", "funnel_step_duration_stats",
-    "gapfill_fill_default", "gapfill_fill_previous", "grouping_sets",
-    "having_clause", "hybrid_table_time_boundary", "join_full_outer",
-    "join_lookup_dimension",
-    "join_non_equi_theta", "join_right_outer", "json_index_match",
+    "agg_firstlast_withtime", "agg_fourth_moment", "agg_funnel_count",
+    "agg_funnel_events_eval", "agg_funnel_max_step_window", "agg_histogram",
+    "agg_hll_sketch_union", "agg_idset_membership", "agg_listagg_arrayagg",
+    "agg_mode", "agg_mv_grouped_percentile", "agg_percentile_approx",
+    "agg_percentiles", "agg_skew_kurt", "agg_st_union_points",
+    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
+    "agg_sum_array_scale_path", "agg_sum_precision_decimal",
+    "agg_theta_setop_distinct", "agg_theta_sketch_distinct",
+    "asof_join_backward", "clp_encode_decode_roundtrip",
+    "colocated_bucketed_join", "cursor_result_table_pages",
+    "dedup_duplicate_clusters", "dedup_embedding_cosine",
+    "dedup_exact_documents", "dedup_first_per_key",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_buckets", "dialect_fn_surface_ext",
+    "dialect_funnel_max_step", "dialect_mv_distinct_scale",
+    "dialect_null_option", "dialect_pinot_agg_names", "dialect_query_hints",
+    "dialect_raw_mv_sketch_grouped", "dialect_raw_sketch_scale",
+    "dialect_raw_sketch_window", "dialect_raw_theta_bigint_key",
+    "dialect_raw_theta_expr_key", "dialect_raw_theta_mixed_split",
+    "dialect_raw_ull_distinct", "embedding_quantize_int8",
+    "events_time_bucket_agg", "fn_binary_conversion", "fn_conditional_null",
+    "fn_datetime_family", "fn_ds_cpc_read", "fn_ds_freq_interop",
+    "fn_ds_hll_interop", "fn_ds_kll_interop", "fn_ds_theta_interop",
+    "fn_exact_hash_parity", "fn_geo_contains", "fn_geo_point_family",
+    "fn_groovy_inline", "fn_h3_grid", "fn_hash_family",
+    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
+    "fn_math_family", "fn_string_family", "fn_text_match_like",
+    "fn_trig_family", "fn_url_family", "funnel_complete_count",
+    "funnel_match_step", "funnel_max_step_pandas",
+    "funnel_step_duration_stats", "gapfill_fill_default",
+    "gapfill_fill_previous", "hybrid_table_time_boundary",
+    "ingestion_pipeline_conform", "json_index_match",
     "multimodal_feature_extract", "multimodal_gif_tiff_features",
     "multimodal_resize_and_windows", "multimodal_webp_features",
-    "mv_all_match_exclusive_filter", "mv_any_match_filter",
-    "mv_array_functions", "null_mode_default_value",
-    "null_mode_sql_semantics", "partial_upsert_merge",
-    "pipeline_decontamination", "rollup_cube", "sample_stratified_split",
-    "set_ops_all_variants", "similarity_radius_filter",
-    "similarity_topk_cosine", "similarity_topk_hnsw",
-    "stream_rate_upsert_loop", "text_bpe_token_count", "text_chunking",
-    "text_fingerprints", "text_inverted_index_search", "text_lang_id",
-    "text_match_lucene", "text_quality_scores", "text_repetition_filters",
+    "null_mode_default_value", "null_mode_sql_semantics",
+    "partial_upsert_merge", "pipeline_pack_sequences", "q10_returned_items",
+    "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q1_pricing_summary", "q20_excess_suppliers",
+    "q21_last_shipper_in_order", "q22_anti_join", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "regex_fst_dictionary_match", "sample_stratified_split",
+    "scan_format_roundtrip", "segment_build_time_pruning",
+    "sessionize_gap_sessions", "set_ops_union_intersect_except",
+    "similarity_pairwise_label", "similarity_radius_filter",
+    "similarity_topk_cosine", "similarity_topk_hnsw", "similarity_topk_ivf",
+    "skew_safe_operators", "stream_kafka_batch_decode",
+    "text_bpe_token_count", "text_chunking", "text_fingerprints",
+    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
+    "text_pii_redaction", "text_quality_scores", "text_repetition_filters",
     "text_token_stats", "timeseries_keep_last_value",
-    "timeseries_m3ql_pipeline", "timeseries_range_query", "unnest_explode",
-    "unnest_posexplode_zip", "upsert_latest_per_key", "values_literal",
-    "window_first_last_ntile", "window_frame_exclude", "window_lead_lag",
-    "window_percent_cume", "window_range_frame",
-    "window_rank_topn_per_group", "window_running_sum",
+    "timeseries_m3ql_pipeline", "timeseries_range_query",
+    "udtf_sequence_explode", "upsert_latest_per_key",
+]
+
+# Round-11 window = first-time slot for the round-11 RAW-HLL clearspring
+# wire routing + ALL 44 round-7-stale greens (the stalest evidence in the
+# registry after the r10 rotation: dialect surface, window fns, joins,
+# set ops, funnel dialect forms) + 5 r8-stale sketch-adjacent rows re-
+# proven because dialect.py/theta.py/ds_freq.py changed this round.
+# Done-criterion (VERDICT r10 item 2): max staleness <= r8.
+_WINDOW_FIRST_TIME = [
+    "dialect_rawhll_clearspring_wire",
+    "dialect_raw_theta_timestamp_key",
+]
+
+# all 44 round-7-stale greens
+_REPROOF_STALE_R7 = [
+    "agg_count_metadata_only", "case_when_projection", "cte_with_reuse",
+    "dialect_asof_join", "dialect_datetime_convert",
+    "dialect_ddl_mv_roundtrip", "dialect_default_limit_selection",
+    "dialect_epoch_functions", "dialect_funnel_count",
+    "dialect_funnel_match_step", "dialect_gapfill",
+    "dialect_lookup_transform", "distinct_select", "filtered_aggregation",
+    "fn_in_not_in_range", "fn_json_extract", "fn_regex_family",
+    "fn_surface_ext", "fn_surface_udf_families", "funnel_max_step",
+    "grouping_sets", "having_clause", "join_full_outer",
+    "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
+    "mv_all_match_exclusive_filter", "mv_any_match_filter",
+    "mv_array_functions", "pipeline_decontamination", "rollup_cube",
+    "set_ops_all_variants", "stream_rate_upsert_loop", "unnest_explode",
+    "unnest_posexplode_zip", "values_literal", "window_first_last_ntile",
+    "window_frame_exclude", "window_lead_lag", "window_percent_cume",
+    "window_range_frame", "window_rank_topn_per_group", "window_running_sum",
     "window_sliding_rows_frame",
 ]
 
-# Round-10 window = first-time slots for the round-10 additions (bigint
-# zero-shuffle sketch keys, HLL-MV/t-digest-MV grouped partials) + the
-# full 37-entry r6-stale green pool (TPC-H q1-q22 family, dedup LSH/
-# SimHash, ingestion, formats) + 11 stalest r7 greens, dialect/sketch-
-# adjacent first since dialect.py and theta.py changed since their last
-# proof. Done-criterion (VERDICT r9 item 3): max staleness <= r7.
-_WINDOW_FIRST_TIME = [
-    "dialect_raw_theta_bigint_key", "dialect_raw_mv_sketch_grouped",
-    "fn_ds_hll_interop", "dialect_raw_sketch_window", "fn_ds_kll_interop",
-    "fn_ds_freq_interop", "fn_ds_cpc_read",
+# 4 r8-stale rows whose machinery changed this round (raw-sketch blobs,
+# theta routes, frequencies merge semantics, MV agg variants)
+_REPROOF_STALE_R8 = [
+    "agg_raw_sketch_bytes", "dialect_raw_theta_scale",
+    "dialect_raw_theta_join", "agg_frequent_items",
 ]
 
-# all 37 round-6-stale greens (stalest evidence in the registry)
-_REPROOF_STALE_R6 = [
-    "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
-    "ingestion_pipeline_conform", "pipeline_pack_sequences",
-    "q10_returned_items", "q11_important_parts",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_predicates", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match",
-    "scan_format_roundtrip", "segment_build_time_pruning",
-    "sessionize_gap_sessions", "set_ops_union_intersect_except",
-    "similarity_pairwise_label", "similarity_topk_ivf",
-    "skew_safe_operators", "stream_kafka_batch_decode",
-    "text_pii_redaction", "udtf_sequence_explode",
-]
-
-# 11 round-7-stale greens, dialect/sketch surface first
-_REPROOF_STALE_R7 = [
-    "dialect_raw_sketch_scale", "dialect_raw_ull_distinct",
-    "dialect_pinot_agg_names", "dialect_fn_surface_ext",
-    "agg_basic_family", "agg_distinct_family",
-]
-
-_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R6 + _REPROOF_STALE_R7
+_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R7 + _REPROOF_STALE_R8
 
 
 

@@ -1205,3 +1205,92 @@ def fn_ds_cpc_read(spark, sf_dir):
                GET_CPC_SKETCH_ESTIMATE(X'{merged["bytes"]}') AS merged_est
         """
     )
+
+
+def _rawhll_wire_oracle() -> str:
+    """Literal oracle for the round-11 RAW-HLL wire routing: expected
+    hex/estimates come from the pure-Python CsHll/CsHllPlus flat builds
+    over nation's fixed contents (25 rows, keys 0..24, names NATION_k,
+    region k%5 — identical at every SF) — themselves byte-canonical
+    against stream-lib 2.9.8 golden vectors and live Java round-trips
+    (tests/test_cs_hll.py::test_sql_rawhll_bytes_heapify_in_stream_lib
+    proves the library heapifies THESE SQL-route bytes)."""
+    from pinot_spark.operators.cs_hll import CsHll, CsHllPlus
+
+    rows = []
+    for r in range(5):
+        keys = [k for k in range(25) if k % 5 == r]
+        h = CsHll.empty(8)
+        hpp = CsHllPlus.empty(14, 0)
+        hs = CsHll.empty(12)
+        for k in keys:
+            h.offer(k)
+            hpp.offer(k)
+            hs.offer(f"NATION_{k}")
+        rows.append(
+            f"SELECT CAST({r} AS INT) AS n_regionkey, "
+            f"'{h.serialize().hex()}' AS hll_hex, "
+            f"'{hpp.serialize().hex()}' AS hpp_hex, "
+            f"CAST({hs.cardinality()} AS BIGINT) AS name_dc"
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY n_regionkey"
+
+
+@query("dialect_rawhll_clearspring_wire", oracle=_rawhll_wire_oracle())
+def dialect_rawhll_clearspring_wire(spark, sf_dir):
+    """Round 11: the RAW-HLL SQL family emits the reference's ACTUAL
+    wire bytes by default — DISTINCTCOUNTRAWHLL serializes a
+    clearspring stream-lib HyperLogLog (integer values hashLong via a
+    pure-JVM murmur2-int Column expression; strings via the
+    Arrow-batched pair UDF) and DISTINCTCOUNTRAWHLLPLUS a
+    HyperLogLogPlus (p=14 sp=0, NORMAL) — byte-identical to flat
+    library builds (DistinctCountRawHLL[Plus]AggregationFunction →
+    ObjectSerDeUtils.HYPER_LOG_LOG[_PLUS]_SER_DE, SketchFunctions.java:
+    139-162).  The aggregation state stays sketch-bounded: a
+    collect_set over the (register*64+rho) pair domain, never per-value
+    hashes.  GETHLLESTIMATE still reads legacy engine-own blobs
+    (auto-detection), and PINOT_SPARK_HLL_WIRE=engine restores the old
+    default."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT n_regionkey, "
+        "lower(hex(DISTINCTCOUNTRAWHLL(n_nationkey, 8))) AS hll_hex, "
+        "lower(hex(DISTINCTCOUNTRAWHLLPLUS(n_nationkey))) AS hpp_hex, "
+        "GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(n_name, 12)) AS name_dc "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 100"
+    )
+
+
+@query(
+    "dialect_raw_theta_timestamp_key",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS dc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY h LIMIT 48
+    """,
+)
+def dialect_raw_theta_timestamp_key(spark, sf_dir):
+    """Round 11: native TIMESTAMP group keys ride the zero-shuffle
+    sketch route — the key travels as unix_micros split into exact
+    32-bit halves (the BIGINT-key trick; epoch-micros int64 is a
+    lossless carrier where pandas float64 is not) and recombines via
+    timestamp_micros, so grouped raw-theta over a timestamp key builds
+    partition-local sketch partials in ONE mapInPandas pass with no
+    per-value state (plan-gated:
+    test_raw_theta_timestamp_key_takes_zero_shuffle_route).  Hourly
+    user cardinalities stay far under k=4096, so estimates equal the
+    oracle's exact distinct counts.  Mixed with COUNT(*) to exercise
+    the split shape.  Reference: the segment-local sketch build +
+    broker merge contract (AggregationFunction.java:63,86,132) with
+    TIMESTAMP-typed time columns (pinot-spi FieldSpec TIMESTAMP)."""
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT date_trunc('hour', ts) AS h, user_id FROM events"
+    ).createOrReplaceTempView("__raw_ts_key_t")
+    return _engine(spark, sf_dir).sql(
+        "SELECT h, "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "user_id)) AS DOUBLE) AS dc, "
+        "COUNT(*) AS n "
+        "FROM __raw_ts_key_t GROUP BY h ORDER BY h LIMIT 48"
+    )

@@ -328,3 +328,194 @@ def test_sql_mixed_domain_union_raises(spark):
         eng.sql(
             "SELECT HLLUNION(TOCLEARSPRINGHLL('a'), TOHLL('b')) AS x"
         ).collect()
+
+
+def test_sql_hllplus_float_column_hashes_float_tostring(spark):
+    """stream-lib hash64(Object) on a Float hashes Float.toString()
+    (shortest at FLOAT32 precision) — NOT the widened double's digits.
+    0.1f must hash '0.1', not '0.10000000149011612': a sketch built
+    from the float column must equal one built from those exact
+    strings, and differ from one built from the widened doubles."""
+    from pinot_spark.dialect import PinotEngine
+    from pinot_spark.operators.cs_hll import CsHllPlus, _java_float_str
+    import numpy as np
+
+    eng = PinotEngine(spark)
+    vals = [0.1, 0.2, 0.3, 1.5, 3.14159, 123456.78, 1e-8, 2.5e10]
+    spark.createDataFrame(
+        [(float(np.float32(v)),) for v in vals], "fv float"
+    ).createOrReplaceTempView("__csf")
+    rows = eng.sql(
+        "SELECT fv, TOCLEARSPRINGHLLPLUS(fv, 14, 0) AS b FROM __csf"
+    ).collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        want = CsHllPlus.empty(14, 0)
+        want.offer(_java_float_str(r.fv))
+        assert bytes(r.b) == want.serialize(), r.fv
+        widened = CsHllPlus.empty(14, 0)
+        widened.offer(float(r.fv))  # Double.toString digits
+        if _java_float_str(r.fv) != _java_double_str(float(r.fv)):
+            assert bytes(r.b) != widened.serialize(), r.fv
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_hllplus_float_live_java(tmp_path):
+    """A Python HLL++ built from _java_float_str strings equals the
+    bytes stream-lib emits when offered the java.lang.Float objects
+    themselves."""
+    from pinot_spark.operators.cs_hll import CsHllPlus, _java_float_str
+
+    src = tmp_path / "FH.java"
+    src.write_text(
+        """
+import com.clearspring.analytics.stream.cardinality.HyperLogLogPlus;
+import java.nio.file.*;
+
+public class FH {
+  public static void main(String[] args) throws Exception {
+    HyperLogLogPlus s = new HyperLogLogPlus(14, 0);
+    java.util.Random r = new java.util.Random(4242);
+    StringBuilder sb = new StringBuilder();
+    for (int i = 0; i < 500; i++) {
+      int bits = r.nextInt() & 0x7FFFFFFF;
+      float f = Float.intBitsToFloat(bits);
+      if (Float.isNaN(f) || Float.isInfinite(f)) continue;
+      s.offer(Float.valueOf(f));
+      sb.append(Integer.toHexString(bits)).append('\\n');
+    }
+    Files.write(Paths.get(args[0]), s.getBytes());
+    Files.writeString(Paths.get(args[1]), sb.toString());
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/stream-2.9.8.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    subprocess.run(
+        ["java", "-cp", f".:{cp}", "FH", "j.bin", "bits.txt"],
+        cwd=tmp_path,
+        check=True,
+        capture_output=True,
+    )
+    py = CsHllPlus.empty(14, 0)
+    for line in (tmp_path / "bits.txt").read_text().splitlines():
+        f = struct.unpack("<f", struct.pack("<I", int(line, 16)))[0]
+        py.offer(_java_float_str(f))
+    assert py.serialize() == (tmp_path / "j.bin").read_bytes()
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_cardinality_all_registers_nonzero_boundary_live_java(tmp_path):
+    """stream-lib has no zero-register guard in linearCounting: a
+    register blob with every register nonzero but raw estimate
+    <= 2.5m returns Math.round(m*log(m/0)) = Long.MAX_VALUE.  Pin the
+    replicated behavior against the library at the boundary."""
+    # log2m=4 (m=16): all registers = 1 -> registerSum = 16*0.5 = 8,
+    # estimate = alphaMM/8 ~ 2*m*0.673 = 21.5 <= 2.5*16 = 40 -> linear
+    # counting branch with zeros == 0
+    s = CsHll.empty(4)
+    s.registers[:] = 1
+    (tmp_path / "blob.bin").write_bytes(s.serialize())
+    src = tmp_path / "CZ.java"
+    src.write_text(
+        """
+import com.clearspring.analytics.stream.cardinality.HyperLogLog;
+import java.nio.file.*;
+
+public class CZ {
+  public static void main(String[] args) throws Exception {
+    HyperLogLog h = HyperLogLog.Builder.build(Files.readAllBytes(Paths.get(args[0])));
+    System.out.println("card=" + h.cardinality());
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/stream-2.9.8.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    out = subprocess.run(
+        ["java", "-cp", f".:{cp}", "CZ", "blob.bin"],
+        cwd=tmp_path, check=True, capture_output=True, text=True,
+    ).stdout
+    jcard = int(out.strip().split("=")[1])
+    assert s.cardinality() == jcard == (1 << 63) - 1
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_sql_rawhll_bytes_heapify_in_stream_lib(spark, tmp_path):
+    """THE round-11 routing contract: DISTINCTCOUNTRAWHLL /
+    DISTINCTCOUNTRAWHLLPLUS SQL output IS stream-lib wire bytes — the
+    library deserializes them with identical cardinalities and merges
+    them with its own builds (what a real Pinot consumer does with
+    ObjectSerDeUtils.HYPER_LOG_LOG[_PLUS]_SER_DE payloads)."""
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    spark.range(0, 3000).selectExpr(
+        "CAST(id % 700 AS BIGINT) AS v",
+        "CONCAT('user-', CAST(id % 450 AS STRING)) AS s",
+    ).createOrReplaceTempView("rawhll_rt_t")
+    row = eng.sql(
+        "SELECT DISTINCTCOUNTRAWHLL(v, 12) AS h_long, "
+        "DISTINCTCOUNTRAWHLL(s, 12) AS h_str, "
+        "DISTINCTCOUNTRAWHLLPLUS(v) AS hpp "
+        "FROM rawhll_rt_t"
+    ).collect()[0]
+    (tmp_path / "h_long.bin").write_bytes(bytes(row.h_long))
+    (tmp_path / "h_str.bin").write_bytes(bytes(row.h_str))
+    (tmp_path / "hpp.bin").write_bytes(bytes(row.hpp))
+
+    src = tmp_path / "RH.java"
+    src.write_text(
+        """
+import com.clearspring.analytics.stream.cardinality.HyperLogLog;
+import com.clearspring.analytics.stream.cardinality.HyperLogLogPlus;
+import java.nio.file.*;
+
+public class RH {
+  public static void main(String[] args) throws Exception {
+    HyperLogLog hl = HyperLogLog.Builder.build(Files.readAllBytes(Paths.get(args[0])));
+    System.out.println("long_card=" + hl.cardinality());
+    HyperLogLog hs = HyperLogLog.Builder.build(Files.readAllBytes(Paths.get(args[1])));
+    System.out.println("str_card=" + hs.cardinality());
+    HyperLogLogPlus hp = HyperLogLogPlus.Builder.build(Files.readAllBytes(Paths.get(args[2])));
+    System.out.println("pp_card=" + hp.cardinality());
+    // a flat Java build over the same value stream must be byte-equal
+    HyperLogLog flat = new HyperLogLog(12);
+    for (long i = 0; i < 3000; i++) flat.offer(Long.valueOf(i % 700));
+    System.out.println("long_bytes_eq=" + java.util.Arrays.equals(flat.getBytes(),
+        Files.readAllBytes(Paths.get(args[0]))));
+    HyperLogLogPlus flatP = new HyperLogLogPlus(14, 0);
+    for (long i = 0; i < 3000; i++) flatP.offer(Long.valueOf(i % 700));
+    System.out.println("pp_bytes_eq=" + java.util.Arrays.equals(flatP.getBytes(),
+        Files.readAllBytes(Paths.get(args[2]))));
+    // and the engine bytes merge with a live Java sketch
+    HyperLogLog other = new HyperLogLog(12);
+    for (long i = 600; i < 900; i++) other.offer(Long.valueOf(i));
+    System.out.println("merged_card=" + ((HyperLogLog) hl.merge(other)).cardinality());
+  }
+}
+"""
+    )
+    cp = f"{_JARS}/stream-2.9.8.jar"
+    subprocess.run(
+        ["javac", "-cp", cp, str(src)], cwd=tmp_path, check=True, capture_output=True
+    )
+    out = subprocess.run(
+        ["java", "-cp", f".:{cp}", "RH", "h_long.bin", "h_str.bin", "hpp.bin"],
+        cwd=tmp_path, check=True, capture_output=True, text=True,
+    ).stdout
+    facts = dict(line.split("=") for line in out.strip().splitlines())
+    assert facts["long_bytes_eq"] == "true"
+    assert facts["pp_bytes_eq"] == "true"
+    assert int(facts["long_card"]) == CsHll.parse(bytes(row.h_long)).cardinality()
+    assert int(facts["str_card"]) == CsHll.parse(bytes(row.h_str)).cardinality()
+    assert int(facts["pp_card"]) == CsHllPlus.parse(bytes(row.hpp)).cardinality()
+    want_merge = CsHll.parse(bytes(row.h_long)).merge(
+        CsHll.build_from_longs(range(600, 900), 12)
+    )
+    assert int(facts["merged_card"]) == want_merge.cardinality()

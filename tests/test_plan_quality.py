@@ -522,3 +522,40 @@ def test_raw_mv_families_zero_shuffle(spark, sf_dir):
     # the driver row composes both families mixed with COUNT(*)
     dplan = _plan(QUERIES["dialect_raw_mv_sketch_grouped"](spark, sf_dir))
     assert "MapInPandas" in dplan and "pmod" not in dplan, dplan
+
+
+def test_raw_theta_timestamp_key_takes_zero_shuffle_route(spark, sf_dir):
+    """TIMESTAMP group keys (native-typed ingest — the dialect itself
+    prefers epoch-millis BIGINT) ride the zero-shuffle route since
+    round 11: the key travels as unix_micros split into 32-bit halves
+    (lossless int64 carrier) and recombines via timestamp_micros, so
+    plans show MapInPandas partials with no pmod and no collect_set,
+    NULL keys survive, and sub-second precision round-trips exactly."""
+    import datetime
+
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (base + datetime.timedelta(microseconds=123456 * (i % 4)), i % 9)
+        for i in range(180)
+    ] + [(None, 3), (None, 5)]
+    spark.createDataFrame(rows, "ts timestamp, v int").createOrReplaceTempView(
+        "rs_ts_t"
+    )
+    df = eng.sql(
+        "SELECT ts, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_ts_t GROUP BY ts ORDER BY ts LIMIT 10"
+    )
+    plan = _plan(df)
+    assert "pmod" not in plan, plan
+    assert "collect_set" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    got = [(r.ts, r.dc) for r in df.collect()]
+    assert got == [(None, 2)] + [
+        (base + datetime.timedelta(microseconds=123456 * j), 9.0)
+        for j in range(4)
+    ], got

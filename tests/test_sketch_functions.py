@@ -149,11 +149,15 @@ def test_hll_accuracy_and_roundtrip():
 
 
 def test_raw_hll_sql_bytes_match_from_hashes(spark):
-    """The scale-safe DISTINCTCOUNTRAWHLL path (bounded-domain register
-    pairs, dialect._hll_pair_expr + __hll_from_regs) must produce
-    byte-identical sketches to HllSketch.from_hashes over the same
-    values — the aggregation shape changed, the wire bytes must not."""
-    from pinot_spark.dialect import PinotEngine
+    """DISTINCTCOUNTRAWHLL emits the reference's ACTUAL wire bytes
+    (round 11): a clearspring stream-lib HyperLogLog byte-identical to
+    a flat Java-semantics build over the same values — the serialization
+    ObjectSerDeUtils.HYPER_LOG_LOG_SER_DE ships.  The legacy engine-own
+    register machinery (__hll_from_regs over dialect._hll_pair_expr)
+    must keep producing ITS bytes too: old blobs stay readable and
+    PINOT_SPARK_HLL_WIRE=engine restores them as the default."""
+    from pinot_spark.dialect import PinotEngine, _hll_pair_expr
+    from pinot_spark.operators.cs_hll import CsHll
     from pinot_spark.operators.hll import HllSketch
 
     df = spark.range(0, 5000).selectExpr(
@@ -161,10 +165,22 @@ def test_raw_hll_sql_bytes_match_from_hashes(spark):
     )
     df.createOrReplaceTempView("hll_bytes_t")
     eng = PinotEngine(spark, default_limit=1000)
+    values = [r.v for r in df.where("v IS NOT NULL").collect()]
     for log2m in (8, 12):
         got = bytes(
             eng.sql(
                 f"SELECT DISTINCTCOUNTRAWHLL(v, {log2m}) AS b FROM hll_bytes_t"
+            ).collect()[0].b
+        )
+        want = CsHll.empty(log2m)
+        for v in values:
+            want.offer(v)
+        assert got == want.serialize()
+        # legacy engine-own route still byte-stable for old consumers
+        legacy = bytes(
+            spark.sql(
+                f"SELECT __hll_from_regs(collect_set("
+                f"{_hll_pair_expr('v', log2m)}), {log2m}) AS b FROM hll_bytes_t"
             ).collect()[0].b
         )
         hashes = np.array(
@@ -176,5 +192,4 @@ def test_raw_hll_sql_bytes_match_from_hashes(spark):
             ],
             dtype=np.int64,
         ).astype(np.uint64) + np.uint64(2**63)
-        want = HllSketch.from_hashes(hashes, log2m).to_bytes()
-        assert got == want
+        assert legacy == HllSketch.from_hashes(hashes, log2m).to_bytes()
