@@ -460,6 +460,26 @@ def _hllpp_params(a: list[str]) -> tuple[int, int]:
     return p, sp
 
 
+def _cpc_lgk(a: list[str]) -> int:
+    """lgK from the optional second arg (reference default 12,
+    CommonConstants.DEFAULT_CPC_SKETCH_LGK)."""
+    return int(a[1].strip()) if len(a) > 1 and a[1].strip().isdigit() else 12
+
+
+def _cpc_coupon_sql(col: str, lg_k: int) -> str:
+    """Per-value CPC coupon (row*64 + col in the murmur3-9001 domain)
+    with CpcSketch.update(Object) type semantics — integer values ship
+    as exact 32-bit halves; the domain is bounded by 64*2^lgK, so
+    collect_set state stays sketch-scale at any row count."""
+    v = f"CAST({col} AS BIGINT)"
+    return (
+        f"CASE WHEN ({col}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN typeof({col}) IN {_INT_TYPEOFS} "
+        f"THEN __cpc_coupon_long(shiftright({v}, 32), {v} & 4294967295, {lg_k}) "
+        f"ELSE __cpc_coupon({col}, typeof({col}), {lg_k}) END"
+    )
+
+
 def _raw_hll_sql(a: list[str], default_log2m: int) -> str:
     log2m = (
         int(a[1].strip())
@@ -724,7 +744,15 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcountull": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountsmarthll": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountthetasketch": lambda a: f"approx_count_distinct({a[0]})",
-    "distinctcountcpcsketch": lambda a: f"approx_count_distinct({a[0]})",
+    # true CPC semantics since round 11: the same bounded coupon-domain
+    # aggregation as DISTINCTCOUNTRAWCPCSKETCH, estimated with
+    # Math.round of the merged sketch's ICON estimate — what a real
+    # distributed query returns (operators/ds_cpc.py)
+    "distinctcountcpcsketch": lambda a: (
+        "__cpc_estimate(__cpc_from_coupons(collect_set({0}), {1}))".format(
+            _cpc_coupon_sql(a[0], _cpc_lgk(a)), _cpc_lgk(a)
+        )
+    ),
     # --- raw theta sketch pipeline (UDFAggregates.json corpus:
     # GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_DIFF(DISTINCT_COUNT_RAW_THETA_
     # SKETCH(col,'nominalEntries=16'), ...))). Values are hashed JVM-side
@@ -886,10 +914,28 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         "foreign wire format — a documented gap; engine-own ULL bytes come "
         "from DISTINCTCOUNTRAWULL / TOULL"
     ),
-    "distinctcountrawcpcsketch": _sql_gap(
-        "DISTINCTCOUNTRAWCPCSKETCH", "WRITING DataSketches CPC bytes needs the "
-        "compressed coupon streams (a documented gap); foreign CPC bytes READ "
-        "via GET_CPC_SKETCH_ESTIMATE (operators/ds_cpc.py)"
+    # CPC write/union (round 11, operators/ds_cpc.py): real DataSketches
+    # CPC bytes — the aggregations ride a bounded coupon domain
+    # (row*64+col, at most 64*2^lgK values) and emit the CpcUnion-
+    # result bytes a real cluster's broker merge produces; TOCPCSKETCH
+    # singletons are byte-identical to SketchFunctions.toCpcSketch and
+    # CPCSKETCHUNION fully decompresses + unions foreign payloads
+    "distinctcountrawcpcsketch": lambda a: (
+        "__cpc_from_coupons(collect_set({0}), {1})".format(
+            _cpc_coupon_sql(a[0], _cpc_lgk(a)), _cpc_lgk(a)
+        )
+    ),
+    "tocpcsketch": lambda a: (
+        "CASE WHEN ({0}) IS NULL THEN __ds_cpc_single({0}, typeof({0}), {1}) "
+        "WHEN typeof({0}) IN {2} "
+        "THEN __ds_cpc_single_long(shiftright(CAST({0} AS BIGINT), 32), "
+        "CAST({0} AS BIGINT) & 4294967295, {1}) "
+        "ELSE __ds_cpc_single({0}, typeof({0}), {1}) END".format(
+            a[0], _cpc_lgk(a), _INT_TYPEOFS
+        )
+    ),
+    "cpcsketchunion": lambda a: (
+        f"__cpc_union(array({', '.join(a)}))"
     ),
     # foreign-read CPC estimates (round 10, operators/ds_cpc.py): the
     # reference scalar getCpcSketchEstimate(bytes) rounds getEstimate(),
@@ -2636,7 +2682,8 @@ _THETA_SQL_RE = re.compile(
     r"|TO_?CLEARSPRING_?HLL(?:_?PLUS)?|HLL_?UNION"
     r"|TO_?DATA_?SKETCHES_?KLL|KLL_?MERGE|KLL_?QUANTILE"
     r"|FREQUENT_?(?:STRINGS|LONGS)_?(?:SKETCH|ESTIMATE)"
-    r"|GET_?CPC_?SKETCH_?ESTIMATE)\s*\(",
+    r"|GET_?CPC_?SKETCH_?ESTIMATE|TO_?CPC_?SKETCH|CPC_?SKETCH_?UNION"
+    r"|DISTINCT_?COUNT_?(?:RAW_?)?CPC_?SKETCH)\s*\(",
     re.IGNORECASE,
 )
 _THETA_UDF_SESSIONS: set[int] = set()
@@ -4308,6 +4355,58 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
                 pairs.extend(int(x) for x in ps if x is not None)
         return cs_hll_from_pairs(pairs, lm).serialize()
 
+    # --- DataSketches CPC write/union (round 11, operators/ds_cpc.py) --
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cpc_coupon(v, t, lgk):
+        from pinot_spark.functions.sketches import ds_cpc_coupon_series
+
+        return ds_cpc_coupon_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(lgk.iloc[0]) if len(lgk) else 12,
+        )
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __cpc_coupon_long(hi, lo, lgk):
+        from pinot_spark.functions.sketches import ds_cpc_coupon_long_series
+
+        return ds_cpc_coupon_long_series(
+            hi, lo, int(lgk.iloc[0]) if len(lgk) else 12
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cpc_from_coupons(arrs, lgk):
+        from pinot_spark.functions.sketches import ds_cpc_from_coupons_series
+
+        return ds_cpc_from_coupons_series(
+            arrs, int(lgk.iloc[0]) if len(lgk) else 12
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_cpc_single(v, t, lgk):
+        from pinot_spark.functions.sketches import ds_cpc_single_series
+
+        return ds_cpc_single_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(lgk.iloc[0]) if len(lgk) else 12,
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __ds_cpc_single_long(hi, lo, lgk):
+        from pinot_spark.functions.sketches import ds_cpc_single_long_series
+
+        return ds_cpc_single_long_series(
+            hi, lo, int(lgk.iloc[0]) if len(lgk) else 12
+        )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __cpc_union(arrs):
+        from pinot_spark.functions.sketches import ds_cpc_union_series
+
+        return ds_cpc_union_series(arrs)
+
     @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
     def __cs_hllpp_mv_partial(pair_arrs, p, sp):
         from pinot_spark.operators.cs_hll import cs_hllpp_from_pairs
@@ -4342,6 +4441,12 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__cs_hll_merge_blobs", __cs_hll_merge_blobs)
     spark.udf.register("__cs_hll_mv_partial", __cs_hll_mv_partial)
     spark.udf.register("__cs_hllpp_mv_partial", __cs_hllpp_mv_partial)
+    spark.udf.register("__cpc_coupon", __cpc_coupon)
+    spark.udf.register("__cpc_coupon_long", __cpc_coupon_long)
+    spark.udf.register("__cpc_from_coupons", __cpc_from_coupons)
+    spark.udf.register("__ds_cpc_single", __ds_cpc_single)
+    spark.udf.register("__ds_cpc_single_long", __ds_cpc_single_long)
+    spark.udf.register("__cpc_union", __cpc_union)
     spark.udf.register("__tdigest_from_values", __tdigest_from_values)
     spark.udf.register("__tdigest_from_quantiles", __tdigest_from_quantiles)
     spark.udf.register("__tdigest_merge", __tdigest_merge)

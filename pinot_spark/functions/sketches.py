@@ -17,8 +17,10 @@ actually serializes): cs_hll_single_series / cs_hllpp_single_series
 emit byte-canonical foreign payloads, cs_hll_estimate_series
 auto-detects clearspring plain/plus vs engine-own bytes, and
 hll_union_series merges within a hash domain (mixed domains raise
-loudly).  ULL (hash4j) and CPC byte constructors still raise loudly by
-name: those foreign register formats have no engine-own analog here.
+loudly).  The CPC family is FULL wire interop since round 11
+(operators/ds_cpc.py: build/compress/parse/union, byte-canonical);
+ULL (hash4j) byte constructors still raise loudly by name — the
+hash4j jar is absent, so parity would be unverifiable.
 """
 
 from __future__ import annotations
@@ -410,11 +412,69 @@ def _wire_gap(name: str):
     return f
 
 
-for _n in (
-    "toull", "fromull", "tocpcsketch", "getcpcsketchestimate",
-    "cpcsketchunion", "cpcsketchtostring",
-):
+for _n in ("toull", "fromull", "cpcsketchtostring"):
     _reg(_n)(_wire_gap(_n))
+
+
+# --- DataSketches CPC write/read/union (round 11, operators/ds_cpc.py) ----
+
+
+def _make_ds_cpc_single():
+    @_pandas_udf("binary")
+    def _f(v: _pd.Series, t: _pd.Series, lgk: _pd.Series) -> _pd.Series:
+        return ds_cpc_single_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(lgk.iloc[0]) if len(lgk) else 12,
+        )
+
+    return _f
+
+
+def _make_ds_cpc_estimate():
+    @_pandas_udf("bigint")
+    def _f(b: _pd.Series) -> _pd.Series:
+        import math as _math
+
+        from pinot_spark.operators.ds_cpc import DsCpcView
+
+        return _pd.Series(
+            [
+                None
+                if x is None
+                else int(_math.floor(DsCpcView.parse(bytes(x)).estimate() + 0.5))
+                for x in b
+            ],
+            dtype="Int64",
+        )
+
+    return _f
+
+
+def _make_ds_cpc_union2():
+    @_pandas_udf("binary")
+    def _f(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        return ds_cpc_union_series(
+            _pd.Series([[x, y] for x, y in zip(a, b)])
+        )
+
+    return _f
+
+
+# byte-identical to SketchFunctions.toCpcSketch / cpcSketchUnion /
+# getCpcSketchEstimate (lgK 12 default; union downsamples per CpcUnion)
+_reg("tocpcsketch")(
+    lambda v, lgk=None: _lazy_udf("ds_cpc_single", _make_ds_cpc_single)(
+        _c(v), F.typeof(_c(v)),
+        F.lit(int(lgk) if lgk is not None else 12),
+    )
+)
+_reg("getcpcsketchestimate")(
+    lambda b: _lazy_udf("ds_cpc_estimate", _make_ds_cpc_estimate)(_c(b))
+)
+_reg("cpcsketchunion")(
+    lambda a, b: _lazy_udf("ds_cpc_union2", _make_ds_cpc_union2)(_c(a), _c(b))
+)
 
 
 # --- engine-own HLL (operators/hll.py) ------------------------------------
@@ -439,13 +499,27 @@ def _make_hll_singleton():
     return _f
 
 
+def _make_cs_hll_single_udf():
+    @_pandas_udf("binary")
+    def _f(v: _pd.Series, t: _pd.Series, log2m: _pd.Series) -> _pd.Series:
+        return cs_hll_single_series(
+            v,
+            str(t.iloc[0]) if len(t) else None,
+            int(log2m.iloc[0]) if len(log2m) else 8,
+        )
+
+    return _f
+
+
 # reference toHLL(value[, log2m]) (SketchFunctions.java:139-162): a
-# singleton (or empty, for NULL) serialized HLL for pre-aggregated ingest
-# — engine-own register format, mergeable with DISTINCTCOUNTRAWHLL output
+# singleton (or empty, for NULL) serialized HLL for pre-aggregated
+# ingest — since round 11 these are the reference's ACTUAL clearspring
+# stream-lib bytes (default log2m 8, CommonConstants), mergeable with
+# the clearspring-routed DISTINCTCOUNTRAWHLL output
 _reg("tohll")(
-    lambda v, log2m=None: _lazy_udf("hll_singleton", _make_hll_singleton)(
-        _null_safe_hash(v),
-        F.lit(int(log2m) if log2m is not None else 12),
+    lambda v, log2m=None: _lazy_udf("cs_hll_single", _make_cs_hll_single_udf)(
+        _c(v), F.typeof(_c(v)),
+        F.lit(int(log2m) if log2m is not None else 8),
     )
 )
 
@@ -906,3 +980,169 @@ def cs_hll_merge_blobs_series(arrs: "_pd.Series") -> "_pd.Series":
         return acc.serialize()
 
     return _pd.Series([run(lst) for lst in arrs])
+
+
+# ---------------------------------------------------------------------------
+# DataSketches CPC write/union surface (round 11, operators/ds_cpc.py):
+# TOCPCSKETCH singletons byte-identical to SketchFunctions.toCpcSketch,
+# CPCSKETCHUNION over serialized payloads (full decompress + bit-matrix
+# union, CpcUnion.getResult-identical bytes), and the bounded coupon
+# domain the DISTINCTCOUNT[RAW]CPCSKETCH aggregations ride: a coupon is
+# the (row << 6 | col) int the sketch derives per value — at most
+# 64·2^lgK distinct values, so collect_set state stays sketch-scale at
+# any row count, and the final merged-format sketch equals Java's
+# CpcUnion over the same stream exactly.
+# ---------------------------------------------------------------------------
+
+
+def _cpc_hash_of(v, type_name: "str | None"):
+    """(h0, h1) murmur3 x64-128 seed 9001 with CpcSketch.update(Object)
+    type semantics: int family update(long), float/double
+    update(double) (0.0 canonicalized, NaN canonical bits), strings
+    UTF-8 bytes, binary raw bytes; empty string/bytes are no-ops
+    (returns None)."""
+    import struct as _struct
+
+    from pinot_spark.functions.scalar_ext import _murmur3_x64_128
+
+    if type_name in ("float", "double") or (
+        isinstance(v, (float, np.floating)) and not float(v).is_integer()
+    ):
+        d = float(v)
+        if d == 0.0:
+            d = 0.0
+        if d != d:
+            bits = 0x7FF8000000000000
+            data = _struct.pack("<q", bits)
+        else:
+            data = _struct.pack("<d", d)
+        return _murmur3_x64_128(data, seed=9001)
+    if isinstance(v, (bool, np.bool_)):
+        return _murmur3_x64_128(_struct.pack("<q", int(v)), seed=9001)
+    if isinstance(v, (int, np.integer)) or (
+        isinstance(v, (float, np.floating)) and float(v).is_integer()
+    ):
+        return _murmur3_x64_128(
+            int(v).to_bytes(8, "little", signed=True), seed=9001
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return _murmur3_x64_128(bytes(v), seed=9001) if len(v) else None
+    s = str(v).encode("utf-8")
+    return _murmur3_x64_128(s, seed=9001) if s else None
+
+
+def _cpc_coupon_of(h0: int, h1: int, lg_k: int) -> int:
+    h1 &= 0xFFFFFFFFFFFFFFFF
+    col = 64 - h1.bit_length() if h1 else 64
+    if col > 63:
+        col = 63
+    row = h0 & ((1 << lg_k) - 1)
+    row_col = (row << 6) | col
+    if row_col == 0xFFFFFFFF:
+        row_col ^= 1 << 6
+    return row_col
+
+
+def ds_cpc_coupon_series(
+    v: "_pd.Series", type_name: "str | None", lg_k: int
+) -> "_pd.Series":
+    def one(x):
+        if x is None or (isinstance(x, float) and np.isnan(x) and type_name not in ("float", "double")):
+            return None
+        h = _cpc_hash_of(x, type_name)
+        if h is None:
+            return None
+        return _cpc_coupon_of(h[0], h[1], lg_k)
+
+    return _pd.Series([one(x) for x in v], dtype="Int64")
+
+
+def ds_cpc_coupon_long_series(
+    hi: "_pd.Series", lo: "_pd.Series", lg_k: int
+) -> "_pd.Series":
+    """Exact BIGINT values as split 32-bit halves (float64-lossy past
+    2^53 otherwise)."""
+    from pinot_spark.functions.scalar_ext import _murmur3_x64_128
+
+    def one(h, l):
+        if h is None or (isinstance(h, float) and np.isnan(h)):
+            return None
+        val = (int(h) << 32) | int(l)
+        h0, h1 = _murmur3_x64_128(
+            val.to_bytes(8, "little", signed=True), seed=9001
+        )
+        return _cpc_coupon_of(h0, h1, lg_k)
+
+    return _pd.Series([one(h, l) for h, l in zip(hi, lo)], dtype="Int64")
+
+
+def ds_cpc_single_series(
+    v: "_pd.Series", type_name: "str | None", lg_k: int
+) -> "_pd.Series":
+    """TOCPCSKETCH: a flat (HIP) singleton sketch per value —
+    byte-identical to SketchFunctions.toCpcSketch; NULL gives the
+    empty sketch, as in the reference."""
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    def one(x):
+        s = DsCpcSketch(lg_k)
+        if x is not None and not (
+            isinstance(x, float) and np.isnan(x) and type_name not in ("float", "double")
+        ):
+            h = _cpc_hash_of(x, type_name)
+            if h is not None:
+                s._hash_update(h[0], h[1])
+        return s.serialize()
+
+    return _pd.Series([one(x) for x in v])
+
+
+def ds_cpc_single_long_series(
+    hi: "_pd.Series", lo: "_pd.Series", lg_k: int
+) -> "_pd.Series":
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    def one(h, l):
+        s = DsCpcSketch(lg_k)
+        if h is not None and not (isinstance(h, float) and np.isnan(h)):
+            s.update_long((int(h) << 32) | int(l))
+        return s.serialize()
+
+    return _pd.Series([one(h, l) for h, l in zip(hi, lo)])
+
+
+def ds_cpc_from_coupons_series(arrs: "_pd.Series", lg_k: int) -> "_pd.Series":
+    """Merged-format sketch from a coupon set — CpcUnion.getResult
+    bytes for the same stream (the distributed aggregation result a
+    real cluster's broker merge produces)."""
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    k = 1 << lg_k
+
+    def one(cs):
+        matrix = [0] * k
+        for c in cs if cs is not None else []:
+            if c is None:
+                continue
+            c = int(c)
+            matrix[(c & 0xFFFFFFFF) >> 6] |= 1 << (c & 63)
+        return DsCpcSketch.from_bit_matrix(matrix, lg_k).serialize()
+
+    return _pd.Series([one(cs) for cs in arrs])
+
+
+def ds_cpc_union_series(arrs: "_pd.Series") -> "_pd.Series":
+    """CPCSKETCHUNION over serialized payloads: full decompress, bit
+    matrices OR'd at the reference's DEFAULT_CPC_SKETCH_LGK=12
+    (downsampling to the smallest input lgK, as CpcUnion does)."""
+    from pinot_spark.operators.ds_cpc import cpc_union, parse_cpc
+
+    def one(blobs):
+        if blobs is None:
+            blobs = []
+        sketches = [
+            parse_cpc(bytes(b)) for b in blobs if b is not None
+        ]
+        return cpc_union(sketches).serialize()
+
+    return _pd.Series([one(bs) for bs in arrs])

@@ -154,6 +154,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "dialect_rawhll_clearspring_wire",
     "dialect_raw_theta_timestamp_key",
+    "fn_ds_cpc_write",
 ]
 
 # all 44 round-7-stale greens
@@ -177,11 +178,11 @@ _REPROOF_STALE_R7 = [
     "window_sliding_rows_frame",
 ]
 
-# 4 r8-stale rows whose machinery changed this round (raw-sketch blobs,
+# 3 r8-stale rows whose machinery changed this round (raw-sketch blobs,
 # theta routes, frequencies merge semantics, MV agg variants)
 _REPROOF_STALE_R8 = [
     "agg_raw_sketch_bytes", "dialect_raw_theta_scale",
-    "dialect_raw_theta_join", "agg_frequent_items",
+    "agg_frequent_items",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R7 + _REPROOF_STALE_R8

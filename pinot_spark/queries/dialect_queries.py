@@ -1294,3 +1294,49 @@ def dialect_raw_theta_timestamp_key(spark, sf_dir):
         "COUNT(*) AS n "
         "FROM __raw_ts_key_t GROUP BY h ORDER BY h LIMIT 48"
     )
+
+
+def _cpc_write_oracle() -> str:
+    """Literal oracle for the round-11 CPC write path: expected hex and
+    Math.round estimates come from the pure-Python DsCpcSketch — itself
+    byte-canonical against 128 datasketches-java toByteArray() golden
+    builds across every flavor and a live Java heapify + CpcUnion
+    round-trip (tests/test_ds_cpc.py)."""
+    import math
+
+    from pinot_spark.operators.ds_cpc import DsCpcSketch, cpc_union
+
+    agg = cpc_union([DsCpcSketch.build_from_longs(range(25), 12)], 12)
+    single = DsCpcSketch(12)
+    single.update_long(7)
+    u = cpc_union([DsCpcSketch.build_from_longs([0], 12),
+                   DsCpcSketch.build_from_longs([1], 12)], 12)
+    return f"""
+    SELECT '{agg.serialize().hex()}' AS agg_hex,
+           CAST({math.floor(agg.estimate() + 0.5)} AS BIGINT) AS agg_est,
+           '{single.serialize().hex()}' AS single_hex,
+           CAST({math.floor(u.estimate() + 0.5)} AS BIGINT) AS union_est
+    """
+
+
+@query("fn_ds_cpc_write", oracle=_cpc_write_oracle())
+def fn_ds_cpc_write(spark, sf_dir):
+    """Round 11: the CPC WRITE path — DISTINCTCOUNTRAWCPCSKETCH emits
+    real DataSketches CpcSketch bytes (the CpcUnion-result form a
+    distributed broker merge produces), TOCPCSKETCH builds singletons
+    byte-identical to SketchFunctions.toCpcSketch:378-392, and
+    CPCSKETCHUNION fully decompresses + unions serialized payloads.
+    The aggregation rides a bounded coupon domain (row*64+col,
+    <= 64*2^lgK values) through collect_set — sketch-scale state at
+    any row count.  Retires the round-10 'CPC write stays a loud
+    boundary' gap: build/compress/parse/union all byte-canonical
+    against datasketches-java 6.2.0 (operators/ds_cpc.py)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT lower(hex(DISTINCTCOUNTRAWCPCSKETCH(n_nationkey))) AS agg_hex, "
+        "DISTINCTCOUNTCPCSKETCH(n_nationkey) AS agg_est, "
+        "lower(hex(TOCPCSKETCH(CAST(7 AS BIGINT)))) AS single_hex, "
+        "GET_CPC_SKETCH_ESTIMATE(CPCSKETCHUNION("
+        "TOCPCSKETCH(CAST(0 AS BIGINT)), TOCPCSKETCH(CAST(1 AS BIGINT)))) "
+        "  AS union_est "
+        "FROM nation"
+    )

@@ -90,12 +90,24 @@ def test_idset_sql_form(spark, at):
 
 
 @pytest.mark.parametrize(
-    "expr", ["FUNNELCOUNT(k)", "DISTINCTCOUNTRAWCPCSKETCH(k)", "FROMULL(CAST(k AS BINARY))",
+    "expr", ["FUNNELCOUNT(k)", "FROMULL(CAST(k AS BINARY))",
              "PINOTCHILDAGGEXPRMIN(1, v, k)"],
 )
 def test_documented_gap_names_raise_loudly(spark, at, expr):
     with pytest.raises(PinotSqlError):
         at.sql(f"SELECT {expr} FROM agg_names_t")
+
+
+def test_cpc_sketch_names_now_execute(spark, at):
+    """DISTINCTCOUNT[RAW]CPCSKETCH retired their documented-gap entries
+    in round 11 (operators/ds_cpc.py): the aggregation emits real
+    DataSketches CpcSketch bytes (CpcUnion-result form) over a bounded
+    coupon domain and the reader estimates from them."""
+    row = at.sql(
+        "SELECT GET_CPC_SKETCH_ESTIMATE(DISTINCTCOUNTRAWCPCSKETCH(k)) AS e, "
+        "DISTINCTCOUNTCPCSKETCH(k) AS c FROM agg_names_t"
+    ).collect()[0]
+    assert row.e == 3 and row.c == 3  # keys {a,b,c}: exact regime
 
 
 def test_frequent_sketch_names_now_execute(spark, at):
@@ -174,9 +186,10 @@ def test_raw_percentile_digest_bytes(spark, at):
 
 
 def test_raw_hll_sql_pipeline(spark, at):
-    """DISTINCTCOUNTRAWHLL[MV] / TOHLL emit engine-own HLL register
-    bytes (operators/hll.py); GETHLLESTIMATE reads them back. Exact in
-    the linear-counting regime at these cardinalities."""
+    """DISTINCTCOUNTRAWHLL[MV] / TOHLL emit clearspring stream-lib
+    bytes since round 11 (operators/cs_hll.py — the reference's actual
+    serialization); GETHLLESTIMATE reads them back. Exact in the
+    linear-counting regime at these cardinalities."""
     row = at.sql(
         "SELECT GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(k)) AS dc, "
         "GETHLLESTIMATE(DISTINCTCOUNTRAWHLLMV(arr)) AS dcm, "

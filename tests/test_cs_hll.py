@@ -321,13 +321,25 @@ def test_sql_foreign_java_bytes_estimate(spark):
 
 
 def test_sql_mixed_domain_union_raises(spark):
+    """Since round 11 TOHLL itself emits clearspring bytes (so it
+    unions cleanly with TOCLEARSPRINGHLL); a LEGACY engine-own register
+    blob in the same union must still raise loudly — the xxhash64 and
+    murmur domains can never max-merge."""
     from pinot_spark.dialect import PinotEngine
+    from pinot_spark.operators.hll import HllSketch
 
     eng = PinotEngine(spark)
+    own = HllSketch.empty(8)
+    own_hex = own.to_bytes().hex()
     with pytest.raises(Exception, match="mixed sketch domains"):
         eng.sql(
-            "SELECT HLLUNION(TOCLEARSPRINGHLL('a'), TOHLL('b')) AS x"
+            f"SELECT HLLUNION(TOCLEARSPRINGHLL('a'), X'{own_hex}') AS x"
         ).collect()
+    # and the round-11 TOHLL output is clearspring: same-domain union OK
+    row = eng.sql(
+        "SELECT GETHLLESTIMATE(HLLUNION(TOCLEARSPRINGHLL('a'), TOHLL('b'))) AS e"
+    ).collect()[0]
+    assert row.e == 2
 
 
 def test_sql_hllplus_float_column_hashes_float_tostring(spark):

@@ -111,24 +111,52 @@ def test_geo_converters_identity(spark, kv):
 
 
 def test_datasketches_wire_boundary_raises():
-    for name in ("toull", "fromull", "tocpcsketch",
-                 "getcpcsketchestimate", "cpcsketchunion", "cpcsketchtostring"):
+    for name in ("toull", "fromull", "cpcsketchtostring"):
         with pytest.raises(NotImplementedError, match="wire"):
             call(name, F.lit("x"))
 
 
+def test_cpc_registry_functions_execute(spark):
+    """tocpcsketch / getcpcsketchestimate / cpcsketchunion retired
+    their wire-gap registry entries in round 11 (operators/ds_cpc.py):
+    singletons are byte-identical to SketchFunctions.toCpcSketch and
+    unions reproduce CpcUnion.getResult."""
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    row = (
+        spark.range(1)
+        .select(
+            call("tocpcsketch", F.lit("k1")).alias("a"),
+            call(
+                "getcpcsketchestimate",
+                call(
+                    "cpcsketchunion",
+                    call("tocpcsketch", F.lit("k1")),
+                    call("tocpcsketch", F.lit("k2")),
+                ),
+            ).alias("e"),
+        )
+        .collect()[0]
+    )
+    want = DsCpcSketch(12)
+    want.update_str("k1")
+    assert bytes(row.a) == want.serialize()
+    assert row.e == 2
+
+
 def test_tohll_singleton_and_merge(spark, kv):
-    """toHLL emits engine-own HLL register bytes; singletons merge into
-    the per-key distinct count (operators/hll.py)."""
-    from pinot_spark.operators.hll import HllSketch
+    """toHLL emits the reference's ACTUAL clearspring stream-lib bytes
+    since round 11 (operators/cs_hll.py); singletons merge into the
+    per-key distinct count."""
+    from pinot_spark.operators.cs_hll import CsHll as HllSketch
 
     rows = kv.select(call("tohll", F.col("k")).alias("b")).collect()
-    sks = [HllSketch.from_bytes(bytes(r.b)) for r in rows]
+    sks = [HllSketch.parse(bytes(r.b)) for r in rows]
     acc = sks[0]
     for s in sks[1:]:
         acc = acc.merge(s)
     # keys a, b, a, NULL -> 2 distinct; NULL contributes an empty sketch
-    assert round(acc.estimate()) == 2
+    assert acc.cardinality() == 2
     assert int(sks[3].registers.sum()) == 0  # NULL -> empty
 
 
