@@ -35,8 +35,9 @@ def _load_sample() -> list[str]:
     # per round (VERDICT r7 #5) so successive rounds sweep DISJOINT
     # thousands of the corpus at constant CI cost; override with
     # PINOT_SPARK_AIRLINE_OFFSET to pin a slice.
-    offset = int(os.environ.get("PINOT_SPARK_AIRLINE_OFFSET", "0")) % 10
-    sample = [q for q in raw[offset::10] if q not in seen_200]
+    stride = int(os.environ.get("PINOT_SPARK_AIRLINE_STRIDE", "10"))
+    offset = int(os.environ.get("PINOT_SPARK_AIRLINE_OFFSET", "0")) % stride
+    sample = [q for q in raw[offset::stride] if q not in seen_200]
     return [re.sub(r"\bmytable\b", "mytable10k", q) for q in sample]
 
 
