@@ -2758,9 +2758,111 @@ _RAW_WINDOW_CALL_RE = re.compile(
     r"|DISTINCT_?COUNT_?RAW_?HLL(?:_?PLUS)?(?:_?MV)?"
     r"|DISTINCT_?COUNT_?RAW_?ULL"
     r"|FREQUENT_?STRINGS_?SKETCH|FREQUENT_?LONGS_?SKETCH"
+    r"|DISTINCT_?COUNT_?(?:RAW_?)?CPC_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:_?MV)?)\s*\(",
     re.IGNORECASE,
 )
+def _parse_running_over(over_body: str):
+    """Parse a raw-sketch window's OVER body into ``(partition_exprs,
+    order_items, mode)`` — mode is ``unbounded`` (no ORDER BY / no
+    frame: the per-partition grouped route serves it), ``rows`` /
+    ``range`` (running frames ending at CURRENT ROW; ``range`` means
+    peer rows tied on every ORDER BY key share one value — the SQL
+    default ordered frame), or ``all`` (UNBOUNDED PRECEDING ..
+    UNBOUNDED FOLLOWING: whole-partition value on an ordered window).
+    order_items are ``(expr, ascending, nulls_first)`` with Spark's
+    default null ordering (ASC→NULLS FIRST, DESC→NULLS LAST — the
+    semantics every other window in this engine inherits from Spark).
+    Sliding/shrinking frame starts raise loudly: sketch states never
+    retract, so only UNBOUNDED PRECEDING starts compute."""
+    s = over_body.strip()
+    if not s:
+        return [], [], "unbounded"
+    spans = _literal_spans(s)
+    kw_re = re.compile(
+        r"(PARTITION\s+BY|ORDER\s+BY|ROWS|RANGE|GROUPS)\b", re.IGNORECASE
+    )
+    marks = []
+    depth = 0
+    i = 0
+    while i < len(s):
+        if any(a <= i < b for a, b in spans):
+            i += 1
+            continue
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (
+            i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+        ):
+            m = kw_re.match(s, i)
+            if m:
+                marks.append(
+                    (re.sub(r"\s+", " ", m.group(1)).upper(), i, m.end())
+                )
+                i = m.end()
+                continue
+        i += 1
+    if not marks or marks[0][1] != 0:
+        raise NotImplementedError(
+            "RAW sketch window aggregates accept only OVER bodies built "
+            "from PARTITION BY / ORDER BY / a frame clause (or the "
+            "global OVER ())"
+        )
+    segs: dict[str, str] = {}
+    for j, (kw, _start, kend) in enumerate(marks):
+        end = marks[j + 1][1] if j + 1 < len(marks) else len(s)
+        segs[kw] = s[kend:end].strip()
+    if "GROUPS" in segs:
+        raise NotImplementedError(
+            "RAW sketch windows do not support GROUPS frames"
+        )
+    pexprs = (
+        [e.strip() for e in _split_args(segs["PARTITION BY"])]
+        if "PARTITION BY" in segs
+        else []
+    )
+    order_items: list[tuple[str, bool, bool]] = []
+    if "ORDER BY" in segs:
+        for item in _split_args(segs["ORDER BY"]):
+            it = item.strip()
+            asc = True
+            nf = None
+            m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", it, re.IGNORECASE)
+            if m:
+                nf = m.group(1).upper() == "FIRST"
+                it = it[: m.start()].strip()
+            m = re.search(r"\b(ASC|DESC)\s*$", it, re.IGNORECASE)
+            if m:
+                asc = m.group(1).upper() == "ASC"
+                it = it[: m.start()].strip()
+            if nf is None:
+                nf = asc
+            order_items.append((it, asc, nf))
+    frame_kw = "ROWS" if "ROWS" in segs else ("RANGE" if "RANGE" in segs else None)
+    if frame_kw is None:
+        if not order_items:
+            return pexprs, [], "unbounded"
+        return pexprs, order_items, "range"  # SQL default ordered frame
+    ft = re.sub(r"\s+", " ", segs[frame_kw]).strip().upper()
+    if ft == "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING":
+        return pexprs, order_items, "all"
+    if ft in ("UNBOUNDED PRECEDING", "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"):
+        if not order_items:
+            raise NotImplementedError(
+                "a running ROWS/RANGE frame on a RAW sketch window "
+                "requires ORDER BY"
+            )
+        return pexprs, order_items, "rows" if frame_kw == "ROWS" else "range"
+    raise NotImplementedError(
+        f"RAW sketch aggregates cannot serve the window frame "
+        f"'{frame_kw} {segs[frame_kw]}': sketch states never retract, so "
+        f"only UNBOUNDED PRECEDING frame starts compute"
+    )
+
+
 _BASIC_AGG_CALL_RE = re.compile(r"\b(?P<name>COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
 # scalar wrappers allowed around the hoisted aggregates in the outer
 # level, plus the final-merge machinery hoisting itself introduces
@@ -4616,7 +4718,9 @@ class PinotEngine:
         except Exception:
             return False
 
-    def translate(self, pinot_sql: str) -> tuple[str, dict[str, str]]:
+    def translate(
+        self, pinot_sql: str, *, _inject_default_limit: bool = True
+    ) -> tuple[str, dict[str, str]]:
         options, sql = split_options(pinot_sql)
         consume_options(options)
         sql = rewrite_pinot_hints(sql)
@@ -4662,7 +4766,10 @@ class PinotEngine:
         # ASOF) which match plain `FROM <table>` forms
         if not null_handling_enabled(options, self.null_handling_default):
             sql = self._apply_default_null_views(sql)
-        sql = apply_default_limit(sql, int(options.get("limit", self.default_limit)))
+        if _inject_default_limit:
+            sql = apply_default_limit(
+                sql, int(options.get("limit", self.default_limit))
+            )
         return sql, options
 
     def sql(self, pinot_sql: str) -> DataFrame:
@@ -4722,9 +4829,12 @@ class PinotEngine:
         with one aggregation state per partition
         (pinot-query-runtime .../window/WindowAggregateOperator), so
         the per-partition sketch IS the window value for an unbounded
-        frame.  ORDER BY / ROWS / RANGE frames (running raw sketches)
-        raise loudly by name: a per-row prefix sketch has no bounded
-        SQL form here.  Without this route, Spark rejects the naive
+        frame.  ORDER BY / framed windows (running raw sketches) route
+        to _rewrite_running_raw_windows (operators/running_sketch.py):
+        per-value tokens computed JVM-side, one shuffle on the
+        partition keys, a sequential Arrow pass per group; sliding
+        frame starts raise loudly — sketches never retract.  Without
+        this route, Spark rejects the naive
         substitution with a misleading MISSING_GROUP_BY (OVER cannot
         attach to the scalar-wrapped collect_set)."""
         options, sql = split_options(pinot_sql)
@@ -4752,14 +4862,23 @@ class PinotEngine:
             )
         if not hits:
             return None
-        for *_, over_body in hits:
-            if re.search(r"\bORDER\s+BY\b|\bROWS\b|\bRANGE\b", over_body, re.IGNORECASE):
-                raise NotImplementedError(
-                    "RAW sketch aggregates OVER an ORDER BY / framed window "
-                    "(running sketches) are a named boundary — only "
-                    "partition-unbounded frames (OVER (PARTITION BY ...)) "
-                    "compute, via the bounded grouped routes"
-                )
+        running = []
+        unbounded = []
+        for h in hits:
+            pexprs, oitems, mode = _parse_running_over(h[3])
+            if mode == "unbounded":
+                unbounded.append(h)
+            else:
+                running.append((h, pexprs, oitems, mode))
+        if running:
+            # ORDER BY / framed windows (running sketches): materialize
+            # the running column via operators/running_sketch.py, then
+            # re-enter for the rewritten statement (any remaining
+            # partition-unbounded hits route below on reentry)
+            new_sql = self._rewrite_running_raw_windows(sql2, running, options)
+            prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+            return self.sql(prefix + new_sql)
+        hits = unbounded
         stmt = _parse_canonical_stmt(sql2, allow_join=True)
         if stmt is None or stmt["group"] or stmt["having"]:
             raise NotImplementedError(
@@ -4829,6 +4948,266 @@ class PinotEngine:
             + tail
         )
         return self.sql(outer)
+
+    def _running_window_spec(
+        self, canonical: str, args: list[str], table: str
+    ) -> tuple[str, tuple, list[str], bool, str]:
+        """(family, params, token_exprs, is_array, wrapper) for one
+        running raw-sketch window call.  token_exprs are Spark-side
+        per-value expressions REUSED from the grouped aggregation
+        routes (same hash domain, same pair encoding), so a running
+        blob over a whole partition is byte-identical to the grouped
+        route's blob for the same rows.  Full-range int64 tokens ride
+        as hi/lo halves (nullable BIGINT → pandas float64 is lossy
+        past 2^53)."""
+        col = args[0]
+        wrap = "{c}"
+        if canonical == "distinctcountrawthetasketch":
+            k = _theta_nominal_entries(args)
+            base = (
+                f"CASE WHEN ({col}) IS NULL THEN CAST(NULL AS BIGINT) "
+                f"ELSE xxhash64({col}) END"
+            )
+            return (
+                "theta",
+                (k,),
+                [f"shiftright({base}, 32)", f"({base}) & 4294967295"],
+                False,
+                wrap,
+            )
+        if canonical in (
+            "distinctcounttuplesketch",
+            "distinctcountrawintegersumtuplesketch",
+            "sumvaluesintegersumtuplesketch",
+            "avgvalueintegersumtuplesketch",
+        ):
+            wrap = {
+                "distinctcounttuplesketch": "__tuple_estimate({c})",
+                "sumvaluesintegersumtuplesketch": "__tuple_sum_values({c})",
+                "avgvalueintegersumtuplesketch": "__tuple_avg_value({c})",
+            }.get(canonical, "{c}")
+            return ("tuple", (), [col], False, wrap)
+        if canonical in ("distinctcountrawhll", "distinctcountrawhllmv"):
+            log2m = (
+                int(args[1])
+                if len(args) > 1 and args[1].strip().isdigit()
+                else 8
+            )
+            mv = canonical.endswith("mv")
+            if _HLL_WIRE == "engine":
+                if mv:
+                    pair = _hll_pair_expr("x", log2m)
+                    tok = (
+                        f"array_distinct(transform(filter({col}, "
+                        f"x -> x IS NOT NULL), x -> {pair}))"
+                    )
+                else:
+                    tok = _hll_pair_expr(col, log2m)
+                return ("hll_engine", (log2m,), [tok], mv, wrap)
+            tok = (
+                _cs_hll_pairs_arr_sql(col, log2m)
+                if mv
+                else _cs_hll_pair_sql(col, log2m)
+            )
+            return ("hll_cs", (log2m,), [tok], mv, wrap)
+        if canonical in ("distinctcountrawhllplus", "distinctcountrawhllplusmv"):
+            mv = canonical.endswith("mv")
+            if _HLL_WIRE == "engine":
+                # mirrors _raw_hllpp_sql: engine mode serves the
+                # engine-own HLL blob at the log2m=8 default
+                if mv:
+                    pair = _hll_pair_expr("x", 8)
+                    tok = (
+                        f"array_distinct(transform(filter({col}, "
+                        f"x -> x IS NOT NULL), x -> {pair}))"
+                    )
+                else:
+                    tok = _hll_pair_expr(col, 8)
+                return ("hll_engine", (8,), [tok], mv, wrap)
+            p, sp = _hllpp_params(args)
+            tok = (
+                f"__cs_hllpp_pairs_arr({col}, typeof({col}), {p})"
+                if mv
+                else _cs_hllpp_pair_sql(col, p)
+            )
+            return ("hllpp_cs", (p, sp), [tok], mv, wrap)
+        if canonical == "distinctcountrawull":
+            p = (
+                int(args[1])
+                if len(args) > 1 and args[1].strip().isdigit()
+                else 12
+            )
+            return ("ull", (p,), [_hll_pair_expr(col, p)], False, wrap)
+        if canonical in ("distinctcountrawcpcsketch", "distinctcountcpcsketch"):
+            lgk = _cpc_lgk(args)
+            if canonical == "distinctcountcpcsketch":
+                wrap = "__cpc_estimate({c})"
+            return ("cpc", (lgk,), [_cpc_coupon_sql(col, lgk)], False, wrap)
+        if canonical in ("frequentstringssketch", "frequentlongssketch"):
+            mm = (
+                int(args[1])
+                if len(args) > 1 and args[1].strip().isdigit()
+                else 256
+            )
+            strings = canonical == "frequentstringssketch"
+            # resolved-type probe (analysis only, no execution): BYTES
+            # columns MERGE as foreign sketches — the reference's
+            # BYTES-input contract — value columns UPDATE
+            try:
+                dt = (
+                    self.sql(
+                        f"SELECT ({col}) AS __rsprobe FROM {table} WHERE 1=0"
+                    )
+                    .schema["__rsprobe"]
+                    .dataType.simpleString()
+                )
+            except Exception:
+                dt = ""
+            if dt == "binary":
+                fam = "freq_blob_str" if strings else "freq_blob_long"
+                return (fam, (mm,), [col], False, wrap)
+            if strings:
+                return ("freq_str", (mm,), [col], False, wrap)
+            base = (
+                f"CASE WHEN ({col}) IS NULL THEN CAST(NULL AS BIGINT) "
+                f"ELSE CAST({col} AS BIGINT) END"
+            )
+            return (
+                "freq_long",
+                (mm,),
+                [f"shiftright({base}, 32)", f"({base}) & 4294967295"],
+                False,
+                wrap,
+            )
+        if canonical in ("percentilerawest", "percentilerawkll", "percentilerawtdigest"):
+            return ("tdigest", (), [f"CAST({col} AS DOUBLE)"], False, wrap)
+        if canonical in (
+            "percentilerawestmv",
+            "percentilerawkllmv",
+            "percentilerawtdigestmv",
+        ):
+            return (
+                "tdigest",
+                (),
+                [f"transform({col}, x -> CAST(x AS DOUBLE))"],
+                True,
+                wrap,
+            )
+        raise NotImplementedError(
+            f"no running-window accumulator for {canonical.upper()} — "
+            f"only partition-unbounded frames compute for this name"
+        )
+
+    def _rewrite_running_raw_windows(
+        self, sql2: str, running: list, options: dict
+    ) -> str:
+        """Materialize running RAW-sketch window columns in a derived
+        view (operators/running_sketch.attach_running: one shuffle on
+        the PARTITION BY keys — Spark's own WindowExec requirement —
+        then a sequential Arrow-batched pass per group with
+        sketch-bounded accumulator state) and return the outer
+        statement rewritten over it: each call site becomes a reference
+        to its precomputed running column, FROM swaps to the view, and
+        the WHERE (already applied inside the view) drops.  Identical
+        (call, OVER body) pairs share one running column."""
+        from pinot_spark.operators.running_sketch import attach_running
+
+        # the token expressions and spliced wrappers reference the
+        # internal sketch UDFs directly (__cs_hll_pair, __tuple_estimate,
+        # ...) — names _THETA_SQL_RE does not gate on, so register here
+        # (idempotent per session) rather than rely on a prior query
+        # having tripped the lazy registration
+        _ensure_theta_sql_udfs(self.spark)
+        stmt = _parse_canonical_stmt(sql2, allow_join=False)
+        if stmt is None or stmt["group"] or stmt["having"]:
+            raise NotImplementedError(
+                "running RAW-sketch window aggregates require a canonical "
+                "single-SELECT statement over one named table without "
+                "GROUP BY/HAVING (materialize joins/subqueries first)"
+            )
+        prefix = "".join(f"SET {k}={v};" for k, v in options.items())
+        where = f" WHERE {stmt['where']}" if stmt["where"] else ""
+
+        def _key(call_text: str, over_body: str) -> tuple[str, str]:
+            return (
+                re.sub(r"\s+", " ", call_text).strip().lower(),
+                re.sub(r"\s+", " ", over_body).strip().lower(),
+            )
+
+        specs: list[tuple] = []
+        keymap: dict[tuple[str, str], int] = {}
+        for (start, oclose, call_text, over_body), pexprs, oitems, mode in running:
+            key = _key(call_text, over_body)
+            if key in keymap:
+                continue
+            m = _RAW_WINDOW_CALL_RE.match(call_text)
+            canonical = m.group("name").replace("_", "").lower()
+            args = [a.strip() for a in _split_args(call_text[m.end() : -1])]
+            fam, params, toks, is_arr, wrap = self._running_window_spec(
+                canonical, args, stmt["table"]
+            )
+            keymap[key] = len(specs)
+            specs.append((pexprs, oitems, mode, fam, params, toks, is_arr, wrap))
+
+        # splice call sites back-to-front so earlier spans stay valid
+        body = sql2
+        for (start, oclose, call_text, over_body), *_ in sorted(
+            running, key=lambda r: -r[0][0]
+        ):
+            i = keymap[_key(call_text, over_body)]
+            wrap = specs[i][7]
+            body = (
+                body[:start]
+                + wrap.format(c=f"__rswr_{i}")
+                + body[oclose + 1 :]
+            )
+
+        sel = ["*"]
+        for i, (pexprs, oitems, _mode, _fam, _params, toks, _arr, _w) in enumerate(specs):
+            sel += [f"{e} AS __rstk_{i}_{j}" for j, e in enumerate(toks)]
+            sel += [f"{e} AS __rspk_{i}_{j}" for j, e in enumerate(pexprs)]
+            sel += [f"{e} AS __rsok_{i}_{j}" for j, (e, _, _) in enumerate(oitems)]
+        # translate WITHOUT the dialect's default-LIMIT injection: a
+        # `LIMIT 2147483647` guard would plan GlobalLimit + an Exchange
+        # SinglePartition funneling every ROW through one partition —
+        # fatal at scale for this per-row view (the token projection has
+        # no raw-sketch names, so plain translate covers it)
+        vsql, _ = self.translate(
+            f"{prefix}SELECT {', '.join(sel)} FROM {stmt['table']}{where}",
+            _inject_default_limit=False,
+        )
+        vdf = self.spark.sql(vsql)
+        for i, (pexprs, oitems, mode, fam, params, toks, is_arr, _w) in enumerate(specs):
+            vdf = attach_running(
+                vdf,
+                [f"__rspk_{i}_{j}" for j in range(len(pexprs))],
+                [
+                    (f"__rsok_{i}_{j}", asc, nf)
+                    for j, (_, asc, nf) in enumerate(oitems)
+                ],
+                [f"__rstk_{i}_{j}" for j in range(len(toks))],
+                f"__rswr_{i}",
+                fam,
+                params,
+                mode,
+                is_arr,
+            )
+        helpers = [
+            c for c in vdf.columns if re.fullmatch(r"__rs(tk|pk|ok)_\d+_\d+", c)
+        ]
+        vdf = vdf.drop(*helpers)
+        _ASOF_VIEW_SEQ[0] += 1
+        view = f"__rsrun_{_ASOF_VIEW_SEQ[0]}"
+        vdf.createOrReplaceTempView(view)
+        fm = _parse_canonical_stmt(body, allow_join=False)
+        if fm is None:
+            raise NotImplementedError(
+                "running RAW-sketch window rewrite produced a "
+                "non-canonical statement — raising instead of executing "
+                "an unbounded plan"
+            )
+        tail = fm["tail"] or ""
+        return f"SELECT {fm['select']} FROM {view}{tail}"
 
     def _normalize_sketch_group_keys(self, pinot_sql: str) -> str:
         """Rewrite canonical raw-sketch statements whose GROUP BY keys

@@ -1,0 +1,410 @@
+"""Running (ORDER BY / framed) RAW-sketch window aggregates.
+
+Reference semantics: the multistage WindowAggregateOperator evaluates
+aggregation calls ``OVER (PARTITION BY ... ORDER BY ...)`` with the
+standard SQL running frame — the default ordered frame is RANGE
+UNBOUNDED PRECEDING (peer rows tied on the ORDER BY keys share one
+value); an explicit ROWS UNBOUNDED PRECEDING frame advances per row
+(pinot-query-runtime/src/main/java/org/apache/pinot/query/runtime/
+operator/WindowAggregateOperator.java — one aggregation state per
+partition, advanced in frame order).  Sketch states never retract, so
+only UNBOUNDED PRECEDING frame starts compute; sliding/shrinking
+frames raise loudly by name at the dialect layer (dialect.py
+``_parse_running_over``).
+
+SCALE SHAPE: one shuffle on the PARTITION BY keys — exactly what
+Spark's own WindowExec requires for any ordered window — then a single
+sequential pass per partition group inside one Arrow-batched
+applyInPandas stage.  The per-value hash/pair/coupon TOKENS are
+computed JVM-side in the derived view's projection, reusing the very
+SQL expressions the grouped aggregation routes use (dialect
+``_hll_pair_expr`` / ``_cs_hll_pair_sql`` / raw ``xxhash64``), so a
+running blob for a full partition is byte-identical to the grouped
+route's blob for the same rows: one hash domain, one accumulation
+rule, one serializer.  Accumulator state is sketch-bounded per group
+(registers / KMV heap / reverse-purge map / centroid list); only the
+emitted one-blob-per-row column scales with rows, which is the query's
+own output contract.
+
+Full-range int64 tokens (theta xxhash64, FREQUENTLONGS values) ride as
+split hi/lo 32-bit halves: a nullable BIGINT column reaches pandas as
+float64, which is lossy past 2^53 (the repo-wide convention, see
+operators/ds_theta.grouped_ds_theta).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+_TWO64 = 1 << 64
+
+
+def _missing(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
+class PairRegAcc:
+    """Bounded register accumulator for idx*64+rho pairs (engine HLL,
+    clearspring HLL/HLL++, and their MV variants)."""
+
+    def __init__(self, m: int, blob_fn):
+        self.regs = np.zeros(m, dtype=np.uint8)
+        self._blob_fn = blob_fn
+
+    def push(self, vals):
+        t = vals[0]
+        if _missing(t):
+            return
+        t = int(t)
+        j, r = t >> 6, t & 63
+        if r > self.regs[j]:
+            self.regs[j] = r
+
+    def blob(self) -> bytes:
+        return self._blob_fn(self.regs)
+
+
+class PairSetAcc:
+    """Distinct-pair set (bounded by the 64*2^p pair domain) finished
+    through the family's exact from_pairs builder (engine ULL)."""
+
+    def __init__(self, blob_fn):
+        self.pairs: set[int] = set()
+        self._blob_fn = blob_fn
+
+    def push(self, vals):
+        t = vals[0]
+        if _missing(t):
+            return
+        self.pairs.add(int(t))
+
+    def blob(self) -> bytes:
+        arr = np.fromiter(self.pairs, dtype=np.int64, count=len(self.pairs))
+        return self._blob_fn(arr)
+
+
+class ThetaAcc:
+    """Running engine-own theta (xxhash64 domain): a dedup set plus a
+    max-heap of the k+1 smallest unsigned hashes — the same candidates
+    the grouped route's ``slice(sort_array(collect_set(..)), 1, k+1)``
+    keeps, so ThetaSketch.from_hashes yields identical bytes."""
+
+    def __init__(self, k: int):
+        from pinot_spark.operators.theta import ThetaSketch
+
+        self._cls = ThetaSketch
+        self.k = k
+        self.seen: set[int] = set()
+        self.heap: list[int] = []  # negated unsigned hashes, size <= k+1
+
+    def push(self, vals):
+        hi, lo = vals
+        if _missing(hi):
+            return
+        h = (int(hi) << 32) | int(lo)
+        u = (h % _TWO64) ^ (1 << 63)  # signed -> unsigned, order-preserving
+        if u in self.seen:
+            return
+        self.seen.add(u)
+        if len(self.heap) < self.k + 1:
+            heapq.heappush(self.heap, -u)
+        elif u < -self.heap[0]:
+            heapq.heapreplace(self.heap, -u)
+
+    def blob(self) -> bytes:
+        vals = np.array(sorted(-x for x in self.heap), dtype=np.uint64)
+        return self._cls.from_hashes(self.k, vals).to_bytes()
+
+
+class TupleAcc:
+    """Running merge of serialized integer-sum tuple sketches — the
+    window-position analog of ``__tuple_merge_sum(collect_list(..))``,
+    including the loud mixed-hash-domain guard."""
+
+    def __init__(self):
+        from pinot_spark.functions.sketches import TupleSketch, _MODES
+        from pinot_spark.operators.ds_theta import (
+            DsTupleSketch,
+            is_ds_tuple_bytes,
+        )
+
+        self._own = TupleSketch
+        self._ds = DsTupleSketch
+        self._is_ds = is_ds_tuple_bytes
+        self._sum = _MODES["sum"]
+        self.acc = None
+        self.domain = None
+
+    def push(self, vals):
+        b = vals[0]
+        if b is None:
+            return
+        b = bytes(b)
+        if self._is_ds(b):
+            s, d = self._ds.parse(b), "ds"
+        else:
+            s, d = self._own.from_bytes(b), "own"
+        if self.domain is None:
+            self.domain = d
+        elif self.domain != d:
+            raise ValueError(
+                "tuple sketch merge mixes DataSketches-format "
+                "(murmur-9001) and engine-native (xxhash64) sketches — "
+                "the hash domains are incompatible"
+            )
+        if self.acc is None:
+            self.acc = s
+        elif d == "ds":
+            self.acc = self.acc.union(s)
+        else:
+            self.acc = self.acc.union(s, mode=self._sum)
+
+    def blob(self) -> bytes:
+        if self.acc is None:
+            return self._own.empty().to_bytes()
+        return self.acc.serialize() if self.domain == "ds" else self.acc.to_bytes()
+
+
+class FreqLongAcc:
+    """Running DataSketches LongsSketch over hi/lo-split int64 values."""
+
+    def __init__(self, max_map_size: int):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        self.s = DsFrequentSketch.empty(max_map_size)
+
+    def push(self, vals):
+        hi, lo = vals
+        if _missing(hi):
+            return
+        self.s.update((int(hi) << 32) | int(lo))
+
+    def blob(self) -> bytes:
+        return self.s.serialize()
+
+
+class FreqStrAcc:
+    """Running ItemsSketch<String>: the same str() conversion the
+    grouped ``__freq_str_partial`` fallback applies."""
+
+    def __init__(self, max_map_size: int):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        self.s = DsFrequentSketch.empty(max_map_size)
+
+    def push(self, vals):
+        v = vals[0]
+        if _missing(v):
+            return
+        self.s.update(str(v))
+
+    def blob(self) -> bytes:
+        return self.s.serialize()
+
+
+class FreqBlobAcc:
+    """Running merge of serialized foreign frequency sketches (BYTES
+    input column — the reference's merge contract)."""
+
+    def __init__(self, max_map_size: int, strings: bool):
+        from pinot_spark.operators.ds_freq import DsFrequentSketch
+
+        self._cls = DsFrequentSketch
+        self.strings = strings
+        self.s = DsFrequentSketch.empty(max_map_size)
+
+    def push(self, vals):
+        b = vals[0]
+        if b is None:
+            return
+        self.s = self.s.merge(self._cls.parse(bytes(b), strings=self.strings))
+
+    def blob(self) -> bytes:
+        return self.s.serialize()
+
+
+class TDigestAcc:
+    """Running engine-own t-digest from the true prefix values (the
+    grouped route assembles from a quantile grid; the running form has
+    the values in hand — same wire format, better fidelity)."""
+
+    def __init__(self, compression: float = 100.0):
+        from pinot_spark.operators.tdigest import TDigest
+
+        self.td = TDigest(compression)
+
+    def push(self, vals):
+        v = vals[0]
+        if _missing(v):
+            return
+        self.td.add([float(v)])
+
+    def blob(self) -> bytes:
+        return self.td.to_bytes()
+
+
+class ArrayAcc:
+    """MV adapter: absorbs every element of an array token through the
+    wrapped single-value accumulator."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def push(self, vals):
+        arr = vals[0]
+        if arr is None:
+            return
+        for x in arr:
+            self.inner.push((x,))
+
+    def blob(self) -> bytes:
+        return self.inner.blob()
+
+
+def make_acc(family: str, params: tuple):
+    """Accumulator factory. ``family`` is the internal family key the
+    dialect's running-window spec table assigns; ``params`` carries the
+    parsed sketch parameters."""
+    if family == "theta":
+        (k,) = params
+        return ThetaAcc(k)
+    if family == "hll_cs":
+        from pinot_spark.operators.cs_hll import CsHll
+
+        (log2m,) = params
+        return PairRegAcc(1 << log2m, lambda r: CsHll(log2m, r).serialize())
+    if family == "hll_engine":
+        from pinot_spark.operators.hll import HllSketch
+
+        (log2m,) = params
+        return PairRegAcc(1 << log2m, lambda r: HllSketch(log2m, r).to_bytes())
+    if family == "hllpp_cs":
+        from pinot_spark.operators.cs_hll import NORMAL, CsHllPlus
+
+        p, sp = params
+        return PairRegAcc(
+            1 << p, lambda r: CsHllPlus(p, sp, NORMAL, r, None).serialize()
+        )
+    if family == "ull":
+        from pinot_spark.operators.ull import UllSketch
+
+        (p,) = params
+        return PairSetAcc(lambda arr: UllSketch.from_pairs(arr, p).to_bytes())
+    if family == "cpc":
+        from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+        (lg_k,) = params
+        k = 1 << lg_k
+
+        def _cpc_fin(arr):
+            # same coupon → bit-matrix build as __cpc_from_coupons:
+            # CpcUnion.getResult bytes for the prefix stream
+            matrix = [0] * k
+            for c in arr:
+                c = int(c)
+                matrix[(c & 0xFFFFFFFF) >> 6] |= 1 << (c & 63)
+            return DsCpcSketch.from_bit_matrix(matrix, lg_k).serialize()
+
+        return PairSetAcc(_cpc_fin)
+    if family == "tuple":
+        return TupleAcc()
+    if family == "freq_long":
+        (mm,) = params
+        return FreqLongAcc(mm)
+    if family == "freq_str":
+        (mm,) = params
+        return FreqStrAcc(mm)
+    if family == "freq_blob_long":
+        (mm,) = params
+        return FreqBlobAcc(mm, strings=False)
+    if family == "freq_blob_str":
+        (mm,) = params
+        return FreqBlobAcc(mm, strings=True)
+    if family == "tdigest":
+        return TDigestAcc()
+    raise KeyError(f"no running accumulator family {family!r}")
+
+
+def attach_running(
+    df,
+    pcols: list[str],
+    order_spec: list[tuple[str, bool, bool]],
+    token_cols: list[str],
+    out_col: str,
+    family: str,
+    params: tuple,
+    mode: str,
+    is_array: bool,
+):
+    """Add ``out_col`` (binary) holding the running sketch blob.
+
+    ``order_spec`` entries are (column, ascending, nulls_first) over
+    already-materialized columns; ``mode`` is ``rows`` (per-row frame),
+    ``range`` (peer rows tied on every ORDER BY key share one blob) or
+    ``all`` (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — one blob per
+    partition).  One shuffle on ``pcols`` (Spark's own WindowExec shape)
+    and a sequential Arrow-batched pass per group.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    gall = f"{out_col}_gall"
+    gcols = pcols or [gall]
+    if not pcols:
+        df = df.withColumn(gall, F.lit(1))
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, BinaryType(), True)]
+    )
+    ocols = [c for c, _, _ in order_spec]
+
+    def fn(pdf):
+        sp = pdf
+        # stable multi-key sort honoring a per-key nulls position
+        # (pandas sort_values has ONE na_position for all keys)
+        for c, asc, nulls_first in reversed(order_spec):
+            sp = sp.sort_values(
+                c,
+                ascending=asc,
+                kind="mergesort",
+                na_position="first" if nulls_first else "last",
+            )
+        toks = list(zip(*(sp[c].tolist() for c in token_cols)))
+        acc = make_acc(family, params)
+        push = (ArrayAcc(acc) if is_array else acc).push
+        n = len(sp)
+        blobs: list = [None] * n
+        if mode == "all":
+            for t in toks:
+                push(t)
+            blobs = [acc.blob()] * n
+        elif mode == "rows":
+            for i, t in enumerate(toks):
+                push(t)
+                blobs[i] = acc.blob()
+        else:  # range: peers tied on every ORDER BY key share one blob
+            ok = sp[ocols].reset_index(drop=True)
+            prev = ok.shift(1)
+            neq = (
+                (ok.ne(prev) & ~(ok.isna() & prev.isna()))
+                .any(axis=1)
+                .to_numpy()
+            )
+            starts = [i for i in range(n) if i == 0 or neq[i]]
+            bounds = starts + [n]
+            for bi in range(len(starts)):
+                i0, i1 = bounds[bi], bounds[bi + 1]
+                for t in toks[i0:i1]:
+                    push(t)
+                b = acc.blob()
+                for i in range(i0, i1):
+                    blobs[i] = b
+        out = sp.copy()
+        out[out_col] = blobs
+        return out
+
+    res = df.groupBy(*gcols).applyInPandas(fn, schema=out_schema)
+    if not pcols:
+        res = res.drop(gall)
+    return res

@@ -995,8 +995,8 @@ def dialect_raw_sketch_window(spark, sf_dir):
     frame rides the same route with a single group.  Cardinalities stay
     in the exact regime (<=5 distinct priorities, k=4096; <=3
     distinct statuses at log2m=12) so the estimates equal the oracle's exact distinct
-    counts.  ORDER BY / framed raw windows raise loudly by name
-    (tests/test_raw_sketch_windows.py)."""
+    counts.  ORDER BY / framed raw windows route to the RUNNING
+    rewrite since round 11 (dialect_raw_sketch_running)."""
     return _engine(spark, sf_dir).sql(
         "SELECT o_orderkey, "
         "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
@@ -1006,6 +1006,51 @@ def dialect_raw_sketch_window(spark, sf_dir):
         "  AS ship_dc "
         "FROM orders WHERE o_orderkey <= 2000 "
         "ORDER BY o_orderkey LIMIT 25"
+    )
+
+
+@query(
+    "dialect_raw_sketch_running",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(DISTINCT o_custkey) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             AS BIGINT) AS run_custs,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+                 ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_prio
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey LIMIT 40
+    """,
+)
+def dialect_raw_sketch_running(spark, sf_dir):
+    """RUNNING raw-sketch windows (round 11, dialect.py
+    _rewrite_running_raw_windows + operators/running_sketch.py):
+    ``RAW...(x) OVER (PARTITION BY k ORDER BY t [frame])`` computes a
+    per-row PREFIX sketch — the standard SQL running frame the
+    reference's WindowAggregateOperator advances in frame order
+    (RANGE peers share one state; ROWS advances per row).  Per-value
+    hash tokens are computed JVM-side (the grouped routes' own
+    expressions, hi/lo-split for exactness), one shuffle on the
+    partition keys, then a sequential Arrow pass with sketch-bounded
+    accumulator state; a full-partition running blob is byte-identical
+    to the grouped route's blob (tests/test_raw_sketch_windows.py).
+    Exact regime (distinct custkeys/priorities well under k=4096 and
+    2^12 registers), so both estimates equal the oracle's windowed
+    exact distinct counts — a query shape Spark itself REJECTS
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).  Sliding frames raise
+    loudly: sketches never retract."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)) "
+        "  AS BIGINT) AS run_custs, "
+        "GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(o_orderpriority, 12) "
+        "OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS run_prio "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "ORDER BY o_orderkey LIMIT 40"
     )
 
 

@@ -559,3 +559,37 @@ def test_raw_theta_timestamp_key_takes_zero_shuffle_route(spark, sf_dir):
         (base + datetime.timedelta(microseconds=123456 * j), 9.0)
         for j in range(4)
     ], got
+
+
+def test_rawhll_clearspring_int_pair_stays_jvm_side(spark, sf_dir):
+    """The round-11 clearspring RAW-HLL route must keep integer-column
+    hashing in pure JVM Column arithmetic: the plan below the aggregate
+    shows NO Python evaluation (the murmur2-int pair expression), the
+    aggregation is a bounded-domain collect_set with map-side partial
+    aggregation, and the only Python is the post-aggregate byte
+    serializer.  String columns are allowed their Arrow-batched pair
+    UDF (byte hashing has no Column form)."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    df = eng.sql(
+        "SELECT l_returnflag, GETHLLESTIMATE(DISTINCTCOUNTRAWHLL("
+        "l_partkey, 12)) AS dc FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag LIMIT 10"
+    )
+    plan = _plan(df)
+    # Catalyst constant-folds the typeof() dispatch for a statically
+    # BIGINT column, so the pair UDF branch vanishes from the plan
+    assert "__cs_hll_pair" not in plan, plan
+    # map-side combine: partial + final collect_set over the bounded
+    # (register, run-length) pair domain
+    assert "partial_collect_set" in plan, plan
+    assert plan.count("collect_set") >= 2, plan
+    # the murmur expression really is JVM-side Column arithmetic
+    assert "shiftrightunsigned" in plan, plan
+    # exactly one Python eval: the post-aggregate byte serializer +
+    # estimator, operating on one row per group
+    assert plan.count("ArrowEvalPython") == 1, plan
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.dc > 0 for r in rows)
