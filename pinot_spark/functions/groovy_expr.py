@@ -1,4 +1,4 @@
-"""Groovy inline-transform expression subset.
+"""Groovy inline-transform SCRIPT subset.
 
 Reference: GroovyTransformFunction / GroovyFunctionEvaluator
 (pinot-core/.../function/GroovyFunctionEvaluator.java;
@@ -7,24 +7,41 @@ per row: ``groovy('{"returnType":"INT","isSingleValue":true}',
 'arg0 * 2 + arg1', colA, colB)``.
 
 There is no JVM Groovy runtime here, so this module implements the
-EXPRESSION SUBSET that covers the documented inline-transform usage —
-parsed with a small recursive-descent parser (never Python ``eval``)
-and compiled to a row function executed in an Arrow-batched pandas UDF:
+SCRIPT SUBSET that covers realistic inline ingestion/projection
+transforms — parsed with a small recursive-descent parser (never
+Python ``eval``) and compiled to a row function executed in an
+Arrow-batched pandas UDF:
 
-- arg references ``arg0..argN``
-- literals: numbers, single/double-quoted strings, true/false/null
+- arg references ``arg0..argN``; local variables (``def x = ...``,
+  plain and compound assignment ``x += ...``)
+- statements separated by ``;`` or newlines; ``return [expr]``;
+  ``if (...) {...} else if (...) {...} else {...}``; the script's
+  value is the last evaluated statement (Groovy semantics)
+- literals: numbers, single-quoted strings, double-quoted GStrings
+  with ``$name`` / ``${expr}`` interpolation, ``true/false/null``,
+  list literals ``[a, b, c]``
 - arithmetic ``+ - * / %`` (+ is string concat when either side is a
-  string, like Groovy), unary ``-``/``!``, parentheses
-- comparisons ``== != < <= > >=``, boolean ``&& ||``
-- ternary ``cond ? a : b``
-- method calls: ``toUpperCase() toLowerCase() trim() length() size()
-  contains(x) startsWith(x) endsWith(x) indexOf(x) substring(a[,b])
-  replace(a,b) split(d) toString()``
-- ``Math.max/min/abs/floor/ceil/round/pow/sqrt``
+  string, like Groovy), unary ``-``/``!``, parentheses, indexing
+  ``x[i]`` (Groovy getAt: negative indexes wrap, out-of-range → null)
+- comparisons ``== != < <= > >=``, boolean ``&& ||`` (Groovy truth:
+  null / 0 / empty string / empty list are false), ternary
+  ``cond ? a : b``, elvis ``a ?: b``, safe navigation ``a?.m()``
+- closures ``{ it * 2 }`` / ``{ x, y -> ... }`` with Groovy's
+  trailing-closure call syntax, and the collection methods
+  ``collect findAll find any every each count sum min max sort unique
+  join flatten``
+- string/number methods: ``toUpperCase toLowerCase trim length size
+  contains startsWith endsWith indexOf substring replace replaceAll
+  replaceFirst matches split tokenize toString toInteger toLong
+  toDouble toFloat isEmpty charAt concat reverse capitalize padLeft
+  padRight take drop first last intdiv abs``
+- statics: ``Math.max/min/abs/floor/ceil/round/pow/sqrt``,
+  ``Integer.parseInt``, ``Long.parseLong``, ``Double.parseDouble``,
+  ``String.valueOf``
 
-Full closures/loops/collections are NOT supported and raise
-NotImplementedError at parse time — a loud, declared boundary rather
-than silently-wrong results.
+Loops (``for``/``while``), ranges, classes, imports and map literals
+are NOT supported and raise NotImplementedError at parse time — a
+loud, declared boundary rather than silently-wrong results.
 """
 
 from __future__ import annotations
@@ -32,34 +49,220 @@ from __future__ import annotations
 import json
 import math
 import re
+from collections import ChainMap
 
 import pandas as _pd
 from pyspark.sql.functions import pandas_udf as _pandas_udf
 
 _TOKEN = re.compile(
-    r"""\s*(?:
+    r"""[ \t]*(?:
+        (?P<nl>[\r\n]+) |
         (?P<num>\d+\.\d+|\d+) |
-        (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*") |
+        (?P<sstr>'(?:[^'\\]|\\.)*') |
+        (?P<gstr>"(?:[^"\\]|\\.)*") |
         (?P<name>[A-Za-z_][A-Za-z0-9_]*) |
-        (?P<op>&&|\|\||==|!=|<=|>=|[-+*/%<>!?:().,\[\]])
+        (?P<op>&&|\|\||==|!=|<=|>=|\?\.|\?:|\+=|-=|\*=|/=|->|[-+*/%<>!?:().,\[\]{};=])
     )""",
     re.X,
 )
 
-_METHODS = {
+# tokens after which a newline continues the expression/statement
+_NL_CONT_LEFT = {
+    "&&", "||", "==", "!=", "<=", ">=", "?.", "?:", "+=", "-=", "*=",
+    "/=", "->", "+", "-", "*", "/", "%", "<", ">", "?", ":", "(", "[",
+    "{", ",", ";", "=", "!", ".",
+}
+_NL_CONT_RIGHT = {".", "?.", "?:", "?", ":", "&&", "||", ")", "]"}
+
+
+def _lex(src: str):
+    raw, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise NotImplementedError(
+                    f"groovy subset: bad token at {src[pos:]!r}"
+                )
+            break
+        pos = m.end()
+        if m.group("nl"):
+            raw.append(("nl", "\n"))
+        elif m.group("num"):
+            t = m.group("num")
+            raw.append(("num", float(t) if "." in t else int(t)))
+        elif m.group("sstr"):
+            raw.append(("str", re.sub(r"\\(.)", r"\1", m.group("sstr")[1:-1])))
+        elif m.group("gstr"):
+            raw.append(("gstr", m.group("gstr")[1:-1]))
+        elif m.group("name"):
+            raw.append(("name", m.group("name")))
+        else:
+            raw.append(("op", m.group("op")))
+    # newline suppression: a newline adjacent to a continuation token
+    # is whitespace, not a statement separator (method chains, operators
+    # split across lines); runs of separators collapse in the parser
+    out = []
+    for j, tok in enumerate(raw):
+        if tok[0] == "nl":
+            prev = out[-1] if out else (None, None)
+            nxt = next(
+                (t for t in raw[j + 1 :] if t[0] != "nl"), (None, None)
+            )
+            if prev[0] == "op" and prev[1] in _NL_CONT_LEFT:
+                continue
+            if nxt[0] == "op" and nxt[1] in _NL_CONT_RIGHT:
+                continue
+            if nxt == ("name", "else"):
+                continue
+            if out and out[-1][0] == "nl":
+                continue
+            if not out:
+                continue
+            out.append(tok)
+        else:
+            out.append(tok)
+    while out and out[-1][0] == "nl":
+        out.pop()
+    return out
+
+
+def _truthy(v) -> bool:
+    """Groovy truth (asBoolean): null, zero, empty string/collection
+    are false — which coincides with python truthiness for every type
+    that reaches a row function (including numpy scalars, which are NOT
+    python bools/ints and must not fall into an isinstance default)."""
+    if v is None:
+        return False
+    try:
+        return bool(v)
+    except (TypeError, ValueError):  # pd.NA / ambiguous array-likes
+        return False
+
+
+def _gstr(v) -> str:
+    """GString rendering: Groovy prints null as 'null', booleans
+    lowercase, and integral floats stay floats ('1.0')."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Ctx:
+    __slots__ = ("args", "vars")
+
+    def __init__(self, args, vars_):
+        self.args = args
+        self.vars = vars_
+
+
+def _cmp_key(fn):
+    import functools
+
+    return functools.cmp_to_key(fn)
+
+
+def _call_method(obj, name, args):
+    """Dispatch a Groovy method call on a runtime value.  Closure
+    arguments arrive as python callables."""
+    if name == "toString":
+        return _gstr(obj)
+    if name == "size" or name == "length":
+        return len(obj)
+    if name == "isEmpty":
+        return len(obj) == 0
+    if isinstance(obj, str):
+        fn = _STR_METHODS.get(name)
+        if fn is not None:
+            return fn(obj, *args)
+    if isinstance(obj, (list, tuple)):
+        fn = _LIST_METHODS.get(name)
+        if fn is not None:
+            return fn(list(obj), *args)
+    if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        fn = _NUM_METHODS.get(name)
+        if fn is not None:
+            return fn(obj, *args)
+    raise NotImplementedError(
+        f"groovy subset: method .{name}() on {type(obj).__name__}"
+    )
+
+
+_STR_METHODS = {
     "toUpperCase": lambda s: s.upper(),
     "toLowerCase": lambda s: s.lower(),
     "trim": lambda s: s.strip(),
-    "length": lambda s: len(s),
-    "size": lambda s: len(s),
-    "toString": lambda s: str(s),
     "contains": lambda s, x: x in s,
     "startsWith": lambda s, x: s.startswith(x),
     "endsWith": lambda s, x: s.endswith(x),
     "indexOf": lambda s, x: s.find(x),
     "substring": lambda s, a, b=None: s[a:b] if b is not None else s[a:],
     "replace": lambda s, a, b: s.replace(a, b),
+    "replaceAll": lambda s, p, r: re.sub(p, r.replace("$", "\\"), s),
+    "replaceFirst": lambda s, p, r: re.sub(p, r.replace("$", "\\"), s, count=1),
+    "matches": lambda s, p: re.fullmatch(p, s) is not None,
     "split": lambda s, d: s.split(d),
+    "tokenize": lambda s, d=None: s.split(d) if d else s.split(),
+    "toInteger": lambda s: int(s),
+    "toLong": lambda s: int(s),
+    "toDouble": lambda s: float(s),
+    "toFloat": lambda s: float(s),
+    "charAt": lambda s, i: s[i],
+    "concat": lambda s, x: s + x,
+    "reverse": lambda s: s[::-1],
+    "capitalize": lambda s: s[:1].upper() + s[1:],
+    "padLeft": lambda s, n, p=" ": s.rjust(n, p),
+    "padRight": lambda s, n, p=" ": s.ljust(n, p),
+    "take": lambda s, n: s[:n],
+    "drop": lambda s, n: s[n:],
+}
+
+_LIST_METHODS = {
+    "collect": lambda l, f=None: [f(x) for x in l] if f else list(l),
+    "findAll": lambda l, f=None: [x for x in l if (_truthy(f(x)) if f else _truthy(x))],
+    "find": lambda l, f=None: next(
+        (x for x in l if (_truthy(f(x)) if f else _truthy(x))), None
+    ),
+    "any": lambda l, f=None: any(_truthy(f(x)) if f else _truthy(x) for x in l),
+    "every": lambda l, f=None: all(_truthy(f(x)) if f else _truthy(x) for x in l),
+    "each": lambda l, f: ([f(x) for x in l], l)[1],
+    "count": lambda l, x: (
+        sum(1 for v in l if _truthy(x(v))) if callable(x)
+        else sum(1 for v in l if v == x)
+    ),
+    "sum": lambda l, f=None: sum(f(x) for x in l) if f else (sum(l) if l else None),
+    "min": lambda l, f=None: (min(l, key=f) if f else min(l)) if l else None,
+    "max": lambda l, f=None: (max(l, key=f) if f else max(l)) if l else None,
+    "sort": lambda l, f=None: sorted(l, key=f) if f else sorted(l),
+    "unique": lambda l: list(dict.fromkeys(l)),
+    "join": lambda l, sep="": sep.join(_gstr(x) for x in l),
+    "contains": lambda l, x: x in l,
+    "indexOf": lambda l, x: l.index(x) if x in l else -1,
+    "reverse": lambda l: l[::-1],
+    "first": lambda l: l[0],
+    "last": lambda l: l[-1],
+    "take": lambda l, n: l[:n],
+    "drop": lambda l, n: l[n:],
+    "flatten": lambda l: [
+        y for x in l for y in (x if isinstance(x, (list, tuple)) else [x])
+    ],
+}
+
+_NUM_METHODS = {
+    "intdiv": lambda a, b: int(a // b),
+    "abs": lambda a: abs(a),
+    "toInteger": lambda a: int(a),
+    "toLong": lambda a: int(a),
+    "toDouble": lambda a: float(a),
+    "toFloat": lambda a: float(a),
+    "round": lambda a, n=None: round(a, n) if n is not None else round(a),
 }
 
 _MATH = {
@@ -73,60 +276,192 @@ _MATH = {
     "sqrt": math.sqrt,
 }
 
+_STATICS = {
+    ("Integer", "parseInt"): lambda s, base=10: int(s, base),
+    ("Long", "parseLong"): lambda s, base=10: int(s, base),
+    ("Double", "parseDouble"): float,
+    ("Float", "parseFloat"): float,
+    ("String", "valueOf"): _gstr,
+}
 
-def _lex(src: str):
-    out, pos = [], 0
-    while pos < len(src):
-        m = _TOKEN.match(src, pos)
-        if not m or m.end() == pos:
-            if src[pos:].strip():
-                raise NotImplementedError(f"groovy subset: bad token at {src[pos:]!r}")
-            break
-        pos = m.end()
-        if m.group("num"):
-            t = m.group("num")
-            out.append(("num", float(t) if "." in t else int(t)))
-        elif m.group("str"):
-            raw = m.group("str")
-            out.append(("str", re.sub(r"\\(.)", r"\1", raw[1:-1])))
-        elif m.group("name"):
-            out.append(("name", m.group("name")))
-        else:
-            out.append(("op", m.group("op")))
-    return out
+_RESERVED = {"true", "false", "null", "def", "return", "if", "else", "it"}
+_BANNED_STMTS = {"for", "while", "class", "import", "switch", "try"}
 
 
 class _P:
-    """Recursive-descent parser → closure tree (row: list of arg values)."""
+    """Recursive-descent parser → node tree of ``fn(ctx) -> value``."""
 
     def __init__(self, toks):
         self.t = toks
         self.i = 0
 
-    def peek(self):
-        return self.t[self.i] if self.i < len(self.t) else (None, None)
+    def peek(self, ahead=0):
+        j = self.i + ahead
+        return self.t[j] if j < len(self.t) else (None, None)
 
     def eat(self, kind=None, val=None):
         k, v = self.peek()
         if kind is not None and k != kind or (val is not None and v != val):
-            raise NotImplementedError(f"groovy subset: expected {val or kind}, got {v!r}")
+            raise NotImplementedError(
+                f"groovy subset: expected {val or kind}, got {v!r}"
+            )
         self.i += 1
         return v
 
-    def parse(self):
-        fn = self.ternary()
+    def _skip_seps(self):
+        while self.peek()[0] == "nl" or self.peek() == ("op", ";"):
+            self.i += 1
+
+    # -- statements ---------------------------------------------------------
+
+    def parse_script(self):
+        body = self.stmt_list(top=True)
         if self.peek()[0] is not None:
-            raise NotImplementedError(f"groovy subset: trailing tokens {self.t[self.i:]}")
-        return fn
+            raise NotImplementedError(
+                f"groovy subset: trailing tokens {self.t[self.i:]}"
+            )
+        return body
+
+    def stmt_list(self, top=False):
+        stmts = []
+        self._skip_seps()
+        while True:
+            k, v = self.peek()
+            if k is None or (k, v) == ("op", "}"):
+                break
+            stmts.append(self.stmt())
+            k, v = self.peek()
+            if k == "nl" or (k, v) == ("op", ";"):
+                self._skip_seps()
+            else:
+                break
+
+        def run(ctx):
+            out = None
+            for s in stmts:
+                out = s(ctx)
+            return out
+
+        return run
+
+    def stmt(self):
+        k, v = self.peek()
+        if k == "name" and v in _BANNED_STMTS:
+            raise NotImplementedError(
+                f"groovy subset: {v} statements are a declared boundary "
+                f"(loops/classes/imports need a real Groovy runtime)"
+            )
+        if (k, v) == ("name", "def"):
+            self.eat()
+            name = self.eat("name")
+            if self.peek() == ("op", "="):
+                self.eat()
+                expr = self.ternary()
+            else:
+                expr = lambda ctx: None  # noqa: E731
+
+            def assign(ctx, n=name, e=expr):
+                val = e(ctx)
+                ctx.vars[n] = val
+                return val
+
+            return assign
+        if (k, v) == ("name", "return"):
+            self.eat()
+            nk, nv = self.peek()
+            if nk is None or nk == "nl" or (nk, nv) in (("op", ";"), ("op", "}")):
+                expr = lambda ctx: None  # noqa: E731
+            else:
+                expr = self.ternary()
+
+            def ret(ctx, e=expr):
+                raise _Return(e(ctx))
+
+            return ret
+        if (k, v) == ("name", "if"):
+            return self.if_stmt()
+        # assignment (plain or compound) to an existing/new variable
+        if k == "name" and v not in _RESERVED and self.peek(1)[0] == "op" and \
+                self.peek(1)[1] in ("=", "+=", "-=", "*=", "/="):
+            name = self.eat("name")
+            op = self.eat("op")
+            expr = self.ternary()
+
+            def assign(ctx, n=name, o=op, e=expr):
+                val = e(ctx)
+                if o != "=":
+                    cur = ctx.vars[n]
+                    if o == "+=":
+                        val = (
+                            f"{cur}{val}"
+                            if isinstance(cur, str) or isinstance(val, str)
+                            else cur + val
+                        )
+                    elif o == "-=":
+                        val = cur - val
+                    elif o == "*=":
+                        val = cur * val
+                    else:
+                        val = cur / val
+                ctx.vars[n] = val
+                return val
+
+            return assign
+        return self.ternary()
+
+    def if_stmt(self):
+        self.eat("name", "if")
+        self.eat("op", "(")
+        cond = self.ternary()
+        self.eat("op", ")")
+        then = self.block_or_stmt()
+        other = None
+        save = self.i
+        self._skip_seps()
+        if self.peek() == ("name", "else"):
+            self.eat()
+            if self.peek() == ("name", "if"):
+                other = self.if_stmt()
+            else:
+                other = self.block_or_stmt()
+        else:
+            self.i = save
+
+        def run(ctx, c=cond, t=then, o=other):
+            if _truthy(c(ctx)):
+                return t(ctx)
+            return o(ctx) if o is not None else None
+
+        return run
+
+    def block_or_stmt(self):
+        if self.peek() == ("op", "{"):
+            self.eat()
+            body = self.stmt_list()
+            self.eat("op", "}")
+            return body
+        self._skip_seps()
+        return self.stmt()
+
+    # -- expressions --------------------------------------------------------
 
     def ternary(self):
         cond = self.or_()
+        if self.peek() == ("op", "?:"):
+            self.eat()
+            b = self.ternary()
+
+            def elvis(ctx, a=cond, bb=b):
+                v = a(ctx)
+                return v if _truthy(v) else bb(ctx)
+
+            return elvis
         if self.peek() == ("op", "?"):
             self.eat()
             a = self.ternary()
             self.eat("op", ":")
             b = self.ternary()
-            return lambda r: a(r) if cond(r) else b(r)
+            return lambda ctx: a(ctx) if _truthy(cond(ctx)) else b(ctx)
         return cond
 
     def _binop(self, sub, ops, apply):
@@ -138,26 +473,34 @@ class _P:
         return left
 
     def or_(self):
-        return self._binop(self.and_, {"||"}, lambda a, o, b: lambda r: a(r) or b(r))
+        return self._binop(
+            self.and_,
+            {"||"},
+            lambda a, o, b: lambda ctx: _truthy(a(ctx)) or _truthy(b(ctx)),
+        )
 
     def and_(self):
-        return self._binop(self.eq, {"&&"}, lambda a, o, b: lambda r: a(r) and b(r))
+        return self._binop(
+            self.eq,
+            {"&&"},
+            lambda a, o, b: lambda ctx: _truthy(a(ctx)) and _truthy(b(ctx)),
+        )
 
     def eq(self):
         def apply(a, o, b):
             if o == "==":
-                return lambda r: a(r) == b(r)
-            return lambda r: a(r) != b(r)
+                return lambda ctx: a(ctx) == b(ctx)
+            return lambda ctx: a(ctx) != b(ctx)
 
         return self._binop(self.rel, {"==", "!="}, apply)
 
     def rel(self):
         def apply(a, o, b):
             return {
-                "<": lambda r: a(r) < b(r),
-                "<=": lambda r: a(r) <= b(r),
-                ">": lambda r: a(r) > b(r),
-                ">=": lambda r: a(r) >= b(r),
+                "<": lambda ctx: a(ctx) < b(ctx),
+                "<=": lambda ctx: a(ctx) <= b(ctx),
+                ">": lambda ctx: a(ctx) > b(ctx),
+                ">=": lambda ctx: a(ctx) >= b(ctx),
             }[o]
 
         return self._binop(self.add, {"<", "<=", ">", ">="}, apply)
@@ -166,24 +509,26 @@ class _P:
         def apply(a, o, b):
             if o == "+":
 
-                def plus(r):
-                    x, y = a(r), b(r)
+                def plus(ctx):
+                    x, y = a(ctx), b(ctx)
                     if isinstance(x, str) or isinstance(y, str):
-                        return f"{x}{y}"  # Groovy string concat
+                        return f"{_gstr(x)}{_gstr(y)}"  # Groovy string concat
+                    if isinstance(x, list):
+                        return x + (y if isinstance(y, list) else [y])
                     return x + y
 
                 return plus
-            return lambda r: a(r) - b(r)
+            return lambda ctx: a(ctx) - b(ctx)
 
         return self._binop(self.mul, {"+", "-"}, apply)
 
     def mul(self):
         def apply(a, o, b):
             if o == "*":
-                return lambda r: a(r) * b(r)
+                return lambda ctx: a(ctx) * b(ctx)
             if o == "/":
-                return lambda r: a(r) / b(r)
-            return lambda r: a(r) % b(r)
+                return lambda ctx: a(ctx) / b(ctx)
+            return lambda ctx: a(ctx) % b(ctx)
 
         return self._binop(self.unary, {"*", "/", "%"}, apply)
 
@@ -192,45 +537,168 @@ class _P:
         if (k, v) == ("op", "-"):
             self.eat()
             inner = self.unary()
-            return lambda r: -inner(r)
+            return lambda ctx: -inner(ctx)
         if (k, v) == ("op", "!"):
             self.eat()
             inner = self.unary()
-            return lambda r: not inner(r)
+            return lambda ctx: not _truthy(inner(ctx))
         return self.postfix()
 
-    def postfix(self):
-        base = self.primary()
-        while self.peek() == ("op", "."):
+    def _call_args(self):
+        """Parse ``(args...)`` (optional) plus an optional trailing
+        closure — Groovy's ``list.collect { it * 2 }`` syntax."""
+        args = []
+        if self.peek() == ("op", "("):
             self.eat()
-            name = self.eat("name")
-            fn = _METHODS.get(name)
-            if fn is None:
-                raise NotImplementedError(f"groovy subset: method .{name}()")
-            args = []
-            self.eat("op", "(")
             if self.peek() != ("op", ")"):
                 args.append(self.ternary())
                 while self.peek() == ("op", ","):
                     self.eat()
                     args.append(self.ternary())
             self.eat("op", ")")
-            base = (
-                lambda b=base, f=fn, a=tuple(args): lambda r: f(b(r), *[x(r) for x in a])
-            )()
-        return base
+        if self.peek() == ("op", "{"):
+            args.append(self.closure())
+        return args
+
+    def closure(self):
+        """``{ [params ->] body }`` → fn(ctx) -> python callable."""
+        self.eat("op", "{")
+        params = ["it"]
+        save = self.i
+        names = []
+        ok = False
+        while self.peek()[0] in ("name", "nl"):
+            if self.peek()[0] == "nl":
+                self.i += 1
+                continue
+            names.append(self.eat("name"))
+            if self.peek() == ("op", ","):
+                self.eat()
+                continue
+            if self.peek() == ("op", "->"):
+                self.eat()
+                ok = True
+            break
+        if ok and names:
+            params = names
+        else:
+            self.i = save
+        body = self.stmt_list()
+        self.eat("op", "}")
+
+        def make(ctx, ps=tuple(params), b=body):
+            def call(*vals):
+                scope = dict(zip(ps, vals))
+                sub = _Ctx(ctx.args, ChainMap(scope, ctx.vars))
+                try:
+                    return b(sub)
+                except _Return as r:
+                    return r.value
+
+            return call
+
+        return make
+
+    def postfix(self):
+        base = self.primary()
+        while True:
+            k, v = self.peek()
+            if (k, v) in (("op", "."), ("op", "?.")):
+                safe = v == "?."
+                self.eat()
+                name = self.eat("name")
+                args = self._call_args()
+
+                def invoke(ctx, b=base, n=name, a=tuple(args), s=safe):
+                    obj = b(ctx)
+                    if obj is None:
+                        if s:
+                            return None
+                        raise TypeError(
+                            f"groovy: cannot call .{n}() on null "
+                            f"(use ?. for safe navigation)"
+                        )
+                    return _call_method(obj, n, [x(ctx) for x in a])
+
+                base = invoke
+            elif (k, v) == ("op", "["):
+                self.eat()
+                idx = self.ternary()
+                self.eat("op", "]")
+
+                def getat(ctx, b=base, i=idx):
+                    obj = b(ctx)
+                    if obj is None:
+                        return None
+                    j = i(ctx)
+                    try:
+                        return obj[j]
+                    except IndexError:
+                        return None  # Groovy list getAt out-of-range
+
+                base = getat
+            else:
+                return base
+
+    def _gstring(self, raw: str):
+        """Compile a double-quoted GString: literal parts + ``$name`` /
+        ``${expr}`` interpolations."""
+        parts = []
+        pos = 0
+        for m in re.finditer(r"\$\{([^}]*)\}|\$([A-Za-z_]\w*)", raw):
+            lit = raw[pos : m.start()]
+            if lit:
+                parts.append(re.sub(r"\\(.)", r"\1", lit))
+            src = m.group(1) if m.group(1) is not None else m.group(2)
+            sub = _P(_lex(src))
+            expr = sub.ternary()
+            if sub.peek()[0] is not None:
+                raise NotImplementedError(
+                    f"groovy subset: bad GString interpolation ${{{src}}}"
+                )
+            parts.append(expr)
+            pos = m.end()
+        tail = raw[pos:]
+        if tail:
+            parts.append(re.sub(r"\\(.)", r"\1", tail))
+        if not any(callable(p) for p in parts):
+            s = "".join(parts)
+            return lambda ctx: s
+        return lambda ctx: "".join(
+            _gstr(p(ctx)) if callable(p) else p for p in parts
+        )
 
     def primary(self):
         k, v = self.peek()
         if k == "num" or k == "str":
             self.eat()
-            return lambda r, v=v: v
+            return lambda ctx, v=v: v
+        if k == "gstr":
+            self.eat()
+            return self._gstring(v)
+        if (k, v) == ("op", "["):
+            self.eat()
+            items = []
+            if self.peek() != ("op", "]"):
+                items.append(self.ternary())
+                while self.peek() == ("op", ","):
+                    self.eat()
+                    items.append(self.ternary())
+            self.eat("op", "]")
+            return lambda ctx, it=tuple(items): [x(ctx) for x in it]
+        if (k, v) == ("op", "{"):
+            return self.closure()
         if k == "name":
+            if v in _BANNED_STMTS:
+                raise NotImplementedError(
+                    f"groovy subset: {v} statements are a declared boundary "
+                    f"(loops/classes/imports need a real Groovy runtime)"
+                )
             self.eat()
             if v in ("true", "false"):
-                return lambda r, b=(v == "true"): b
+                return lambda ctx, b=(v == "true"): b
             if v == "null":
-                return lambda r: None
+                return lambda ctx: None
             if v == "Math":
                 self.eat("op", ".")
                 name = self.eat("name")
@@ -243,12 +711,27 @@ class _P:
                     self.eat()
                     args.append(self.ternary())
                 self.eat("op", ")")
-                return lambda r, f=fn, a=tuple(args): f(*[x(r) for x in a])
+                return lambda ctx, f=fn, a=tuple(args): f(*[x(ctx) for x in a])
+            if self.peek() == ("op", ".") and (v, self.peek(1)[1]) in _STATICS:
+                self.eat()
+                name = self.eat("name")
+                fn = _STATICS[(v, name)]
+                args = self._call_args()
+                return lambda ctx, f=fn, a=tuple(args): f(*[x(ctx) for x in a])
             m = re.fullmatch(r"arg(\d+)", v)
             if m:
                 idx = int(m.group(1))
-                return lambda r, i=idx: r[i]
-            raise NotImplementedError(f"groovy subset: unknown identifier {v!r}")
+                return lambda ctx, i=idx: ctx.args[i]
+            # local variable / closure parameter reference
+            def var(ctx, n=v):
+                try:
+                    return ctx.vars[n]
+                except KeyError:
+                    raise NotImplementedError(
+                        f"groovy subset: unknown identifier {n!r}"
+                    ) from None
+
+            return var
         if (k, v) == ("op", "("):
             self.eat()
             inner = self.ternary()
@@ -258,8 +741,17 @@ class _P:
 
 
 def compile_groovy(script: str):
-    """Compile a Groovy expression-subset script to row_fn(args_tuple)."""
-    return _P(_lex(script)).parse()
+    """Compile a Groovy script-subset to ``row_fn(args_tuple)``."""
+    body = _P(_lex(script)).parse_script()
+
+    def row_fn(args):
+        ctx = _Ctx(args, {})
+        try:
+            return body(ctx)
+        except _Return as r:
+            return r.value
+
+    return row_fn
 
 
 _SPARK_TYPES = {

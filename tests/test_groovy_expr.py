@@ -1,6 +1,7 @@
-"""Groovy inline-transform expression subset (functions/groovy_expr.py
-← GroovyFunctionEvaluator.java): compiler semantics, Spark UDF surface,
-and the loud subset boundary."""
+"""Groovy inline-transform SCRIPT subset (functions/groovy_expr.py
+← GroovyFunctionEvaluator.java): compiler semantics, the round-11
+statement/closure/GString extension, Spark UDF surface, and the loud
+subset boundary (loops/classes/imports)."""
 
 from __future__ import annotations
 
@@ -34,10 +35,78 @@ def test_compile_semantics(script, args, expected):
     assert compile_groovy(script)(args) == expected
 
 
+@pytest.mark.parametrize(
+    "script,args,expected",
+    [
+        # statements: def / compound assignment / return / if-else
+        ("def x = arg0 * 2\ndef y = x + 1\nreturn y", (5,), 11),
+        ("def x = arg0; x += 3; x", (2,), 5),
+        (
+            "if (arg0 > 10) { return 'big' } "
+            "else if (arg0 > 5) { return 'mid' } else { return 'small' }",
+            (7,),
+            "mid",
+        ),
+        ("if (arg0 > 10) 'big' else 'small'", (3,), "small"),
+        # implicit last-expression value (Groovy script semantics)
+        (
+            "def parts = arg0.split(':')\n"
+            "parts[0].toUpperCase() + '=' + parts[1]",
+            ("k:v",),
+            "K=v",
+        ),
+        # closures + collection methods (incl. trailing-closure syntax)
+        ("arg0.split(',').collect { it.toUpperCase() }.join(';')", ("a,b",), "A;B"),
+        ("arg0.split(',').findAll { it.length() > 1 }.size()", ("a,bb,ccc",), 2),
+        ("[1,2,3,4].findAll { it % 2 == 0 }.sum()", (0,), 6),
+        ("[1,2,3].collect { x -> x * x }", (0,), [1, 4, 9]),
+        ("[3,1,2].sort().join('-')", (0,), "1-2-3"),
+        ("['a','b','a'].unique().size()", (0,), 2),
+        ("[1,[2,3],4].flatten().size()", (0,), 4),
+        ("arg0.split(',').any { it == 'x' }", ("a,x",), True),
+        ("arg0.split(',').every { it.length() == 1 }", ("a,b",), True),
+        ("[5,3,9].max() - [5,3,9].min()", (0,), 6),
+        # GStrings
+        ('"${arg0}-${arg1 * 2}"', ("id", 3), "id-6"),
+        ('"row $arg0 done"', (7,), "row 7 done"),
+        ('"v=${null}"', (0,), "v=null"),  # Groovy renders null as 'null'
+        # elvis / safe navigation / Groovy getAt indexing
+        ("arg0 ?: 'default'", (None,), "default"),
+        ("arg0 ?: 'default'", ("x",), "x"),
+        ("null?.toUpperCase()", (0,), None),
+        ("arg0.split(',')[1]", ("a,b,c",), "b"),
+        ("arg0.split(',')[9]", ("a,b",), None),  # out-of-range -> null
+        ("arg0.split(',')[-1]", ("a,b,c",), "c"),
+        # regex / conversion / number methods + statics
+        ("arg0.replaceAll('[0-9]+', '#')", ("a12b3",), "a#b#"),
+        ("arg0.matches('[a-z]+')", ("abc",), True),
+        ("'42'.toInteger() + 1", (0,), 43),
+        ("arg0.intdiv(3)", (10,), 3),
+        ("Integer.parseInt(arg0) * 2", ("21",), 42),
+        ("arg0.capitalize()", ("hello",), "Hello"),
+        ("arg0.padLeft(5, '0')", ("42",), "00042"),
+        # Groovy truth: null / 0 / empty string / empty list are false
+        ("'' ?: 'empty'", (0,), "empty"),
+        ("0 ? 'y' : 'n'", (0,), "n"),
+        ("[] ? 'y' : 'n'", (0,), "n"),
+    ],
+)
+def test_script_subset_semantics(script, args, expected):
+    """Round-11 extension: statements, closures, GStrings, collections."""
+    assert compile_groovy(script)(args) == expected
+
+
 def test_subset_boundary_is_loud():
-    for bad in ("for(i in 1..3) i", "def x = 1", "[1,2,3].collect{it}", "arg0.weird()"):
+    for bad in (
+        "for(i in 1..3) i",
+        "while (arg0) x",
+        "class A {}",
+        "import foo",
+        "arg0.weird()",
+        "switch (arg0) {}",
+    ):
         with pytest.raises(NotImplementedError):
-            compile_groovy(bad)
+            compile_groovy(bad)((1,))
 
 
 def test_spark_udf_surface(spark):
