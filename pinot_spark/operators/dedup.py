@@ -333,3 +333,97 @@ def jaccard_similarity_join(
         with_toks.filter(jac > threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 30,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-document maximal duplicated character spans: every substring
+    of length ``min_len`` that also appears in ANOTHER document marks
+    its positions duplicated; overlapping marks merge into maximal
+    spans (the ExactSubstr dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their single-node
+    suffix array is re-expressed as the distributed L-gram equivalent).
+
+    Returns (id_col, span_start, span_end, span_len) — 1-based
+    inclusive character positions, one row per maximal duplicated span.
+
+    SCALE SHAPE (100 TB): entirely JVM-side Column algebra — no UDF.
+    Grams carry only (xxhash64, doc, pos) so the shuffle payload is 24
+    bytes/gram, not text.  One aggregate-style shuffle on the gram hash
+    with a map-side partial (cross-doc grams found via min!=max doc per
+    hash — no collect_set), one shuffle back on doc for the interval
+    merge (running-max island detection, the same single window shuffle
+    the sessionize operator uses).  ``stride`` > 1 keeps ~1/stride of
+    the grams via CONTENT-DEFINED anchoring (winnowing-style: keep a
+    position iff the hash of its 8-char anchor ≡ 0 mod stride) — a
+    fixed-grid stride would sample DISJOINT in-span offsets in two
+    documents whose copies start at different residues and then never
+    match no matter how long the span, whereas content anchoring picks
+    the same in-span offsets everywhere; the shuffle shrinks by the
+    stride factor and detection becomes probabilistic only at span
+    edges (expected trim ~stride chars).  Hash collisions (xxhash64,
+    64-bit) are the standard ExactSubstr trade and only ever ADD a
+    span.
+    """
+    c = F.col(text_col)
+    # filter BEFORE sequence(): a start > stop sequence would generate
+    # DESCENDING positions for short documents instead of none
+    grams = df.filter(F.length(c) >= min_len).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(c) - min_len + 1)
+        ).alias("__pos"),
+        c.alias("__t"),
+    )
+    if stride > 1:
+        anchor = F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), 8))
+        grams = grams.filter(F.pmod(anchor, F.lit(stride)) == 0)
+    grams = grams.select(
+        id_col,
+        "__pos",
+        F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), min_len)).alias(
+            "__g"
+        ),
+    )
+    # grams appearing in >= 2 DISTINCT docs: min(doc) != max(doc) is a
+    # map-side-combinable cross-doc test (no distinct-count state)
+    cross = (
+        grams.groupBy("__g")
+        .agg(F.min(id_col).alias("__dmin"), F.max(id_col).alias("__dmax"))
+        .filter(F.col("__dmin") != F.col("__dmax"))
+        .select("__g")
+    )
+    hits = grams.join(cross, "__g").select(id_col, "__pos")
+    # island detection: a hit starts a new span iff it begins after
+    # every previous hit's coverage ends (prev max of pos+L-1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    cover_end = F.col("__pos") + F.lit(min_len - 1)
+    prev_end = F.max(cover_end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "__new", (prev_end.isNull() | (F.col("__pos") > prev_end + 1)).cast("int")
+    )
+    island = F.sum("__new").over(w).alias("__island")
+    return (
+        marked.select(id_col, "__pos", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .drop("__island")
+    )

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pinot_spark.catalog import load_tables
 from pinot_spark.operators import text as T
 from pinot_spark.operators.dedup import (
+    exact_substring_spans,
     dedup_exact,
     minhash_dedup_pairs,
     simhash_dedup,
@@ -40,6 +41,57 @@ def dedup_exact_documents(spark, sf_dir):
     kept = dedup_exact(t["documents"], "text", "doc_id")
     return kept.agg(
         F.count("*").alias("n_docs"), F.count_distinct("doc_id").alias("n_unique")
+    )
+
+
+@query(
+    "dedup_exact_substring",
+    oracle="""
+    WITH positions AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 29)) AS pos
+      FROM documents WHERE length(text) >= 30
+    ), grams AS (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS g FROM positions
+    ), cross_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM cross_grams)
+    ), marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM marked
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 29 AS BIGINT) AS span_end,
+           CAST(max(pos) + 29 - min(pos) + 1 AS BIGINT) AS span_len
+    FROM islands GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start LIMIT 60
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022): maximal character spans
+    duplicated verbatim across DIFFERENT documents at >= 30 chars —
+    the distributed L-gram re-expression of their suffix-array pass
+    (operators/dedup.py exact_substring_spans).  Pure Column algebra:
+    grams ship as (xxhash64, doc, pos) triples, cross-doc grams found
+    with a map-side-combinable min!=max doc test (no collect_set), and
+    overlapping hits merge into maximal spans with the same running-max
+    island window sessionize uses.  The DuckDB oracle compares the RAW
+    grams, so hash parity of the span arithmetic is fully checked."""
+    t = load_tables(spark, sf_dir)
+    return (
+        exact_substring_spans(t["documents"], "text", "doc_id", min_len=30)
+        .orderBy("doc_id", "span_start")
+        .limit(60)
     )
 
 
