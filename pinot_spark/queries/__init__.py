@@ -86,7 +86,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "agg_approx_distinct", "agg_basic_family", "agg_bool_and_or",
     "agg_count_by_segment_partition", "agg_distinct_family",
     "agg_distinctcount_mv_scale_path", "agg_exprminmax",
-    "agg_firstlast_withtime", "agg_fourth_moment", "agg_funnel_count",
+    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
+    "agg_funnel_count", "dialect_raw_theta_scale",
     "agg_funnel_events_eval", "agg_funnel_max_step_window", "agg_histogram",
     "agg_hll_sketch_union", "agg_idset_membership", "agg_listagg_arrayagg",
     "agg_mode", "agg_mv_grouped_percentile", "agg_percentile_approx",
@@ -145,16 +146,19 @@ _VERIFIED_PRIOR_ROUNDS = [
     "udtf_sequence_explode", "upsert_latest_per_key",
 ]
 
-# Round-11 window = first-time slot for the round-11 RAW-HLL clearspring
-# wire routing + ALL 44 round-7-stale greens (the stalest evidence in the
-# registry after the r10 rotation: dialect surface, window fns, joins,
-# set ops, funnel dialect forms) + 5 r8-stale sketch-adjacent rows re-
-# proven because dialect.py/theta.py/ds_freq.py changed this round.
-# Done-criterion (VERDICT r10 item 2): max staleness <= r8.
+# Round-11 window = 5 first-time slots (RAW-HLL clearspring wire routing,
+# timestamp sketch keys, the CPC write path, RUNNING raw-sketch windows,
+# ExactSubstr dedup spans) + ALL 44 round-7-stale greens (the stalest
+# evidence in the registry after the r10 rotation: dialect surface,
+# window fns, joins, set ops, funnel dialect forms) + 1 r8-stale
+# sketch-adjacent row re-proven because raw blob serialization changed
+# this round. Done-criterion (VERDICT r10 item 2): max staleness <= r8.
 _WINDOW_FIRST_TIME = [
     "dialect_rawhll_clearspring_wire",
     "dialect_raw_theta_timestamp_key",
     "fn_ds_cpc_write",
+    "dialect_raw_sketch_running",
+    "dedup_exact_substring",
 ]
 
 # all 44 round-7-stale greens
@@ -178,11 +182,15 @@ _REPROOF_STALE_R7 = [
     "window_sliding_rows_frame",
 ]
 
-# 3 r8-stale rows whose machinery changed this round (raw-sketch blobs,
-# theta routes, frequencies merge semantics, MV agg variants)
+# 1 r8-stale row re-proven because raw blob serialization changed this
+# round (the RAW-HLL clearspring flip); agg_frequent_items and
+# dialect_raw_theta_scale ceded their slots to the running-window and
+# ExactSubstr first-timers — their round-11 machinery changes are
+# pinned by unit goldens + the live Java round-trip (test_ds_freq.py)
+# and the plan gates (test_plan_quality.py), and both stay ever-green
+# in _VERIFIED_PRIOR_ROUNDS
 _REPROOF_STALE_R8 = [
-    "agg_raw_sketch_bytes", "dialect_raw_theta_scale",
-    "agg_frequent_items",
+    "agg_raw_sketch_bytes",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R7 + _REPROOF_STALE_R8
