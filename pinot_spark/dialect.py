@@ -4606,6 +4606,15 @@ class PinotEngine:
     # spine rows, ad-hoc views) are NEVER defaulted: Pinot substitutes at
     # ingestion, which only ever touches stored columns.
     null_default_tables: frozenset[str] | None = None
+    # scoped suppression of the selection default-LIMIT injection for
+    # ENGINE-GENERATED derived-table statements (raw-window grouped
+    # subqueries): the zero-shuffle sketch routes re-enter sql()
+    # internally, so a parameter cannot reach every translate() on the
+    # path — the flag can (set in a try/finally around the sub build).
+    # A giant-LIMIT text guard is not equivalent: it plans GlobalLimit +
+    # an Exchange SinglePartition funneling every group through one
+    # partition.
+    _no_default_limit: bool = False
 
     def _register_groovy_calls(self, sql: str) -> str:
         """Compile each GROOVY('meta', 'script', args...) call (literal
@@ -4766,13 +4775,15 @@ class PinotEngine:
         # ASOF) which match plain `FROM <table>` forms
         if not null_handling_enabled(options, self.null_handling_default):
             sql = self._apply_default_null_views(sql)
-        if _inject_default_limit:
+        if _inject_default_limit and not self._no_default_limit:
             sql = apply_default_limit(
                 sql, int(options.get("limit", self.default_limit))
             )
         return sql, options
 
-    def sql(self, pinot_sql: str) -> DataFrame:
+    def sql(
+        self, pinot_sql: str, *, _inject_default_limit: bool = True
+    ) -> DataFrame:
         from pinot_spark.ddl import is_ddl
 
         _opts, bare = split_options(pinot_sql)
@@ -4816,7 +4827,9 @@ class PinotEngine:
         routed = self._route_pure_theta_zero_shuffle(pinot_sql)
         if routed is not None:
             return routed
-        spark_sql, _options = self.translate(pinot_sql)
+        spark_sql, _options = self.translate(
+            pinot_sql, _inject_default_limit=_inject_default_limit
+        )
         return self.spark.sql(spark_sql)
 
     def _route_raw_sketch_windows(self, pinot_sql: str) -> DataFrame | None:
@@ -4921,11 +4934,21 @@ class PinotEngine:
             knames = [f"__rswk_{view[8:]}_{j}" for j in range(len(kexprs))]
             sel_keys = [f"{e} AS {n}" for e, n in zip(kexprs, knames)]
             group = f" GROUP BY {', '.join(kexprs)}" if kexprs else ""
+            # NO default-LIMIT injection (and no giant-LIMIT guard: that
+            # planned GlobalLimit + an Exchange SinglePartition funneling
+            # every GROUP through one partition — needless at high
+            # partition-key cardinality).  The flag, not a parameter,
+            # because the zero-shuffle sketch routes re-enter sql()
+            # internally with the merge statement.
             sub = (
                 f"{prefix}SELECT {', '.join(sel_keys + [f'{call_text} AS __rswv'])} "
-                f"FROM {stmt['table']}{where}{group} LIMIT 2147483647"
+                f"FROM {stmt['table']}{where}{group}"
             )
-            self.sql(sub).createOrReplaceTempView(view)
+            self._no_default_limit = True
+            try:
+                self.sql(sub).createOrReplaceTempView(view)
+            finally:
+                self._no_default_limit = False
             cond = (
                 " AND ".join(f"{e} <=> {view}.{n}" for e, n in zip(kexprs, knames))
                 or "true"

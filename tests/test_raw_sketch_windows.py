@@ -520,3 +520,37 @@ def test_running_and_partition_cpc_windows(spark, eng):
     assert all(r.part_dc == 5 for r in rows)
     assert [r.run_dc for r in rows] == list(range(1, 26))
     assert [r.run_est for r in rows] == list(range(1, 26))
+
+
+def test_partition_window_many_groups_no_limit_no_funnel(spark, eng):
+    """The unbounded-window grouped subquery must materialize EVERY
+    partition group (regression: the dialect's selection default
+    LIMIT 10 once threatened to truncate the derived table, and the
+    giant-LIMIT guard that prevented it planned GlobalLimit + an
+    Exchange SinglePartition funneling every group through one
+    partition — now the engine suppresses the injection on the
+    internal path instead)."""
+    before = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__rswin_")
+    }
+    rows = eng.sql(
+        "SELECT o_orderkey, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(o_orderpriority) "
+        "OVER (PARTITION BY MOD(o_custkey, 37))) AS d "
+        "FROM orders ORDER BY o_orderkey LIMIT 2000"
+    ).collect()
+    made = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__rswin_")
+    } - before
+    assert all(r.d is not None and r.d >= 1 for r in rows)
+    view = spark.table(next(iter(made)))
+    assert view.count() == 37
+    plan = _plan(view)
+    assert "GlobalLimit" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # user-facing selections keep the Pinot default LIMIT 10
+    assert eng.sql("SELECT o_orderkey FROM orders").count() == 10
