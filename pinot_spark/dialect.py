@@ -4775,11 +4775,85 @@ class PinotEngine:
         # ASOF) which match plain `FROM <table>` forms
         if not null_handling_enabled(options, self.null_handling_default):
             sql = self._apply_default_null_views(sql)
+        sql = self._hoist_heavy_agg_args(sql)
         if _inject_default_limit and not self._no_default_limit:
             sql = apply_default_limit(
                 sql, int(options.get("limit", self.default_limit))
             )
         return sql, options
+
+    # expressions longer than this inside collect_set/collect_list are
+    # hoisted into a derived projection: TypedImperativeAggregate
+    # children evaluate INTERPRETED per row with no common-subexpression
+    # elimination, so the textually-duplicated murmur pair expressions
+    # (~8 KB after template expansion) cost ~4x there vs a whole-stage-
+    # codegen'd Project below the partial aggregate (measured sf0.1:
+    # 4.0s -> 1.1s for a grouped DISTINCTCOUNTRAWHLL over 600k rows)
+    _HOIST_MIN_LEN = 1000
+
+    def _hoist_heavy_agg_args(self, sql: str) -> str:
+        """Rewrite ``collect_set(<heavy expr>)`` (and collect_list) in a
+        canonical single-table statement so the heavy expression
+        computes in a derived-table PROJECTION — map-side, before the
+        partial aggregate, inside whole-stage codegen with
+        subexpression elimination — and the aggregate consumes a plain
+        column.  No-op for short arguments, non-canonical statements,
+        join sources, or subquery-bearing arguments; falls back to the
+        original text if the rewrite does not parse."""
+        if "collect_" not in sql:
+            return sql
+        spans = _literal_spans(sql)
+        hits = []  # (start, inner_start, close, inner_text)
+        for m in re.finditer(r"\bcollect_(?:set|list)\s*\(", sql):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            close = _find_matching(sql, m.end() - 1)
+            inner = sql[m.end() : close]
+            if len(inner) < self._HOIST_MIN_LEN:
+                continue
+            if re.search(r"\(\s*SELECT\b", inner, re.IGNORECASE):
+                continue
+            hits.append((m.start(), m.end(), close, inner))
+        if not hits:
+            return sql
+        # allow_join carries the FROM text verbatim — accept only a
+        # single (possibly aliased) named table; the derived table is
+        # re-aliased with the same name so qualified references in the
+        # outer clauses keep resolving
+        stmt = _parse_canonical_stmt(sql, allow_join=True)
+        if stmt is None:
+            return sql
+        tm = re.fullmatch(
+            r"([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            stmt["table"],
+            re.IGNORECASE,
+        )
+        if tm is None:
+            return sql
+        alias = tm.group(2) or tm.group(1).split(".")[-1]
+        # dedupe identical arguments; splice back-to-front
+        keymap: dict[str, int] = {}
+        exprs: list[str] = []
+        out = sql
+        for start, istart, close, inner in sorted(hits, key=lambda h: -h[0]):
+            key = re.sub(r"\s+", " ", inner).strip()
+            if key not in keymap:
+                keymap[key] = len(exprs)
+                exprs.append(inner)
+            out = out[:istart] + f"__agh_{keymap[key]}" + out[close:]
+        fm = _parse_canonical_stmt(out, allow_join=True)
+        if fm is None:
+            return sql
+        proj = ", ".join(f"{e} AS __agh_{i}" for i, e in enumerate(exprs))
+        inner_sql = f"SELECT *, {proj} FROM {fm['table']}"
+        rebuilt = (
+            f"SELECT {fm['select']} FROM ({inner_sql}) AS {alias}"
+            + (f" WHERE {fm['where']}" if fm["where"] else "")
+            + (f" GROUP BY {fm['group']}" if fm["group"] else "")
+            + (f" HAVING {fm['having']}" if fm["having"] else "")
+            + (fm["tail"] or "")
+        )
+        return rebuilt if self._syntax_ok(rebuilt) else sql
 
     def sql(
         self, pinot_sql: str, *, _inject_default_limit: bool = True

@@ -593,3 +593,39 @@ def test_rawhll_clearspring_int_pair_stays_jvm_side(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan
     rows = df.collect()
     assert len(rows) == 3 and all(r.dc > 0 for r in rows)
+
+
+def test_heavy_agg_args_hoist_into_projection(spark, sf_dir):
+    """The murmur pair expressions of the clearspring RAW-HLL family
+    are ~8 KB after template expansion; inside collect_set they would
+    evaluate INTERPRETED per row (TypedImperativeAggregate children get
+    no codegen subexpression elimination — measured 4x slower at
+    sf0.1).  The dialect hoists heavy aggregate arguments into a
+    derived-table projection below the partial aggregate: the plan
+    shows the __agh_ column feeding collect_set and the projection
+    computing it map-side, with results unchanged."""
+    from pinot_spark.dialect import PinotEngine
+
+    load_tables(spark, sf_dir)
+    eng = PinotEngine(spark)
+    q = (
+        "SELECT l_returnflag, GETHLLESTIMATE(DISTINCTCOUNTRAWHLL("
+        "l_partkey, 12)) AS dc FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag LIMIT 10"
+    )
+    df = eng.sql(q)
+    plan = _plan(df)
+    assert "__agh_0" in plan, plan
+    assert "partial_collect_set(__agh_0" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.dc > 0 for r in rows)
+    # qualified-alias statements hoist too (derived table re-aliased)
+    df2 = eng.sql(
+        "SELECT t.l_returnflag, GETHLLESTIMATE(DISTINCTCOUNTRAWHLL("
+        "t.l_partkey, 12)) AS dc FROM lineitem t "
+        "GROUP BY t.l_returnflag ORDER BY t.l_returnflag LIMIT 10"
+    )
+    assert "__agh_0" in _plan(df2), _plan(df2)
+    assert [(r.l_returnflag, r.dc) for r in df2.collect()] == [
+        (r.l_returnflag, r.dc) for r in rows
+    ]
