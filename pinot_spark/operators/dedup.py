@@ -427,3 +427,60 @@ def exact_substring_spans(
         .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
         .drop("__island")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 30,
+    stride: int = 1,
+) -> DataFrame:
+    """The cleaning half of ExactSubstr dedup: cut every cross-document
+    duplicated span (exact_substring_spans) out of every document's
+    text — the Lee et al. 2022 pipeline removes each duplicated
+    occurrence; documents reduced to pure boilerplate become empty
+    strings rather than disappearing, so downstream length filters make
+    the drop decision explicitly.
+
+    Returns the input columns plus ``clean_text`` and
+    ``removed_chars``.
+
+    SCALE SHAPE: spans per document are bounded by len/min_len and
+    arrive sorted; the cut is one JVM ``aggregate`` fold over the span
+    array (no UDF), and the only additional cost over
+    exact_substring_spans is the span collect (bounded) plus one
+    broadcast-or-hash join back on the document id.
+    """
+    spans = exact_substring_spans(df, text_col, id_col, min_len, stride)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    out = df.join(per_doc, on=id_col, how="left")
+    c = F.col(text_col)
+    cut = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            (s["span_end"] + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["acc"],
+                c.substr(
+                    acc["pos"], (s["span_start"] - acc["pos"]).cast("long")
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], c.substr(acc["pos"], F.length(c).cast("long"))
+        ),
+    )
+    return out.select(
+        *df.columns,
+        F.when(F.col("__spans").isNull(), c).otherwise(cut).alias("clean_text"),
+        F.coalesce(F.col("removed_chars"), F.lit(0)).alias("removed_chars"),
+    )

@@ -95,3 +95,37 @@ def test_exact_substring_spans_plan_is_jvm_only(spark, sf_dir):
                    "MapInPandas", "collect_set", "collect_list"):
         assert marker not in plan, (marker, plan)
     assert "partial_min" in plan and "partial_max" in plan, plan
+
+
+def test_remove_duplicate_spans_cuts_text(spark):
+    """The cleaning half: duplicated spans are cut from every doc,
+    non-duplicated docs pass through, and removed_chars accounts
+    exactly for the cut lengths."""
+    from pinot_spark.operators.dedup import remove_duplicate_spans
+
+    shared_a = "the quick brown fox jumps over the lazy dog today"
+    shared_b = "pack my box with five dozen liquor jugs right now"
+    rows = [
+        (1, f"XX{shared_a}YY{shared_b}ZZ"),
+        (2, f"prefix {shared_a} suffix"),
+        (3, f"{shared_b} trailing text here"),
+        (4, "totally unique content that appears nowhere else at all ok"),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.removed_chars)
+        for r in remove_duplicate_spans(df, "text", "doc_id", min_len=30).collect()
+    }
+    assert got[1] == ("XXYYZZ", 98)
+    assert got[2] == ("prefix  suffix", 49)
+    assert got[3] == (" trailing text here", 49)
+    assert got[4] == (rows[3][1], 0)
+    assert got[5] == ("short", 0)
+    # plan stays JVM-only: the cut is an aggregate fold, not a UDF
+    plan = (
+        remove_duplicate_spans(df, "text", "doc_id", min_len=30)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
