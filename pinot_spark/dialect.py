@@ -4955,6 +4955,15 @@ class PinotEngine:
             pexprs, oitems, mode = _parse_running_over(h[3])
             if mode == "unbounded":
                 unbounded.append(h)
+            elif mode == "all":
+                # UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING on an
+                # ordered window = the whole-partition value: the
+                # grouped LEFT-JOIN path computes it with sketch-sized
+                # state, so rewrite the OVER body down to its partition
+                # clause and route there
+                start, oclose, call_text, _body = h
+                pb = f"PARTITION BY {', '.join(pexprs)}" if pexprs else ""
+                unbounded.append((start, oclose, call_text, pb))
             else:
                 running.append((h, pexprs, oitems, mode))
         if running:

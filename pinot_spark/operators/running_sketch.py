@@ -327,6 +327,9 @@ def make_acc(family: str, params: tuple):
     raise KeyError(f"no running accumulator family {family!r}")
 
 
+_EMIT_CHUNK = 256  # output rows per Arrow batch: 256 x ~32 KB blob ≈ 8 MB
+
+
 def attach_running(
     df,
     pcols: list[str],
@@ -341,70 +344,127 @@ def attach_running(
     """Add ``out_col`` (binary) holding the running sketch blob.
 
     ``order_spec`` entries are (column, ascending, nulls_first) over
-    already-materialized columns; ``mode`` is ``rows`` (per-row frame),
-    ``range`` (peer rows tied on every ORDER BY key share one blob) or
-    ``all`` (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — one blob per
-    partition).  One shuffle on ``pcols`` (Spark's own WindowExec shape)
-    and a sequential Arrow-batched pass per group.
+    already-materialized columns; ``mode`` is ``rows`` (per-row frame)
+    or ``range`` (peer rows tied on every ORDER BY key share one blob)
+    — whole-partition ``OVER (... ROWS/RANGE BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING)`` frames route through the
+    grouped LEFT-JOIN path at the dialect layer instead.
+
+    STREAMING SHAPE: one hash shuffle on ``pcols`` + a JVM
+    sortWithinPartitions (exactly Spark's own WindowExec requirement),
+    then ONE mapInPandas pass that carries the accumulator across
+    Arrow batches and yields output in small chunks.  groupBy().
+    applyInPandas would return each GROUP as a single Arrow batch —
+    with one ~32 KB sketch blob per row, a 30k-row partition is ~1 GB
+    in one allocation, which blows the executor's direct-memory cap
+    (hit at sf0.1 during validation).  Here memory is O(input batch +
+    one pending peer block + sketch state): the only rows ever held
+    back are the current (possibly batch-spanning) peer block, so a
+    degenerate all-rows-tied ORDER BY key degrades to group-sized
+    memory — at which point the value is constant and the unbounded
+    frame is the right query.
     """
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    gall = f"{out_col}_gall"
-    gcols = pcols or [gall]
-    if not pcols:
-        df = df.withColumn(gall, F.lit(1))
+    if mode not in ("rows", "range"):
+        raise ValueError(f"attach_running serves rows/range frames, not {mode!r}")
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, BinaryType(), True)]
     )
     ocols = [c for c, _, _ in order_spec]
+    cols = [f.name for f in df.schema.fields]
 
-    def fn(pdf):
-        sp = pdf
-        # stable multi-key sort honoring a per-key nulls position
-        # (pandas sort_values has ONE na_position for all keys)
-        for c, asc, nulls_first in reversed(order_spec):
-            sp = sp.sort_values(
-                c,
-                ascending=asc,
-                kind="mergesort",
-                na_position="first" if nulls_first else "last",
-            )
-        toks = list(zip(*(sp[c].tolist() for c in token_cols)))
-        acc = make_acc(family, params)
-        push = (ArrayAcc(acc) if is_array else acc).push
-        n = len(sp)
-        blobs: list = [None] * n
-        if mode == "all":
-            for t in toks:
-                push(t)
-            blobs = [acc.blob()] * n
-        elif mode == "rows":
-            for i, t in enumerate(toks):
-                push(t)
-                blobs[i] = acc.blob()
-        else:  # range: peers tied on every ORDER BY key share one blob
-            ok = sp[ocols].reset_index(drop=True)
-            prev = ok.shift(1)
-            neq = (
-                (ok.ne(prev) & ~(ok.isna() & prev.isna()))
-                .any(axis=1)
-                .to_numpy()
-            )
-            starts = [i for i in range(n) if i == 0 or neq[i]]
+    sort_cols = [F.col(c).asc_nulls_first() for c in pcols]
+    for c, asc, nf in order_spec:
+        col = F.col(c)
+        sort_cols.append(
+            col.asc_nulls_first()
+            if asc and nf
+            else col.asc_nulls_last()
+            if asc
+            else col.desc_nulls_first()
+            if nf
+            else col.desc_nulls_last()
+        )
+    part = df.repartition(*[F.col(c) for c in pcols]) if pcols else df.repartition(1)
+    if sort_cols:
+        part = part.sortWithinPartitions(*sort_cols)
+
+    def fn(batches):
+        import numpy as np
+
+        state = {"acc": None, "push": None, "gkey": None}
+        hold: pd.DataFrame | None = None  # current unclosed peer block
+
+        def reset_acc():
+            a = make_acc(family, params)
+            state["acc"] = a
+            state["push"] = (ArrayAcc(a) if is_array else a).push
+
+        def process(pdf: pd.DataFrame, eof: bool):
+            nonlocal hold
+            if hold is not None and len(hold):
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            n = len(pdf)
+            if n == 0:
+                return
+
+            def neq_mask(kcols):
+                if not kcols:
+                    return np.zeros(n, dtype=bool)
+                cur = pdf[kcols].reset_index(drop=True)
+                prev = cur.shift(1)
+                return (
+                    (cur.ne(prev) & ~(cur.isna() & prev.isna()))
+                    .any(axis=1)
+                    .to_numpy()
+                )
+
+            gchange = neq_mask(pcols)
+            first_key = tuple(pdf[c].iloc[0] for c in pcols)
+            gchange[0] = state["gkey"] is None or first_key != state["gkey"]
+            if mode == "rows":
+                bstart = np.ones(n, dtype=bool)
+            else:
+                bstart = gchange | neq_mask(ocols)
+                bstart[0] = True
+            starts = np.flatnonzero(bstart).tolist()
             bounds = starts + [n]
-            for bi in range(len(starts)):
-                i0, i1 = bounds[bi], bounds[bi + 1]
-                for t in toks[i0:i1]:
+            # the final block may continue into the next batch
+            n_closed_blocks = len(starts) if (eof or mode == "rows") else len(starts) - 1
+            closed_upto = bounds[n_closed_blocks]
+            if closed_upto == 0:
+                hold = pdf.copy()
+                return
+            toks = list(zip(*(pdf[c].tolist() for c in token_cols))) if token_cols else []
+            blobs: list = [None] * closed_upto
+            for bi in range(n_closed_blocks):
+                s, e = bounds[bi], bounds[bi + 1]
+                if gchange[s]:
+                    reset_acc()
+                    state["gkey"] = tuple(pdf[c].iloc[s] for c in pcols)
+                push = state["push"]
+                for t in toks[s:e]:
                     push(t)
-                b = acc.blob()
-                for i in range(i0, i1):
+                b = state["acc"].blob()
+                for i in range(s, e):
                     blobs[i] = b
-        out = sp.copy()
-        out[out_col] = blobs
-        return out
+            if closed_upto < n:
+                hold = pdf.iloc[closed_upto:].copy()
+            out = pdf.iloc[:closed_upto].copy()
+            out[out_col] = blobs
+            for i in range(0, len(out), _EMIT_CHUNK):
+                yield out.iloc[i : i + _EMIT_CHUNK]
 
-    res = df.groupBy(*gcols).applyInPandas(fn, schema=out_schema)
-    if not pcols:
-        res = res.drop(gall)
-    return res
+        for pdf in batches:
+            yield from process(pdf, eof=False)
+        if hold is not None and len(hold):
+            # flush without concat: an empty synthetic frame would
+            # perturb the held slice's dtypes
+            tail, hold = hold, None
+            yield from process(tail, eof=True)
+
+    return part.mapInPandas(fn, schema=out_schema)

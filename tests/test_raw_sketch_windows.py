@@ -497,7 +497,13 @@ def test_running_view_plan_single_hash_exchange(spark, eng):
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning" in plan, plan
-    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # the STREAMING runner: one MapInPandas above a JVM Sort — NOT
+    # FlatMapGroupsInPandas, which would materialize each group as a
+    # single Arrow batch (~1 GB for a 30k-row partition of 32 KB blobs;
+    # blew the direct-memory cap at sf0.1)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "Sort " in plan or "Sort[" in plan or "+- Sort" in plan, plan
     assert "GlobalLimit" not in plan, plan
 
 
