@@ -153,6 +153,13 @@ _VERIFIED_PRIOR_ROUNDS = [
 # window fns, joins, set ops, funnel dialect forms) + 1 r8-stale
 # sketch-adjacent row re-proven because raw blob serialization changed
 # this round. Done-criterion (VERDICT r10 item 2): max staleness <= r8.
+#
+# ROUND-12 PLAN (computed from CORRECTNESS_r01..r10 + this window):
+# after r11's driver run the stale set is exactly 48 r8-latest greens
+# (the 49 listed by the staleness script minus agg_raw_sketch_bytes,
+# re-proven here) — rotate all 48 into the r12 window plus 2 first-time
+# slots (a remove_duplicate_spans driver row is already planned;
+# COVERAGE.md notes it), landing max staleness <= r9 at exactly 50.
 _WINDOW_FIRST_TIME = [
     "dialect_rawhll_clearspring_wire",
     "dialect_raw_theta_timestamp_key",
