@@ -2863,6 +2863,48 @@ def _parse_running_over(over_body: str):
     )
 
 
+_DISTINCT_WINDOW_RE = re.compile(
+    r"\bDISTINCT_?COUNT(?:_?BITMAP)?\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_distinct_window_aggs(sql: str) -> str:
+    """ENGINE EXTENSION: exact ``DISTINCTCOUNT[BITMAP](x) OVER (...)``
+    → ``size(collect_set(x) OVER (...))``.  Spark rejects DISTINCT
+    window aggregates outright (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)
+    and the reference's window factory serves only
+    COUNT/SUM/MIN/MAX/AVG/BOOLAND/BOOLOR (pinot-query-runtime/.../
+    window/aggregate/WindowValueAggregatorFactory.java:52-71 throws
+    for everything else) — but collect_set IS a supported Spark window
+    function, nulls drop exactly as DISTINCTCOUNT drops them, and
+    ordered frames give the exact running distinct count.  State is
+    one distinct-value set per frame — the inherent cost of the exact
+    answer; the sketch-bounded alternative is the RAW-sketch window
+    route."""
+    hits = []
+    spans = _literal_spans(sql)
+    for m in _DISTINCT_WINDOW_RE.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        close = _find_matching(sql, m.end() - 1)
+        om = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.IGNORECASE)
+        if not om:
+            continue
+        oopen = close + 1 + om.end() - 1
+        oclose = _find_matching(sql, oopen)
+        hits.append((m.start(), m.end(), close, oopen, oclose))
+    out = sql
+    for start, aopen, close, oopen, oclose in reversed(hits):
+        arg = sql[aopen:close]
+        body = sql[oopen + 1 : oclose]
+        out = (
+            out[:start]
+            + f"size(collect_set({arg}) OVER ({body}))"
+            + out[oclose + 1 :]
+        )
+    return out
+
+
 _BASIC_AGG_CALL_RE = re.compile(r"\b(?P<name>COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE)
 # scalar wrappers allowed around the hoisted aggregates in the outer
 # level, plus the final-merge machinery hoisting itself introduces
@@ -4735,6 +4777,10 @@ class PinotEngine:
         sql = rewrite_pinot_hints(sql)
         sql = rewrite_unicode_literals(sql)
         sql = rewrite_quoted_identifiers(sql)
+        if _DISTINCT_WINDOW_RE.search(sql) and re.search(
+            r"\bOVER\s*\(", sql, re.IGNORECASE
+        ):
+            sql = rewrite_distinct_window_aggs(sql)
         if _FUNNEL_WINDOW_RE.search(sql):
             sql = rewrite_funnel_window(self.spark, sql)
         if _FUNNEL_COUNT_RE.search(sql):

@@ -369,3 +369,35 @@ def test_groovy_sql_surface(engine, spark):
         "FROM groovy_t ORDER BY k"
     ).collect()
     assert [(r.k, r.g) for r in rows] == [(1, 5.0), (2, 40.0)]
+
+
+def test_exact_distinct_window_aggregates(engine, spark):
+    """ENGINE EXTENSION: exact DISTINCTCOUNT[BITMAP](x) OVER (...) via
+    size(collect_set() OVER) — a shape Spark rejects outright
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) and the reference's window
+    factory throws for (WindowValueAggregatorFactory.java:71).  Running
+    ordered frames give the exact running distinct count; grouped
+    (non-window) DISTINCTCOUNT is untouched."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10, 'a'), (1, 20, 'b'), (1, 30, 'a'), "
+        "(2, 5, 'x'), (2, 7, NULL) AS t(k, ts, v)"
+    ).createOrReplaceTempView("dw_t")
+    part = engine.sql(
+        "SELECT k, ts, DISTINCTCOUNT(v) OVER (PARTITION BY k) AS d "
+        "FROM dw_t ORDER BY k, ts LIMIT 10"
+    ).collect()
+    assert [(r.k, r.ts, r.d) for r in part] == [
+        (1, 10, 2), (1, 20, 2), (1, 30, 2), (2, 5, 1), (2, 7, 1),
+    ]
+    run = engine.sql(
+        "SELECT k, ts, DISTINCTCOUNTBITMAP(v) OVER (PARTITION BY k "
+        "ORDER BY ts) AS d FROM dw_t ORDER BY k, ts LIMIT 10"
+    ).collect()
+    assert [(r.k, r.ts, r.d) for r in run] == [
+        (1, 10, 1), (1, 20, 2), (1, 30, 2), (2, 5, 1), (2, 7, 1),
+    ]
+    grouped = engine.sql(
+        "SELECT k, DISTINCTCOUNT(v) AS d FROM dw_t GROUP BY k "
+        "ORDER BY k LIMIT 10"
+    ).collect()
+    assert [(r.k, r.d) for r in grouped] == [(1, 2), (2, 1)]
