@@ -40,6 +40,7 @@ Catalyst.
 
 from __future__ import annotations
 
+import contextvars
 import math
 import os
 import re
@@ -372,6 +373,13 @@ def _hll_pair_expr(col: str, log2m: int) -> str:
 # HYPER_LOG_LOG_SER_DE) or 'engine' (the pre-round-11 engine-own
 # xxhash64 register blob; GETHLLESTIMATE/HLL_UNION still read both).
 _HLL_WIRE = os.environ.get("PINOT_SPARK_HLL_WIRE", "clearspring").lower()
+
+# See PinotEngine's suppression-window comment: dynamically scoped so the
+# internal re-entrant sql() calls of the raw-window routes see it while
+# concurrent queries on other threads never do.
+_NO_DEFAULT_LIMIT: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "pinot_spark_no_default_limit", default=False
+)
 _INT_TYPEOFS = "('tinyint', 'smallint', 'int', 'bigint', 'boolean')"
 _INT_ARR_TYPEOFS = (
     "('array<tinyint>', 'array<smallint>', 'array<int>', "
@@ -926,7 +934,13 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         )
     ),
     "tocpcsketch": lambda a: (
-        "CASE WHEN ({0}) IS NULL THEN __ds_cpc_single({0}, typeof({0}), {1}) "
+        # The NULL branch must NOT forward the typed column: a SQL NULL
+        # in a DOUBLE/FLOAT column reaches the pandas UDF as NaN, which
+        # the float paths treat as a genuine value — pass an
+        # unambiguous string NULL so the UDF emits the empty sketch
+        # (SketchFunctions.toCpcSketch(null) semantics).
+        "CASE WHEN ({0}) IS NULL "
+        "THEN __ds_cpc_single(CAST(NULL AS STRING), 'string', {1}) "
         "WHEN typeof({0}) IN {2} "
         "THEN __ds_cpc_single_long(shiftright(CAST({0} AS BIGINT), 32), "
         "CAST({0} AS BIGINT) & 4294967295, {1}) "
@@ -4648,15 +4662,17 @@ class PinotEngine:
     # spine rows, ad-hoc views) are NEVER defaulted: Pinot substitutes at
     # ingestion, which only ever touches stored columns.
     null_default_tables: frozenset[str] | None = None
-    # scoped suppression of the selection default-LIMIT injection for
+    # Scoped suppression of the selection default-LIMIT injection for
     # ENGINE-GENERATED derived-table statements (raw-window grouped
     # subqueries): the zero-shuffle sketch routes re-enter sql()
     # internally, so a parameter cannot reach every translate() on the
-    # path — the flag can (set in a try/finally around the sub build).
+    # path — a dynamically-scoped flag can.  A ContextVar (not an
+    # instance attribute) so a concurrent query on another thread of
+    # the same engine can't observe the suppression window and skip
+    # the driver-contract default LIMIT on an unrelated selection.
     # A giant-LIMIT text guard is not equivalent: it plans GlobalLimit +
     # an Exchange SinglePartition funneling every group through one
     # partition.
-    _no_default_limit: bool = False
 
     def _register_groovy_calls(self, sql: str) -> str:
         """Compile each GROOVY('meta', 'script', args...) call (literal
@@ -4822,7 +4838,7 @@ class PinotEngine:
         if not null_handling_enabled(options, self.null_handling_default):
             sql = self._apply_default_null_views(sql)
         sql = self._hoist_heavy_agg_args(sql)
-        if _inject_default_limit and not self._no_default_limit:
+        if _inject_default_limit and not _NO_DEFAULT_LIMIT.get():
             sql = apply_default_limit(
                 sql, int(options.get("limit", self.default_limit))
             )
@@ -5073,11 +5089,11 @@ class PinotEngine:
                 f"{prefix}SELECT {', '.join(sel_keys + [f'{call_text} AS __rswv'])} "
                 f"FROM {stmt['table']}{where}{group}"
             )
-            self._no_default_limit = True
+            _ndl_token = _NO_DEFAULT_LIMIT.set(True)
             try:
                 self.sql(sub).createOrReplaceTempView(view)
             finally:
-                self._no_default_limit = False
+                _NO_DEFAULT_LIMIT.reset(_ndl_token)
             cond = (
                 " AND ".join(f"{e} <=> {view}.{n}" for e, n in zip(kexprs, knames))
                 or "true"

@@ -435,12 +435,16 @@ class _P:
         return run
 
     def block_or_stmt(self):
+        # Skip newline separators BEFORE the brace check so Allman-style
+        # `if (cond)\n{ ... }` parses as a block; without this the `{`
+        # fell through to stmt()->primary() and became a closure LITERAL
+        # (the branch evaluated to a function object instead of running).
+        self._skip_seps()
         if self.peek() == ("op", "{"):
             self.eat()
             body = self.stmt_list()
             self.eat("op", "}")
             return body
-        self._skip_seps()
         return self.stmt()
 
     # -- expressions --------------------------------------------------------

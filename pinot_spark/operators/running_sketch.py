@@ -398,6 +398,22 @@ def attach_running(
         state = {"acc": None, "push": None, "gkey": None}
         hold: pd.DataFrame | None = None  # current unclosed peer block
 
+        def norm_key(vals):
+            # NULL numeric keys arrive as NaN; NaN != NaN would make
+            # the cross-batch comparison below spuriously reset the
+            # accumulator for a null-keyed partition spanning a batch
+            # boundary.  Mirror neq_mask's NaN-awareness by mapping
+            # every missing component to None first.
+            out = []
+            for v in vals:
+                try:
+                    if pd.isna(v):
+                        v = None
+                except (TypeError, ValueError):
+                    pass
+                out.append(v)
+            return tuple(out)
+
         def reset_acc():
             a = make_acc(family, params)
             state["acc"] = a
@@ -424,7 +440,7 @@ def attach_running(
                 )
 
             gchange = neq_mask(pcols)
-            first_key = tuple(pdf[c].iloc[0] for c in pcols)
+            first_key = norm_key(pdf[c].iloc[0] for c in pcols)
             gchange[0] = state["gkey"] is None or first_key != state["gkey"]
             if mode == "rows":
                 bstart = np.ones(n, dtype=bool)
@@ -445,7 +461,7 @@ def attach_running(
                 s, e = bounds[bi], bounds[bi + 1]
                 if gchange[s]:
                     reset_acc()
-                    state["gkey"] = tuple(pdf[c].iloc[s] for c in pcols)
+                    state["gkey"] = norm_key(pdf[c].iloc[s] for c in pcols)
                 push = state["push"]
                 for t in toks[s:e]:
                     push(t)

@@ -72,6 +72,32 @@ def test_engine_default_limit(engine):
     assert len(df.collect()) == 10
 
 
+def test_default_limit_suppression_is_thread_scoped(engine):
+    """The raw-window routes suppress default-LIMIT injection around an
+    internal re-entrant sql() call.  That window is a ContextVar, so a
+    concurrent query on ANOTHER thread of the same engine must still
+    get the driver-contract LIMIT 10 while the window is open."""
+    import threading
+
+    from pinot_spark.dialect import _NO_DEFAULT_LIMIT
+
+    results = {}
+
+    def other_thread():
+        results["n"] = len(engine.sql("SELECT o_orderkey FROM orders").collect())
+
+    token = _NO_DEFAULT_LIMIT.set(True)  # simulate an open window here
+    try:
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        # this thread (inside the window) skips the injection
+        assert len(engine.sql("SELECT o_orderkey FROM orders").collect()) > 10
+    finally:
+        _NO_DEFAULT_LIMIT.reset(token)
+    assert results["n"] == 10
+
+
 def test_engine_aggregation_query(engine, duck):
     df = engine.sql(
         "SELECT l_returnflag, DISTINCTCOUNT(l_suppkey) AS dc, "

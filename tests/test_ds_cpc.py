@@ -269,3 +269,28 @@ def test_sql_cpc_write_surface(spark):
     want.update_long(42)
     assert bytes(r2.b) == want.serialize()
     assert r2.u == 2
+
+
+def test_sql_tocpcsketch_null_double_is_empty_sketch(spark):
+    """TOCPCSKETCH(NULL) on a nullable DOUBLE column must emit the
+    EMPTY sketch (SketchFunctions.toCpcSketch(null)): a SQL NULL
+    reaches the pandas UDF as NaN, which the double path would
+    otherwise treat as a genuine canonical-NaN update (one coupon).
+    A real NaN literal, by contrast, IS one distinct value."""
+    from pinot_spark.dialect import PinotEngine
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    eng = PinotEngine(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS DOUBLE)), (CAST('NaN' AS DOUBLE)) "
+        "AS t(d)"
+    ).createOrReplaceTempView("cpc_null_d")
+    rows = eng.sql(
+        "SELECT TOCPCSKETCH(d) AS b, GET_CPC_SKETCH_ESTIMATE(TOCPCSKETCH(d)) "
+        "AS e FROM cpc_null_d"
+    ).collect()
+    empty = DsCpcSketch(12).serialize()
+    blobs = sorted((bytes(r.b) for r in rows), key=len)
+    assert blobs[0] == empty  # the NULL row: empty sketch, estimate 0
+    assert len(blobs[1]) > len(empty)  # the NaN row: one-coupon update
+    assert sorted(r.e for r in rows) == [0, 1]

@@ -48,6 +48,12 @@ def test_compile_semantics(script, args, expected):
             "mid",
         ),
         ("if (arg0 > 10) 'big' else 'small'", (3,), "small"),
+        # Allman-style braces: the newline before '{' must not turn the
+        # block into a closure LITERAL (the branch would evaluate to a
+        # function object instead of executing)
+        ("if (arg0 > 1)\n{ arg0 * 2 }\nelse { 0 }", (5,), 10),
+        ("if (arg0 > 1)\n{ arg0 * 2 }\nelse\n{ 0 }", (0,), 0),
+        ("if (arg0 > 10)\n{\n  'big'\n}\nelse if (arg0 > 5)\n{ 'mid' }\nelse\n{ 'small' }", (7,), "mid"),
         # implicit last-expression value (Groovy script semantics)
         (
             "def parts = arg0.split(':')\n"

@@ -324,6 +324,38 @@ def test_running_desc_and_nulls(spark, eng):
     assert got == {(None, 1.0), (3, 2.0), (2, 3.0), (1, 3.0)}
 
 
+def test_running_null_numeric_key_spans_arrow_batches(spark, eng):
+    """A NULL numeric partition key arrives in pandas as NaN; the
+    cross-batch group-change check must not treat NaN != NaN as a new
+    group, or the accumulator resets mid-partition at every Arrow
+    batch boundary (silently-wrong running values at scale).  Force
+    tiny batches so the null-keyed partition definitely spans several.
+    """
+    n = 12
+    rows_sql = ", ".join(
+        f"(CAST(NULL AS INT), {t}, 'v{t}')" for t in range(1, n + 1)
+    )
+    spark.sql(
+        f"SELECT * FROM VALUES {rows_sql} AS t(k, ts, v)"
+    ).createOrReplaceTempView("rswin_nullkey")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        rows = eng.sql(
+            "SELECT ts, GET_THETA_SKETCH_ESTIMATE("
+            "DISTINCT_COUNT_RAW_THETA_SKETCH(v) "
+            "OVER (PARTITION BY k ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS d "
+            "FROM rswin_nullkey ORDER BY ts LIMIT 100"
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert [r.d for r in rows] == [float(i) for i in range(1, n + 1)]
+
+
 def test_running_unbounded_both_frame_is_partition_value(eng):
     """UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING on an ordered window
     = the whole-partition sketch on every row."""
