@@ -83,124 +83,115 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_approx_distinct", "agg_basic_family", "agg_bool_and_or",
-    "agg_count_by_segment_partition", "agg_distinct_family",
-    "agg_distinctcount_mv_scale_path", "agg_exprminmax",
-    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
-    "agg_funnel_count", "dialect_raw_theta_scale",
-    "agg_funnel_events_eval", "agg_funnel_max_step_window", "agg_histogram",
-    "agg_hll_sketch_union", "agg_idset_membership", "agg_listagg_arrayagg",
-    "agg_mode", "agg_mv_grouped_percentile", "agg_percentile_approx",
-    "agg_percentiles", "agg_skew_kurt", "agg_st_union_points",
-    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
-    "agg_sum_array_scale_path", "agg_sum_precision_decimal",
-    "agg_theta_setop_distinct", "agg_theta_sketch_distinct",
-    "asof_join_backward", "clp_encode_decode_roundtrip",
-    "colocated_bucketed_join", "cursor_result_table_pages",
-    "dedup_duplicate_clusters", "dedup_embedding_cosine",
-    "dedup_exact_documents", "dedup_first_per_key",
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_buckets", "dialect_fn_surface_ext",
-    "dialect_funnel_max_step", "dialect_mv_distinct_scale",
-    "dialect_null_option", "dialect_pinot_agg_names", "dialect_query_hints",
-    "dialect_raw_mv_sketch_grouped", "dialect_raw_sketch_scale",
-    "dialect_raw_sketch_window", "dialect_raw_theta_bigint_key",
-    "dialect_raw_theta_expr_key", "dialect_raw_theta_mixed_split",
-    "dialect_raw_ull_distinct", "embedding_quantize_int8",
-    "events_time_bucket_agg", "fn_binary_conversion", "fn_conditional_null",
-    "fn_datetime_family", "fn_ds_cpc_read", "fn_ds_freq_interop",
-    "fn_ds_hll_interop", "fn_ds_kll_interop", "fn_ds_theta_interop",
-    "fn_exact_hash_parity", "fn_geo_contains", "fn_geo_point_family",
-    "fn_groovy_inline", "fn_h3_grid", "fn_hash_family",
-    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
-    "fn_math_family", "fn_string_family", "fn_text_match_like",
-    "fn_trig_family", "fn_url_family", "funnel_complete_count",
-    "funnel_match_step", "funnel_max_step_pandas",
-    "funnel_step_duration_stats", "gapfill_fill_default",
-    "gapfill_fill_previous", "hybrid_table_time_boundary",
-    "ingestion_pipeline_conform", "json_index_match",
-    "multimodal_feature_extract", "multimodal_gif_tiff_features",
-    "multimodal_resize_and_windows", "multimodal_webp_features",
-    "null_mode_default_value", "null_mode_sql_semantics",
-    "partial_upsert_merge", "pipeline_pack_sequences", "q10_returned_items",
-    "q11_important_parts", "q12_late_shipment_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q1_pricing_summary", "q20_excess_suppliers",
-    "q21_last_shipper_in_order", "q22_anti_join", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority_exists",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "regex_fst_dictionary_match", "sample_stratified_split",
-    "scan_format_roundtrip", "segment_build_time_pruning",
-    "sessionize_gap_sessions", "set_ops_union_intersect_except",
-    "similarity_pairwise_label", "similarity_radius_filter",
-    "similarity_topk_cosine", "similarity_topk_hnsw", "similarity_topk_ivf",
-    "skew_safe_operators", "stream_kafka_batch_decode",
-    "text_bpe_token_count", "text_chunking", "text_fingerprints",
-    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
-    "text_pii_redaction", "text_quality_scores", "text_repetition_filters",
-    "text_token_stats", "timeseries_keep_last_value",
-    "timeseries_m3ql_pipeline", "timeseries_range_query",
-    "udtf_sequence_explode", "upsert_latest_per_key",
-]
-
-# Round-11 window = 5 first-time slots (RAW-HLL clearspring wire routing,
-# timestamp sketch keys, the CPC write path, RUNNING raw-sketch windows,
-# ExactSubstr dedup spans) + ALL 44 round-7-stale greens (the stalest
-# evidence in the registry after the r10 rotation: dialect surface,
-# window fns, joins, set ops, funnel dialect forms) + 1 r8-stale
-# sketch-adjacent row re-proven because raw blob serialization changed
-# this round. Done-criterion (VERDICT r10 item 2): max staleness <= r8.
-#
-# ROUND-12 PLAN (computed from CORRECTNESS_r01..r10 + this window):
-# after r11's driver run the stale set is exactly 48 r8-latest greens
-# (the 49 listed by the staleness script minus agg_raw_sketch_bytes,
-# re-proven here) — rotate all 48 into the r12 window plus 2 first-time
-# slots (a remove_duplicate_spans driver row is already planned;
-# COVERAGE.md notes it), landing max staleness <= r9 at exactly 50.
-_WINDOW_FIRST_TIME = [
-    "dialect_rawhll_clearspring_wire",
-    "dialect_raw_theta_timestamp_key",
-    "fn_ds_cpc_write",
-    "dialect_raw_sketch_running",
-    "dedup_exact_substring",
-]
-
-# all 44 round-7-stale greens
-_REPROOF_STALE_R7 = [
-    "agg_count_metadata_only", "case_when_projection", "cte_with_reuse",
+    "agg_approx_distinct", "agg_basic_family", "agg_count_metadata_only",
+    "agg_distinct_family", "agg_distinctcount_mv_scale_path",
+    "agg_funnel_events_eval", "agg_funnel_max_step_window",
+    "agg_hll_sketch_union", "agg_mode", "agg_mv_grouped_percentile",
+    "agg_percentile_approx", "agg_raw_sketch_bytes", "agg_skew_kurt",
+    "agg_st_union_points", "agg_startree_rollup_route", "agg_stats_family",
+    "agg_sum_array", "agg_sum_array_scale_path",
+    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
+    "agg_theta_sketch_distinct", "case_when_projection",
+    "colocated_bucketed_join", "cte_with_reuse",
+    "cursor_result_table_pages", "dedup_embedding_cosine",
+    "dedup_exact_substring", "dedup_first_per_key",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_buckets",
     "dialect_asof_join", "dialect_datetime_convert",
     "dialect_ddl_mv_roundtrip", "dialect_default_limit_selection",
-    "dialect_epoch_functions", "dialect_funnel_count",
-    "dialect_funnel_match_step", "dialect_gapfill",
-    "dialect_lookup_transform", "distinct_select", "filtered_aggregation",
+    "dialect_epoch_functions", "dialect_fn_surface_ext",
+    "dialect_funnel_count", "dialect_funnel_match_step",
+    "dialect_funnel_max_step", "dialect_gapfill",
+    "dialect_lookup_transform", "dialect_mv_distinct_scale",
+    "dialect_null_option", "dialect_pinot_agg_names",
+    "dialect_query_hints", "dialect_raw_mv_sketch_grouped",
+    "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
+    "dialect_raw_sketch_window", "dialect_raw_theta_bigint_key",
+    "dialect_raw_theta_expr_key", "dialect_raw_theta_mixed_split",
+    "dialect_raw_theta_timestamp_key", "dialect_raw_ull_distinct",
+    "dialect_rawhll_clearspring_wire", "distinct_select",
+    "events_time_bucket_agg", "filtered_aggregation",
+    "fn_binary_conversion", "fn_ds_cpc_read", "fn_ds_cpc_write",
+    "fn_ds_freq_interop", "fn_ds_hll_interop", "fn_ds_kll_interop",
+    "fn_ds_theta_interop", "fn_exact_hash_parity", "fn_groovy_inline",
     "fn_in_not_in_range", "fn_json_extract", "fn_regex_family",
-    "fn_surface_ext", "fn_surface_udf_families", "funnel_max_step",
-    "grouping_sets", "having_clause", "join_full_outer",
+    "fn_surface_ext", "fn_surface_udf_families", "fn_trig_family",
+    "funnel_complete_count", "funnel_match_step", "funnel_max_step",
+    "funnel_max_step_pandas", "funnel_step_duration_stats",
+    "gapfill_fill_default", "grouping_sets", "having_clause",
+    "ingestion_pipeline_conform", "join_full_outer",
     "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
-    "mv_all_match_exclusive_filter", "mv_any_match_filter",
-    "mv_array_functions", "pipeline_decontamination", "rollup_cube",
-    "set_ops_all_variants", "stream_rate_upsert_loop", "unnest_explode",
-    "unnest_posexplode_zip", "values_literal", "window_first_last_ntile",
-    "window_frame_exclude", "window_lead_lag", "window_percent_cume",
-    "window_range_frame", "window_rank_topn_per_group", "window_running_sum",
+    "multimodal_feature_extract", "multimodal_gif_tiff_features",
+    "multimodal_webp_features", "mv_all_match_exclusive_filter",
+    "mv_any_match_filter", "mv_array_functions", "null_mode_default_value",
+    "null_mode_sql_semantics", "partial_upsert_merge",
+    "pipeline_decontamination", "pipeline_pack_sequences",
+    "q10_returned_items", "q11_important_parts",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority_exists", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
+    "sample_stratified_split", "scan_format_roundtrip",
+    "segment_build_time_pruning", "sessionize_gap_sessions",
+    "set_ops_all_variants", "set_ops_union_intersect_except",
+    "similarity_pairwise_label", "similarity_radius_filter",
+    "similarity_topk_ivf", "skew_safe_operators",
+    "stream_kafka_batch_decode", "stream_rate_upsert_loop",
+    "text_bpe_token_count", "text_chunking", "text_pii_redaction",
+    "timeseries_keep_last_value", "timeseries_m3ql_pipeline",
+    "udtf_sequence_explode", "unnest_explode", "unnest_posexplode_zip",
+    "values_literal", "window_first_last_ntile", "window_frame_exclude",
+    "window_lead_lag", "window_percent_cume", "window_range_frame",
+    "window_rank_topn_per_group", "window_running_sum",
     "window_sliding_rows_frame",
 ]
 
-# 1 r8-stale row re-proven because raw blob serialization changed this
-# round (the RAW-HLL clearspring flip); agg_frequent_items and
-# dialect_raw_theta_scale ceded their slots to the running-window and
-# ExactSubstr first-timers — their round-11 machinery changes are
-# pinned by unit goldens + the live Java round-trip (test_ds_freq.py)
-# and the plan gates (test_plan_quality.py), and both stay ever-green
-# in _VERIFIED_PRIOR_ROUNDS
-_REPROOF_STALE_R8 = [
-    "agg_raw_sketch_bytes",
+# Round-12 window (the plan recorded last round, executed verbatim): the
+# 2 first-time slots — the ExactSubstr CLEANING half
+# (pipeline_remove_duplicate_spans: cut duplicated spans out of text,
+# md5-checked against a DuckDB lag-window segment stitch) and the exact
+# DISTINCTCOUNT[BITMAP] OVER row (dialect_distinct_count_over: a shape
+# both Spark and the reference reject, oracled by DuckDB's native
+# windowed COUNT(DISTINCT)) — plus ALL 48 remaining r8-latest greens.
+# Done-criterion (VERDICT r11 item 1): CORRECTNESS_r12 50/50 with max
+# staleness <= r9 and both first-timers green.
+#
+# ROUND-13 PLAN (computed from CORRECTNESS_r01..r11 + this window):
+# after r12's driver run the stale set will be exactly the 50 r9-latest
+# greens — rotate all 50 in (no first-timers queued yet; any new rows
+# displace the tail into r14), landing max staleness <= r10.
+_WINDOW_FIRST_TIME = [
+    "pipeline_remove_duplicate_spans",
+    "dialect_distinct_count_over",
 ]
 
-_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R7 + _REPROOF_STALE_R8
+# all 48 round-8-stale greens (the full remaining r8 residue)
+_REPROOF_STALE_R8 = [
+    "agg_bool_and_or", "agg_count_by_segment_partition", "agg_exprminmax",
+    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
+    "agg_funnel_count", "agg_histogram", "agg_idset_membership",
+    "agg_listagg_arrayagg", "agg_mv_variants", "agg_percentiles",
+    "asof_join_backward", "clp_encode_decode_roundtrip",
+    "dedup_duplicate_clusters", "dedup_exact_documents",
+    "dedup_ngram_jaccard_pairs", "dialect_raw_theta_join",
+    "dialect_raw_theta_scale", "embedding_quantize_int8",
+    "fn_conditional_null", "fn_datetime_family", "fn_geo_contains",
+    "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
+    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
+    "fn_math_family", "fn_string_family", "fn_text_match_like",
+    "fn_url_family", "gapfill_fill_previous", "hybrid_table_time_boundary",
+    "json_index_match", "multimodal_resize_and_windows",
+    "similarity_topk_cosine", "similarity_topk_hnsw", "text_fingerprints",
+    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
+    "text_quality_scores", "text_repetition_filters", "text_token_stats",
+    "timeseries_range_query", "upsert_latest_per_key",
+]
+
+_WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE_R8
 
 
 

@@ -1054,6 +1054,44 @@ def dialect_raw_sketch_running(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_distinct_count_over",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+                 PARTITION BY o_orderstatus) AS BIGINT) AS part_dc,
+           CAST(COUNT(DISTINCT o_custkey) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             AS BIGINT) AS run_custs
+    FROM orders WHERE o_orderkey <= 3000
+    ORDER BY o_orderkey LIMIT 40
+    """,
+)
+def dialect_distinct_count_over(spark, sf_dir):
+    """ENGINE EXTENSION: EXACT ``DISTINCTCOUNT[BITMAP](x) OVER (...)``
+    (dialect.py rewrite_distinct_window_aggs) via ``size(collect_set(x)
+    OVER (...))`` — a shape BOTH Spark (DISTINCT_WINDOW_FUNCTION_
+    UNSUPPORTED) and the reference's window factory
+    (WindowValueAggregatorFactory.java:52-71 throws beyond COUNT/SUM/
+    MIN/MAX/AVG/BOOL*) reject.  collect_set is a supported Spark window
+    function, drops nulls exactly as DISTINCTCOUNT does, and an ordered
+    frame gives the exact RUNNING distinct count; state is one
+    distinct-value set per frame — the inherent cost of exactness, with
+    the sketch-bounded RAW windows as the high-cardinality alternative.
+    DuckDB computes windowed COUNT(DISTINCT) natively — an independent
+    exact oracle."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, "
+        "CAST(DISTINCTCOUNT(o_orderpriority) OVER "
+        "(PARTITION BY o_orderstatus) AS BIGINT) AS part_dc, "
+        "CAST(DISTINCTCOUNTBITMAP(o_custkey) OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) "
+        "  AS run_custs "
+        "FROM orders WHERE o_orderkey <= 3000 "
+        "ORDER BY o_orderkey LIMIT 40"
+    )
+
+
 def _ds_kll_oracle() -> str:
     """Literal oracle for the KLL wire-format interop row: expected
     values come from the pure-Python DsKllSketch — byte-canonical
@@ -1259,7 +1297,14 @@ def _rawhll_wire_oracle() -> str:
     region k%5 — identical at every SF) — themselves byte-canonical
     against stream-lib 2.9.8 golden vectors and live Java round-trips
     (tests/test_cs_hll.py::test_sql_rawhll_bytes_heapify_in_stream_lib
-    proves the library heapifies THESE SQL-route bytes)."""
+    proves the library heapifies THESE SQL-route bytes).
+
+    INDEPENDENCE NOTE: this oracle builds its expected hex with the
+    same CsHll/CsHllPlus code the engine's UDFs use, so by itself it
+    proves route-vs-library consistency, not correctness — the
+    circularity is broken by tests/test_cs_hll.py's frozen stream-lib
+    golden vectors and the LIVE Java heapify round-trip, which pin the
+    pure-Python serializer to the real library independently."""
     from pinot_spark.operators.cs_hll import CsHll, CsHllPlus
 
     rows = []

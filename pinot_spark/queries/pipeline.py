@@ -96,6 +96,82 @@ def dedup_exact_substring(spark, sf_dir):
 
 
 @query(
+    "pipeline_remove_duplicate_spans",
+    oracle="""
+    WITH positions AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 29)) AS pos
+      FROM documents WHERE length(text) >= 30
+    ), grams AS (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS g FROM positions
+    ), cross_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM cross_grams)
+    ), marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+             max(pos) + 29 - min(pos) + 1 AS span_len
+      FROM islands GROUP BY doc_id, isl
+    ), gaps AS (
+      SELECT s.doc_id, d.text, s.span_start, s.span_end, s.span_len,
+             COALESCE(lag(s.span_end) OVER (PARTITION BY s.doc_id
+               ORDER BY s.span_start), 0) + 1 AS seg_start
+      FROM spans s JOIN documents d USING (doc_id)
+    ), cleaned AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST(seg_start AS INT),
+                               CAST(span_start - seg_start AS INT)),
+                        '' ORDER BY span_start)
+               || substr(any_value(text), CAST(max(span_end) + 1 AS INT))
+               AS clean_text,
+             CAST(sum(span_len) AS BIGINT) AS removed_chars
+      FROM gaps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(COALESCE(c.clean_text, d.text)) AS INT) AS clean_len,
+           COALESCE(c.removed_chars, 0) AS removed_chars,
+           md5(COALESCE(c.clean_text, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY d.doc_id LIMIT 200
+    """,
+)
+def pipeline_remove_duplicate_spans(spark, sf_dir):
+    """The CLEANING half of ExactSubstr dedup (Lee et al. 2022): cut
+    every cross-document duplicated span out of every document's text
+    (operators/dedup.py remove_duplicate_spans).  The cut itself is one
+    JVM ``aggregate`` fold over the bounded sorted span array — no UDF —
+    plus one join back on doc id; the oracle rebuilds the clean text in
+    DuckDB with a lag-window segment stitch, so the md5 comparison
+    checks every cut boundary character-for-character."""
+    from pinot_spark.operators.dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir)
+    cleaned = remove_duplicate_spans(t["documents"], "text", "doc_id", min_len=30)
+    return (
+        cleaned.select(
+            "doc_id",
+            F.length("clean_text").alias("clean_len"),
+            F.col("removed_chars").cast("bigint").alias("removed_chars"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
     "dedup_minhash_lsh_pairs",
     oracle=r"""
     WITH toks AS (
