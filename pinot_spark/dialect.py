@@ -5505,13 +5505,15 @@ class PinotEngine:
 
         BIGINT group keys (GROUP BY user_id — the dominant real sketch
         shape) travel as split 32-bit halves and recombine JVM-side, the
-        same exactness trick the sketch hashes and tuple values use.
+        same exactness trick the sketch hashes and tuple values use;
+        TIMESTAMP keys ride it through unix_micros, DECIMAL keys through
+        a canonical-string carrier (round 12) — every Pinot-typed group
+        key now has an exact carrier.
 
         Declines (returns None → the bounded SQL two-phase / bucketed
         split handles it) when: any raw name is not theta, keys are not
-        plain columns, a key is decimal/timestamp typed (no exact
-        pandas carrier wired yet), or the source mini-statement fails
-        to analyze."""
+        plain columns or are of a non-Pinot type (array/map/struct/
+        binary), or the source mini-statement fails to analyze."""
         options, sql = split_options(pinot_sql)
         if not _RAW_SKETCH_CALL_RE.search(sql):
             return None
@@ -5650,16 +5652,24 @@ class PinotEngine:
                 # keys (native-typed ingest; the dialect itself prefers
                 # epoch-millis BIGINT) ride the SAME trick through
                 # unix_micros — epoch-micros int64 is a lossless carrier
-                # — and recombine via timestamp_micros.  decimal keys
-                # still decline to the bucketed SQL path (no exact
-                # fixed-width carrier wired).
+                # — and recombine via timestamp_micros.  DECIMAL keys
+                # (round 12) ride a CANONICAL-STRING carrier:
+                # CAST(dec AS STRING) is exact and injective at any
+                # precision (fixed scale → one plain-form string per
+                # value, no float transit anywhere), and
+                # CAST(s AS DECIMAL(p,s)) restores the original type
+                # JVM-side — strings are already a supported pandas
+                # group key.
                 part_keys: list[str] = []
-                split_keys: dict[str, tuple[str, str, str]] = {}
+                split_keys: dict[str, tuple[str, str | None, str]] = {}
                 for j, k in enumerate(keys):
                     t = src.schema[k].dataType.simpleString()
                     if t in ("bigint", "timestamp"):
                         split_keys[k] = (f"__khi{j}", f"__klo{j}", t)
                         part_keys += [f"__khi{j}", f"__klo{j}"]
+                    elif t.startswith("decimal("):
+                        split_keys[k] = (f"__kd{j}", None, t)
+                        part_keys.append(f"__kd{j}")
                     elif t in ok_key_types:
                         part_keys.append(k)
                     else:
@@ -5669,6 +5679,11 @@ class PinotEngine:
                     for k in keys:
                         if k in split_keys:
                             khi, klo, t = split_keys[k]
+                            if klo is None:  # decimal → canonical string
+                                key_sel.append(
+                                    f"CAST(`{k}` AS STRING) AS `{khi}`"
+                                )
+                                continue
                             base = (
                                 f"unix_micros(`{k}`)"
                                 if t == "timestamp"
@@ -5693,6 +5708,11 @@ class PinotEngine:
                     for k in keys:
                         if k in split_keys:
                             khi, klo, t = split_keys[k]
+                            if klo is None:  # decimal ← canonical string
+                                out_sel.append(
+                                    f"CAST(`{khi}` AS {t}) AS `{k}`"
+                                )
+                                continue
                             whole = f"(shiftleft(`{khi}`, 32) | `{klo}`)"
                             if t == "timestamp":
                                 out_sel.append(

@@ -150,26 +150,33 @@ _VERIFIED_PRIOR_ROUNDS = [
     "window_sliding_rows_frame",
 ]
 
-# Round-12 window (the plan recorded last round, executed verbatim): the
-# 2 first-time slots — the ExactSubstr CLEANING half
-# (pipeline_remove_duplicate_spans: cut duplicated spans out of text,
-# md5-checked against a DuckDB lag-window segment stitch) and the exact
-# DISTINCTCOUNT[BITMAP] OVER row (dialect_distinct_count_over: a shape
-# both Spark and the reference reject, oracled by DuckDB's native
-# windowed COUNT(DISTINCT)) — plus ALL 48 remaining r8-latest greens.
-# Done-criterion (VERDICT r11 item 1): CORRECTNESS_r12 50/50 with max
-# staleness <= r9 and both first-timers green.
+# Round-12 window: the 3 first-time slots — the ExactSubstr CLEANING
+# half (pipeline_remove_duplicate_spans: cut duplicated spans out of
+# text, md5-checked against a DuckDB lag-window segment stitch), the
+# exact DISTINCTCOUNT[BITMAP] OVER row (dialect_distinct_count_over: a
+# shape both Spark and the reference reject, oracled by DuckDB's native
+# windowed COUNT(DISTINCT)), and the DECIMAL-group-key zero-shuffle
+# sketch route (dialect_raw_theta_decimal_key — VERDICT r11 item 3's
+# done-criterion asks for a driver row, which outranks one re-proof
+# slot) — plus 47 of the 48 remaining r8-latest greens.  fn_math_family
+# (pure Column expressions, untouched since r8 — the lowest-risk row)
+# is the one r8 re-proof displaced into round 13.
+# Done-criterion (VERDICT r11 item 1, amended by item 3): CORRECTNESS_r12
+# 50/50 with all three first-timers green and max staleness r8 for
+# exactly the one displaced row.
 #
 # ROUND-13 PLAN (computed from CORRECTNESS_r01..r11 + this window):
-# after r12's driver run the stale set will be exactly the 50 r9-latest
-# greens — rotate all 50 in (no first-timers queued yet; any new rows
-# displace the tail into r14), landing max staleness <= r10.
+# after r12's driver run the stale set is fn_math_family (r8) + the 50
+# r9-latest greens — rotate fn_math_family + 49 of the r9 rows in (any
+# new first-timers displace the tail into r14), landing max staleness
+# <= r9 with a 1-row r9 residue for r14.
 _WINDOW_FIRST_TIME = [
     "pipeline_remove_duplicate_spans",
     "dialect_distinct_count_over",
+    "dialect_raw_theta_decimal_key",
 ]
 
-# all 48 round-8-stale greens (the full remaining r8 residue)
+# 47 of the 48 round-8-stale greens (fn_math_family displaced to r13)
 _REPROOF_STALE_R8 = [
     "agg_bool_and_or", "agg_count_by_segment_partition", "agg_exprminmax",
     "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
@@ -182,7 +189,7 @@ _REPROOF_STALE_R8 = [
     "fn_conditional_null", "fn_datetime_family", "fn_geo_contains",
     "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
     "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
-    "fn_math_family", "fn_string_family", "fn_text_match_like",
+    "fn_string_family", "fn_text_match_like",
     "fn_url_family", "gapfill_fill_previous", "hybrid_table_time_boundary",
     "json_index_match", "multimodal_resize_and_windows",
     "similarity_topk_cosine", "similarity_topk_hnsw", "text_fingerprints",

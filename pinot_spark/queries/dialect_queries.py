@@ -1386,6 +1386,49 @@ def dialect_raw_theta_timestamp_key(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_raw_theta_decimal_key",
+    oracle="""
+    SELECT CAST(CAST(l_quantity + 0.25 AS DECIMAL(12,2)) AS VARCHAR) AS q,
+           CAST(count(DISTINCT l_partkey) AS DOUBLE) AS dc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY q LIMIT 60
+    """,
+)
+def dialect_raw_theta_decimal_key(spark, sf_dir):
+    """Round 12: DECIMAL group keys ride the zero-shuffle sketch route —
+    the last typed-key gap.  The key travels as its canonical plain-form
+    string (CAST(dec AS STRING) is exact and injective at fixed scale;
+    no float transit anywhere) and recombines JVM-side via CAST back to
+    the original DECIMAL(p,s), so grouped raw-theta over a decimal key
+    builds partition-local sketch partials in ONE mapInPandas pass
+    (plan-gated: test_raw_theta_decimal_key_takes_zero_shuffle_route,
+    which also tortures DECIMAL(38,10) magnitudes past float64 and NULL
+    keys).  Per-quantity part cardinalities stay far under k=4096, so
+    estimates equal the oracle's exact distinct counts.  Mixed with
+    COUNT(*) to exercise the split shape.  Reference: BIG_DECIMAL-typed
+    group-by keys (pinot-spi FieldSpec BIG_DECIMAL;
+    GroupKeyGenerator over DictionaryBasedGroupKeyGenerator) feeding the
+    segment-local sketch build + broker merge contract
+    (AggregationFunction.java:63,86,132)."""
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT CAST(l_quantity + 0.25 AS DECIMAL(12,2)) AS q, l_partkey "
+        "FROM lineitem"
+    ).createOrReplaceTempView("__raw_dec_key_t")
+    out = _engine(spark, sf_dir).sql(
+        "SELECT q, "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "l_partkey)) AS DOUBLE) AS dc, "
+        "COUNT(*) AS n "
+        "FROM __raw_dec_key_t GROUP BY q ORDER BY q LIMIT 60"
+    )
+    assert out.schema["q"].dataType.simpleString() == "decimal(12,2)"
+    # canonical plain-form string for the driver compare (DuckDB's .df()
+    # degrades DECIMAL to float64; the route itself ran on the decimal)
+    return out.selectExpr("CAST(q AS STRING) AS q", "dc", "n")
+
+
 def _cpc_write_oracle() -> str:
     """Literal oracle for the round-11 CPC write path: expected hex and
     Math.round estimates come from the pure-Python DsCpcSketch — itself

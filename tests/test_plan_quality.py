@@ -342,11 +342,14 @@ def test_raw_theta_bigint_key_takes_zero_shuffle_route(spark, sf_dir):
     ]
 
 
-def test_raw_theta_decimal_key_keeps_bucketed_sql_path(spark, sf_dir):
-    """DECIMAL group keys still decline the zero-shuffle route (no
-    exact pandas carrier wired) — the bounded bucketed GROUPED_AGG
-    two-phase must keep serving them with correct answers and no
-    collect_set of hashes."""
+def test_raw_theta_decimal_key_takes_zero_shuffle_route(spark, sf_dir):
+    """DECIMAL group keys take the zero-shuffle route since round 12:
+    keys travel as the canonical plain-form string (CAST(dec AS STRING)
+    is exact and injective at fixed scale — no float transit) and
+    recombine JVM-side via CAST back to the original DECIMAL(p,s).
+    Exactness must survive >2^53 unscaled values and NULL keys."""
+    import decimal
+
     from pinot_spark.dialect import PinotEngine
 
     load_tables(spark, sf_dir)
@@ -361,9 +364,34 @@ def test_raw_theta_decimal_key_keeps_bucketed_sql_path(spark, sf_dir):
         "FROM rs_dec_t GROUP BY g ORDER BY g LIMIT 10"
     )
     plan = _plan(df)
-    assert "pmod" in plan, plan  # bucketed SQL inner, not the route
+    assert "pmod" not in plan, plan  # zero-shuffle route, not bucketed SQL
     assert "collect_set" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert df.schema["g"].dataType.simpleString() == "decimal(20,0)"
     assert [(int(r.g), r.dc) for r in df.collect()] == [(0, 7), (1, 7), (2, 7)]
+    # precision/NULL torture: unscaled values far past float64 exactness,
+    # a fractional scale, NULL keys, and a mixed (COUNT + sketch) select
+    D = decimal.Decimal
+    big = D("92233720368547758.0800000001")  # needs all of DECIMAL(38,10)
+    spark.createDataFrame(
+        [(big + D(i % 3), i % 11) for i in range(220)]
+        + [(None, 4), (None, 4), (-big, 1)],
+        "g decimal(38,10), v int",
+    ).createOrReplaceTempView("rs_dec38_t")
+    mixed = eng.sql(
+        "SELECT g, COUNT(*) AS n, GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v)) AS dc "
+        "FROM rs_dec38_t GROUP BY g ORDER BY g LIMIT 10"
+    )
+    mplan = _plan(mixed)
+    assert "pmod" not in mplan, mplan
+    assert "collect_set" not in mplan, mplan
+    assert "MapInPandas" in mplan, mplan
+    assert mixed.schema["g"].dataType.simpleString() == "decimal(38,10)"
+    assert [(r.g, r.n, r.dc) for r in mixed.collect()] == [
+        (None, 2, 1), (-big, 1, 1),
+        (big, 74, 11), (big + 1, 73, 11), (big + 2, 73, 11),
+    ]
 
 
 def test_jaccard_prefix_filter_no_all_pairs(spark, sf_dir):
