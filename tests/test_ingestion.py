@@ -99,8 +99,9 @@ def test_arrow_reader(spark, tmp_path):
 
 def test_avro_reader_pure(spark, tmp_path):
     """Avro OCF through the pure-stdlib decoder (the spark-avro jar is
-    absent here, so read_table('avro') exercises the fallback): deflate
-    and null codecs, nullable unions, arrays, enums."""
+    absent here, so read_table('avro') exercises the fallback): null,
+    deflate, and snappy (pyarrow codec, round-12) codecs, nullable
+    unions, arrays, enums."""
     from pinot_spark.sources.avrocodec import iter_records, write_ocf
     from pinot_spark.sources.readers import read_table
 
@@ -122,7 +123,7 @@ def test_avro_reader_pure(spark, tmp_path):
         {"id": 2, "name": None, "score": -2.25, "tags": [], "kind": "B",
          "attrs": {}},
     ]
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         buf = write_ocf(schema, records, codec=codec)
         assert list(iter_records(buf)) == records  # codec roundtrip
     p = tmp_path / "part0.avro"
