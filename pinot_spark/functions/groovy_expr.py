@@ -30,6 +30,19 @@ Arrow-batched pandas UDF:
   trailing-closure call syntax, and the collection methods
   ``collect findAll find any every each count sum min max sort unique
   join flatten``
+- integer ranges ``a..b`` / ``a..<b`` (ascending or descending,
+  materialized as lists, loudly bounded at 1e6 elements), map literals
+  ``[:]`` / ``[k: v, 'x': y]`` (bare-identifier keys are strings; a
+  computed ``(expr):`` key is supported after the first literal-keyed
+  entry) with ``get containsKey containsValue keySet values each
+  collect findAll any every count`` (entry closures take ``(k, v)``;
+  one-parameter closures see the key), property-style access ``m.k``
+  and null-on-missing ``m['k']``
+- bounded loops: ``for (x in iterable) { ... }`` over lists/ranges/
+  strings/maps (map iteration yields entries with ``.key``/``.value``)
+  and ``n.times { ... }`` — every loop iterates a MATERIALIZED
+  collection, so termination is structural; C-style ``for(;;)`` and
+  ``while`` remain loud boundaries
 - string/number methods: ``toUpperCase toLowerCase trim length size
   contains startsWith endsWith indexOf substring replace replaceAll
   replaceFirst matches split tokenize toString toInteger toLong
@@ -39,9 +52,9 @@ Arrow-batched pandas UDF:
   ``Integer.parseInt``, ``Long.parseLong``, ``Double.parseDouble``,
   ``String.valueOf``
 
-Loops (``for``/``while``), ranges, classes, imports and map literals
-are NOT supported and raise NotImplementedError at parse time — a
-loud, declared boundary rather than silently-wrong results.
+``while``, C-style ``for(;;)``, classes, imports, switch and try are
+NOT supported and raise NotImplementedError at parse time — a loud,
+declared boundary rather than silently-wrong results.
 """
 
 from __future__ import annotations
@@ -61,7 +74,7 @@ _TOKEN = re.compile(
         (?P<sstr>'(?:[^'\\]|\\.)*') |
         (?P<gstr>"(?:[^"\\]|\\.)*") |
         (?P<name>[A-Za-z_][A-Za-z0-9_]*) |
-        (?P<op>&&|\|\||==|!=|<=|>=|\?\.|\?:|\+=|-=|\*=|/=|->|[-+*/%<>!?:().,\[\]{};=])
+        (?P<op>&&|\|\||==|!=|<=|>=|\?\.|\?:|\+=|-=|\*=|/=|->|\.\.<|\.\.|[-+*/%<>!?:().,\[\]{};=])
     )""",
     re.X,
 )
@@ -70,7 +83,7 @@ _TOKEN = re.compile(
 _NL_CONT_LEFT = {
     "&&", "||", "==", "!=", "<=", ">=", "?.", "?:", "+=", "-=", "*=",
     "/=", "->", "+", "-", "*", "/", "%", "<", ">", "?", ":", "(", "[",
-    "{", ",", ";", "=", "!", ".",
+    "{", ",", ";", "=", "!", ".", "..", "..<",
 }
 _NL_CONT_RIGHT = {".", "?.", "?:", "?", ":", "&&", "||", ")", "]"}
 
@@ -163,6 +176,20 @@ class _Ctx:
         self.vars = vars_
 
 
+def _set_var(vars_, n, v):
+    """Assign with Groovy closure capture semantics: a name already
+    bound in an ENCLOSING scope is written through (``def s = 0;
+    list.each { s += it }`` mutates the outer s), otherwise the current
+    scope gets the binding.  ``def`` declarations bypass this and bind
+    the current scope directly."""
+    if isinstance(vars_, ChainMap):
+        for m in vars_.maps:
+            if n in m:
+                m[n] = v
+                return
+    vars_[n] = v
+
+
 def _cmp_key(fn):
     import functools
 
@@ -188,6 +215,10 @@ def _call_method(obj, name, args):
             return fn(list(obj), *args)
     if isinstance(obj, (int, float)) and not isinstance(obj, bool):
         fn = _NUM_METHODS.get(name)
+        if fn is not None:
+            return fn(obj, *args)
+    if isinstance(obj, dict):
+        fn = _MAP_METHODS.get(name)
         if fn is not None:
             return fn(obj, *args)
     raise NotImplementedError(
@@ -263,6 +294,27 @@ _NUM_METHODS = {
     "toDouble": lambda a: float(a),
     "toFloat": lambda a: float(a),
     "round": lambda a, n=None: round(a, n) if n is not None else round(a),
+    # n.times { ... } — bounded by n itself; Groovy returns null
+    "times": lambda a, f: ([f(i) for i in range(int(a))], None)[1],
+}
+
+# Map-entry closures receive (key, value); a one-parameter closure sees
+# just the key (Groovy hands a Map.Entry there — a construct with no
+# analog in this subset, so the two-parameter form is the documented
+# shape, matching the dominant `m.each { k, v -> ... }` idiom).
+_MAP_METHODS = {
+    "get": lambda m, k, d=None: m.get(k, d),
+    "getOrDefault": lambda m, k, d: m.get(k, d),
+    "containsKey": lambda m, k: k in m,
+    "containsValue": lambda m, v: v in m.values(),
+    "keySet": lambda m: list(m.keys()),
+    "values": lambda m: list(m.values()),
+    "each": lambda m, f: ([f(k, v) for k, v in m.items()], m)[1],
+    "collect": lambda m, f: [f(k, v) for k, v in m.items()],
+    "findAll": lambda m, f: {k: v for k, v in m.items() if _truthy(f(k, v))},
+    "any": lambda m, f: any(_truthy(f(k, v)) for k, v in m.items()),
+    "every": lambda m, f: all(_truthy(f(k, v)) for k, v in m.items()),
+    "count": lambda m, f: sum(1 for k, v in m.items() if _truthy(f(k, v))),
 }
 
 _MATH = {
@@ -284,8 +336,11 @@ _STATICS = {
     ("String", "valueOf"): _gstr,
 }
 
-_RESERVED = {"true", "false", "null", "def", "return", "if", "else", "it"}
-_BANNED_STMTS = {"for", "while", "class", "import", "switch", "try"}
+_RESERVED = {"true", "false", "null", "def", "return", "if", "else", "it",
+             "in", "for"}
+# `while` stays banned: for-in iterates a MATERIALIZED collection, so
+# every loop in the subset is provably bounded; a while condition is not.
+_BANNED_STMTS = {"while", "class", "import", "switch", "try"}
 
 
 class _P:
@@ -349,8 +404,10 @@ class _P:
         if k == "name" and v in _BANNED_STMTS:
             raise NotImplementedError(
                 f"groovy subset: {v} statements are a declared boundary "
-                f"(loops/classes/imports need a real Groovy runtime)"
+                f"(while/classes/imports need a real Groovy runtime)"
             )
+        if (k, v) == ("name", "for"):
+            return self.for_stmt()
         if (k, v) == ("name", "def"):
             self.eat()
             name = self.eat("name")
@@ -392,18 +449,23 @@ class _P:
                 if o != "=":
                     cur = ctx.vars[n]
                     if o == "+=":
-                        val = (
-                            f"{cur}{val}"
-                            if isinstance(cur, str) or isinstance(val, str)
-                            else cur + val
-                        )
+                        # mirror binary plus: list concat/append wins
+                        # over string coercion (Groovy List.plus)
+                        if isinstance(cur, list):
+                            val = cur + (
+                                val if isinstance(val, list) else [val]
+                            )
+                        elif isinstance(cur, str) or isinstance(val, str):
+                            val = f"{_gstr(cur)}{_gstr(val)}"
+                        else:
+                            val = cur + val
                     elif o == "-=":
                         val = cur - val
                     elif o == "*=":
                         val = cur * val
                     else:
                         val = cur / val
-                ctx.vars[n] = val
+                _set_var(ctx.vars, n, val)
                 return val
 
             return assign
@@ -431,6 +493,44 @@ class _P:
             if _truthy(c(ctx)):
                 return t(ctx)
             return o(ctx) if o is not None else None
+
+        return run
+
+    def for_stmt(self):
+        """``for ([def] x in iterable) body`` — the for-IN form only:
+        the iterable is a materialized list/range/string/map, so the
+        loop is bounded by construction.  C-style ``for (init; cond;
+        step)`` would need ``++`` and an unbounded condition — it stays
+        a loud boundary alongside ``while``."""
+        self.eat("name", "for")
+        self.eat("op", "(")
+        if self.peek() == ("name", "def"):
+            self.eat()
+        name = self.eat("name")
+        if self.peek() != ("name", "in"):
+            raise NotImplementedError(
+                "groovy subset: only for-in loops are supported "
+                "(C-style for(;;) is a declared boundary)"
+            )
+        self.eat()
+        src = self.ternary()
+        self.eat("op", ")")
+        body = self.block_or_stmt()
+
+        def run(ctx, n=name, s=src, b=body):
+            seq = s(ctx)
+            if isinstance(seq, dict):
+                seq = list(seq.items())  # Groovy map iteration: entries
+            elif isinstance(seq, (list, tuple, str)):
+                seq = list(seq)
+            else:
+                raise NotImplementedError(
+                    f"groovy subset: for-in over {type(seq).__name__}"
+                )
+            for x in seq:
+                _set_var(ctx.vars, n, x)
+                b(ctx)
+            return None
 
         return run
 
@@ -507,7 +607,44 @@ class _P:
                 ">=": lambda ctx: a(ctx) >= b(ctx),
             }[o]
 
-        return self._binop(self.add, {"<", "<=", ">", ">="}, apply)
+        return self._binop(self.range_, {"<", "<=", ">", ">="}, apply)
+
+    # Groovy's range op sits between additive and relational.  Ranges
+    # materialize to lists (the subset's collections are lists), with a
+    # loud size bound so a data-driven `0..hugeArg` cannot allocate
+    # unboundedly inside a per-row UDF.
+    _RANGE_MAX = 1_000_000
+
+    def range_(self):
+        left = self.add()
+        k, v = self.peek()
+        if k == "op" and v in ("..", "..<"):
+            self.eat()
+            excl = v == "..<"
+            right = self.add()
+
+            def mkrange(ctx, a=left, b=right, ex=excl, mx=self._RANGE_MAX):
+                import numbers
+
+                lo, hi = a(ctx), b(ctx)
+                # Integral covers numpy ints (Arrow-batch UDF args)
+                if not isinstance(lo, numbers.Integral) or not isinstance(
+                    hi, numbers.Integral
+                ):
+                    raise NotImplementedError(
+                        "groovy subset: only integer ranges"
+                    )
+                lo, hi = int(lo), int(hi)
+                if abs(hi - lo) > mx:
+                    raise NotImplementedError(
+                        f"groovy subset: range larger than {mx} elements"
+                    )
+                if lo <= hi:
+                    return list(range(lo, hi + (0 if ex else 1)))
+                return list(range(lo, hi - (0 if ex else 1), -1))
+
+            return mkrange
+        return left
 
     def add(self):
         def apply(a, o, b):
@@ -515,10 +652,12 @@ class _P:
 
                 def plus(ctx):
                     x, y = a(ctx), b(ctx)
-                    if isinstance(x, str) or isinstance(y, str):
-                        return f"{_gstr(x)}{_gstr(y)}"  # Groovy string concat
+                    # Groovy dispatch: List.plus appends/concats even
+                    # when the right side is a String
                     if isinstance(x, list):
                         return x + (y if isinstance(y, list) else [y])
+                    if isinstance(x, str) or isinstance(y, str):
+                        return f"{_gstr(x)}{_gstr(y)}"  # string concat
                     return x + y
 
                 return plus
@@ -611,9 +750,13 @@ class _P:
                 safe = v == "?."
                 self.eat()
                 name = self.eat("name")
+                # bare `.name` (no parens, no trailing closure) on a map
+                # is Groovy property access: m.key → m.get('key')
+                bare = self.peek() not in (("op", "("), ("op", "{"))
                 args = self._call_args()
 
-                def invoke(ctx, b=base, n=name, a=tuple(args), s=safe):
+                def invoke(ctx, b=base, n=name, a=tuple(args), s=safe,
+                           br=bare):
                     obj = b(ctx)
                     if obj is None:
                         if s:
@@ -622,6 +765,11 @@ class _P:
                             f"groovy: cannot call .{n}() on null "
                             f"(use ?. for safe navigation)"
                         )
+                    if br and isinstance(obj, dict) and n not in _MAP_METHODS:
+                        return obj.get(n)
+                    if br and isinstance(obj, tuple) and len(obj) == 2 and \
+                            n in ("key", "value"):
+                        return obj[0] if n == "key" else obj[1]
                     return _call_method(obj, n, [x(ctx) for x in a])
 
                 base = invoke
@@ -635,6 +783,8 @@ class _P:
                     if obj is None:
                         return None
                     j = i(ctx)
+                    if isinstance(obj, dict):
+                        return obj.get(j)  # Groovy map getAt: missing → null
                     try:
                         return obj[j]
                     except IndexError:
@@ -682,6 +832,45 @@ class _P:
             return self._gstring(v)
         if (k, v) == ("op", "["):
             self.eat()
+            if self.peek() == ("op", ":"):  # [:] — empty map literal
+                self.eat()
+                self.eat("op", "]")
+                return lambda ctx: {}
+            # map literal when the first element is `key:` — a bare
+            # identifier key is a string literal (Groovy), quoted/number
+            # keys are themselves, `(expr):` is a computed key
+            nk, nv = self.peek()
+            is_map = (
+                nk in ("name", "str", "num") and self.peek(1) == ("op", ":")
+            )
+            if is_map:
+                entries = []
+                while True:
+                    ek, ev = self.peek()
+                    if ek == "name" and self.peek(1) == ("op", ":"):
+                        self.eat()
+                        key = lambda ctx, s=ev: s  # noqa: E731
+                    elif ek in ("str", "num") and self.peek(1) == ("op", ":"):
+                        self.eat()
+                        key = lambda ctx, s=ev: s  # noqa: E731
+                    elif (ek, ev) == ("op", "("):
+                        self.eat()
+                        key = self.ternary()
+                        self.eat("op", ")")
+                    else:
+                        raise NotImplementedError(
+                            f"groovy subset: bad map literal key {ev!r}"
+                        )
+                    self.eat("op", ":")
+                    entries.append((key, self.ternary()))
+                    if self.peek() == ("op", ","):
+                        self.eat()
+                        continue
+                    break
+                self.eat("op", "]")
+                return lambda ctx, es=tuple(entries): {
+                    kf(ctx): vf(ctx) for kf, vf in es
+                }
             items = []
             if self.peek() != ("op", "]"):
                 items.append(self.ternary())

@@ -707,16 +707,22 @@ def fn_geo_contains(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)), 2)::DOUBLE AS net,
            CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
-           upper(l_returnflag) || '-' || CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) AS tag
+           upper(l_returnflag) || '-' || CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) AS tag,
+           CAST(CAST(l_quantity AS BIGINT) * (CAST(l_quantity AS BIGINT) + 1) / 2 AS BIGINT) AS tri,
+           CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted'
+                             WHEN 'N' THEN 'none' ELSE 'other' END AS flagname
     FROM lineitem WHERE l_orderkey < 50
     ORDER BY l_orderkey, l_linenumber
     """,
 )
 def fn_groovy_inline(spark, sf_dir):
     """Inline Groovy transforms (GroovyTransformFunction /
-    GroovyFunctionEvaluator.java) through the expression-subset compiler:
-    arithmetic, ternary, string methods and concat — the same rows the
-    plain-SQL oracle computes."""
+    GroovyFunctionEvaluator.java) through the SCRIPT-subset compiler:
+    arithmetic, ternary, string methods and concat, plus the round-12
+    widenings — a bounded for-in loop over a data-driven range (tri:
+    triangular number of l_quantity, oracled by the closed form) and a
+    map-literal lookup with elvis default (flagname) — the same rows
+    the plain-SQL oracle computes."""
     t = load_tables(spark, sf_dir)
 
     def g(rt, script, *cols):
@@ -746,6 +752,17 @@ def fn_groovy_inline(spark, sf_dir):
                 F.col("l_returnflag"),
                 F.col("l_linenumber").cast("long"),
             ).alias("tag"),
+            g(
+                "LONG",
+                "def s = 0\nfor (i in 1..arg0) { s += i }\nreturn s",
+                F.col("l_quantity").cast("int"),
+            ).alias("tri"),
+            g(
+                "STRING",
+                "def names = [R: 'returned', A: 'accepted', N: 'none']\n"
+                "names[arg0] ?: 'other'",
+                F.col("l_returnflag"),
+            ).alias("flagname"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -104,15 +104,71 @@ def test_script_subset_semantics(script, args, expected):
 
 def test_subset_boundary_is_loud():
     for bad in (
-        "for(i in 1..3) i",
+        "for (int i = 0; i < 3; i = i + 1) { }",  # C-style: needs ++/cond
         "while (arg0) x",
         "class A {}",
         "import foo",
         "arg0.weird()",
         "switch (arg0) {}",
+        "(0..99999999)",  # range size bound: loops must stay bounded
+        "for (x in 5) { }",  # non-iterable for-in source
+        "(1.5..3)",  # non-integer range endpoints
     ):
         with pytest.raises(NotImplementedError):
             compile_groovy(bad)((1,))
+
+
+def test_ranges_round12():
+    cases = [
+        ("(1..5).sum()", (), 15),
+        ("(1..<5).collect { it * 2 }", (), [2, 4, 6, 8]),
+        ("(5..1).join('-')", (), "5-4-3-2-1"),  # descending inclusive
+        ("(5..<1).join(',')", (), "5,4,3,2"),  # descending exclusive
+        ("(arg0..arg1).size()", (3, 7), 5),  # data-driven endpoints
+        ("(1..3).each { }", (), [1, 2, 3]),  # each returns the list
+        ("3..3", (), [3]),
+    ]
+    for src, args, want in cases:
+        assert compile_groovy(src)(args) == want, src
+
+
+def test_map_literals_round12():
+    cases = [
+        ("def m = [a: 1, b: 2]; m.a + m['b']", (), 3),
+        ("def m = [:]; m.size()", (), 0),
+        ("[x: 'u', ('k'): 9].k", (), 9),  # computed (expr): key
+        ("['one': 1, 'two': 2].collect { k, v -> k + v }.join(',')",
+         (), "one1,two2"),
+        ("def m = [a: 10]; m.missing", (), None),  # property miss → null
+        ("def m = [a: 10]; m['nope']", (), None),  # getAt miss → null
+        ("def m = [x: 1, y: 5, z: 3]; "
+         "m.findAll { k, v -> v > 2 }.keySet().sort().join('')", (), "yz"),
+        ("[a: 1].containsKey('a') ? 1 : 0", (), 1),
+        ("def m = [k: 'v']; \"got ${m.k}\"", (), "got v"),
+        ("[a: 1, b: 2].values().sum()", (), 3),
+        ("[n: arg0].n * 2", (21,), 42),
+    ]
+    for src, args, want in cases:
+        assert compile_groovy(src)(args) == want, src
+
+
+def test_bounded_loops_round12():
+    cases = [
+        ("def s = 0\nfor (i in 1..10) { s += i }\ns", (), 55),
+        ("def out = []\nfor (def w in arg0.split(' ')) "
+         "{ out += w.toUpperCase() }\nout.join(' ')", ("a b c",), "A B C"),
+        # map iteration yields entries with .key/.value
+        ("def m = [a: 1, b: 2]; def t = 0; for (e in m) { t += e.value }; t",
+         (), 3),
+        ("def acc = ''\n3.times { acc += it }\nacc", (), "012"),
+        # closure write-through: each/times mutate the enclosing scope
+        ("def s = 0; [1,2,3].each { s += it }; s", (), 6),
+        # list += element appends (Groovy List.plus), never str-concats
+        ("def l = [1]; l += 'x'; l.size()", (), 2),
+        ("[1, 2] + 'x'", (), [1, 2, "x"]),
+    ]
+    for src, args, want in cases:
+        assert compile_groovy(src)(args) == want, src
 
 
 def test_spark_udf_surface(spark):
