@@ -2787,8 +2787,12 @@ def _parse_running_over(over_body: str):
     order_items are ``(expr, ascending, nulls_first)`` with Spark's
     default null ordering (ASC→NULLS FIRST, DESC→NULLS LAST — the
     semantics every other window in this engine inherits from Spark).
-    Sliding/shrinking frame starts raise loudly: sketch states never
-    retract, so only UNBOUNDED PRECEDING starts compute."""
+    Round 12 adds ``rows_sliding:N`` (ROWS N PRECEDING .. CURRENT ROW:
+    per-row rebuild bounded by the frame width) and serves shrinking
+    CURRENT ROW .. UNBOUNDED FOLLOWING frames as the running frame on
+    the REVERSED order (order_items come back flipped).  Value-based
+    RANGE N PRECEDING and two-sided N PRECEDING .. M FOLLOWING frames
+    still raise loudly."""
     s = over_body.strip()
     if not s:
         return [], [], "unbounded"
@@ -2870,10 +2874,40 @@ def _parse_running_over(over_body: str):
                 "requires ORDER BY"
             )
         return pexprs, order_items, "rows" if frame_kw == "ROWS" else "range"
+    # SLIDING ROWS frames (round 12): `ROWS [BETWEEN] N PRECEDING [AND
+    # CURRENT ROW]` — sketches never retract, so each row REBUILDS its
+    # sketch from the ≤ N+1 buffered token tuples: O(frame) work and
+    # state per row, bounded by the user's own frame width.  RANGE
+    # N PRECEDING (value-based sliding) stays a loud boundary.
+    m = re.fullmatch(
+        r"(?:BETWEEN )?(\d+) PRECEDING(?: AND CURRENT ROW)?", ft
+    )
+    if m and frame_kw == "ROWS":
+        if not order_items:
+            raise NotImplementedError(
+                "a sliding ROWS frame on a RAW sketch window requires "
+                "ORDER BY"
+            )
+        return pexprs, order_items, f"rows_sliding:{int(m.group(1))}"
+    # SHRINKING frames (round 12): `BETWEEN CURRENT ROW AND UNBOUNDED
+    # FOLLOWING` is the running frame on the REVERSED order — flip every
+    # ORDER BY direction (ASC NULLS FIRST ↔ DESC NULLS LAST) and
+    # accumulate forward; RANGE peers tie identically in either
+    # direction, so the peer-block semantics carry over unchanged.
+    if ft == "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING":
+        if not order_items:
+            raise NotImplementedError(
+                "a shrinking ROWS/RANGE frame on a RAW sketch window "
+                "requires ORDER BY"
+            )
+        flipped = [(e, not asc, not nf) for e, asc, nf in order_items]
+        return pexprs, flipped, "rows" if frame_kw == "ROWS" else "range"
     raise NotImplementedError(
         f"RAW sketch aggregates cannot serve the window frame "
         f"'{frame_kw} {segs[frame_kw]}': sketch states never retract, so "
-        f"only UNBOUNDED PRECEDING frame starts compute"
+        f"frame starts must be UNBOUNDED PRECEDING, a fixed ROWS "
+        f"`N PRECEDING` (bounded per-row rebuild), or CURRENT ROW with "
+        f"an UNBOUNDED FOLLOWING end (reversed running)"
     )
 
 
@@ -4982,7 +5016,10 @@ class PinotEngine:
         to _rewrite_running_raw_windows (operators/running_sketch.py):
         per-value tokens computed JVM-side, one shuffle on the
         partition keys, a sequential Arrow pass per group; sliding
-        frame starts raise loudly — sketches never retract.  Without
+        ROWS N PRECEDING frames rebuild per row from the last N+1
+        tokens (bounded by the frame width) and shrinking CURRENT ROW
+        .. UNBOUNDED FOLLOWING frames run reversed — only value-based
+        RANGE sliding and two-sided bounded frames still raise.  Without
         this route, Spark rejects the naive
         substitution with a misleading MISSING_GROUP_BY (OVER cannot
         attach to the scalar-wrapped collect_set)."""

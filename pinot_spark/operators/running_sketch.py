@@ -8,9 +8,14 @@ value); an explicit ROWS UNBOUNDED PRECEDING frame advances per row
 (pinot-query-runtime/src/main/java/org/apache/pinot/query/runtime/
 operator/WindowAggregateOperator.java — one aggregation state per
 partition, advanced in frame order).  Sketch states never retract, so
-only UNBOUNDED PRECEDING frame starts compute; sliding/shrinking
-frames raise loudly by name at the dialect layer (dialect.py
-``_parse_running_over``).
+UNBOUNDED PRECEDING frame starts accumulate in one pass; round 12 adds
+SLIDING ``ROWS N PRECEDING`` frames by per-row REBUILD from a deque of
+the last N+1 token tuples (work and state bounded by the user's own
+frame width — this exceeds the reference, whose window factory throws
+for every sketch aggregate) and SHRINKING ``CURRENT ROW .. UNBOUNDED
+FOLLOWING`` frames as the running frame on the reversed order.
+Value-based ``RANGE N PRECEDING`` and two-sided bounded frames still
+raise loudly by name at the dialect layer (``_parse_running_over``).
 
 SCALE SHAPE: one shuffle on the PARTITION BY keys — exactly what
 Spark's own WindowExec requires for any ordered window — then a single
@@ -344,11 +349,15 @@ def attach_running(
     """Add ``out_col`` (binary) holding the running sketch blob.
 
     ``order_spec`` entries are (column, ascending, nulls_first) over
-    already-materialized columns; ``mode`` is ``rows`` (per-row frame)
-    or ``range`` (peer rows tied on every ORDER BY key share one blob)
-    — whole-partition ``OVER (... ROWS/RANGE BETWEEN UNBOUNDED
-    PRECEDING AND UNBOUNDED FOLLOWING)`` frames route through the
-    grouped LEFT-JOIN path at the dialect layer instead.
+    already-materialized columns; ``mode`` is ``rows`` (per-row frame),
+    ``range`` (peer rows tied on every ORDER BY key share one blob), or
+    ``rows_sliding:N`` (frame = last N+1 rows: each row rebuilds its
+    sketch from a deque of buffered token tuples — O(frame) per row,
+    bounded by the frame width) — whole-partition ``OVER (... ROWS/
+    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` frames
+    route through the grouped LEFT-JOIN path at the dialect layer
+    instead, and shrinking frames arrive here as ``rows``/``range``
+    with the order pre-flipped.
 
     STREAMING SHAPE: one hash shuffle on ``pcols`` + a JVM
     sortWithinPartitions (exactly Spark's own WindowExec requirement),
@@ -368,7 +377,11 @@ def attach_running(
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    if mode not in ("rows", "range"):
+    sliding_w: int | None = None  # ROWS N PRECEDING: frame = last N+1 rows
+    if isinstance(mode, str) and mode.startswith("rows_sliding:"):
+        sliding_w = int(mode.split(":", 1)[1])
+        mode = "rows"
+    elif mode not in ("rows", "range"):
         raise ValueError(f"attach_running serves rows/range frames, not {mode!r}")
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, BinaryType(), True)]
@@ -394,8 +407,9 @@ def attach_running(
 
     def fn(batches):
         import numpy as np
+        from collections import deque
 
-        state = {"acc": None, "push": None, "gkey": None}
+        state = {"acc": None, "push": None, "gkey": None, "win": None}
         hold: pd.DataFrame | None = None  # current unclosed peer block
 
         def norm_key(vals):
@@ -442,6 +456,36 @@ def attach_running(
             gchange = neq_mask(pcols)
             first_key = norm_key(pdf[c].iloc[0] for c in pcols)
             gchange[0] = state["gkey"] is None or first_key != state["gkey"]
+            if sliding_w is not None:
+                # SLIDING frame: every row closes immediately — no peer
+                # blocks, no hold.  Each row's sketch REBUILDS from the
+                # ≤ W+1 buffered token tuples (sketches never retract),
+                # so work and carried state are bounded by the frame
+                # width the user asked for, never by partition size.
+                toks = (
+                    list(zip(*(pdf[c].tolist() for c in token_cols)))
+                    if token_cols
+                    else [()] * n
+                )
+                blobs: list = [None] * n
+                for i in range(n):
+                    if gchange[i]:
+                        state["win"] = deque(maxlen=sliding_w + 1)
+                        state["gkey"] = norm_key(
+                            pdf[c].iloc[i] for c in pcols
+                        )
+                    state["win"].append(toks[i])
+                    acc = make_acc(family, params)
+                    push = (ArrayAcc(acc) if is_array else acc).push
+                    for t in state["win"]:
+                        if t:  # () only when token_cols is empty
+                            push(t)
+                    blobs[i] = acc.blob()
+                out = pdf.copy()
+                out[out_col] = blobs
+                for i in range(0, n, _EMIT_CHUNK):
+                    yield out.iloc[i : i + _EMIT_CHUNK]
+                return
             if mode == "rows":
                 bstart = np.ones(n, dtype=bool)
             else:

@@ -167,9 +167,14 @@ _VERIFIED_PRIOR_ROUNDS = [
 #
 # ROUND-13 PLAN (computed from CORRECTNESS_r01..r11 + this window):
 # after r12's driver run the stale set is fn_math_family (r8) + the 50
-# r9-latest greens — rotate fn_math_family + 49 of the r9 rows in (any
-# new first-timers displace the tail into r14), landing max staleness
-# <= r9 with a 1-row r9 residue for r14.
+# r9-latest greens — rotate fn_math_family + the r9 rows in (new
+# first-timers displace the tail into r14), landing max staleness
+# <= r9.  First-timer QUEUED for r13: a sliding/shrinking raw-sketch
+# window row (round-12 capability, `ROWS N PRECEDING` per-frame
+# rebuild + reversed shrinking frames — DuckDB's windowed
+# COUNT(DISTINCT) with the same frame is a native exact oracle).
+# fn_groovy_inline (extended this round with for-in/map columns) is
+# r9-stale and rotates in with the rest.
 _WINDOW_FIRST_TIME = [
     "pipeline_remove_duplicate_spans",
     "dialect_distinct_count_over",

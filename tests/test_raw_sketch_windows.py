@@ -114,20 +114,22 @@ def test_raw_tdigest_window_where_and_tail(spark, eng):
         assert abs(r.p50 - ref) <= 0.1 * abs(ref) + 1e-9, (r, ref)
 
 
-def test_raw_window_sliding_frame_raises_loudly(eng):
-    """Sketch states never retract: sliding / shrinking frame starts
-    have no bounded accumulator and must raise by name."""
+def test_raw_window_unbounded_frame_shapes_raise_loudly(eng):
+    """Frame shapes with no bounded evaluation stay loud: value-based
+    RANGE sliding (would need per-row binary search over retractions)
+    and two-sided bounded frames (no streaming pass) raise by name;
+    GROUPS frames are unsupported outright."""
     with pytest.raises(NotImplementedError, match="never retract"):
         eng.sql(
             "SELECT DISTINCT_COUNT_RAW_THETA_SKETCH(n_nationkey) "
             "OVER (PARTITION BY n_regionkey ORDER BY n_nationkey "
-            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM nation"
+            "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM nation"
         )
     with pytest.raises(NotImplementedError, match="never retract"):
         eng.sql(
             "SELECT DISTINCTCOUNTRAWHLL(n_nationkey) "
-            "OVER (ORDER BY n_nationkey RANGE BETWEEN CURRENT ROW "
-            "AND UNBOUNDED FOLLOWING) AS s FROM nation"
+            "OVER (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING "
+            "AND 2 FOLLOWING) AS s FROM nation"
         )
     with pytest.raises(NotImplementedError, match="GROUPS"):
         eng.sql(
@@ -135,6 +137,118 @@ def test_raw_window_sliding_frame_raises_loudly(eng):
             "OVER (ORDER BY n_nationkey GROUPS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW) AS s FROM nation"
         )
+
+
+def test_sliding_rows_frame_matches_exact(spark, eng):
+    """Round 12: `ROWS N PRECEDING .. CURRENT ROW` sliding frames
+    compute by per-row rebuild from the last N+1 token tuples.  In the
+    sub-k regime the theta estimate equals Spark's own exact
+    size(collect_set) over the identical sliding frame."""
+    spark.createDataFrame(
+        [(i % 3, i, i % 7) for i in range(60)] + [(None, 99, 5)],
+        "g int, t int, v int",
+    ).createOrReplaceTempView("slide_t")
+    got = eng.sql(
+        "SELECT g, t, CAST(GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v) OVER (PARTITION BY g ORDER BY t "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS INT) AS d "
+        "FROM slide_t ORDER BY g, t LIMIT 100"
+    ).collect()
+    want = spark.sql(
+        "SELECT g, t, size(collect_set(v) OVER (PARTITION BY g ORDER BY t "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS d "
+        "FROM slide_t ORDER BY g NULLS FIRST, t LIMIT 100"
+    ).collect()
+    assert [(r.g, r.t, r.d) for r in got] == [(r.g, r.t, r.d) for r in want]
+    # shorthand frame spelling `ROWS 3 PRECEDING` is the same frame
+    got2 = eng.sql(
+        "SELECT g, t, CAST(GET_THETA_SKETCH_ESTIMATE("
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(v) OVER (PARTITION BY g ORDER BY t "
+        "ROWS 3 PRECEDING)) AS INT) AS d "
+        "FROM slide_t ORDER BY g, t LIMIT 100"
+    ).collect()
+    assert [(r.g, r.t, r.d) for r in got2] == [(r.g, r.t, r.d) for r in want]
+
+
+def test_sliding_full_width_blob_byte_identical_to_running(eng):
+    """A sliding frame at least as wide as every partition IS the
+    running ROWS frame — the per-row rebuilt blobs must be
+    byte-identical to the streaming accumulator's (same tokens, same
+    candidate truncation, same serializer)."""
+    a = eng.sql(
+        "SELECT n_nationkey, hex(DISTINCT_COUNT_RAW_THETA_SKETCH(n_name) "
+        "OVER (PARTITION BY n_regionkey ORDER BY n_nationkey "
+        "ROWS BETWEEN 1000 PRECEDING AND CURRENT ROW)) AS b "
+        "FROM nation ORDER BY n_nationkey LIMIT 100"
+    ).collect()
+    b = eng.sql(
+        "SELECT n_nationkey, hex(DISTINCT_COUNT_RAW_THETA_SKETCH(n_name) "
+        "OVER (PARTITION BY n_regionkey ORDER BY n_nationkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS b "
+        "FROM nation ORDER BY n_nationkey LIMIT 100"
+    ).collect()
+    assert [(r.n_nationkey, r.b) for r in a] == [(r.n_nationkey, r.b) for r in b]
+
+
+def test_shrinking_frame_matches_exact(spark, eng):
+    """Round 12: `CURRENT ROW .. UNBOUNDED FOLLOWING` shrinking frames
+    run as the running frame on the REVERSED order.  ROWS advances per
+    row; RANGE shares one value across peers — both match Spark's exact
+    size(collect_set) over the identical shrinking frame."""
+    # ROWS needs a UNIQUE order key (tied rows make any ROWS frame
+    # implementation-ordered); RANGE gets ties to prove peers share
+    spark.createDataFrame(
+        [(i % 2, i, i % 9) for i in range(40)],
+        "g int, t int, v int",
+    ).createOrReplaceTempView("shrink_rows_t")
+    spark.createDataFrame(
+        [(i % 2, i % 5, i % 9) for i in range(40)],
+        "g int, t int, v int",
+    ).createOrReplaceTempView("shrink_t")
+    for frame_kw, view in (("ROWS", "shrink_rows_t"), ("RANGE", "shrink_t")):
+        got = eng.sql(
+            "SELECT g, t, v, CAST(GET_THETA_SKETCH_ESTIMATE("
+            "DISTINCT_COUNT_RAW_THETA_SKETCH(v) OVER ("
+            f"PARTITION BY g ORDER BY t {frame_kw} BETWEEN CURRENT ROW "
+            "AND UNBOUNDED FOLLOWING)) AS INT) AS d "
+            f"FROM {view} ORDER BY g, t, v LIMIT 100"
+        ).collect()
+        want = spark.sql(
+            "SELECT g, t, v, size(collect_set(v) OVER ("
+            f"PARTITION BY g ORDER BY t {frame_kw} BETWEEN CURRENT ROW "
+            "AND UNBOUNDED FOLLOWING)) AS d "
+            f"FROM {view} ORDER BY g, t, v LIMIT 100"
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], frame_kw
+
+
+def test_sliding_deque_spans_arrow_batches(spark, sf_dir):
+    """The sliding token deque carries across Arrow batch boundaries:
+    with 7-row batches, every frame that straddles a boundary still
+    sees its full N+1 history (and group changes reset it)."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        load_tables(spark, sf_dir)
+        eng2 = PinotEngine(spark)
+        spark.createDataFrame(
+            [(i % 2, i, i % 11) for i in range(50)],
+            "g int, t int, v int",
+        ).createOrReplaceTempView("slide_b_t")
+        got = eng2.sql(
+            "SELECT g, t, CAST(GET_THETA_SKETCH_ESTIMATE("
+            "DISTINCT_COUNT_RAW_THETA_SKETCH(v) OVER ("
+            "PARTITION BY g ORDER BY t "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS INT) AS d "
+            "FROM slide_b_t ORDER BY g, t LIMIT 100"
+        ).collect()
+        want = spark.sql(
+            "SELECT g, t, size(collect_set(v) OVER (PARTITION BY g "
+            "ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS d "
+            "FROM slide_b_t ORDER BY g, t LIMIT 100"
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
 def test_raw_window_non_canonical_raises_loudly(eng):
