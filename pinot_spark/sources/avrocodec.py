@@ -3,11 +3,14 @@
 format: Apache Avro 1.11 specification).
 
 Implemented: all primitive types, records, enums, arrays, maps, unions,
-fixed; OCF header/blocks with ``null`` and ``deflate`` codecs (raw
-zlib) plus ``snappy`` via pyarrow's bundled codec (round 12 — the
-reference's own SSB example avro ships snappy blocks).  Unknown codecs
-(zstd/bzip2/xz — external libs) and non-trivial unions in the schema
-mapper raise NotImplementedError naming the construct.
+fixed; OCF header/blocks with ALL SIX spec codecs (round 12): ``null``,
+``deflate`` (raw zlib), ``snappy`` (pyarrow's bundled codec + the
+spec's CRC32-of-uncompressed suffix — the reference's own SSB example
+avro ships snappy blocks), ``bzip2``/``xz`` (stdlib bz2/lzma), and
+``zstandard`` (pyarrow + an RFC 8878 frame-header parse for the
+decompressed size; streaming frames without Frame_Content_Size raise).
+Non-trivial unions in the schema mapper raise NotImplementedError
+naming the construct.
 
 This makes the avro input format REAL in this container instead of
 jar-gated: ``readers.read_table(..., "avro")`` first tries the JVM
@@ -143,11 +146,66 @@ def read_header(buf: bytes) -> tuple[dict, bytes, int]:
             meta[k] = r.bytes_()
     sync = r.read(16)
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
-        raise NotImplementedError(f"avro codec {codec!r} needs an external lib")
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
+        raise NotImplementedError(f"avro codec {codec!r} is not supported")
     schema = json.loads(meta["avro.schema"])
     schema["__codec__"] = codec
     return schema, sync, r.pos
+
+
+def _zstd_content_size(buf: bytes) -> int:
+    """Parse the decompressed size out of a zstd frame header (RFC 8878
+    §3.1.1) — pyarrow's codec needs it for buffer allocation.  Frames
+    written without Frame_Content_Size (streaming writers) raise
+    loudly; every one-shot compressor (including pyarrow's own and the
+    zstd-jni the avro-java zstandard codec uses) records it."""
+    if buf[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("avro: not a zstd frame")
+    fhd = buf[4]
+    single = (fhd >> 5) & 1
+    fcs_code = fhd >> 6
+    pos = 5 + (0 if single else 1)  # window descriptor when not single
+    pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id field
+    if fcs_code == 0:
+        if not single:
+            raise NotImplementedError(
+                "avro: zstd frame without Frame_Content_Size "
+                "(streaming writer) is not supported"
+            )
+        return buf[pos]
+    width = (0, 2, 4, 8)[fcs_code]
+    val = int.from_bytes(buf[pos : pos + width], "little")
+    return val + 256 if fcs_code == 1 else val
+
+
+def _decode_block(block: bytes, codec: str) -> bytes:
+    """OCF block → raw avro bytes for every supported codec (avro spec
+    §Required/Optional Codecs: snappy carries a big-endian CRC32 of the
+    UNCOMPRESSED data; the others are bare compressed streams)."""
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        return _snappy_block(block)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(block)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(block)
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.decompress(
+            block,
+            decompressed_size=_zstd_content_size(block),
+            codec="zstd",
+            asbytes=True,
+        )
+    raise NotImplementedError(f"avro codec {codec!r} is not supported")
 
 
 def _snappy_block(block: bytes) -> bytes:
@@ -184,10 +242,7 @@ def iter_records(buf: bytes):
         count = r.long()
         size = r.long()
         block = r.read(size)
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec == "snappy":
-            block = _snappy_block(block)
+        block = _decode_block(block, codec)
         br = _Reader(block)
         for _ in range(count):
             yield _decode_value(br, schema)
@@ -318,6 +373,20 @@ def write_ocf(schema: dict, records: list, codec: str = "deflate") -> bytes:
             pa.compress(block, codec="snappy", asbytes=True)
             + crc.to_bytes(4, "big")
         )
+    elif codec == "bzip2":
+        import bz2
+
+        block = bz2.compress(block)
+    elif codec == "xz":
+        import lzma
+
+        block = lzma.compress(block)
+    elif codec == "zstandard":
+        import pyarrow as pa
+
+        block = pa.compress(block, codec="zstd", asbytes=True)
+    elif codec != "null":
+        raise NotImplementedError(f"avro codec {codec!r} is not supported")
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     out = io.BytesIO()
     out.write(_MAGIC)

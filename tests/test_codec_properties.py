@@ -80,7 +80,7 @@ def test_bson_roundtrip_property(doc):
         ),
         max_size=8,
     ),
-    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]),
 )
 def test_avro_ocf_roundtrip_property(recs, codec):
     schema = {

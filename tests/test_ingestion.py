@@ -99,9 +99,10 @@ def test_arrow_reader(spark, tmp_path):
 
 def test_avro_reader_pure(spark, tmp_path):
     """Avro OCF through the pure-stdlib decoder (the spark-avro jar is
-    absent here, so read_table('avro') exercises the fallback): null,
-    deflate, and snappy (pyarrow codec, round-12) codecs, nullable
-    unions, arrays, enums."""
+    absent here, so read_table('avro') exercises the fallback): all six
+    spec codecs — null, deflate, snappy (pyarrow), bzip2/xz (stdlib),
+    zstandard (pyarrow + frame-header size parse) — nullable unions,
+    arrays, enums."""
     from pinot_spark.sources.avrocodec import iter_records, write_ocf
     from pinot_spark.sources.readers import read_table
 
@@ -123,7 +124,7 @@ def test_avro_reader_pure(spark, tmp_path):
         {"id": 2, "name": None, "score": -2.25, "tags": [], "kind": "B",
          "attrs": {}},
     ]
-    for codec in ("null", "deflate", "snappy"):
+    for codec in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         buf = write_ocf(schema, records, codec=codec)
         assert list(iter_records(buf)) == records  # codec roundtrip
     p = tmp_path / "part0.avro"
