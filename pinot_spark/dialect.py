@@ -687,9 +687,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
     "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
     "bitshiftrightunsigned": lambda a: f"shiftrightunsigned({a[0]}, {a[1]})",
-    "bitmask": lambda a: f"shiftleft(1, {a[0]})",
-    "bitextract": lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
-    "extractbit": lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
+    # BitwiseFunctions.bitMask returns LONG regardless of shift type
+    # (BitwiseFunctionsIntegrationTest asserts LONG for INT shifts)
+    "bitmask": lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})",
+    "bitextract": lambda a: f"CAST((shiftright({a[0]}, {a[1]}) & 1) AS INT)",
+    "extractbit": lambda a: f"CAST((shiftright({a[0]}, {a[1]}) & 1) AS INT)",
+    "bitshiftrightlogical": lambda a: f"shiftrightunsigned({a[0]}, {a[1]})",
     # ArithmeticFunctions.java aliases (corpus SpecialSyntax.json calls
     # ADD/PLUS/TIMES interchangeably, case-insensitive)
     "add": lambda a: f"({a[0]} + {a[1]})",
@@ -1221,7 +1224,12 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
         f"(CASE WHEN {a[1]} != 0 THEN CAST(FLOOR(CAST({a[0]} AS DOUBLE) / {a[1]}) AS BIGINT) ELSE 0 END)"
     ),
     "moduloorzero": lambda a: f"(CASE WHEN {a[1]} != 0 THEN {a[0]} % {a[1]} ELSE 0 END)",
-    "positivemodulo": lambda a: f"((({a[0]} % {a[1]}) + {a[1]}) % {a[1]})",
+    # reference ArithmeticFunctions.positiveModulo: result >= 0 ?
+    # result : result + Math.abs(b) — abs(), NOT the raw divisor, so a
+    # negative divisor still yields a non-negative result
+    "positivemodulo": lambda a: (
+        f"((({a[0]} % {a[1]}) + abs({a[1]})) % abs({a[1]}))"
+    ),
     "negate": lambda a: f"(-({a[0]}))",
     "isfinite": lambda a: f"CAST((NOT isnan({a[0]}) AND abs({a[0]}) != double('inf')) AS INT)",
     "isinfinite": lambda a: f"CAST((abs({a[0]}) = double('inf')) AS INT)",
@@ -1543,6 +1551,131 @@ def rewrite_array_constructor(sql: str) -> str:
         out.append(f"array({inner})")
         i = j + 1
     return "".join(out)
+
+
+_ROW_CMP_OPS = ("<=", ">=", "<>", "!=", "=", "<", ">")
+
+
+def _row_cmp_expand(lhs: list[str], op: str, rhs: list[str]) -> str:
+    """Standard SQL row-value comparison as a boolean expression —
+    the same expansion Calcite applies before the reference's
+    multistage engine executes ``(a, b) > (x, y)``
+    (RowExpressionTest.java): ``=`` is pairwise AND, ``<>`` pairwise
+    OR, and the inequalities are lexicographic."""
+
+    def wrap(s: str) -> str:
+        s = s.strip()
+        return s if re.fullmatch(r"[\w.$']+", s) else f"({s})"
+
+    pairs = [(wrap(a), wrap(b)) for a, b in zip(lhs, rhs)]
+    if op == "=":
+        return "(" + " AND ".join(f"{a} = {b}" for a, b in pairs) + ")"
+    if op in ("<>", "!="):
+        return "(" + " OR ".join(f"{a} <> {b}" for a, b in pairs) + ")"
+    strict = op[0]  # '<' or '>'
+    a, b = pairs[-1]
+    expr = f"{a} {op} {b}" if len(op) == 2 else f"{a} {strict} {b}"
+    for a, b in reversed(pairs[:-1]):
+        expr = f"{a} {strict} {b} OR ({a} = {b} AND ({expr}))"
+    return f"({expr})"
+
+
+def rewrite_row_comparisons(sql: str) -> str:
+    """Row-value constructor comparisons ``(a, b[, ...]) OP (x, y[, ...])``
+    (OP one of = <> != < <= > >=) → their boolean expansion.  The
+    reference accepts these through Calcite on the multistage engine
+    (pinot-integration-tests/.../custom/RowExpressionTest.java —
+    keyset pagination is the headline use case); Spark's parser
+    rejects the syntax outright, so the dialect expands them the way
+    Calcite's RexBuilder does.  Row constructors inside IN lists /
+    VALUES rows are untouched (those parse natively), as are
+    parenthesized function argument lists (detected by a preceding
+    identifier) and scalar subqueries."""
+    out = sql
+    # restart the scan after each splice: positions shift
+    guard = 0
+    while guard < 100:
+        guard += 1
+        spans = _literal_spans(out)
+        replaced = False
+        i = 0
+        n = len(out)
+        while i < n:
+            c = out[i]
+            if c != "(" or any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            # a '(' preceded by an identifier is a function call UNLESS
+            # the identifier is a keyword that legitimately precedes a
+            # boolean term; ')' / ']' / quotes are calls or indexing too
+            k = i - 1
+            while k >= 0 and out[k].isspace():
+                k -= 1
+            if k >= 0 and out[k] in ")]'\"":
+                i += 1
+                continue
+            if k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                e = k
+                while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                    k -= 1
+                word = out[k + 1 : e + 1].upper()
+                if word not in (
+                    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+                    "ELSE", "HAVING", "SELECT", "ROW",
+                ):
+                    i += 1
+                    continue
+                if word == "ROW":  # explicit constructor: splice it out too
+                    lstart = k + 1
+                else:
+                    lstart = i
+            else:
+                lstart = i
+            try:
+                close = _find_matching(out, i)
+            except PinotSqlError:
+                break
+            lhs = _split_args(out[i + 1 : close])
+            if len(lhs) < 2 or any(
+                not a or re.match(r"\(?\s*SELECT\b", a, re.IGNORECASE) for a in lhs
+            ):
+                i += 1
+                continue
+            j = close + 1
+            while j < n and out[j].isspace():
+                j += 1
+            op = next((o for o in _ROW_CMP_OPS if out.startswith(o, j)), None)
+            if op is None:
+                i += 1
+                continue
+            r = j + len(op)
+            while r < n and out[r].isspace():
+                r += 1
+            if r < n and out[r : r + 3].upper() == "ROW":
+                r2 = r + 3
+                while r2 < n and out[r2].isspace():
+                    r2 += 1
+                if r2 < n and out[r2] == "(":
+                    r = r2
+            if r >= n or out[r] != "(":
+                i += 1
+                continue
+            try:
+                rclose = _find_matching(out, r)
+            except PinotSqlError:
+                break
+            rhs = _split_args(out[r + 1 : rclose])
+            if len(rhs) != len(lhs) or any(
+                not b or re.match(r"\(?\s*SELECT\b", b, re.IGNORECASE) for b in rhs
+            ):
+                i += 1
+                continue
+            out = out[:lstart] + _row_cmp_expand(lhs, op, rhs) + out[rclose + 1 :]
+            replaced = True
+            break
+        if not replaced:
+            break
+    return out
 
 
 def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
@@ -4861,6 +4994,8 @@ class PinotEngine:
                 )
             sql = rewritten
         sql = rewrite_array_constructor(sql)
+        if re.search(r"\)\s*(?:=|!=|<>|<=|>=|<|>)\s*(?:ROW\s*)?\(", sql, re.IGNORECASE):
+            sql = rewrite_row_comparisons(sql)
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
         sql = rewrite_cast_types(sql)

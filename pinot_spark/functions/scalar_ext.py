@@ -157,7 +157,9 @@ _reg("intdivorzero")(
     lambda a, b: F.when(_c(b) != 0, F.floor(_c(a) / _c(b)).cast("long")).otherwise(F.lit(0))
 )
 _reg("moduloorzero")(lambda a, b: F.when(_c(b) != 0, _c(a) % _c(b)).otherwise(F.lit(0)))
-_reg("positivemodulo")(lambda a, b: ((_c(a) % _c(b)) + _c(b)) % _c(b))
+_reg("positivemodulo")(  # ArithmeticFunctions.positiveModulo: + abs(b)
+    lambda a, b: ((_c(a) % _c(b)) + F.abs(_c(b))) % F.abs(_c(b))
+)
 _reg("negate")(lambda a: -_c(a))
 # Pinot isFinite/isInfinite/isNaN return int 0/1 (ArithmeticFunctions.java:57-72)
 _reg("isfinite")(
@@ -180,7 +182,9 @@ _reg("bitxor")(lambda a, b: _c(a).bitwiseXOR(_c(b)))
 _reg("bitnot")(lambda a: F.bitwise_not(_c(a)))
 _reg("bitshiftleft", "shiftleft")(lambda a, n: F.shiftleft(_c(a), n if isinstance(n, int) else n))
 _reg("bitshiftright", "shiftright")(lambda a, n: F.shiftright(_c(a), n if isinstance(n, int) else n))
-_reg("bitshiftrightunsigned")(lambda a, n: F.shiftrightunsigned(_c(a), n))
+_reg("bitshiftrightunsigned", "bitshiftrightlogical")(
+    lambda a, n: F.shiftrightunsigned(_c(a), n)
+)
 
 
 def _make_gcd_lcm(which: str):
