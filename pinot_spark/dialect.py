@@ -240,42 +240,153 @@ _DTC_UNIT_MS = {
 }
 
 
+def _ts_operand(x: str) -> str:
+    """Millis-domain operand → timestamp expression, without
+    double-wrapping text that is already TIMESTAMP-typed."""
+    s = x.strip()
+    if re.match(r"(?i)^CAST\s*\(", s) and re.search(
+        r"(?i)AS\s+TIMESTAMP\s*\)\s*$", s
+    ):
+        return s
+    if re.match(
+        r"(?i)^(timestamp_millis|to_timestamp|from_utc_timestamp|"
+        r"to_utc_timestamp|date_trunc)\s*\(", s
+    ):
+        return s
+    return f"timestamp_millis({x})"
+
+
+_SDF_TZ_RE = re.compile(r"\s+tz\(([^)]+)\)\s*$")
+
+
+def _split_sdf_tz(pat: str | None) -> tuple[str | None, str | None]:
+    """Pinot DateTimeFormatPatternSpec: ``<pattern>[ tz(<zone>)]``."""
+    if not pat:
+        return pat, None
+    m = _SDF_TZ_RE.search(pat)
+    if m:
+        return pat[: m.start()], m.group(1)
+    return pat, None
+
+
+def _wall_field_trunc(wall: str, size: int, unit: str) -> str:
+    """Joda field-wise granularity truncation on a wall-clock timestamp
+    expression (BaseDateTimeTransformer.java:82-199: set the field to
+    (field / size) * size, then roundFloor — month-relative for DAYS)."""
+    if unit == "milliseconds":
+        if size == 1:
+            return wall
+        return (
+            f"timestamp_millis((unix_millis({wall}) DIV 1000) * 1000 + "
+            f"((unix_millis({wall}) % 1000) DIV {size}) * {size})"
+        )
+    base = {"seconds": "SECOND", "minutes": "MINUTE", "hours": "HOUR",
+            "days": "DAY"}[unit]
+    if size == 1:
+        return f"date_trunc('{base}', {wall})"
+    if unit == "seconds":
+        return (f"timestamp_millis(unix_millis(date_trunc('MINUTE', {wall}))"
+                f" + ((second({wall}) DIV {size}) * {size}) * 1000)")
+    if unit == "minutes":
+        return (f"timestamp_millis(unix_millis(date_trunc('HOUR', {wall}))"
+                f" + ((minute({wall}) DIV {size}) * {size}) * 60000)")
+    if unit == "hours":
+        return (f"timestamp_millis(unix_millis(date_trunc('DAY', {wall}))"
+                f" + ((hour({wall}) DIV {size}) * {size}) * 3600000)")
+    # days are month-relative: setDayOfMonth(((d - 1) / size) * size + 1)
+    return (f"timestamp_millis(unix_millis(date_trunc('MONTH', {wall}))"
+            f" + (((dayofmonth({wall}) - 1) DIV {size}) * {size}) * 86400000)")
+
+
+def _sdf_print(ms: str, pat: str, tz: str | None) -> str:
+    """Render an epoch-millis expression under a Joda SDF pattern,
+    optionally in a zone; a trailing (unquoted) ``Z`` prints the REAL
+    zone offset the way Joda does — Spark's date_format would print the
+    session offset for the shifted wall clock, which is wrong."""
+    if tz is None:
+        return f"date_format(timestamp_millis({ms}), '{pat}')"
+    wall = f"from_utc_timestamp(timestamp_millis({ms}), '{tz}')"
+    if pat.endswith("Z") and not pat.endswith("'Z'"):
+        off = f"(unix_millis({wall}) - {ms})"
+        offstr = (
+            f"concat(IF({off} >= 0, '+', '-'), "
+            f"lpad(CAST(abs({off}) DIV 3600000 AS STRING), 2, '0'), "
+            f"lpad(CAST((abs({off}) % 3600000) DIV 60000 AS STRING), 2, '0'))"
+        )
+        return f"concat(date_format({wall}, '{pat[:-1]}'), {offstr})"
+    return f"date_format({wall}, '{pat}')"
+
+
 def _datetime_convert_sql(a: list[str]) -> str:
     """dateTimeConvert with literal DateTimeFormatSpec args → pure SQL
-    (epoch/TIMESTAMP/SIMPLE_DATE_FORMAT in & out, granularity bucket)."""
+    (epoch/TIMESTAMP/SIMPLE_DATE_FORMAT in & out, granularity bucket,
+    ``tz(...)`` pattern zones).  SDF output truncates FIELD-WISE in the
+    output zone (BaseDateTimeTransformer.transformMillisToSDF: bucketing
+    is implicit in the printed fields); epoch/TIMESTAMP output keeps the
+    plain millis floor of transformToOutputGranularity."""
 
-    def parse(tok: str) -> tuple[int, str, str, str | None]:
+    def parse(tok: str) -> tuple[int, str, str, str | None, str | None]:
         parts = tok.strip().strip("'\"").split(":")
-        return (
-            int(parts[0]),
-            parts[1].lower(),
-            parts[2].upper(),
-            parts[3] if len(parts) > 3 else None,
-        )
+        pat, tz = _split_sdf_tz(":".join(parts[3:]) if len(parts) > 3 else None)
+        return int(parts[0]), parts[1].lower(), parts[2].upper(), pat, tz
 
-    in_size, in_unit, in_type, in_pat = parse(a[1])
-    out_size, out_unit, out_type, out_pat = parse(a[2])
+    in_size, in_unit, in_type, in_pat, in_tz = parse(a[1])
+    out_size, out_unit, out_type, out_pat, out_tz = parse(a[2])
     g = a[3].strip().strip("'\"").split(":")
-    g_ms = int(g[0]) * _DTC_UNIT_MS[g[1].lower()]
+    g_size, g_unit = int(g[0]), g[1].lower()
+    g_ms = g_size * _DTC_UNIT_MS[g_unit]
 
     if in_type == "EPOCH":
         ms = f"(CAST({a[0]} AS BIGINT) * {in_size * _DTC_UNIT_MS[in_unit]})"
     elif in_type == "TIMESTAMP":
         ms = f"unix_millis(CAST({a[0]} AS TIMESTAMP))"
     elif in_type == "SIMPLE_DATE_FORMAT":
-        ms = f"unix_millis(CAST(to_timestamp({a[0]}, '{in_pat}') AS TIMESTAMP))"
+        parsed = f"to_timestamp({a[0]}, '{in_pat}')"
+        if in_tz:
+            parsed = f"to_utc_timestamp({parsed}, '{in_tz}')"
+        ms = f"unix_millis(CAST({parsed} AS TIMESTAMP))"
     else:
         raise PinotSqlError(f"unsupported dateTimeConvert input type {in_type}")
 
-    ms = f"(CAST(FLOOR({ms} / {g_ms}) AS BIGINT) * {g_ms})"
+    if out_type == "SIMPLE_DATE_FORMAT":
+        if out_tz:
+            wall = f"from_utc_timestamp(timestamp_millis({ms}), '{out_tz}')"
+            trunc = _wall_field_trunc(wall, g_size, g_unit)
+            back = f"unix_millis(to_utc_timestamp({trunc}, '{out_tz}'))"
+            return _sdf_print(back, out_pat, out_tz)
+        trunc = _wall_field_trunc(f"timestamp_millis({ms})", g_size, g_unit)
+        return f"date_format({trunc}, '{out_pat}')"
 
+    ms = f"(CAST(FLOOR({ms} / {g_ms}) AS BIGINT) * {g_ms})"
     if out_type == "EPOCH":
         return f"CAST(FLOOR({ms} / {out_size * _DTC_UNIT_MS[out_unit]}) AS BIGINT)"
     if out_type == "TIMESTAMP":
         return f"timestamp_millis({ms})"
-    if out_type == "SIMPLE_DATE_FORMAT":
-        return f"date_format(timestamp_millis({ms}), '{out_pat}')"
     raise PinotSqlError(f"unsupported dateTimeConvert output type {out_type}")
+
+
+def _todatetime_sql(a: list[str]) -> str:
+    """DateTimeFunctions.toDateTime(millis, pattern[, zoneId]) → the
+    Joda-printed string; a trailing Z prints the real offset."""
+    pat, tz = _split_sdf_tz(a[1].strip().strip("'\""))
+    if len(a) > 2:
+        tz = a[2].strip().strip("'\"")
+    return _sdf_print(f"CAST({a[0]} AS BIGINT)", pat, tz)
+
+
+def _fromdatetime_sql(a: list[str]) -> str:
+    """DateTimeFunctions.fromDateTime(dateTimeString, pattern[, zoneId])
+    → epoch millis.  Boundary: Joda's numeric S field reads a digit run
+    as MILLIS (".4" = 4 ms) while Spark's S is a decimal fraction
+    (".4" = 400 ms); the dominant round-trip of Java
+    Timestamp.toString ('....0') agrees on 0 either way."""
+    pat, tz = _split_sdf_tz(a[1].strip().strip("'\""))
+    parsed = f"to_timestamp({a[0]}, '{pat}')"
+    if len(a) > 2:
+        tz = a[2].strip().strip("'\"")
+    if tz:
+        parsed = f"to_utc_timestamp({parsed}, '{tz}')"
+    return f"unix_millis({parsed})"
 
 
 def _percentile_family(fn: str) -> Callable[[list[str]], str]:
@@ -661,8 +772,11 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "totimestamp": lambda a: f"timestamp_millis({a[0]})",
     "fromtimestamp": lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
     "datetrunc": lambda a: (
-        # Pinot dateTrunc(unit, epochMillis) stays in the epoch-millis domain
-        f"unix_millis(date_trunc({a[0]}, timestamp_millis({a[1]})))"
+        # Pinot dateTrunc(unit, epochMillis) stays in the epoch-millis
+        # domain; an argument that is ALREADY a timestamp expression
+        # (textual CAST .. AS TIMESTAMP, or one of our own
+        # timestamp-producing rewrites) is not re-wrapped
+        f"unix_millis(date_trunc({a[0]}, {_ts_operand(a[1])}))"
     ),
     "datetimeconvert": lambda a: _datetime_convert_sql(a),
     "yearofweek": "extract(yearofweek FROM {0})",
@@ -671,6 +785,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # Spark dayofweek is Sun=1..Sat=7.
     "dayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
     "dayofyear": "dayofyear",
+    "dayofmonth": "dayofmonth",
     "millisecond": lambda a: f"CAST((unix_millis(CAST({a[0]} AS TIMESTAMP)) % 1000) AS INT)",
     # --- arithmetic / misc scalars ---
     "div": lambda a: f"(CAST({a[0]} AS DOUBLE) / {a[1]})",
@@ -1255,6 +1370,17 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
     ),
     "yearofweek": "extract(yearofweek FROM {0})",
     "yow": "extract(yearofweek FROM {0})",
+    # DateTimeFunctions.java extract aliases (Joda field names): WEEK ==
+    # WEEK_OF_YEAR, MONTH_OF_YEAR == MONTH, DOY/DOW shorthand; DOW is
+    # ISO (Mon=1..Sun=7) like the dayofweek mapping above
+    "monthofyear": "month",
+    "week": "weekofyear",
+    "doy": "dayofyear",
+    "dow": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    # DateTimeFunctions.toDateTime / fromDateTime (Joda pattern printing
+    # and parsing over epoch millis); the optional 3rd arg is a zone id
+    "todatetime": lambda a: _todatetime_sql(a),
+    "fromdatetime": lambda a: _fromdatetime_sql(a),
     # jsons
     "jsonpathexists": lambda a: f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)",
     "jsonstringtomap": lambda a: f"from_json({a[0]}, 'map<string,string>')",
@@ -1712,6 +1838,120 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
     comparisons between a timestamp column and an integral operand are
     rewritten to ``unix_millis(CAST(ts AS TIMESTAMP))`` and long→
     TIMESTAMP casts to ``timestamp_millis``."""
+    # CAST(unix_millis(...) AS TIMESTAMP): the inner expression is
+    # epoch millis BY CONSTRUCTION (our own fn rewrites emit
+    # unix_millis for millis-domain functions like FROMDATETIME), so
+    # the cast must go through timestamp_millis, not Spark's
+    # seconds-interpreting long->TIMESTAMP cast
+    pos = 0
+    while True:
+        m = re.search(
+            r"\bCAST\s*\(\s*(?=unix_millis\s*\()", sql[pos:], re.IGNORECASE
+        )
+        if not m:
+            break
+        start = pos + m.start()
+        open_idx = sql.index("(", start)
+        close = _find_matching(sql, open_idx)
+        inner = sql[open_idx + 1 : close].strip()
+        um = re.match(r"unix_millis\s*\(", inner, re.IGNORECASE)
+        call_end = _find_matching(inner, um.end() - 1)
+        tail = inner[call_end + 1 :].strip()
+        if re.fullmatch(r"AS\s+TIMESTAMP", tail, re.IGNORECASE):
+            repl = f"timestamp_millis({inner[: call_end + 1]})"
+            sql = sql[:start] + repl + sql[close + 1 :]
+            # keep scanning INSIDE the replacement: the inner text may
+            # hold further nested CAST(unix_millis(...) AS TIMESTAMP)
+            pos = start + 1
+        else:
+            pos = open_idx + 1
+    # CAST(expr AS VARCHAR) of a textual timestamp expression is Java
+    # Timestamp.toString() in Pinot — fraction printed with trailing
+    # zeros trimmed but at least one digit ('....00:00:00.0'), which
+    # downstream FROMDATETIME('yyyy-MM-dd HH:mm:ss.S') parses; Spark's
+    # CAST prints no fraction at all and the parse would throw
+    pos = 0
+    while True:
+        m = re.search(r"\bCAST\s*\(", sql[pos:], re.IGNORECASE)
+        if not m:
+            break
+        start = pos + m.start()
+        open_idx = sql.index("(", start)
+        try:
+            close = _find_matching(sql, open_idx)
+        except PinotSqlError:
+            break
+        inner = sql[open_idx + 1 : close].strip()
+        vm = re.search(r"\s+AS\s+(VARCHAR|STRING)$", inner, re.IGNORECASE)
+        operand = inner[: vm.start()].strip() if vm else ""
+        if vm and re.match(r"(?i)^CAST\s*\(", operand) and re.search(
+            r"(?i)AS\s+TIMESTAMP\s*\)$", operand
+        ):
+            repl = (
+                f"regexp_replace(date_format({operand}, "
+                f"'yyyy-MM-dd HH:mm:ss.SSS'), '(\\\\.\\\\d+?)0+$', '$1')"
+            )
+            sql = sql[:start] + repl + sql[close + 1 :]
+            pos = start + len(repl)
+        else:
+            pos = open_idx + 1
+    # <timestamp expr> <cmp> unix_millis(...): compare in the millis
+    # long domain (Pinot TIMESTAMP<->LONG coercion) — covers comparisons
+    # our own millis-producing rewrites (FROMDATETIME etc.) appear in
+    _HEAD_RE = re.compile(
+        r"\b(CAST|unix_millis|timestamp_millis)\s*\(", re.IGNORECASE
+    )
+
+    def _side_kind(head: str, expr: str) -> str | None:
+        h = head.upper()
+        if h == "UNIX_MILLIS":
+            return "ms"
+        if h == "TIMESTAMP_MILLIS":
+            return "ts"
+        if h == "CAST" and re.search(r"(?i)AS\s+TIMESTAMP\s*\)$", expr):
+            return "ts"
+        return None
+
+    pos = 0
+    while True:
+        m = _HEAD_RE.search(sql, pos)
+        if not m:
+            break
+        start = m.start()
+        open_idx = sql.index("(", start)
+        try:
+            close = _find_matching(sql, open_idx)
+        except PinotSqlError:
+            break
+        lkind = _side_kind(m.group(1), sql[start : close + 1])
+        om = re.match(r"\s*(=|!=|<>|<=|>=|<|>)\s*", sql[close + 1 :])
+        if lkind and om:
+            rstart = close + 1 + om.end()
+            rm = _HEAD_RE.match(sql, rstart)
+            if rm:
+                ropen = sql.index("(", rstart)
+                try:
+                    rclose = _find_matching(sql, ropen)
+                except PinotSqlError:
+                    break
+                rkind = _side_kind(rm.group(1), sql[rstart : rclose + 1])
+                if lkind == "ts" and rkind == "ms":
+                    sql = (
+                        sql[:start]
+                        + f"unix_millis({sql[start:close + 1]})"
+                        + sql[close + 1 :]
+                    )
+                    pos = rclose + 1 + len("unix_millis()")
+                    continue
+                if lkind == "ms" and rkind == "ts":
+                    sql = (
+                        sql[:rstart]
+                        + f"unix_millis({sql[rstart:rclose + 1]})"
+                        + sql[rclose + 1 :]
+                    )
+                    pos = rclose + 1 + len("unix_millis()")
+                    continue
+        pos = open_idx + 1
     ts_cols = _typed_columns(spark, sql, _TS_TYPES)
     long_cols = _typed_columns(spark, sql, _LONG_TYPES)
 
@@ -1727,6 +1967,21 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
 
     def fix_seg(seg: str) -> str:
         if ts_cols:
+            # CAST(ts AS LONG/BIGINT) (and through MIN/MAX/etc.) is
+            # epoch MILLIS in Pinot (TimestampUtils), seconds in Spark
+            def cast_long_fix(m: re.Match) -> str:
+                if m.group("col").split(".")[-1].lower() in ts_cols:
+                    return f"unix_millis(CAST({m.group(1)} AS TIMESTAMP))"
+                return m.group(0)
+
+            seg = re.sub(
+                rf"\bCAST\s*\(\s*((?:(?:MIN|MAX|ANY_VALUE|FIRST|LAST)\s*\(\s*)?"
+                rf"(?P<col>(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)(?:\s*\))?)"
+                rf"\s+AS\s+(?:BIGINT|LONG)\s*\)",
+                cast_long_fix,
+                seg,
+                flags=re.IGNORECASE,
+            )
 
             def cmp_fix(m: re.Match) -> str:
                 left, op, right = m.group(1), m.group(2), m.group(3)

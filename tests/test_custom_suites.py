@@ -273,3 +273,217 @@ def test_row_expression_keyset_pagination(rowexpr):
     # every page-2 row strictly follows the anchor
     for r in page2:
         assert (r[0], r[1], r[2]) > (aid, car, at)
+
+
+# ---------------------------------------------------------------------------
+# TimestampTest.java — 1000-row fixture (tsBase = 2019-01-01 UTC + i days,
+# companions via Joda ISO-chronology field adds), every literal expected
+# value asserted.  The Tableau-generated nested-cast queries exercise the
+# CAST(ts AS VARCHAR) -> Java Timestamp.toString round-trip and the
+# tz(Europe/Amsterdam) DATETIMECONVERT field-truncation path.
+# ---------------------------------------------------------------------------
+
+_TS_BASE = 1546300800000  # fromDateTime('2019-01-01 00:00:00')
+_TS_DAY = 86400000
+_TS_N = 1000
+
+
+def _ts_add_months(d, n):
+    import calendar
+
+    y = d.year + (d.month - 1 + n) // 12
+    m = (d.month - 1 + n) % 12 + 1
+    return d.replace(year=y, month=m, day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+@pytest.fixture(scope="module")
+def tstest(spark):
+    import datetime as dt
+
+    def ts(ms):
+        return dt.datetime.utcfromtimestamp(ms / 1000.0)
+
+    def ms_of(d):
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    rows = []
+    base = _TS_BASE
+    for _ in range(_TS_N):
+        d = ts(base)
+        vals = [
+            base,
+            base + 12 * 3600000,
+            base + _TS_DAY,
+            base + 7 * _TS_DAY,
+            ms_of(_ts_add_months(d, 1)),
+            ms_of(_ts_add_months(d, 3)),
+            ms_of(_ts_add_months(d, 12)),
+        ]
+        rows.append(tuple(
+            [ts(v) for v in vals] + [ts(base + 482)] + vals
+            + [d.strftime("%Y-%m-%d")]
+        ))
+        base += _TS_DAY
+    ddl = ("tsBase timestamp, tsHalfDayAfter timestamp, tsOneDayAfter timestamp, "
+           "tsOneWeekAfter timestamp, tsOneMonthAfter timestamp, "
+           "tsOneQuarterAfter timestamp, tsOneYearAfter timestamp, "
+           "tsSubSecond timestamp, longBase bigint, longHalfDayAfter bigint, "
+           "longOneDayAfter bigint, longOneWeekAfter bigint, "
+           "longOneMonthAfter bigint, longOneQuarterAfter bigint, "
+           "longOneYearAfter bigint, yyyyMMddBase string")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("TimestampTest")
+    return PinotEngine(spark)
+
+
+def test_timestamp_select(tstest):
+    import datetime as dt
+
+    rows = tstest.sql(
+        "SELECT tsBase, tsHalfDayAfter, longBase, longHalfDayAfter "
+        f"FROM TimestampTest ORDER BY tsBase LIMIT {_TS_N}"
+    ).collect()
+    assert len(rows) == _TS_N
+    exp_base, exp_half = _TS_BASE, _TS_BASE + 43200000
+    for r in rows:
+        assert r[0] == dt.datetime.utcfromtimestamp(exp_base / 1000)
+        assert r[1] == dt.datetime.utcfromtimestamp(exp_half / 1000)
+        assert r[2] == exp_base and r[3] == exp_half
+        exp_base += _TS_DAY
+        exp_half += _TS_DAY
+
+
+_TABLEAU_EXPR = (
+    "CAST(DATETRUNC('DAY', CAST(FROMDATETIME(TODATETIME(FROMDATETIME("
+    "CAST(CAST(tsBase AS TIMESTAMP) AS VARCHAR), 'yyyy-MM-dd HH:mm:ss.S'), "
+    "'yyyy-MM-dd'), 'yyyy-MM-dd') AS TIMESTAMP), 'MILLISECONDS') AS TIMESTAMP)"
+)
+
+
+def test_timestamp_select_with_cast(tstest):
+    import datetime as dt
+
+    rows = tstest.sql(
+        f"SELECT {_TABLEAU_EXPR} AS tdy_ok FROM TimestampTest "
+        f"GROUP BY tdy_ok ORDER BY tdy_ok ASC LIMIT {_TS_N}"
+    ).collect()
+    assert len(rows) == _TS_N
+    exp = _TS_BASE
+    for r in rows:
+        assert r[0] == dt.datetime.utcfromtimestamp(exp / 1000)
+        exp += _TS_DAY
+
+
+def test_timestamp_select_with_cast_and_filter(tstest):
+    import datetime as dt
+
+    rows = tstest.sql(
+        f"SELECT {_TABLEAU_EXPR} AS tdy_ok FROM TimestampTest "
+        f"WHERE {_TABLEAU_EXPR} = "
+        "FROMDATETIME('2019-01-01 00:00:00', 'yyyy-MM-dd HH:mm:ss')"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0][0] == dt.datetime(2019, 1, 1)
+
+
+def test_timestamp_string_cast_amsterdam_tz(tstest):
+    """DATETIMECONVERT day-buckets in the OUTPUT zone (Joda field
+    truncation): day floors land at 23:00 UTC of the previous day."""
+    rows = tstest.sql(
+        "SELECT FromDateTime(DATETIMECONVERT(yyyyMMddBase, "
+        "'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', "
+        "'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss.SSSZ "
+        "tz(Europe/Amsterdam)', '1:DAYS'), 'yyyy-MM-dd HH:mm:ss.SSSZ') AS ts, "
+        "COUNT(*) AS cnt FROM TimestampTest GROUP BY yyyyMMddBase "
+        "HAVING COUNT(*) > 0 ORDER BY 1 LIMIT 5"
+    ).collect()
+    assert [r[0] for r in rows] == [
+        1546297200000, 1546383600000, 1546470000000, 1546556400000,
+        1546642800000,
+    ]
+
+
+def test_timestamp_time_extract(tstest):
+    rows = tstest.sql(
+        "SELECT HOUR(tsBase), HOUR(tsHalfDayAfter), MINUTE(tsBase), "
+        "MINUTE(tsHalfDayAfter), SECOND(tsBase), SECOND(tsHalfDayAfter), "
+        "MILLISECOND(tsBase), MILLISECOND(tsHalfDayAfter), YEAR(tsBase), "
+        "YEAR(tsHalfDayAfter), YEAR_OF_WEEK(tsBase), "
+        "YEAR_OF_WEEK(tsHalfDayAfter), MONTH_OF_YEAR(tsBase), "
+        "MONTH_OF_YEAR(tsHalfDayAfter), WEEK_OF_YEAR(tsBase), "
+        "WEEK_OF_YEAR(tsHalfDayAfter), WEEK(tsBase), WEEK(tsHalfDayAfter), "
+        "DAY_OF_YEAR(tsBase), DAY_OF_YEAR(tsHalfDayAfter), "
+        "DAY_OF_MONTH(tsBase), DAY_OF_MONTH(tsHalfDayAfter), "
+        "DAY_OF_WEEK(tsBase), DAY_OF_WEEK(tsHalfDayAfter), DOY(tsBase), "
+        "DOY(tsHalfDayAfter), DOW(tsBase), DOW(tsHalfDayAfter), "
+        "QUARTER(tsBase), QUARTER(tsHalfDayAfter) "
+        f"FROM TimestampTest LIMIT {_TS_N}"
+    ).collect()
+    assert len(rows) == _TS_N
+    for r in rows:
+        assert r[0] == 0 and r[1] == 12          # HOUR
+        assert r[2] == 0 and r[3] == 0           # MINUTE
+        assert r[4] == 0 and r[5] == 0           # SECOND
+        assert r[6] == 0 and r[7] == 0           # MILLISECOND
+        for i in range(8, 30, 2):                # same-day pairs agree
+            assert r[i] == r[i + 1], (i, r)
+
+
+def test_timestamp_diff(tstest):
+    for unit, expected in (("second", 43200), ("minute", 720), ("hour", 12)):
+        rows = tstest.sql(
+            f"SELECT TIMESTAMPDIFF({unit}, tsBase, tsHalfDayAfter) "
+            f"FROM TimestampTest LIMIT {_TS_N}"
+        ).collect()
+        assert len(rows) == _TS_N
+        assert all(r[0] == expected for r in rows), unit
+
+
+@pytest.mark.parametrize("unit,amount,col", [
+    ("YEAR", 1, "tsOneYearAfter"),
+    ("QUARTER", 1, "tsOneQuarterAfter"),
+    ("MONTH", 1, "tsOneMonthAfter"),
+    ("WEEK", 1, "tsOneWeekAfter"),
+    ("DAY", 1, "tsOneDayAfter"),
+    ("MINUTE", 720, "tsHalfDayAfter"),
+    ("SECOND", 43200, "tsHalfDayAfter"),
+    ("HOUR", 12, "tsHalfDayAfter"),
+])
+def test_timestamp_add(tstest, unit, amount, col):
+    rows = tstest.sql(
+        f"SELECT TIMESTAMPADD({unit}, {amount}, tsBase) AS a, {col} AS b "
+        f"FROM TimestampTest LIMIT {_TS_N}"
+    ).collect()
+    assert len(rows) == _TS_N
+    assert all(r[0] == r[1] for r in rows)
+
+
+def test_timestamp_todatetime_min(tstest):
+    row = tstest.sql(
+        "SELECT TODATETIME(CAST(MIN(tsBase) AS BIGINT), "
+        "'yyyy-MM-dd HH:mm:ss') AS a, TODATETIME(CAST(MIN(tsHalfDayAfter) "
+        "AS BIGINT), 'yyyy-MM-dd HH:mm:ss') AS b FROM TimestampTest"
+    ).collect()[0]
+    assert row[0] == "2019-01-01 00:00:00"
+    assert row[1] == "2019-01-01 12:00:00"
+
+
+def test_timestamp_first_last_with_time(tstest):
+    row = tstest.sql(
+        "SELECT LASTWITHTIME(longBase, longBase, 'long') AS a, "
+        "LASTWITHTIME(longBase, tsBase, 'long') AS b, "
+        "FIRSTWITHTIME(longBase, longBase, 'long') AS c, "
+        "FIRSTWITHTIME(longBase, tsBase, 'long') AS d FROM TimestampTest"
+    ).collect()[0]
+    assert row[0] == 1632614400000 and row[1] == 1632614400000
+    assert row[2] == 1546300800000 and row[3] == 1546300800000
+
+
+def test_timestamp_sub_second_equality(tstest):
+    """Issue #18881 regression shape: a sub-second epoch-millis literal
+    must compare at millisecond precision against a TIMESTAMP column."""
+    assert tstest.sql(
+        "SELECT COUNT(*) FROM TimestampTest WHERE tsSubSecond = 1546300800482"
+    ).collect()[0][0] == 1
+    assert tstest.sql(
+        "SELECT COUNT(*) FROM TimestampTest WHERE tsSubSecond = 1546300800000"
+    ).collect()[0][0] == 0
