@@ -836,6 +836,10 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "jsonpathdouble": lambda a: f"CAST(get_json_object({a[0]}, {a[1]}) AS DOUBLE)",
     # --- arrays / MV (ArrayFunctions.java, TransformFunctionType:162-172) ---
     "arraylength": "cardinality",
+    # MSE ARRAY_TO_MV converts an array literal/column to the MV domain
+    # for predicates; arrays ARE the MV domain here, so it's identity
+    # (the MV predicate rewrite then applies to the bare column)
+    "arraytomv": lambda a: a[0],
     "arrayreverse": "reverse",
     "arraycontains": lambda a: f"array_contains({a[0]}, {a[1]})",
     "arrayindexof": lambda a: f"(array_position({a[0]}, {a[1]}) - 1)",
@@ -1545,6 +1549,21 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
 # TypeCasting.json). The (?=\s*\)) lookahead anchors to the CAST-closing
 # paren so column aliases named e.g. `bytes` are never touched.
 _CAST_TYPE_REWRITES = [
+    # array casts first: BIG_DECIMAL_ARRAY must not be eaten by the
+    # scalar BIG_DECIMAL rule (CastTransformFunction's underscored
+    # names + Calcite's `TYPE ARRAY` form, BigDecimalTypeTest.java)
+    (re.compile(r"\bAS\s+(?:BIG_DECIMAL_ARRAY|(?:BIG_DECIMAL|DECIMAL)\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<DECIMAL(38,18)>"),
+    (re.compile(r"\bAS\s+(?:INT_ARRAY|INT\s+ARRAY|INTEGER\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<INT>"),
+    (re.compile(r"\bAS\s+(?:LONG_ARRAY|BIGINT\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<BIGINT>"),
+    (re.compile(r"\bAS\s+(?:FLOAT_ARRAY|FLOAT\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<FLOAT>"),
+    (re.compile(r"\bAS\s+(?:DOUBLE_ARRAY|DOUBLE\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<DOUBLE>"),
+    (re.compile(r"\bAS\s+(?:STRING_ARRAY|VARCHAR\s+ARRAY|STRING\s+ARRAY)(?=\s*\))",
+                re.IGNORECASE), "AS ARRAY<STRING>"),
     (re.compile(r"\bAS\s+BIG_DECIMAL(?=\s*\))", re.IGNORECASE), "AS DECIMAL(38,18)"),
     (re.compile(r"\bAS\s+(?:BYTES|VARBINARY)(?=\s*\))", re.IGNORECASE), "AS BINARY"),
     (re.compile(r"\bAS\s+VARCHAR(?=\s*\))", re.IGNORECASE), "AS STRING"),

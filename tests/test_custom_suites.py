@@ -487,3 +487,170 @@ def test_timestamp_sub_second_equality(tstest):
     assert tstest.sql(
         "SELECT COUNT(*) FROM TimestampTest WHERE tsSubSecond = 1546300800000"
     ).collect()[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# FloatingPointDataTypeTest.java — 10 rows accumulated in IEEE double
+# steps exactly as the Java fixture does, 24 literal count filters (the
+# suite exists to catch float->double widening bugs: float 0.05 must not
+# become double 0.05000000074505806).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def floating(spark):
+    rows = []
+    sorted_v, unsorted_v = 0.0, 0.05
+    for _ in range(10):
+        rows.append((sorted_v, sorted_v, unsorted_v, unsorted_v,
+                     sorted_v, sorted_v, unsorted_v, unsorted_v))
+        sorted_v += 0.01
+        unsorted_v += 0.01
+        if unsorted_v > 0.09:
+            unsorted_v = 0.00
+    ddl = ("metDoubleSorted double, metFloatSorted float, "
+           "metDoubleUnsorted double, metFloatUnsorted float, "
+           "metDoubleSortedNoDic double, metFloatSortedNoDic float, "
+           "metDoubleUnsortedNoDic double, metFloatUnsortedNoDic float")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+        "FloatingPointDataTypeTest")
+    return PinotEngine(spark)
+
+
+@pytest.mark.parametrize("col", [
+    "metDoubleSorted", "metDoubleUnsorted", "metDoubleSortedNoDic",
+    "metDoubleUnsortedNoDic",
+])
+def test_floating_double_filters(floating, col):
+    for op, expected in ((">", 4), ("=", 1), ("<", 5)):
+        got = floating.sql(
+            f"SELECT COUNT(*) FROM FloatingPointDataTypeTest WHERE {col} {op} 0.05"
+        ).collect()[0][0]
+        assert got == expected, (col, op)
+
+
+@pytest.mark.parametrize("col", [
+    "metFloatSorted", "metFloatUnsorted", "metFloatSortedNoDic",
+    "metFloatUnsortedNoDic",
+])
+def test_floating_float_filters(floating, col):
+    for op, expected in ((">", 4), ("=", 1), ("<", 5)):
+        got = floating.sql(
+            f"SELECT COUNT(*) FROM FloatingPointDataTypeTest "
+            f"WHERE {col} {op} CAST(0.05 AS FLOAT)"
+        ).collect()[0][0]
+        assert got == expected, (col, op)
+
+
+# ---------------------------------------------------------------------------
+# SumPrecisionTest.java — SUMPRECISION over BIG_DECIMAL vs plain SUM over
+# DOUBLE/LONG: all four must equal 1000*(2^31) + sum(0..999) exactly
+# (every partial double sum here is exactly representable, so the double
+# SUM is deterministic too).
+# ---------------------------------------------------------------------------
+
+def test_sum_precision(spark):
+    base = 2147483648  # Integer.MAX_VALUE + 1
+    rows = [(f"dim{i % 50}", decimal.Decimal(base + i),
+             decimal.Decimal(base + i), float(base + i), base + i)
+            for i in range(1000)]
+    ddl = ("dimName string, metBigDecimalBytes decimal(38,18), "
+           "metBigDecimalString decimal(38,18), metDouble double, "
+           "metLong bigint")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("SumPrecisionTest")
+    row = PinotEngine(spark).sql(
+        "SELECT SUMPRECISION(metBigDecimalBytes) AS a, "
+        "SUMPRECISION(metBigDecimalString) AS b, sum(metDouble) AS c, "
+        "sum(metLong) AS d FROM SumPrecisionTest"
+    ).collect()[0]
+    for v in row:
+        assert float(v) == 2147484147500.0, row
+
+
+# ---------------------------------------------------------------------------
+# BigDecimalTypeTest.java — BIG_DECIMAL dimensions SV + MV (dictionary
+# and raw variants collapse to the same typed columns here), projection,
+# filtering (MV any-element semantics), minMV/maxMV, cardinality,
+# GROUP BY, and CAST(... AS BIG_DECIMAL_ARRAY / DECIMAL ARRAY).
+# ---------------------------------------------------------------------------
+
+_BD_N = 100
+
+
+@pytest.fixture(scope="module")
+def bigdec(spark):
+    D = decimal.Decimal
+    rows = [
+        (i, D(f"{i}.5"), D(f"{i}.5"),
+         [D(f"{i}.00"), D(f"{i}.25"), D(f"{i}.50")],
+         [D(f"{i}.00"), D(f"{i}.25"), D(f"{i}.50")],
+         [float(D(f"{i}.00")), float(D(f"{i}.25")), float(D(f"{i}.50"))])
+        for i in range(_BD_N)
+    ]
+    ddl = ("id int, bigDecimalSV decimal(38,18), rawBigDecimalSV decimal(38,18), "
+           "bigDecimalMV array<decimal(38,18)>, "
+           "rawBigDecimalMV array<decimal(38,18)>, doubleMV array<double>")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("BigDecimalTypeTest")
+    return PinotEngine(spark)
+
+
+@pytest.mark.parametrize("col", ["bigDecimalSV", "rawBigDecimalSV"])
+def test_bigdecimal_sv_projection_filter_agg(bigdec, col):
+    D = decimal.Decimal
+    row = bigdec.sql(
+        f"SELECT id, {col} FROM BigDecimalTypeTest WHERE id = 42 LIMIT 1"
+    ).collect()[0]
+    assert row[0] == 42 and row[1] == D("42.5")
+    assert bigdec.sql(
+        f"SELECT count(*) FROM BigDecimalTypeTest WHERE {col} > 10.5"
+    ).collect()[0][0] == _BD_N - 11
+    agg = bigdec.sql(
+        f"SELECT min({col}) AS mn, max({col}) AS mx, sumPrecision({col}) AS s "
+        "FROM BigDecimalTypeTest"
+    ).collect()[0]
+    expected_sum = sum(D(f"{i}.5") for i in range(_BD_N))
+    assert agg[0] == D("0.5") and agg[1] == D(f"{_BD_N - 1}.5")
+    assert D(str(agg[2])) == expected_sum
+    rows = bigdec.sql(
+        f"SELECT {col} AS v, count(*) AS c FROM BigDecimalTypeTest "
+        f"GROUP BY {col} ORDER BY {col} LIMIT {_BD_N}"
+    ).collect()
+    assert len(rows) == _BD_N
+    for i, r in enumerate(rows):
+        assert r[0] == D(f"{i}.5") and r[1] == 1
+
+
+@pytest.mark.parametrize("col", ["bigDecimalMV", "rawBigDecimalMV"])
+def test_bigdecimal_mv_projection_filter_minmax(bigdec, col):
+    D = decimal.Decimal
+    row = bigdec.sql(
+        f"SELECT {col} FROM BigDecimalTypeTest WHERE id = 7 LIMIT 1"
+    ).collect()[0]
+    assert [D(str(v)) for v in row[0]] == [D("7.00"), D("7.25"), D("7.50")]
+    # MV any-element-matches semantics, both the bare-column SSE form
+    # and the MSE ARRAY_TO_MV(...) form
+    for expr in (col, f"ARRAY_TO_MV({col})"):
+        assert bigdec.sql(
+            f"SELECT count(*) FROM BigDecimalTypeTest WHERE {expr} >= 10.5"
+        ).collect()[0][0] == _BD_N - 10, expr
+    mm = bigdec.sql(
+        f"SELECT minMV({col}) AS mn, maxMV({col}) AS mx FROM BigDecimalTypeTest"
+    ).collect()[0]
+    assert D(str(mm[0])) == D("0.00") and D(str(mm[1])) == D("99.50")
+    assert bigdec.sql(
+        f"SELECT cardinality({col}) FROM BigDecimalTypeTest WHERE id = 0 LIMIT 1"
+    ).collect()[0][0] == 3
+
+
+@pytest.mark.parametrize("target", ["BIG_DECIMAL_ARRAY", "DECIMAL ARRAY"])
+def test_bigdecimal_cast_mv(bigdec, target):
+    assert bigdec.sql(
+        f"SELECT cardinality(cast(doubleMV as {target})) "
+        "FROM BigDecimalTypeTest WHERE id = 0 LIMIT 1"
+    ).collect()[0][0] == 3
+
+
+def test_bigdecimal_select_star(bigdec):
+    rows = bigdec.sql(
+        "SELECT * FROM BigDecimalTypeTest WHERE id = 0 LIMIT 1"
+    ).collect()
+    assert len(rows) == 1 and len(rows[0]) == 6
