@@ -365,6 +365,27 @@ def _datetime_convert_sql(a: list[str]) -> str:
     raise PinotSqlError(f"unsupported dateTimeConvert output type {out_type}")
 
 
+def _filtermv_sql(a: list[str]) -> str:
+    """FILTER_MV(mvCol, '<predicate on v>') → Spark filter() lambda
+    (FilterMvPredicateEvaluator.java: EQ/NOT_EQ/IN/NOT_IN/RANGE/
+    REGEXP_LIKE over placeholder ``v``, AND/OR/NOT combinations).
+    Pinot evaluates BOOLEAN columns in the int domain (``v = 1``), so
+    comparisons against literal 0/1 go through a DOUBLE cast that is
+    valid for boolean AND numeric element types alike (0/1 are exact
+    in double for every element type)."""
+    tok = a[1].strip()
+    if not (tok.startswith("'") and tok.endswith("'")):
+        raise PinotSqlError("filterMv predicate must be a string literal")
+    pred = tok[1:-1].replace("''", "'")
+    pred = re.sub(
+        r"\bv\s*(=|!=|<>|>=|<=|>|<)\s*(0|1)(?![\d.])",
+        r"CAST(v AS DOUBLE) \1 \2",
+        pred,
+        flags=re.IGNORECASE,
+    )
+    return f"filter({a[0]}, v -> ({pred}))"
+
+
 def _todatetime_sql(a: list[str]) -> str:
     """DateTimeFunctions.toDateTime(millis, pattern[, zoneId]) → the
     Joda-printed string; a trailing Z prints the real offset."""
@@ -836,6 +857,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "jsonpathdouble": lambda a: f"CAST(get_json_object({a[0]}, {a[1]}) AS DOUBLE)",
     # --- arrays / MV (ArrayFunctions.java, TransformFunctionType:162-172) ---
     "arraylength": "cardinality",
+    "generatearray": lambda a: f"sequence({', '.join(a)})",
     # MSE ARRAY_TO_MV converts an array literal/column to the MV domain
     # for predicates; arrays ARE the MV domain here, so it's identity
     # (the MV predicate rewrite then applies to the bare column)
@@ -1202,8 +1224,19 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "percentilekll": _percentile_family("percentile_approx"),
     "boolandagg": "bool_and",
     "booloragg": "bool_or",
-    "arrayagg": lambda a: f"collect_list({a[0]})",
-    "listagg": lambda a: f"array_join(collect_list({a[0]}), {a[1] if len(a) > 1 else repr(',')})",
+    # arrayAgg(col, 'TYPE'[, distinct]) — the type tag is advisory;
+    # the distinct flag maps to array_distinct.  MV columns are
+    # flattened by rewrite_mv_collect_aggs (Pinot aggregates flatten
+    # multi-values: ArrayAggFunction.java MV code paths).
+    "arrayagg": lambda a: (
+        f"array_distinct(collect_list({a[0]}))"
+        if len(a) > 2 and a[2].strip().lower() == "true"
+        else f"collect_list({a[0]})"
+    ),
+    # listAgg passes through to Spark's native listagg (4.x), which
+    # carries Pinot's full surface: separator, DISTINCT, and
+    # WITHIN GROUP (ORDER BY ...) — ListAggFunction.java
+    "filtermv": lambda a: _filtermv_sql(a),
     "fourthmoment": lambda a: (
         f"(sum(pow({a[0]}, 4))/count({a[0]})"
         f" - 4*avg({a[0]})*sum(pow({a[0]}, 3))/count({a[0]})"
@@ -1253,12 +1286,14 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # scale path is the posexplode structural form, queries/aggregates.py
     # agg_sum_array_scale_path)
     "sumarraylong": lambda a: (
-        f"aggregate(collect_list({a[0]}), CAST(array() AS array<bigint>), "
+        # the inner parens keep rewrite_mv_collect_aggs from flattening
+        # this collect_list: the fold consumes the array-of-arrays shape
+        f"aggregate(collect_list(({a[0]})), CAST(array() AS array<bigint>), "
         "(acc, v) -> CASE WHEN size(acc) = 0 THEN v "
         "ELSE zip_with(acc, v, (x, y) -> x + y) END)"
     ),
     "sumarraydouble": lambda a: (
-        f"aggregate(collect_list({a[0]}), CAST(array() AS array<double>), "
+        f"aggregate(collect_list(({a[0]})), CAST(array() AS array<double>), "
         "(acc, v) -> CASE WHEN size(acc) = 0 THEN CAST(v AS array<double>) "
         "ELSE zip_with(acc, v, (x, y) -> x + y) END)"
     ),
@@ -1665,10 +1700,16 @@ def _mv_columns(spark: SparkSession, sql: str) -> dict[str, str]:
 _ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
 
 
+_ARRAY_STR_CTOR_RE = re.compile(r"\bARRAY\s*'\{([^}']*)\}'", re.IGNORECASE)
+
+
 def rewrite_array_constructor(sql: str) -> str:
     """Calcite ``ARRAY[a, b, c]`` literal syntax (corpus
     ValueExpressions.json) → Spark ``array(a, b, c)``; nested
-    constructors recurse, string literals untouched."""
+    constructors recurse, string literals untouched.  Also accepts
+    Pinot's postgres-style ``ARRAY'{1,2,3}'`` string form
+    (ArrayTest.java testIntArrayLiteral)."""
+    sql = _ARRAY_STR_CTOR_RE.sub(lambda m: f"array({m.group(1)})", sql)
     spans = _literal_spans(sql)
     out, i = [], 0
     while True:
@@ -2028,6 +2069,33 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
 
     return "".join(
         seg if is_lit else fix_seg(seg) for is_lit, seg in _scan_strings(sql)
+    )
+
+
+def rewrite_mv_collect_aggs(spark: SparkSession, sql: str) -> str:
+    """``collect_list(<mv column>)`` → ``flatten(collect_list(...))``:
+    Pinot aggregation functions consume MV columns element-wise
+    (ArrayAggFunction MV code paths aggregate every value of every
+    row), so an arrayAgg over an MV column yields one flat array."""
+    if "collect_list" not in sql:
+        return sql
+    mv = _mv_columns(spark, sql)
+    if not mv:
+        return sql
+
+    def fix(m: re.Match) -> str:
+        qual, col = (m.group(1) or "").rstrip("."), m.group(2)
+        key = col.lower() if not qual else f"{qual.lower()}.{col.lower()}"
+        if key in mv or (not qual and any(
+            k.endswith("." + col.lower()) for k in mv
+        )) or col.lower() in mv:
+            return f"flatten({m.group(0)})"
+        return m.group(0)
+
+    return re.sub(
+        r"\bcollect_list\(\s*((?:[A-Za-z_]\w*\.)?)([A-Za-z_]\w*)\s*\)",
+        fix,
+        sql,
     )
 
 
@@ -5272,6 +5340,8 @@ class PinotEngine:
             sql = rewrite_row_comparisons(sql)
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
+        if "collect_list" in sql:
+            sql = rewrite_mv_collect_aggs(self.spark, sql)
         sql = rewrite_cast_types(sql)
         sql = rewrite_timestamp_coercion(self.spark, sql)
         sql = rewrite_mv_predicates(self.spark, sql)

@@ -654,3 +654,279 @@ def test_bigdecimal_select_star(bigdec):
         "SELECT * FROM BigDecimalTypeTest WHERE id = 0 LIMIT 1"
     ).collect()
     assert len(rows) == 1 and len(rows[0]) == 6
+
+
+# ---------------------------------------------------------------------------
+# ArrayTest.java — 100 unique records x 10 copies; constant MV columns
+# [0,1,2,3] / [0.0,0.1,0.2,0.3] / paths / bytes; arrayAgg/listAgg
+# variants, array literals (both ARRAY[..] and ARRAY'{..}' forms),
+# arrays_overlap, filterMv's predicate DSL, GENERATE_ARRAY, push/slice.
+# ---------------------------------------------------------------------------
+
+_AR_N = 1000
+
+
+@pytest.fixture(scope="module")
+def arraytest(spark):
+    D = decimal.Decimal
+    uniq = []
+    for i in range(_AR_N // 10):
+        b = i % 4 in (0, 1)
+        uniq.append((
+            b, b, b, i, i, i + 0.25, i + 0.5, f"s{i:03d}", i, str(i % 10),
+            [True, True, False, False], [True, True, False, False],
+            [True, True, False, False], [0, 1, 2, 3], [0.0, 0.1, 0.2, 0.3],
+            [D("0.0"), D("0.1"), D("0.2"), D("0.3")],
+            ["/api/v1", "/home", "/api/v2", "/metrics"],
+            [b"\x00", b"\x01", b"\x02", b"\x03"],
+        ))
+    rows = [uniq[i % len(uniq)] for i in range(_AR_N)]
+    ddl = ("boolCol boolean, boolColFromInt boolean, boolColFromString boolean, "
+           "intCol int, longCol bigint, floatCol float, doubleCol double, "
+           "stringCol string, timestampCol timestamp_ntz, groupKey string, "
+           "booleanArrayCol array<boolean>, "
+           "booleanArrayColFromIntArray array<boolean>, "
+           "booleanArrayColFromStringArray array<boolean>, "
+           "longArrayCol array<bigint>, doubleArrayCol array<double>, "
+           "bigDecimalArrayCol array<decimal(38,18)>, "
+           "stringArrayCol array<string>, bytesArrayCol array<binary>")
+    import datetime as dt
+
+    typed = [
+        r[:8] + (dt.datetime.utcfromtimestamp(r[8] / 1000.0),) + r[9:]
+        for r in rows
+    ]
+    spark.createDataFrame(typed, ddl).createOrReplaceTempView("ArrayTest")
+    return PinotEngine(spark)
+
+
+def test_array_agg_empty_predicate(arraytest):
+    row = arraytest.sql(
+        "SELECT arrayAgg(boolCol, 'BOOLEAN'), arrayAgg(intCol, 'INT'), "
+        "arrayAgg(longCol, 'LONG'), arrayAgg(floatCol, 'FLOAT'), "
+        "arrayAgg(doubleCol, 'DOUBLE'), arrayAgg(stringCol, 'STRING'), "
+        "arrayAgg(timestampCol, 'TIMESTAMP') "
+        f"FROM ArrayTest WHERE intCol < 0 LIMIT {_AR_N}"
+    ).collect()[0]
+    assert all(len(v) == 0 for v in row), row
+
+
+def test_array_agg_sv_and_group_by(arraytest):
+    row = arraytest.sql(
+        "SELECT arrayAgg(boolCol, 'BOOLEAN'), arrayAgg(intCol, 'INT'), "
+        "arrayAgg(longCol, 'LONG'), arrayAgg(floatCol, 'FLOAT'), "
+        "arrayAgg(doubleCol, 'DOUBLE'), arrayAgg(stringCol, 'STRING'), "
+        "arrayAgg(timestampCol, 'TIMESTAMP') "
+        f"FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()[0]
+    assert all(len(v) == _AR_N for v in row)
+    rows = arraytest.sql(
+        "SELECT arrayAgg(intCol, 'INT'), arrayAgg(stringCol, 'STRING'), "
+        f"groupKey FROM ArrayTest GROUP BY groupKey LIMIT {_AR_N}"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r[0]) == _AR_N // 10 and len(r[1]) == _AR_N // 10
+
+
+def test_array_agg_mv_flatten_and_distinct(arraytest):
+    row = arraytest.sql(
+        "SELECT arrayAgg(longArrayCol, 'LONG'), "
+        f"arrayAgg(doubleArrayCol, 'DOUBLE') FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()[0]
+    assert len(row[0]) == 4 * _AR_N and len(row[1]) == 4 * _AR_N
+    row = arraytest.sql(
+        "SELECT arrayAgg(longArrayCol, 'LONG', true), "
+        f"arrayAgg(doubleArrayCol, 'DOUBLE', true) FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()[0]
+    assert sorted(row[0]) == [0, 1, 2, 3]
+    assert sorted(row[1]) == [0.0, 0.1, 0.2, 0.3]
+    rows = arraytest.sql(
+        "SELECT arrayAgg(longArrayCol, 'LONG'), "
+        "arrayAgg(doubleArrayCol, 'DOUBLE'), groupKey "
+        f"FROM ArrayTest GROUP BY groupKey LIMIT {_AR_N}"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r[0]) == 4 * (_AR_N // 10) and len(r[1]) == 4 * (_AR_N // 10)
+    rows = arraytest.sql(
+        "SELECT arrayAgg(longArrayCol, 'LONG', true), "
+        "arrayAgg(doubleArrayCol, 'DOUBLE', true), groupKey "
+        f"FROM ArrayTest GROUP BY groupKey LIMIT {_AR_N}"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r[0]) == 4 and len(r[1]) == 4
+
+
+def test_list_agg_queries(arraytest):
+    row = arraytest.sql(
+        f"SELECT listAgg(stringCol, ' | ') FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()[0]
+    assert len(row[0].split(" | ")) == _AR_N
+    rows = arraytest.sql(
+        "SELECT listAgg(stringCol, ' | ') WITHIN GROUP (ORDER BY stringCol), "
+        f"intCol FROM ArrayTest GROUP BY intCol LIMIT {_AR_N}"
+    ).collect()
+    assert len(rows) == _AR_N // 10
+    for r in rows:
+        parts = r[0].split(" | ")
+        assert len(parts) == 10
+        assert parts == sorted(parts)
+    row = arraytest.sql(
+        f"SELECT listAgg(DISTINCT stringCol, ' | ') FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()[0]
+    assert len(row[0].split(" | ")) == _AR_N // 10
+
+
+def test_array_literals_and_split(arraytest):
+    assert list(arraytest.sql(
+        "SELECT split('t1,t2,t3', ',') FROM ArrayTest LIMIT 1"
+    ).collect()[0][0]) == ["t1", "t2", "t3"]
+    for lit in ("ARRAY[1,2,3]", "ARRAY'{1,2,3}'"):
+        for q in (f"SELECT {lit} FROM ArrayTest LIMIT 1", f"SELECT {lit}"):
+            assert list(arraytest.sql(q).collect()[0][0]) == [1, 2, 3], q
+    for lit in ("ARRAY[2147483648,2147483649,2147483650]",
+                "ARRAY'{2147483648,2147483649,2147483650}'"):
+        got = list(arraytest.sql(f"SELECT {lit}").collect()[0][0])
+        assert got == [2147483648, 2147483649, 2147483650]
+    got = list(arraytest.sql("SELECT ARRAY[0.1,0.2,0.3]").collect()[0][0])
+    assert [float(v) for v in got] == [0.1, 0.2, 0.3]
+    got = list(arraytest.sql(
+        "SELECT ARRAY[CAST(0.1 AS DOUBLE),CAST(0.2 AS DOUBLE),CAST(0.3 AS DOUBLE)]"
+    ).collect()[0][0])
+    assert got == [0.1, 0.2, 0.3]
+    assert list(arraytest.sql("SELECT ARRAY['a','b']").collect()[0][0]) == ["a", "b"]
+
+
+def test_array_sum(arraytest):
+    row = arraytest.sql(
+        "SELECT sumArrayLong(longArrayCol) AS a, "
+        "sumArrayDouble(doubleArrayCol) AS b FROM ArrayTest"
+    ).collect()[0]
+    assert list(row[0]) == [0, 1000, 2000, 3000]
+    assert [round(v, 6) for v in row[1]] == [0.0, 100.0, 200.0, 300.0]
+
+
+def test_arrays_overlap_literals_and_columns(arraytest):
+    cases = [
+        ("SELECT ARRAYS_OVERLAP(ARRAY[1,2], ARRAY[3,2])", True),
+        ("SELECT ARRAYS_OVERLAP(ARRAY[1,2], ARRAY[3,4])", False),
+        ("SELECT ARRAYS_OVERLAP(ARRAY[2147483648,2147483649], ARRAY[2147483650,2147483649])", True),
+        ("SELECT ARRAYS_OVERLAP(ARRAY[2147483648,2147483649], ARRAY[2147483650,2147483651])", False),
+        ("SELECT ARRAYS_OVERLAP(ARRAY[CAST(0.1 AS DOUBLE),CAST(0.2 AS DOUBLE)], ARRAY[CAST(0.3 AS DOUBLE),CAST(0.2 AS DOUBLE)])", True),
+        ("SELECT ARRAYS_OVERLAP(ARRAY[CAST(0.1 AS DOUBLE),CAST(0.2 AS DOUBLE)], ARRAY[CAST(0.3 AS DOUBLE),CAST(0.4 AS DOUBLE)])", False),
+        ("SELECT ARRAYS_OVERLAP(ARRAY['a','b'], ARRAY['x','b'])", True),
+        ("SELECT ARRAYS_OVERLAP(ARRAY['a','b'], ARRAY['x','y'])", False),
+    ]
+    for q, want in cases:
+        assert arraytest.sql(q).collect()[0][0] is want, q
+    assert arraytest.sql(
+        "SELECT COUNT(*) FROM ArrayTest WHERE ARRAYS_OVERLAP(longArrayCol, "
+        "ARRAY[CAST(2 AS BIGINT), CAST(10 AS BIGINT)])"
+    ).collect()[0][0] == _AR_N
+    assert arraytest.sql(
+        "SELECT COUNT(*) FROM ArrayTest WHERE ARRAYS_OVERLAP(longArrayCol, "
+        "ARRAY[CAST(10 AS BIGINT), CAST(11 AS BIGINT)])"
+    ).collect()[0][0] == 0
+    assert arraytest.sql(
+        "SELECT COUNT(*) FROM ArrayTest "
+        "WHERE ARRAYS_OVERLAP(longArrayCol, longArrayCol)"
+    ).collect()[0][0] == _AR_N
+
+
+def test_array_length_and_overlap_bigdecimal_bytes(arraytest):
+    for col in ("bigDecimalArrayCol", "bytesArrayCol"):
+        assert arraytest.sql(
+            f"SELECT COUNT(*) FROM ArrayTest WHERE arrayLength({col}) = 4"
+        ).collect()[0][0] == _AR_N
+        assert arraytest.sql(
+            f"SELECT COUNT(*) FROM ArrayTest WHERE ARRAYS_OVERLAP({col}, {col})"
+        ).collect()[0][0] == _AR_N
+
+
+def test_filter_mv_predicates(arraytest):
+    e = arraytest
+    assert list(e.sql(
+        "SELECT filterMv(longArrayCol, 'v > 1') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [2, 3]
+    assert e.sql(
+        "SELECT COUNT(*) FROM ArrayTest "
+        "WHERE arrayLength(filterMv(longArrayCol, 'v > 1')) = 2"
+    ).collect()[0][0] == _AR_N
+    assert list(e.sql(
+        "SELECT filterMv(stringArrayCol, 'REGEXP_LIKE(v, ''^/api/.*'')') "
+        "FROM ArrayTest WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == ["/api/v1", "/api/v2"]
+    assert e.sql(
+        "SELECT COUNT(*) FROM ArrayTest WHERE "
+        "arrayLength(filterMv(stringArrayCol, 'REGEXP_LIKE(v, ''^/api/.*'')')) = 2"
+    ).collect()[0][0] == _AR_N
+    assert list(e.sql(
+        "SELECT filterMv(booleanArrayCol, 'v = 1') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [True, True]
+    assert e.sql(
+        "SELECT COUNT(*) FROM ArrayTest "
+        "WHERE arrayLength(filterMv(booleanArrayCol, 'v = 1')) = 2"
+    ).collect()[0][0] == _AR_N
+    assert list(e.sql(
+        "SELECT filterMv(doubleArrayCol, 'v > 0.15') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [0.2, 0.3]
+    assert list(e.sql(
+        "SELECT filterMv(longArrayCol, 'v IN (1, 3)') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [1, 3]
+    assert list(e.sql(
+        "SELECT filterMv(stringArrayCol, 'v != ''/home''') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == ["/api/v1", "/api/v2", "/metrics"]
+    assert list(e.sql(
+        "SELECT filterMv(longArrayCol, 'v > 0 AND v < 3') FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [1, 2]
+
+
+def test_array_push_slice_generate(arraytest):
+    e = arraytest
+    for q in ("SELECT array_push_back_string(ARRAY['a'],'b') FROM ArrayTest LIMIT 1",
+              "SELECT array_push_back_string(ARRAY['a'],'b')"):
+        assert list(e.sql(q).collect()[0][0]) == ["a", "b"]
+    assert list(e.sql(
+        "SELECT array_push_front_string(ARRAY['b'],'a')"
+    ).collect()[0][0]) == ["a", "b"]
+    assert list(e.sql(
+        "SELECT array_push_back_double(ARRAY[CAST(0.1 AS DOUBLE)], CAST(0.2 AS DOUBLE))"
+    ).collect()[0][0]) == [0.1, 0.2]
+    assert list(e.sql(
+        "SELECT array_push_front_double(ARRAY[CAST(0.2 AS DOUBLE)], CAST(0.1 AS DOUBLE))"
+    ).collect()[0][0]) == [0.1, 0.2]
+    assert list(e.sql(
+        "SELECT array_slice_long(longArrayCol, 1, 3) FROM ArrayTest "
+        "WHERE intCol = 0 LIMIT 1"
+    ).collect()[0][0]) == [1, 2]
+    assert list(e.sql(
+        "SELECT GENERATE_ARRAY(1, 3, 1) FROM ArrayTest LIMIT 1"
+    ).collect()[0][0]) == [1, 2, 3]
+    assert list(e.sql("SELECT GENERATE_ARRAY(1, 3)").collect()[0][0]) == [1, 2, 3]
+    with pytest.raises(Exception):
+        e.sql("SELECT GENERATE_ARRAY(1, 3, -1)").collect()
+
+
+def test_boolean_types_and_arrays(arraytest):
+    rows = arraytest.sql(
+        "SELECT intCol, boolCol, boolColFromInt, boolColFromString "
+        f"FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()
+    assert len(rows) == _AR_N
+    for r in rows:
+        assert (r[0] % 4 < 2) == r[1] and r[1] == r[2] == r[3]
+    rows = arraytest.sql(
+        "SELECT booleanArrayCol, booleanArrayColFromIntArray, "
+        f"booleanArrayColFromStringArray FROM ArrayTest LIMIT {_AR_N}"
+    ).collect()
+    for r in rows:
+        for arr in r:
+            assert list(arr) == [True, True, False, False]
