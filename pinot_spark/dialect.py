@@ -1864,6 +1864,80 @@ def rewrite_row_comparisons(sql: str) -> str:
     return out
 
 
+_UNNEST_RE = re.compile(
+    r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_unnest(sql: str) -> str:
+    """Calcite ``CROSS JOIN UNNEST(a[, b ...]) [WITH ORDINALITY] AS
+    u(x[, y ...][, idx])`` (UnnestIntegrationTest.java) → Spark
+    ``LATERAL VIEW inline(...)``.  Multiple arrays zip with null
+    padding (Calcite semantics); WITH ORDINALITY appends a 1-based
+    index.  inline() exposes the names BOTH bare (``idx``) and
+    qualified (``u.idx``), which the suite's queries mix freely."""
+    while True:
+        m = _UNNEST_RE.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close = _find_matching(sql, open_idx)
+        arrays = _split_args(sql[open_idx + 1 : close])
+        tail = sql[close + 1 :]
+        tm = re.match(
+            r"\s*(WITH\s+ORDINALITY\s+)?AS\s+([A-Za-z_]\w*)\s*\(",
+            tail,
+            re.IGNORECASE,
+        )
+        if tm is None:
+            raise PinotSqlError(
+                "UNNEST requires an AS alias(column...) clause"
+            )
+        ord_ = bool(tm.group(1))
+        alias = tm.group(2)
+        nopen = close + 1 + tm.end() - 1
+        nclose = _find_matching(sql, nopen)
+        names = _split_args(sql[nopen + 1 : nclose])
+        if len(names) != len(arrays) + (1 if ord_ else 0):
+            raise PinotSqlError(
+                f"UNNEST arity mismatch: {len(arrays)} arrays + "
+                f"{'ordinality' if ord_ else 'no ordinality'} vs "
+                f"{len(names)} column aliases"
+            )
+        if len(arrays) == 1 and not ord_:
+            arr = f"transform({arrays[0]}, v -> struct(v AS {names[0]}))"
+        else:
+            n = len(arrays)
+            g = (
+                f"size({arrays[0]})"
+                if n == 1
+                else "greatest(" + ", ".join(f"size({a})" for a in arrays) + ")"
+            )
+            fields = ", ".join(
+                # get() null-pads past the shorter arrays' ends (ANSI
+                # [] would throw), matching Calcite's zip semantics
+                f"get({a}, CAST(i AS INT)) AS {names[k]}"
+                for k, a in enumerate(arrays)
+            )
+            if ord_:
+                fields += f", CAST(i + 1 AS BIGINT) AS {names[-1]}"
+            arr = (
+                f"CASE WHEN {g} > 0 THEN "
+                f"transform(sequence(0, {g} - 1), i -> struct({fields})) "
+                f"ELSE CAST(array() AS ARRAY<STRUCT<__x: INT>>) END"
+            )
+            if ord_ or n > 1:
+                # the ELSE branch type can't match the struct shape
+                # generically; emit an empty slice of the THEN branch
+                arr = (
+                    f"slice(transform(sequence(0, greatest({g}, 1) - 1), "
+                    f"i -> struct({fields})), 1, "
+                    f"CASE WHEN {g} > 0 THEN {g} ELSE 0 END)"
+                )
+        repl = f"LATERAL VIEW inline({arr}) {alias} AS " + ", ".join(names)
+        sql = sql[: m.start()] + repl + sql[nclose + 1 :]
+
+
 def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
     """Lowercased column names of the given Spark types across every
     table referenced in FROM/JOIN."""
@@ -5338,6 +5412,8 @@ class PinotEngine:
         sql = rewrite_array_constructor(sql)
         if re.search(r"\)\s*(?:=|!=|<>|<=|>=|<|>)\s*(?:ROW\s*)?\(", sql, re.IGNORECASE):
             sql = rewrite_row_comparisons(sql)
+        if re.search(r"\bUNNEST\s*\(", sql, re.IGNORECASE):
+            sql = rewrite_unnest(sql)
         sql = rewrite_mv_distinct_aggs(sql)  # before fn rewrite (raw names)
         sql = rewrite_functions(sql)  # literal-span-aware
         if "collect_list" in sql:

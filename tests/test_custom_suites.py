@@ -930,3 +930,102 @@ def test_boolean_types_and_arrays(arraytest):
     for r in rows:
         for arr in r:
             assert list(arr) == [True, True, False, False]
+
+
+# ---------------------------------------------------------------------------
+# UnnestIntegrationTest.java — Calcite CROSS JOIN UNNEST (single array,
+# multi-array zip with null padding, WITH ORDINALITY 1-based), filters
+# on both bare and qualified ordinality references.
+# ---------------------------------------------------------------------------
+
+_UN_N = 50
+
+
+@pytest.fixture(scope="module")
+def unnest(spark):
+    rows = [(i, [0, 1, 2, 3], ["a", "b", "c"]) for i in range(_UN_N)]
+    spark.createDataFrame(
+        rows,
+        "intCol int, longArrayCol array<bigint>, stringArrayCol array<string>",
+    ).createOrReplaceTempView("UnnestIntegrationTest")
+    return PinotEngine(spark)
+
+
+def _unq(engine, q):
+    return engine.sql(f"SET limit=1000000;{q}").collect()
+
+
+def test_unnest_count_and_select(unnest):
+    assert _unq(unnest, (
+        "SELECT COUNT(*) FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(longArrayCol) AS u(elem)"
+    ))[0][0] == 4 * _UN_N
+    rows = _unq(unnest, (
+        "SELECT intCol, u.elem FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(stringArrayCol) AS u(elem) ORDER BY intCol"
+    ))
+    assert len(rows) == 3 * _UN_N
+    for i, r in enumerate(rows):
+        assert r[0] == i // 3 and r[1] == "abc"[i % 3]
+
+
+def test_unnest_multi_column_zip(unnest):
+    rows = _unq(unnest, (
+        "SELECT intCol, u.longValue, u.stringValue FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(longArrayCol, stringArrayCol) "
+        "AS u(longValue, stringValue) ORDER BY intCol"
+    ))
+    assert len(rows) == 4 * _UN_N
+    expect = [(0, "a"), (1, "b"), (2, "c"), (3, None)]
+    for i, r in enumerate(rows):
+        assert r[0] == i // 4 and (r[1], r[2]) == expect[i % 4]
+
+
+def test_unnest_with_ordinality(unnest):
+    rows = _unq(unnest, (
+        "SELECT intCol, u.elem, u.idx FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(stringArrayCol) WITH ORDINALITY AS u(elem, idx) "
+        "ORDER BY intCol, u.idx"
+    ))
+    assert len(rows) == 3 * _UN_N
+    for i, r in enumerate(rows):
+        assert r[1] == "abc"[i % 3] and r[2] == i % 3 + 1
+
+
+def test_unnest_filter_on_ordinality(unnest):
+    row = _unq(unnest, (
+        "SELECT COUNT(u.elem), sum(u.idx) FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(stringArrayCol) WITH ORDINALITY AS u(elem, idx) "
+        "WHERE idx = 2"
+    ))[0]
+    assert row[0] == _UN_N and row[1] == 2 * _UN_N
+    rows = _unq(unnest, (
+        "SELECT u.elem, u.idx FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(stringArrayCol) WITH ORDINALITY AS u(elem, idx) "
+        "WHERE idx = 2"
+    ))
+    assert rows and all(r[0] == "b" and r[1] == 2 for r in rows)
+
+
+def test_unnest_multi_array_ordinality(unnest):
+    rows = _unq(unnest, (
+        "SELECT intCol, u.longValue, u.stringValue, u.ord "
+        "FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(longArrayCol, stringArrayCol) WITH ORDINALITY "
+        "AS u(longValue, stringValue, ord) ORDER BY intCol, u.ord"
+    ))
+    assert len(rows) == 4 * _UN_N
+    row = _unq(unnest, (
+        "SELECT COUNT(u.longValue), SUM(u.ord) FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(longArrayCol, stringArrayCol) WITH ORDINALITY "
+        "AS u(longValue, stringValue, ord) WHERE ord = 3"
+    ))[0]
+    assert row[0] == _UN_N and row[1] == 3 * _UN_N
+
+
+def test_unnest_sum_ordinality_long_array(unnest):
+    row = _unq(unnest, (
+        "SELECT SUM(u.idx), SUM(u.val) FROM UnnestIntegrationTest "
+        "CROSS JOIN UNNEST(longArrayCol) WITH ORDINALITY AS u(val, idx)"
+    ))[0]
+    assert row[0] == 10 * _UN_N and row[1] == 6 * _UN_N
