@@ -365,6 +365,22 @@ def _datetime_convert_sql(a: list[str]) -> str:
     raise PinotSqlError(f"unsupported dateTimeConvert output type {out_type}")
 
 
+_CHARSET_ALIASES = {
+    "ascii": "US-ASCII", "latin1": "ISO-8859-1", "iso8859-1": "ISO-8859-1",
+    "utf8": "UTF-8", "utf-16": "UTF-16", "utf16": "UTF-16",
+}
+
+
+def _charset_lit(tok: str) -> str:
+    """Normalize a charset literal through Java's Charset alias table
+    (Spark's encode/decode accepts only canonical names)."""
+    t = tok.strip()
+    if t.startswith("'") and t.endswith("'"):
+        name = t[1:-1]
+        return repr(_CHARSET_ALIASES.get(name.lower(), name))
+    return tok
+
+
 def _filtermv_sql(a: list[str]) -> str:
     """FILTER_MV(mvCol, '<predicate on v>') → Spark filter() lambda
     (FilterMvPredicateEvaluator.java: EQ/NOT_EQ/IN/NOT_IN/RANGE/
@@ -780,6 +796,18 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "normalize": lambda a: f"{a[0]}",  # NFC normalize: Spark strings are UTF-8 already
     "toutf8": lambda a: f"encode({a[0]}, 'UTF-8')",
     "fromutf8": lambda a: f"decode({a[0]}, 'UTF-8')",
+    "toascii": lambda a: f"encode({a[0]}, 'US-ASCII')",
+    "fromascii": lambda a: f"decode({a[0]}, 'US-ASCII')",
+    "tobase64": lambda a: f"base64({a[0]})",
+    "frombase64": lambda a: f"unbase64({a[0]})",
+    # UUID <-> 16 canonical big-endian bytes (StringFunctions.java
+    # toUUIDBytes/fromUUIDBytes: UUID msb|lsb == the dash-stripped hex)
+    "touuidbytes": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+    "fromuuidbytes": lambda a: (
+        f"lower(concat_ws('-', substr(hex({a[0]}), 1, 8), "
+        f"substr(hex({a[0]}), 9, 4), substr(hex({a[0]}), 13, 4), "
+        f"substr(hex({a[0]}), 17, 4), substr(hex({a[0]}), 21, 12)))"
+    ),
     # --- datetime (DateTimeFunctions.java; epoch-long domain) ---
     "now": lambda a: "unix_millis(current_timestamp())",
     "fromepochseconds": lambda a: f"timestamp_seconds({a[0]})",
@@ -850,6 +878,15 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # (reference isExtractAllKeys) via __json_all_keys; any other path
     # raises loudly rather than silently returning top-level keys.
     "jsonextractkey": _json_extract_key,
+    # mapValue(keysMvCol, key, valuesMvCol): value at the key's position
+    # in the parallel keys array (MapTypeTest.java; Pinot's __KEYS /
+    # __VALUES map-column encoding). get() is 0-based and null-safe for
+    # an absent key (array_position yields 0 -> index -1 -> NULL).
+    "mapvalue": lambda a: (
+        f"get({a[2]}, CAST(array_position({a[0]}, {a[1]}) - 1 AS INT))"
+        if len(a) == 3
+        else f"element_at({a[0]}, {a[1]})"
+    ),
     "jsonformat": "to_json",
     "jsonpath": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "jsonpathstring": lambda a: f"get_json_object({a[0]}, {a[1]})",
@@ -1365,8 +1402,13 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
     "base64decode": lambda a: f"decode(unbase64({a[0]}), 'UTF-8')",
     "urlencode": "url_encode",
     "urldecode": "url_decode",
-    "tobytes": lambda a: f"encode({a[0]}, {a[1] if len(a) > 1 else repr('UTF-8')})",
-    "frombytes": lambda a: f"decode({a[0]}, {a[1] if len(a) > 1 else repr('UTF-8')})",
+    # Java Charset aliases Spark's fixed charset list doesn't know
+    "tobytes": lambda a: (
+        f"encode({a[0]}, {_charset_lit(a[1]) if len(a) > 1 else repr('UTF-8')})"
+    ),
+    "frombytes": lambda a: (
+        f"decode({a[0]}, {_charset_lit(a[1]) if len(a) > 1 else repr('UTF-8')})"
+    ),
     "strcmp": lambda a: (
         f"(CASE WHEN {a[0]} < {a[1]} THEN -1 WHEN {a[0]} > {a[1]} THEN 1 ELSE 0 END)"
     ),

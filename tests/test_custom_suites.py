@@ -1029,3 +1029,169 @@ def test_unnest_sum_ordinality_long_array(unnest):
         "CROSS JOIN UNNEST(longArrayCol) WITH ORDINALITY AS u(val, idx)"
     ))[0]
     assert row[0] == 10 * _UN_N and row[1] == 6 * _UN_N
+
+
+# ---------------------------------------------------------------------------
+# MapTypeTest.java — Pinot's map encoding both ways: the __KEYS/__VALUES
+# parallel-MV form queried via mapValue(), and the toJsonMapStr JSON
+# string queried via jsonExtractScalar (incl. default values, ORDER BY,
+# GROUP BY, filters).  Doc i: stringKeyMap {k1: i, k2: N+i},
+# intKeyMap {95: i, 717: N+i}.
+# ---------------------------------------------------------------------------
+
+_MAP_N = 60
+
+
+@pytest.fixture(scope="module")
+def maptype(spark):
+    rows = [
+        (["k1", "k2"], [i, _MAP_N + i], [95, 717],
+         [str(i), str(_MAP_N + i)],
+         f'{{"k1":{i},"k2":{_MAP_N + i}}}',
+         f'{{"95":"{i}","717":"{_MAP_N + i}"}}')
+        for i in range(_MAP_N)
+    ]
+    ddl = ("stringKeyMap__KEYS array<string>, stringKeyMap__VALUES array<int>, "
+           "intKeyMap__KEYS array<int>, intKeyMap__VALUES array<string>, "
+           "stringKeyMapStr string, intKeyMapStr string")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("MapTypeTest")
+    return PinotEngine(spark)
+
+
+def test_map_value_queries(maptype):
+    rows = _unq(maptype, (
+        "SELECT mapValue(stringKeyMap__KEYS, 'k1', stringKeyMap__VALUES) "
+        "FROM MapTypeTest"
+    ))
+    assert sorted(r[0] for r in rows) == list(range(_MAP_N))
+    rows = _unq(maptype, (
+        "SELECT mapValue(intKeyMap__KEYS, 95, intKeyMap__VALUES) "
+        "FROM MapTypeTest"
+    ))
+    assert sorted(r[0] for r in rows) == [str(i) for i in sorted(map(str, range(_MAP_N)))]
+    rows = _unq(maptype, (
+        "SELECT mapValue(stringKeyMap__KEYS, 'k2', stringKeyMap__VALUES) "
+        "FROM MapTypeTest "
+        "ORDER BY mapValue(stringKeyMap__KEYS, 'k1', stringKeyMap__VALUES)"
+    ))
+    assert [r[0] for r in rows] == [_MAP_N + i for i in range(_MAP_N)]
+    assert _unq(maptype, (
+        "SELECT MAX(mapValue(stringKeyMap__KEYS, 'k1', stringKeyMap__VALUES)) "
+        "FROM MapTypeTest"
+    ))[0][0] == _MAP_N - 1
+    rows = _unq(maptype, (
+        "SELECT mapValue(stringKeyMap__KEYS, 'k1', stringKeyMap__VALUES) AS key, "
+        "MIN(mapValue(stringKeyMap__KEYS, 'k2', stringKeyMap__VALUES)) AS value "
+        "FROM MapTypeTest GROUP BY key ORDER BY value"
+    ))
+    for i, r in enumerate(rows):
+        assert r[0] == i and r[1] == _MAP_N + i
+
+
+def test_map_json_path_queries(maptype):
+    rows = _unq(maptype, "SELECT stringKeyMapStr FROM MapTypeTest")
+    assert sorted(r[0] for r in rows)[0].startswith('{"k1":')
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(stringKeyMapStr, '$.k1', 'INT') FROM MapTypeTest"
+    ))
+    assert sorted(r[0] for r in rows) == list(range(_MAP_N))
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(intKeyMapStr, '$.95', 'INT') FROM MapTypeTest"
+    ))
+    assert sorted(r[0] for r in rows) == list(range(_MAP_N))
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(stringKeyMapStr, '$.k2', 'INT') FROM MapTypeTest "
+        "ORDER BY jsonExtractScalar(stringKeyMapStr, '$.k1', 'INT')"
+    ))
+    assert [r[0] for r in rows] == [_MAP_N + i for i in range(_MAP_N)]
+    assert _unq(maptype, (
+        "SELECT MAX(jsonExtractScalar(stringKeyMapStr, '$.k1', 'INT')) FROM MapTypeTest"
+    ))[0][0] == _MAP_N - 1
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(stringKeyMapStr, '$.k1', 'INT') AS key, "
+        "MIN(jsonExtractScalar(stringKeyMapStr, '$.k2', 'INT')) AS value "
+        "FROM MapTypeTest GROUP BY key ORDER BY value"
+    ))
+    for i, r in enumerate(rows):
+        assert r[0] == i and r[1] == _MAP_N + i
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(stringKeyMapStr, '$.k2', 'INT') FROM MapTypeTest "
+        "WHERE jsonExtractScalar(stringKeyMapStr, '$.k1', 'INT') = 25"
+    ))
+    assert len(rows) == 1 and rows[0][0] == _MAP_N + 25
+    # missing key with explicit default (the no-default illegal form is
+    # a known divergence: the reference throws per-query, we yield NULL)
+    rows = _unq(maptype, (
+        "SELECT jsonExtractScalar(stringKeyMapStr, '$.k3', 'INT', '0') "
+        "FROM MapTypeTest"
+    ))
+    assert all(r[0] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# BytesTypeTest.java — STRING<->BYTES round-trips across every codec the
+# suite exercises (hex, UUID, UTF-8, ASCII, base64, charset to/from),
+# plus string/bytes predicates on a fixed hex value.
+# ---------------------------------------------------------------------------
+
+_BY_FIXED = "968a3c6a5eeb42168bae0e895034a26f"
+_BY_N = 100
+
+
+@pytest.fixture(scope="module")
+def bytestype(spark):
+    import base64
+    import hashlib
+    import uuid
+
+    rows = []
+    for i in range(_BY_N):
+        raw = hashlib.md5(f"doc{i}".encode()).digest()
+        u = str(uuid.uuid5(uuid.NAMESPACE_DNS, f"doc{i}"))
+        utf8 = f"détail-{i}"
+        asc = f"ascii-{i}"
+        b64_raw = f"payload-{i}".encode()
+        rows.append((
+            raw.hex(), raw, u, uuid.UUID(u).bytes, utf8, utf8.encode("utf-8"),
+            asc, asc.encode("ascii"),
+            base64.b64encode(b64_raw).decode(), b64_raw,
+            _BY_FIXED, bytes.fromhex(_BY_FIXED),
+        ))
+    ddl = ("hexStr string, hexBytes binary, uuidStr string, uuidBytes binary, "
+           "utf8Str string, utf8Bytes binary, asciiStr string, "
+           "asciiBytes binary, base64Str string, base64Bytes binary, "
+           "fixedString string, fixedBytes binary")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("BytesTypeTest")
+    return PinotEngine(spark)
+
+
+@pytest.mark.parametrize("q", [
+    "Select bytesToHex(hexBytes) AS a, hexStr AS b, hexToBytes(hexStr) AS c, hexBytes AS d from BytesTypeTest",
+    "Select fromUUIDBytes(uuidBytes) AS a, uuidStr AS b, toUUIDBytes(uuidStr) AS c, uuidBytes AS d from BytesTypeTest",
+    "Select fromUtf8(utf8Bytes) AS a, utf8Str AS b, toUtf8(utf8Str) AS c, utf8Bytes AS d from BytesTypeTest",
+    "Select fromAscii(asciiBytes) AS a, asciiStr AS b, toAscii(asciiStr) AS c, asciiBytes AS d from BytesTypeTest",
+    "Select toBase64(base64Bytes) AS a, base64Str AS b, fromBase64(base64Str) AS c, base64Bytes AS d from BytesTypeTest",
+    "Select fromBytes(utf8Bytes, 'UTF-8') AS a, utf8Str AS b, toBytes(utf8Str, 'UTF-8') AS c, utf8Bytes AS d from BytesTypeTest",
+    "Select fromBytes(asciiBytes, 'ASCII') AS a, asciiStr AS b, toBytes(asciiStr, 'ASCII') AS c, asciiBytes AS d from BytesTypeTest",
+])
+def test_bytes_roundtrips(bytestype, q):
+    rows = _unq(bytestype, q)
+    assert len(rows) == _BY_N
+
+    def canon(v):
+        return v.lower() if isinstance(v, str) else bytes(v)
+
+    for r in rows:
+        assert canon(r[0]) == canon(r[1]), q
+        assert canon(r[2]) == canon(r[3]), q
+
+
+def test_bytes_string_predicates(bytestype):
+    for where in (
+        f"fixedString = '{_BY_FIXED}'",
+        f"fixedBytes = hexToBytes('{_BY_FIXED}')",
+        f"bytesToHex(fixedBytes) = '{_BY_FIXED}'",
+    ):
+        assert _unq(bytestype, (
+            f"Select count(*) from BytesTypeTest WHERE {where}"
+        ))[0][0] == _BY_N, where
