@@ -3651,6 +3651,44 @@ def _top_level_clauses(body: str) -> list[tuple[str, int, int]] | None:
     return out if depth == 0 else None
 
 
+def _hoist_having_grouping(sql: str) -> str | None:
+    """``HAVING ... GROUPING[_ID](x) ...`` with x not in the SELECT
+    list → project the grouping calls in a derived table and filter
+    outside (Spark resolves HAVING against the aggregate output only;
+    Pinot/Calcite resolve against the grouping context)."""
+    stmt = _parse_canonical_stmt(sql, allow_join=True)
+    if stmt is None or not stmt.get("having") or not stmt.get("group"):
+        return None
+    having = stmt["having"]
+    g_exprs: list[tuple[str, str]] = []
+    pat = re.compile(r"\bGROUPING(?:_ID)?\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(having, pos)
+        if not m:
+            break
+        open_idx = having.index("(", m.start())
+        close = _find_matching(having, open_idx)
+        expr = having[m.start() : close + 1]
+        alias = f"__gs_h{len(g_exprs)}"
+        g_exprs.append((expr, alias))
+        having = having[: m.start()] + alias + having[close + 1 :]
+        pos = m.start() + len(alias)
+    if not g_exprs:
+        return None
+    proj = ", ".join(f"{e} AS {a}" for e, a in g_exprs)
+    inner = (
+        f"SELECT {stmt['select']}, {proj} FROM {stmt['table']}"
+        + (f" WHERE {stmt['where']}" if stmt["where"] else "")
+        + f" GROUP BY {stmt['group']}"
+    )
+    drop = ", ".join(a for _, a in g_exprs)
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) WHERE {having}"
+        + (f" {stmt['tail']}" if stmt["tail"] else "")
+    )
+
+
 def _parse_canonical_stmt(
     sql: str, allow_join: bool = False
 ) -> dict[str, str | None] | None:
@@ -5597,7 +5635,23 @@ class PinotEngine:
         spark_sql, _options = self.translate(
             pinot_sql, _inject_default_limit=_inject_default_limit
         )
-        return self.spark.sql(spark_sql)
+        try:
+            return self.spark.sql(spark_sql)
+        except Exception:
+            # HAVING GROUPING(col) where col isn't projected: Spark
+            # can't resolve it against the aggregate output (the
+            # reference accepts it — GroupingSetsQueriesTest
+            # testHavingOnGrouping); hoist the grouping calls into the
+            # projection and filter in an outer query
+            if re.search(
+                r"\bHAVING\b[\s\S]*\bGROUPING(?:_ID)?\s*\(",
+                spark_sql,
+                re.IGNORECASE,
+            ):
+                cand = _hoist_having_grouping(spark_sql)
+                if cand is not None:
+                    return self.spark.sql(cand)
+            raise
 
     def _route_raw_sketch_windows(self, pinot_sql: str) -> DataFrame | None:
         """Bounded rewrite for RAW-sketch aggregates in window position:

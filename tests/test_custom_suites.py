@@ -1195,3 +1195,231 @@ def test_bytes_string_predicates(bytestype):
         assert _unq(bytestype, (
             f"Select count(*) from BytesTypeTest WHERE {where}"
         ))[0][0] == _BY_N, where
+
+
+# ---------------------------------------------------------------------------
+# GroupingSetsQueriesTest.java — GROUPING SETS / ROLLUP / CUBE with the
+# genuine-NULL-vs-rolled-up-NULL discriminator crux: d2 has real NULLs,
+# so ROLLUP(d1, d2) must keep the (a, NULL) detail group and the (a)
+# subtotal as DISTINCT rows, told apart only by GROUPING(d2).
+# Fixture: 2 rows for each of (a,x), (a,NULL), (b,x), (b,NULL);
+# lng/dbl functionally determined by d1; mv = [t1, t2]; met = 1.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def groupingsets(spark):
+    rows = []
+    for d1, d2 in (("a", "x"), ("a", None), ("b", "x"), ("b", None)):
+        for _ in range(2):
+            rows.append((d1, d2, 100 if d1 == "a" else 200,
+                         1.5 if d1 == "a" else 2.5, ["t1", "t2"], 1))
+    ddl = ("d1 string, d2 string, lng bigint, dbl double, "
+           "mv array<string>, met int")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+        "GroupingSetsQueriesTest")
+    return PinotEngine(spark)
+
+
+def _gs_map(engine, sql, keycols, valcol):
+    out = {}
+    for r in engine.sql(f"SET limit=100000;{sql}").collect():
+        key = "|".join("NULL" if r[i] is None else str(r[i]) for i in keycols)
+        out[key] = r[valcol]
+    return out
+
+
+def test_gs_rollup_genuine_vs_rolled_up_nulls(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING(d1), GROUPING(d2) "
+        "FROM GroupingSetsQueriesTest GROUP BY ROLLUP(d1, d2)"
+    ), (0, 1, 3, 4), 2)
+    assert got == {
+        "a|x|0|0": 2, "a|NULL|0|0": 2, "b|x|0|0": 2, "b|NULL|0|0": 2,
+        "a|NULL|0|1": 4, "b|NULL|0|1": 4, "NULL|NULL|1|1": 8,
+    }
+
+
+def test_gs_cube(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING(d1), GROUPING(d2) "
+        "FROM GroupingSetsQueriesTest GROUP BY CUBE(d1, d2)"
+    ), (0, 1, 3, 4), 2)
+    assert got == {
+        "a|x|0|0": 2, "a|NULL|0|0": 2, "b|x|0|0": 2, "b|NULL|0|0": 2,
+        "a|NULL|0|1": 4, "b|NULL|0|1": 4,
+        "NULL|x|1|0": 4, "NULL|NULL|1|0": 4, "NULL|NULL|1|1": 8,
+    }
+
+
+def test_gs_grouping_sets_and_grand_total(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY GROUPING SETS ((d1), (d2))"
+    ), (0, 1), 2)
+    assert got == {"a|NULL": 4, "b|NULL": 4, "NULL|x": 4, "NULL|NULL": 4}
+    rows = groupingsets.sql(
+        "SELECT COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY GROUPING SETS (())"
+    ).collect()
+    assert len(rows) == 1 and rows[0][0] == 8
+
+
+def test_gs_duplicate_sets_values(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY GROUPING SETS ((d1), (d1), ())"
+    ), (0,), 1)
+    assert got == {"a": 4, "b": 4, "NULL": 8}
+
+
+def test_gs_grouping_id_multi_arg(groupingsets):
+    rows = groupingsets.sql(
+        "SET limit=100000;SELECT d1, d2, GROUPING_ID(d1, d2), COUNT(*) "
+        "FROM GroupingSetsQueriesTest GROUP BY ROLLUP(d1, d2)"
+    ).collect()
+    per_gid_rows, per_gid_docs = {}, {}
+    for r in rows:
+        per_gid_rows[r[2]] = per_gid_rows.get(r[2], 0) + 1
+        per_gid_docs[r[2]] = per_gid_docs.get(r[2], 0) + r[3]
+    assert per_gid_rows == {0: 4, 1: 2, 3: 1}
+    assert per_gid_docs == {0: 8, 1: 8, 3: 8}
+
+
+def test_gs_plain_group_by_regression(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*) FROM GroupingSetsQueriesTest GROUP BY d1, d2"
+    ), (0, 1), 2)
+    assert got == {"a|x": 2, "a|NULL": 2, "b|x": 2, "b|NULL": 2}
+
+
+def test_gs_having_on_grouping(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1, d2) HAVING GROUPING(d2) = 1"
+    ), (0,), 1)
+    assert got == {"a": 4, "b": 4, "NULL": 8}
+
+
+@pytest.mark.parametrize("col,k1,k2", [
+    ("lng", "100", "200"), ("dbl", "1.5", "2.5"),
+])
+def test_gs_typed_grouping_columns(groupingsets, col, k1, k2):
+    got = _gs_map(groupingsets, (
+        f"SELECT {col}, COUNT(*) FROM GroupingSetsQueriesTest "
+        f"GROUP BY ROLLUP({col})"
+    ), (0,), 1)
+    assert got == {k1: 4, k2: 4, "NULL": 8}
+
+
+def test_gs_rollup_order_by_key_null_safe(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1) ORDER BY d1"
+    ), (0,), 1)
+    assert got == {"a": 4, "b": 4, "NULL": 8}
+
+
+def test_gs_aggregation_only_in_having(groupingsets):
+    rows = groupingsets.sql(
+        "SELECT d1 FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1) HAVING COUNT(*) > 4"
+    ).collect()
+    assert len(rows) == 1 and rows[0][0] is None  # grand total only
+
+
+def test_gs_filtered_aggregation_under_rollup(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, COUNT(*) FILTER (WHERE d2 = 'x') AS cx, COUNT(*) AS c "
+        "FROM GroupingSetsQueriesTest GROUP BY ROLLUP(d1)"
+    ), (0,), 1)
+    assert got == {"a": 2, "b": 2, "NULL": 4}
+
+
+def test_gs_order_by_aggregation(groupingsets):
+    rows = groupingsets.sql(
+        "SET limit=100;SELECT d1, d2, COUNT(*) FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1, d2) ORDER BY COUNT(*) DESC, d1"
+    ).collect()
+    assert rows[0][2] == 8
+    counts = [r[2] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_gs_empty_match_rollup(groupingsets):
+    rows = groupingsets.sql(
+        "SELECT d1, d2, COUNT(*) FROM GroupingSetsQueriesTest "
+        "WHERE d1 = 'no_such_value' GROUP BY ROLLUP(d1, d2)"
+    ).collect()
+    assert rows == []
+
+
+def test_gs_mixed_plain_and_rollup(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING(d2) FROM GroupingSetsQueriesTest "
+        "GROUP BY d1, ROLLUP(d2)"
+    ), (0, 1, 3), 2)
+    assert got == {
+        "a|x|0": 2, "a|NULL|0": 2, "a|NULL|1": 4,
+        "b|x|0": 2, "b|NULL|0": 2, "b|NULL|1": 4,
+    }
+
+
+def test_gs_composite_rollup_level(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING_ID(d1, d2) "
+        "FROM GroupingSetsQueriesTest GROUP BY ROLLUP((d1, d2))"
+    ), (0, 1, 3), 2)
+    assert got == {
+        "a|x|0": 2, "a|NULL|0": 2, "b|x|0": 2, "b|NULL|0": 2,
+        "NULL|NULL|3": 8,
+    }
+
+
+def test_gs_nested_rollup_inside_grouping_sets(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING_ID(d1, d2) "
+        "FROM GroupingSetsQueriesTest "
+        "GROUP BY GROUPING SETS ((d1), ROLLUP(d2))"
+    ), (0, 1, 3), 2)
+    assert got == {
+        "a|NULL|1": 4, "b|NULL|1": 4,
+        "NULL|x|2": 4, "NULL|NULL|2": 4, "NULL|NULL|3": 8,
+    }
+
+
+def test_gs_where_filter_with_cube(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, d2, COUNT(*), GROUPING_ID(d1, d2) "
+        "FROM GroupingSetsQueriesTest WHERE d2 = 'x' GROUP BY CUBE(d1, d2)"
+    ), (0, 1, 3), 2)
+    assert got == {
+        "a|x|0": 2, "b|x|0": 2, "a|NULL|1": 2, "b|NULL|1": 2,
+        "NULL|x|2": 4, "NULL|NULL|3": 4,
+    }
+
+
+def test_gs_case_when_grouping_relabels(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT CASE WHEN GROUPING(d1) = 1 THEN 'ALL' ELSE d1 END AS k, "
+        "COUNT(*) FROM GroupingSetsQueriesTest GROUP BY ROLLUP(d1)"
+    ), (0,), 1)
+    assert got == {"a": 4, "b": 4, "ALL": 8}
+
+
+def test_gs_multiple_aggs_order_by_limit(groupingsets):
+    rows = groupingsets.sql(
+        "SELECT d1, SUM(met) AS s, MAX(lng) AS m, COUNT(*) AS c "
+        "FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1) ORDER BY COUNT(*) DESC, d1 LIMIT 2"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0][0] is None and rows[0][1] == 8 and rows[0][2] == 200
+    assert rows[1][0] == "a" and rows[1][1] == 4 and rows[1][2] == 100
+
+
+def test_gs_distinct_count_under_rollup(groupingsets):
+    got = _gs_map(groupingsets, (
+        "SELECT d1, DISTINCTCOUNT(d2) FROM GroupingSetsQueriesTest "
+        "GROUP BY ROLLUP(d1)"
+    ), (0,), 1)
+    assert got == {"a": 1, "b": 1, "NULL": 1}
