@@ -179,6 +179,39 @@ def _json_extract_scalar(a: list[str]) -> str:
     return expr
 
 
+def _json_extract_index_sql(a: list[str]) -> str:
+    """JSONEXTRACTINDEX(json, path, type[, default[, filterJson]]) —
+    JsonExtractIndexTransformFunction semantics re-expressed without
+    the index: the optional 5th arg is a filter over double-quoted
+    JsonPath references (``'"$.k1" = ''v'''`` /
+    ``REGEXP_LIKE("$.k1", ...)``); non-matching docs yield the
+    default.  The json index is an execution detail (the reference
+    asserts identical RESULTS for indexed vs scan paths)."""
+    typ = a[2].strip().strip("'\"").upper()
+    spark_t = _JSON_TYPE_MAP.get(typ, "STRING")
+    val = f"CAST(get_json_object({a[0]}, {a[1]}) AS {spark_t})"
+    if len(a) < 4:
+        return val
+    default = f"CAST({a[3]} AS {spark_t})"
+    if len(a) < 5:
+        return f"COALESCE({val}, {default})"
+    ftok = a[4].strip()
+    if not (ftok.startswith("'") and ftok.endswith("'")):
+        raise PinotSqlError(
+            "JSONEXTRACTINDEX: filterJsonExpression must be a string literal"
+        )
+    pred = ftok[1:-1].replace("''", "'")
+    pred = re.sub(
+        r'"(\$[^"]*)"',
+        lambda m: f"get_json_object({a[0]}, '{m.group(1)}')",
+        pred,
+    )
+    return (
+        f"CASE WHEN {pred} THEN COALESCE({val}, {default}) "
+        f"ELSE {default} END"
+    )
+
+
 def _json_extract_key(a: list[str]) -> str:
     """JSONEXTRACTKEY(json, path[, paramString]) — see FUNCTION_MAP
     entry comment. The optional 3rd arg is the reference's
@@ -871,6 +904,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "truncate": lambda a: f"trunc({a[0]}, {a[1]})" if len(a) > 1 else f"trunc({a[0]})",
     # --- json (JsonFunctions.java) ---
     "jsonextractscalar": _json_extract_scalar,
+    "jsonextractindex": lambda a: _json_extract_index_sql(a),
     # Pinot returns JsonPath-formatted keys: $['key'] (JsonFunctions.java
     # jsonExtractKey:567-600; JsonType.json corpus output shape).
     # char(39) = '. Wired paths: '$.*'/'$[*]' → top-level keys (native

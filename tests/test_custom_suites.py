@@ -1423,3 +1423,134 @@ def test_gs_distinct_count_under_rollup(groupingsets):
         "GROUP BY ROLLUP(d1)"
     ), (0,), 1)
     assert got == {"a": 1, "b": 1, "NULL": 1}
+
+
+# ---------------------------------------------------------------------------
+# JsonPathTest.java — jsonExtractScalar across selection/filter/order-
+# by/group-by (typed, with INT/DOUBLE defaults), the ingestion-derived
+# jsonPath columns, jsonExtractKey dot-notation parameters, and the
+# jsonExtractIndex DISTINCT family (EQ/NOT-EQ/IN/REGEXP_LIKE filter
+# expressions — results must equal the scan baseline by construction).
+# Doc i: myMapStr {k1: value-k1-(i%100), k2: value-k2-i};
+# complexMapStr adds k3 array + k4 nested map with met=i.
+# ---------------------------------------------------------------------------
+
+_JP_N = 200
+_JP_K1 = 100
+
+
+@pytest.fixture(scope="module")
+def jsonpath(spark):
+    import json as _json
+
+    rows = []
+    for i in range(_JP_N):
+        my = _json.dumps({"k1": f"value-k1-{i % _JP_K1}", "k2": f"value-k2-{i}"},
+                         separators=(",", ":"))
+        complex_map = _json.dumps({
+            "k1": f"value-k1-{i}", "k2": f"value-k2-{i}",
+            "k3": [f"value-k3-0-{i}", f"value-k3-1-{i}", f"value-k3-2-{i}"],
+            "k4": {"k4-k1": f"value-k4-k1-{i}", "k4-k2": f"value-k4-k2-{i}",
+                   "k4-k3": f"value-k4-k3-{i}", "met": i},
+        }, separators=(",", ":"))
+        k1 = f"value-k1-{i % _JP_K1}"
+        rows.append((my, my.encode(), k1, f"value-k2-{i}", k1, k1, complex_map))
+    ddl = ("myMapStr string, myMapBytes binary, myMapStr_k1 string, "
+           "myMapStr_k2 string, myMapStr_k1_fast string, "
+           "myMapStr_k1_first string, complexMapStr string")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("JsonPathTest")
+    return PinotEngine(spark)
+
+
+def test_jsonpath_basic_queries(jsonpath):
+    expr = "jsonExtractScalar(myMapStr,'$.k1','STRING')"
+    rows = _unq(jsonpath, (
+        f"SELECT {expr} FROM JsonPathTest WHERE {expr} = 'value-k1-0'"
+    ))
+    assert len(rows) == _JP_N // _JP_K1
+    assert all(r[0] == "value-k1-0" for r in rows)
+    rows = _unq(jsonpath, (
+        f"SELECT {expr}, count(*) FROM JsonPathTest GROUP BY {expr}"
+    ))
+    assert len(rows) == _JP_K1
+    assert all(r[1] == _JP_N // _JP_K1 for r in rows)
+
+
+def test_jsonpath_complex_queries(jsonpath):
+    rows = _unq(jsonpath, (
+        "SELECT jsonExtractScalar(complexMapStr,'$.k4','STRING') "
+        "FROM JsonPathTest WHERE "
+        "jsonExtractScalar(complexMapStr,'$.k4.k4-k1','STRING') = 'value-k4-k1-0'"
+    ))
+    assert len(rows) == 1 and '"k4-k2":"value-k4-k2-0"' in rows[0][0]
+    groupe = "jsonExtractScalar(complexMapStr,'$.k1','STRING')"
+    sume = "SUM(jsonExtractScalar(complexMapStr,'$.k4.met','INT'))"
+    rows = _unq(jsonpath, (
+        f"SELECT {groupe} AS g, {sume} AS s FROM JsonPathTest "
+        f"GROUP BY {groupe} ORDER BY {sume} DESC"
+    ))
+    for i, r in enumerate(rows[:5]):
+        assert r[0] == f"value-k1-{_JP_N - 1 - i}" and r[1] == _JP_N - 1 - i
+
+
+def test_jsonpath_defaults(jsonpath):
+    for typ, dflt, total in (("INT", "'1'", _JP_N),
+                             ("DOUBLE", "'0.1'", _JP_N * 0.1)):
+        rows = _unq(jsonpath, (
+            "SELECT jsonExtractScalar(complexMapStr,'$.inExistKey','STRING',"
+            "'defaultKey') AS g, SUM(jsonExtractScalar(complexMapStr,"
+            f"'$.inExistMet','{typ}',{dflt})) AS s FROM JsonPathTest "
+            "GROUP BY g ORDER BY s DESC"
+        ))
+        assert len(rows) == 1 and rows[0][0] == "defaultKey"
+        assert abs(float(rows[0][1]) - total) < 1e-9
+
+
+def test_jsonpath_fast_scalar_columns(jsonpath):
+    rows = _unq(jsonpath, (
+        "SELECT myMapStr_k1, myMapStr_k1_fast, myMapStr_k1_first "
+        "FROM JsonPathTest LIMIT 1000"
+    ))
+    assert rows and all(r[0] == r[1] == r[2] for r in rows)
+
+
+def test_jsonpath_extract_key_dot_notation(jsonpath):
+    rows = _unq(jsonpath, (
+        "SELECT jsonExtractKey(myMapStr, '$.*', 'maxDepth=1; dotNotation=true') "
+        "FROM JsonPathTest LIMIT 1"
+    ))
+    assert sorted(rows[0][0]) == ["k1", "k2"]
+    rows = _unq(jsonpath, (
+        "SELECT jsonExtractKey(myMapStr, '$.*', 'maxDepth=1; dotNotation=false') "
+        "FROM JsonPathTest LIMIT 1"
+    ))
+    assert sorted(rows[0][0]) == ["$['k1']", "$['k2']"]
+
+
+def test_jsonpath_extract_index_distinct(jsonpath):
+    e = jsonpath
+    expr = ("jsonExtractIndex(myMapStr, '$.k1', 'STRING', 'missing', "
+            "'REGEXP_LIKE(\"$.k1\", ''value-k1-[0-9]$'')')")
+    rows = _unq(e, (
+        f"SELECT DISTINCT {expr} AS v FROM JsonPathTest ORDER BY v LIMIT 10000"
+    ))
+    vals = [r[0] for r in rows]
+    assert len(vals) == 11 and "missing" in vals
+    expr = ("jsonExtractIndex(myMapStr, '$.k1', 'STRING', 'missing', "
+            "'\"$.k1\" = ''value-k1-0''')")
+    rows = _unq(e, (
+        f"SELECT DISTINCT {expr} AS v FROM JsonPathTest ORDER BY v LIMIT 10000"
+    ))
+    assert [r[0] for r in rows] == ["missing", "value-k1-0"]
+    expr = ("jsonExtractIndex(myMapStr, '$.k1', 'STRING', 'missing', "
+            "'\"$.k1\" IN (''value-k1-0'', ''value-k1-1'')')")
+    rows = _unq(e, (
+        f"SELECT DISTINCT {expr} AS v FROM JsonPathTest ORDER BY v LIMIT 10000"
+    ))
+    assert [r[0] for r in rows] == ["missing", "value-k1-0", "value-k1-1"]
+    # no filter, with default on a missing path
+    rows = _unq(e, (
+        "SELECT DISTINCT jsonExtractIndex(myMapStr, '$.nope', 'STRING', 'dflt') "
+        "AS v FROM JsonPathTest"
+    ))
+    assert [r[0] for r in rows] == ["dflt"]
