@@ -2971,6 +2971,12 @@ _FUNNEL_STMT_RE = re.compile(
     r"\s+GROUP\s+BY\s+(?P<group>[A-Za-z_]\w*)\b(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_FUNNEL_GLOBAL_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
@@ -3034,6 +3040,7 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
         mode_args = args[4 + num_steps + n_extra :]
     modes: set[str] = set()
     duration_fns: list[str] = []
+    max_step_duration = 0
     for extra in mode_args:
         e = extra.strip().strip("'\"").upper()
         if "=" in e:
@@ -3042,10 +3049,19 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
                 modes |= {x.strip().lower() for x in v.split(",")}
             elif k.strip() == "DURATIONFUNCTIONS" and kind == "stepdurationstats":
                 duration_fns = [x.strip() for x in v.split(",")]
+            elif k.strip() == "MAXSTEPDURATION":
+                max_step_duration = int(v.strip())
+                if max_step_duration <= 0:
+                    raise PinotSqlError(f"{fname}: MaxStepDuration must be > 0")
             else:
                 raise PinotSqlError(f"{fname}: unsupported extra argument {e!r}")
         elif e:
             modes.add(e.lower())
+    if max_step_duration and kind not in ("maxstep", "matchstep"):
+        raise PinotSqlError(
+            f"{fname}: maxStepDuration is wired for FUNNELMAXSTEP/"
+            "FUNNELMATCHSTEP only"
+        )
     if kind == "stepdurationstats" and not duration_fns:
         raise PinotSqlError(
             "FUNNELSTEPDURATIONSTATS: 'DURATIONFUNCTIONS=avg,median,..' "
@@ -3063,15 +3079,27 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     call_end = close_idx + 1 + (am.end() if am else 0)
 
     stmt = _FUNNEL_STMT_RE.match(sql)
-    if not stmt:
-        raise PinotSqlError(
-            f"{fname} needs the shape SELECT <key>, {fname}(...) "
-            "FROM <table> [WHERE ..] GROUP BY <key> — use operators/funnel.py "
-            "for other statement shapes"
+    is_global = False
+    if stmt:
+        table, where, group = (
+            stmt.group("table"), stmt.group("where"), stmt.group("group")
         )
-    table, where, group = stmt.group("table"), stmt.group("where"), stmt.group("group")
+    else:
+        # global aggregation: the whole table is ONE funnel group
+        # (WindowFunnelTest.testFunnelMaxStepQueries)
+        gm = _FUNNEL_GLOBAL_STMT_RE.match(sql)
+        if not gm:
+            raise PinotSqlError(
+                f"{fname} needs the shape SELECT [<key>,] {fname}(...) "
+                "FROM <table> [WHERE ..] [GROUP BY <key>] — use "
+                "operators/funnel.py for other statement shapes"
+            )
+        table, where, group = gm.group("table"), gm.group("where"), "__funnel_g"
+        is_global = True
 
     df = spark.table(table)
+    if is_global:
+        df = df.withColumn("__funnel_g", F.lit(1))
     if where:
         df = df.filter(F.expr(rewrite_functions(where.strip())))
     # the operator orders by the raw time expression; project it if computed
@@ -3115,6 +3143,7 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
         out = funnel_max_step_window(
             df, group, ts_col, window_ms, steps, modes or None,
             out_col="__ms" if kind == "matchstep" else alias,
+            max_step_duration=max_step_duration,
         )
         if kind == "matchstep":
             out = out.select(
@@ -3124,14 +3153,18 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
                     f"i -> CAST(CASE WHEN i <= __ms THEN 1 ELSE 0 END AS INT))"
                 ).alias(alias),
             )
+    if is_global:
+        out = out.drop("__funnel_g")
     _ASOF_VIEW_SEQ[0] += 1
     view = f"__funnel_{_ASOF_VIEW_SEQ[0]}"
     out.createOrReplaceTempView(view)
 
     # re-point the statement: call → alias column, FROM/GROUP BY → view
     new_sql = sql[: call.start()] + alias + sql[call_end:]
-    stmt2 = _FUNNEL_STMT_RE.match(new_sql)
-    tail = stmt2.group("tail")
+    stmt2 = (_FUNNEL_STMT_RE if not is_global else _FUNNEL_GLOBAL_STMT_RE).match(
+        new_sql
+    )
+    tail = stmt2.group("tail") or ""
     tail = re.sub(r"^\s*HAVING\b", " WHERE", tail, flags=re.IGNORECASE)
     return f"SELECT {stmt2.group('select')} FROM {view}{tail}"
 

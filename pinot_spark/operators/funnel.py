@@ -22,6 +22,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def _ts_col(df: DataFrame, time_col: str):
+    """Time column as TIMESTAMP: integral columns are EPOCH MILLIS in
+    the reference's funnel functions (WindowFunnelTest feeds raw LONG
+    millis), so they go through timestamp_millis — a bare
+    cast("timestamp") would read them as SECONDS."""
+    dt = df.schema[time_col].dataType.simpleString()
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return F.timestamp_millis(F.col(time_col))
+    return F.col(time_col).cast("timestamp")
+
+
 def _step_tagged(df: DataFrame, key: str, time_col: str, steps: list[Column]) -> DataFrame:
     """Project to (k, t, s): step index of each event = first matching
     predicate (1-based), rows matching no step dropped."""
@@ -218,7 +229,7 @@ def funnel_events_eval(
         step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
     slim = df.select(
         F.col(key).alias("k"),
-        F.col(time_col).cast("timestamp").alias("t"),
+        _ts_col(df, time_col).alias("t"),
         step_col.alias("s"),
         *[F.col(c).cast("string").alias(f"x{i}") for i, c in enumerate(extra_cols)],
     ).filter(F.col("s") >= 0)
@@ -271,6 +282,7 @@ def funnel_max_step_window(
     steps: list[Column],
     modes: set[str] | None = None,
     out_col: str = "max_step",
+    max_step_duration: int = 0,
 ) -> DataFrame:
     """Windowed FUNNELMAXSTEP with modes (reference
     funnel/window/FunnelMaxStepAggregationFunction.java:30-96 +
@@ -279,7 +291,14 @@ def funnel_max_step_window(
     - ``strict_order``: any out-of-sequence event ends the attempt,
     - ``strict_increase``: same-timestamp events don't advance steps,
     - ``strict_deduplication``: a repeat of the just-matched step ends
-      the attempt.
+      the attempt,
+    - ``keep_all``: NON-matching events also enter the window (step -1
+      dummies, FunnelBaseAggregationFunction.java:145), so under
+      strict modes they break the attempt.
+
+    ``max_step_duration`` > 0 bounds the gap between CONSECUTIVE
+    window events (fillWindow:290-295): the first too-late event stops
+    the window fill.
 
     Per key: every window anchored at a step-1 event is processed with
     the reference's processWindow loop; the answer is the max step over
@@ -290,15 +309,18 @@ def funnel_max_step_window(
     strict_dedup = "strict_deduplication" in modes
     strict_order = "strict_order" in modes
     strict_increase = "strict_increase" in modes
+    keep_all = "keep_all" in modes
     n_steps = len(steps)
     step_col = F.lit(-1)
     for i, pred in enumerate(reversed(steps)):
         step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
     slim = df.select(
         F.col(key).alias("k"),
-        F.col(time_col).cast("timestamp").alias("t"),
+        _ts_col(df, time_col).alias("t"),
         step_col.alias("s"),
-    ).filter(F.col("s") >= 0)
+    )
+    if not keep_all:
+        slim = slim.filter(F.col("s") >= 0)
     schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} int"
 
     def _process_window(ts, ss, start, n):
@@ -306,6 +328,10 @@ def funnel_max_step_window(
         max_step, prev_ts = 0, -1
         j = start
         while j < n and ts[j] < window_end:
+            if max_step_duration > 0 and j > start and (
+                ts[j] - ts[j - 1] > max_step_duration
+            ):
+                return max_step
             cur = ss[j]
             if strict_dedup and cur == max_step - 1:
                 return max_step
@@ -406,7 +432,7 @@ def funnel_completed_rounds_window(
         step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
     slim = df.select(
         F.col(key).alias("k"),
-        F.col(time_col).cast("timestamp").alias("t"),
+        _ts_col(df, time_col).alias("t"),
         step_col.alias("s"),
     ).filter(F.col("s") >= 0)
     schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} int"
@@ -515,7 +541,7 @@ def funnel_step_duration_stats_window(
         step_col = F.when(pred, F.lit(n_steps - 1 - i)).otherwise(step_col)
     slim = df.select(
         F.col(key).alias("k"),
-        F.col(time_col).cast("timestamp").alias("t"),
+        _ts_col(df, time_col).alias("t"),
         step_col.alias("s"),
     ).filter(F.col("s") >= 0)
     schema = f"k {slim.schema['k'].dataType.simpleString()}, {out_col} array<double>"

@@ -1554,3 +1554,142 @@ def test_jsonpath_extract_index_distinct(jsonpath):
         "AS v FROM JsonPathTest"
     ))
     assert [r[0] for r in rows] == ["dflt"]
+
+
+# ---------------------------------------------------------------------------
+# WindowFunnelTest.java — funnelMaxStep / funnelMatchStep /
+# funnelStepDurationStats over the suite's 4 canonical user journeys
+# (x10 repeats), all mode combinations: default, strict_order,
+# strict_deduplication, strict_increase, keep_all, maxStepDuration.
+# ---------------------------------------------------------------------------
+
+_WF_STEPS4 = ("url = '/product/search', url = '/cart/add', "
+              "url = '/checkout/start', url = '/checkout/confirmation'")
+_WF_STEPS3 = ("url = '/product/search', url = '/checkout/start', "
+              "url = '/checkout/confirmation'")
+
+
+@pytest.fixture(scope="module")
+def windowfunnel(spark):
+    ts = [
+        [1000, 1010, 1020, 1025, 1030],
+        [2010, 2010, 2000],
+        [1000, 1010, 1015, 1020, 11030],
+        [2020, 12010, 12050],
+    ]
+    urls = [
+        ["/product/search", "/cart/add", "/checkout/start", "/cart/add",
+         "/checkout/confirmation"],
+        ["/checkout/start", "/cart/add", "/product/search"],
+        ["/product/search", "/cart/add", "/cart/add", "/checkout/start",
+         "/checkout/confirmation"],
+        ["/checkout/start", "/cart/add", "/product/search"],
+    ]
+    rows = []
+    for repeat in range(10):
+        for i in range(4):
+            for j in range(len(urls[i])):
+                rows.append((urls[i][j], ts[i][j], f"user{i}{repeat}"))
+    spark.createDataFrame(
+        rows, "url string, timestampCol bigint, userId string"
+    ).createOrReplaceTempView("WindowFunnelTest")
+    return PinotEngine(spark)
+
+
+def _wf_groups(engine, call):
+    rows = engine.sql(
+        f"SET limit=100000;SELECT userId, {call} FROM WindowFunnelTest "
+        "GROUP BY userId ORDER BY userId"
+    ).collect()
+    assert len(rows) == 40
+    per_pattern = {}
+    for r in rows:
+        i = int(r[0][4])  # user<i><repeat>
+        v = r[1]
+        per_pattern.setdefault(i, set()).add(
+            sum(v) if isinstance(v, (list, tuple)) else v
+        )
+    assert all(len(s) == 1 for s in per_pattern.values()), per_pattern
+    return [per_pattern[i].pop() for i in range(4)]
+
+
+def test_wf_max_step_global(windowfunnel):
+    row = windowfunnel.sql(
+        f"SELECT funnelMaxStep(timestampCol, '1000', 4, {_WF_STEPS4}) "
+        "FROM WindowFunnelTest"
+    ).collect()[0]
+    assert row[0] == 4
+
+
+@pytest.mark.parametrize("mode,expected", [
+    ("", [4, 3, 3, 1]),
+    (", 'strict_order'", [3, 3, 2, 1]),
+    (", 'strict_deduplication'", [4, 3, 2, 1]),
+    (", 'strict_increase'", [4, 2, 3, 1]),
+])
+def test_wf_max_step_modes(windowfunnel, mode, expected):
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMaxStep(timestampCol, '1000', 4, {_WF_STEPS4}{mode})",
+    )
+    assert got == expected, mode
+
+
+def test_wf_max_step_keep_all(windowfunnel):
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMaxStep(timestampCol, '1000', 3, {_WF_STEPS3}, "
+        "'strict_order', 'keep_all')",
+    )
+    assert got == [1, 1, 1, 1]
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMaxStep(timestampCol, '1000', 3, {_WF_STEPS3}, "
+        "'strict_order')",
+    )
+    assert got == [3, 2, 2, 1]
+
+
+def test_wf_max_step_max_step_duration(windowfunnel):
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMaxStep(timestampCol, '1000', 3, {_WF_STEPS3}, "
+        "'mode=strict_order, keep_all', 'maxStepDuration=10')",
+    )
+    assert got == [1, 1, 1, 1]
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMaxStep(timestampCol, '1000', 3, {_WF_STEPS3}, "
+        "'mode=strict_order', 'maxStepDuration=10')",
+    )
+    assert got == [1, 2, 1, 1]
+
+
+@pytest.mark.parametrize("mode,expected_sums", [
+    (", 'strict_order'", [3, 3, 2, 1]),
+    (", 'strict_deduplication'", [4, 3, 2, 1]),
+    (", 'strict_increase'", [4, 2, 3, 1]),
+])
+def test_wf_match_step_modes(windowfunnel, mode, expected_sums):
+    got = _wf_groups(
+        windowfunnel,
+        f"funnelMatchStep(timestampCol, '1000', 4, {_WF_STEPS4}{mode})",
+    )
+    assert got == expected_sums, mode
+
+
+def test_wf_step_duration_stats(windowfunnel):
+    rows = windowfunnel.sql(
+        "SET limit=100000;SELECT userId, funnelStepDurationStats("
+        f"timestampCol, '1000', 4, {_WF_STEPS4}, "
+        "'durationFunctions=avg,min,median,percentile95,max') AS statsArray "
+        "FROM WindowFunnelTest GROUP BY userId "
+        "HAVING arrayLength(statsArray) > 0 ORDER BY userId"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r[0].startswith("user0")
+        stats = list(r[1])
+        assert len(stats) == 20
+        assert all(abs(v - 10.0) < 1e-9 for v in stats[:15]), stats
+        assert all(abs(v) < 1e-9 for v in stats[15:]), stats
