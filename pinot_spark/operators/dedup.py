@@ -484,3 +484,86 @@ def remove_duplicate_spans(
         F.when(F.col("__spans").isNull(), c).otherwise(cut).alias("clean_text"),
         F.coalesce(F.col("removed_chars"), F.lit(0)).alias("removed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) near-duplicate pruning
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop within-cluster semantic duplicates,
+    keeping the representative FARTHEST from its centroid.
+
+    Deterministic keep rule (the paper's released ordering, with an id
+    tiebreak): cluster members sort by (centroid_similarity ASC, id
+    ASC); a member is dropped when ANY earlier member is within
+    ``threshold`` cosine similarity of it.
+
+    Scale shape: centroid assignment is per-row JVM Column algebra
+    (broadcastable centroid list); the pairwise test is an equi-join on
+    the cluster id — O(sum c_i^2) bounded by cluster size (SemDeDup's
+    operating regime is many small clusters), never all-pairs across
+    the corpus.  Returns (id, bucket, centroid_sim, dropped).
+    """
+    from pinot_spark.operators.similarity import (
+        cosine_similarity,
+        l2_distance,
+    )
+
+    def lit_vec(c):
+        return F.array(*[F.lit(float(v)) for v in c])
+
+    d2 = [l2_distance(vec_col, lit_vec(c)) for c in centroids]
+    bucket = F.lit(0)
+    best = d2[0]
+    for i in range(1, len(centroids)):
+        cond = d2[i] < best
+        bucket = F.when(cond, F.lit(i)).otherwise(bucket)
+        best = F.when(cond, d2[i]).otherwise(best)
+    csim = F.lit(None).cast("double")
+    for i, c in enumerate(centroids):
+        csim = F.when(
+            bucket == i, cosine_similarity(vec_col, lit_vec(c))
+        ).otherwise(csim)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket.alias("bucket"),
+        csim.alias("centroid_sim"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped_ids = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                (F.col("b.centroid_sim") < F.col("a.centroid_sim"))
+                | (
+                    (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+                    & (F.col("b.id") < F.col("a.id"))
+                )
+            ),
+            "inner",
+        )
+        .filter(cosine_similarity("a.v", "b.v") >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped_ids.withColumn("__d", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "bucket",
+            "centroid_sim",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("dropped"),
+        )
+    )

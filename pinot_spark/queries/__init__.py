@@ -169,10 +169,13 @@ _VERIFIED_PRIOR_ROUNDS = [
 # after r12's driver run the stale set is fn_math_family (r8) + the 50
 # r9-latest greens — rotate fn_math_family + the r9 rows in (new
 # first-timers displace the tail into r14), landing max staleness
-# <= r9.  First-timer QUEUED for r13: a sliding/shrinking raw-sketch
-# window row (round-12 capability, `ROWS N PRECEDING` per-frame
-# rebuild + reversed shrinking frames — DuckDB's windowed
-# COUNT(DISTINCT) with the same frame is a native exact oracle).
+# <= r9.  First-timers QUEUED for r13: (a) a sliding/shrinking
+# raw-sketch window row (round-12 capability, `ROWS N PRECEDING`
+# per-frame rebuild + reversed shrinking frames — DuckDB's windowed
+# COUNT(DISTINCT) with the same frame is a native exact oracle);
+# (b) pipeline_semdedup (SemDeDup semantic dedup, registered round 12
+# with a full DuckDB mirror oracle — verified exact at sf0.01 during
+# development, awaiting first driver evidence).
 # fn_groovy_inline (extended this round with for-in/map columns) is
 # r9-stale and rotates in with the rest.
 _WINDOW_FIRST_TIME = [

@@ -1312,3 +1312,65 @@ def multimodal_webp_features(spark, sf_dir):
         ).alias("feat_sum"),
         "decode_ok",
     ).orderBy(F.col("media_id").cast("int"), "fmt")
+
+
+@query(
+    "pipeline_semdedup",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+    assigned AS (
+      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+             (SELECT c.cid FROM cents c
+              ORDER BY list_distance(c.cv, e.embedding::DOUBLE[]) ASC, c.cid ASC
+              LIMIT 1) AS cid
+      FROM embeddings e),
+    scored AS (
+      SELECT a.id, a.v, a.cid,
+             list_dot_product(a.v, c.cv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(c.cv, c.cv))) AS centroid_sim
+      FROM assigned a JOIN cents c ON a.cid = c.cid),
+    dropped AS (
+      SELECT DISTINCT a.id
+      FROM scored a JOIN scored b ON a.cid = b.cid
+        AND ((b.centroid_sim < a.centroid_sim)
+             OR (b.centroid_sim = a.centroid_sim AND b.id < a.id))
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+    SELECT s.id AS vec_id, s.cid AS bucket,
+           round(s.centroid_sim, 4) AS centroid_sim,
+           (d.id IS NOT NULL) AS dropped
+    FROM scored s LEFT JOIN dropped d ON s.id = d.id
+    ORDER BY vec_id
+    """,
+)
+def pipeline_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    LLM-pipeline operator): cluster the embedding space, drop within-
+    cluster members whose cosine similarity to a farther-from-centroid
+    member exceeds the threshold.  Centroids here are the embeddings of
+    vec_id 1..4 (deterministic, so DuckDB mirrors the exact assignment);
+    the production path learns them with operators/similarity.
+    build_ivf_index's Lloyd iterations.  The pairwise test joins on the
+    CLUSTER id — never all-pairs across the corpus."""
+    from pinot_spark.operators.dedup import semdedup
+
+    t = load_tables(spark, sf_dir)
+    cents = [
+        [float(x) for x in r[1]]
+        for r in sorted(
+            t["embeddings"].filter(F.col("vec_id").isin(1, 2, 3, 4))
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r[0],
+        )
+    ]
+    out = semdedup(t["embeddings"], "embedding", "vec_id", cents, 0.35)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        (F.col("bucket") + 1).alias("bucket"),
+        F.round("centroid_sim", 4).alias("centroid_sim"),
+        "dropped",
+    ).orderBy("vec_id")

@@ -129,3 +129,43 @@ def test_remove_duplicate_spans_cuts_text(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_semdedup_keep_rule(spark):
+    """SemDeDup: within-cluster duplicates drop the member CLOSER to
+    the centroid; cross-cluster near-identical vectors both survive."""
+    from pinot_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # cluster A, on-centroid
+        (1, [0.99, 0.14, 0.0]),     # cluster A, near-dup of 0, farther out
+        (2, [0.0, 1.0, 0.0]),       # cluster B, on-centroid
+        (3, [0.6, 0.8, 0.0]),       # cluster B, not a dup of 2 (cos .8)
+        (4, [0.0, 0.98, 0.2]),      # cluster B, near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    out = {
+        r["id"]: (r["bucket"], r["dropped"])
+        for r in semdedup(
+            df, "v", "vec_id", [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], 0.95
+        ).collect()
+    }
+    assert out[0] == (0, True)   # closer to centroid than its dup 1
+    assert out[1] == (0, False)  # farthest-from-centroid representative
+    assert out[2] == (1, True)   # dup of 4, 2 is on-centroid
+    assert out[3] == (1, False)
+    assert out[4] == (1, False)
+
+
+def test_semdedup_plan_no_cartesian(spark):
+    from pinot_spark.operators.dedup import semdedup
+
+    df = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id % 7 AS float), CAST(id % 3 AS float)) AS v"
+    )
+    plan = semdedup(
+        df, "v", "vec_id", [[0.0, 1.0], [1.0, 0.0]], 0.99
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
