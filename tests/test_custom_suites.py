@@ -1693,3 +1693,38 @@ def test_wf_step_duration_stats(windowfunnel):
         assert len(stats) == 20
         assert all(abs(v - 10.0) < 1e-9 for v in stats[:15]), stats
         assert all(abs(v) < 1e-9 for v in stats[15:]), stats
+
+
+# ---------------------------------------------------------------------------
+# BytesMvTypeTest.java — BYTES multi-value dimensions: projection keeps
+# element content AND order, cardinality, count.
+# ---------------------------------------------------------------------------
+
+def test_bytes_mv_type(spark):
+    n = 50
+
+    def mv(i):
+        return [
+            bytes([i & 0xFF]),
+            bytes([i & 0xFF, (i + 1) & 0xFF]),
+            bytes([i & 0xFF, (i + 2) & 0xFF, (i + 3) & 0xFF]),
+        ]
+
+    rows = [(i, mv(i), mv(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "id int, bytesMV array<binary>, rawBytesMV array<binary>"
+    ).createOrReplaceTempView("BytesMvTypeTest")
+    e = PinotEngine(spark)
+    assert e.sql("SELECT count(*) FROM BytesMvTypeTest").collect()[0][0] == n
+    for col in ("bytesMV", "rawBytesMV"):
+        row = e.sql(
+            f"SELECT {col} FROM BytesMvTypeTest WHERE id = 7 LIMIT 1"
+        ).collect()[0]
+        assert [bytes(b) for b in row[0]] == mv(7), col
+        assert e.sql(
+            f"SELECT cardinality({col}) FROM BytesMvTypeTest WHERE id = 0 LIMIT 1"
+        ).collect()[0][0] == 3
+        row = e.sql(
+            f"SELECT id, {col} FROM BytesMvTypeTest WHERE id = 0 LIMIT 1"
+        ).collect()[0]
+        assert row[0] == 0 and [bytes(b) for b in row[1]] == mv(0)
