@@ -9,7 +9,7 @@ path, so they stay inside whole-stage codegen at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 
 # tiny English stopword list for the language-ID / quality heuristics
 STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
@@ -327,3 +327,38 @@ def repetition_metrics(df, id_col: str, text_col: str):
             F.round(F.col("__topg") / F.col("__ng"), 4).alias("top_bigram_frac"),
         )
     )
+
+
+def resample_to_distribution(
+    df: DataFrame,
+    bucket_col: str,
+    weights: dict[str, int],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic acceptance-sampling of a corpus to a TARGET
+    categorical mix (training-data quality/language balancing): keep
+    ~w_b * M rows of bucket b, where M = min_b floor(count_b / w_b)
+    is the largest multiplier every bucket can supply.
+
+    Acceptance is hash-thinning on md5(id) — no RNG, no shuffle-order
+    dependence, reproducible at any scale and identical across engines:
+    row accepted iff its first 4 md5 hex chars (a uniform 16-bit value)
+    fall below floor(65536 * w_b * M / count_b), formatted as a 4-hex
+    threshold literal so the comparison is a monotone string compare.
+    Buckets without a weight are dropped.  The only driver-side state
+    is the per-bucket count (bounded by category cardinality)."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(bucket_col).count().collect()
+    }
+    usable = {b: w for b, w in weights.items() if counts.get(b)}
+    if not usable:
+        return df.filter(F.lit(False))
+    m = min(counts[b] // w for b, w in usable.items())
+    hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    cond = F.lit(False)
+    for b, w in usable.items():
+        thr = min(65536, (65536 * w * m) // counts[b])
+        cond = cond | (
+            (F.col(bucket_col) == b) & (hex4 < format(thr, "04x"))
+        )
+    return df.filter(cond)

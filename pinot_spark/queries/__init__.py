@@ -173,9 +173,11 @@ _VERIFIED_PRIOR_ROUNDS = [
 # raw-sketch window row (round-12 capability, `ROWS N PRECEDING`
 # per-frame rebuild + reversed shrinking frames — DuckDB's windowed
 # COUNT(DISTINCT) with the same frame is a native exact oracle);
-# (b) pipeline_semdedup (SemDeDup semantic dedup, registered round 12
-# with a full DuckDB mirror oracle — verified exact at sf0.01 during
-# development, awaiting first driver evidence).
+# (b) pipeline_semdedup (SemDeDup semantic dedup) and (c)
+# pipeline_resample_distribution (md5 hash-thinning to a target
+# categorical mix) — both registered round 12 with full DuckDB
+# mirror oracles, verified exact at sf0.001+sf0.01 during
+# development, awaiting first driver evidence.
 # fn_groovy_inline (extended this round with for-in/map columns) is
 # r9-stale and rotates in with the rest.
 _WINDOW_FIRST_TIME = [

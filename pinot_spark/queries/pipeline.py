@@ -1374,3 +1374,35 @@ def pipeline_semdedup(spark, sf_dir):
         F.round("centroid_sim", 4).alias("centroid_sim"),
         "dropped",
     ).orderBy("vec_id")
+
+
+@query(
+    "pipeline_resample_distribution",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS c,
+             CASE lang WHEN 'en' THEN 4 ELSE 1 END AS w
+      FROM documents GROUP BY lang),
+    m AS (SELECT min(c // w) AS m FROM counts),
+    thr AS (
+      SELECT lang, c, w,
+             lower(lpad(to_hex(least(65536, (65536 * w * (SELECT m FROM m)) // c)),
+                  4, '0')) AS t
+      FROM counts),
+    sampled AS (
+      SELECT d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t)
+    SELECT lang, count(*) AS n FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_resample_distribution(spark, sf_dir):
+    """Corpus resampling to a target categorical mix (training-data
+    balancing: operators/text.resample_to_distribution) — here 4:1:1:1:1
+    over langs with 'en' upweighted.  Deterministic md5 hash-thinning:
+    the same 16-bit threshold acceptance on both engines, no RNG, no
+    shuffle-order dependence; per-bucket counts are the only
+    driver-side state (bounded by category cardinality)."""
+    t = load_tables(spark, sf_dir)
+    weights = {"en": 4, "de": 1, "fr": 1, "es": 1, "zh": 1}
+    out = T.resample_to_distribution(t["documents"], "lang", weights, "doc_id")
+    return out.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
