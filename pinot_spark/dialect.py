@@ -1953,7 +1953,10 @@ def rewrite_unnest(sql: str) -> str:
     index.  inline() exposes the names BOTH bare (``idx``) and
     qualified (``u.idx``), which the suite's queries mix freely."""
     while True:
+        spans = _literal_spans(sql)
         m = _UNNEST_RE.search(sql)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _UNNEST_RE.search(sql, m.end())
         if not m:
             return sql
         open_idx = sql.index("(", m.start())
