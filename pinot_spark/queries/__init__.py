@@ -169,10 +169,10 @@ _VERIFIED_PRIOR_ROUNDS = [
 # after r12's driver run the stale set is fn_math_family (r8) + the 50
 # r9-latest greens — rotate fn_math_family + the r9 rows in (new
 # first-timers displace the tail into r14), landing max staleness
-# <= r9.  First-timers QUEUED for r13: (a) a sliding/shrinking
-# raw-sketch window row (round-12 capability, `ROWS N PRECEDING`
-# per-frame rebuild + reversed shrinking frames — DuckDB's windowed
-# COUNT(DISTINCT) with the same frame is a native exact oracle);
+# <= r9.  First-timers QUEUED for r13: (a) dialect_raw_sketch_sliding
+# (sliding/shrinking raw-sketch window frames, registered round 12
+# with DuckDB's windowed COUNT(DISTINCT) as the native exact oracle —
+# verified exact at sf0.001+sf0.01 during development);
 # (b) pipeline_semdedup (SemDeDup semantic dedup) and (c)
 # pipeline_resample_distribution (md5 hash-thinning to a target
 # categorical mix) — both registered round 12 with full DuckDB

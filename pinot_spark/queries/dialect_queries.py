@@ -1039,8 +1039,9 @@ def dialect_raw_sketch_running(spark, sf_dir):
     Exact regime (distinct custkeys/priorities well under k=4096 and
     2^12 registers), so both estimates equal the oracle's windowed
     exact distinct counts — a query shape Spark itself REJECTS
-    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).  Sliding frames raise
-    loudly: sketches never retract."""
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).  Sliding/shrinking frames
+    compute by bounded per-frame rebuild since round 12
+    (dialect_raw_sketch_sliding)."""
     return _engine(spark, sf_dir).sql(
         "SELECT o_orderkey, "
         "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
@@ -1472,4 +1473,45 @@ def fn_ds_cpc_write(spark, sf_dir):
         "TOCPCSKETCH(CAST(0 AS BIGINT)), TOCPCSKETCH(CAST(1 AS BIGINT)))) "
         "  AS union_est "
         "FROM nation"
+    )
+
+
+@query(
+    "dialect_raw_sketch_sliding",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(DISTINCT o_custkey) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS win_custs,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+                 ORDER BY o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS tail_prio
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey LIMIT 40
+    """,
+)
+def dialect_raw_sketch_sliding(spark, sf_dir):
+    """SLIDING and SHRINKING raw-sketch window frames (round 12,
+    operators/running_sketch.py deque rebuild): ``ROWS N PRECEDING ..
+    CURRENT ROW`` rebuilds each row's sketch from the last N+1 token
+    tuples (sketches never retract, so the bounded rebuild IS the
+    evaluation — work and carried state scale with the user's frame
+    width, never partition size); ``CURRENT ROW .. UNBOUNDED
+    FOLLOWING`` is the reversed shrinking suffix.  Exact regime
+    (distinct counts well under k=4096 / 2^12 registers), so the
+    estimates equal DuckDB's windowed exact distinct counts with the
+    same frames — a shape both Spark and the reference reject (the
+    reference's window factory throws for every sketch aggregate)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_THETA_SKETCH("
+        "o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey "
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) AS BIGINT) AS win_custs, "
+        "GETHLLESTIMATE(DISTINCTCOUNTRAWHLL(o_orderpriority, 12) "
+        "OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tail_prio "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "ORDER BY o_orderkey LIMIT 40"
     )
