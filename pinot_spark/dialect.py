@@ -188,7 +188,13 @@ def _json_extract_index_sql(a: list[str]) -> str:
     default.  The json index is an execution detail (the reference
     asserts identical RESULTS for indexed vs scan paths)."""
     typ = a[2].strip().strip("'\"").upper()
-    spark_t = _JSON_TYPE_MAP.get(typ, "STRING")
+    if typ not in _JSON_TYPE_MAP:
+        raise PinotSqlError(
+            f"JSONEXTRACTINDEX: result type {typ!r} is not wired "
+            f"(scalar types only: {sorted(_JSON_TYPE_MAP)}); the "
+            "reference's *_ARRAY multi-value extraction is a named gap"
+        )
+    spark_t = _JSON_TYPE_MAP[typ]
     val = f"CAST(get_json_object({a[0]}, {a[1]}) AS {spark_t})"
     if len(a) < 4:
         return val
@@ -309,9 +315,14 @@ def _wall_field_trunc(wall: str, size: int, unit: str) -> str:
     if unit == "milliseconds":
         if size == 1:
             return wall
+        # FLOOR semantics (Joda roundFloor), not truncate-toward-zero:
+        # millisOfSecond is 0..999 even pre-1970, so take a positive
+        # mod and subtract it for the floored second
+        ms = f"unix_millis({wall})"
+        pos_ms = f"((({ms}) % 1000 + 1000) % 1000)"
         return (
-            f"timestamp_millis((unix_millis({wall}) DIV 1000) * 1000 + "
-            f"((unix_millis({wall}) % 1000) DIV {size}) * {size})"
+            f"timestamp_millis(({ms}) - {pos_ms} + "
+            f"({pos_ms} DIV {size}) * {size})"
         )
     base = {"seconds": "SECOND", "minutes": "MINUTE", "hours": "HOUR",
             "days": "DAY"}[unit]
@@ -1992,27 +2003,23 @@ def rewrite_unnest(sql: str) -> str:
                 if n == 1
                 else "greatest(" + ", ".join(f"size({a})" for a in arrays) + ")"
             )
+            # lambda var __ui: a plain `i` would shadow a source column
+            # named i inside the zipped array expressions
             fields = ", ".join(
                 # get() null-pads past the shorter arrays' ends (ANSI
                 # [] would throw), matching Calcite's zip semantics
-                f"get({a}, CAST(i AS INT)) AS {names[k]}"
+                f"get({a}, CAST(__ui AS INT)) AS {names[k]}"
                 for k, a in enumerate(arrays)
             )
             if ord_:
-                fields += f", CAST(i + 1 AS BIGINT) AS {names[-1]}"
+                fields += f", CAST(__ui + 1 AS BIGINT) AS {names[-1]}"
+            # empty/NULL arrays yield an empty slice of the THEN shape
+            # (a CASE ELSE branch could never type-check generically)
             arr = (
-                f"CASE WHEN {g} > 0 THEN "
-                f"transform(sequence(0, {g} - 1), i -> struct({fields})) "
-                f"ELSE CAST(array() AS ARRAY<STRUCT<__x: INT>>) END"
+                f"slice(transform(sequence(0, greatest({g}, 1) - 1), "
+                f"__ui -> struct({fields})), 1, "
+                f"CASE WHEN {g} > 0 THEN {g} ELSE 0 END)"
             )
-            if ord_ or n > 1:
-                # the ELSE branch type can't match the struct shape
-                # generically; emit an empty slice of the THEN branch
-                arr = (
-                    f"slice(transform(sequence(0, greatest({g}, 1) - 1), "
-                    f"i -> struct({fields})), 1, "
-                    f"CASE WHEN {g} > 0 THEN {g} ELSE 0 END)"
-                )
         repl = f"LATERAL VIEW inline({arr}) {alias} AS " + ", ".join(names)
         sql = sql[: m.start()] + repl + sql[nclose + 1 :]
 
@@ -3063,6 +3070,14 @@ def rewrite_funnel_window(spark: SparkSession, sql: str) -> str:
     if max_step_duration and kind not in ("maxstep", "matchstep"):
         raise PinotSqlError(
             f"{fname}: maxStepDuration is wired for FUNNELMAXSTEP/"
+            "FUNNELMATCHSTEP only"
+        )
+    if "keep_all" in modes and kind not in ("maxstep", "matchstep"):
+        # the other kinds' operators drop non-matching events
+        # unconditionally — silently ignoring KEEP_ALL would change
+        # strict-mode results (FunnelBaseAggregationFunction.java:145)
+        raise PinotSqlError(
+            f"{fname}: keep_all is wired for FUNNELMAXSTEP/"
             "FUNNELMATCHSTEP only"
         )
     if kind == "stepdurationstats" and not duration_fns:

@@ -528,16 +528,20 @@ def semdedup(
         cond = d2[i] < best
         bucket = F.when(cond, F.lit(i)).otherwise(bucket)
         best = F.when(cond, d2[i]).otherwise(best)
-    csim = F.lit(None).cast("double")
-    for i, c in enumerate(centroids):
-        csim = F.when(
-            bucket == i, cosine_similarity(vec_col, lit_vec(c))
-        ).otherwise(csim)
-    assigned = df.select(
+    # centroid_sim computed ONCE against the winning centroid (indexed
+    # out of a centroid-array literal) — a per-centroid WHEN chain
+    # would double the O(C) expression tree
+    cent_arr = F.array(*[lit_vec(c) for c in centroids])
+    with_bucket = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         bucket.alias("bucket"),
-        csim.alias("centroid_sim"),
+    ).withColumn("__cv", F.element_at(cent_arr, F.col("bucket") + 1))
+    assigned = with_bucket.select(
+        "id",
+        "v",
+        "bucket",
+        cosine_similarity("v", "__cv").alias("centroid_sim"),
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

@@ -357,8 +357,13 @@ def resample_to_distribution(
     hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
     cond = F.lit(False)
     for b, w in usable.items():
-        thr = min(65536, (65536 * w * m) // counts[b])
-        cond = cond | (
-            (F.col(bucket_col) == b) & (hex4 < format(thr, "04x"))
-        )
+        thr = (65536 * w * m) // counts[b]
+        if thr >= 65536:
+            # the limiting bucket keeps everything — a 4-hex compare
+            # cannot express "accept all" (format(65536) is the 5-char
+            # '10000' and lexicographic < would keep ~6% instead)
+            accept = F.lit(True)
+        else:
+            accept = hex4 < format(thr, "04x")
+        cond = cond | ((F.col(bucket_col) == b) & accept)
     return df.filter(cond)

@@ -1386,12 +1386,14 @@ def pipeline_semdedup(spark, sf_dir):
     m AS (SELECT min(c // w) AS m FROM counts),
     thr AS (
       SELECT lang, c, w,
-             lower(lpad(to_hex(least(65536, (65536 * w * (SELECT m FROM m)) // c)),
+             (65536 * w * (SELECT m FROM m)) // c AS ti,
+             lower(lpad(to_hex(least(65535, (65536 * w * (SELECT m FROM m)) // c)),
                   4, '0')) AS t
       FROM counts),
     sampled AS (
       SELECT d.lang FROM documents d JOIN thr ON d.lang = thr.lang
-      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t)
+      WHERE thr.ti >= 65536
+         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t)
     SELECT lang, count(*) AS n FROM sampled GROUP BY lang ORDER BY lang
     """,
 )

@@ -169,3 +169,17 @@ def test_semdedup_plan_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_accept_all_threshold(spark):
+    """The limiting bucket (count exactly divisible by its weight) must
+    keep ALL rows — a 4-hex threshold cannot express 65536."""
+    from pinot_spark.operators.text import resample_to_distribution
+
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id < 40 THEN 'a' ELSE 'b' END AS g"
+    )
+    out = resample_to_distribution(df, "g", {"a": 1, "b": 1}, "id")
+    counts = {r[0]: r[1] for r in out.groupBy("g").count().collect()}
+    assert counts["a"] == 40  # limiting bucket: thr = 65536, keep all
+    assert 25 <= counts.get("b", 0) <= 55  # ~40/60 hash-thinned
