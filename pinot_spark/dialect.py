@@ -4453,6 +4453,94 @@ def rewrite_raw_sketch_inexpr_udaf(sql: str) -> str:
     return "".join(out)
 
 
+_THETA_BLOB_CALL_RE = re.compile(
+    r"\bDISTINCT_?COUNT_?(RAW_?)?THETA_?SKETCH\s*\(", re.IGNORECASE
+)
+_AGG_FILTER_RE = re.compile(r"\s*FILTER\s*\(\s*WHERE\b", re.IGNORECASE)
+
+
+def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
+    """DISTINCTCOUNT[RAW]THETASKETCH over a PRE-BUILT sketch BYTES
+    column (ThetaSketchTest.java: ingested datasketches-java compact
+    blobs): the aggregation UNIONS the stored sketches instead of
+    building from values.  Also wires the aggregation-level
+    ``FILTER (WHERE p)`` clause (pushed into the collected argument)
+    and the filtered multi-parameter form
+    ``distinctCountThetaSketch(col, params, 'p1', .., 'SET_OP($1, ..)')``
+    (DistinctCountThetaSketchAggregationFunction.java)."""
+    bin_cols = _typed_columns(spark, sql, (T.BinaryType,))
+    if not bin_cols:
+        return sql
+
+    def is_blob_expr(e: str) -> bool:
+        m = re.search(r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*$", e.strip())
+        return bool(m) and m.group(1).split(".")[-1].lower() in bin_cols
+
+    out = sql
+    guard = 0
+    pos = 0
+    while guard < 100:
+        guard += 1
+        m = _THETA_BLOB_CALL_RE.search(out, pos)
+        if not m:
+            break
+        raw = bool(m.group(1))
+        open_idx = out.index("(", m.start())
+        close = _find_matching(out, open_idx)
+        args = _split_args(out[open_idx + 1 : close])
+        call_end = close + 1
+        # aggregation-level FILTER (WHERE p): fold into the argument
+        fm = _AGG_FILTER_RE.match(out[call_end:])
+        filter_pred = None
+        if fm:
+            fopen = out.index("(", call_end)
+            fclose = _find_matching(out, fopen)
+            filter_pred = re.sub(
+                r"(?is)^\s*WHERE\b", "", out[fopen + 1 : fclose]
+            ).strip()
+            call_end = fclose + 1
+        if not args or not is_blob_expr(args[0]):
+            pos = open_idx + 1
+            continue
+        col = args[0].strip()
+        if filter_pred:
+            col = f"(CASE WHEN {filter_pred} THEN {col} END)"
+        lits = [
+            a.strip() for a in args[1:]
+            if a.strip().startswith("'") and a.strip().endswith("'")
+        ]
+        if not raw and len(lits) >= 2 and "$" in lits[-1]:
+            # filtered form: params first (may be ''), predicates, then
+            # the $-referencing post-aggregation expression last
+            preds = [
+                p[1:-1].replace("''", "'")
+                for p in lits[1:-1]
+            ]
+            if not preds:
+                raise PinotSqlError(
+                    "DISTINCTCOUNTTHETASKETCH: post-aggregation "
+                    "expression given without filter predicates"
+                )
+            postagg = lits[-1][1:-1].replace("''", "'")
+            groups = ", ".join(
+                f"collect_list(CASE WHEN {p} THEN {col} END)" for p in preds
+            )
+            repl = (
+                f"CAST(__theta_filtered('{postagg}', array({groups})) "
+                f"AS BIGINT)"
+            )
+        elif raw:
+            repl = f"__theta_union_blobs(collect_list({col}))"
+        else:
+            repl = (
+                f"CAST(__theta_estimate(__theta_union_blobs("
+                f"collect_list({col}))) AS BIGINT)"
+            )
+        out = out[: m.start()] + repl + out[call_end:]
+        pos = m.start() + len(repl)
+    return out
+
+
 def rewrite_raw_sketch_setop(sql: str) -> str:
     """Bounded aggregation for raw-sketch statements under TOP-LEVEL set
     operations (the last per-value-fallback shape class): split the
@@ -5161,6 +5249,111 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(lst) for lst in arrs])
 
+    def _union_any_blobs(lst):
+        """Union a list of serialized theta sketches in EITHER wire
+        format (DataSketches compact or engine-native) — the pre-built
+        BYTES-column ingestion path (ThetaSketchTest.java uploads
+        datasketches-java compact blobs)."""
+        acc_kind, acc = None, None
+        for b in lst if lst is not None else []:
+            if b is None:
+                continue
+            kind, s = _load_any_theta(b)
+            if acc is None:
+                acc_kind, acc = kind, s
+            elif kind != acc_kind:
+                raise ValueError(
+                    "theta blob union mixes DataSketches-format and "
+                    "engine-native sketches (incompatible hash domains)"
+                )
+            else:
+                acc = acc.union(s)
+        return acc_kind, acc
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __theta_union_blobs(arrs):
+        def run(lst):
+            kind, acc = _union_any_blobs(lst)
+            if acc is None:
+                return ThetaSketch(
+                    4096, 2**64, np.array([], dtype=np.uint64)
+                ).to_bytes()
+            return acc.serialize() if kind == "ds" else acc.to_bytes()
+
+        return pd.Series([run(lst) for lst in arrs])
+
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def __theta_filtered(expr, groups):
+        """DistinctCountThetaSketchAggregationFunction's filtered form:
+        $k = the union of the k-th predicate's sketches, combined with
+        SET_INTERSECT / SET_UNION / SET_DIFF post-aggregation."""
+
+        def parse(s: str, pos: int):
+            while pos < len(s) and s[pos].isspace():
+                pos += 1
+            if s.startswith("$", pos):
+                j = pos + 1
+                while j < len(s) and s[j].isdigit():
+                    j += 1
+                return ("ref", int(s[pos + 1 : j])), j
+            m = re.match(r"SET_(INTERSECT|UNION|DIFF)\s*\(", s[pos:], re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad theta post-aggregation expr at {s[pos:]!r}")
+            op = m.group(1).upper()
+            j = pos + m.end()
+            args = []
+            while True:
+                node, j = parse(s, j)
+                args.append(node)
+                while j < len(s) and s[j].isspace():
+                    j += 1
+                if j < len(s) and s[j] == ",":
+                    j += 1
+                    continue
+                if j < len(s) and s[j] == ")":
+                    return ("op", op, args), j + 1
+                raise ValueError(f"bad theta post-aggregation expr at {s[j:]!r}")
+
+        def run(e, gs):
+            sketches = []
+            fmt = None
+            for g in gs if gs is not None else []:
+                kind, acc = _union_any_blobs(g)
+                if kind is not None:
+                    fmt = kind
+                sketches.append(acc)
+            from pinot_spark.operators.ds_theta import DsThetaSketch
+
+            def empty():
+                return (
+                    DsThetaSketch.empty()
+                    if fmt == "ds"
+                    else ThetaSketch(4096, 2**64, np.array([], dtype=np.uint64))
+                )
+
+            def ev(node):
+                if node[0] == "ref":
+                    s = sketches[node[1] - 1]
+                    return s if s is not None else empty()
+                op, args = node[1], node[2]
+                acc = ev(args[0])
+                for a in args[1:]:
+                    rhs = ev(a)
+                    if op == "INTERSECT":
+                        acc = acc.intersect(rhs)
+                    elif op == "UNION":
+                        acc = acc.union(rhs)
+                    else:
+                        acc = acc.a_not_b(rhs)
+                return acc
+
+            tree, _ = parse(str(e), 0)
+            return int(round(ev(tree).estimate()))
+
+        return pd.Series(
+            [run(e, gs) for e, gs in zip(expr, groups)], dtype="Int64"
+        )
+
     @pandas_udf("binary", PandasUDFType.SCALAR)
     def __hll_merge_blobs(arrs):
         def run(lst):
@@ -5336,6 +5529,8 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__freq_str_estimate", __freq_str_estimate)
     spark.udf.register("__hll_mv_partial", __hll_mv_partial)
     spark.udf.register("__theta_merge_blobs", __theta_merge_blobs)
+    spark.udf.register("__theta_union_blobs", __theta_union_blobs)
+    spark.udf.register("__theta_filtered", __theta_filtered)
     spark.udf.register("__hll_merge_blobs", __hll_merge_blobs)
     spark.udf.register("__cs_hll_pair", __cs_hll_pair)
     spark.udf.register("__cs_hll_pairs_arr", __cs_hll_pairs_arr)
@@ -5549,6 +5744,9 @@ class PinotEngine:
             sql = rewrite_funnel_window(self.spark, sql)
         if _FUNNEL_COUNT_RE.search(sql):
             sql = rewrite_funnel_count(self.spark, sql)
+        if _THETA_BLOB_CALL_RE.search(sql):
+            _ensure_theta_sql_udfs(self.spark)
+            sql = rewrite_theta_blob_calls(self.spark, sql)
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
             # Safety net for the regex-based restructuring (VERDICT r7:

@@ -1728,3 +1728,177 @@ def test_bytes_mv_type(spark):
             f"SELECT id, {col} FROM BytesMvTypeTest WHERE id = 0 LIMIT 1"
         ).collect()[0]
         assert row[0] == 0 and [bytes(b) for b in row[1]] == mv(0)
+
+
+# ---------------------------------------------------------------------------
+# ThetaSketchTest.java — PRE-BUILT theta sketch BYTES columns
+# (datasketches-format compact blobs built with our wire-compatible
+# writer), V1 filtered multi-parameter form with $-post-aggregations,
+# V2 FILTER (WHERE ..) + THETA_SKETCH_INTERSECT/UNION/DIFF scalars,
+# group-by / UNION ALL / JOIN shapes.  All expectations exact (well
+# under nominal k=4096).
+# ---------------------------------------------------------------------------
+
+_TS_COUNTS = {  # (gender, course) -> (shard1 size, shard2 size)
+    ("Female", "Math"): (50, 110), ("Female", "History"): (60, 120),
+    ("Female", "Biology"): (70, 130), ("Male", "Math"): (80, 140),
+    ("Male", "History"): (90, 150), ("Male", "Biology"): (100, 160),
+}
+
+
+@pytest.fixture(scope="module")
+def thetasuite(spark):
+    from pinot_spark.operators.ds_theta import DsThetaSketch
+
+    # student ids are globally unique, handed out group-by-group in the
+    # suite's loop order (gender outer, course inner, shard outer-most)
+    ids = {}
+    nxt = 0
+    for shard in (0, 1):
+        for g in ("Female", "Male"):
+            for c in ("Math", "History", "Biology"):
+                n = _TS_COUNTS[(g, c)][shard]
+                ids[(shard, g, c)] = list(range(nxt, nxt + n))
+                nxt += n
+    rows = []
+    for shard in (0, 1):
+        for g in ("Female", "Male"):
+            members = [
+                v for (s, gg, _), vs in ids.items() if s == shard and gg == g
+                for v in vs
+            ]
+            rows.append(("gender", g, shard + 1,
+                         DsThetaSketch.build_from_values(members).serialize()))
+        for c in ("Math", "History", "Biology"):
+            members = [
+                v for (s, _, cc), vs in ids.items() if s == shard and cc == c
+                for v in vs
+            ]
+            rows.append(("course", c, shard + 1,
+                         DsThetaSketch.build_from_values(members).serialize()))
+    spark.createDataFrame(
+        rows, "dimName string, dimValue string, shardId int, thetaSketchCol binary"
+    ).createOrReplaceTempView("ThetaSketchTest")
+    return PinotEngine(spark)
+
+
+def _ts_expected(pred):
+    return sum(
+        n for (g, c), pair in _TS_COUNTS.items() for n in pair if pred(g, c)
+    )
+
+
+def test_theta_blob_simple_and_group_by(thetasuite):
+    e = thetasuite
+    assert e.sql(
+        "select distinctCountThetaSketch(thetaSketchCol) from ThetaSketchTest "
+        "where dimName = 'gender' and dimValue = 'Female'"
+    ).collect()[0][0] == _ts_expected(lambda g, c: g == "Female")
+    assert e.sql(
+        "select distinctCountThetaSketch(thetaSketchCol) from ThetaSketchTest "
+        "where dimName = 'course' AND dimValue = 'Math'"
+    ).collect()[0][0] == _ts_expected(lambda g, c: c == "Math")
+    rows = e.sql(
+        "select dimValue, distinctCountThetaSketch(thetaSketchCol) "
+        "from ThetaSketchTest where dimName = 'gender' group by dimValue"
+    ).collect()
+    got = {r[0]: r[1] for r in rows}
+    assert got == {
+        "Female": _ts_expected(lambda g, c: g == "Female"),
+        "Male": _ts_expected(lambda g, c: g == "Male"),
+    }
+
+
+def test_theta_blob_filtered_form(thetasuite):
+    e = thetasuite
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender'' and dimValue = ''Female''', '$1') "
+         "from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(lambda g, c: g == "Female")
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender''', 'dimValue = ''Female''', "
+         "'SET_INTERSECT($1, $2)') from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(lambda g, c: g == "Female")
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender'' and dimValue = ''Female''', "
+         "'dimName = ''course'' and dimValue = ''Math''', "
+         "'SET_INTERSECT($1, $2)') from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == 50 + 110
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender''', 'dimValue = ''Female''', "
+         "'dimName = ''course''', 'dimValue = ''Math''', "
+         "'SET_INTERSECT(SET_INTERSECT($1, $2), SET_INTERSECT($3, $4))') "
+         "from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == 50 + 110
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender'' and dimValue = ''Male''', "
+         "'dimName = ''course'' and dimValue = ''Biology''', "
+         "'SET_UNION($1, $2)') from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(
+        lambda g, c: g == "Male" or c == "Biology"
+    )
+    q = ("select distinctCountThetaSketch(thetaSketchCol, '', "
+         "'dimName = ''gender'' and dimValue = ''Female''', "
+         "'dimName = ''course'' and dimValue = ''History''', "
+         "'SET_DIFF($1, $2)') from ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(
+        lambda g, c: g == "Female" and c != "History"
+    )
+
+
+def test_theta_blob_v2_filter_setops(thetasuite):
+    e = thetasuite
+    q = ("select GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT( "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'gender' and dimValue = 'Female'), "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'course' and dimValue = 'Math'))) "
+         "FROM ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == 50 + 110
+    q = ("select GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION( "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'gender' and dimValue = 'Male'), "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'course' and dimValue = 'Biology'))) "
+         "FROM ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(
+        lambda g, c: g == "Male" or c == "Biology"
+    )
+    q = ("select GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_DIFF( "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'gender' and dimValue = 'Female'), "
+         "DISTINCT_COUNT_RAW_THETA_SKETCH(thetaSketchCol, '') "
+         "  FILTER (WHERE dimName = 'course' and dimValue = 'History'))) "
+         "FROM ThetaSketchTest")
+    assert e.sql(q).collect()[0][0] == _ts_expected(
+        lambda g, c: g == "Female" and c != "History"
+    )
+
+
+def test_theta_blob_union_all_and_join(thetasuite):
+    e = thetasuite
+    rows = e.sql(
+        "select dimValue, distinctCountThetaSketch(thetaSketchCol) from ( "
+        "SELECT dimValue, thetaSketchCol FROM ThetaSketchTest "
+        "where dimName = 'gender' and dimValue = 'Female' "
+        "UNION ALL "
+        "SELECT dimValue, thetaSketchCol FROM ThetaSketchTest "
+        "where dimName = 'gender' and dimValue = 'Male' "
+        ") GROUP BY dimValue"
+    ).collect()
+    got = {r[0]: r[1] for r in rows}
+    assert got == {
+        "Female": _ts_expected(lambda g, c: g == "Female"),
+        "Male": _ts_expected(lambda g, c: g == "Male"),
+    }
+    rows = e.sql(
+        "select a.dimValue, distinctCountThetaSketch(b.thetaSketchCol) FROM "
+        "(SELECT dimName, dimValue, thetaSketchCol FROM ThetaSketchTest "
+        " where dimName = 'gender' and dimValue = 'Female') a JOIN "
+        "(SELECT dimName, dimValue, thetaSketchCol FROM ThetaSketchTest "
+        " where dimName = 'gender' and dimValue = 'Male') b "
+        "ON a.dimName = b.dimName GROUP BY a.dimValue"
+    ).collect()
+    assert {r[0]: r[1] for r in rows} == {
+        "Female": _ts_expected(lambda g, c: g == "Male")
+    }
