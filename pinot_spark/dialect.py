@@ -4454,7 +4454,7 @@ def rewrite_raw_sketch_inexpr_udaf(sql: str) -> str:
 
 
 _THETA_BLOB_CALL_RE = re.compile(
-    r"\bDISTINCT_?COUNT_?(RAW_?)?THETA_?SKETCH\s*\(", re.IGNORECASE
+    r"\bDISTINCT_?COUNT_?(RAW_?)?(THETA|CPC)_?SKETCH\s*\(", re.IGNORECASE
 )
 _AGG_FILTER_RE = re.compile(r"\s*FILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
@@ -4485,6 +4485,7 @@ def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
         if not m:
             break
         raw = bool(m.group(1))
+        kind = m.group(2).upper()
         open_idx = out.index("(", m.start())
         close = _find_matching(out, open_idx)
         args = _split_args(out[open_idx + 1 : close])
@@ -4509,6 +4510,14 @@ def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
             a.strip() for a in args[1:]
             if a.strip().startswith("'") and a.strip().endswith("'")
         ]
+        if kind == "CPC":
+            # pre-built CPC blobs union via the full decompress/union
+            # path (operators/ds_cpc.cpc_union); estimate = HIP round
+            merged = f"__cpc_union(collect_list({col}))"
+            repl = merged if raw else f"__cpc_estimate({merged})"
+            out = out[: m.start()] + repl + out[call_end:]
+            pos = m.start() + len(repl)
+            continue
         if not raw and len(lits) >= 2 and "$" in lits[-1]:
             # filtered form: params first (may be ''), predicates, then
             # the $-referencing post-aggregation expression last

@@ -1902,3 +1902,80 @@ def test_theta_blob_union_all_and_join(thetasuite):
     assert {r[0]: r[1] for r in rows} == {
         "Female": _ts_expected(lambda g, c: g == "Male")
     }
+
+
+# ---------------------------------------------------------------------------
+# CpcSketchTest.java — PRE-BUILT CPC sketch BYTES columns (lgK=4
+# singletons, datasketches wire format from our round-11 writer):
+# DISTINCT_COUNT_CPC_SKETCH vs GET_CPC_SKETCH_ESTIMATE(RAW) consistency,
+# FILTER (WHERE ..) clause, CPC_SKETCH_UNION scalar, UNION ALL subquery.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cpcsuite(spark):
+    import random as _random
+
+    from pinot_spark.operators.ds_cpc import DsCpcSketch
+
+    rng = _random.Random(42)
+    rows = []
+    for _ in range(300):
+        s = DsCpcSketch(4)
+        s.update_long(rng.randint(0, 99))
+        rows.append((rng.randint(0, 9), s.serialize()))
+    spark.createDataFrame(
+        rows, "id int, metCpcSketchBytes binary"
+    ).createOrReplaceTempView("CpcSketchTest")
+    return PinotEngine(spark)
+
+
+def test_cpc_blob_estimate_consistency(cpcsuite):
+    e = cpcsuite
+    row = e.sql(
+        "SELECT DISTINCT_COUNT_CPC_SKETCH(metCpcSketchBytes) AS a, "
+        "GET_CPC_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_CPC_SKETCH("
+        "metCpcSketchBytes)) AS b FROM CpcSketchTest"
+    ).collect()[0]
+    assert row[0] > 0 and row[0] == row[1]
+    for i in (0, 3, 7):
+        row = e.sql(
+            "SELECT DISTINCT_COUNT_CPC_SKETCH(metCpcSketchBytes) AS a, "
+            "GET_CPC_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_CPC_SKETCH("
+            f"metCpcSketchBytes)) AS b FROM CpcSketchTest WHERE id = {i}"
+        ).collect()[0]
+        assert row[0] == row[1] and row[0] > 0
+        filt = e.sql(
+            "SELECT GET_CPC_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_CPC_SKETCH("
+            f"metCpcSketchBytes) FILTER (WHERE id = {i})) FROM CpcSketchTest"
+        ).collect()[0][0]
+        assert filt == row[0], i
+
+
+def test_cpc_blob_union_scalar(cpcsuite):
+    e = cpcsuite
+    for i, j in ((0, 1), (2, 9)):
+        both = e.sql(
+            "SELECT DISTINCT_COUNT_CPC_SKETCH(metCpcSketchBytes) "
+            f"FROM CpcSketchTest WHERE id = {i} OR id = {j}"
+        ).collect()[0][0]
+        unioned = e.sql(
+            "SELECT GET_CPC_SKETCH_ESTIMATE(CPC_SKETCH_UNION( "
+            "DISTINCT_COUNT_RAW_CPC_SKETCH(metCpcSketchBytes) "
+            f"FILTER (WHERE id = {i}), "
+            "DISTINCT_COUNT_RAW_CPC_SKETCH(metCpcSketchBytes) "
+            f"FILTER (WHERE id = {j}))) FROM CpcSketchTest"
+        ).collect()[0][0]
+        assert both == unioned, (i, j)
+
+
+def test_cpc_blob_union_all_subquery(cpcsuite):
+    e = cpcsuite
+    row = e.sql(
+        "SELECT DISTINCT_COUNT_CPC_SKETCH(metCpcSketchBytes) AS a, "
+        "GET_CPC_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_CPC_SKETCH("
+        "metCpcSketchBytes)) AS b FROM ("
+        "SELECT metCpcSketchBytes FROM CpcSketchTest WHERE id = 4 "
+        "UNION ALL SELECT metCpcSketchBytes FROM CpcSketchTest WHERE id = 5 "
+        "UNION ALL SELECT metCpcSketchBytes FROM CpcSketchTest WHERE id = 6)"
+    ).collect()[0]
+    assert row[0] > 0 and row[0] == row[1]
