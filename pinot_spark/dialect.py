@@ -1040,6 +1040,12 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         f"__tuple_avg_value(__tuple_merge_sum(collect_list({a[0]})))"
     ),
     "getinttuplesketchestimate": lambda a: f"__tuple_estimate({a[0]})",
+    # TupleSketchTest.java scalar set operations over serialized
+    # integer-sum tuple sketches (sum mode, either wire format)
+    "intsumtuplesketchunion": lambda a: f"__tuple_union({a[0]}, {a[1]})",
+    "intsumtuplesketchintersect": lambda a: (
+        f"__tuple_intersect({a[0]}, {a[1]})"
+    ),
     "tointegersumtuplesketch": lambda a: (
         "__tuple_singleton(CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64({0}) END, CAST({1} AS BIGINT), {2})".format(
@@ -3363,6 +3369,7 @@ _THETA_SQL_RE = re.compile(
     r"|THETA_?SKETCH_?(?:DIFF|UNION|INTERSECT|TO_?STRING)|TO_?THETA_?SKETCH"
     r"|TO_?DATA_?SKETCHES_?(?:THETA|TUPLE)"
     r"|TO_?INTEGER_?SUM_?TUPLE_?SKETCH|GET_?INT_?TUPLE_?SKETCH_?ESTIMATE"
+    r"|INT_?SUM_?TUPLE_?SKETCH_?(?:UNION|INTERSECT)"
     r"|DISTINCT_?COUNT_?(?:RAW_?INTEGER_?SUM_?)?TUPLE_?SKETCH"
     r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
     r"|PERCENTILE_?RAW_?(?:EST|KLL|TDIGEST)(?:MV|_MV)?|GET_?TDIGEST_?QUANTILE"
@@ -4459,6 +4466,49 @@ _THETA_BLOB_CALL_RE = re.compile(
 _AGG_FILTER_RE = re.compile(r"\s*FILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
+_SKETCH_AGG_FILTER_RE = re.compile(
+    r"\b(DISTINCT_?COUNT_?(?:RAW_?)?(?:THETA|CPC|TUPLE|INTEGER_?SUM_?TUPLE)"
+    r"_?SKETCH"
+    r"|(?:SUM_?VALUES|AVG_?VALUE)_?INTEGER_?SUM_?TUPLE_?SKETCH"
+    r"|DISTINCT_?COUNT_?RAW_?(?:HLL|HLLPLUS|ULL))\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_sketch_agg_filters(sql: str) -> str:
+    """Aggregation-level ``FILTER (WHERE p)`` on sketch aggregations →
+    folded into the first argument as ``CASE WHEN p THEN arg END``
+    (NULLs never enter a sketch build or blob merge).  The sketch
+    rewrites expand these calls into collect_list/collect_set
+    compositions where a trailing FILTER clause would no longer attach
+    to an aggregate."""
+    out = sql
+    pos = 0
+    guard = 0
+    while guard < 100:
+        guard += 1
+        m = _SKETCH_AGG_FILTER_RE.search(out, pos)
+        if not m:
+            break
+        open_idx = out.index("(", m.start())
+        close = _find_matching(out, open_idx)
+        fm = _AGG_FILTER_RE.match(out[close + 1 :])
+        if not fm:
+            pos = open_idx + 1
+            continue
+        fopen = out.index("(", close + 1)
+        fclose = _find_matching(out, fopen)
+        pred = re.sub(
+            r"(?is)^\s*WHERE\b", "", out[fopen + 1 : fclose]
+        ).strip()
+        args = _split_args(out[open_idx + 1 : close])
+        args[0] = f"(CASE WHEN {pred} THEN {args[0].strip()} END)"
+        repl = out[m.start() : open_idx + 1] + ", ".join(args) + ")"
+        out = out[: m.start()] + repl + out[fclose + 1 :]
+        pos = m.start() + len(repl)
+    return out
+
+
 def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
     """DISTINCTCOUNT[RAW]THETASKETCH over a PRE-BUILT sketch BYTES
     column (ThetaSketchTest.java: ingested datasketches-java compact
@@ -4835,6 +4885,37 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([run(x) for x in b])
 
+    def _tuple_binop(op: str):
+        def f(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                da, sa = _load_any_tuple(x)
+                db, sb = _load_any_tuple(y)
+                if da != db:
+                    raise ValueError(
+                        "tuple set operation mixes DataSketches-format "
+                        "and engine-native sketches — incompatible hash "
+                        "domains"
+                    )
+                if da == "ds":
+                    r = getattr(sa, op)(sb)
+                else:
+                    r = getattr(sa, op)(sb, mode=_MODES["sum"])
+                out.append(r.serialize() if da == "ds" else r.to_bytes())
+            return pd.Series(out)
+
+        return f
+
+    __tuple_union = pandas_udf("binary", PandasUDFType.SCALAR)(
+        _tuple_binop("union")
+    )
+    __tuple_intersect = pandas_udf("binary", PandasUDFType.SCALAR)(
+        _tuple_binop("intersect")
+    )
+
     from pinot_spark.operators.hll import HllSketch
     from pinot_spark.operators.tdigest import TDigest
 
@@ -5127,7 +5208,9 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
             else:
                 acc = acc.union(s, mode=_MODES["sum"])
         if acc is None:
-            return TupleSketch.empty().to_bytes()
+            # NULL, not an engine-native empty: a format-less empty
+            # partial must not pollute a DataSketches-format merge
+            return None
         return acc.serialize() if domain == "ds" else acc.to_bytes()
 
     @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
@@ -5590,6 +5673,8 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__tuple_estimate", __tuple_estimate)
     spark.udf.register("__tuple_sum_values", __tuple_sum_values)
     spark.udf.register("__tuple_avg_value", __tuple_avg_value)
+    spark.udf.register("__tuple_union", __tuple_union)
+    spark.udf.register("__tuple_intersect", __tuple_intersect)
     _THETA_UDF_SESSIONS.add(id(spark))
 
 
@@ -5753,6 +5838,10 @@ class PinotEngine:
             sql = rewrite_funnel_window(self.spark, sql)
         if _FUNNEL_COUNT_RE.search(sql):
             sql = rewrite_funnel_count(self.spark, sql)
+        if _SKETCH_AGG_FILTER_RE.search(sql) and re.search(
+            r"\bFILTER\s*\(", sql, re.IGNORECASE
+        ):
+            sql = rewrite_sketch_agg_filters(sql)
         if _THETA_BLOB_CALL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
             sql = rewrite_theta_blob_calls(self.spark, sql)

@@ -1979,3 +1979,79 @@ def test_cpc_blob_union_all_subquery(cpcsuite):
         "UNION ALL SELECT metCpcSketchBytes FROM CpcSketchTest WHERE id = 6)"
     ).collect()[0]
     assert row[0] > 0 and row[0] == row[1]
+
+
+# ---------------------------------------------------------------------------
+# TupleSketchTest.java — PRE-BUILT integer-sum tuple sketch BYTES
+# columns (datasketches compact blobs from our wire-compatible
+# builder): agg-vs-estimate consistency, FILTER clause, the
+# INT_SUM_TUPLE_SKETCH_UNION / _INTERSECT scalars, SUM_VALUES /
+# AVG_VALUE extraction.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tuplesuite(spark):
+    import random as _random
+
+    from pinot_spark.operators.ds_theta import DsTupleSketch
+
+    rng = _random.Random(7)
+    rows = []
+    for _ in range(300):
+        rows.append((
+            rng.randint(0, 9),
+            DsTupleSketch.build_from_pairs(
+                [rng.randint(0, 99)], [rng.randint(0, 99)], k=16
+            ).serialize(),
+        ))
+    spark.createDataFrame(
+        rows, "id int, metTupleSketchBytes binary"
+    ).createOrReplaceTempView("TupleSketchTest")
+    return PinotEngine(spark)
+
+
+def test_tuple_blob_base_query(tuplesuite):
+    row = tuplesuite.sql(
+        "SELECT DISTINCT_COUNT_TUPLE_SKETCH(metTupleSketchBytes) AS a, "
+        "GET_INT_TUPLE_SKETCH_ESTIMATE(DISTINCT_COUNT_RAW_INTEGER_SUM_"
+        "TUPLE_SKETCH(metTupleSketchBytes)) AS b, "
+        "SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) AS s, "
+        "AVG_VALUE_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) AS v "
+        "FROM TupleSketchTest"
+    ).collect()[0]
+    assert row[0] > 0 and row[0] == row[1]
+    assert row[2] > 0 and row[3] > 0
+
+
+def test_tuple_blob_filter_and_union(tuplesuite):
+    e = tuplesuite
+    for i, j in ((0, 1), (3, 8)):
+        both = e.sql(
+            "SELECT DISTINCT_COUNT_TUPLE_SKETCH(metTupleSketchBytes) "
+            f"FROM TupleSketchTest WHERE id = {i} OR id = {j}"
+        ).collect()[0][0]
+        filt = e.sql(
+            "SELECT GET_INT_TUPLE_SKETCH_ESTIMATE("
+            "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) "
+            f"FILTER (WHERE id = {i} OR id = {j})) FROM TupleSketchTest"
+        ).collect()[0][0]
+        assert filt == both, (i, j)
+        unioned = e.sql(
+            "SELECT GET_INT_TUPLE_SKETCH_ESTIMATE(INT_SUM_TUPLE_SKETCH_UNION( "
+            "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) "
+            f"FILTER (WHERE id = {i}), "
+            "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) "
+            f"FILTER (WHERE id = {j}))) FROM TupleSketchTest"
+        ).collect()[0][0]
+        assert unioned == both, (i, j)
+
+
+def test_tuple_blob_intersect(tuplesuite):
+    got = tuplesuite.sql(
+        "SELECT GET_INT_TUPLE_SKETCH_ESTIMATE(INT_SUM_TUPLE_SKETCH_INTERSECT( "
+        "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) "
+        "FILTER (WHERE id <= 4), "
+        "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH(metTupleSketchBytes) "
+        "FILTER (WHERE id > 4))) FROM TupleSketchTest"
+    ).collect()[0][0]
+    assert got is not None and got >= 0
