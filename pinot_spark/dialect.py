@@ -1392,10 +1392,16 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
         f"array_join(array_sort(collect_set(CAST({a[0]} AS STRING))), ',')"
     ),
     # --- vector (VectorFunctions.java) ---
+    # 2-arg: a zero-norm side yields NaN (Java 0.0/0.0); the optional
+    # 3rd arg is the default returned INSTEAD of NaN
+    # (VectorFunctions.cosineDistance(v1, v2, defaultValue))
     "cosinedistance": lambda a: (
+        f"(CASE WHEN aggregate({a[0]}, CAST(0 AS DOUBLE), (s, v) -> s + v * v) = 0.0"
+        f" OR aggregate({a[1]}, CAST(0 AS DOUBLE), (s, v) -> s + v * v) = 0.0"
+        f" THEN CAST({a[2] if len(a) > 2 else chr(39) + 'NaN' + chr(39)} AS DOUBLE) ELSE "
         f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
         f" / (sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), (s, v) -> s + v * v))"
-        f" * sqrt(aggregate({a[1]}, CAST(0 AS DOUBLE), (s, v) -> s + v * v))))"
+        f" * sqrt(aggregate({a[1]}, CAST(0 AS DOUBLE), (s, v) -> s + v * v)))) END)"
     ),
     "innerproduct": lambda a: (
         f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
@@ -4466,6 +4472,54 @@ _THETA_BLOB_CALL_RE = re.compile(
 _AGG_FILTER_RE = re.compile(r"\s*FILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
+_VECTOR_SIM_RE = re.compile(r"\bVECTOR_?SIMILARITY\s*\(", re.IGNORECASE)
+
+
+def rewrite_vector_similarity(sql: str) -> str:
+    """``WHERE vectorSimilarity(vec, queryVec, topK)`` (VectorTest.java
+    — the reference probes its HNSW index for the topK nearest, then
+    applies remaining predicates) → a row_number window over the exact
+    cosine distance in a derived table, with the predicate replaced by
+    ``__vs_rank <= topK``.  Exact top-K is a SUPERSET guarantee of the
+    reference's approximate probe.  This SQL form materializes a global
+    ordering — the scale path is operators/similarity.topk_cosine
+    (TakeOrderedAndProject) or the HNSW/IVF operators."""
+    stmt = _parse_canonical_stmt(sql, allow_join=False)
+    if stmt is None or not stmt.get("where"):
+        raise PinotSqlError(
+            "vectorSimilarity is wired for single-table canonical "
+            "statements (SELECT .. FROM t WHERE vectorSimilarity(...) ..)"
+        )
+    where = stmt["where"]
+    ranks: list[str] = []
+    guard = 0
+    while guard < 10:
+        guard += 1
+        m = _VECTOR_SIM_RE.search(where)
+        if not m:
+            break
+        open_idx = where.index("(", m.start())
+        close = _find_matching(where, open_idx)
+        args = _split_args(where[open_idx + 1 : close])
+        if len(args) < 3:
+            raise PinotSqlError("vectorSimilarity(vec, queryVec, topK) expected")
+        dist = FUNCTION_MAP["cosinedistance"]([args[0].strip(), args[1].strip()])
+        alias = f"__vs_rank{len(ranks)}"
+        ranks.append(f"row_number() OVER (ORDER BY {dist} ASC) AS {alias}")
+        where = (
+            where[: m.start()]
+            + f"{alias} <= {args[2].strip()}"
+            + where[close + 1 :]
+        )
+    inner = f"SELECT *, {', '.join(ranks)} FROM {stmt['table']}"
+    return (
+        f"SELECT {stmt['select']} FROM ({inner}) WHERE {where}"
+        + (f" GROUP BY {stmt['group']}" if stmt.get("group") else "")
+        + (f" HAVING {stmt['having']}" if stmt.get("having") else "")
+        + (f" {stmt['tail']}" if stmt.get("tail") else "")
+    )
+
+
 _SKETCH_AGG_FILTER_RE = re.compile(
     r"\b(DISTINCT_?COUNT_?(?:RAW_?)?(?:THETA|CPC|TUPLE|INTEGER_?SUM_?TUPLE)"
     r"_?SKETCH"
@@ -5838,6 +5892,8 @@ class PinotEngine:
             sql = rewrite_funnel_window(self.spark, sql)
         if _FUNNEL_COUNT_RE.search(sql):
             sql = rewrite_funnel_count(self.spark, sql)
+        if _VECTOR_SIM_RE.search(sql):
+            sql = rewrite_vector_similarity(sql)
         if _SKETCH_AGG_FILTER_RE.search(sql) and re.search(
             r"\bFILTER\s*\(", sql, re.IGNORECASE
         ):

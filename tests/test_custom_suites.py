@@ -2055,3 +2055,101 @@ def test_tuple_blob_intersect(tuplesuite):
         "FILTER (WHERE id > 4))) FROM TupleSketchTest"
     ).collect()[0][0]
     assert got is not None and got >= 0
+
+
+# ---------------------------------------------------------------------------
+# VectorTest.java — vector scalar functions (cosineDistance incl. the
+# 3-arg zero-norm default, innerProduct, l1/l2Distance, vectorDims,
+# vectorNorm) and the vectorSimilarity WHERE predicate (ANN probe ->
+# exact top-K superset) with metadata filters.
+# ---------------------------------------------------------------------------
+
+_VEC_DIM = 512
+_VEC_N = 40
+
+
+@pytest.fixture(scope="module")
+def vectortest(spark):
+    import random as _random
+
+    rng = _random.Random(11)
+    rows = [
+        (i, f"cat_{i % 3}",
+         [rng.uniform(0.0, 1.0) for _ in range(_VEC_DIM)],
+         [rng.uniform(0.0, 1.0) for _ in range(_VEC_DIM)],
+         [0.0] * _VEC_DIM)
+        for i in range(_VEC_N)
+    ]
+    spark.createDataFrame(
+        rows,
+        "rid int, category string, vector1 array<float>, "
+        "vector2 array<float>, zeroVector array<float>",
+    ).createOrReplaceTempView("VectorTest")
+    return PinotEngine(spark)
+
+
+def test_vector_scalar_functions(vectortest):
+    import math
+
+    rows = _unq(vectortest, (
+        "SELECT cosineDistance(vector1, vector2), "
+        "innerProduct(vector1, vector2), l1Distance(vector1, vector2), "
+        "l2Distance(vector1, vector2), vectorDims(vector1), "
+        "vectorDims(vector2), vectorNorm(vector1), "
+        "cosineDistance(vector1, zeroVector), "
+        "cosineDistance(vector1, zeroVector, 0) FROM VectorTest"
+    ))
+    assert len(rows) == _VEC_N
+    for r in rows:
+        assert 0.0 <= r[0] <= 1.0 and r[1] > 0 and r[2] > 0 and r[3] > 0
+        assert r[4] == _VEC_DIM and r[5] == _VEC_DIM and r[6] > 0
+        assert math.isnan(r[7])      # zero-vector cosine -> NaN
+        assert r[8] == 0.0           # 3-arg default replaces the NaN
+
+
+def test_vector_literal_identities(vectortest):
+    import math
+
+    zero = "ARRAY[" + ", ".join(["0.0"] * _VEC_DIM) + "]"
+    one = "ARRAY[" + ", ".join(["1.0"] * _VEC_DIM) + "]"
+    row = _unq(vectortest, (
+        f"SELECT cosineDistance({zero}, {one}), "
+        f"cosineDistance({zero}, {one}, 0.0), innerProduct({zero}, {one}), "
+        f"l1Distance({zero}, {one}), l2Distance({zero}, {one}) "
+        "FROM VectorTest LIMIT 1"
+    ))[0]
+    assert math.isnan(row[0])
+    assert row[1] == 0.0 and row[2] == 0.0
+    assert row[3] == float(_VEC_DIM)
+    assert abs(row[4] - math.sqrt(_VEC_DIM)) < 1e-9  # 22.627416997969522
+
+
+def test_vector_similarity_predicate(vectortest):
+    q = "ARRAY[" + ", ".join(["1.1"] * _VEC_DIM) + "]"
+    top = _unq(vectortest, (
+        f"SELECT cosineDistance(vector1, {q}) AS dist FROM VectorTest "
+        f"WHERE vectorSimilarity(vector1, {q}, 50) ORDER BY dist ASC LIMIT 5"
+    ))
+    plain = _unq(vectortest, (
+        f"SELECT cosineDistance(vector1, {q}) AS dist FROM VectorTest "
+        "ORDER BY dist ASC LIMIT 5"
+    ))
+    assert [r[0] for r in top] == [r[0] for r in plain]
+    # filtered ANN: all rows match the filter and stay distance-ordered
+    rows = _unq(vectortest, (
+        f"SELECT cosineDistance(vector1, {q}) AS dist, category "
+        f"FROM VectorTest WHERE vectorSimilarity(vector1, {q}, 50) "
+        "AND category = 'cat_0' ORDER BY dist ASC LIMIT 5"
+    ))
+    assert rows and all(r[1] == "cat_0" for r in rows)
+    dists = [r[0] for r in rows]
+    assert dists == sorted(dists)
+    # the topK probe bounds the candidate set: filtered <= unfiltered
+    unfiltered = _unq(vectortest, (
+        f"SELECT count(*) FROM VectorTest WHERE vectorSimilarity(vector1, {q}, 20)"
+    ))[0][0]
+    filtered = _unq(vectortest, (
+        f"SELECT count(*) FROM VectorTest WHERE vectorSimilarity(vector1, {q}, 20) "
+        "AND category = 'cat_0'"
+    ))[0][0]
+    assert unfiltered == 20 and filtered <= unfiltered
