@@ -2271,6 +2271,33 @@ def rewrite_mv_collect_aggs(spark: SparkSession, sql: str) -> str:
     )
 
 
+_MV_SCALAR_CAST_RE = re.compile(
+    r"\bCAST\s*\(\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s+AS\s+"
+    r"(INT|INTEGER|LONG|BIGINT|FLOAT|DOUBLE|STRING|BOOLEAN)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_mv_scalar_casts(spark: SparkSession, sql: str) -> str:
+    """``CAST(<mv column> AS <scalar type>)`` casts ELEMENT-WISE in
+    Pinot (CastTransformFunction over an MV operand,
+    CastQueriesTest.testCastMV); Spark rejects array→scalar casts, so
+    rewrite to a transform lambda."""
+    mv = _mv_columns(spark, sql)
+    if not mv:
+        return sql
+
+    def fix(m: re.Match) -> str:
+        if m.group(2).lower() not in mv and m.group(1).lower() not in mv:
+            return m.group(0)
+        return f"transform({m.group(1)}, __cx -> CAST(__cx AS {m.group(3)}))"
+
+    return "".join(
+        seg if is_lit else _MV_SCALAR_CAST_RE.sub(fix, seg)
+        for is_lit, seg in _scan_strings(sql)
+    )
+
+
 def rewrite_mv_predicates(spark: SparkSession, sql: str) -> str:
     """mvCol = v → array_contains(mvCol, v); mvCol != v → NOT
     array_contains; mvCol IN (…) → arrays_overlap; mvCol NOT IN (…) →
@@ -5936,6 +5963,8 @@ class PinotEngine:
         if "collect_list" in sql:
             sql = rewrite_mv_collect_aggs(self.spark, sql)
         sql = rewrite_cast_types(sql)
+        if "CAST" in sql.upper():
+            sql = rewrite_mv_scalar_casts(self.spark, sql)
         sql = rewrite_timestamp_coercion(self.spark, sql)
         sql = rewrite_mv_predicates(self.spark, sql)
         # default-value null mode LAST: table-name substitution must not

