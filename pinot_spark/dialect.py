@@ -4604,8 +4604,13 @@ def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
         return sql
 
     def is_blob_expr(e: str) -> bool:
-        m = re.search(r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*$", e.strip())
-        return bool(m) and m.group(1).split(".")[-1].lower() in bin_cols
+        # a bare column, or a CASE-wrapped column the FILTER fold
+        # produced — any referenced binary column marks the argument
+        # as a pre-built-sketch expression
+        return any(
+            tok.split(".")[-1].lower() in bin_cols
+            for tok in re.findall(r"[A-Za-z_][\w.]*", e)
+        )
 
     out = sql
     guard = 0
