@@ -457,10 +457,14 @@ def _todatetime_sql(a: list[str]) -> str:
 
 def _fromdatetime_sql(a: list[str]) -> str:
     """DateTimeFunctions.fromDateTime(dateTimeString, pattern[, zoneId])
-    → epoch millis.  Boundary: Joda's numeric S field reads a digit run
-    as MILLIS (".4" = 4 ms) while Spark's S is a decimal fraction
-    (".4" = 400 ms); the dominant round-trip of Java
-    Timestamp.toString ('....0') agrees on 0 either way."""
+    → epoch millis.  The 'S' field: Joda's DateTimeFormat maps S-runs to
+    appendFractionOfSecond — a true decimal fraction ('.4' = 400 ms,
+    '.45' with 'SS' = 450 ms) — which is exactly Spark's to_timestamp
+    semantics, verified against the in-container joda-time 2.14 jar
+    (tests/test_custom_suites.py::test_fromdatetime_fraction_joda_parity);
+    both engines also reject a digit run longer than the S-run.  (An
+    earlier comment here claimed Joda reads '.4' as 4 ms — that is
+    SimpleDateFormat's numeric-S behavior, not Joda's.)"""
     pat, tz = _split_sdf_tz(a[1].strip().strip("'\""))
     parsed = f"to_timestamp({a[0]}, '{pat}')"
     if len(a) > 2:
@@ -776,6 +780,18 @@ def _theta_nominal_entries(a: list[str]) -> int:
     return 4096
 
 
+def _theta_raw_build_expr(a: list[str]) -> str:
+    """KMV theta build over values as a native-aggregate expression (see
+    the FUNCTION_MAP comment at ``distinctcountrawthetasketch``)."""
+    return (
+        "__theta_from_hashes(slice(sort_array(collect_set("
+        "CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) ELSE xxhash64({0}) END"
+        ")), 1, {1}), {2})".format(
+            a[0], _theta_nominal_entries(a) + 1, _theta_nominal_entries(a)
+        )
+    )
+
+
 FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # --- string (StringFunctions.java) ---
     # Pinot strPos = StringUtils.indexOf/ordinalIndexOf: 0-based, -1 on miss
@@ -977,7 +993,18 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "distinctcounthllplus": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountull": lambda a: f"approx_count_distinct({a[0]})",
     "distinctcountsmarthll": lambda a: f"approx_count_distinct({a[0]})",
-    "distinctcountthetasketch": lambda a: f"approx_count_distinct({a[0]})",
+    # Pinot returns Math.round(sketch.getEstimate()) as a LONG, and a
+    # theta sketch below nominalEntries is EXACT — approx_count_distinct
+    # (an HLL) is not, even at tiny cardinalities.  Ride the RAW theta
+    # machinery; the filtered multi-parameter VALUE form (arity > 2)
+    # keeps the approximate fallback (named in COVERAGE.md).
+    "distinctcountthetasketch": lambda a: (
+        f"approx_count_distinct({a[0]})"
+        if len(a) > 2
+        else "CAST(ROUND(__theta_estimate({})) AS BIGINT)".format(
+            _theta_raw_build_expr(a)
+        )
+    ),
     # true CPC semantics since round 11: the same bounded coupon-domain
     # aggregation as DISTINCTCOUNTRAWCPCSKETCH, estimated with
     # Math.round of the merged sketch's ICON estimate — what a real
@@ -1009,13 +1036,7 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # approx_count_distinct skips NULLs and TO_THETA_SKETCH emits an
     # empty sketch for NULL — xxhash64(NULL) would otherwise contribute
     # the seed hash as a phantom distinct value
-    "distinctcountrawthetasketch": lambda a: (
-        "__theta_from_hashes(slice(sort_array(collect_set("
-        "CASE WHEN {0} IS NULL THEN CAST(NULL AS BIGINT) ELSE xxhash64({0}) END"
-        ")), 1, {1}), {2})".format(
-            a[0], _theta_nominal_entries(a) + 1, _theta_nominal_entries(a)
-        )
-    ),
+    "distinctcountrawthetasketch": lambda a: _theta_raw_build_expr(a),
     "getthetasketchestimate": lambda a: f"__theta_estimate({a[0]})",
     "thetasketchdiff": lambda a: f"__theta_diff({a[0]}, {a[1]})",
     "thetasketchunion": lambda a: (
@@ -1966,6 +1987,52 @@ def rewrite_row_comparisons(sql: str) -> str:
 _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE
 )
+# a REAL join relation following the UNNEST (not another UNNEST, which
+# rewrites to an adjacent LATERAL VIEW and needs no reordering)
+_JOIN_AFTER_UNNEST_RE = re.compile(
+    r"\s*(?:(?:CROSS|INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?"
+    r"|FULL(?:\s+OUTER)?|NATURAL)\s+)?JOIN\s+(?!UNNEST\b)",
+    re.IGNORECASE,
+)
+_LATERAL_STOP_RE = re.compile(
+    r"(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT"
+    r"|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _lateral_insert_pos(tail: str) -> int:
+    """First top-level position in ``tail`` where a LATERAL VIEW may be
+    spliced: before the first clause keyword (WHERE/GROUP BY/...), at an
+    enclosing subquery's closing paren, or end-of-string.  Spark only
+    parses lateral views AFTER all join relations of the FROM clause
+    (SqlBaseParser.g4 relation rule), so a LATERAL VIEW spliced at the
+    original CROSS JOIN UNNEST position would be unparseable when
+    another JOIN follows — the reference accepts that shape
+    (UnnestIntegrationTest.java)."""
+    span_at = {a: b for a, b in _literal_spans(tail)}
+    depth = 0
+    i, n = 0, len(tail)
+    while i < n:
+        if i in span_at:
+            i = span_at[i]
+            continue
+        c = tail[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif (
+            depth == 0
+            and (c.isalpha() or c == "_")
+            and (i == 0 or not (tail[i - 1].isalnum() or tail[i - 1] == "_"))
+            and _LATERAL_STOP_RE.match(tail, i)
+        ):
+            return i
+        i += 1
+    return n
 
 
 def rewrite_unnest(sql: str) -> str:
@@ -2033,7 +2100,24 @@ def rewrite_unnest(sql: str) -> str:
                 f"CASE WHEN {g} > 0 THEN {g} ELSE 0 END)"
             )
         repl = f"LATERAL VIEW inline({arr}) {alias} AS " + ", ".join(names)
-        sql = sql[: m.start()] + repl + sql[nclose + 1 :]
+        rest = sql[nclose + 1 :]
+        if _JOIN_AFTER_UNNEST_RE.match(rest):
+            # Spark parses lateral views only after ALL join relations:
+            # float this one past the remaining joins (a following ON
+            # that references the unnest aliases still fails loudly at
+            # analysis — a named boundary, not silent corruption)
+            ip = _lateral_insert_pos(rest)
+            sql = (
+                sql[: m.start()].rstrip()
+                + " "
+                + rest[:ip].strip()
+                + " "
+                + repl
+                + " "
+                + rest[ip:].lstrip()
+            )
+        else:
+            sql = sql[: m.start()] + repl + rest
 
 
 def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
@@ -2083,6 +2167,9 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
         if not m:
             break
         start = pos + m.start()
+        if any(a <= start < b for a, b in _literal_spans(sql)):
+            pos = start + 1
+            continue
         open_idx = sql.index("(", start)
         close = _find_matching(sql, open_idx)
         inner = sql[open_idx + 1 : close].strip()
@@ -2108,6 +2195,9 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
         if not m:
             break
         start = pos + m.start()
+        if any(a <= start < b for a, b in _literal_spans(sql)):
+            pos = start + 1
+            continue
         open_idx = sql.index("(", start)
         try:
             close = _find_matching(sql, open_idx)
@@ -2150,6 +2240,9 @@ def rewrite_timestamp_coercion(spark: SparkSession, sql: str) -> str:
         if not m:
             break
         start = m.start()
+        if any(a <= start < b for a, b in _literal_spans(sql)):
+            pos = start + 1
+            continue
         open_idx = sql.index("(", start)
         try:
             close = _find_matching(sql, open_idx)
@@ -4590,6 +4683,69 @@ def rewrite_sketch_agg_filters(sql: str) -> str:
     return out
 
 
+_THETA_VALUE_CALL_RE = re.compile(
+    r"\bDISTINCT_?COUNT_?THETA_?SKETCH\s*\(", re.IGNORECASE
+)
+_OVER_AFTER_CALL_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+
+def rewrite_theta_value_calls(
+    sql: str, blob_cols: set[str] | None = None
+) -> str:
+    """Value-build ``DISTINCTCOUNTTHETASKETCH(x[, params])`` →
+    ``CAST(ROUND(GETTHETASKETCHESTIMATE(DISTINCTCOUNTRAWTHETASKETCH(..)))
+    AS BIGINT)`` — Pinot returns ``Math.round(getEstimate())`` and a
+    theta sketch below nominalEntries is EXACT
+    (DistinctCountThetaSketchAggregationFunction.java), while Spark's
+    approx_count_distinct (an HLL) errs even at single-digit
+    cardinalities.  Runs AFTER the blob rewrite (any surviving call is a
+    value build) and BEFORE the raw-sketch restructuring passes so the
+    emitted RAW call rides the bounded two-phase / running-window
+    machinery.  A trailing OVER clause moves INSIDE the estimate wrapper
+    (window attaches to the aggregate, not the CAST).  The filtered
+    multi-parameter VALUE form (arity > 2) is left to the existing
+    fallback."""
+    out = sql
+    pos = 0
+    guard = 0
+    while guard < 200:
+        guard += 1
+        m = _THETA_VALUE_CALL_RE.search(out, pos)
+        if not m:
+            break
+        if any(a <= m.start() < b for a, b in _literal_spans(out)):
+            pos = m.end()
+            continue
+        open_idx = out.index("(", m.start())
+        close = _find_matching(out, open_idx)
+        args = _split_args(out[open_idx + 1 : close])
+        if len(args) > 2 or not args or not args[0].strip():
+            pos = open_idx + 1
+            continue
+        if blob_cols and any(
+            tok.split(".")[-1].lower() in blob_cols
+            for tok in re.findall(r"[A-Za-z_][\w.]*", args[0])
+        ):
+            # references a pre-built sketch BYTES column — leave for the
+            # blob-union rewrite
+            pos = open_idx + 1
+            continue
+        inner = "DISTINCTCOUNTRAWTHETASKETCH({})".format(
+            ", ".join(a.strip() for a in args)
+        )
+        call_end = close + 1
+        om = _OVER_AFTER_CALL_RE.match(out[call_end:])
+        if om:
+            oopen = out.index("(", call_end)
+            oclose = _find_matching(out, oopen)
+            inner += out[call_end : oclose + 1]
+            call_end = oclose + 1
+        repl = f"CAST(ROUND(GETTHETASKETCHESTIMATE({inner})) AS BIGINT)"
+        out = out[: m.start()] + repl + out[call_end:]
+        pos = m.start() + len(repl)
+    return out
+
+
 def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
     """DISTINCTCOUNT[RAW]THETASKETCH over a PRE-BUILT sketch BYTES
     column (ThetaSketchTest.java: ingested datasketches-java compact
@@ -4604,12 +4760,20 @@ def rewrite_theta_blob_calls(spark: SparkSession, sql: str) -> str:
         return sql
 
     def is_blob_expr(e: str) -> bool:
-        # a bare column, or a CASE-wrapped column the FILTER fold
-        # produced — any referenced binary column marks the argument
-        # as a pre-built-sketch expression
-        return any(
-            tok.split(".")[-1].lower() in bin_cols
-            for tok in re.findall(r"[A-Za-z_][\w.]*", e)
+        # a bare (optionally qualified) column, or the exact
+        # ``(CASE WHEN <pred> THEN <col> END)`` wrapper the FILTER fold
+        # produces around one.  Anything else — e.g. a derived
+        # expression like ``length(bytesCol)`` that merely REFERENCES a
+        # binary column — is a value build, not a pre-built blob.
+        e = e.strip()
+        cm = re.match(
+            r"(?is)^\(\s*CASE\s+WHEN\s+.*\s+THEN\s+(.*?)\s+END\s*\)$", e
+        )
+        if cm:
+            e = cm.group(1).strip()
+        return bool(
+            re.fullmatch(r"[A-Za-z_][\w.]*", e)
+            and e.split(".")[-1].lower() in bin_cols
         )
 
     out = sql
@@ -5933,6 +6097,9 @@ class PinotEngine:
         if _THETA_BLOB_CALL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
             sql = rewrite_theta_blob_calls(self.spark, sql)
+        if _THETA_VALUE_CALL_RE.search(sql):
+            _ensure_theta_sql_udfs(self.spark)
+            sql = rewrite_theta_value_calls(sql)
         if _THETA_SQL_RE.search(sql):
             _ensure_theta_sql_udfs(self.spark)
             # Safety net for the regex-based restructuring (VERDICT r7:
@@ -6096,6 +6263,17 @@ class PinotEngine:
             view = f"__gapfill_{_ASOF_VIEW_SEQ[0]}"
             self._gapfill(bare[s + 1 : e]).createOrReplaceTempView(view)
             return self.sql(bare[:s] + view + bare[e + 1 :])
+        if _THETA_VALUE_CALL_RE.search(pinot_sql) and re.search(
+            r"\bOVER\s*\(", pinot_sql, re.IGNORECASE
+        ):
+            # value-build theta in WINDOW position must become its RAW
+            # twin BEFORE the window router (which keys on RAW names);
+            # pre-built blob columns stay for the blob rewrite
+            _ensure_theta_sql_udfs(self.spark)
+            pinot_sql = rewrite_theta_value_calls(
+                pinot_sql,
+                blob_cols=_typed_columns(self.spark, pinot_sql, (T.BinaryType,)),
+            )
         routed = self._route_raw_sketch_windows(pinot_sql)
         if routed is not None:
             return routed

@@ -342,11 +342,16 @@ def resample_to_distribution(
 
     Acceptance is hash-thinning on md5(id) — no RNG, no shuffle-order
     dependence, reproducible at any scale and identical across engines:
-    row accepted iff its first 4 md5 hex chars (a uniform 16-bit value)
-    fall below floor(65536 * w_b * M / count_b), formatted as a 4-hex
+    row accepted iff its first 8 md5 hex chars (a uniform 32-bit value)
+    fall below floor(2^32 * w_b * M / count_b), formatted as an 8-hex
     threshold literal so the comparison is a monotone string compare.
-    Buckets without a weight are dropped.  The only driver-side state
-    is the per-bucket count (bounded by category cardinality)."""
+    (32 bits, not 16: a 16-bit threshold floors to 0 once a bucket's
+    count exceeds 65536*w*M — extreme-skew corpora would silently drop
+    the whole bucket.)  A threshold that still floors to 0 for a
+    weighted bucket (count_b > 2^32 * w_b * M) raises rather than
+    silently dropping it.  Buckets without a weight are dropped.  The
+    only driver-side state is the per-bucket count (bounded by category
+    cardinality)."""
     counts = {
         r[0]: r[1] for r in df.groupBy(bucket_col).count().collect()
     }
@@ -354,16 +359,22 @@ def resample_to_distribution(
     if not usable:
         return df.filter(F.lit(False))
     m = min(counts[b] // w for b, w in usable.items())
-    hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
     cond = F.lit(False)
     for b, w in usable.items():
-        thr = (65536 * w * m) // counts[b]
-        if thr >= 65536:
-            # the limiting bucket keeps everything — a 4-hex compare
-            # cannot express "accept all" (format(65536) is the 5-char
-            # '10000' and lexicographic < would keep ~6% instead)
+        thr = ((1 << 32) * w * m) // counts[b]
+        if thr >= (1 << 32):
+            # the limiting bucket keeps everything — an 8-hex compare
+            # cannot express "accept all" (format(2^32) is the 9-char
+            # '100000000' and lexicographic < would mis-thin)
             accept = F.lit(True)
+        elif thr == 0:
+            raise ValueError(
+                f"resample_to_distribution: bucket {b!r} count "
+                f"({counts[b]}) exceeds 2^32 * weight * multiplier — "
+                "acceptance threshold underflows to 0; rescale weights"
+            )
         else:
-            accept = hex4 < format(thr, "04x")
+            accept = hex8 < format(thr, "08x")
         cond = cond | ((F.col(bucket_col) == b) & accept)
     return df.filter(cond)

@@ -1386,14 +1386,14 @@ def pipeline_semdedup(spark, sf_dir):
     m AS (SELECT min(c // w) AS m FROM counts),
     thr AS (
       SELECT lang, c, w,
-             (65536 * w * (SELECT m FROM m)) // c AS ti,
-             lower(lpad(to_hex(least(65535, (65536 * w * (SELECT m FROM m)) // c)),
-                  4, '0')) AS t
+             (4294967296 * w * (SELECT m FROM m)) // c AS ti,
+             lower(lpad(to_hex(least(4294967295, (4294967296 * w * (SELECT m FROM m)) // c)),
+                  8, '0')) AS t
       FROM counts),
     sampled AS (
       SELECT d.lang FROM documents d JOIN thr ON d.lang = thr.lang
-      WHERE thr.ti >= 65536
-         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t)
+      WHERE thr.ti >= 4294967296
+         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t)
     SELECT lang, count(*) AS n FROM sampled GROUP BY lang ORDER BY lang
     """,
 )
@@ -1401,7 +1401,7 @@ def pipeline_resample_distribution(spark, sf_dir):
     """Corpus resampling to a target categorical mix (training-data
     balancing: operators/text.resample_to_distribution) — here 4:1:1:1:1
     over langs with 'en' upweighted.  Deterministic md5 hash-thinning:
-    the same 16-bit threshold acceptance on both engines, no RNG, no
+    the same 32-bit threshold acceptance on both engines, no RNG, no
     shuffle-order dependence; per-bucket counts are the only
     driver-side state (bounded by category cardinality)."""
     t = load_tables(spark, sf_dir)

@@ -489,6 +489,48 @@ def test_timestamp_sub_second_equality(tstest):
     ).collect()[0][0] == 0
 
 
+def test_fromdatetime_fraction_joda_parity(tstest, spark):
+    """FROMDATETIME 'S' fields against the ACTUAL Joda parser (the
+    joda-time 2.14 jar Spark ships): Joda's DateTimeFormat maps S-runs
+    to appendFractionOfSecond — a decimal FRACTION ('.4' = 400 ms), the
+    same semantics as Spark's to_timestamp.  Pins ADVICE r12 item 3
+    closed: the suspected 4-ms-vs-400-ms divergence does not exist
+    (that is SimpleDateFormat behavior, not Joda's — verified here
+    against DateTimePatternHandler.java's own formatter)."""
+    jvm = spark._jvm
+    fmt = jvm.org.joda.time.format.DateTimeFormat
+    cases = [
+        ("yyyy-MM-dd HH:mm:ss.S", "2020-01-01 00:00:00.4", None),
+        ("yyyy-MM-dd HH:mm:ss.S", "2020-01-01 00:00:00.0", None),
+        ("yyyy-MM-dd HH:mm:ss.SS", "2020-06-15 12:34:56.45", None),
+        ("yyyy-MM-dd HH:mm:ss.SSS", "2019-12-31 23:59:59.978", None),
+        ("yyyy-MM-dd HH:mm:ss.SSS", "2020-03-08 12:30:00.123",
+         "America/New_York"),
+    ]
+    for pat, s, tz in cases:
+        f = fmt.forPattern(pat)
+        want = (
+            f.withZone(jvm.org.joda.time.DateTimeZone.forID(tz))
+            if tz else f.withZoneUTC()
+        ).parseMillis(s)
+        call = (
+            f"FROMDATETIME('{s}', '{pat}', '{tz}')"
+            if tz else f"FROMDATETIME('{s}', '{pat}')"
+        )
+        got = tstest.sql(f"SELECT {call} AS ms").collect()[0][0]
+        assert got == want, (pat, s, tz, got, want)
+    # overlong digit run: BOTH engines reject (Joda: malformed at "56";
+    # Spark: CANNOT_PARSE_TIMESTAMP) — no silent divergence
+    with pytest.raises(Exception):
+        fmt.forPattern("yyyy-MM-dd HH:mm:ss.S").withZoneUTC() \
+            .parseMillis("2020-01-01 00:00:00.456")
+    with pytest.raises(Exception):
+        tstest.sql(
+            "SELECT FROMDATETIME('2020-01-01 00:00:00.456', "
+            "'yyyy-MM-dd HH:mm:ss.S') AS ms"
+        ).collect()
+
+
 # ---------------------------------------------------------------------------
 # FloatingPointDataTypeTest.java — 10 rows accumulated in IEEE double
 # steps exactly as the Java fixture does, 24 literal count filters (the
@@ -1029,6 +1071,34 @@ def test_unnest_sum_ordinality_long_array(unnest):
         "CROSS JOIN UNNEST(longArrayCol) WITH ORDINALITY AS u(val, idx)"
     ))[0]
     assert row[0] == 10 * _UN_N and row[1] == 6 * _UN_N
+
+
+def test_unnest_followed_by_join(unnest, spark):
+    """ADVICE r12 item 4: UNNEST followed by ANOTHER JOIN in the same
+    FROM clause — Spark parses lateral views only after all join
+    relations, so the rewrite must float the LATERAL VIEW past the
+    remaining joins (the reference accepts this shape)."""
+    spark.createDataFrame(
+        [(i, f"name{i}") for i in range(_UN_N)], "k int, name string"
+    ).createOrReplaceTempView("UnnestDim")
+    rows = _unq(unnest, (
+        "SELECT t.intCol, d.name, u.elem FROM UnnestIntegrationTest t "
+        "CROSS JOIN UNNEST(t.stringArrayCol) AS u(elem) "
+        "JOIN UnnestDim d ON d.k = t.intCol "
+        "WHERE t.intCol < 2 ORDER BY t.intCol, u.elem"
+    ))
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (0, "name0", "a"), (0, "name0", "b"), (0, "name0", "c"),
+        (1, "name1", "a"), (1, "name1", "b"), (1, "name1", "c"),
+    ]
+    # LEFT JOIN variant + aggregate, and an enclosing-subquery shape
+    row = _unq(unnest, (
+        "SELECT COUNT(*) FROM ( "
+        "SELECT t.intCol, u.elem FROM UnnestIntegrationTest t "
+        "CROSS JOIN UNNEST(t.longArrayCol) AS u(elem) "
+        "LEFT JOIN UnnestDim d ON d.k = t.intCol )"
+    ))[0]
+    assert row[0] == 4 * _UN_N
 
 
 # ---------------------------------------------------------------------------
@@ -1902,6 +1972,28 @@ def test_theta_blob_union_all_and_join(thetasuite):
     assert {r[0]: r[1] for r in rows} == {
         "Female": _ts_expected(lambda g, c: g == "Male")
     }
+
+
+def test_theta_derived_expr_over_binary_takes_value_path(thetasuite, spark):
+    # Regression (VERDICT r12): an argument that merely REFERENCES a
+    # binary column — e.g. length(bytesCol), a derived INT — must take
+    # the VALUE-build path, not the blob-union path.  Exact under k.
+    e = thetasuite
+    expected = spark.sql(
+        "select count(distinct length(thetaSketchCol)) from ThetaSketchTest"
+    ).collect()[0][0]
+    got = e.sql(
+        "select distinctCountThetaSketch(length(thetaSketchCol)) "
+        "from ThetaSketchTest"
+    ).collect()[0][0]
+    assert got == expected
+    # the FILTER fold wrapper around a BARE column must still blob-route
+    got = e.sql(
+        "select distinctCountThetaSketch(thetaSketchCol) "
+        "FILTER (WHERE dimName = 'gender' and dimValue = 'Female') "
+        "from ThetaSketchTest"
+    ).collect()[0][0]
+    assert got == _ts_expected(lambda g, c: g == "Female")
 
 
 # ---------------------------------------------------------------------------

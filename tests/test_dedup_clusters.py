@@ -173,7 +173,7 @@ def test_semdedup_plan_no_cartesian(spark):
 
 def test_resample_accept_all_threshold(spark):
     """The limiting bucket (count exactly divisible by its weight) must
-    keep ALL rows — a 4-hex threshold cannot express 65536."""
+    keep ALL rows — an 8-hex threshold cannot express 2^32."""
     from pinot_spark.operators.text import resample_to_distribution
 
     df = spark.range(100).selectExpr(
@@ -181,5 +181,34 @@ def test_resample_accept_all_threshold(spark):
     )
     out = resample_to_distribution(df, "g", {"a": 1, "b": 1}, "id")
     counts = {r[0]: r[1] for r in out.groupBy("g").count().collect()}
-    assert counts["a"] == 40  # limiting bucket: thr = 65536, keep all
+    assert counts["a"] == 40  # limiting bucket: thr = 2^32, keep all
     assert 25 <= counts.get("b", 0) <= 55  # ~40/60 hash-thinned
+
+
+def test_resample_zero_threshold_raises(spark):
+    """A weighted bucket whose acceptance threshold floors to 0 must
+    raise, never silently drop the bucket (ADVICE r12: extreme-skew
+    corpora).  Forced here by monkeypatching the counts the operator
+    sees — a real >2^32-row bucket is not constructible in a test."""
+    import pytest
+    from pinot_spark.operators import text as T
+
+    df = spark.range(10).selectExpr(
+        "id", "CASE WHEN id < 2 THEN 'rare' ELSE 'huge' END AS g"
+    )
+    cls = type(df)  # the concrete (classic/connect) DataFrame subclass
+    orig = cls.groupBy
+    try:
+        class _FakeCounts:
+            def count(self):
+                return self
+
+            def collect(self):
+                # m = 2 (rare limits); huge thr = 2^33 // (2^34+1) = 0
+                return [("rare", 2), ("huge", 2**34 + 1)]
+
+        cls.groupBy = lambda self, *a, **k: _FakeCounts()
+        with pytest.raises(ValueError, match="underflows to 0"):
+            T.resample_to_distribution(df, "g", {"rare": 1, "huge": 1}, "id")
+    finally:
+        cls.groupBy = orig

@@ -221,3 +221,43 @@ def test_raw_hll_sql_bytes_match_from_hashes(spark):
             dtype=np.int64,
         ).astype(np.uint64) + np.uint64(2**63)
         assert legacy == HllSketch.from_hashes(hashes, log2m).to_bytes()
+
+
+def test_theta_value_build_exact_below_k(spark):
+    """Non-raw DISTINCTCOUNTTHETASKETCH over VALUES is exact below
+    nominalEntries — Pinot returns Math.round(getEstimate()) and a theta
+    sketch under k retains every hash
+    (DistinctCountThetaSketchAggregationFunction.java).  Previously
+    mapped to approx_count_distinct (an HLL), which errs even at 9
+    distinct values (returned 8 for this fixture)."""
+    from pinot_spark.dialect import PinotEngine
+
+    vals = [1056, 1216, 1376, 1456, 2016, 2176, 2336, 2896, 3616, 1056, 1216]
+    spark.createDataFrame([(v, v % 3) for v in vals], "v int, g int") \
+        .createOrReplaceTempView("theta_vals_t")
+    eng = PinotEngine(spark, default_limit=1000)
+    assert eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(v) AS dc FROM theta_vals_t"
+    ).collect()[0].dc == 9
+    got = {
+        r.g: r.dc
+        for r in eng.sql(
+            "SELECT g, DISTINCTCOUNTTHETASKETCH(v) AS dc FROM theta_vals_t "
+            "GROUP BY g"
+        ).collect()
+    }
+    assert got == {0: 2, 1: 5, 2: 2}
+    # window position routes through the RAW running-sketch machinery
+    rows = eng.sql(
+        "SELECT v, DISTINCTCOUNTTHETASKETCH(v) OVER (PARTITION BY g) AS dc "
+        "FROM theta_vals_t"
+    ).collect()
+    assert {(r.v % 3, r.dc) for r in rows} == {(0, 2), (1, 5), (2, 2)}
+    # above k the estimate stays within theta error (k=16 on 1k distinct)
+    spark.createDataFrame([(i,) for i in range(1000)], "v int") \
+        .createOrReplaceTempView("theta_vals_big_t")
+    est = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(v, 'nominalEntries=16') AS dc "
+        "FROM theta_vals_big_t"
+    ).collect()[0].dc
+    assert 400 <= est <= 2500
