@@ -1515,3 +1515,126 @@ def dialect_raw_sketch_sliding(spark, sf_dir):
         "FROM orders WHERE o_orderkey <= 2000 "
         "ORDER BY o_orderkey LIMIT 40"
     )
+
+
+@query(
+    "dialect_prebuilt_sketch_blobs",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS dc
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'both:view*purchase', CAST(count(*) AS BIGINT) FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'union:view+purchase', CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE event_type IN ('view', 'purchase')
+    ORDER BY event_type LIMIT 20
+    """,
+)
+def dialect_prebuilt_sketch_blobs(spark, sf_dir):
+    """PRE-BUILT theta sketch BYTES columns (ThetaSketchTest.java:
+    pinot-integration-tests custom suite): a segment-build step stores
+    one compact sketch blob per (event_type, shard) — here produced by
+    the engine's own DISTINCT_COUNT_RAW_THETA_SKETCH writer — and the
+    query layer UNIONS stored blobs instead of re-building from values:
+    plain aggregation (blob union + estimate), the V2 FILTER (WHERE ..)
+    clause folded into the collected argument, and THETA_SKETCH_INTERSECT
+    set-op post-aggregation across two filtered blob unions.  Distinct
+    users per type stay far under nominalEntries=4096 so every sketch is
+    EXACT (theta=1) and intersection of exact sketches is exact — the
+    oracle mirrors count(DISTINCT) / INTERSECT.  Scale: the blob table
+    is segments x types (tiny); unions merge fixed-k state map-side."""
+    e = _engine(spark, sf_dir)
+    e.sql(
+        "SELECT event_type, MOD(event_id, 4) AS shard, "
+        "DISTINCT_COUNT_RAW_THETA_SKETCH(user_id) AS sk "
+        "FROM events GROUP BY event_type, MOD(event_id, 4) LIMIT 1000"
+    ).createOrReplaceTempView("events_sketch_blobs")
+    return e.sql(
+        "SELECT event_type, DISTINCTCOUNTTHETASKETCH(sk) AS dc "
+        "FROM events_sketch_blobs GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'both:view*purchase', "
+        "CAST(GET_THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT( "
+        "  DISTINCT_COUNT_RAW_THETA_SKETCH(sk) "
+        "    FILTER (WHERE event_type = 'view'), "
+        "  DISTINCT_COUNT_RAW_THETA_SKETCH(sk) "
+        "    FILTER (WHERE event_type = 'purchase'))) AS BIGINT) "
+        "FROM events_sketch_blobs "
+        "UNION ALL "
+        "SELECT 'union:view+purchase', DISTINCTCOUNTTHETASKETCH(sk) "
+        "FILTER (WHERE event_type IN ('view', 'purchase')) "
+        "FROM events_sketch_blobs "
+        "ORDER BY event_type LIMIT 20"
+    )
+
+
+@query(
+    "dialect_unnest_ordinality",
+    oracle="""
+    WITH doc_arrays AS (
+      SELECT doc_id, [doc_id % 5, doc_id % 7, doc_id % 11] AS nums,
+             [lang, source] AS strs
+      FROM documents),
+    u AS (
+      SELECT doc_id, unnest(nums) AS v, unnest(strs) AS s,
+             unnest(range(1, 4)) AS idx
+      FROM doc_arrays)
+    SELECT idx, CAST(sum(v) AS BIGINT) AS sum_v, count(s) AS n_str,
+           count(*) AS n
+    FROM u GROUP BY idx ORDER BY idx LIMIT 10
+    """,
+)
+def dialect_unnest_ordinality(spark, sf_dir):
+    """Calcite ``CROSS JOIN UNNEST(a, b) WITH ORDINALITY``
+    (UnnestIntegrationTest.java): multi-array zip with NULL padding past
+    the shorter array's end plus a 1-based ordinality column, rewritten
+    to one LATERAL VIEW inline over a zipped struct array — per-row
+    Column algebra, no shuffle beyond the final aggregation.  The
+    2-element string array zips against 3-element number arrays, so
+    idx=3 counts zero strings (padding proof).  DuckDB's parallel
+    unnest-in-SELECT zip is the native oracle."""
+    t = load_tables(spark, sf_dir)
+    t["documents"].select(
+        "doc_id",
+        F.array(
+            F.col("doc_id") % 5, F.col("doc_id") % 7, F.col("doc_id") % 11
+        ).alias("nums"),
+        F.array("lang", "source").alias("strs"),
+    ).createOrReplaceTempView("doc_arrays")
+    return _engine(spark, sf_dir).sql(
+        "SELECT u.idx, CAST(SUM(u.v) AS BIGINT) AS sum_v, "
+        "COUNT(u.s) AS n_str, COUNT(*) AS n "
+        "FROM doc_arrays CROSS JOIN UNNEST(nums, strs) WITH ORDINALITY "
+        "AS u(v, s, idx) GROUP BY u.idx ORDER BY u.idx LIMIT 10"
+    )
+
+
+@query(
+    "dialect_todatetime_roundtrip",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_str,
+           count(*) AS n,
+           CAST(min(epoch_ms(date_trunc('day', ts))) AS BIGINT) AS day_millis
+    FROM events GROUP BY 1 ORDER BY hour_str LIMIT 50
+    """,
+)
+def dialect_todatetime_roundtrip(spark, sf_dir):
+    """TODATETIME / FROMDATETIME round-trip (DateTimeFunctions.java
+    toDateTime/fromDateTime, Joda DateTimeFormat semantics — the
+    TimestampTest.java Tableau shapes): epoch-millis → Joda-printed
+    string (grouping key) and string → epoch-millis back (day floor via
+    print-at-day-granularity + reparse).  CAST(ts AS BIGINT) rides the
+    Pinot TIMESTAMP↔LONG millis coercion (TimestampUtils), not Spark's
+    seconds cast.  All per-row Column expressions — JVM-side
+    date_format/to_timestamp, no UDFs."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT TODATETIME(CAST(ts AS BIGINT), 'yyyy-MM-dd HH') AS hour_str, "
+        "COUNT(*) AS n, "
+        "CAST(MIN(FROMDATETIME(TODATETIME(CAST(ts AS BIGINT), "
+        "'yyyy-MM-dd'), 'yyyy-MM-dd')) AS BIGINT) AS day_millis "
+        "FROM events GROUP BY TODATETIME(CAST(ts AS BIGINT), 'yyyy-MM-dd HH') "
+        "ORDER BY hour_str LIMIT 50"
+    )

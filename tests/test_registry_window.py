@@ -44,3 +44,49 @@ def test_every_query_has_callable_and_most_have_oracles():
     # rows-only is reserved for genuinely non-SQL-expressible operators;
     # growth here needs a justification in the query's docstring
     assert len(rows_only) <= 10, rows_only
+
+
+def test_window_covers_stalest_rows():
+    """VERDICT r12 item 6 (evidence-freshness automation): recompute
+    per-query staleness from the committed CORRECTNESS_r*.json artifacts
+    and assert the recorded window (a) takes every never-driver-tested
+    registered query as a first-timer and (b) fills its re-proof slots
+    with the STALEST greens — an out-of-window green may never be
+    strictly staler than an in-window re-proof, so a planning slip can't
+    silently strand a row at an old round again (the r8 fn_math_family
+    near-miss)."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, tuple[int, bool]] = {}
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
+    assert files, "run from the repo root (driver artifacts expected)"
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for name, res in json.load(open(f)).items():
+            ok = (
+                isinstance(res, dict)
+                and bool(res.get("rows_match"))
+                and bool(res.get("schema_match"))
+                and not res.get("err")
+                and res.get("hash_match") in (True, None)
+            )
+            latest[name] = (rnd, ok)
+    registered = set(Q.QUERIES)
+    window = set(Q._WINDOW_PRIORITY)
+    never_tested = registered - set(latest)
+    assert never_tested <= window, (
+        f"never-driver-tested queries missing a first-timer slot: "
+        f"{sorted(never_tested - window)}"
+    )
+    greens = {
+        n: r for n, (r, ok) in latest.items() if ok and n in registered
+    }
+    in_window = {greens[n] for n in window & set(greens)}
+    out_window = {greens[n] for n in set(greens) - window}
+    if in_window and out_window:
+        assert max(in_window) <= min(out_window), (
+            f"window re-proves round-{max(in_window)} greens while "
+            f"round-{min(out_window)} greens sit outside it"
+        )
