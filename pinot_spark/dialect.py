@@ -996,10 +996,16 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     # Pinot returns Math.round(sketch.getEstimate()) as a LONG, and a
     # theta sketch below nominalEntries is EXACT — approx_count_distinct
     # (an HLL) is not, even at tiny cardinalities.  Ride the RAW theta
-    # machinery; the filtered multi-parameter VALUE form (arity > 2)
-    # keeps the approximate fallback (named in COVERAGE.md).
+    # machinery.  The filtered multi-parameter form is handled by
+    # rewrite_theta_value_calls / rewrite_theta_blob_calls before
+    # FUNCTION_MAP; a shape neither pass matched raises rather than
+    # silently ignoring its filter predicates.
     "distinctcountthetasketch": lambda a: (
-        f"approx_count_distinct({a[0]})"
+        _sql_gap(
+            "DISTINCTCOUNTTHETASKETCH",
+            "multi-parameter form not in the "
+            "(col, params, 'p1', .., 'SET_OP($1, ..)') shape",
+        )(a)
         if len(a) > 2
         else "CAST(ROUND(__theta_estimate({})) AS BIGINT)".format(
             _theta_raw_build_expr(a)
@@ -4719,7 +4725,7 @@ def rewrite_theta_value_calls(
         open_idx = out.index("(", m.start())
         close = _find_matching(out, open_idx)
         args = _split_args(out[open_idx + 1 : close])
-        if len(args) > 2 or not args or not args[0].strip():
+        if not args or not args[0].strip():
             pos = open_idx + 1
             continue
         if blob_cols and any(
@@ -4729,6 +4735,44 @@ def rewrite_theta_value_calls(
             # references a pre-built sketch BYTES column — leave for the
             # blob-union rewrite
             pos = open_idx + 1
+            continue
+        if len(args) > 2:
+            # V1 filtered multi-parameter form over a VALUE column:
+            # ``(col, params, 'p1', .., 'SET_OP($1, ..)')``
+            # (DistinctCountThetaSketchAggregationFunction.java) — each
+            # $i becomes a RAW build over CASE WHEN p_i, the post-agg's
+            # SET_* ops become the theta set-op scalars, estimate+round
+            # last.  Non-matching arity>2 shapes skip (loud downstream).
+            lits = [
+                a.strip() for a in args[1:]
+                if a.strip().startswith("'") and a.strip().endswith("'")
+            ]
+            if (
+                len(lits) != len(args) - 1
+                or len(lits) < 2
+                or "$" not in lits[-1]
+            ):
+                pos = open_idx + 1
+                continue
+            params = lits[0][1:-1].replace("''", "'").strip()
+            preds = [p[1:-1].replace("''", "'") for p in lits[1:-1]]
+            postagg = lits[-1][1:-1].replace("''", "'")
+            ptail = ", '{}'".format(params.replace("'", "''")) if params else ""
+            expr = postagg
+            for i in range(len(preds), 0, -1):
+                build = (
+                    "DISTINCTCOUNTRAWTHETASKETCH((CASE WHEN {} THEN {} "
+                    "END){})".format(preds[i - 1], args[0].strip(), ptail)
+                )
+                expr = expr.replace(f"${i}", build)
+            expr = re.sub(r"(?i)\bSET_UNION\b", "THETASKETCHUNION", expr)
+            expr = re.sub(
+                r"(?i)\bSET_INTERSECT\b", "THETASKETCHINTERSECT", expr
+            )
+            expr = re.sub(r"(?i)\bSET_DIFF\b", "THETASKETCHDIFF", expr)
+            repl = f"CAST(ROUND(GETTHETASKETCHESTIMATE({expr})) AS BIGINT)"
+            out = out[: m.start()] + repl + out[close + 1 :]
+            pos = m.start() + len(repl)
             continue
         inner = "DISTINCTCOUNTRAWTHETASKETCH({})".format(
             ", ".join(a.strip() for a in args)

@@ -1974,6 +1974,31 @@ def test_theta_blob_union_all_and_join(thetasuite):
     }
 
 
+def test_theta_v1_filtered_form_over_values(thetasuite, spark):
+    """The V1 filtered multi-parameter form over a VALUE column (no
+    pre-built blobs): each $i is a RAW build over CASE WHEN p_i, SET_*
+    post-agg ops become the theta set-op scalars.  Previously this
+    shape silently fell back to approx_count_distinct(col) IGNORING its
+    filter predicates.  Fixture: uid 0..59 in 'a', 30..89 in 'b' —
+    intersect 30, union 90, diff 30."""
+    e = thetasuite
+    rows = [(i, "a", i) for i in range(60)] + [
+        (100 + i, "b", 30 + i) for i in range(60)
+    ]
+    spark.createDataFrame(rows, "id int, tag string, uid int") \
+        .createOrReplaceTempView("ThetaValueFiltered")
+    q = ("select distinctCountThetaSketch(uid, '', 'tag = ''a''', "
+         "'tag = ''b''', 'SET_INTERSECT($1, $2)') from ThetaValueFiltered")
+    assert e.sql(q).collect()[0][0] == 30
+    q = ("select distinctCountThetaSketch(uid, 'nominalEntries=4096', "
+         "'tag = ''a''', 'tag = ''b''', 'SET_UNION($1, $2)') "
+         "from ThetaValueFiltered")
+    assert e.sql(q).collect()[0][0] == 90
+    q = ("select distinctCountThetaSketch(uid, '', 'tag = ''a''', "
+         "'tag = ''b''', 'SET_DIFF($1, $2)') from ThetaValueFiltered")
+    assert e.sql(q).collect()[0][0] == 30
+
+
 def test_theta_derived_expr_over_binary_takes_value_path(thetasuite, spark):
     # Regression (VERDICT r12): an argument that merely REFERENCES a
     # binary column — e.g. length(bytesCol), a derived INT — must take
