@@ -1556,10 +1556,26 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
     "hextobytes": "unhex",
     "longtohexdecimal": lambda a: f"lower(hex(CAST({a[0]} AS BIGINT)))",
     "hexdecimaltolong": lambda a: f"CAST(conv({a[0]}, 16, 10) AS BIGINT)",
-    # geo text constructors (geometry == WKT text in this engine)
-    "stgeomfromtext": lambda a: a[0],
-    "stgeogfromtext": lambda a: a[0],
-    "stgeometrytype": lambda a: f"regexp_extract({a[0]}, '^\\\\s*([A-Za-z]+)', 1)",
+    # geospatial (Pinot-parity serialized-BYTES carrier since round 13 —
+    # functions/pinot_geometry.py; UDFs registered lazily by
+    # _ensure_geo_sql_udfs, which also sniffs this engine's legacy WKT
+    # text carrier per value)
+    "stgeomfromtext": lambda a: f"__geo_from_text({a[0]}, false)",
+    "stgeogfromtext": lambda a: f"__geo_from_text({a[0]}, true)",
+    "stgeometrytype": lambda a: f"__geo_geometry_type({a[0]})",
+    "stpoint": lambda a: (
+        f"__geo_point(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE), "
+        + (f"CAST({a[2]} AS BOOLEAN))" if len(a) > 2 else "false)")
+    ),
+    "stastext": lambda a: f"__geo_as_text({a[0]})",
+    "starea": lambda a: f"__geo_area({a[0]})",
+    "stx": lambda a: f"__geo_x({a[0]})",
+    "sty": lambda a: f"__geo_y({a[0]})",
+    "stdistance": lambda a: f"__geo_distance({a[0]}, {a[1]})",
+    "stwithin": lambda a: f"__geo_within({a[0]}, {a[1]})",
+    "stcontains": lambda a: f"__geo_contains({a[0]}, {a[1]})",
+    "stequals": lambda a: f"__geo_equals({a[0]}, {a[1]})",
+    "stunion": lambda a: f"__geo_union_fold(collect_list({a[0]}))",
 }
 
 # epoch bucket family + MV datetime variants (generated)
@@ -1623,6 +1639,12 @@ _EXT_TEMPLATES["arraytostring"] = (
 for _k, _v in _EXT_TEMPLATES.items():
     FUNCTION_MAP.setdefault(_k, _v)
 
+
+_GEO_SQL_RE = re.compile(
+    r"\b(?:ST_?(?:POINT|GEOMFROMTEXT|GEOGFROMTEXT|DISTANCE|WITHIN|CONTAINS|"
+    r"EQUALS|AREA|ASTEXT|GEOMETRYTYPE|X|Y)|ST_?UNION)\s*\(",
+    re.IGNORECASE,
+)
 
 _IDENT_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
@@ -4965,6 +4987,110 @@ def rewrite_raw_sketch_setop(sql: str) -> str:
     return out + tail
 
 
+_GEO_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
+    """Register the Pinot-parity geometry pandas UDFs the FUNCTION_MAP
+    geo templates call (functions/pinot_geometry.py: GeometrySerializer
+    byte layout, JTS within/contains/equals, geography spherical area
+    and great-circle distance — see that module's reference citations).
+    Idempotent per SparkSession.
+
+    Carrier sniffing: every geometry argument arrives as BINARY (Spark
+    implicitly casts STRING → UTF-8 bytes), and the first byte decides
+    the form — Pinot type bytes are 0x00-0x06 (0x80 bit for geography)
+    while WKT text begins with an ASCII letter or space, so the sniff is
+    deterministic."""
+    if id(spark) in _GEO_UDF_SESSIONS:
+        return
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from pinot_spark.functions import pinot_geometry as pgeo
+
+    def parse_any(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return pgeo.parse_wkt(v)
+        b = bytes(v)
+        if b and (b[0] & 0x7F) <= 6:
+            return pgeo.deserialize(b)
+        return pgeo.parse_wkt(b.decode("utf-8"))
+
+    def as_text(v):
+        return v if isinstance(v, str) else bytes(v).decode("utf-8")
+
+    def rowwise(out_type, fn):
+        @pandas_udf(out_type, PandasUDFType.SCALAR)
+        def _udf(*cols):
+            out = []
+            for vals in zip(*cols):
+                if any(v is None for v in vals):
+                    out.append(None)
+                else:
+                    out.append(fn(*vals))
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    spark.udf.register(
+        "__geo_from_text",
+        rowwise("binary", lambda w, g: pgeo.serialize(pgeo.parse_wkt(as_text(w), geog=bool(g)))),
+    )
+    spark.udf.register(
+        "__geo_point",
+        rowwise("binary", lambda x, y, g: pgeo.serialize(("POINT", (float(x), float(y)), bool(g)))),
+    )
+    spark.udf.register("__geo_as_text", rowwise("string", lambda v: pgeo.format_wkt(parse_any(v))))
+    spark.udf.register(
+        "__geo_geometry_type", rowwise("string", lambda v: pgeo.geometry_type(parse_any(v)))
+    )
+    spark.udf.register("__geo_area", rowwise("double", lambda v: pgeo.area(parse_any(v))))
+    spark.udf.register(
+        "__geo_x",
+        rowwise("double", lambda v: None if parse_any(v)[1] is None else float(parse_any(v)[1][0])),
+    )
+    spark.udf.register(
+        "__geo_y",
+        rowwise("double", lambda v: None if parse_any(v)[1] is None else float(parse_any(v)[1][1])),
+    )
+    spark.udf.register(
+        "__geo_distance", rowwise("double", lambda a, b: pgeo.distance(parse_any(a), parse_any(b)))
+    )
+    spark.udf.register(
+        "__geo_within", rowwise("boolean", lambda a, b: pgeo.within(parse_any(a), parse_any(b)))
+    )
+    spark.udf.register(
+        "__geo_contains", rowwise("boolean", lambda a, b: pgeo.contains(parse_any(a), parse_any(b)))
+    )
+    spark.udf.register(
+        "__geo_equals", rowwise("boolean", lambda a, b: pgeo.equals(parse_any(a), parse_any(b)))
+    )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def __geo_union_fold(groups):
+        """STUNION final fold over collect_list(geometry) — fixture-scale
+        SQL path; the 100 TB path is the executor-side tree fold in
+        operators/geo.py (one partial per partition, isqrt tree rounds)."""
+
+        def run(lst):
+            geoms = [parse_any(v) for v in lst if v is not None]
+            if not geoms:
+                return None
+            if all(g[0] in ("POINT", "MULTIPOINT") for g in geoms):
+                pts = sorted({p for g in geoms for p in ([g[1]] if g[0] == "POINT" else g[1]) if p})
+                kind = "POINT" if len(pts) == 1 else "MULTIPOINT"
+                return pgeo.serialize((kind, pts[0] if kind == "POINT" else pts, geoms[0][2]))
+            return pgeo.serialize(pgeo.union(geoms))
+
+        return pd.Series([run(lst) for lst in groups], dtype=object)
+
+    spark.udf.register("__geo_union_fold", __geo_union_fold)
+    _GEO_UDF_SESSIONS.add(id(spark))
+
+
 def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     """Register the raw-theta-sketch pandas UDFs FUNCTION_MAP's
     rewrites call (__theta_agg grouped-agg + scalar estimate/diff/
@@ -6325,6 +6451,8 @@ class PinotEngine:
         routed = self._route_pure_theta_zero_shuffle(pinot_sql)
         if routed is not None:
             return routed
+        if _GEO_SQL_RE.search(pinot_sql):
+            _ensure_geo_sql_udfs(self.spark)
         spark_sql, _options = self.translate(
             pinot_sql, _inject_default_limit=_inject_default_limit
         )

@@ -554,7 +554,16 @@ _EARTH_RADIUS_M = 6371008.8
 
 
 @_reg("stPoint")
-def _st_point(x, y, *_geog):
+def _st_point(x, y, *geog):
+    """ST_Point (StPointFunction.java): the 2-arg form stays on this
+    engine's WKT-text carrier (fast Column concat, used by the planar
+    point rows); the reference 3-arg form ST_Point(x, y, isGeog) emits
+    Pinot-serialized BYTES with the geography bit, byte-identical to
+    GeometrySerializer.serialize (tests/test_custom_suites.py goldens)."""
+    if geog:
+        return _lazy_udf("geo_point_bytes", _make_geo_point_bytes)(
+            _c(x).cast("double"), _c(y).cast("double"), _c(geog[0]).cast("boolean")
+        )
     return F.concat(
         F.lit("POINT ("), _c(x).cast("string"), F.lit(" "), _c(y).cast("string"), F.lit(")")
     )
@@ -806,13 +815,24 @@ def _segs_intersect(p1, p2, p3, p4) -> bool:
 
 
 def _polys_disjoint(a_rings, b_rings) -> bool:
-    """True when two polygons (ring lists) neither cross nor contain one
-    another — the clipping-free ST_Union case."""
+    """True when two polygons (ring lists) neither cross, TOUCH, nor
+    contain one another — the clipping-free ST_Union case.  Touch
+    detection is exact (rational arithmetic) so edge-sharing or
+    vertex-on-edge pairs are routed to a merge path instead of being
+    wrongly concatenated as separate MULTIPOLYGON members."""
+    from fractions import Fraction
+
+    from pinot_spark.functions.pinot_geometry import _segs_cross
+
+    def fr_seg(s):
+        (x1, y1), (x2, y2) = s
+        return ((Fraction(x1), Fraction(y1)), (Fraction(x2), Fraction(y2)))
+
     for ra in a_rings:
         for rb in b_rings:
             for s1 in _segments(ra):
                 for s2 in _segments(rb):
-                    if _segs_intersect(*s1, *s2):
+                    if _segs_cross(*fr_seg(s1), *fr_seg(s2)):
                         return False
     return not (
         _point_in_rings(*a_rings[0][0], [b_rings])
@@ -827,7 +847,10 @@ def st_union_wkt(a: str, b: str) -> str:
     Greiner-Hormann boolean clipping (functions/polyclip.py) and
     concatenate disjoint ones into a MULTIPOLYGON.  Exactly-degenerate
     configurations (vertex-on-edge, collinear overlapping edges) and
-    hole-bearing OVERLAPPING inputs raise NotImplementedError loudly."""
+    hole-bearing OVERLAPPING inputs fall back to the exact-rational
+    planar overlay in functions/pinot_geometry.py (boundary RETIRED —
+    validated against the reference GeoSpatialTest STUnion byte golden,
+    whose five polygons touch collinearly and carry a hole)."""
     from pinot_spark.functions.wkb import from_wkt, to_wkt
 
     ga, gb = from_wkt(a), from_wkt(b)
@@ -845,7 +868,8 @@ def st_union_wkt(a: str, b: str) -> str:
 
     qa, qb = polys(ga), polys(gb)
     if qa is not None and qb is not None:
-        from pinot_spark.functions.polyclip import clip
+        from pinot_spark.functions.polyclip import DegenerateGeometry, clip
+        from pinot_spark.functions.pinot_geometry import format_wkt, union_polygons
 
         members = qa + qb
         merged_any = True
@@ -853,13 +877,20 @@ def st_union_wkt(a: str, b: str) -> str:
             merged_any = False
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
-                    if _polys_disjoint(members[i], members[j]):
+                    try:
+                        disjoint = _polys_disjoint(members[i], members[j])
+                    except DegenerateGeometry:
+                        disjoint = False
+                    if disjoint:
                         continue
                     if len(members[i]) > 1 or len(members[j]) > 1:
-                        raise NotImplementedError(
-                            "ST_Union of OVERLAPPING hole-bearing polygons is unsupported"
-                        )
-                    rings = clip(members[i][0], members[j][0], "union")
+                        # hole-bearing overlap: exact overlay handles it
+                        return format_wkt(union_polygons(members))
+                    try:
+                        rings = clip(members[i][0], members[j][0], "union")
+                    except DegenerateGeometry:
+                        # touching/collinear configuration: exact overlay
+                        return format_wkt(union_polygons(members))
                     outer, holes, extras = rings[0], [], []
                     for r in rings[1:]:
                         if _ring_crossing_parity(r[0][0], r[0][1], outer):
@@ -885,14 +916,147 @@ def st_union_wkt(a: str, b: str) -> str:
 def _make_st_union():
     @_pandas_udf("string")
     def _st_union_udf(a: _pd.Series, b: _pd.Series) -> _pd.Series:
-        return _pd.Series(
-            [None if x is None or y is None else st_union_wkt(x, y) for x, y in zip(a, b)]
-        )
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            if isinstance(x, (bytes, bytearray)) or isinstance(y, (bytes, bytearray)):
+                # Pinot serialized-bytes carrier → exact overlay, WKT out
+                from pinot_spark.functions import pinot_geometry as pgeo
+
+                return pgeo.format_wkt(pgeo.union([_geo_parse(x), _geo_parse(y)]))
+            return st_union_wkt(x, y)
+
+        return _pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
 
     return _st_union_udf
 
 
 _reg("stUnion")(lambda a, b: _lazy_udf("st_union", _make_st_union)(_c(a), _c(b)))
+
+
+# ---------------------------------------------------------------------------
+# Pinot-parity geometry surface (functions/pinot_geometry.py): the
+# reference's serialized-BYTES geometry model (GeometrySerializer.java
+# byte layout, 0x80 geography bit), JTS within/contains/equals
+# semantics, geography spherical area and great-circle distance.  Every
+# function below DUAL-ACCEPTS this engine's WKT-text carrier (str) and
+# Pinot serialized bytes, dispatching geography semantics from the
+# value's geography bit exactly like StDistanceFunction/StAreaFunction.
+# These re-register the geo names above with the full-semantics forms
+# (the registry is last-write-wins).
+# ---------------------------------------------------------------------------
+
+
+def _geo_parse(v):
+    from pinot_spark.functions import pinot_geometry as pgeo
+
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return pgeo.deserialize(bytes(v))
+    return pgeo.parse_wkt(v)
+
+
+def _geo_rowwise(out_type: str, fn):
+    """Pandas-UDF factory: fn(geom...) over parsed geometry args."""
+
+    def make():
+        @_pandas_udf(out_type)
+        def _udf(*cols: _pd.Series) -> _pd.Series:
+            out = []
+            for vals in zip(*cols):
+                if any(v is None for v in vals):
+                    out.append(None)
+                else:
+                    out.append(fn(*[_geo_parse(v) for v in vals]))
+            return _pd.Series(out, dtype=object)
+
+        return _udf
+
+    return make
+
+
+def _make_geo_point_bytes():
+    from pinot_spark.functions import pinot_geometry as pgeo
+
+    @_pandas_udf("binary")
+    def _udf(x: _pd.Series, y: _pd.Series, geog: _pd.Series) -> _pd.Series:
+        return _pd.Series(
+            [
+                None
+                if xv is None or yv is None
+                else pgeo.serialize(("POINT", (float(xv), float(yv)), bool(gv)))
+                for xv, yv, gv in zip(x, y, geog)
+            ],
+            dtype=object,
+        )
+
+    return _udf
+
+
+def _make_geo_from_text(geog: bool):
+    from pinot_spark.functions import pinot_geometry as pgeo
+
+    def make():
+        @_pandas_udf("binary")
+        def _udf(wkt: _pd.Series) -> _pd.Series:
+            return _pd.Series(
+                [None if w is None else pgeo.serialize(pgeo.parse_wkt(w, geog=geog)) for w in wkt],
+                dtype=object,
+            )
+
+        return _udf
+
+    return make
+
+
+def _geo_impls():
+    from pinot_spark.functions import pinot_geometry as pgeo
+
+    return pgeo
+
+
+_reg("stGeomFromText")(
+    lambda w: _lazy_udf("geo_from_text", _make_geo_from_text(False))(_c(w))
+)
+_reg("stGeogFromText")(
+    lambda w: _lazy_udf("geog_from_text", _make_geo_from_text(True))(_c(w))
+)
+
+
+def _geo_unary(name: str, out_type: str, impl_name: str):
+    def fn(g):
+        pgeo = _geo_impls()
+        return getattr(pgeo, impl_name)(g)
+
+    return lambda c: _lazy_udf(name, _geo_rowwise(out_type, fn))(_c(c))
+
+
+def _geo_binary(name: str, out_type: str, impl_name: str):
+    def fn(a, b):
+        pgeo = _geo_impls()
+        return getattr(pgeo, impl_name)(a, b)
+
+    return lambda a, b: _lazy_udf(name, _geo_rowwise(out_type, fn))(_c(a), _c(b))
+
+
+_reg("stAsText")(_geo_unary("geo_as_text", "string", "format_wkt"))
+_reg("stGeometryType")(_geo_unary("geo_type", "string", "geometry_type"))
+_reg("stArea")(_geo_unary("geo_area", "double", "area"))
+_reg("stX")(
+    lambda c: _lazy_udf(
+        "geo_x", _geo_rowwise("double", lambda g: None if g[1] is None else float(g[1][0]))
+    )(_c(c))
+)
+_reg("stY")(
+    lambda c: _lazy_udf(
+        "geo_y", _geo_rowwise("double", lambda g: None if g[1] is None else float(g[1][1]))
+    )(_c(c))
+)
+_reg("stDistance")(_geo_binary("geo_distance", "double", "distance"))
+_reg("stWithin")(_geo_binary("geo_within", "boolean", "within"))
+_reg("stContains")(_geo_binary("geo_contains", "boolean", "contains"))
+_reg("stEquals")(_geo_binary("geo_equals", "boolean", "equals"))
 
 # H3-surface grid functions (geoToH3 / gridDisk / gridDistance) — pure-
 # math aperture-7 hex grid, engine-own cell ids (see functions/h3grid.py

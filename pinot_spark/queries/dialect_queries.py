@@ -1638,3 +1638,70 @@ def dialect_todatetime_roundtrip(spark, sf_dir):
         "FROM events GROUP BY TODATETIME(CAST(ts AS BIGINT), 'yyyy-MM-dd HH') "
         "ORDER BY hour_str LIMIT 50"
     )
+
+
+@query(
+    "dialect_geo_bytes_family",
+    oracle="""
+    SELECT event_id,
+           'POINT (' || lng || ' ' || lat || ')' AS wkt_rt,
+           17 AS pt_len,
+           lng AS x_rt,
+           lat AS y_rt,
+           (px > 1.95 AND px < 7.45 AND py > 0.95 AND py < 7.95) AS inside,
+           round(atan2(sqrt(t1 * t1 + t2 * t2), t3) * 6371010.0, 2) AS meters,
+           side * side AS area
+    FROM (
+        SELECT event_id, lng, lat, px, py, side,
+               cos(radians(47.4)) * sin(radians(lng) - radians(8.5)) AS t1,
+               cos(radians(lat)) * sin(radians(47.4))
+                 - sin(radians(lat)) * cos(radians(47.4))
+                   * cos(radians(lng) - radians(8.5)) AS t2,
+               sin(radians(lat)) * sin(radians(47.4))
+                 + cos(radians(lat)) * cos(radians(47.4))
+                   * cos(radians(lng) - radians(8.5)) AS t3
+        FROM (
+            SELECT event_id,
+                   CAST(user_id % 360 - 180 AS DOUBLE) / 2 + 0.25 AS lng,
+                   CAST(event_id % 180 - 90 AS DOUBLE) / 2 + 0.25 AS lat,
+                   CAST(user_id % 100 AS DOUBLE) / 10 AS px,
+                   CAST(event_id % 100 AS DOUBLE) / 10 AS py,
+                   CAST(event_id % 5 + 1 AS DOUBLE) AS side
+            FROM events WHERE event_id < 40
+        )
+    ) ORDER BY event_id
+    """,
+)
+def dialect_geo_bytes_family(spark, sf_dir):
+    """Pinot-parity geometry through the dialect layer on the serialized
+    BYTES carrier (round-13 surface — functions/pinot_geometry.py,
+    GeometrySerializer.java byte layout): ST_GeomFromText → bytes →
+    ST_AsText round-trip, ST_Point(x, y, geog) byte length (1 type byte
+    + 2 big-endian doubles = 17), ST_X/ST_Y on geography points,
+    ST_Within of a byte point in a byte polygon (oracle: strict range
+    predicates — the rectangle sits off the coordinate grid so boundary
+    semantics can't diverge), geography ST_Distance (StDistanceFunction
+    Vincenty arctan form, R = 6371.01 km — oracle spells out the same
+    formula in SQL; sin/cos/atan2 hit the same libm in both engines),
+    and planar ST_Area of a parametric square.  The +0.25 offsets keep
+    every coordinate non-integral so WKT double formatting agrees with
+    DuckDB's string rendering."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT event_id, "
+        "ST_AsText(ST_GeomFromText(CONCAT('POINT (', lng, ' ', lat, ')'))) AS wkt_rt, "
+        "LENGTH(ST_Point(lng, lat, 1)) AS pt_len, "
+        "ST_X(ST_Point(lng, lat, 1)) AS x_rt, "
+        "ST_Y(ST_Point(lng, lat, 0)) AS y_rt, "
+        "ST_Within(ST_Point(px, py, 0), ST_GeomFromText("
+        "'POLYGON ((1.95 0.95, 7.45 0.95, 7.45 7.95, 1.95 7.95, 1.95 0.95))')) AS inside, "
+        "ROUNDDECIMAL(ST_Distance(ST_Point(lng, lat, 1), ST_Point(8.5, 47.4, 1)), 2) AS meters, "
+        "ST_Area(ST_GeomFromText(CONCAT('POLYGON ((0 0, ', side, ' 0, ', side, ' ', "
+        "side, ', 0 ', side, ', 0 0))'))) AS area "
+        "FROM (SELECT event_id, "
+        "CAST(user_id % 360 - 180 AS DOUBLE) / 2 + 0.25 AS lng, "
+        "CAST(event_id % 180 - 90 AS DOUBLE) / 2 + 0.25 AS lat, "
+        "CAST(user_id % 100 AS DOUBLE) / 10 AS px, "
+        "CAST(event_id % 100 AS DOUBLE) / 10 AS py, "
+        "CAST(event_id % 5 + 1 AS DOUBLE) AS side "
+        "FROM events WHERE event_id < 40) pts ORDER BY event_id LIMIT 50"
+    )

@@ -2343,3 +2343,253 @@ def test_cast_filter_and_project(castsuite):
     ).collect()
     assert len(rows) == _CQ_N // 8
     assert all(r[0] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# GeoSpatialTest.java — the 20th suite (VERDICT r12 punch item 5): the
+# 12-entry WKT_1/WKT_2/ST_WITHIN_RESULT fixture, the AREA_GEOM /
+# AREA_GEOG fixtures with their literal golden sizes, the
+# testStWithinLiteral cases, ST_Point serialized-byte goldens (Pinot
+# GeometrySerializer layout), and the STUnion serialized golden (hex
+# literal from testStUnionQuery, compared byte-exactly after
+# canonical ring rotation).  geoToH3's true-H3 cell ids stay a named
+# boundary (engine-own aperture-7 grid — functions/h3grid.py).
+# ---------------------------------------------------------------------------
+
+_GEO_WKT1 = [
+    "POINT (25 25)", "POINT (25 25)", "POINT (25 25)",
+    "MULTIPOINT (25 25, 31 31)", "LINESTRING (25 25, 27 27)",
+    "MULTILINESTRING ((3 4, 4 4), (2 1, 6 1))",
+    "POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))",
+    "POLYGON ((-1 -1, -1 2, 2 2, 2 -1, -1 -1))",
+    "POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))",
+    "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))",
+    "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", "POLYGON EMPTY",
+]
+_GEO_WKT2 = [
+    "POINT (20 20)", "MULTIPOINT (20 20, 25 25)", "LINESTRING (20 20, 30 30)",
+    "LINESTRING (20 20, 30 30)", "LINESTRING (20 20, 30 30)",
+    "MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))",
+    "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))",
+    "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))",
+    "MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))",
+    "LINESTRING (20 20, 30 30)", "LINESTRING EMPTY", "LINESTRING (20 20, 30 30)",
+]
+_GEO_WITHIN = [False, True, True, False, True, False, True, False, True,
+               False, False, False]
+_GEO_AREA_GEOM = [
+    ("POLYGON ((2 2, 2 6, 6 6, 6 2, 2 2))", 16.0), ("POLYGON EMPTY", 0.0),
+    ("LINESTRING (1 4, 2 5)", 0.0), ("LINESTRING EMPTY", 0.0),
+    ("POINT (1 4)", 0.0), ("POINT EMPTY", 0.0),
+    ("GEOMETRYCOLLECTION EMPTY", 0.0),
+    ("GEOMETRYCOLLECTION (POINT (8 8), LINESTRING (5 5, 6 6), "
+     "POLYGON ((1 1, 3 1, 3 4, 1 4, 1 1)))", 6.0),
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+     "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)))", 8.0),
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+     "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)), GEOMETRYCOLLECTION ("
+     "POINT (8 8), LINESTRING (5 5, 6 6), "
+     "POLYGON ((1 1, 3 1, 3 4, 1 4, 1 1))))", 14.0),
+]
+_GEO_AREA_GEOG = [
+    ("POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))", 1.2364036567076416e10),
+    ("POLYGON((-122.150124 37.486095, -122.149201 37.486606,  "
+     "-122.145725 37.486580, -122.145923 37.483961, -122.149324 37.482480,"
+     "  -122.150837 37.483238,  -122.150901 37.485392, "
+     "-122.150124 37.486095))", 163290.93943479148),
+    ("POLYGON((0 0, 0.008993201943349 0, 0.008993201943349 "
+     "0.008993201943349, 0 0.008993201943349, 0 0))", 999999.9979474121),
+    ("POLYGON((90 0, 0 0, 0 90, 90 0))", 6.375825913974856e13),
+    ("POLYGON((90 0, 0 0, 0 90, 90 0), (89 1, 1 1, 1 89, 89 1))",
+     3.480423348045961e12),
+]
+# testStUnionQuery golden — GeometrySerializer bytes of the union of the
+# five AREA_GEOG polygons (GeoSpatialTest.java:498-504)
+_GEO_UNION_GOLDEN_HEX = (
+    "850000000200000012000000000000000a000000000000000000000000000000000000"
+    "0000000000003f826b0721dd331700000000000000003ff00000000000000000000000"
+    "00000040568000000000003ff000000000000040564000000000004056400000000000"
+    "3ff0000000000000405680000000000000000000000000003ff0000000000000000000"
+    "00000000003f826b0721dd331700000000000000000000000000000000000000000000"
+    "0000c05e899ba1b196104042be385c67dfe3c05e898c8259e1f44042be491afc04c9c0"
+    "5e89538ef34d6a4042be4840e1719fc05e8956cd6c2efd4042bdf26f1dc50dc05e898e"
+    "864020814042bdc1e7967cafc05e89a7503b81b64042bddabe27179cc05e89a85caafb"
+    "c24042be215336deb9c05e899ba1b196104042be385c67dfe3"
+)
+
+
+@pytest.fixture(scope="module")
+def geosuite(spark):
+    from pinot_spark.functions import pinot_geometry as pg
+
+    rows = []
+    for i in range(12):
+        # deterministic stand-in for the Java fixture's RANDOM.nextDouble
+        # point coordinates (every assertion is self-consistent)
+        x, y = 0.1 * i + 0.05, 0.07 * i + 0.02
+        pt = pg.serialize(("POINT", (x, y), False))
+        pt1 = pg.serialize(("POINT", (x, y), True))
+        rows.append((
+            f"dim{i}", x, y, bytearray(pt), bytearray(pt1),
+            _GEO_WKT1[i], _GEO_WKT2[i], _GEO_WITHIN[i],
+            _GEO_AREA_GEOM[i % 10][0], _GEO_AREA_GEOM[i % 10][1],
+            _GEO_AREA_GEOG[i % 5][0], _GEO_AREA_GEOG[i % 5][1],
+        ))
+    ddl = ("dimName string, st_x double, st_y double, st_point binary, "
+           "st_point_1 binary, wkt1 string, wkt2 string, "
+           "st_within_result boolean, area_geom string, "
+           "area_geom_size double, area_geog string, area_geog_size double")
+    spark.createDataFrame(rows, ddl).createOrReplaceTempView("GeoSpatialTest")
+    return PinotEngine(spark)
+
+
+def test_geo_st_point_literal(geosuite):
+    """testStPointLiteralFunction: ST_Point(20, 10, isGeog) serialized
+    bytes — type byte 0x00/0x80 + big-endian doubles."""
+    from pinot_spark.functions import pinot_geometry as pg
+
+    for geog in (0, 1):
+        got = geosuite.sql(
+            f"Select ST_Point(20, 10, {geog}) from GeoSpatialTest LIMIT 1"
+        ).collect()[0][0]
+        assert bytes(got) == pg.serialize(("POINT", (20.0, 10.0), bool(geog)))
+    # testStPointWithLiteralWithV2's 2-arg literal form (geometry mode)
+    got = geosuite.sql(
+        "Select ST_Point(1, 2) from GeoSpatialTest a JOIN GeoSpatialTest b "
+        "ON a.wkt1 = b.wkt1 LIMIT 10"
+    ).collect()
+    assert len(got) == 10
+    for (v,) in got:
+        assert bytes(v) == pg.serialize(("POINT", (1.0, 2.0), False))
+
+
+def test_geo_st_point_column(geosuite):
+    """testStPointFunction: per-row serialization parity with the
+    fixture's pre-serialized st_point / st_point_1 byte columns."""
+    for geog, col in ((0, "st_point"), (1, "st_point_1")):
+        rows = geosuite.sql(
+            f"Select ST_Point(st_x, st_y, {geog}), {col} from GeoSpatialTest"
+        ).collect()
+        for built, stored in rows:
+            assert bytes(built) == bytes(stored)
+
+
+def test_geo_st_distance(geosuite):
+    """testStDistanceFunction + testStPointFunctionWithV2's join form:
+    planar euclidean in geometry mode, Vincenty great-circle (R =
+    6371.01 km) in geography mode."""
+    import math
+
+    from pinot_spark.functions import pinot_geometry as pg
+
+    rows = geosuite.sql(
+        "Select ST_DISTANCE(ST_Point(st_x, st_y, 0), ST_Point(40, -40, 0)), "
+        "ST_DISTANCE(ST_Point(st_x, st_y, 1), ST_Point(40, -40, 1)), "
+        "st_x, st_y from GeoSpatialTest"
+    ).collect()
+    for planar, spherical, x, y in rows:
+        # engine computes sqrt of the EXACT rational d²; hypot's extended
+        # precision can differ by 1 ulp
+        assert math.isclose(planar, math.hypot(x - 40.0, y + 40.0), rel_tol=1e-14)
+        assert spherical == pg.great_circle_distance(x, y, 40.0, -40.0)
+    # independent literal pin of the great-circle formula: pole-to-
+    # equator quarter arc = (π/2)·R exactly (t1=cos0·sin Δλ=…, reduces
+    # to atan2(1, 0))
+    q = geosuite.sql(
+        "Select ST_DISTANCE(ST_Point(0, 0, 1), ST_Point(0, 90, 1)) "
+        "from GeoSpatialTest LIMIT 1"
+    ).collect()[0][0]
+    assert q == math.pi / 2 * 6371.01e3
+    # join form: distances against the stored byte columns
+    rows = geosuite.sql(
+        "Select ST_DISTANCE(ST_Point(a.st_x, a.st_y, 0), b.st_point), "
+        "ST_DISTANCE(ST_Point(a.st_x, a.st_y, 1), b.st_point_1), "
+        "a.st_x, b.st_x, a.st_y, b.st_y "
+        "FROM GeoSpatialTest a JOIN GeoSpatialTest b ON a.wkt1 = b.wkt1 "
+        "LIMIT 10"
+    ).collect()
+    assert rows
+    for planar, spherical, ax, bx, ay, by in rows:
+        assert math.isclose(planar, math.hypot(ax - bx, ay - by), rel_tol=1e-14)
+        assert spherical == pg.great_circle_distance(ax, ay, bx, by)
+
+
+def test_geo_st_within_fixture(geosuite):
+    """testStWithinQuery / testStContainsQuery: the 12 fixture pairs vs
+    the ST_WITHIN_RESULT golden column (contains is the converse)."""
+    for got, exp in geosuite.sql(
+        "Select ST_Within(ST_GeomFromText(wkt1), ST_GeomFromText(wkt2)), "
+        "st_within_result from GeoSpatialTest"
+    ).collect():
+        assert got == exp
+    for got, exp in geosuite.sql(
+        "Select ST_Contains(ST_GeomFromText(wkt2), ST_GeomFromText(wkt1)), "
+        "st_within_result from GeoSpatialTest"
+    ).collect():
+        assert got == exp
+
+
+@pytest.mark.parametrize("idx", range(12))
+def test_geo_st_within_literal(geosuite, idx):
+    """testStWithinLiteral: each pair as literal arguments."""
+    got = geosuite.sql(
+        f"Select ST_Within(ST_GeomFromText('{_GEO_WKT1[idx]}'), "
+        f"ST_GeomFromText('{_GEO_WKT2[idx]}')) from GeoSpatialTest LIMIT 1"
+    ).collect()[0][0]
+    assert got == _GEO_WITHIN[idx], (idx, _GEO_WKT1[idx], _GEO_WKT2[idx])
+
+
+def test_geo_st_contains_multipoint_literal(geosuite):
+    """testStContainsQueryWithV2: literal MULTIPOINT contains POINT over
+    a CROSS JOIN."""
+    rows = geosuite.sql(
+        "Select ST_Contains(ST_GeomFromText('MULTIPOINT (20 20, 25 25)'), "
+        "ST_GeomFromText('POINT (25 25)')) from GeoSpatialTest a "
+        "CROSS JOIN GeoSpatialTest b LIMIT 5"
+    ).collect()
+    assert len(rows) == 5 and all(r[0] for r in rows)
+
+
+def test_geo_st_area(geosuite):
+    """testStAreaQuery: planar areas match the AREA_GEOM_SIZE goldens
+    exactly; geography (spherical-excess) areas match AREA_GEOG_SIZE
+    within float noise (libm tan/atan2 vs Java Math ulps)."""
+    rows = geosuite.sql(
+        "Select ST_Area(ST_GeomFromText(area_geom)), area_geom_size, "
+        "ST_Area(ST_GeogFromText(area_geog)), area_geog_size "
+        "from GeoSpatialTest"
+    ).collect()
+    for got_geom, exp_geom, got_geog, exp_geog in rows:
+        assert got_geom == exp_geom
+        assert abs(got_geog - exp_geog) <= 1e-9 * exp_geog
+
+
+def test_geo_st_union_golden(geosuite):
+    """testStUnionQuery: STUnion over the five AREA_GEOG polygons (three
+    of which overlap collinearly and one carries a hole) matches the
+    reference's serialized golden hex BYTE-EXACTLY after canonical ring
+    rotation — same geography bit, same ring count, same noded
+    coordinates (including the JTS noding artifacts (1 89) / (89 1) on
+    the triangle hypotenuse)."""
+    from pinot_spark.functions import pinot_geometry as pg
+
+    got = geosuite.sql(
+        "Select STUnion(ST_GeogFromText(area_geog)) from GeoSpatialTest"
+    ).collect()[0][0]
+    ours = pg.deserialize(bytes(got))
+    golden = pg.deserialize(bytes.fromhex(_GEO_UNION_GOLDEN_HEX))
+    assert ours[2] is True and ours[0] == "MULTIPOLYGON"
+    assert pg.serialize(pg.canonical(ours)) == pg.serialize(pg.canonical(golden))
+
+
+def test_geo_to_h3_named_boundary(geosuite):
+    """testGetHexagonAddress: true H3 cell ids (599041711439609855 for
+    geoToH3(20,102,5) etc.) need H3's 122-base-cell icosahedral
+    numbering; this engine's aperture-7 grid (functions/h3grid.py) has
+    the right topology contracts but engine-own ids — documented named
+    boundary, asserted here so a future H3 implementation must flip this
+    test."""
+    from pinot_spark.functions import h3grid
+
+    cell = h3grid.geo_to_cell(20.0, 102.0, 5)
+    assert cell != 599041711439609855  # engine-own id space, BY DESIGN

@@ -319,16 +319,40 @@ def test_st_union_overlapping_polygons(one):
     assert abs(_rings_area(_parse_rings(st_union_wkt(L, R))) - 29) < 1e-9
 
 
-def test_st_union_degenerate_is_loud():
-    """Exact degeneracy (shared edges / vertex-on-edge) raises, never
-    silently-wrong geometry."""
+def test_st_union_degenerate_exact_overlay():
+    """Exact degeneracy (shared edges / vertex-on-edge / collinear
+    overlap) routes to the exact-rational overlay in
+    functions/pinot_geometry.py — boundary RETIRED round 13 (previously
+    raised NotImplementedError)."""
+    from pinot_spark.functions.pinot_geometry import parse_wkt, planar_area
     from pinot_spark.functions.scalar import st_union_wkt
 
     a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
-    # triangle with a vertex exactly ON a's bottom edge, crossing into a
+    # triangle with a vertex exactly ON a's bottom edge, crossing into a:
+    # areas 16 + 8, overlap ∫₂⁴ 0.5(x−2) dx = 1 → union 23
     vertex_on_edge = "POLYGON ((2 0, 6 -2, 6 2, 2 0))"
-    with pytest.raises(NotImplementedError):
-        st_union_wkt(a, vertex_on_edge)
+    u = parse_wkt(st_union_wkt(a, vertex_on_edge))
+    assert planar_area(u) == 23.0
+
+    # edge-sharing squares merge into ONE polygon (JTS semantics), not a
+    # two-member MULTIPOLYGON
+    u2 = parse_wkt(st_union_wkt(
+        "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))", "POLYGON ((1 0, 1 1, 2 1, 2 0, 1 0))"
+    ))
+    assert u2[0] == "POLYGON" and planar_area(u2) == 2.0
+
+    # point-touching triangles stay a valid two-member MULTIPOLYGON
+    u3 = parse_wkt(st_union_wkt(
+        "POLYGON ((0 0, 2 0, 1 1, 0 0))", "POLYGON ((1 1, 2 2, 0 2, 1 1))"
+    ))
+    assert u3[0] == "MULTIPOLYGON" and planar_area(u3) == 2.0
+
+    # hole-bearing overlapping input: hole filled by the second polygon
+    u4 = parse_wkt(st_union_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+        "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))",
+    ))
+    assert u4[0] == "POLYGON" and planar_area(u4) == 100.0
 
 
 def test_datetime_convert_column(one):
