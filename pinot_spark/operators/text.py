@@ -378,3 +378,98 @@ def resample_to_distribution(
             accept = hex8 < format(thr, "08x")
         cond = cond | ((F.col(bucket_col) == b) & accept)
     return df.filter(cond)
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    reference: DataFrame | None = None,
+    alpha: float = 0.5,
+):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2019,
+    arXiv:1911.00359 — train an LM on a reference corpus, bucket
+    documents by perplexity): a bigram add-α model trained and applied
+    entirely with DataFrame aggregations.
+
+    Model: P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V) over the reference
+    corpus (``reference`` defaults to ``docs`` itself — in-corpus
+    scoring).  The single smoothed formula doubles as the backoff: an
+    unseen bigram scores α/(c(w1)+αV), an unseen context 1/V — total,
+    smooth, and branch-free, so the DuckDB oracle can mirror it exactly.
+    Per document: cross_entropy = −Σ log2 P / n over its n = len−1
+    bigram OCCURRENCES, perplexity = 2^cross_entropy.  Documents with
+    fewer than 2 tokens have no bigrams and are omitted.
+
+    Scale shape (100 TB): token explode → groupBy(w1,w2)/groupBy(w1)
+    with map-side partial aggregation builds the model in two shuffles;
+    per-document grams pre-aggregate to (id,w1,w2,cnt) before joining,
+    so join traffic is bounded by DISTINCT grams per doc, not token
+    count; V and T ride a one-row aggregate broadcast-cross-joined in;
+    model joins are plain equi-joins Catalyst/AQE sizes (broadcast when
+    the vocab is small, shuffle otherwise).  No driver-side state, no
+    collect, no Python in the hot path — every step is a JVM Column
+    expression."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+    def with_pairs(df, keep_id: bool):
+        base = df.select(
+            *([F.col(id_col)] if keep_id else []), toks.alias("__t")
+        ).withColumn("__n", F.greatest(F.size("__t") - 1, F.lit(0)))
+        base = base.withColumn("__a", F.slice("__t", F.lit(1), F.col("__n"))).withColumn(
+            "__b", F.slice("__t", F.lit(2), F.col("__n"))
+        )
+        pairs = base.select(
+            *([id_col] if keep_id else []),
+            F.explode(F.arrays_zip("__a", "__b")).alias("__p"),
+        )
+        return pairs.select(
+            *([id_col] if keep_id else []),
+            F.col("__p.__a").alias("w1"),
+            F.col("__p.__b").alias("w2"),
+        )
+
+    ref = docs if reference is None else reference
+    bi = with_pairs(ref, keep_id=False).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    uni = (
+        ref.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(
+        F.count("*").cast("double").alias("__V")
+    )  # one row, broadcast into every partition
+
+    doc_grams = (
+        with_pairs(docs, keep_id=True).groupBy(id_col, "w1", "w2").agg(
+            F.count("*").alias("cnt")
+        )
+    )
+    scored = (
+        doc_grams.join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            F.log2(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("__V"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("cnt") * F.col("__logp")) / F.sum("cnt")).alias("__H"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("__H", 4).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), "__H"), 4).alias("perplexity"),
+        )
+    )

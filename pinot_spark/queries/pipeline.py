@@ -1408,3 +1408,53 @@ def pipeline_resample_distribution(spark, sf_dir):
     weights = {"en": 4, "de": 1, "fr": 1, "es": 1, "zh": 1}
     out = T.resample_to_distribution(t["documents"], "lang", weights, "doc_id")
     return out.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+@query(
+    "pipeline_lm_perplexity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS ord
+      FROM base
+    ),
+    p2 AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM tok
+      ) WHERE w2 IS NOT NULL
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM p2 GROUP BY 1, 2),
+    uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+    voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    dg AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM p2 GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT dg.doc_id, dg.cnt,
+             log2((coalesce(bi.c12, 0) + 0.5)
+                  / (coalesce(uni.c1, 0) + 0.5 * voc.v)) AS logp
+      FROM dg LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN uni USING (w1) CROSS JOIN voc
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(-sum(cnt * logp) / sum(cnt), 4) AS cross_entropy,
+           round(pow(2.0, -sum(cnt * logp) / sum(cnt)), 4) AS perplexity
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def pipeline_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2019,
+    arXiv:1911.00359): bigram add-α model trained on the corpus with two
+    map-side-combinable aggregations, documents scored by perplexity
+    through pre-aggregated gram joins (operators/text.py
+    ngram_lm_perplexity).  The oracle rebuilds the identical model in
+    SQL — same tokenizer regex, same smoothed formula, same log2 — so
+    every cross-entropy matches to the rounded digit."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 400)
+    return T.ngram_lm_perplexity(docs, "doc_id", "text").orderBy("doc_id")

@@ -212,3 +212,33 @@ def test_resample_zero_threshold_raises(spark):
             T.resample_to_distribution(df, "g", {"rare": 1, "huge": 1}, "id")
     finally:
         cls.groupBy = orig
+
+
+def test_ngram_lm_perplexity_hand_computed(spark):
+    """Bigram add-α cross-entropy against a hand-computed value on a
+    3-doc corpus (operators/text.py ngram_lm_perplexity)."""
+    import math
+
+    from pinot_spark.operators.text import ngram_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c")],  # doc 2: <2 tokens, omitted
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_perplexity(df, "doc_id", "text").collect()}
+    # corpus: tokens a,b,a,b,a,b,c → uni a:3 b:3 c:1, V=3
+    # bigrams: (a,b):3, (b,a):1
+    a = 0.5
+    p_ab = (3 + a) / (3 + a * 3)
+    p_ba = (1 + a) / (3 + a * 3)
+    h0 = -(2 * math.log2(p_ab) + 1 * math.log2(p_ba)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["cross_entropy"] == round(h0, 4)
+    assert out[0]["perplexity"] == round(2**h0, 4)
+    h1 = -math.log2(p_ab)
+    assert out[1]["n_bigrams"] == 1 and out[1]["cross_entropy"] == round(h1, 4)
+    assert 2 not in out  # no bigrams → omitted
+    # an unseen-context doc backs off to 1/V
+    probe = spark.createDataFrame([(9, "z q")], "doc_id bigint, text string")
+    r = ngram_lm_perplexity(probe, "doc_id", "text", reference=df).collect()[0]
+    assert r["cross_entropy"] == round(-math.log2(a / (0 + a * 3)), 4)

@@ -657,3 +657,15 @@ def test_heavy_agg_args_hoist_into_projection(spark, sf_dir):
     assert [(r.l_returnflag, r.dc) for r in df2.collect()] == [
         (r.l_returnflag, r.dc) for r in rows
     ]
+
+
+def test_lm_perplexity_bounded_plan(spark, sf_dir):
+    """LM perplexity scoring must pre-aggregate (map-side combinable
+    HashAggregates for the model AND the per-doc grams) and join the
+    model with equi-joins; the only nested-loop join is the one-row
+    vocab-size broadcast.  A cartesian anywhere else would be the
+    100 TB killer."""
+    plan = _plan(QUERIES["pipeline_lm_perplexity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # bi/uni/doc-gram/final, partial+final
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
