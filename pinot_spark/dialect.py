@@ -1572,10 +1572,29 @@ _EXT_TEMPLATES: dict[str, str | Callable[[list[str]], str]] = {
     "stx": lambda a: f"__geo_x({a[0]})",
     "sty": lambda a: f"__geo_y({a[0]})",
     "stdistance": lambda a: f"__geo_distance({a[0]}, {a[1]})",
+    # boolean output (Spark-idiomatic) where the reference's multistage
+    # type derivation says INTEGER (TransformFunctionType.java:220-222,
+    # itself tagged "TODO: Revisit whether we should return BOOLEAN")
     "stwithin": lambda a: f"__geo_within({a[0]}, {a[1]})",
     "stcontains": lambda a: f"__geo_contains({a[0]}, {a[1]})",
     "stequals": lambda a: f"__geo_equals({a[0]}, {a[1]})",
     "stunion": lambda a: f"__geo_union_fold(collect_list({a[0]}))",
+    "stpolygon": lambda a: f"__geo_from_text({a[0]}, false)",
+    "stgeomfromgeojson": lambda a: f"__geo_from_geojson({a[0]}, false)",
+    "stgeogfromgeojson": lambda a: f"__geo_from_geojson({a[0]}, true)",
+    "stasgeojson": lambda a: f"__geo_as_geojson({a[0]})",
+    "stgeomfromwkb": lambda a: f"__geo_from_wkb({a[0]}, false)",
+    "stgeogfromwkb": lambda a: f"__geo_from_wkb({a[0]}, true)",
+    "stasbinary": lambda a: f"__geo_as_wkb({a[0]})",
+    # engine-own aperture-7 grid ids (functions/h3grid.py wire-format
+    # note), NOT H3 cell ids
+    "geotoh3": lambda a: (
+        f"__geo_to_h3_coords({a[0]}, {a[1]}, {a[2]})"
+        if len(a) > 2
+        else f"__geo_to_h3_point({a[0]}, {a[1]})"
+    ),
+    "griddistance": lambda a: f"__h3_grid_distance({a[0]}, {a[1]})",
+    "griddisk": lambda a: f"__h3_grid_disk({a[0]}, {a[1]})",
 }
 
 # epoch bucket family + MV datetime variants (generated)
@@ -1641,8 +1660,10 @@ for _k, _v in _EXT_TEMPLATES.items():
 
 
 _GEO_SQL_RE = re.compile(
-    r"\b(?:ST_?(?:POINT|GEOMFROMTEXT|GEOGFROMTEXT|DISTANCE|WITHIN|CONTAINS|"
-    r"EQUALS|AREA|ASTEXT|GEOMETRYTYPE|X|Y)|ST_?UNION)\s*\(",
+    r"\b(?:ST_?(?:POINT|POLYGON|GEOMFROMTEXT|GEOGFROMTEXT|GEOMFROMGEOJSON|"
+    r"GEOGFROMGEOJSON|GEOMFROMWKB|GEOGFROMWKB|DISTANCE|WITHIN|CONTAINS|"
+    r"EQUALS|AREA|ASTEXT|ASBINARY|ASGEOJSON|GEOMETRYTYPE|X|Y)|ST_?UNION|"
+    r"GEOTOH3|GRIDDISK|GRIDDISTANCE)\s*\(",
     re.IGNORECASE,
 )
 
@@ -5067,6 +5088,59 @@ def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
     )
     spark.udf.register(
         "__geo_equals", rowwise("boolean", lambda a, b: pgeo.equals(parse_any(a), parse_any(b)))
+    )
+
+    def from_wkt_carrier(wkt: str, geog: bool) -> bytes:
+        return pgeo.serialize(pgeo.parse_wkt(wkt, geog=geog))
+
+    def geojson_in(v, g):
+        from pinot_spark.functions.wkb import geojson_to_wkt
+
+        return from_wkt_carrier(geojson_to_wkt(as_text(v)), bool(g))
+
+    def geojson_out(v):
+        from pinot_spark.functions.wkb import wkt_to_geojson
+
+        return wkt_to_geojson(pgeo.format_wkt(parse_any(v)))
+
+    def wkb_in(v, g):
+        # input is OGC WKB by contract (no sniffing — a big-endian WKB
+        # header byte 0x00 collides with the Pinot POINT type byte)
+        from pinot_spark.functions.wkb import wkb_to_wkt
+
+        return from_wkt_carrier(wkb_to_wkt(bytes(v)), bool(g))
+
+    def wkb_out(v):
+        from pinot_spark.functions.wkb import wkt_to_wkb
+
+        return wkt_to_wkb(pgeo.format_wkt(parse_any(v)))
+
+    spark.udf.register("__geo_from_geojson", rowwise("binary", geojson_in))
+    spark.udf.register("__geo_as_geojson", rowwise("string", geojson_out))
+    spark.udf.register("__geo_from_wkb", rowwise("binary", wkb_in))
+    spark.udf.register("__geo_as_wkb", rowwise("binary", wkb_out))
+
+    from pinot_spark.functions import h3grid
+
+    spark.udf.register(
+        "__geo_to_h3_coords",
+        rowwise("long", lambda lng, lat, res: h3grid.geo_to_cell(float(lng), float(lat), int(res))),
+    )
+
+    def h3_point(v, res):
+        g = parse_any(v)
+        if g[0] != "POINT" or g[1] is None:
+            raise ValueError("geoToH3 needs a non-empty point")
+        return h3grid.geo_to_cell(float(g[1][0]), float(g[1][1]), int(res))
+
+    spark.udf.register("__geo_to_h3_point", rowwise("long", h3_point))
+    spark.udf.register(
+        "__h3_grid_distance",
+        rowwise("long", lambda a, b: h3grid.grid_distance(int(a), int(b))),
+    )
+    spark.udf.register(
+        "__h3_grid_disk",
+        rowwise("array<long>", lambda c, k: h3grid.grid_disk(int(c), int(k))),
     )
 
     @pandas_udf("binary", PandasUDFType.SCALAR)

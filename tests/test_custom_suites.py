@@ -2593,3 +2593,33 @@ def test_geo_to_h3_named_boundary(geosuite):
 
     cell = h3grid.geo_to_cell(20.0, 102.0, 5)
     assert cell != 599041711439609855  # engine-own id space, BY DESIGN
+
+
+def test_geo_constructors_outputs_dialect(geosuite):
+    """The remaining TransformFunctionType geo surface
+    (TransformFunctionType.java:195-230) through the dialect:
+    GeoJSON/WKB constructors and outputs, ST_Polygon, and the grid
+    functions (engine-own aperture-7 ids, not H3 — named boundary)."""
+    e = geosuite
+    r = e.sql(
+        "SELECT ST_AsGeoJSON(ST_GeomFromGeoJSON("
+        "'{\"type\":\"Point\",\"coordinates\":[1.5,2.5]}')) "
+        "FROM GeoSpatialTest LIMIT 1"
+    ).collect()[0][0]
+    assert r == '{"type":"Point","coordinates":[1.5,2.5]}'
+    rows = e.sql(
+        "SELECT ST_AsText(ST_GeomFromWKB(ST_AsBinary(ST_GeomFromText(wkt1)))) AS rt, "
+        "wkt1 FROM GeoSpatialTest WHERE wkt1 LIKE 'POINT%' OR wkt1 LIKE 'POLYGON ((%'"
+    ).collect()
+    assert rows and all(rt == w for rt, w in rows)
+    area = e.sql(
+        "SELECT ST_Area(ST_Polygon('POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))')) "
+        "FROM GeoSpatialTest LIMIT 1"
+    ).collect()[0][0]
+    assert area == 4.0
+    cell, cell_pt, dist, disk = e.sql(
+        "SELECT geoToH3(20, 10, 5), geoToH3(ST_Point(20, 10, 0), 5), "
+        "gridDistance(geoToH3(20, 10, 5), geoToH3(20.5, 10, 5)), "
+        "gridDisk(geoToH3(20, 10, 5), 1) FROM GeoSpatialTest LIMIT 1"
+    ).collect()[0]
+    assert cell == cell_pt and dist >= 1 and len(disk) == 7
