@@ -473,3 +473,112 @@ def ngram_lm_perplexity(
             F.round(F.pow(F.lit(2.0), "__H"), 4).alias("perplexity"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    k: int,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every source document by the log importance weight of its hashed
+    n-gram features under a target-vs-source bag-of-hashed-ngrams model,
+    then Gumbel-top-k sample k documents (equivalent to sampling without
+    replacement proportionally to the importance weights).
+
+    Features: unigrams + bigrams hashed into ``buckets`` buckets (the
+    paper's 10k-bucket hashed n-gram model) via md5 — the same
+    cross-engine hash idiom the SimHash/fingerprint rows use, so a
+    DuckDB oracle reproduces every weight exactly.  Per-bucket add-α
+    log-ratios λ[b] = log p_target(b) − log p_source(b); per-doc
+    log-weight = Σ_b n_doc[b]·λ[b]; Gumbel noise derives
+    deterministically from md5(id), so selection is reproducible.
+
+    Scale shape (100 TB): gram explode → (id, bucket) counts with
+    map-side partial aggregation; the λ table is ≤ ``buckets`` rows and
+    BROADCAST into the scoring join; top-k runs as
+    TakeOrderedAndProject, never a full sort.  Empty documents have no
+    features and are not selectable."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+    def grams(df):
+        base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+            "__n", F.greatest(F.size("__t") - 1, F.lit(0))
+        )
+        base = base.withColumn(
+            "__bi",
+            F.zip_with(
+                F.slice("__t", F.lit(1), F.col("__n")),
+                F.slice("__t", F.lit(2), F.col("__n")),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        g = base.select(
+            id_col, F.explode(F.concat("__t", "__bi")).alias("__g")
+        )
+        return g.select(
+            id_col,
+            (F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long") % buckets).alias(
+                "__b"
+            ),
+        )
+
+    def bucket_counts(df, name):
+        return (
+            grams(df)
+            .groupBy("__b")
+            .agg(F.count("*").alias(name))
+        )
+
+    src_c = bucket_counts(docs, "c_s")
+    tgt_c = bucket_counts(target, "c_t")
+    # totals via one-row aggregates (broadcast-cross-joined)
+    t_s = src_c.agg(F.sum("c_s").cast("double").alias("t_s"))
+    t_t = tgt_c.agg(F.sum("c_t").cast("double").alias("t_t"))
+    lam = (
+        src_c.join(tgt_c, "__b", "full_outer")
+        .crossJoin(F.broadcast(t_s))
+        .crossJoin(F.broadcast(t_t))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("t_t") + F.lit(alpha) * F.lit(float(buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_s"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("t_s") + F.lit(alpha) * F.lit(float(buckets)))
+                )
+            ).alias("__lam"),
+        )
+    )
+    doc_b = grams(docs).groupBy(id_col, "__b").agg(F.count("*").alias("cnt"))
+    logw = (
+        doc_b.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("__lam")).alias("__logw"))
+    )
+    # deterministic Gumbel: u = (md5_13hex(id)+1) / (16^13+1) ∈ (0,1)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 1))
+    scored = logw.withColumn("__score", F.col("__logw") - F.log(-F.log(u)))
+    return (
+        scored.orderBy(F.desc("__score"), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            F.round("__logw", 4).alias("log_weight"),
+            F.round("__score", 4).alias("score"),
+        )
+    )

@@ -1458,3 +1458,80 @@ def pipeline_lm_perplexity(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.col("doc_id") < 400)
     return T.ngram_lm_perplexity(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "pipeline_dsir_select",
+    oracle="""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+    tgt AS (SELECT doc_id, text FROM documents
+            WHERE doc_id < 600 AND lang = 'en'),
+    src_tok AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS ord
+      FROM (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t FROM src)
+    ),
+    tgt_tok AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS ord
+      FROM (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t FROM tgt)
+    ),
+    src_grams AS (
+      SELECT doc_id, w AS g FROM src_tok
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM src_tok
+      ) WHERE w2 IS NOT NULL
+    ),
+    tgt_grams AS (
+      SELECT doc_id, w AS g FROM tgt_tok
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM tgt_tok
+      ) WHERE w2 IS NOT NULL
+    ),
+    src_b AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+              FROM src_grams),
+    tgt_b AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+              FROM tgt_grams),
+    cs AS (SELECT b, count(*) AS c_s FROM src_b GROUP BY 1),
+    ct AS (SELECT b, count(*) AS c_t FROM tgt_b GROUP BY 1),
+    ts AS (SELECT CAST(sum(c_s) AS DOUBLE) AS v FROM cs),
+    tt AS (SELECT CAST(sum(c_t) AS DOUBLE) AS v FROM ct),
+    lam AS (
+      SELECT b,
+             ln((coalesce(c_t, 0) + 1.0) / (tt.v + 1.0 * 512))
+               - ln((coalesce(c_s, 0) + 1.0) / (ts.v + 1.0 * 512)) AS lam
+      FROM cs FULL OUTER JOIN ct USING (b) CROSS JOIN ts CROSS JOIN tt
+    ),
+    db AS (SELECT doc_id, b, count(*) AS cnt FROM src_b GROUP BY 1, 2),
+    lw AS (SELECT doc_id, sum(cnt * lam) AS logw
+           FROM db JOIN lam USING (b) GROUP BY 1),
+    sc AS (
+      SELECT doc_id, logw,
+             logw - ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / (pow(16.0, 13) + 1)))) AS score
+      FROM lw
+    )
+    SELECT doc_id, round(logw, 4) AS log_weight, round(score, 4) AS score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 150
+    """,
+)
+def pipeline_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/text.py dsir_select — Xie et al.
+    2023, arXiv:2302.03169): English-language documents as the target
+    distribution, the whole corpus slice as source; hashed uni+bigram
+    importance weights, deterministic md5-derived Gumbel-top-k of 150
+    documents.  The oracle rebuilds the identical model in SQL — same
+    md5 bucket hash, same add-α log-ratios, same Gumbel transform."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 600).select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    return T.dsir_select(docs, "doc_id", "text", target, k=150, buckets=512)

@@ -242,3 +242,22 @@ def test_ngram_lm_perplexity_hand_computed(spark):
     probe = spark.createDataFrame([(9, "z q")], "doc_id bigint, text string")
     r = ngram_lm_perplexity(probe, "doc_id", "text", reference=df).collect()[0]
     assert r["cross_entropy"] == round(-math.log2(a / (0 + a * 3)), 4)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR importance weights must rank documents sharing the target's
+    n-gram distribution above out-of-distribution ones."""
+    from pinot_spark.operators.text import dsir_select
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows += [(i, "zzz qqq xxx vvv kkk jjj www uuu yyy nnn") for i in range(10, 20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(rows[:5], "doc_id bigint, text string")
+    out = dsir_select(docs, "doc_id", "text", target, k=10, buckets=64)
+    picked = [r["doc_id"] for r in out.collect()]
+    assert len(picked) == 10
+    # every target-like doc outscores every OOD doc (identical texts get
+    # identical log-weights; Gumbel noise is bounded by the weight gap)
+    assert set(picked) == set(range(10))
+    lw = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    assert all(lw[i] > 0 for i in range(10))

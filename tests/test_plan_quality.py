@@ -669,3 +669,14 @@ def test_lm_perplexity_bounded_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 6  # bi/uni/doc-gram/final, partial+final
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_dsir_broadcast_lambda_topk(spark, sf_dir):
+    """DSIR scoring joins per-doc bucket counts against the BROADCAST
+    λ table (bounded by the bucket count, never corpus-sized) and takes
+    the Gumbel top-k as TakeOrderedAndProject — a full global sort or a
+    shuffled λ join would not survive 100 TB."""
+    plan = _plan(QUERIES["pipeline_dsir_select"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
