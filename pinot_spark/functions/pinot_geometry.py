@@ -544,7 +544,9 @@ def within(a, b) -> bool:
 
     Supported operand kinds: all non-collection pairs the reference's
     GeoSpatialTest exercises (puntal/lineal/areal in any combination).
-    GEOMETRYCOLLECTION operands raise NotImplementedError by name.
+    GEOMETRYCOLLECTION operands raise NotImplementedError by name —
+    matching the reference, where JTS's relate() itself throws
+    IllegalArgumentException for GeometryCollection arguments.
     """
     if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
         raise NotImplementedError("ST_Within over GEOMETRYCOLLECTION is unsupported")

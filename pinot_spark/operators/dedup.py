@@ -571,3 +571,60 @@ def semdedup(
             F.coalesce(F.col("__d"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def dedup_lines_across_corpus(
+    docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+):
+    """C4-style exact LINE deduplication across the whole corpus
+    (Raffel et al. 2020, arXiv:1910.10683 §2.2: "we discarded all but
+    one of any three-sentence span occurring more than once" — the
+    line-granular variant RefinedWeb/CCNet pipelines run): every line
+    keeps only its FIRST occurrence in (id, line-index) order; later
+    occurrences anywhere in the corpus are cut, and documents are
+    reassembled from their surviving lines.
+
+    Returns (id, n_lines, n_kept, clean_text).
+
+    Scale shape (100 TB): explode lines → ONE shuffle to find each
+    line's global minimum (id, idx) occurrence (min over a comparable
+    struct — map-side combinable, no window over the whole corpus), a
+    self-equi-join on the line value to mark survivors, then a per-doc
+    reassembly via sort_array over the surviving (idx, line) pairs.
+    Nothing is quadratic in corpus size; per-doc state is bounded by
+    the document's own line count."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
+    )
+    first = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col).alias("__fid"), F.col("__idx").alias("__fidx"))).alias(
+            "__first"
+        )
+    )
+    kept = (
+        lines.join(first, "__line")
+        .withColumn(
+            "__keep",
+            (F.col(f"__first.__fid") == F.col(id_col))
+            & (F.col("__first.__fidx") == F.col("__idx")),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__idx", "__line"))
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )

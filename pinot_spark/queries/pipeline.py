@@ -1535,3 +1535,68 @@ def pipeline_dsir_select(spark, sf_dir):
     docs = t["documents"].filter(F.col("doc_id") < 600).select("doc_id", "text", "lang")
     target = docs.filter(F.col("lang") == "en")
     return T.dsir_select(docs, "doc_id", "text", target, k=150, buckets=512)
+
+
+@query(
+    "pipeline_line_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 12
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 6),
+                    j -> t[2 * j + 1] || ' ' || t[2 * j + 2])) AS line,
+             unnest(range(0, 6)) AS idx
+      FROM base
+    ),
+    first AS (
+      SELECT line, min(doc_id * 16 + idx) AS first_key FROM lines GROUP BY 1
+    ),
+    kept AS (
+      SELECT l.doc_id, l.idx, l.line,
+             (l.doc_id * 16 + l.idx = f.first_key) AS keep
+      FROM lines l JOIN first f USING (line)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY idx)
+                      FILTER (WHERE keep), '') AS clean_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def pipeline_line_dedup(spark, sf_dir):
+    """C4-style exact line dedup across the corpus (Raffel et al. 2020,
+    arXiv:1910.10683 — operators/dedup.dedup_lines_across_corpus): the
+    single-line fixture documents are recut into 6 bigram "lines" drawn
+    from the corpus's small vocabulary, so cross-document duplicate
+    lines are common; every line survives only at its first (doc, idx)
+    occurrence and documents reassemble from their surviving lines.
+    One shuffle finds each line's global first occurrence (min over a
+    comparable struct, map-side combinable — no corpus-wide window)."""
+    from pinot_spark.operators.dedup import dedup_lines_across_corpus
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    mdocs = (
+        t["documents"]
+        .filter((F.col("doc_id") < 200) & (F.size(toks) >= 12))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(5)),
+                    lambda j: F.concat_ws(
+                        " ",
+                        F.element_at(toks, j * 2 + 1),
+                        F.element_at(toks, j * 2 + 2),
+                    ),
+                ),
+                "\n",
+            ).alias("mtext"),
+        )
+    )
+    return dedup_lines_across_corpus(mdocs, "doc_id", "mtext").orderBy("doc_id")

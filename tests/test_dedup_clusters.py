@@ -261,3 +261,26 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert set(picked) == set(range(10))
     lw = {r["doc_id"]: r["log_weight"] for r in out.collect()}
     assert all(lw[i] > 0 for i in range(10))
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    from pinot_spark.operators.dedup import dedup_lines_across_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta\nalpha"),   # beta+alpha dup'd from doc 1
+            (3, "delta\nepsilon"),        # delta dup'd from doc 2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_across_corpus(docs, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "alpha\nbeta\ngamma" and out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "delta" and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "epsilon" and out[3]["n_kept"] == 1
+    # a doc whose every line is a repeat reassembles to the empty string
+    docs2 = spark.createDataFrame(
+        [(1, "x\ny"), (2, "y\nx")], "doc_id bigint, text string"
+    )
+    out2 = {r["doc_id"]: r for r in dedup_lines_across_corpus(docs2, "doc_id", "text").collect()}
+    assert out2[2]["clean_text"] == "" and out2[2]["n_kept"] == 0

@@ -167,3 +167,38 @@ def test_geometry_type_names():
     assert pg.geometry_type(pg.parse_wkt("POINT (1 2)")) == "Point"
     assert pg.geometry_type(pg.parse_wkt("MULTIPOLYGON EMPTY")) == "MultiPolygon"
     assert pg.geometry_type(pg.parse_wkt("GEOMETRYCOLLECTION EMPTY")) == "GeometryCollection"
+
+
+def test_union_random_integer_rectangles_area():
+    """Property: exact-overlay union area of random INTEGER-coordinate
+    rectangles equals the area computed by brute-force unit-cell
+    counting.  Integer grids make touching edges, shared corners and
+    collinear overlaps the COMMON case — the exact configurations the
+    Greiner-Hormann fast path rejects as degenerate."""
+    import random
+
+    rng = random.Random(1307)
+    for trial in range(25):
+        rects = []
+        for _ in range(rng.randint(2, 5)):
+            x, y = rng.randint(0, 8), rng.randint(0, 8)
+            w, h = rng.randint(1, 5), rng.randint(1, 5)
+            rects.append((x, y, x + w, y + h))
+        polys = [
+            pg.parse_wkt(
+                f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, {x1} {y2}, {x1} {y1}))"
+            )
+            for x1, y1, x2, y2 in rects
+        ]
+        u = pg.union(polys)
+        # ground truth: count unit cells covered by any rectangle
+        cells = {
+            (i, j)
+            for x1, y1, x2, y2 in rects
+            for i in range(x1, x2)
+            for j in range(y1, y2)
+        }
+        assert pg.planar_area(u) == float(len(cells)), (trial, rects)
+        # every rectangle is within the union; the union contains each
+        for p in polys:
+            assert pg.within(p, u) and pg.contains(u, p), (trial, rects)

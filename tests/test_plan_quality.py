@@ -680,3 +680,13 @@ def test_dsir_broadcast_lambda_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_single_shuffle_no_window(spark, sf_dir):
+    """Corpus line dedup must find first occurrences with a map-side-
+    combinable min aggregate, NOT a corpus-wide window sort, and join
+    back on the line value — no cartesian, no global Window."""
+    plan = _plan(QUERIES["pipeline_line_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
