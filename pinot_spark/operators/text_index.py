@@ -75,3 +75,75 @@ def regex_match_dictionary(df: DataFrame, col: str, pattern: str) -> DataFrame:
     return df.join(
         F.broadcast(matching.withColumnRenamed("__term", col)), col, "left_semi"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25-ranked retrieval over the postings shape (Robertson &
+    Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+    Beyond" — the public Okapi BM25 formula, Lucene-style
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5))):
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1)
+                            / (tf(t,d) + k1·(1 − b + b·len(d)/avglen))
+
+    Pinot's TEXT_MATCH filters but never ranks (the Lucene scorer is not
+    surfaced — TextMatchFilterOperator.java); this operator adds the
+    ranking half a retrieval-for-dedup/contamination pipeline needs.
+
+    Scale shape (100 TB): term frequencies pre-aggregate per (doc, term)
+    map-side; document frequencies and the corpus length stats are two
+    tiny aggregates broadcast back in; only documents containing a query
+    term ever leave the scan (inner join on the term list), and the
+    top-k is TakeOrderedAndProject, never a full sort."""
+    toks = tokenize(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__len", F.size("__t")
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("__N"),
+        F.avg("__len").alias("__avglen"),
+    )
+    tf = (
+        base.select(id_col, "__len", F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "__len", "term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            # ln(1 + x) spelled literally (not log1p) so a SQL oracle's
+            # ln(1 + x) reproduces the double bit-for-bit
+            F.log(F.lit(1.0) + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__len") / F.col("__avglen"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum("__s").alias("__score"),
+        )
+        .orderBy(F.desc("__score"), id_col)
+        .limit(k)
+        .select(id_col, "n_terms_hit", F.round("__score", 4).alias("bm25"))
+    )

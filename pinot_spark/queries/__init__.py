@@ -97,21 +97,22 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ST_Area — GeoSpatialTest.java surface), pipeline_lm_perplexity
 # (CCNet-style bigram-LM quality scoring, Wenzek et al. 2019),
 # pipeline_dsir_select (DSIR hashed-ngram importance resampling, Xie
-# et al. 2023), and pipeline_line_dedup (C4-style corpus line dedup,
-# Raffel et al. 2020).
+# et al. 2023), pipeline_line_dedup (C4-style corpus line dedup,
+# Raffel et al. 2020), and text_bm25_ranked_search (Okapi BM25 ranked
+# retrieval over the postings shape).
 # Re-proofs = fn_math_family (the one r8-stale row, the round-12
-# displacement) + 39 of the 50 r9-stale greens.
+# displacement) + 38 of the 50 r9-stale greens.
 #
 # ROUND-14 PLAN (computed from CORRECTNESS_r01..r12 + this window):
-# after r13's driver run the stale set is the 11 r9-latest rows
-# displaced by this round's 10 first-timers + fn_math_family —
-#   multimodal_gif_tiff_features, multimodal_webp_features,
-#   null_mode_default_value,
+# after r13's driver run the stale set is the 12 r9-latest rows
+# displaced by this round's 11 first-timers + fn_math_family —
+#   multimodal_feature_extract, multimodal_gif_tiff_features,
+#   multimodal_webp_features, null_mode_default_value,
 #   null_mode_sql_semantics, partial_upsert_merge,
 #   sample_stratified_split, similarity_radius_filter,
 #   text_bpe_token_count, text_chunking, timeseries_keep_last_value,
 #   timeseries_m3ql_pipeline
-# — plus the 50 r10-latest greens: rotate those 61 in (11 + 39 of the
+# — plus the 50 r10-latest greens: rotate those 62 in (12 + 38 of the
 # r10 block; any new first-timers displace the r10 tail into r15),
 # landing max staleness <= r10.  tests/test_registry_window.py
 # recomputes staleness from the CORRECTNESS artifacts and asserts the
@@ -195,6 +196,7 @@ _WINDOW_FIRST_TIME = [
     "dialect_unnest_ordinality", "dialect_todatetime_roundtrip",
     "dialect_geo_bytes_family", "pipeline_lm_perplexity",
     "pipeline_dsir_select", "pipeline_line_dedup",
+    "text_bm25_ranked_search",
 ]
 
 _REPROOF_STALE = [
@@ -215,7 +217,7 @@ _REPROOF_STALE = [
     "fn_exact_hash_parity", "fn_groovy_inline", "fn_trig_family",
     "funnel_complete_count", "funnel_match_step",
     "funnel_max_step_pandas", "funnel_step_duration_stats",
-    "gapfill_fill_default", "multimodal_feature_extract",
+    "gapfill_fill_default",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -1600,3 +1600,51 @@ def pipeline_line_dedup(spark, sf_dir):
         )
     )
     return dedup_lines_across_corpus(mdocs, "doc_id", "mtext").orderBy("doc_id")
+
+
+@query(
+    "text_bm25_ranked_search",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents WHERE doc_id < 500
+    ),
+    lens AS (SELECT doc_id, len(t) AS dlen FROM base),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(dlen) AS avglen FROM lens),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('scan', 'window', 'agg')
+      GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dlen / stats.avglen))
+               AS s
+      FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+              CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(s), 4) AS bm25
+    FROM sc GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_ranked_search(spark, sf_dir):
+    """BM25-ranked retrieval (operators/text_index.bm25_topk — Robertson
+    & Zaragoza 2009, Lucene-style idf): Pinot's TEXT_MATCH filters but
+    never surfaces the Lucene score; this adds the ranking half.  Per
+    (doc, term) frequencies pre-aggregate map-side, document frequencies
+    and corpus length stats broadcast back in, top-k runs as
+    TakeOrderedAndProject.  Oracle rebuilds the identical scorer in SQL
+    (same tokenizer, same ln(1+x) idf, same k1/b)."""
+    from pinot_spark.operators.text_index import bm25_topk
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 500)
+    return bm25_topk(docs, "doc_id", "text", ["scan", "window", "agg"], k=20)

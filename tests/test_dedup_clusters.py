@@ -284,3 +284,25 @@ def test_line_dedup_first_occurrence_semantics(spark):
     )
     out2 = {r["doc_id"]: r for r in dedup_lines_across_corpus(docs2, "doc_id", "text").collect()}
     assert out2[2]["clean_text"] == "" and out2[2]["n_kept"] == 0
+
+
+def test_bm25_ranking_order(spark):
+    """BM25 sanity: a doc with more query-term occurrences (same length)
+    outranks one with fewer; a rare term outweighs a common one."""
+    from pinot_spark.operators.text_index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog pig owl"),
+            (2, "cat dog pig owl ant bee"),
+            (3, "rare dog pig owl ant bee"),   # 'rare' appears once in corpus
+            (4, "fox dog pig owl ant bee"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["cat", "rare"], k=4).collect()
+    ranks = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert set(ranks) == {1, 2, 3}  # doc 4 has no query term
+    assert scores[1] > scores[2]    # higher tf wins at equal length
+    assert scores[3] > scores[2]    # rarer term carries higher idf

@@ -690,3 +690,13 @@ def test_line_dedup_single_shuffle_no_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_topk_no_full_sort(spark, sf_dir):
+    """BM25 ranking must end in TakeOrderedAndProject (bounded top-k),
+    broadcast the df/length stats, and never go cartesian on the corpus
+    (the only nested-loop is the one-row stats broadcast)."""
+    plan = _plan(QUERIES["text_bm25_ranked_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
