@@ -18,6 +18,11 @@ functions/scalar.py):
   raise ``DegenerateGeometry`` (a NotImplementedError): real-valued
   data essentially never hits exact degeneracy, and a loud error beats
   the silently-wrong output epsilon-perturbation schemes produce.
+  Since round 13 this is a ROUTING signal, not a user-facing boundary:
+  ``scalar.st_union_wkt`` catches it and falls back to the
+  exact-rational planar overlay in ``functions/pinot_geometry.py``
+  (validated against the reference GeoSpatialTest STUnion byte golden),
+  keeping this fast float path for the common non-degenerate case.
 """
 
 from __future__ import annotations
