@@ -98,21 +98,24 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # (CCNet-style bigram-LM quality scoring, Wenzek et al. 2019),
 # pipeline_dsir_select (DSIR hashed-ngram importance resampling, Xie
 # et al. 2023), pipeline_line_dedup (C4-style corpus line dedup,
-# Raffel et al. 2020), and text_bm25_ranked_search (Okapi BM25 ranked
-# retrieval over the postings shape).
+# Raffel et al. 2020), text_bm25_ranked_search (Okapi BM25 ranked
+# retrieval over the postings shape), and pipeline_fuzzy_dedup_end2end
+# (the composed prefix-filter-pairs -> connected-components ->
+# keep-longest pipeline).
 # Re-proofs = fn_math_family (the one r8-stale row, the round-12
-# displacement) + 38 of the 50 r9-stale greens.
+# displacement) + 37 of the 50 r9-stale greens.
 #
 # ROUND-14 PLAN (computed from CORRECTNESS_r01..r12 + this window):
-# after r13's driver run the stale set is the 12 r9-latest rows
-# displaced by this round's 11 first-timers + fn_math_family —
-#   multimodal_feature_extract, multimodal_gif_tiff_features,
+# after r13's driver run the stale set is the 13 r9-latest rows
+# displaced by this round's 12 first-timers + fn_math_family —
+#   fn_trig_family, multimodal_feature_extract,
+#   multimodal_gif_tiff_features,
 #   multimodal_webp_features, null_mode_default_value,
 #   null_mode_sql_semantics, partial_upsert_merge,
 #   sample_stratified_split, similarity_radius_filter,
 #   text_bpe_token_count, text_chunking, timeseries_keep_last_value,
 #   timeseries_m3ql_pipeline
-# — plus the 50 r10-latest greens: rotate those 62 in (12 + 38 of the
+# — plus the 50 r10-latest greens: rotate those 63 in (13 + 37 of the
 # r10 block; any new first-timers displace the r10 tail into r15),
 # landing max staleness <= r10.  tests/test_registry_window.py
 # recomputes staleness from the CORRECTNESS artifacts and asserts the
@@ -196,7 +199,7 @@ _WINDOW_FIRST_TIME = [
     "dialect_unnest_ordinality", "dialect_todatetime_roundtrip",
     "dialect_geo_bytes_family", "pipeline_lm_perplexity",
     "pipeline_dsir_select", "pipeline_line_dedup",
-    "text_bm25_ranked_search",
+    "text_bm25_ranked_search", "pipeline_fuzzy_dedup_end2end",
 ]
 
 _REPROOF_STALE = [
@@ -214,7 +217,7 @@ _REPROOF_STALE = [
     "dialect_query_hints", "dialect_raw_theta_expr_key",
     "dialect_raw_theta_mixed_split", "events_time_bucket_agg",
     "fn_binary_conversion", "fn_ds_theta_interop",
-    "fn_exact_hash_parity", "fn_groovy_inline", "fn_trig_family",
+    "fn_exact_hash_parity", "fn_groovy_inline",
     "funnel_complete_count", "funnel_match_step",
     "funnel_max_step_pandas", "funnel_step_duration_stats",
     "gapfill_fill_default",

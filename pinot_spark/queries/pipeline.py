@@ -1648,3 +1648,83 @@ def text_bm25_ranked_search(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.col("doc_id") < 500)
     return bm25_topk(docs, "doc_id", "text", ["scan", "window", "agg"], k=20)
+
+
+@query(
+    "pipeline_fuzzy_dedup_end2end",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+            len(list_distinct(list_concat(a.toks, b.toks))) > 0.9
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                    UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+    memb AS (
+      SELECT c.id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, id) AS rn
+      FROM memb
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keep_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_n_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM ranked GROUP BY component ORDER BY component
+    """,
+)
+def pipeline_fuzzy_dedup_end2end(spark, sf_dir):
+    """The COMPLETE fuzzy-dedup pipeline in one plan — the composition a
+    training-data run actually executes: exact token-set Jaccard pairs
+    via prefix filtering (AllPairs/PPJoin, no all-pairs join) →
+    distributed min-label connected components → keep ONE representative
+    per cluster by a real policy (longest document, ties to the smallest
+    id — the common "keep the most complete copy" rule).  One row per
+    duplicate cluster with its size, survivor and removal count.
+
+    Every stage is the already-proven operator
+    (operators/dedup.jaccard_similarity_join / duplicate_clusters); this
+    row pins their COMPOSITION against a single DuckDB mirror (brute-
+    force pairs + recursive-CTE closure + window argmax)."""
+    from pinot_spark.operators.dedup import duplicate_clusters, jaccard_similarity_join
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 300)
+    sh = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias("toks")
+    )
+    pairs = jaccard_similarity_join(sh, "doc_id", "toks", 0.9).select("id_a", "id_b")
+    clusters = duplicate_clusters(pairs)
+    memb = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    best = F.min(
+        F.struct((-F.col("n_chars")).alias("__negq"), F.col("id").alias("__kid"))
+    )
+    return (
+        memb.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            best.alias("__best"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.col("__best.__kid").cast("bigint").alias("keep_id"),
+            (-F.col("__best.__negq")).cast("bigint").alias("keep_n_chars"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("component")
+    )

@@ -700,3 +700,12 @@ def test_bm25_topk_no_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_dedup_end2end_no_allpairs(spark, sf_dir):
+    """The composed fuzzy-dedup pipeline must keep the prefix-filter
+    equi-join shape end-to-end — no cartesian/nested-loop anywhere in
+    pairing, clustering, or representative selection."""
+    plan = _plan(QUERIES["pipeline_fuzzy_dedup_end2end"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
