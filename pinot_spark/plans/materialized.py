@@ -142,3 +142,111 @@ class MVCatalog:
                   "max": F.max, "avg": F.avg}[agg]
             out.append(fn(col).alias(alias))
         return df.groupBy(*dims).agg(*out)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 star-tree parity extensions (StarTreeTest.java surface):
+# MINMAXRANGE (derives from stored min/max partials), DISTINCTCOUNTBITMAP
+# (per-combination distinct-value set partials, exact final union — the
+# star-tree stores serialized RoaringBitmaps, StarTreeV2BuilderHelper),
+# and the MV-column measures COUNTMV / SUMMV / AVGMV (star-tree 3 in the
+# reference config pre-aggregates the exploded multi-value column).
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_EXT = ("minmaxrange", "distinctcountbitmap", "countmv", "summv", "avgmv")
+
+
+def create_aggregate_mv_ext(
+    df: DataFrame,
+    name: str,
+    path: str,
+    dims: list[str],
+    measure_cols: list[str],
+    set_cols: list[str] | None = None,
+    mv_cols: list[str] | None = None,
+) -> AggregateMV:
+    """create_aggregate_mv plus DISTINCTCOUNTBITMAP set partials for
+    ``set_cols`` and COUNTMV/SUMMV partials for array-typed ``mv_cols``.
+    Set partials are bounded by each combination's distinct-value count
+    (the same state a star-tree bitmap node carries)."""
+    mv = AggregateMV(name=name, path=path, dims=dims, measure_cols=measure_cols)
+    aggs = [F.count("*").alias("__count")]
+    for c in measure_cols:
+        aggs += [
+            F.sum(c).alias(mv.partial_name("sum", c)),
+            F.min(c).alias(mv.partial_name("min", c)),
+            F.max(c).alias(mv.partial_name("max", c)),
+        ]
+    for c in set_cols or []:
+        aggs.append(F.collect_set(c).alias(mv.partial_name("set", c)))
+    for c in mv_cols or []:
+        aggs += [
+            F.sum(F.size(c)).alias(mv.partial_name("countmv", c)),
+            F.sum(F.aggregate(c, F.lit(0.0), lambda a, x: a + x)).alias(
+                mv.partial_name("summv", c)
+            ),
+        ]
+    df.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
+    mv.set_cols = list(set_cols or [])  # type: ignore[attr-defined]
+    mv.mv_cols = list(mv_cols or [])  # type: ignore[attr-defined]
+    return mv
+
+
+def query_rollup_ext(
+    spark: SparkSession,
+    mv: AggregateMV,
+    dims: list[str],
+    aggs: list[tuple[str, str, str]],
+    filter_expr=None,
+) -> DataFrame:
+    """query_rollup plus the round-13 aggregate surface.  Final
+    re-aggregation per function (all partial/final exact):
+    MINMAXRANGE = max(max partials) − min(min partials);
+    DISTINCTCOUNTBITMAP = distinct size of the unioned set partials
+    (flatten + array_distinct after collect — exact, state bounded by
+    the group's distinct count like the reference's bitmap);
+    COUNTMV/SUMMV = sums of the stored element counts/sums,
+    AVGMV = SUMMV/COUNTMV."""
+    df = spark.read.parquet(mv.path)
+    if filter_expr is not None:
+        df = df.filter(filter_expr)
+    out = []
+    for agg, col, alias in aggs:
+        if agg == "count":
+            out.append(F.sum("__count").alias(alias))
+        elif agg == "sum":
+            out.append(F.sum(mv.partial_name("sum", col)).alias(alias))
+        elif agg == "min":
+            out.append(F.min(mv.partial_name("min", col)).alias(alias))
+        elif agg == "max":
+            out.append(F.max(mv.partial_name("max", col)).alias(alias))
+        elif agg == "avg":
+            out.append(
+                (F.sum(mv.partial_name("sum", col)) / F.sum("__count")).alias(alias)
+            )
+        elif agg == "minmaxrange":
+            out.append(
+                (F.max(mv.partial_name("max", col)) - F.min(mv.partial_name("min", col))).alias(
+                    alias
+                )
+            )
+        elif agg == "distinctcountbitmap":
+            out.append(
+                F.size(F.array_distinct(F.flatten(F.collect_list(mv.partial_name("set", col)))))
+                .cast("bigint")
+                .alias(alias)
+            )
+        elif agg == "countmv":
+            out.append(F.sum(mv.partial_name("countmv", col)).cast("bigint").alias(alias))
+        elif agg == "summv":
+            out.append(F.sum(mv.partial_name("summv", col)).alias(alias))
+        elif agg == "avgmv":
+            out.append(
+                (
+                    F.sum(mv.partial_name("summv", col))
+                    / F.sum(mv.partial_name("countmv", col))
+                ).alias(alias)
+            )
+        else:
+            raise ValueError(f"unsupported rollup aggregate {agg}")
+    return df.groupBy(*dims).agg(*out)

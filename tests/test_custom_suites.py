@@ -2623,3 +2623,216 @@ def test_geo_constructors_outputs_dialect(geosuite):
         "gridDisk(geoToH3(20, 10, 5), 1) FROM GeoSpatialTest LIMIT 1"
     ).collect()[0]
     assert cell == cell_pt and dist >= 1 and len(disk) == 7
+
+
+# ---------------------------------------------------------------------------
+# StarTreeTest.java — the 21st suite: queries answered WITH the star-tree
+# analog (plans/materialized.py aggregate rollups, round-13 extensions
+# for MINMAXRANGE / DISTINCTCOUNTBITMAP / COUNTMV / SUMMV / AVGMV) must
+# equal the same queries computed directly — the reference's own oracle
+# is exactly this self-consistency (`testStarQuery` compares the
+# star-tree response against `SET useStarTree = false`).  The airline
+# avro is absent from the reference checkout, so the fixture is
+# deterministic synthetic data over the suite's column names; the
+# hard-coded suite queries run VERBATIM on the direct side through
+# PinotEngine.sql.
+# ---------------------------------------------------------------------------
+
+_ST_DIMS = ["OriginCityName", "DepTimeBlk", "LongestAddGTime", "CRSDepTime", "DivArrDelay"]
+_ST_METRICS = ["CarrierDelay", "DepDelay", "LateAircraftDelay", "ArrivalDelayGroups",
+               "ArrDel15", "AirlineID"]
+
+
+@pytest.fixture(scope="module")
+def startree(spark, tmp_path_factory):
+    from pinot_spark.plans.materialized import create_aggregate_mv_ext
+
+    cities = ["Albany", "Boston", "Chicago", "Dallas", "Erie",
+              "Fresno", "Gary", "Helena", "Irvine", "Juneau"]
+    rows = []
+    for i in range(3000):
+        crs = 35 if i % 97 == 0 else (i * 37) % 2400
+        rows.append((
+            cities[i % 10],                      # OriginCityName
+            f"{i % 24:02d}00-{i % 24:02d}59",    # DepTimeBlk
+            i % 120,                             # LongestAddGTime
+            crs,                                 # CRSDepTime
+            i % 400,                             # DivArrDelay
+            i % 50 - 10,                         # CarrierDelay
+            (i * 7) % 90 - 20,                   # DepDelay
+            (i * 3) % 60,                        # LateAircraftDelay
+            i % 13 - 2,                          # ArrivalDelayGroups
+            i % 2,                               # ArrDel15
+            19000 + i % 15,                      # AirlineID
+            # size (i // 10) % 4 decorrelates from every group key
+            # (i % 24 / i % 10), so no query group is all-empty —
+            # AVGMV's sum/sum division matches the dialect's own
+            # semantics, which also has no empty-group guard
+            [(i + j) % 30 for j in range((i // 10) % 4)],  # TotalAddGTime (MV)
+        ))
+    ddl = ("OriginCityName string, DepTimeBlk string, LongestAddGTime int, "
+           "CRSDepTime int, DivArrDelay int, CarrierDelay int, DepDelay int, "
+           "LateAircraftDelay int, ArrivalDelayGroups int, ArrDel15 int, "
+           "AirlineID bigint, TotalAddGTime array<int>")
+    df = spark.createDataFrame(rows, ddl)
+    df.createOrReplaceTempView("StarTreeTest")
+    path = str(tmp_path_factory.mktemp("startree") / "mv")
+    mv = create_aggregate_mv_ext(
+        df, "startree1", path, _ST_DIMS, _ST_METRICS,
+        set_cols=_ST_METRICS, mv_cols=["TotalAddGTime"],
+    )
+    return PinotEngine(spark), mv, df
+
+
+def _rollup_vs_direct(startree_fixture, dims, aggs, filter_expr=None, direct_sql=None):
+    """Assert rollup-answered rows equal the directly-computed rows
+    (the suite's star-tree-on vs star-tree-off comparison)."""
+    from pinot_spark.plans.materialized import query_rollup_ext
+
+    e, mv, df = startree_fixture
+    spark = df.sparkSession
+    roll = query_rollup_ext(spark, mv, dims, aggs, filter_expr)
+    if direct_sql is not None:
+        direct = e.sql(direct_sql)
+    else:
+        base = df.filter(filter_expr) if filter_expr is not None else df
+        import pyspark.sql.functions as F
+
+        cols = []
+        for agg, col, alias in aggs:
+            cols.append({
+                "count": lambda c: F.count("*"),
+                "sum": lambda c: F.sum(c),
+                "min": lambda c: F.min(c),
+                "max": lambda c: F.max(c),
+                "avg": lambda c: F.avg(c),
+                "minmaxrange": lambda c: F.max(c) - F.min(c),
+                "distinctcountbitmap": lambda c: F.count_distinct(F.col(c)).cast("bigint"),
+                "countmv": lambda c: F.sum(F.size(c)).cast("bigint"),
+                "summv": lambda c: F.sum(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x)),
+                "avgmv": lambda c: F.sum(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x))
+                / F.sum(F.size(c)),
+            }[agg](col).alias(alias))
+        direct = base.groupBy(*dims).agg(*cols)
+
+    def norm_rows(d):
+        out = []
+        for r in d.collect():
+            out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+        return sorted(out, key=repr)
+
+    a, b = norm_rows(roll.select(*dims, *[al for _, _, al in aggs])), norm_rows(
+        direct.select(*direct.columns)
+    )
+    assert a == b, (dims, aggs, a[:3], b[:3])
+
+
+_ST_AGG_TYPES = ["count", "min", "max", "sum", "avg", "minmaxrange", "distinctcountbitmap"]
+
+
+def test_startree_generated_queries(startree):
+    """testGeneratedQueries analog: a deterministic sweep over dimension
+    subsets × the suite's seven aggregation function types × dim-only
+    filters (StarTreeQueryGenerator's shape), rollup vs direct."""
+    import pyspark.sql.functions as F
+
+    for i in range(40):
+        dims = [_ST_DIMS[(i + k) % 5] for k in range((i % 3))]
+        dims = list(dict.fromkeys(dims))
+        aggs = []
+        for k in range(1 + i % 3):
+            fn = _ST_AGG_TYPES[(i * 3 + k) % 7]
+            col = _ST_METRICS[(i + k) % 6]
+            aggs.append((fn, col, f"a{k}"))
+        filt = None
+        if i % 2:
+            filt = F.col("CRSDepTime") % 5 == i % 5
+        _rollup_vs_direct(startree, dims, aggs, filt)
+
+
+def test_startree_hardcoded_queries(startree):
+    """testHardCodedQueries: the suite's literal predicates (BETWEEN +
+    NOT IN across three tree dimensions; MIN/MAX/SUM rewrite on the LONG
+    column), direct side through PinotEngine.sql VERBATIM."""
+    import pyspark.sql.functions as F
+
+    _rollup_vs_direct(
+        startree,
+        ["DepTimeBlk"],
+        [("count", "*", "cnt")],
+        (F.col("CRSDepTime").between(1137, 1849))
+        & (F.col("DivArrDelay") > 218)
+        & (~F.col("CRSDepTime").isin(35, 1633, 1457, 140))
+        & (~F.col("LongestAddGTime").isin(17, 105, 20, 22)),
+        direct_sql=(
+            "SELECT DepTimeBlk, COUNT(*) AS cnt FROM StarTreeTest"
+            " WHERE CRSDepTime BETWEEN 1137 AND 1849 AND DivArrDelay > 218"
+            " AND CRSDepTime NOT IN (35, 1633, 1457, 140)"
+            " AND LongestAddGTime NOT IN (17, 105, 20, 22)"
+            " GROUP BY DepTimeBlk ORDER BY DepTimeBlk LIMIT 1000"
+        ),
+    )
+    _rollup_vs_direct(
+        startree,
+        [],
+        [("min", "AirlineID", "mn"), ("max", "AirlineID", "mx"), ("sum", "AirlineID", "sm")],
+        F.col("CRSDepTime").between(1137, 1849),
+        direct_sql=(
+            "SELECT MIN(AirlineID) AS mn, MAX(AirlineID) AS mx, SUM(AirlineID) AS sm "
+            "FROM StarTreeTest WHERE CRSDepTime BETWEEN 1137 AND 1849"
+        ),
+    )
+
+
+def test_startree_filtered_agg_queries(startree):
+    """testHardCodedFilteredAggQueries: FILTER-clause aggregates whose
+    predicates hit tree dimensions evaluate AGAINST THE ROLLUP as
+    conditional partial sums (each rollup row carries its dims); direct
+    side is the verbatim FILTER-clause SQL."""
+    import pyspark.sql.functions as F
+
+    e, mv, df = startree
+    spark = df.sparkSession
+    roll = spark.read.parquet(mv.path)
+    got = (
+        roll.filter(F.col("CRSDepTime") != 35)
+        .groupBy("DepTimeBlk")
+        .agg(
+            F.sum("__count").alias("cnt"),
+            F.coalesce(
+                F.sum(F.when(F.col("DivArrDelay") > 20, F.col("__count"))), F.lit(0)
+            ).alias("cnt_f"),
+        )
+    )
+    want = e.sql(
+        "SELECT DepTimeBlk, COUNT(*) AS cnt,"
+        " COUNT(*) FILTER (WHERE DivArrDelay > 20) AS cnt_f"
+        " FROM StarTreeTest WHERE CRSDepTime != 35"
+        " GROUP BY DepTimeBlk ORDER BY DepTimeBlk LIMIT 1000"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_startree_multivalue_aggregations(startree):
+    """testMultiValueColumnAggregations: COUNTMV / SUMMV / AVGMV from the
+    MV rollup partials vs the verbatim Pinot SQL."""
+    import pyspark.sql.functions as F
+
+    for dims, filt, sql in [
+        ([], None,
+         "SELECT COUNTMV(TotalAddGTime) AS c, SUMMV(TotalAddGTime) AS s,"
+         " AVGMV(TotalAddGTime) AS a FROM StarTreeTest"),
+        (["OriginCityName"], None,
+         "SELECT OriginCityName, COUNTMV(TotalAddGTime) AS c,"
+         " SUMMV(TotalAddGTime) AS s, AVGMV(TotalAddGTime) AS a"
+         " FROM StarTreeTest GROUP BY OriginCityName"
+         " ORDER BY OriginCityName LIMIT 1000"),
+        (["DepTimeBlk"], F.col("CRSDepTime") > 1000,
+         "SELECT DepTimeBlk, COUNTMV(TotalAddGTime) AS c,"
+         " SUMMV(TotalAddGTime) AS s, AVGMV(TotalAddGTime) AS a"
+         " FROM StarTreeTest WHERE CRSDepTime > 1000"
+         " GROUP BY DepTimeBlk ORDER BY DepTimeBlk LIMIT 1000"),
+    ]:
+        aggs = [("countmv", "TotalAddGTime", "c"), ("summv", "TotalAddGTime", "s"),
+                ("avgmv", "TotalAddGTime", "a")]
+        _rollup_vs_direct(startree, dims, aggs, filt, direct_sql=sql)
