@@ -202,3 +202,84 @@ def test_union_random_integer_rectangles_area():
         # every rectangle is within the union; the union contains each
         for p in polys:
             assert pg.within(p, u) and pg.contains(u, p), (trial, rects)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property tests — serde and predicate invariants over random
+# integer-grid geometries (the grid makes degenerate touching/collinear
+# configurations the common case).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.integers(min_value=-8, max_value=8).map(float)
+_point = st.tuples(_coord, _coord)
+
+
+def _rect_wkt(x, y, w, h):
+    return (
+        f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + h}, {x} {y + h}, {x} {y}))"
+    )
+
+
+_rect = st.tuples(
+    st.integers(-5, 5), st.integers(-5, 5), st.integers(1, 6), st.integers(1, 6)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pts=st.lists(_point, min_size=1, max_size=6, unique=True), geog=st.booleans())
+def test_prop_multipoint_serde_roundtrip(pts, geog):
+    g = ("MULTIPOINT", sorted(pts), geog)
+    assert pg.deserialize(pg.serialize(g)) == g
+
+
+@settings(max_examples=60, deadline=None)
+@given(r=_rect, geog=st.booleans())
+def test_prop_polygon_serde_roundtrip_semantic(r, geog):
+    g = pg.parse_wkt(_rect_wkt(*r), geog=geog)
+    rt = pg.deserialize(pg.serialize(g))
+    assert rt[2] == geog and pg.equals(g, rt)
+    assert pg.planar_area(rt) == pg.planar_area(g)
+
+
+@settings(max_examples=80, deadline=None)
+@given(a=_rect, b=_rect)
+def test_prop_within_contains_duality_and_area(a, b):
+    ga, gb = pg.parse_wkt(_rect_wkt(*a)), pg.parse_wkt(_rect_wkt(*b))
+    w = pg.within(ga, gb)
+    assert w == pg.contains(gb, ga)
+    if w:
+        # containment implies area and bbox ordering
+        assert pg.planar_area(ga) <= pg.planar_area(gb)
+    # ground truth for axis-aligned rects: closed-interval containment
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    truth = bx <= ax and by <= ay and ax + aw <= bx + bw and ay + ah <= by + bh
+    assert w == truth, (a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rects=st.lists(_rect, min_size=1, max_size=4))
+def test_prop_union_contains_inputs_and_is_idempotent(rects):
+    polys = [pg.parse_wkt(_rect_wkt(*r)) for r in rects]
+    u = pg.union(polys)
+    for p in polys:
+        assert pg.within(p, u), (rects,)
+    # union of the union with the inputs changes nothing (semantically)
+    u2 = pg.union([u, *polys])
+    assert pg.planar_area(u2) == pg.planar_area(u)
+    assert pg.equals(u, u2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(p=_point, r=_rect)
+def test_prop_point_location_matches_interval_test(p, r):
+    ga = pg.parse_wkt(f"POINT ({p[0]} {p[1]})")
+    gb = pg.parse_wkt(_rect_wkt(*r))
+    x, y, w, h = r
+    strictly_inside = x < p[0] < x + w and y < p[1] < y + h
+    assert pg.within(ga, gb) == strictly_inside
+    on_or_in = x <= p[0] <= x + w and y <= p[1] <= y + h
+    assert (pg.distance(ga, gb) == 0.0) == on_or_in
