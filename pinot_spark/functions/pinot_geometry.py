@@ -1035,13 +1035,43 @@ def canonical(g):
 
 
 def union(geoms: list):
-    """N-way union of (multi)polygon geometries (exact overlay) — the
-    general STUnion path when inputs touch/overlap degenerately. Puntal
-    unions stay on the fast set-union path in functions/scalar.py."""
+    """N-way union of puntal and areal geometries — the general STUnion
+    path when inputs touch/overlap degenerately (exact overlay for the
+    areal part).  JTS semantics for mixed inputs: points COVERED by the
+    areal union (interior or boundary) are absorbed; uncovered points
+    survive as a puntal component alongside the polygons
+    (GEOMETRYCOLLECTION).  Lineal members raise by name (unchanged
+    boundary — the reference's STUnion over linework has no driver
+    usage and a wrong line union is worse than a loud one).  Purely
+    puntal unions stay on the fast set-union path in
+    functions/scalar.py."""
     if not geoms:
         raise ValueError("union of zero geometries")
     geog = is_geography(geoms[0])
-    members = []
+    pts, polys = [], []
     for g in geoms:
-        members += _poly_rings(g)
-    return union_polygons(members, geog)
+        kind = g[0]
+        if kind in ("POINT", "MULTIPOINT"):
+            if not is_empty(g):
+                pts += [g[1]] if kind == "POINT" else list(g[1])
+        elif kind in ("POLYGON", "MULTIPOLYGON"):
+            polys += _poly_rings(g)
+        else:
+            raise NotImplementedError(f"ST_Union over {kind} members is unsupported")
+    if not polys:
+        uniq = sorted(set(pts))
+        if len(uniq) == 1:
+            return ("POINT", uniq[0], geog)
+        return ("MULTIPOINT", uniq, geog)
+    areal = union_polygons(polys, geog)
+    leftover = sorted(
+        {p for p in pts if _location_in_areal(_fr(p), areal) == "out"}
+    )
+    if not leftover:
+        return areal
+    puntal = (
+        ("POINT", leftover[0], geog)
+        if len(leftover) == 1
+        else ("MULTIPOINT", leftover, geog)
+    )
+    return ("GEOMETRYCOLLECTION", [areal, puntal], geog)

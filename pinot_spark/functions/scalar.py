@@ -907,10 +907,13 @@ def st_union_wkt(a: str, b: str) -> str:
                 if merged_any:
                     break
         return to_wkt(("POLYGON", members[0]) if len(members) == 1 else ("MULTIPOLYGON", members))
-    raise NotImplementedError(
-        f"ST_Union between {ga[0]} and {gb[0]} is not supported "
-        "(points with points, polygons with polygons)"
-    )
+    # MIXED point/polygon union (boundary retired round 13 — JTS absorbs
+    # points covered by the areal union, uncovered points survive as a
+    # GEOMETRYCOLLECTION member; lines still raise by name inside
+    # pinot_geometry.union)
+    from pinot_spark.functions import pinot_geometry as _pgeo
+
+    return _pgeo.format_wkt(_pgeo.union([_pgeo.parse_wkt(a), _pgeo.parse_wkt(b)]))
 
 
 def _make_st_union():

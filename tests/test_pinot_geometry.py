@@ -283,3 +283,26 @@ def test_prop_point_location_matches_interval_test(p, r):
     assert pg.within(ga, gb) == strictly_inside
     on_or_in = x <= p[0] <= x + w and y <= p[1] <= y + h
     assert (pg.distance(ga, gb) == 0.0) == on_or_in
+
+
+def test_mixed_point_polygon_union():
+    """BOUNDARY RETIRED round 13: ST_Union of puntal + areal members —
+    points covered by the areal union (interior OR boundary) are
+    absorbed, uncovered points survive as a collection member (JTS
+    semantics); lines still raise by name."""
+    from pinot_spark.functions.scalar import st_union_wkt
+
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert st_union_wkt("POINT (1 1)", sq) == sq          # interior absorbed
+    assert st_union_wkt("POINT (0 1)", sq) == sq          # boundary absorbed
+    assert (
+        st_union_wkt("MULTIPOINT (1 1, 5 5, 6 6)", sq)
+        == "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "MULTIPOINT (5 5, 6 6))"
+    )
+    with pytest.raises(NotImplementedError):
+        st_union_wkt("LINESTRING (0 0, 1 1)", sq)
+    # collection output roundtrips through the Pinot byte layout
+    u = pg.union([pg.parse_wkt("POINT (5 5)"), pg.parse_wkt(sq)])
+    rt = pg.deserialize(pg.serialize(u))
+    assert rt[0] == "GEOMETRYCOLLECTION" and len(rt[1]) == 2
