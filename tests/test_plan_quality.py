@@ -709,3 +709,77 @@ def test_fuzzy_dedup_end2end_no_allpairs(spark, sf_dir):
     plan = _plan(QUERIES["pipeline_fuzzy_dedup_end2end"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_st_union_sql_two_phase_bounded(spark, sf_dir):
+    """Dialect STUNION must restructure into the bounded two-phase fold
+    (VERDICT r13 item 2): hash-bucketed inner partials + a ≤-fanout
+    outer merge, with the incremental __geo_union_agg grouped-agg UDF —
+    never a group-sized collect_list in one aggregation buffer.  The
+    fallback collect_list shape is reserved for non-canonical
+    statements (mixed native aggs, window position)."""
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    spark.createDataFrame(
+        [(i % 3, f"POINT ({i} {i})") for i in range(24)], "k int, wkt string"
+    ).createOrReplaceTempView("st_union_gate_t")
+    for q in (
+        "SELECT STUnion(ST_GeomFromText(wkt)) AS u FROM st_union_gate_t",
+        "SELECT k, STUnion(ST_GeomFromText(wkt)) AS u "
+        "FROM st_union_gate_t GROUP BY k",
+    ):
+        translated, _ = eng.translate(q)
+        assert "__geo_union_agg" in translated, translated
+        assert "collect_list" not in translated, translated
+        assert "pmod(xxhash64(__g0)" in translated, translated
+        plan = _plan(eng.sql(q))
+        # grouped-agg pandas operator at BOTH levels (Spark 4 spells it
+        # ArrowAggregatePython; older releases AggregateInPandas)
+        agg_ops = plan.count("ArrowAggregatePython") + plan.count(
+            "AggregateInPandas"
+        )
+        assert agg_ops >= 2, plan
+        assert "collect_list" not in plan, plan
+    # mixed native aggregate → declines to the expression fallback
+    mixed, _ = eng.translate(
+        "SELECT k, COUNT(*) AS c, STUnion(ST_GeomFromText(wkt)) AS u "
+        "FROM st_union_gate_t GROUP BY k"
+    )
+    assert "__geo_union_fold(collect_list" in mixed
+
+
+def test_st_union_two_phase_matches_fallback(spark, sf_dir):
+    """The two-phase bucketed fold and the single-buffer fallback must
+    produce identical serialized unions (associativity of the exact
+    overlay), on polygons AND mixed point/polygon groups."""
+    from pinot_spark.dialect import PinotEngine
+
+    eng = PinotEngine(spark)
+    rows = []
+    for i in range(9):
+        x = i * 2  # overlapping unit squares chained along x
+        rows.append(
+            (i % 2, f"POLYGON (({x} 0, {x+3} 0, {x+3} 2, {x} 2, {x} 0))")
+        )
+    rows += [(i % 2, f"POINT ({i} {i})") for i in range(6)]
+    spark.createDataFrame(rows, "k int, wkt string").createOrReplaceTempView(
+        "st_union_eq_t"
+    )
+    two = {
+        r.k: r.u
+        for r in eng.sql(
+            "SELECT k, ST_AsText(STUnion(ST_GeomFromText(wkt))) AS u "
+            "FROM st_union_eq_t GROUP BY k"
+        ).collect()
+    }
+    # the COUNT(*) column forces the fallback path (see gate above)
+    fb = {
+        r.k: r.u
+        for r in eng.sql(
+            "SELECT k, COUNT(*) AS c, "
+            "ST_AsText(STUnion(ST_GeomFromText(wkt))) AS u "
+            "FROM st_union_eq_t GROUP BY k"
+        ).collect()
+    }
+    assert two == fb and len(two) == 2
