@@ -2836,3 +2836,98 @@ def test_startree_multivalue_aggregations(startree):
         aggs = [("countmv", "TotalAddGTime", "c"), ("summv", "TotalAddGTime", "s"),
                 ("avgmv", "TotalAddGTime", "a")]
         _rollup_vs_direct(startree, dims, aggs, filt, direct_sql=sql)
+
+
+# ---------------------------------------------------------------------------
+# IvfPqVectorTest.java / IvfPqVectorRealtimeTest.java (integration custom
+# suites) — IVF_PQ vector index: random-vector fixture with a stored
+# l2-distance column, ANN-with-exact-rerank must match exact search,
+# reduced-nprobe/no-rerank returns exactly topK ADC-ranked rows, and
+# late-arriving rows encode against the same trained model (the
+# realtime mutable-index analog).  Engine: operators/ivfpq.py.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_N = 300
+_IVFPQ_DIM = 16
+
+
+@pytest.fixture(scope="module")
+def ivfpqsuite(spark):
+    import random as _random
+
+    import numpy as _np
+
+    rng = _random.Random(23)
+    qvec = [rng.uniform(0.0, 1.0) for _ in range(_IVFPQ_DIM)]
+    rows = []
+    for i in range(_IVFPQ_N):
+        v = [rng.uniform(0.0, 1.0) for _ in range(_IVFPQ_DIM)]
+        l2 = sum((a - b) ** 2 for a, b in zip(v, qvec)) ** 0.5
+        rows.append((i, v, float(l2), 1_700_000_000_000 + i))
+    df = spark.createDataFrame(
+        rows, "rid int, vector array<float>, l2dist double, ts long"
+    )
+    df.createOrReplaceTempView("IvfPqVectorTest")
+
+    from pinot_spark.operators.ivfpq import ivfpq_encode, train_ivfpq
+
+    sample = _np.array([r[1] for r in rows], dtype=float)
+    model = train_ivfpq(
+        sample, nlist=4, pq_m=8, pq_nbits=8, seed=7, distance="l2"
+    )
+    return df, model, qvec, ivfpq_encode(df, "vector", model)
+
+
+def test_ivfpq_default_exact_rerank_matches_exact(ivfpqsuite):
+    """testVectorSimilarityWithDefaultExactRerank: full-nprobe ANN with
+    exact rerank returns the same topK l2 distances as the exact query
+    (assertEquals(..., 1e-5) row by row)."""
+    from pinot_spark.operators.ivfpq import topk_ivfpq
+
+    df, model, qvec, enc = ivfpqsuite
+    ann = topk_ivfpq(
+        enc, model, qvec, "rid", k=5, nprobe=model.nlist,
+        exact_rerank=True, max_candidates=_IVFPQ_N, vec_col="vector",
+    ).collect()
+    exact = (
+        df.orderBy("l2dist", "rid").select("rid", "l2dist").limit(5).collect()
+    )
+    assert [r.rid for r in ann] == [r.rid for r in exact]
+    for a, e in zip(ann, exact):
+        # ADC ranks by squared L2; the exact rerank emits true L2
+        # (operators/similarity.l2_distance) — same ordering, and the
+        # values must match the fixture's stored distances
+        assert abs(a.distance - e.l2dist) < 1e-5
+
+
+def test_ivfpq_reduced_nprobe_no_rerank(ivfpqsuite):
+    """testVectorSimilarityWithReducedNprobe: nprobe=2, rerank off,
+    bounded candidates — still exactly topK rows, ADC-distance
+    ascending."""
+    from pinot_spark.operators.ivfpq import topk_ivfpq
+
+    _, model, qvec, enc = ivfpqsuite
+    rows = topk_ivfpq(enc, model, qvec, "rid", k=5, nprobe=2).collect()
+    assert len(rows) == 5
+    dists = [r.distance for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_ivfpq_realtime_append_same_model(ivfpqsuite, spark):
+    """IvfPqVectorRealtimeTest analog: rows arriving after training
+    encode against the same model (the mutable index keeps serving), and
+    a nearby-duplicate of the query's nearest neighbor is retrievable."""
+    from pinot_spark.operators.ivfpq import ivfpq_encode, topk_ivfpq
+
+    df, model, qvec, _ = ivfpqsuite
+    near = [float(x) + 1e-4 for x in qvec]
+    late = spark.createDataFrame(
+        [(10_000, near, 0.0, 1_800_000_000_000)],
+        "rid int, vector array<float>, l2dist double, ts long",
+    )
+    enc2 = ivfpq_encode(df.unionByName(late), "vector", model)
+    got = [
+        r.rid
+        for r in topk_ivfpq(enc2, model, qvec, "rid", k=3, nprobe=2).collect()
+    ]
+    assert 10_000 in got
