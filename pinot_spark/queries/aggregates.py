@@ -677,6 +677,86 @@ def agg_startree_rollup_route(spark, sf_dir):
 
 
 @query(
+    "agg_startree_extended_rollup",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           max(n_chars) - min(n_chars) AS range_chars,
+           count(DISTINCT n_chars % 50) AS distinct_vals,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS count_mv,
+           CAST(sum(list_sum(list_transform(string_split(text, ' '),
+                x -> length(x)::DOUBLE))) AS BIGINT) AS sum_mv,
+           round(sum(list_sum(list_transform(string_split(text, ' '),
+                x -> length(x)::DOUBLE))) /
+                sum(len(string_split(text, ' '))), 4) AS avg_mv
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_startree_extended_rollup(spark, sf_dir):
+    """Round-13 star-tree parity extensions, umbrella driver row
+    (StarTreeTest surface beyond SUM/COUNT/MIN/MAX: MINMAXRANGE derives
+    from stored min/max partials, DISTINCTCOUNTBITMAP from
+    per-combination value-set partials — the serialized-RoaringBitmap
+    state of StarTreeV2BuilderHelper — and COUNTMV/SUMMV/AVGMV from
+    pre-aggregated MV-measure partials, the reference's star-tree 3
+    config).  The MV here is built at (lang, source) grain and the
+    query re-aggregates to lang — every answer must equal the DuckDB
+    base-table rollup mirror exactly (partial/final contract)."""
+    import os
+
+    from pinot_spark.plans.materialized import (
+        create_aggregate_mv_ext,
+        query_rollup_ext,
+    )
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = (
+        t["documents"].select(
+            "lang",
+            "source",
+            "n_chars",
+            (F.col("n_chars") % 50).alias("val"),
+            F.transform(toks, lambda x: F.length(x).cast("double")).alias("tok_lens"),
+        )
+    )
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".mv_cache"
+    )
+    path = os.path.join(
+        cache, f"{os.path.basename(os.path.normpath(sf_dir))}_docext"
+    )
+    mv = create_aggregate_mv_ext(
+        base, "doc_ext_rollup", path,
+        dims=["lang", "source"],
+        measure_cols=["n_chars"],
+        set_cols=["val"],
+        mv_cols=["tok_lens"],
+    )
+    routed = query_rollup_ext(
+        spark, mv,
+        dims=["lang"],
+        aggs=[
+            ("count", "*", "n"),
+            ("minmaxrange", "n_chars", "range_chars"),
+            ("distinctcountbitmap", "val", "distinct_vals"),
+            ("countmv", "tok_lens", "count_mv"),
+            ("summv", "tok_lens", "raw_summv"),
+            ("avgmv", "tok_lens", "raw_avgmv"),
+        ],
+    )
+    return routed.select(
+        "lang",
+        "n",
+        "range_chars",
+        "distinct_vals",
+        "count_mv",
+        F.col("raw_summv").cast("bigint").alias("sum_mv"),
+        _r4(F.col("raw_avgmv")).alias("avg_mv"),
+    ).orderBy("lang")
+
+
+@query(
     "null_mode_default_value",
     oracle="""
     SELECT event_type,

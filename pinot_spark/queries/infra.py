@@ -382,3 +382,67 @@ def stream_rate_upsert_loop(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+@query(
+    "open_struct_dense_sparse",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_region0,
+           CAST(sum(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_not_region0,
+           CAST(sum(event_id % 100) AS BIGINT) AS sum_latency,
+           CAST(sum(event_id) AS BIGINT) AS sum_views,
+           round(avg(event_id * 0.5), 4) AS avg_cpu,
+           CAST(0 AS BIGINT) AS n_nonexistent
+    FROM events
+    """,
+)
+def open_struct_dense_sparse(spark, sf_dir):
+    """OPEN_STRUCT type surface (SURVEY §1.2; pinot-spi
+    OpenStructNaming.java / OpenStructTypeInference.java /
+    OpenStructIndexConfig.java, OpenStructIngestionCommitTestBase
+    query residue): an ingested map column splits into typed DENSE
+    child columns (``metrics$views``...) under the maxDenseKeys budget
+    and a shared SPARSE JSON column for the rest; ``metrics['key']``
+    resolves dense -> materialized column, sparse -> JSON extraction,
+    unknown -> manifest short-circuit (constant-folds to zero rows).
+
+    The fixture mirrors the reference suite shape built
+    deterministically from events columns (views=event_id,
+    cpu=event_id*0.5, host/region/latencyMs modular), so the DuckDB
+    oracle recomputes every answer from the base columns — the split +
+    JSON round-trip must be value-transparent."""
+    from pinot_spark.operators.open_struct import materialize_open_struct
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id",
+        F.create_map(
+            F.lit("views"), F.col("event_id").cast("string"),
+            F.lit("cpu"), (F.col("event_id") * 0.5).cast("string"),
+            F.lit("host"), F.concat(F.lit("host-"), (F.col("event_id") % 5).cast("string")),
+            F.lit("region"), F.concat(F.lit("region-"), (F.col("event_id") % 4).cast("string")),
+            F.lit("latencyMs"), (F.col("event_id") % 100).cast("string"),
+        ).alias("metrics"),
+    )
+    out, layout = materialize_open_struct(
+        ev, "metrics",
+        children={
+            "views": "long", "cpu": "double", "host": "string",
+            "region": "string", "latencyMs": "long",
+        },
+        dense_keys={"views", "cpu", "host"},
+        max_dense_keys=3,
+    )
+    region = layout.key_column(None, "region")
+    return out.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(region == "region-0", 1).otherwise(0)).alias("n_region0"),
+        F.sum(F.when(region != "region-0", 1).otherwise(0)).alias("n_not_region0"),
+        F.sum(layout.key_column(None, "latencyMs")).alias("sum_latency"),
+        F.sum(layout.key_column(None, "views")).alias("sum_views"),
+        F.round(F.avg(layout.key_column(None, "cpu")), 4).alias("avg_cpu"),
+        F.sum(
+            F.when(layout.key_column(None, "nonexistent_key") == "x", 1).otherwise(0)
+        ).alias("n_nonexistent"),
+    )

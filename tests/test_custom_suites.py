@@ -2931,3 +2931,187 @@ def test_ivfpq_realtime_append_same_model(ivfpqsuite, spark):
         for r in topk_ivfpq(enc2, model, qvec, "rid", k=3, nprobe=2).collect()
     ]
     assert 10_000 in got
+
+
+# ---------------------------------------------------------------------------
+# OpenStructIngestionCommitTestBase.java (+ Offline/Realtime variants) —
+# OPEN_STRUCT column: 1000-row map fixture (views=i, cpu=i*0.5,
+# host=i%5, region=i%4, latencyMs=i%100), maxDenseKeys=3 with
+# denseKeys={views,cpu,host} forcing region+latencyMs into the sparse
+# JSON column; count/filter/sum query residue + the dense/sparse split
+# and OpenStructNaming parity.  Engine: operators/open_struct.py.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def openstruct(spark):
+    from pinot_spark.operators.open_struct import materialize_open_struct
+
+    rows = [
+        (
+            {
+                "views": str(i),
+                "cpu": str(i * 0.5),
+                "host": f"host-{i % 5}",
+                "region": f"region-{i % 4}",
+                "latencyMs": str(i % 100),
+            },
+            1_700_000_000_000 + i,
+        )
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "metrics map<string,string>, ts long")
+    out, layout = materialize_open_struct(
+        df,
+        "metrics",
+        children={
+            "views": "long", "cpu": "double", "host": "string",
+            "region": "string", "latencyMs": "long",
+        },
+        dense_keys={"views", "cpu", "host"},
+        max_dense_keys=3,
+    )
+    out = out.cache()
+    out.count()
+    return out, layout
+
+
+def test_openstruct_dense_sparse_split(openstruct):
+    """testCommittedSegmentIndexMap residue: views/cpu/host materialize
+    as typed dense child columns, region+latencyMs share the sparse
+    JSON column (the maxDenseKeys=3 budget)."""
+    out, layout = openstruct
+    assert layout.dense == {"views": "long", "cpu": "double", "host": "string"}
+    assert layout.sparse == ["latencyMs", "region"]
+    types = dict(out.dtypes)
+    assert types["metrics$views"] == "bigint"
+    assert types["metrics$cpu"] == "double"
+    assert types["metrics$host"] == "string"
+    assert types["metrics$__sparse__"] == "string"
+    assert "metrics" not in types  # parent replaced by the split
+
+
+def test_openstruct_count_star(openstruct):
+    out, _ = openstruct
+    assert out.count() == 1000
+
+
+def test_openstruct_sparse_key_group_by(openstruct):
+    """testSparseKeyGroupBy: GROUP BY metrics['region'] -> 4 groups."""
+    out, layout = openstruct
+    rows = (
+        out.groupBy(layout.key_column(None, "region").alias("r"))
+        .count()
+        .collect()
+    )
+    assert len(rows) == 4
+    assert {r.r for r in rows} == {f"region-{i}" for i in range(4)}
+    assert all(r["count"] == 250 for r in rows)
+
+
+def test_openstruct_sparse_key_filters(openstruct):
+    """testSparseKeyEqFilter / testSparseKeyNotEqFilter: 250 / 750."""
+    out, layout = openstruct
+    region = layout.key_column(None, "region")
+    assert out.filter(region == "region-0").count() == 250
+    assert out.filter(region != "region-0").count() == 750
+
+
+def test_openstruct_sparse_key_sum(openstruct):
+    """testSparseKeySum: SUM(metrics['latencyMs']) = 49500."""
+    import pyspark.sql.functions as F
+
+    out, layout = openstruct
+    got = out.agg(F.sum(layout.key_column(None, "latencyMs"))).first()[0]
+    assert got == 49500
+
+
+def test_openstruct_manifest_short_circuit(openstruct):
+    """testManifestShortCircuitNonexistentKey: a predicate on an
+    unknown key returns 0 rows — and constant-folds to an EMPTY scan
+    (no read of the struct data at all)."""
+    out, layout = openstruct
+    pred = out.filter(layout.key_column(None, "nonexistent_key") == "x")
+    assert pred.count() == 0
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+
+
+def test_openstruct_dense_key_queries(openstruct):
+    """Dense-path residue: typed aggregates over materialized child
+    columns match the fixture's closed forms."""
+    import pyspark.sql.functions as F
+
+    out, layout = openstruct
+    views = layout.key_column(None, "views")
+    cpu = layout.key_column(None, "cpu")
+    r = out.agg(
+        F.sum(views).alias("sv"), F.avg(cpu).alias("ac"),
+        F.count_distinct(layout.key_column(None, "host")).alias("nh"),
+    ).first()
+    assert r.sv == 999 * 1000 // 2
+    assert abs(r.ac - (999 * 0.5 / 2)) < 1e-9
+    assert r.nh == 5
+
+
+def test_openstruct_naming_parity():
+    """OpenStructNamingTest: materialized/sparse name construction and
+    parsing, including the error cases."""
+    from pinot_spark.operators import open_struct as osn
+
+    assert osn.materialized_column_name("metrics", "views") == "metrics$views"
+    assert osn.sparse_column_name("metrics") == "metrics$__sparse__"
+    assert osn.is_materialized_open_struct_column("metrics$views")
+    assert osn.is_materialized_open_struct_column("metrics$__sparse__")
+    assert not osn.is_materialized_open_struct_column("metrics")
+    assert not osn.is_materialized_open_struct_column("$views")
+    assert osn.is_sparse_column("metrics$__sparse__")
+    assert not osn.is_sparse_column("metrics$views")
+    assert osn.parse_parent_column("metrics$views") == "metrics"
+    assert osn.parse_key("metrics$views") == "views"
+    with pytest.raises(ValueError):
+        osn.parse_parent_column("metrics")
+    with pytest.raises(ValueError):
+        osn.parse_key("metrics$__sparse__")
+
+
+def test_openstruct_type_inference():
+    """OpenStructTypeInferenceTest: the data-type fold for raw ingest
+    values (int-family -> int/long, date/time/uuid -> string,
+    timestamp survives, unrepresentable -> None)."""
+    import datetime
+    import uuid
+
+    from pinot_spark.operators.open_struct import infer_data_type
+
+    assert infer_data_type(5) == "int"
+    assert infer_data_type(2**40) == "long"
+    assert infer_data_type(0.5) == "double"
+    assert infer_data_type(True) == "boolean"
+    assert infer_data_type(datetime.datetime(2024, 1, 1)) == "timestamp"
+    assert infer_data_type(datetime.date(2024, 1, 1)) == "string"
+    assert infer_data_type(datetime.time(1, 2)) == "string"
+    assert infer_data_type(uuid.uuid5(uuid.NAMESPACE_DNS, "x")) == "string"
+    assert infer_data_type("s") == "string"
+    assert infer_data_type(b"\x01") == "binary"
+    assert infer_data_type(object()) is None
+
+
+def test_openstruct_density_threshold(spark):
+    """OpenStructIndexConfig density semantics: without a declared
+    dense set, budget slots fill by density — a key present in under
+    densityThreshold of rows stays sparse even when budget remains."""
+    from pinot_spark.operators.open_struct import materialize_open_struct
+
+    rows = []
+    for i in range(100):
+        m = {"always": str(i)}
+        if i % 10 == 0:
+            m["rare"] = str(i)  # 10% density < 0.5 threshold
+        rows.append((m,))
+    df = spark.createDataFrame(rows, "m map<string,string>")
+    out, layout = materialize_open_struct(df, "m", max_dense_keys=3)
+    assert "always" in layout.dense
+    assert layout.sparse == ["rare"]
+    # inference: integer strings -> long
+    assert layout.dense["always"] == "long"
