@@ -44,6 +44,7 @@ import contextvars
 import math
 import os
 import re
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -3558,7 +3559,10 @@ _THETA_SQL_RE = re.compile(
     r"|DISTINCT_?COUNT_?(?:RAW_?)?CPC_?SKETCH)\s*\(",
     re.IGNORECASE,
 )
-_THETA_UDF_SESSIONS: set[int] = set()
+# WeakSet of SparkSession, not id(): a GC'd session's id can be
+# reused by a new session, which would silently skip registration
+# (ADVICE r13)
+_THETA_UDF_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 # ---------------------------------------------------------------------------
 # Two-phase raw theta/tuple aggregation — the KMV top-k and sketch-merge
@@ -5135,7 +5139,7 @@ def rewrite_raw_sketch_setop(sql: str) -> str:
     return out + tail
 
 
-_GEO_UDF_SESSIONS: set[int] = set()
+_GEO_UDF_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 
 def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
@@ -5150,7 +5154,7 @@ def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
     the form — Pinot type bytes are 0x00-0x06 (0x80 bit for geography)
     while WKT text begins with an ASCII letter or space, so the sniff is
     deterministic."""
-    if id(spark) in _GEO_UDF_SESSIONS:
+    if spark in _GEO_UDF_SESSIONS:
         return
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -5325,7 +5329,7 @@ def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
         return pgeo.serialize(acc) if acc is not None else None
 
     spark.udf.register("__geo_union_agg", __geo_union_agg)
-    _GEO_UDF_SESSIONS.add(id(spark))
+    _GEO_UDF_SESSIONS.add(spark)
 
 
 def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
@@ -5333,7 +5337,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     rewrites call (__theta_agg grouped-agg + scalar estimate/diff/
     union/intersect over the engine-own wire format, operators/theta.py).
     Idempotent per SparkSession."""
-    if id(spark) in _THETA_UDF_SESSIONS:
+    if spark in _THETA_UDF_SESSIONS:
         return
     import numpy as np
     import pandas as pd
@@ -6332,7 +6336,7 @@ def _ensure_theta_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("__tuple_avg_value", __tuple_avg_value)
     spark.udf.register("__tuple_union", __tuple_union)
     spark.udf.register("__tuple_intersect", __tuple_intersect)
-    _THETA_UDF_SESSIONS.add(id(spark))
+    _THETA_UDF_SESSIONS.add(spark)
 
 
 @dataclass

@@ -587,9 +587,22 @@ def within(a, b) -> bool:
     for u, v in _noded_subsegments(a_boundary, b_boundary):
         if _location_in_areal(_mid(u, v), b) == "out":
             return False
+    all_segs = list(a_boundary) + list(b_boundary)
     for u, v in _noded_subsegments(b_boundary, a_boundary):
         m = _mid(u, v)
         if _location_in_areal(m, b) == "on" and _location_in_areal(m, a) == "in":
+            # an edge shared by two members of an (OGC-invalid)
+            # MULTIPOLYGON lies 'on' the member boundaries but INSIDE
+            # the B union — both exact side samples land in B, so it is
+            # not a union-boundary piece and cannot witness a hole
+            # (ADVICE r13: previously a false negative)
+            left = _side_point(u, v, all_segs, True)
+            right = _side_point(u, v, all_segs, False)
+            if (
+                _location_in_areal(left, b) != "out"
+                and _location_in_areal(right, b) != "out"
+            ):
+                continue
             return False
     return True
 
@@ -817,7 +830,13 @@ def distance(a, b) -> float:
         if a[0] != "POINT" or b[0] != "POINT":
             raise ValueError("geography ST_Distance requires points")
         if a[1] is None or b[1] is None:
-            return math.nan
+            # the reference calls Point.getX() on the operand, which
+            # throws on a JTS empty point (ADVICE r13: returning NaN
+            # here was a silent divergence from that failure mode)
+            raise ValueError(
+                "geography ST_Distance on an empty point "
+                "(getX called on empty Point)"
+            )
         return great_circle_distance(a[1][0], a[1][1], b[1][0], b[1][1])
     return planar_distance(a, b)
 

@@ -17,6 +17,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -593,9 +595,14 @@ def dedup_lines_across_corpus(
     reassembly via sort_array over the surviving (idx, line) pairs.
     Nothing is quadratic in corpus size; per-doc state is bounded by
     the document's own line count."""
+    # F.split interprets its pattern as a Java regex while array_join
+    # (reassembly below) uses the separator literally — escape it so a
+    # regex-meaningful sep ('|', '.') splits on the literal character
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("__idx", "__line"),
     )
     first = lines.groupBy("__line").agg(
         F.min(F.struct(F.col(id_col).alias("__fid"), F.col("__idx").alias("__fidx"))).alias(

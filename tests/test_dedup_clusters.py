@@ -306,3 +306,18 @@ def test_bm25_ranking_order(spark):
     assert set(ranks) == {1, 2, 3}  # doc 4 has no query term
     assert scores[1] > scores[2]    # higher tf wins at equal length
     assert scores[3] > scores[2]    # rarer term carries higher idf
+
+
+def test_line_dedup_regex_meaningful_separator(spark):
+    """ADVICE r13: the separator feeds F.split (Java regex) but
+    array_join (literal) — a regex-meaningful sep like '|' must split
+    on the literal character, not on every position."""
+    from pinot_spark.operators.dedup import dedup_lines_across_corpus
+
+    df = spark.createDataFrame([(1, "a|b|a"), (2, "b|c")], "id int, text string")
+    out = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_across_corpus(df, "id", "text", sep="|").collect()
+    }
+    assert out[1] == (3, 2, "a|b")
+    assert out[2] == (2, 1, "c")

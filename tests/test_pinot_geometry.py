@@ -124,6 +124,13 @@ def test_distance_semantics():
         pg.parse_wkt("POINT (0 0)", geog=True), pg.parse_wkt("POINT (0 90)", geog=True)
     )
     assert d == math.pi / 2 * pg.EARTH_RADIUS_M
+    # empty GEOGRAPHY point raises like the reference (Point.getX()
+    # throws on a JTS empty point); the planar empty case stays NaN
+    with pytest.raises(ValueError, match="empty"):
+        pg.distance(
+            pg.parse_wkt("POINT (0 0)", geog=True),
+            pg.parse_wkt("POINT EMPTY", geog=True),
+        )
 
 
 def test_union_exact_overlay_touching():
@@ -306,3 +313,25 @@ def test_mixed_point_polygon_union():
     u = pg.union([pg.parse_wkt("POINT (5 5)"), pg.parse_wkt(sq)])
     rt = pg.deserialize(pg.serialize(u))
     assert rt[0] == "GEOMETRYCOLLECTION" and len(rt[1]) == 2
+
+
+def test_within_invalid_multipolygon_shared_edge():
+    """ADVICE r13: B as an (OGC-invalid) MULTIPOLYGON whose members
+    share a full edge — the shared edge is 'on' the member boundaries
+    but interior to the B union, so it must not be treated as a hole
+    crossing.  The union rectangle is within that multipolygon."""
+    a = pg.parse_wkt("POLYGON ((0 0, 0 1, 2 1, 2 0, 0 0))")
+    b = pg.parse_wkt(
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), "
+        "((1 0, 1 1, 2 1, 2 0, 1 0)))"
+    )
+    assert pg.within(a, b)
+    assert pg.within(b, a)
+    assert pg.equals(a, b)
+    # real holes still detected through the side-sample guard
+    holed = pg.parse_wkt(
+        "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    sq = pg.parse_wkt("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")
+    assert not pg.within(sq, holed)
+    assert pg.within(holed, sq)
