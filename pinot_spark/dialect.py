@@ -144,15 +144,43 @@ def _lookup_sql(a: list[str]) -> str:
 
 
 def _text_match_sql(a: list[str]) -> str:
-    """TEXT_MATCH(col, 'lucene query') rewrite: compile the Lucene-syntax
-    subset to a boolean SQL expression (operators/lucene.py). Non-literal
-    second arg → RLIKE fallback."""
+    """TEXT_MATCH(col, 'lucene query'[, 'options']) rewrite: compile the
+    Lucene-syntax subset to a boolean SQL expression
+    (operators/lucene.py).  The optional third argument is the
+    reference's parser-options string (MultiColumnTextIndicesTest
+    testTextMatchWithThirdParameter): ``parser=CLASSIC`` (the only
+    supported parser), ``defaultOperator=AND|OR``, and
+    ``caseSensitive=true|false`` (the per-column case-preserving
+    analyzer config, surfaced as an option).  Non-literal second arg →
+    RLIKE fallback."""
     m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[1])
-    if m:
-        from pinot_spark.operators.lucene import compile_sql
+    if not m:
+        return f"({a[0]} RLIKE {a[1]})"
+    from pinot_spark.operators.lucene import compile_sql
 
-        return compile_sql(a[0], m.group(1).replace("''", "'"))
-    return f"({a[0]} RLIKE {a[1]})"
+    case_sensitive = False
+    default_and = False
+    if len(a) > 2:
+        om = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[2])
+        if not om:
+            raise PinotSqlError("TEXT_MATCH options must be a string literal")
+        for item in om.group(1).replace("''", "'").split(","):
+            if not item.strip():
+                continue
+            k, _, v = item.partition("=")
+            k, v = k.strip().lower(), v.strip().lower()
+            if k == "parser":
+                if v != "classic":
+                    raise PinotSqlError(f"unsupported TEXT_MATCH parser {v!r}")
+            elif k == "defaultoperator":
+                default_and = v == "and"
+            elif k == "casesensitive":
+                case_sensitive = v == "true"
+            else:
+                raise PinotSqlError(f"unsupported TEXT_MATCH option {k!r}")
+    return compile_sql(
+        a[0], m.group(1).replace("''", "'"), case_sensitive, default_and
+    )
 
 
 def _epoch_mul(unit_ms: int) -> Callable[[list[str]], str]:
@@ -2186,6 +2214,58 @@ def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
             if isinstance(f.dataType, types):
                 cols.add(f.name.lower())
     return cols
+
+
+_MAP_ACCESS_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s*\[\s*('(?:[^']|'')*'|\d+)\s*\]"
+)
+# FieldSpec default DIMENSION null values (FieldSpec.java
+# DEFAULT_DIMENSION_NULL_VALUE_OF_*): a missing map key materializes the
+# type default, never SQL NULL (MapFieldTypeTest: stringMap['kk'] ->
+# 'null', intMap['kk'] -> Integer.MIN_VALUE)
+_MAP_DIM_DEFAULT_SQL: dict[type, str] = {
+    T.IntegerType: "-2147483648",
+    T.LongType: "-9223372036854775808",
+    T.FloatType: "CAST('-Infinity' AS FLOAT)",
+    T.DoubleType: "CAST('-Infinity' AS DOUBLE)",
+    T.StringType: "'null'",
+    T.BooleanType: "false",
+}
+
+
+def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
+    """``mapCol['key']`` / ``mapCol[123]`` on a MAP-typed column →
+    ``COALESCE(mapCol['key'], <type default>)`` so missing keys yield
+    Pinot's materialized defaultNullValue instead of SQL NULL
+    (MapFieldTypeTest.java testQueries; Spark's native subscript
+    returns NULL).  Array subscripts and non-map columns pass through
+    untouched — the wrap keys on the column's resolved Spark type."""
+    value_types: dict[str, str] = {}
+    for t in set(
+        re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
+    ):
+        try:
+            schema = spark.table(t).schema
+        except Exception:
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, T.MapType):
+                d = _MAP_DIM_DEFAULT_SQL.get(type(f.dataType.valueType))
+                if d is not None:
+                    value_types[f.name.lower()] = d
+    if not value_types:
+        return sql
+    spans = _literal_spans(sql)
+
+    def repl(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        default = value_types.get(m.group(1).lower())
+        if default is None:
+            return m.group(0)
+        return f"COALESCE({m.group(0)}, {default})"
+
+    return _MAP_ACCESS_RE.sub(repl, sql)
 
 
 _IDENT_OR_NUM = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
@@ -6491,6 +6571,8 @@ class PinotEngine:
         sql = rewrite_pinot_hints(sql)
         sql = rewrite_unicode_literals(sql)
         sql = rewrite_quoted_identifiers(sql)
+        if "[" in sql:
+            sql = rewrite_map_default_access(self.spark, sql)
         if _DISTINCT_WINDOW_RE.search(sql) and re.search(
             r"\bOVER\s*\(", sql, re.IGNORECASE
         ):

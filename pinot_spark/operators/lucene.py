@@ -158,9 +158,19 @@ def _lex(q: str) -> list[tuple[str, object]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        case_sensitive: bool = False,
+        default_and: bool = False,
+    ):
         self.toks = tokens
         self.i = 0
+        # analyzer/parser knobs (FieldConfig text index properties:
+        # a case-sensitive Lucene analyzer keeps original case;
+        # defaultOperator=AND makes bare juxtaposition conjunctive)
+        self.cs = case_sensitive
+        self.default_and = default_and
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -182,32 +192,55 @@ class _Parser:
         return node
 
     def or_expr(self):
-        parts = [self.and_expr()]
+        # groups: explicit OR starts a new group; juxtaposed clauses
+        # stay in the current group.  With Lucene's default operator OR
+        # the distinction is irrelevant (all clauses pool into one
+        # SHOULD/MUST_NOT list); with defaultOperator=AND juxtaposed
+        # clauses are MUST within their group and only explicit ORs
+        # disjoin groups.
+        groups = [[self.and_expr()]]
         while True:
             kind, val = self.peek()
             if kind == "op" and val == "OR":
                 self.next()
-                parts.append(self.and_expr())
+                groups.append([self.and_expr()])
             elif kind in ("lparen", "phrase", "range", "word", "plus", "minus") or (
                 kind == "op" and val == "NOT"
             ):
-                # bare juxtaposition = OR (Lucene default operator)
-                parts.append(self.and_expr())
+                groups[-1].append(self.and_expr())
             else:
                 break
+        parts = [p for g in groups for p in g]
         if len(parts) == 1:
             return parts[0]
-        # Lucene clause-list semantics: NOT/- operands in an OR /
-        # juxtaposition list are MUST_NOT over the SHOULD clauses
-        # ('a NOT b' = a AND NOT b), not OR'd negations; a list of only
-        # negations matches nothing.
-        neg = [p for p in parts if isinstance(p, Not)]
-        if not neg:
-            return Or(parts)
-        pos = [p for p in parts if not isinstance(p, Not)]
-        if not pos:
-            return MatchNone()
-        return And([pos[0] if len(pos) == 1 else Or(pos), *neg])
+
+        def clause_list(ps):
+            # Lucene clause-list semantics: NOT/- operands in an OR /
+            # juxtaposition list are MUST_NOT over the SHOULD clauses
+            # ('a NOT b' = a AND NOT b), not OR'd negations; a list of
+            # only negations matches nothing.
+            neg = [p for p in ps if isinstance(p, Not)]
+            if not neg:
+                return Or(ps) if len(ps) > 1 else ps[0]
+            pos = [p for p in ps if not isinstance(p, Not)]
+            if not pos:
+                return MatchNone()
+            return And([pos[0] if len(pos) == 1 else Or(pos), *neg])
+
+        if not self.default_and:
+            return clause_list(parts)
+        done = []
+        for g in groups:
+            if len(g) == 1:
+                done.append(g[0])
+                continue
+            if all(isinstance(p, Not) for p in g):
+                done.append(MatchNone())
+                continue
+            done.append(And(g))  # MUST + MUST_NOT conjunction
+        if len(done) == 1:
+            return done[0]
+        return clause_list(done)
 
     def and_expr(self):
         parts = [self.unary()]
@@ -243,7 +276,9 @@ class _Parser:
             return node
         if kind == "phrase":
             body, slop = val
-            toks = [t for t in re.split(r"[^a-z0-9]+", body.lower()) if t]
+            if not self.cs:
+                body = body.lower()
+            toks = [t for t in re.split(r"[^a-zA-Z0-9]+", body) if t]
             if len(toks) == 1:
                 return Term(toks[0])
             if slop > 0:
@@ -252,35 +287,51 @@ class _Parser:
         if kind == "range":
             lo, hi, inc_lo, inc_hi = val
             return TermRange(
-                None if lo == "*" else lo.lower(),
-                None if hi == "*" else hi.lower(),
+                None if lo == "*" else (lo if self.cs else lo.lower()),
+                None if hi == "*" else (hi if self.cs else hi.lower()),
                 inc_lo,
                 inc_hi,
             )
         if kind == "word":
             val = re.sub(r"\^\d+(\.\d+)?$", "", val)  # boost: parse & ignore
             m = re.fullmatch(r"(.*?)~(\d*)", val)
+            fold = (lambda s: s) if self.cs else str.lower
             if m and m.group(1):
-                return Fuzzy(m.group(1).lower(), int(m.group(2)) if m.group(2) else 2)
+                return Fuzzy(fold(m.group(1)), int(m.group(2)) if m.group(2) else 2)
             if val.endswith("*") and len(val) > 1:
-                return Prefix(val[:-1].lower())
-            return Term(val.lower())
+                return Prefix(fold(val[:-1]))
+            return Term(fold(val))
         raise ValueError(f"unexpected token {val!r} in TEXT_MATCH query")
 
 
-def parse_lucene(query: str):
-    """Parse a TEXT_MATCH query string into an AST."""
-    return _Parser(_lex(query)).parse()
+def parse_lucene(
+    query: str, case_sensitive: bool = False, default_and: bool = False
+):
+    """Parse a TEXT_MATCH query string into an AST.  ``case_sensitive``
+    mirrors a case-preserving Lucene analyzer config on the column;
+    ``default_and`` mirrors the CLASSIC parser's defaultOperator=AND
+    option (TEXT_MATCH third argument)."""
+    return _Parser(_lex(query), case_sensitive, default_and).parse()
 
 
 # --- scan-path compilation -------------------------------------------------
 
 
-def compile_predicate(text_col, query: str) -> Column:
+def compile_predicate(
+    text_col,
+    query: str,
+    case_sensitive: bool = False,
+    default_and: bool = False,
+) -> Column:
     """Compile a Lucene query to a Column predicate over the raw text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokenize(c)
-    return _compile(parse_lucene(query), c, toks)
+    toks = tokenize(c) if not case_sensitive else F.filter(
+        F.split(c, "[^A-Za-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    return _compile(
+        parse_lucene(query, case_sensitive, default_and), c, toks,
+        case_sensitive,
+    )
 
 
 def _token_positions(toks: Column, term: str) -> Column:
@@ -298,7 +349,7 @@ def _near_pair(toks: Column, t1: str, t2: str, slop: int) -> Column:
     return F.exists(p1, lambda p: F.exists(p2, lambda q: F.abs(q - p - 1) <= F.lit(slop)))
 
 
-def _compile(node, c: Column, toks: Column) -> Column:
+def _compile(node, c: Column, toks: Column, cs: bool = False) -> Column:
     if isinstance(node, MatchNone):
         return F.lit(False)
     if isinstance(node, Near):
@@ -323,39 +374,51 @@ def _compile(node, c: Column, toks: Column) -> Column:
     if isinstance(node, Fuzzy):
         return F.exists(toks, lambda t: F.levenshtein(t, F.lit(node.text)) <= node.max_edits)
     if isinstance(node, Phrase):
-        # consecutive tokens: regex over the lowercased text with
+        # consecutive tokens: regex over the (analyzer-folded) text with
         # non-alphanumeric separators and token boundaries
+        sep = "[^a-zA-Z0-9]" if cs else "[^a-z0-9]"
         pat = (
-            "(^|[^a-z0-9])"
-            + "[^a-z0-9]+".join(re.escape(t) for t in node.tokens)
-            + "($|[^a-z0-9])"
+            f"(^|{sep})"
+            + f"{sep}+".join(re.escape(t) for t in node.tokens)
+            + f"($|{sep})"
         )
-        return F.lower(c).rlike(pat)
+        return (c if cs else F.lower(c)).rlike(pat)
     if isinstance(node, And):
-        out = _compile(node.parts[0], c, toks)
+        out = _compile(node.parts[0], c, toks, cs)
         for p in node.parts[1:]:
-            out = out & _compile(p, c, toks)
+            out = out & _compile(p, c, toks, cs)
         return out
     if isinstance(node, Or):
-        out = _compile(node.parts[0], c, toks)
+        out = _compile(node.parts[0], c, toks, cs)
         for p in node.parts[1:]:
-            out = out | _compile(p, c, toks)
+            out = out | _compile(p, c, toks, cs)
         return out
     if isinstance(node, Not):
-        return ~_compile(node.part, c, toks)
+        return ~_compile(node.part, c, toks, cs)
     raise AssertionError(node)
 
 
 # --- SQL-string compilation (dialect rewrite target) -----------------------
 
 _TOKS_SQL = "filter(split(lower({c}), '[^a-z0-9]+'), t -> length(t) > 0)"
+_TOKS_SQL_CS = "filter(split({c}, '[^A-Za-z0-9]+'), t -> length(t) > 0)"
 
 
-def compile_sql(col_sql: str, query: str) -> str:
+def compile_sql(
+    col_sql: str,
+    query: str,
+    case_sensitive: bool = False,
+    default_and: bool = False,
+) -> str:
     """Compile a Lucene query to a Spark SQL boolean expression string —
-    the TEXT_MATCH rewrite target for dialect.rewrite_functions."""
-    toks = _TOKS_SQL.format(c=col_sql)
-    return _compile_sql(parse_lucene(query), col_sql, toks)
+    the TEXT_MATCH rewrite target for dialect.rewrite_functions.
+    ``case_sensitive``/``default_and`` mirror the reference's per-column
+    analyzer config and TEXT_MATCH options argument."""
+    toks = (_TOKS_SQL_CS if case_sensitive else _TOKS_SQL).format(c=col_sql)
+    return _compile_sql(
+        parse_lucene(query, case_sensitive, default_and), col_sql, toks,
+        case_sensitive,
+    )
 
 
 def _sq(s: str) -> str:
@@ -375,7 +438,7 @@ def _near_pair_sql(toks: str, t1: str, t2: str, slop: int) -> str:
     )
 
 
-def _compile_sql(node, col_sql: str, toks: str) -> str:
+def _compile_sql(node, col_sql: str, toks: str, cs: bool = False) -> str:
     if isinstance(node, MatchNone):
         return "false"
     if isinstance(node, Near):
@@ -398,18 +461,20 @@ def _compile_sql(node, col_sql: str, toks: str) -> str:
     if isinstance(node, Fuzzy):
         return f"exists({toks}, t -> levenshtein(t, {_sq(node.text)}) <= {node.max_edits})"
     if isinstance(node, Phrase):
+        sep = "[^a-zA-Z0-9]" if cs else "[^a-z0-9]"
         pat = (
-            "(^|[^a-z0-9])"
-            + "[^a-z0-9]+".join(re.escape(t) for t in node.tokens)
-            + "($|[^a-z0-9])"
+            f"(^|{sep})"
+            + f"{sep}+".join(re.escape(t) for t in node.tokens)
+            + f"($|{sep})"
         )
-        return f"(lower({col_sql}) RLIKE {_sq(pat)})"
+        carrier = col_sql if cs else f"lower({col_sql})"
+        return f"({carrier} RLIKE {_sq(pat)})"
     if isinstance(node, And):
-        return "(" + " AND ".join(_compile_sql(p, col_sql, toks) for p in node.parts) + ")"
+        return "(" + " AND ".join(_compile_sql(p, col_sql, toks, cs) for p in node.parts) + ")"
     if isinstance(node, Or):
-        return "(" + " OR ".join(_compile_sql(p, col_sql, toks) for p in node.parts) + ")"
+        return "(" + " OR ".join(_compile_sql(p, col_sql, toks, cs) for p in node.parts) + ")"
     if isinstance(node, Not):
-        return f"(NOT {_compile_sql(node.part, col_sql, toks)})"
+        return f"(NOT {_compile_sql(node.part, col_sql, toks, cs)})"
     raise AssertionError(node)
 
 

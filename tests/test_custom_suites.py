@@ -3115,3 +3115,299 @@ def test_openstruct_density_threshold(spark):
     assert layout.sparse == ["rare"]
     # inference: integer strings -> long
     assert layout.dense["always"] == "long"
+
+
+# ---------------------------------------------------------------------------
+# TextIndicesTest.java / MultiColumnTextIndicesTest.java (integration
+# custom suites) — Lucene text index over the reference's 28-line skills
+# fixture (pinot-core test resource data/text_search_data/skills.txt,
+# ported verbatim as conformance-oracle rows), scaled K=50 copies per
+# skill: phrase+AND count, TEXT_MATCH as a transform function in
+# GROUP BY position, the case-sensitive analyzer column, nullable
+# columns with the 'null'-string default transform, MV text columns,
+# and the parser-options third argument.
+# ---------------------------------------------------------------------------
+
+_SKILLS = [
+    'Accounts, Banking, Insurance, worked in NGO, Java',
+    'Accounts, Banking, Finance, Insurance',
+    'Accounts, Finance, Banking, Insurance',
+    'Java, C++, worked on open source projects, coursera machine learning',
+    'Machine learning, Tensor flow, Java, Stanford university,',
+    'Distributed systems, Java, C++, Go, distributed query engines for analytics and data warehouses, Machine learning, spark, Kubernetes, transaction processing',
+    'Java, Python, C++, Machine learning, building and deploying large scale production systems, concurrency, multi-threading, CPU processing',
+    'C++, Python, Tensor flow, database kernel, storage, indexing and transaction processing, building large scale systems, Machine learning',
+    'Amazon EC2, AWS, hadoop, big data, spark, building high performance scalable systems, building and deploying large scale production systems, concurrency, multi-threading, Java, C++, CPU processing',
+    'Distributed systems, database development, columnar query engine, database kernel, storage, indexing and transaction processing, building large scale systems',
+    'Distributed systems, Java, realtime streaming systems, Machine learning, spark, Kubernetes, distributed storage, concurrency, multi-threading',
+    'CUDA, GPU, Python, Machine learning, database kernel, storage, indexing and transaction processing, building large scale systems',
+    'Distributed systems, Java, database engine, cluster management, docker image building and distribution',
+    'Kubernetes, cluster management, operating systems, concurrency, multi-threading, apache airflow, Apache Spark,',
+    'Apache spark, Java, C++, query processing, transaction processing, distributed storage, concurrency, multi-threading, apache airflow',
+    'Big data stream processing, Apache Flink, Apache Beam, database kernel, distributed query engines for analytics and data warehouses',
+    'CUDA, GPU processing, Tensor flow, Pandas, Python, Jupyter notebook, spark, Machine learning, building high performance scalable systems',
+    'Distributed systems, Apache Kafka, publish-subscribe, building and deploying large scale production systems, concurrency, multi-threading, C++, CPU processing, Java',
+    'Realtime stream processing, publish subscribe, columnar processing for data warehouses, concurrency, Java, multi-threading, C++,',
+    'C++, Java, Python, realtime streaming systems, Machine learning, spark, Kubernetes, transaction processing, distributed storage, concurrency, multi-threading, apache airflow',
+    'Databases, columnar query processing, Apache Arrow, distributed systems, Machine learning, cluster management, docker image building and distribution',
+    'Database engine, OLAP systems, OLTP transaction processing at large scale, concurrency, multi-threading, GO, building large scale systems',
+    'GET /administrator/ HTTP/1.1 200 4263 - Mozilla/5.0 (Windows NT 6.0; rv:34.0) Gecko/20100101 Firefox/34.0 - NullPointerException',
+    'Foo worked in a lot of places and learned a lot of things',
+    'IT support, python, hardware debugging',
+    'IT manager, workspace coordinator',
+    'manager, coordinator, IT',
+    'IT supporting',
+]
+
+_SK_K = 50  # copies per skill (reference uses 1000; semantics identical)
+
+
+@pytest.fixture(scope="module")
+def textsuite(spark):
+    import pyspark.sql.functions as F
+
+    n = len(_SKILLS) * _SK_K
+    rows = [
+        (
+            i,
+            _SKILLS[i % len(_SKILLS)],
+            _SKILLS[i % len(_SKILLS)],
+            "value" if (i & 1) == 0 else None,
+            [_SKILLS[i % len(_SKILLS)], str(i)],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rid int, skills string, skills_case_sensitive string, "
+        "nullable_skills string, skills_mv array<string>",
+    )
+    # NullValueTransformer analog: null strings ingest as the 'null'
+    # default literal (the suite's testQueryNullableColumns premise)
+    df = df.withColumn(
+        "nullable_skills", F.coalesce(F.col("nullable_skills"), F.lit("null"))
+    )
+    df.createOrReplaceTempView("TextIndicesTest")
+    return PinotEngine(spark), n
+
+
+def test_text_search_count_query(textsuite):
+    """testTextSearchCountQuery: phrase + AND term — 4 of 28 skills
+    match '"machine learning" AND spark'."""
+    eng, n = textsuite
+    got = _unq(eng, (
+        "SELECT COUNT(*) FROM TextIndicesTest "
+        "WHERE TEXT_MATCH(skills, '\"machine learning\" AND spark')"
+    ))[0][0]
+    assert got == 4 * _SK_K
+
+
+def test_text_match_transform_function(textsuite):
+    """MultiColumnTextIndicesTest.testTextMatchTransformFunction:
+    TEXT_MATCH in projection + GROUP BY position — false 18000 /
+    true 10000 at the reference scale (18/10 of 28 skills)."""
+    eng, n = textsuite
+    rows = _unq(eng, (
+        "SELECT TEXT_MATCH(skills, 'machine learning') AS test, "
+        "count(*) AS cnt FROM TextIndicesTest "
+        "GROUP BY TEXT_MATCH(skills, 'machine learning') ORDER BY 1"
+    ))
+    assert [(r[0], r[1]) for r in rows] == [
+        (False, 18 * _SK_K), (True, 10 * _SK_K)
+    ]
+
+
+def test_text_search_case_sensitive(textsuite):
+    """testTextSearchCountQueryCaseSensitive: 12 of 28 skills contain
+    'Java' (capital J) — the case-preserving analyzer matches 'Java'
+    12000x and 'java' 0x at reference scale."""
+    eng, n = textsuite
+    q = (
+        "SELECT COUNT(*) FROM TextIndicesTest WHERE "
+        "TEXT_MATCH(skills_case_sensitive, '{t}', 'caseSensitive=true')"
+    )
+    assert _unq(eng, q.format(t="Java"))[0][0] == 12 * _SK_K
+    assert _unq(eng, q.format(t="java"))[0][0] == 0
+    # the default analyzer folds case: both spellings match 12/28
+    assert _unq(eng, (
+        "SELECT COUNT(*) FROM TextIndicesTest "
+        "WHERE TEXT_MATCH(skills, 'java')"
+    ))[0][0] == 12 * _SK_K
+
+
+def test_text_query_nullable_columns(textsuite):
+    """testQueryNullableColumns: ingest turned nulls into the 'null'
+    string default — exactly half the rows match 'null', half match
+    'value'."""
+    eng, n = textsuite
+    q = "SELECT COUNT(*) FROM TextIndicesTest WHERE TEXT_MATCH(nullable_skills, '{t}')"
+    assert _unq(eng, q.format(t="null"))[0][0] == n / 2
+    assert _unq(eng, q.format(t="value"))[0][0] == n / 2
+
+
+def test_text_match_mv_column(textsuite):
+    """MV text column (TEXT_COL_MV = [skill, str(i)]): the document
+    matches when ANY element matches — per-element evaluation over the
+    exploded array equals the reference counts."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.lucene import compile_predicate
+
+    eng, n = textsuite
+    spark = eng.spark
+    df = spark.table("TextIndicesTest")
+    matched = df.filter(
+        F.exists(
+            "skills_mv",
+            lambda e: compile_predicate(e, '"machine learning" AND spark'),
+        )
+    ).count()
+    assert matched == 4 * _SK_K
+
+
+def test_text_match_third_parameter_options(textsuite):
+    """testTextMatchWithThirdParameter: the options argument selects
+    the CLASSIC parser and defaultOperator=AND — juxtaposed terms
+    become conjunctive ('machine learning' = machine AND learning)."""
+    eng, n = textsuite
+    with_and = _unq(eng, (
+        "SELECT COUNT(*) FROM TextIndicesTest WHERE TEXT_MATCH(skills, "
+        "'machine learning', 'parser=CLASSIC,DefaultOperator=AND')"
+    ))[0][0]
+    default_or = _unq(eng, (
+        "SELECT COUNT(*) FROM TextIndicesTest "
+        "WHERE TEXT_MATCH(skills, 'machine learning')"
+    ))[0][0]
+    # every skill containing both words also matches OR; OR adds the
+    # learning-only/machine-only lines
+    assert 0 < with_and <= default_or
+    assert with_and == 10 * _SK_K  # all 10 'machine learning' lines have both
+    import pytest as _pytest
+
+    from pinot_spark.dialect import PinotSqlError
+
+    with _pytest.raises(PinotSqlError):
+        _unq(eng, (
+            "SELECT COUNT(*) FROM TextIndicesTest "
+            "WHERE TEXT_MATCH(skills, 'x', 'parser=DISMAX')"
+        ))
+
+
+# ---------------------------------------------------------------------------
+# MapFieldTypeTest.java (+ Realtime / MixedValueIngesting variants) —
+# true MAP-typed columns with Pinot's materialized default null values:
+# doc i carries keys k0..k(i-1), stringMap values 'v'+i, intMap values
+# i; a missing key yields 'null' / Integer.MIN_VALUE (never SQL NULL).
+# Selection, order-by, aggregation, group-by, filters, nonexistent
+# keys, and the != predicate.  Engine: dialect
+# rewrite_map_default_access (FieldSpec dimension defaults).
+# ---------------------------------------------------------------------------
+
+_MFT_N = 100
+_INT_MIN = -2147483648
+
+
+@pytest.fixture(scope="module")
+def mapfield(spark):
+    rows = [
+        (
+            i,
+            {f"k{j}": f"v{i}" for j in range(i)},
+            {f"k{j}": i for j in range(i)},
+        )
+        for i in range(_MFT_N)
+    ]
+    spark.createDataFrame(
+        rows, "rid int, stringMap map<string,string>, intMap map<string,int>"
+    ).createOrReplaceTempView("MapFieldTypeTest")
+    return PinotEngine(spark)
+
+
+def test_mapfield_selection_defaults(mapfield):
+    """testQueries selection: doc 0 has no keys — the subscript yields
+    the materialized defaults ('null', Integer.MIN_VALUE)."""
+    rows = _unq(mapfield, (
+        "SELECT stringMap['k0'] AS s, intMap['k0'] AS v FROM MapFieldTypeTest "
+        "ORDER BY intMap['k0'] LIMIT 200"
+    ))
+    assert len(rows) == _MFT_N
+    assert rows[0] == ("null", _INT_MIN)
+    for i in range(1, _MFT_N):
+        assert rows[i] == (f"v{i}", i)
+
+
+def test_mapfield_order_by_two_keys(mapfield):
+    """Selection order-by over two keys: docs 0-1 lack k1 and sort to
+    the defaults first."""
+    rows = _unq(mapfield, (
+        "SELECT intMap['k0'] AS a, intMap['k1'] AS b, stringMap['k0'] AS c "
+        "FROM MapFieldTypeTest ORDER BY intMap['k0'], intMap['k1'] LIMIT 4"
+    ))
+    assert rows[0] == (_INT_MIN, _INT_MIN, "null")
+    assert rows[1] == (1, _INT_MIN, "v1")
+    assert rows[2] == (2, 2, "v2")
+
+
+def test_mapfield_aggregation(mapfield):
+    """Aggregation only: MAX over both keys = N-1."""
+    row = _unq(mapfield, (
+        "SELECT MAX(intMap['k0']) AS a, MAX(intMap['k1']) AS b "
+        "FROM MapFieldTypeTest"
+    ))[0]
+    assert row == (_MFT_N - 1, _MFT_N - 1)
+
+
+def test_mapfield_group_by(mapfield):
+    """Aggregation group-by: the default-key group sorts first with
+    MIN_VALUE, then ('v'+i, i) ascending."""
+    rows = _unq(mapfield, (
+        "SELECT stringMap['k0'] AS key, MIN(intMap['k0']) AS value "
+        "FROM MapFieldTypeTest GROUP BY key ORDER BY value LIMIT 200"
+    ))
+    assert rows[0] == ("null", _INT_MIN)
+    for i in range(1, _MFT_N):
+        assert rows[i] == (f"v{i}", i)
+
+
+def test_mapfield_filters(mapfield):
+    """Filters: k1='v25' hits exactly doc 25; nonexistent keys match
+    nothing (their default never equals a real value)."""
+    rows = _unq(mapfield, (
+        "SELECT stringMap['k2'] AS s FROM MapFieldTypeTest "
+        "WHERE stringMap['k1'] = 'v25'"
+    ))
+    assert [r[0] for r in rows] == ["v25"]
+    rows = _unq(mapfield, (
+        "SELECT intMap['k2'] AS v FROM MapFieldTypeTest WHERE intMap['k1'] = 25"
+    ))
+    assert [r[0] for r in rows] == [25]
+    assert _unq(mapfield, (
+        "SELECT stringMap['k2'] FROM MapFieldTypeTest WHERE stringMap['kk'] = 'v25'"
+    )) == []
+    assert _unq(mapfield, (
+        "SELECT intMap['k2'] FROM MapFieldTypeTest WHERE intMap['kk'] = 25"
+    )) == []
+
+
+def test_mapfield_select_nonexistent_key(mapfield):
+    """Select of a key no doc carries: every row materializes the
+    defaults."""
+    row = _unq(mapfield, (
+        "SELECT COUNT(*) AS n FROM MapFieldTypeTest "
+        "WHERE stringMap['kkk'] = 'null' AND intMap['kkk'] = -2147483648"
+    ))[0]
+    assert row[0] == _MFT_N
+
+
+def test_mapfield_not_eq_predicate(mapfield):
+    """testNotEqPredicate: != excludes only the real match — rows whose
+    k1 is ABSENT carry the default and therefore pass the !=."""
+    n = _unq(mapfield, (
+        "SELECT COUNT(*) AS n FROM MapFieldTypeTest "
+        "WHERE stringMap['k1'] != 'v25'"
+    ))[0][0]
+    assert n == _MFT_N - 1
+    n = _unq(mapfield, (
+        "SELECT COUNT(*) AS n FROM MapFieldTypeTest WHERE intMap['k1'] != 25"
+    ))[0][0]
+    assert n == _MFT_N - 1
