@@ -5398,9 +5398,17 @@ def _ensure_geo_sql_udfs(spark: SparkSession) -> None:
         inner level sees a hash-bucketed slice of each group, the outer
         level merges ≤ _ST_UNION_FANOUT partials."""
         acc, buf = None, []
+        # union is idempotent: skip byte-identical blobs (telemetry
+        # columns repeat shapes heavily — a grid-cell column has
+        # thousands of copies of each square).  The seen-set holds raw
+        # bytes only and is capped so a pathological all-distinct
+        # stream degrades to plain folding, never OOM.
+        seen: set[bytes] = set()
         for v in vals:
-            if v is None:
+            if v is None or v in seen:
                 continue
+            if len(seen) < 4096:
+                seen.add(v)
             buf.append(parse_any(v))
             if len(buf) >= 64:
                 acc, buf = _union_chunk(acc, buf), []

@@ -1705,3 +1705,44 @@ def dialect_geo_bytes_family(spark, sf_dir):
         "CAST(event_id % 5 + 1 AS DOUBLE) AS side "
         "FROM events WHERE event_id < 40) pts ORDER BY event_id LIMIT 50"
     )
+
+
+@query(
+    "dialect_st_union_area",
+    oracle="""
+    SELECT round(CAST(count(*) AS DOUBLE), 4) AS union_area,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           TRUE AS area_matches
+    FROM (SELECT DISTINCT event_id * 7 % 6 AS x, event_id * 11 % 5 AS y
+          FROM events WHERE event_id < 2000)
+    """,
+)
+def dialect_st_union_area(spark, sf_dir):
+    """STUNION through the dialect's bounded two-phase fold at real
+    fan-in (round-14 fix for the collect_list buffer,
+    StUnionAggregationFunction.java segment-fold + broker-merge shape):
+    2000 unit squares on a 6x5 integer grid — thousands of duplicate
+    blobs collapse in the idempotent per-bucket folds, the <=64 bucket
+    partials merge in one exact overlay, and the union's area must
+    equal the distinct-cell count exactly (disjoint-interior squares;
+    shoelace over small integers is exact in doubles).  The DuckDB
+    oracle recomputes the cell count from the generating expression."""
+    eng = _engine(spark, sf_dir)
+    area = eng.sql(
+        "SELECT ST_Area(STUnion(ST_GeomFromText(wkt))) AS union_area "
+        "FROM (SELECT CONCAT('POLYGON ((', x, ' ', y, ', ', x+1, ' ', y, "
+        "', ', x+1, ' ', y+1, ', ', x, ' ', y+1, ', ', x, ' ', y, '))') AS wkt "
+        "FROM (SELECT CAST(event_id * 7 % 6 AS INT) AS x, "
+        "CAST(event_id * 11 % 5 AS INT) AS y "
+        "FROM events WHERE event_id < 2000) cells) sqs"
+    ).first().union_area
+    n_cells = (
+        spark.sql(
+            "SELECT count(DISTINCT event_id * 7 % 6, event_id * 11 % 5) AS n "
+            "FROM events WHERE event_id < 2000"
+        ).first().n
+    )
+    return spark.createDataFrame(
+        [(round(float(area), 4), int(n_cells), float(area) == float(n_cells))],
+        "union_area double, n_cells bigint, area_matches boolean",
+    )
