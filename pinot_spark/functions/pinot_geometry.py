@@ -849,9 +849,20 @@ def distance(a, b) -> float:
 
 def _min_clearance(m, all_segs) -> Fraction:
     """Min squared distance from m to any segment NOT passing through m —
-    the safe perturbation radius for side sampling."""
+    the safe perturbation radius for side sampling.  Exact bbox-distance
+    lower bounds prune segments that cannot beat the running best (all
+    rational arithmetic — pruning never changes the result, only skips
+    provably-losing candidates)."""
+    mx, my = m
     best = None
     for a, b in all_segs:
+        if best is not None:
+            # exact squared distance from m to the segment's bbox is a
+            # lower bound on the true squared distance
+            dx = max(min(a[0], b[0]) - mx, mx - max(a[0], b[0]), 0)
+            dy = max(min(a[1], b[1]) - my, my - max(a[1], b[1]), 0)
+            if dx * dx + dy * dy >= best:
+                continue
         if _on_segment(m, a, b):
             continue
         d2 = _pt_seg_dist2(m, a, b)
@@ -911,13 +922,25 @@ def union_polygons(polys_rings: list, geog: bool = False):
         for ring in rings:
             all_segs += _ring_segments(ring)
 
-    # node all edges against each other, dedup as undirected sub-segments
+    # node all edges against each other, dedup as undirected
+    # sub-segments.  Exact bbox interval checks prune non-overlapping
+    # pairs before the rational intersection math — pure pruning, the
+    # candidate set provably contains every intersecting pair.
+    boxes = [
+        (min(a[0], b[0]), max(a[0], b[0]), min(a[1], b[1]), max(a[1], b[1]))
+        for a, b in all_segs
+    ]
     unique: set = set()
     for i, (a, b) in enumerate(all_segs):
+        x0, x1, y0, y1 = boxes[i]
         cuts = []
         for j, (c, d) in enumerate(all_segs):
-            if i != j:
-                cuts += _seg_cut_params(a, b, c, d)
+            if i == j:
+                continue
+            bx0, bx1, by0, by1 = boxes[j]
+            if bx0 > x1 or bx1 < x0 or by0 > y1 or by1 < y0:
+                continue
+            cuts += _seg_cut_params(a, b, c, d)
         for u, v in _split_at(a, b, cuts):
             unique.add((u, v) if (u <= v) else (v, u))
 
