@@ -3411,3 +3411,82 @@ def test_mapfield_not_eq_predicate(mapfield):
         "SELECT COUNT(*) AS n FROM MapFieldTypeTest WHERE intMap['k1'] != 25"
     ))[0][0]
     assert n == _MFT_N - 1
+
+
+def test_mapfield_mixed_value_ingest_as_string(spark):
+    """MapFieldTypeMixedValueIngestingIntegrationTest residue: a MAP
+    declared with STRING values ingests mixed long/string Avro values —
+    every value coerces to STRING at ingest (Long.toString), so the
+    subscript always yields a string and string-literal filters hit."""
+    NUM, NUMERIC, STR_ID = 300, 9_876_543_210, "trace-abc"
+    rows = [
+        (
+            i,
+            {"traceId": STR_ID if i % 100 == 99 else str(NUMERIC)},
+            1_700_000_000_000 + i,
+        )
+        for i in range(NUM)
+    ]
+    spark.createDataFrame(
+        rows, "rid int, tracingContext map<string,string>, ts long"
+    ).createOrReplaceTempView("MapMixedValueTest")
+    eng = PinotEngine(spark)
+    got = _unq(eng, (
+        f"SELECT tracingContext['traceId'] AS t FROM MapMixedValueTest "
+        f"ORDER BY ts LIMIT {NUM}"
+    ))
+    assert len(got) == NUM
+    for i, r in enumerate(got):
+        assert isinstance(r[0], str)
+        assert r[0] == (STR_ID if i % 100 == 99 else str(NUMERIC))
+    n = _unq(eng, (
+        "SELECT COUNT(*) AS n FROM MapMixedValueTest "
+        f"WHERE tracingContext['traceId'] = '{STR_ID}'"
+    ))[0][0]
+    assert n == NUM // 100
+
+
+def test_openstruct_property_roundtrip(spark):
+    """Property: for random sparse maps, every (row, key, value) is
+    recoverable through the layout — dense keys via their materialized
+    column, sparse keys via the JSON blob — and no key is lost or
+    duplicated across the split."""
+    import json
+    import random as _random
+
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.open_struct import (
+        materialize_open_struct,
+        materialized_column_name,
+        sparse_column_name,
+    )
+
+    rng = _random.Random(77)
+    keys = [f"key{i}" for i in range(8)]
+    rows = []
+    for i in range(200):
+        m = {
+            k: str(rng.randint(0, 999))
+            for k in keys
+            if rng.random() < (0.9 if k in ("key0", "key1") else 0.3)
+        }
+        rows.append((i, m))
+    df = spark.createDataFrame(rows, "rid int, m map<string,string>")
+    out, layout = materialize_open_struct(df, "m", max_dense_keys=3)
+    assert len(layout.dense) <= 3
+    assert set(layout.dense) | set(layout.sparse) == {
+        k for _, m in rows for k in m
+    }
+    assert not set(layout.dense) & set(layout.sparse)
+    got = {r.rid: r.asDict() for r in out.collect()}
+    for rid, m in rows:
+        row = got[rid]
+        sparse = json.loads(row[sparse_column_name("m")] or "{}")
+        for k, v in m.items():
+            if k in layout.dense:
+                assert str(row[materialized_column_name("m", k)]) == v, (rid, k)
+            else:
+                assert sparse[k] == v, (rid, k)
+        # nothing fabricated: sparse blob holds exactly the non-dense keys
+        assert set(sparse) == {k for k in m if k not in layout.dense}
