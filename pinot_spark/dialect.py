@@ -3057,6 +3057,15 @@ _KNOWN_OPTIONS = {
     "automatically (ReusedExchange/ReusedSubquery — corpus Spool.json)",
     "maxexecutionthreads": "accepted no-op: parallelism is the Spark "
     "scheduler's concern (spark.sql.shuffle.partitions etc.)",
+    # vector-index probe hints (IvfPqVectorTest: set vectorNprobe=...;
+    # set vectorExactRerank=...; set vectorMaxCandidates=...): the SQL
+    # vectorSimilarity rewrite computes the EXACT top-k — a superset of
+    # any probe-limited approximate result — so the hints are accepted
+    # no-ops; the approximate scale path is operators/ivfpq.py + hnsw.py
+    "vectornprobe": "accepted no-op: SQL path is exact top-k "
+    "(operators/ivfpq.py serves probe-limited ANN)",
+    "vectorexactrerank": "accepted no-op: SQL path is already exact",
+    "vectormaxcandidates": "accepted no-op: SQL path is exact top-k",
 }
 
 

