@@ -4744,6 +4744,123 @@ _ST_UNION_SCALAR_ALLOW = {
 }
 
 
+def _st_union_mixed_split(
+    sql: str,
+    stmt: dict[str, str | None],
+    keys: list[str],
+    items: list[str],
+) -> str:
+    """MIXED statements (native aggregates + STUNION in one SELECT)
+    split into two subqueries joined NULL-SAFELY on the group keys —
+    the _rewrite_mixed_split shape: native aggregates stay a plain
+    grouped subquery (Catalyst partial/final), STUNION takes the same
+    bounded two-phase fold as pure statements.  Memory stays
+    geometry-bounded on the union side; the trade is a second columnar
+    scan of the source.  Statements with HAVING or shapes that resist
+    the split return ``sql`` unchanged (collect_list fallback)."""
+    if stmt["having"]:
+        return sql
+    NAT, SK = "__stn", "__sts"
+    arg_exprs: list[str] = []
+    sk_finals: list[str] = []
+    nat_items: list[str] = []
+    seq = [0]
+
+    def hoist_union(item: str) -> str:
+        out, i = [], 0
+        spans = _literal_spans(item)
+        while True:
+            m = _ST_UNION_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _ST_UNION_CALL_RE.search(item, m.end())
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            args = _split_args(item[open_idx + 1 : close_idx])
+            if len(args) != 1:
+                raise ValueError("STUNION takes one argument")
+            n = len(arg_exprs)
+            arg_exprs.append(args[0].strip())
+            sk_finals.append(f"__geo_union_agg(__stp{n}) AS __stu{n}")
+            out.append(item[i : m.start()])
+            out.append(f"{SK}.__stu{n}")
+            i = close_idx + 1
+        return "".join(out)
+
+    def hoist_basic(item: str) -> str:
+        out, i = [], 0
+        spans = _literal_spans(item)
+        while True:
+            m = _BASIC_AGG_CALL_RE.search(item, i)
+            while m and any(a <= m.start() < b for a, b in spans):
+                m = _BASIC_AGG_CALL_RE.search(item, m.end())
+            if not m:
+                out.append(item[i:])
+                break
+            open_idx = item.index("(", m.end() - 1)
+            close_idx = _find_matching(item, open_idx)
+            n = seq[0]
+            seq[0] += 1
+            nat_items.append(f"{item[m.start() : close_idx + 1]} AS __ag{n}")
+            out.append(item[i : m.start()])
+            out.append(f"{NAT}.__ag{n}")
+            i = close_idx + 1
+        return "".join(out)
+
+    rebuilt: list[str] = []
+    try:
+        for item in items:
+            am = re.match(
+                r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE
+            )
+            expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+            if expr.strip() in keys:
+                k = expr.strip()
+                rebuilt.append(f"{NAT}.{k} AS {alias or k}")
+                continue
+            e2 = hoist_basic(hoist_union(expr))
+            for cm in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", e2):
+                if re.sub("_", "", cm.group(1)).lower() not in _ST_UNION_SCALAR_ALLOW:
+                    return sql
+            for k in keys:
+                e2 = _replace_word_outside_literals(e2, k, f"{NAT}.{k}")
+            rebuilt.append(e2 + (f" AS {alias}" if alias else ""))
+    except ValueError:
+        return sql
+    if not arg_exprs:
+        return sql
+
+    where = f" WHERE {stmt['where']}" if stmt["where"] else ""
+    key_csv = ", ".join(keys)
+    nat_sub = (
+        f"SELECT {', '.join(keys + nat_items)} FROM {stmt['table']}{where}"
+        + (f" GROUP BY {key_csv}" if keys else "")
+    )
+    proj = keys + [f"{e} AS __g{n}" for n, e in enumerate(arg_exprs)]
+    partials = keys + [
+        f"__geo_union_agg(__g{n}) AS __stp{n}" for n in range(len(arg_exprs))
+    ]
+    bucket = f"pmod(xxhash64(__g0), {_ST_UNION_FANOUT})"
+    sk_inner = (
+        f"SELECT {', '.join(partials)} FROM "
+        f"(SELECT {', '.join(proj)} FROM {stmt['table']}{where}) __st_rows"
+        f" GROUP BY {', '.join(keys + [bucket])}"
+    )
+    sk_sub = (
+        f"SELECT {', '.join(keys + sk_finals)} FROM ({sk_inner}) __st_partials"
+        + (f" GROUP BY {key_csv}" if keys else "")
+    )
+    if keys:
+        on = " AND ".join(f"{NAT}.{k} <=> {SK}.{k}" for k in keys)
+        join = f"({nat_sub}) {NAT} JOIN ({sk_sub}) {SK} ON {on}"
+    else:
+        join = f"({nat_sub}) {NAT} CROSS JOIN ({sk_sub}) {SK}"
+    tail = stmt["tail"] or ""
+    return f"SELECT {', '.join(rebuilt)} FROM {join}{tail}"
+
+
 def rewrite_st_union_two_phase(sql: str) -> str:
     """Restructure canonical ``SELECT [keys,] ...STUNION(g)... FROM t
     [WHERE] [GROUP BY keys] [ORDER BY/LIMIT]`` into a bounded two-phase
@@ -4783,6 +4900,10 @@ def rewrite_st_union_two_phase(sql: str) -> str:
     items = [x.strip() for x in _split_args(stmt["select"])]
     if _keys_shadowed_by_alias(keys, items):
         return sql
+    if any(_search_outside_literals(_BASIC_AGG_CALL_RE, it) for it in items):
+        # native aggregates cannot share a SELECT with the grouped-agg
+        # pandas UDF — split into two subqueries joined on the keys
+        return _st_union_mixed_split(sql, stmt, keys, items)
 
     arg_exprs: list[str] = []
     placeholders: dict[str, str] = {}

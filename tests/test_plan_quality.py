@@ -741,12 +741,20 @@ def test_st_union_sql_two_phase_bounded(spark, sf_dir):
         )
         assert agg_ops >= 2, plan
         assert "collect_list" not in plan, plan
-    # mixed native aggregate → declines to the expression fallback
+    # mixed native aggregate → the SPLIT shape: native side + bounded
+    # two-phase union side joined on the keys, still no collect_list
     mixed, _ = eng.translate(
         "SELECT k, COUNT(*) AS c, STUnion(ST_GeomFromText(wkt)) AS u "
         "FROM st_union_gate_t GROUP BY k"
     )
-    assert "__geo_union_fold(collect_list" in mixed
+    assert "__geo_union_agg" in mixed and "collect_list" not in mixed
+    assert "__stn" in mixed and "__sts" in mixed
+    # mixed + HAVING resists the split → expression fallback
+    fb, _ = eng.translate(
+        "SELECT k, COUNT(*) AS c, STUnion(ST_GeomFromText(wkt)) AS u "
+        "FROM st_union_gate_t GROUP BY k HAVING COUNT(*) > 0"
+    )
+    assert "__geo_union_fold(collect_list" in fb
 
 
 def test_st_union_two_phase_matches_fallback(spark, sf_dir):
@@ -773,8 +781,8 @@ def test_st_union_two_phase_matches_fallback(spark, sf_dir):
             "FROM st_union_eq_t GROUP BY k"
         ).collect()
     }
-    # the COUNT(*) column forces the fallback path (see gate above)
-    fb = {
+    # the mixed-split path (COUNT(*) alongside) must agree
+    mixed = {
         r.k: r.u
         for r in eng.sql(
             "SELECT k, COUNT(*) AS c, "
@@ -782,4 +790,14 @@ def test_st_union_two_phase_matches_fallback(spark, sf_dir):
             "FROM st_union_eq_t GROUP BY k"
         ).collect()
     }
-    assert two == fb and len(two) == 2
+    # HAVING alongside a native agg resists every restructure → the
+    # single-buffer collect_list fallback is the reference comparison
+    fb = {
+        r.k: r.u
+        for r in eng.sql(
+            "SELECT k, COUNT(*) AS c, "
+            "ST_AsText(STUnion(ST_GeomFromText(wkt))) AS u "
+            "FROM st_union_eq_t GROUP BY k HAVING COUNT(*) > 0"
+        ).collect()
+    }
+    assert two == mixed == fb and len(two) == 2
