@@ -446,3 +446,84 @@ def open_struct_dense_sparse(spark, sf_dir):
             F.when(layout.key_column(None, "nonexistent_key") == "x", 1).otherwise(0)
         ).alias("n_nonexistent"),
     )
+
+
+@query(
+    "ingest_aggregate_metrics",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           round(sum(coalesce(value, 0.0)), 2) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY event_type, user_bucket
+    ORDER BY event_type, user_bucket
+    """,
+)
+def ingest_aggregate_metrics(spark, sf_dir):
+    """aggregateMetrics ingest rollup (TableConfig indexingConfig
+    aggregateMetrics / MutableSegmentImpl metric aggregation;
+    AggregateMetricsTest.java): rows sharing the dimension tuple merge
+    at ingest with pre-summed metrics, and every downstream aggregate
+    answers identically to the raw table — the DuckDB oracle computes
+    straight from the base rows."""
+    from pinot_spark.sources.ingestion import aggregate_metrics
+
+    t = load_tables(spark, sf_dir)
+    base = t["events"].select(
+        "event_type",
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    rolled = aggregate_metrics(
+        base, ["event_type", "user_bucket"], {"value": "sum", "n_rows": "count"}
+    )
+    return rolled.select(
+        "event_type",
+        "user_bucket",
+        F.round("value", 2).alias("sum_value"),
+        "n_rows",
+    ).orderBy("event_type", "user_bucket")
+
+
+@query(
+    "scan_segment_sampler",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events
+    WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)
+    """,
+)
+def scan_segment_sampler(spark, sf_dir):
+    """firstN table sampler (pinot-broker/.../tablesampler/
+    FirstNSegmentsTableSampler.java; TableSamplerIntegrationTest): the
+    events table written as day-partitioned segments (one file per day
+    via a day-hash repartition), then the lexicographically FIRST
+    segment — the earliest day — is the 1-segment sample.  The DuckDB
+    oracle recomputes the same day's rows from the base table, so the
+    sampler's routing must be exactly the first segment, no more, no
+    less."""
+    import os
+    import tempfile
+
+    from pinot_spark.sources.segments import sample_segments, write_segments
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "ts", "event_type")
+    path = os.path.join(
+        _TMP, f"sampler_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_segments(
+        ev.repartition(F.date_trunc("day", F.col("ts"))),
+        path,
+        time_col="ts",
+        time_bucket="day",
+    )
+    sampled = sample_segments(spark, path, 1)
+    return sampled.agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view"),
+    )

@@ -125,3 +125,27 @@ def conform_to_schema(df: DataFrame, ddl_schema: str, overflow_col: str = "__ove
     else:
         cols.append(F.lit(None).cast("string").alias(overflow_col))
     return df.select(*cols)
+
+
+def aggregate_metrics(
+    df: DataFrame, dim_cols: list[str], metric_aggs: dict[str, str]
+) -> DataFrame:
+    """aggregateMetrics ingest rollup (TableConfig
+    indexingConfig.aggregateMetrics / MutableSegmentImpl metric
+    aggregation; AggregateMetricsTest): rows sharing the full dimension
+    tuple merge at ingest with their metric columns pre-aggregated —
+    SUM (the reference's only aggregateMetrics mode) plus MIN/MAX/COUNT
+    for the ingestionAggregation config generalization.  Downstream
+    SUM/MIN/MAX queries read fewer rows and return identical answers;
+    one map-side-combinable shuffle at ingest buys it."""
+    allowed = {"sum": F.sum, "min": F.min, "max": F.max}
+    aggs = []
+    for col, how in metric_aggs.items():
+        how_l = how.lower()
+        if how_l == "count":
+            aggs.append(F.count("*").cast("bigint").alias(col))
+        elif how_l in allowed:
+            aggs.append(allowed[how_l](col).alias(col))
+        else:
+            raise ValueError(f"unsupported ingest aggregation {how!r} for {col!r}")
+    return df.groupBy(*[F.col(c) for c in dim_cols]).agg(*aggs)

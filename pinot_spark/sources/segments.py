@@ -132,3 +132,39 @@ def write_bucketed_table(
         # session's warehouse dir (= the driver process's cwd)
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def list_segment_files(spark, path: str) -> list[str]:
+    """Lexicographically sorted data-file names of a segment dir — the
+    'online segments' set a broker routes over (segment name order is
+    the FirstNSegmentsTableSampler sort key)."""
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    # sort by path RELATIVE to the table root: the segment-name analog
+    return sorted(out, key=lambda p: os.path.relpath(p, path))
+
+
+def sample_segments(spark, path: str, num_segments: int) -> DataFrame:
+    """FirstNSegmentsTableSampler analog (pinot-broker/.../tablesampler/
+    FirstNSegmentsTableSampler.java: sort segment names
+    lexicographically, route only the first N;
+    TableSamplerIntegrationTest): read only the first ``num_segments``
+    data files of a write_segments output.  ``basePath`` keeps the
+    partition-dir columns, so predicate/partition pruning still applies
+    WITHIN the sample (testSamplerRoutingStillAppliesPartitionPruning —
+    sampled routing intersects with pruning, it does not override it).
+
+    The 100 TB use: exploratory queries over a deterministic small
+    segment subset without scanning the table."""
+    if num_segments <= 0:
+        raise ValueError("'numSegments' must be positive")
+    files = list_segment_files(spark, path)
+    if not files:
+        raise ValueError(f"no segment files under {path}")
+    picked = files[: min(num_segments, len(files))]
+    return spark.read.option("basePath", path).parquet(*picked)

@@ -3518,3 +3518,163 @@ def test_ivfpq_vector_query_options_accepted(ivfpqsuite, spark):
     assert len(rows) == 5
     dists = [r[0] for r in rows]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+# ---------------------------------------------------------------------------
+# TableSamplerIntegrationTest.java — the firstN table sampler: sort
+# segment names lexicographically, route only the first N; sampled
+# routing still intersects with partition pruning.  Engine:
+# sources/segments.py sample_segments over a write_segments layout.
+# ---------------------------------------------------------------------------
+
+_TS_DAYS = 4
+_TS_SEGS_PER_DAY = 2
+_TS_RECORDS = 25
+_TS_BASE_DAY = 19700  # days since epoch
+
+
+@pytest.fixture(scope="module")
+def samplersuite(spark, tmp_path_factory):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.segments import write_segments
+
+    rows = []
+    for day in range(_TS_DAYS):
+        for seg in range(_TS_SEGS_PER_DAY):
+            for doc in range(_TS_RECORDS):
+                rows.append(
+                    (
+                        datetime.date(1970, 1, 1)
+                        + datetime.timedelta(days=_TS_BASE_DAY + day),
+                        day % 2,
+                        seg,
+                    )
+                )
+    df = spark.createDataFrame(rows, "d date, partition_key int, seg int")
+    path = str(tmp_path_factory.mktemp("sampler") / "t")
+    # one file per (day, seg): repartition on the segment key so file
+    # count (and therefore segment-name order) is deterministic
+    write_segments(
+        df.repartition("d", "seg").sortWithinPartitions("seg"),
+        path,
+        time_col="d",
+        time_bucket="day",
+        target_file_rows=_TS_RECORDS,
+    )
+    return path
+
+
+def test_sampler_full_scan_baseline(samplersuite, spark):
+    import pyspark.sql.functions as F
+
+    full = spark.read.parquet(samplersuite)
+    got = (
+        full.groupBy("__seg_time").count().orderBy("__seg_time").collect()
+    )
+    assert len(got) == _TS_DAYS
+    for r in got:
+        assert r["count"] == _TS_SEGS_PER_DAY * _TS_RECORDS
+
+
+def test_sampler_first_n_segments(samplersuite, spark):
+    """testFirstNSamplerForGroupByDay: sampler=1 returns exactly one
+    segment's rows (the lexicographically first = earliest day);
+    sampler=2 returns exactly two segments' worth."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.segments import sample_segments
+
+    one = sample_segments(spark, samplersuite, 1)
+    got = one.groupBy("__seg_time").count().collect()
+    assert len(got) == 1
+    assert str(got[0]["__seg_time"]) == "2023-12-09"  # BASE_DAY 19700
+    assert got[0]["count"] == _TS_RECORDS
+
+    two = sample_segments(spark, samplersuite, 2)
+    assert two.count() == 2 * _TS_RECORDS
+    # oversampling caps at the table
+    allof = sample_segments(spark, samplersuite, 10_000)
+    assert allof.count() == _TS_DAYS * _TS_SEGS_PER_DAY * _TS_RECORDS
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        sample_segments(spark, samplersuite, 0)
+
+
+def test_sampler_intersects_partition_pruning(samplersuite, spark):
+    """testSamplerRoutingStillAppliesPartitionPruning: the first segment
+    carries partition_key 0, so a partition_key=1 filter over the
+    1-segment sample returns 0 rows — sampling narrows the universe,
+    pruning still applies inside it."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.segments import sample_segments
+
+    one = sample_segments(spark, samplersuite, 1)
+    assert one.filter(F.col("partition_key") == 1).count() == 0
+    full = spark.read.parquet(samplersuite)
+    assert (
+        full.filter(F.col("partition_key") == 1).count()
+        == (_TS_DAYS // 2) * _TS_SEGS_PER_DAY * _TS_RECORDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# AggregateMetricsTest.java — aggregateMetrics ingest rollup: rows with
+# the same dimension tuple merge at ingest, metrics pre-summed; query
+# answers are identical to the raw table.  Engine:
+# sources/ingestion.py aggregate_metrics.
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_metrics_ingest_rollup(spark):
+    import random as _random
+
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.ingestion import aggregate_metrics
+
+    rng = _random.Random(5)
+    rows = [
+        (
+            f"org{rng.randrange(4)}",
+            19700 + rng.randrange(3),
+            rng.randrange(600),   # AirTime
+            rng.randrange(-60, 600),  # ArrDelay
+        )
+        for _ in range(2_000)
+    ]
+    raw = spark.createDataFrame(
+        rows, "Origin string, DaysSinceEpoch int, AirTime long, ArrDelay long"
+    )
+    rolled = aggregate_metrics(
+        raw, ["Origin", "DaysSinceEpoch"], {"AirTime": "sum", "ArrDelay": "sum"}
+    )
+    # ingest rollup really collapsed rows: one per dimension tuple
+    n_dims = raw.select("Origin", "DaysSinceEpoch").distinct().count()
+    assert rolled.count() == n_dims < raw.count()
+    # testAggregateMetricsQueries: global sums identical
+    want = raw.agg(F.sum("AirTime"), F.sum("ArrDelay")).first()
+    got = rolled.agg(F.sum("AirTime"), F.sum("ArrDelay")).first()
+    assert tuple(got) == tuple(want)
+    # grouped sums identical
+    w = {
+        tuple(r[:2]): r[2]
+        for r in raw.groupBy("Origin", "DaysSinceEpoch")
+        .agg(F.sum("ArrDelay"))
+        .collect()
+    }
+    g = {
+        tuple(r[:2]): r[2]
+        for r in rolled.groupBy("Origin", "DaysSinceEpoch")
+        .agg(F.sum("ArrDelay"))
+        .collect()
+    }
+    assert g == w
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        aggregate_metrics(raw, ["Origin"], {"AirTime": "avg"})
