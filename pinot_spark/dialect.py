@@ -1462,8 +1462,17 @@ FUNCTION_MAP: dict[str, str | Callable[[list[str]], str]] = {
     "innerproduct": lambda a: (
         f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
     ),
+    # VectorFunctions.dotProduct — same computation, second public name
+    "dotproduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    ),
     "l2distance": lambda a: (
         f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, v) -> s + v))"
+    ),
+    # the SQUARED L2 sum, NO sqrt — VectorFunctions.euclideanDistance
+    # (java:112-119) differs from l2Distance exactly by the root
+    "euclideandistance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
     ),
     "l1distance": lambda a: (
         f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> abs(x - y)), CAST(0 AS DOUBLE), (s, v) -> s + v)"

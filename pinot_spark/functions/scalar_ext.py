@@ -1394,7 +1394,23 @@ _reg("decodegeohash")(
 # ---------------------------------------------------------------------------
 
 SCALAR_FUNCTIONS["dotproduct"] = SCALAR_FUNCTIONS["innerproduct"]
-SCALAR_FUNCTIONS["euclideandistance"] = SCALAR_FUNCTIONS["l2distance"]
+
+
+def _euclidean_sq(a, b):
+    # VectorFunctions.euclideanDistance is the SQUARED L2 sum (no sqrt),
+    # unlike l2Distance which takes the root (VectorFunctions.java:84-119)
+    # — previously mis-aliased to l2distance.  Computed as the direct
+    # Σ(d²) accumulation like the reference loop, not sqrt-then-square.
+    ca = a if isinstance(a, Column) else F.lit(a)
+    cb = b if isinstance(b, Column) else F.lit(b)
+    sq = F.zip_with(
+        ca, cb, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+SCALAR_FUNCTIONS["euclideandistance"] = _euclidean_sq
 
 # ---------------------------------------------------------------------------
 # internal / system (InternalFunctions.java:39-122) — single-process

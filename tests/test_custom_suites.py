@@ -3678,3 +3678,22 @@ def test_aggregate_metrics_ingest_rollup(spark):
 
     with _p.raises(ValueError):
         aggregate_metrics(raw, ["Origin"], {"AirTime": "avg"})
+
+
+def test_vector_euclidean_vs_l2_parity(vectortest):
+    """VectorFunctions.java:84-119 — euclideanDistance is the SQUARED
+    L2 sum (no sqrt) while l2Distance takes the root; dotProduct is the
+    innerProduct twin.  Previously euclideanDistance was mis-aliased to
+    l2Distance (IvfFlatVectorTest thresholds live in euclidean space,
+    so the factor matters)."""
+    import math
+
+    rows = _unq(vectortest, (
+        "SELECT euclideanDistance(vector1, vector2), "
+        "l2Distance(vector1, vector2), dotProduct(vector1, vector2), "
+        "innerProduct(vector1, vector2) FROM VectorTest"
+    ))
+    assert len(rows) == _VEC_N
+    for e, l2, dp, ip in rows:
+        assert abs(e - l2 * l2) < 1e-9
+        assert dp == ip
