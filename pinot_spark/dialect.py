@@ -3075,6 +3075,12 @@ _KNOWN_OPTIONS = {
     "(operators/ivfpq.py serves probe-limited ANN)",
     "vectorexactrerank": "accepted no-op: SQL path is already exact",
     "vectormaxcandidates": "accepted no-op: SQL path is exact top-k",
+    "vectordistancethreshold": "vectorSimilarity radius cut "
+    "(IvfFlatVectorTest testThresholdSearch: squared-L2 space for "
+    "l2/euclidean, ranking-distance space otherwise)",
+    "vectordistancefunction": "vectorSimilarity ranking distance: "
+    "cosine (default) | l2 | euclidean | dot — the per-column "
+    "VectorIndexConfig.distanceFunction surfaced as a query option",
 }
 
 
@@ -4994,7 +5000,7 @@ def rewrite_st_union_two_phase(sql: str) -> str:
 _VECTOR_SIM_RE = re.compile(r"\bVECTOR_?SIMILARITY\s*\(", re.IGNORECASE)
 
 
-def rewrite_vector_similarity(sql: str) -> str:
+def rewrite_vector_similarity(sql: str, options: dict | None = None) -> str:
     """``WHERE vectorSimilarity(vec, queryVec, topK)`` (VectorTest.java
     — the reference probes its HNSW index for the topK nearest, then
     applies remaining predicates) → a row_number window over the exact
@@ -5009,6 +5015,26 @@ def rewrite_vector_similarity(sql: str) -> str:
             "vectorSimilarity is wired for single-table canonical "
             "statements (SELECT .. FROM t WHERE vectorSimilarity(...) ..)"
         )
+    opts = {k.lower(): v for k, v in (options or {}).items()}
+    dist_fn = opts.get("vectordistancefunction", "cosine").lower()
+    rank_names = {
+        "cosine": "cosinedistance",
+        "l2": "l2distance",
+        "euclidean": "euclideandistance",
+    }
+    if dist_fn not in rank_names and dist_fn not in ("dot", "innerproduct", "dotproduct"):
+        raise PinotSqlError(
+            f"unsupported vectorDistanceFunction {dist_fn!r} "
+            "(cosine | l2 | euclidean | dot)"
+        )
+    threshold = opts.get("vectordistancethreshold")
+    if threshold is not None:
+        try:
+            threshold = float(threshold)
+        except ValueError:
+            raise PinotSqlError(
+                f"vectorDistanceThreshold must be numeric, got {threshold!r}"
+            ) from None
     where = stmt["where"]
     ranks: list[str] = []
     guard = 0
@@ -5022,14 +5048,29 @@ def rewrite_vector_similarity(sql: str) -> str:
         args = _split_args(where[open_idx + 1 : close])
         if len(args) < 3:
             raise PinotSqlError("vectorSimilarity(vec, queryVec, topK) expected")
-        dist = FUNCTION_MAP["cosinedistance"]([args[0].strip(), args[1].strip()])
+        pair = [args[0].strip(), args[1].strip()]
+        if dist_fn in rank_names:
+            dist = FUNCTION_MAP[rank_names[dist_fn]](pair)
+        else:
+            # dot/inner-product ranking: larger is closer, so the
+            # distance is the negated product (IvfPqVectorIndexReader's
+            # INNER_PRODUCT branch)
+            dist = f"(0.0 - {FUNCTION_MAP['innerproduct'](pair)})"
         alias = f"__vs_rank{len(ranks)}"
         ranks.append(f"row_number() OVER (ORDER BY {dist} ASC) AS {alias}")
-        where = (
-            where[: m.start()]
-            + f"{alias} <= {args[2].strip()}"
-            + where[close + 1 :]
-        )
+        pred = f"{alias} <= {args[2].strip()}"
+        if threshold is not None:
+            # vectorDistanceThreshold (IvfFlatVectorTest
+            # testThresholdSearch): the threshold space is SQUARED L2
+            # ("euclideanDistance space, no sqrt") for the l2/euclidean
+            # functions, and the ranking distance itself otherwise
+            thr_expr = (
+                FUNCTION_MAP["euclideandistance"](pair)
+                if dist_fn in ("l2", "euclidean")
+                else dist
+            )
+            pred = f"({pred} AND {thr_expr} <= {threshold!r})"
+        where = where[: m.start()] + pred + where[close + 1 :]
     inner = f"SELECT *, {', '.join(ranks)} FROM {stmt['table']}"
     return (
         f"SELECT {stmt['select']} FROM ({inner}) WHERE {where}"
@@ -6729,7 +6770,7 @@ class PinotEngine:
         if _FUNNEL_COUNT_RE.search(sql):
             sql = rewrite_funnel_count(self.spark, sql)
         if _VECTOR_SIM_RE.search(sql):
-            sql = rewrite_vector_similarity(sql)
+            sql = rewrite_vector_similarity(sql, options)
         if _SKETCH_AGG_FILTER_RE.search(sql) and re.search(
             r"\bFILTER\s*\(", sql, re.IGNORECASE
         ):

@@ -3697,3 +3697,89 @@ def test_vector_euclidean_vs_l2_parity(vectortest):
     for e, l2, dp, ip in rows:
         assert abs(e - l2 * l2) < 1e-9
         assert dp == ip
+
+
+# ---------------------------------------------------------------------------
+# IvfFlatVectorTest.java / HnswConsolidatedVectorTest.java residue —
+# the vectorSimilarity ANN shape with per-column distance functions
+# surfaced as query options: ordered ascending distances, stored-vs-
+# computed distance parity, and the vectorDistanceThreshold radius cut
+# (threshold lives in SQUARED-L2 space, testThresholdSearch).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfflatsuite(spark):
+    import math
+    import random as _random
+
+    rng = _random.Random(31)
+    qv = [0.5] * 12
+    rows = []
+    for i in range(240):
+        v = [rng.uniform(0.0, 1.0) for _ in range(12)]
+        rows.append((i, v, math.sqrt(sum((a - b) ** 2 for a, b in zip(v, qv)))))
+    spark.createDataFrame(
+        rows, "rid int, vector array<float>, l2dist double"
+    ).createOrReplaceTempView("IvfFlatVectorTest")
+    return PinotEngine(spark), rows, qv
+
+
+def test_ivfflat_ann_ordered_and_exact(ivfflatsuite):
+    """testVectorSimilarity: topK rows, distance-ascending, and (full
+    candidate set) the ANN top distance equals the exact top."""
+    eng, rows, qv = ivfflatsuite
+    q = "ARRAY[" + ", ".join(str(x) for x in qv) + "]"
+    got = _unq(eng, (
+        f"SET vectorDistanceFunction='l2'; "
+        f"SELECT l2Distance(vector, {q}) AS dist FROM IvfFlatVectorTest "
+        f"WHERE vectorSimilarity(vector, {q}, 10) ORDER BY dist ASC LIMIT 10"
+    ))
+    assert len(got) == 10
+    dists = [r[0] for r in got]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    exact = sorted(r[2] for r in rows)[:10]
+    for g, e in zip(dists, exact):
+        assert abs(g - e) < 1e-5
+
+
+def test_ivfflat_l2_computation_matches_stored(ivfflatsuite):
+    """testL2DistanceComputation: computed l2Distance equals the
+    fixture's stored distance within 1e-5 (float32 column)."""
+    eng, rows, qv = ivfflatsuite
+    q = "ARRAY[" + ", ".join(str(x) for x in qv) + "]"
+    got = _unq(eng, (
+        f"SELECT rid, l2Distance(vector, {q}) AS dist, l2dist "
+        f"FROM IvfFlatVectorTest ORDER BY rid LIMIT 240"
+    ))
+    assert len(got) == 240
+    for _rid, computed, stored in got:
+        assert abs(computed - stored) < 1e-5
+
+
+def test_ivfflat_threshold_search(ivfflatsuite):
+    """testThresholdSearch: SET vectorDistanceThreshold (squared-L2
+    space) keeps only rows within sqrt(threshold) of the query."""
+    eng, rows, qv = ivfflatsuite
+    q = "ARRAY[" + ", ".join(str(x) for x in qv) + "]"
+    l2s = sorted(r[2] for r in rows)
+    p25 = l2s[len(l2s) // 4]
+    thr = p25 * p25
+    got = _unq(eng, (
+        f"SET vectorDistanceThreshold = {thr}; SET vectorDistanceFunction='l2'; "
+        f"SELECT l2Distance(vector, {q}) AS dist FROM IvfFlatVectorTest "
+        f"WHERE vectorSimilarity(vector, {q}, 240) ORDER BY dist ASC LIMIT 240"
+    ))
+    assert got, "threshold search should return results"
+    for (dist,) in got:
+        assert dist <= p25 + 1e-3
+    # threshold really cut: fewer rows than the unconstrained probe
+    assert len(got) < 240
+    # loud on an unknown distance function
+    from pinot_spark.dialect import PinotSqlError
+
+    with pytest.raises(PinotSqlError):
+        _unq(eng, (
+            f"SET vectorDistanceFunction='dismax'; "
+            f"SELECT rid FROM IvfFlatVectorTest WHERE vectorSimilarity(vector, {q}, 5)"
+        ))
