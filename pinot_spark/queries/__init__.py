@@ -79,7 +79,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Every query driver-green in CORRECTNESS_r01-r13 that is not taking a
-# round-14 window slot (169 of the 213 ever-green; regression-guarded
+# round-14 window slot (170 of the 213 ever-green; regression-guarded
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 #
@@ -98,20 +98,23 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # an exact distinct-cell-area oracle), ingest_aggregate_metrics
 # (aggregateMetrics ingest rollup, AggregateMetricsTest), and
 # scan_segment_sampler (firstN table sampler over day-partitioned
-# segments, TableSamplerIntegrationTest).
+# segments, TableSamplerIntegrationTest), and stream_dedup_exact
+# (Structured Streaming dropDuplicatesWithinWatermark dedup — the
+# reference DedupConfig primary-key dedup with a watermark horizon).
 # Re-proofs = the 13 r9-stale rows (fn_trig_family,
 # multimodal_feature_extract, multimodal_gif_tiff_features,
 # multimodal_webp_features, null_mode_default_value,
 # null_mode_sql_semantics, partial_upsert_merge,
 # sample_stratified_split, similarity_radius_filter,
 # text_bpe_token_count, text_chunking, timeseries_keep_last_value,
-# timeseries_m3ql_pipeline) + the first 31 of the 50 r10-stale greens
+# timeseries_m3ql_pipeline) + the first 30 of the 50 r10-stale greens
 # in name order, landing max staleness <= r10.
 #
 # ROUND-15 PLAN (computed from CORRECTNESS_r01..r13 + this window):
-# after r14's driver run the stale set is the remaining 19 r10-latest
+# after r14's driver run the stale set is the remaining 20 r10-latest
 # rows displaced by this round's first-timers —
-#   q2_min_cost_supplier, q3_shipping_priority, q4_order_priority_exists,
+#   q22_anti_join, q2_min_cost_supplier, q3_shipping_priority,
+#   q4_order_priority_exists,
 #   q5_local_supplier_volume, q6_forecast_revenue,
 #   q7_nation_volume_shipping, q8_market_share, q9_product_type_profit,
 #   regex_fst_dictionary_match, scan_format_roundtrip,
@@ -119,7 +122,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 #   set_ops_union_intersect_except, similarity_pairwise_label,
 #   similarity_topk_ivf, skew_safe_operators, stream_kafka_batch_decode,
 #   text_pii_redaction, udtf_sequence_explode
-# — plus the 50 r11-latest greens: rotate those in (19 + 31 of the r11
+# — plus the 50 r11-latest greens: rotate those in (20 + 30 of the r11
 # block; any new first-timers displace the r11 tail into r16), landing
 # max staleness <= r11.  tests/test_registry_window.py recomputes
 # staleness from the CORRECTNESS artifacts and asserts the recorded
@@ -175,7 +178,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "mv_array_functions", "pipeline_decontamination", "pipeline_dsir_select",
     "pipeline_fuzzy_dedup_end2end", "pipeline_line_dedup",
     "pipeline_lm_perplexity", "pipeline_remove_duplicate_spans",
-    "pipeline_resample_distribution", "pipeline_semdedup",
+    "pipeline_resample_distribution", "pipeline_semdedup", "q22_anti_join",
     "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority_exists", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
@@ -199,7 +202,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "similarity_topk_ivfpq", "agg_startree_extended_rollup",
     "open_struct_dense_sparse", "dialect_st_union_area",
-    "ingest_aggregate_metrics", "scan_segment_sampler",
+    "ingest_aggregate_metrics", "scan_segment_sampler", "stream_dedup_exact",
 ]
 
 _REPROOF_STALE = [
@@ -221,7 +224,7 @@ _REPROOF_STALE = [
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_disjunctive_predicates", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
+    "q20_excess_suppliers", "q21_last_shipper_in_order",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

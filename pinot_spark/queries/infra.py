@@ -527,3 +527,73 @@ def scan_segment_sampler(spark, sf_dir):
         .cast("bigint")
         .alias("n_view"),
     )
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+           TRUE AS dedup_effective
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact deduplication (§2.7 realtime + the LLM-pipeline
+    dedup family: reference DedupConfig / ConcurrentMapPartitionDedup
+    MetadataManager.java — drop records whose primary key was already
+    seen): a Structured Streaming query over the events file source
+    runs ``withWatermark + dropDuplicatesWithinWatermark`` on
+    (event_type, user_id) — the state-bounded streaming dedup operator,
+    where the watermark delay is the dedup horizon the reference's
+    metadata-TTL plays — lands the survivors via foreachBatch, and the
+    committed table is aggregated batch-side.
+
+    Determinism: the horizon (60 days) covers the whole events time
+    range, so exactly one survivor per key lands regardless of batch
+    boundaries; the oracle recomputes distinct keys from the base
+    table.  ``dedup_effective`` asserts the streaming state really
+    dropped every duplicate (sink rows == distinct pairs)."""
+    import time
+
+    from pinot_spark.catalog import ensure_runtime_confs, load_tables
+
+    ensure_runtime_confs(spark)
+    t = load_tables(spark, sf_dir)  # registers views; also schema source
+    schema = t["events"].schema
+    sink = tempfile.mkdtemp(prefix="pinot_spark_dedup_sink_")
+    # the file-stream source wants a DIRECTORY: expose the single
+    # events.parquet through a symlinked landing dir (the Kafka-topic
+    # directory analog)
+    src_dir = tempfile.mkdtemp(prefix="pinot_spark_dedup_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        # the parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(sink)
+    n_landed = landed.count()
+    n_distinct = (
+        t["events"].select("event_type", "user_id").distinct().count()
+    )
+    return (
+        landed.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("uniq_users"))
+        .withColumn("dedup_effective", F.lit(n_landed == n_distinct))
+        .orderBy("event_type")
+    )
