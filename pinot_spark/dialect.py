@@ -1812,6 +1812,36 @@ _CAST_TYPE_REWRITES = [
 ]
 
 
+def rewrite_uuid_casts(sql: str) -> str:
+    """``CAST(x AS UUID)`` → the canonical dash-less lowercase hex form
+    (FieldSpec.DataType.UUID is a 128-bit value type: the dashed and
+    dash-less spellings compare equal — UuidBloomFilterTest queries the
+    same row as ``uuidColumn = '<hex>'`` and
+    ``uuidColumn = CAST('<dashed>' AS UUID)``).  UUID columns ingest in
+    the same canonical form (sources/ingestion.canonicalize_uuid), so
+    equality is plain string equality afterwards."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bCAST\s*\(", sql[i:], re.IGNORECASE)
+        if not m:
+            out.append(sql[i:])
+            break
+        start = i + m.start()
+        open_idx = i + m.end() - 1
+        close = _find_matching(sql, open_idx)
+        inner = sql[open_idx + 1 : close]
+        am = re.search(r"\s+AS\s+UUID\s*$", inner, re.IGNORECASE)
+        out.append(sql[i:start])
+        if am:
+            expr = rewrite_uuid_casts(inner[: am.start()])
+            out.append(f"lower(replace({expr}, '-', ''))")
+        else:
+            out.append("CAST(" + rewrite_uuid_casts(inner) + ")")
+        i = close + 1
+    return "".join(out)
+
+
 def rewrite_cast_types(sql: str) -> str:
     """Map Pinot CAST target types (BIG_DECIMAL/BYTES/VARBINARY/bare
     VARCHAR) to Spark types, outside string literals."""
@@ -6823,6 +6853,8 @@ class PinotEngine:
         sql = rewrite_functions(sql)  # literal-span-aware
         if "collect_list" in sql:
             sql = rewrite_mv_collect_aggs(self.spark, sql)
+        if re.search(r"\bAS\s+UUID\b", sql, re.IGNORECASE):
+            sql = rewrite_uuid_casts(sql)
         sql = rewrite_cast_types(sql)
         if "CAST" in sql.upper():
             sql = rewrite_mv_scalar_casts(self.spark, sql)

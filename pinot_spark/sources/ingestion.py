@@ -149,3 +149,15 @@ def aggregate_metrics(
         else:
             raise ValueError(f"unsupported ingest aggregation {how!r} for {col!r}")
     return df.groupBy(*[F.col(c) for c in dim_cols]).agg(*aggs)
+
+
+def canonicalize_uuid(col):
+    """Canonical stored form of a UUID value: lowercase dash-less hex
+    (FieldSpec.DataType.UUID keeps the 128-bit value, so
+    '550E8400-E29B-...' and '550e8400e29b...' are the same key —
+    UuidBloomFilterTest matches an ingested dashed literal with its hex
+    spelling).  Apply at ingest on UUID-typed columns; queries compare
+    plain strings afterwards (CAST(x AS UUID) canonicalizes the same
+    way in the dialect)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.replace(c, F.lit("-"), F.lit("")))

@@ -3783,3 +3783,52 @@ def test_ivfflat_threshold_search(ivfflatsuite):
             f"SET vectorDistanceFunction='dismax'; "
             f"SELECT rid FROM IvfFlatVectorTest WHERE vectorSimilarity(vector, {q}, 5)"
         ))
+
+
+# ---------------------------------------------------------------------------
+# UuidBloomFilterTest.java — UUID-typed column: dashed and dash-less
+# spellings are the same 128-bit key (ingest canonicalization +
+# CAST(x AS UUID)); equality filters hit exactly, absent UUIDs prune to
+# zero with the predicate pushed to the scan (the bloom-prune analog:
+# parquet column stats carry the value cut).
+# ---------------------------------------------------------------------------
+
+_UUID_0 = "550e8400-e29b-41d4-a716-446655440000"
+_UUID_0_HEX = "550e8400e29b41d4a716446655440000"
+_UUID_1_HEX = "550e8400e29b41d4a716446655440001"
+_UUID_2 = "550e8400-e29b-41d4-a716-446655440002"
+
+
+@pytest.fixture(scope="module")
+def uuidsuite(spark, tmp_path_factory):
+    from pinot_spark.sources.ingestion import canonicalize_uuid
+
+    df = spark.createDataFrame(
+        [(1, _UUID_0), (2, _UUID_2)], "rid int, uuidColumn string"
+    ).withColumn("uuidColumn", canonicalize_uuid("uuidColumn"))
+    path = str(tmp_path_factory.mktemp("uuid") / "t")
+    df.write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("UuidBloomFilterTest")
+    return PinotEngine(spark)
+
+
+def test_uuid_bloom_filter_queries(uuidsuite):
+    """testUuidBloomFilterQueries: hex-literal equality, CAST AS UUID
+    equality (dashed), and a near-miss UUID matching nothing."""
+    q = "SELECT COUNT(*) AS n FROM UuidBloomFilterTest WHERE uuidColumn = {rhs}"
+    assert _unq(uuidsuite, q.format(rhs=f"'{_UUID_0_HEX}'"))[0][0] == 1
+    assert _unq(uuidsuite, q.format(rhs=f"CAST('{_UUID_2}' AS UUID)"))[0][0] == 1
+    # uppercase dashed spelling canonicalizes too
+    assert _unq(uuidsuite, q.format(rhs=f"CAST('{_UUID_0.upper()}' AS UUID)"))[0][0] == 1
+    assert _unq(uuidsuite, q.format(rhs=f"'{_UUID_1_HEX}'"))[0][0] == 0
+
+
+def test_uuid_filter_pushed_to_scan(uuidsuite):
+    """The value cut reaches the parquet scan (PushedFilters) — the
+    engine's stats/bloom pruning analog for the absent-UUID query."""
+    df = uuidsuite.sql(
+        f"SELECT rid FROM UuidBloomFilterTest WHERE uuidColumn = '{_UUID_1_HEX}'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "uuidColumn" in plan.split("PushedFilters", 1)[1][:200]
+    assert df.count() == 0
