@@ -3111,6 +3111,8 @@ _KNOWN_OPTIONS = {
     "vectordistancefunction": "vectorSimilarity ranking distance: "
     "cosine (default) | l2 | euclidean | dot — the per-column "
     "VectorIndexConfig.distanceFunction surfaced as a query option",
+    "skipupsert": "read raw rows of a registered upsert table instead "
+    "of the latest-per-key view (QueryOptionsUtils skipUpsert)",
 }
 
 
@@ -6658,6 +6660,10 @@ class PinotEngine:
     # spine rows, ad-hoc views) are NEVER defaulted: Pinot substitutes at
     # ingestion, which only ever touches stored columns.
     null_default_tables: frozenset[str] | None = None
+    # Upsert-enabled tables (TableConfig upsertConfig FULL mode,
+    # register_upsert_table): name -> latest-per-key view; SET
+    # skipUpsert=true reads the raw rows (OfflineUpsertTableTest)
+    upsert_tables: dict[str, str] = field(default_factory=dict)
     # Scoped suppression of the selection default-LIMIT injection for
     # ENGINE-GENERATED derived-table statements (raw-window grouped
     # subqueries): the zero-shuffle sketch routes re-enter sql()
@@ -6733,6 +6739,50 @@ class PinotEngine:
         view = f"__nulldef_{table}"
         df.select(*cols).createOrReplaceTempView(view)
         return view
+
+    def register_upsert_table(
+        self,
+        name: str,
+        keys: list[str],
+        comparison: list[str],
+        delete_col: str | None = None,
+    ) -> None:
+        """Declare ``name`` an upsert table (TableConfig upsertConfig,
+        FULL mode): queries resolve to the latest-row-per-key view
+        (operators/upsert.upsert_view) unless ``SET skipUpsert=true``
+        asks for the raw rows — OfflineUpsertTableTest's query surface.
+        Re-register after appending data (the segment-upload refresh)."""
+        from pinot_spark.operators.upsert import upsert_view
+
+        view = f"__upsert_{name}"
+        upsert_view(
+            self.spark.table(name), keys, comparison, delete_col
+        ).createOrReplaceTempView(view)
+        self.upsert_tables[name] = view
+
+    def _apply_upsert_views(self, sql: str) -> str:
+        """Rewrite ``FROM/JOIN <upsert table>`` references (outside
+        string literals) to the registered latest-per-key views, alias
+        preserved like _apply_default_null_views."""
+        from_join = re.compile(r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)", re.IGNORECASE)
+
+        def rewrite_segment(seg: str) -> str:
+            def repl(m: re.Match) -> str:
+                t = m.group(2)
+                view = self.upsert_tables.get(t)
+                if view is None:
+                    return m.group(0)
+                nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", seg[m.end() :])
+                has_alias = nxt is not None and nxt.group(1).upper() not in _SQL_KEYWORDS
+                suffix = "" if has_alias else f" AS {t}"
+                return f"{m.group(1)} {view}{suffix}"
+
+            return from_join.sub(repl, seg)
+
+        return "".join(
+            seg if is_lit else rewrite_segment(seg)
+            for is_lit, seg in _scan_strings(sql)
+        )
 
     def _apply_default_null_views(self, sql: str) -> str:
         """Rewrite ``FROM t`` / ``JOIN t`` references (outside string
@@ -6865,6 +6915,11 @@ class PinotEngine:
         # ASOF) which match plain `FROM <table>` forms
         if not null_handling_enabled(options, self.null_handling_default):
             sql = self._apply_default_null_views(sql)
+        if self.upsert_tables and not any(
+            k.lower() == "skipupsert" and v.strip().lower() in _TRUE_VALUES
+            for k, v in options.items()
+        ):
+            sql = self._apply_upsert_views(sql)
         sql = self._hoist_heavy_agg_args(sql)
         if _inject_default_limit and not _NO_DEFAULT_LIMIT.get():
             sql = apply_default_limit(

@@ -3832,3 +3832,69 @@ def test_uuid_filter_pushed_to_scan(uuidsuite):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "uuidColumn" in plan.split("PushedFilters", 1)[1][:200]
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# OfflineUpsertTableTest.java — upsert on batch segments: 3 versions
+# per primary key (playerId 100/101/102; latest scores 2500/3500/4500),
+# queries read the latest-per-key view, skipUpsert=true reads raw rows,
+# and a later segment upload refreshes the winners.  Engine:
+# PinotEngine.register_upsert_table + the skipUpsert query option.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def upsertsuite(spark):
+    rows = []
+    for i, pid in enumerate((100, 101, 102)):
+        for v in range(3):  # versions, seq 0..2 — latest wins
+            rows.append((pid, float(i * 1000 + 2000 + v * 250), v))
+    # latest (v=2): 100 -> 2500, 101 -> 3500, 102 -> 4500
+    spark.createDataFrame(
+        rows, "playerId int, score float, seq int"
+    ).createOrReplaceTempView("OfflineUpsertTableTest")
+    eng = PinotEngine(spark)
+    eng.register_upsert_table(
+        "OfflineUpsertTableTest", keys=["playerId"], comparison=["seq"]
+    )
+    return eng, spark
+
+
+def test_upsert_query_results(upsertsuite):
+    """testUpsertQueryResults: COUNT sees unique keys; skipUpsert sees
+    every raw record; the latest scores surface per key."""
+    eng, _ = upsertsuite
+    assert _unq(eng, "SELECT COUNT(*) AS n FROM OfflineUpsertTableTest")[0][0] == 3
+    assert _unq(eng, (
+        "SET skipUpsert=true; SELECT COUNT(*) AS n FROM OfflineUpsertTableTest"
+    ))[0][0] == 9
+    rows = _unq(eng, (
+        "SELECT playerId, score FROM OfflineUpsertTableTest ORDER BY playerId"
+    ))
+    assert [(r[0], r[1]) for r in rows] == [
+        (100, 2500.0), (101, 3500.0), (102, 4500.0)
+    ]
+
+
+def test_upsert_after_additional_segment_upload(upsertsuite):
+    """testUpsertAfterAdditionalSegmentUpload: appending a newer
+    version (the segment upload) and refreshing the registration makes
+    the new winner visible; raw count grows."""
+    eng, spark = upsertsuite
+    base = spark.table("OfflineUpsertTableTest")
+    extra = spark.createDataFrame(
+        [(100, 9999.0, 5)], "playerId int, score float, seq int"
+    )
+    base.unionByName(extra).createOrReplaceTempView("OfflineUpsertTableTest")
+    eng.register_upsert_table(
+        "OfflineUpsertTableTest", keys=["playerId"], comparison=["seq"]
+    )
+    assert _unq(eng, "SELECT COUNT(*) AS n FROM OfflineUpsertTableTest")[0][0] == 3
+    assert _unq(eng, (
+        "SET skipUpsert=true; SELECT COUNT(*) AS n FROM OfflineUpsertTableTest"
+    ))[0][0] == 10
+    rows = _unq(eng, (
+        "SELECT playerId, score FROM OfflineUpsertTableTest "
+        "WHERE playerId = 100"
+    ))
+    assert rows == [(100, 9999.0)]
