@@ -578,14 +578,23 @@ def stream_dedup_exact(spark, sf_dir):
         .withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark(["event_type", "user_id"])
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+    # the dedup state shuffle picks up spark.sql.shuffle.partitions at
+    # the first micro-batch of a fresh checkpoint — 200 default state
+    # tasks for a small table is pure scheduler overhead; pin a bounded
+    # count for this stream and restore the session conf afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     landed = spark.read.parquet(sink)
     n_landed = landed.count()
     n_distinct = (
