@@ -801,3 +801,41 @@ def test_st_union_two_phase_matches_fallback(spark, sf_dir):
         ).collect()
     }
     assert two == mixed == fb and len(two) == 2
+
+
+def test_aggregate_metrics_partial_final(spark, sf_dir):
+    """Ingest metric rollup is ONE map-side-combinable aggregation:
+    partial/final HashAggregate pair around a single key exchange, no
+    joins — the ingest-time rollup must not cost more than the shuffle
+    it saves downstream."""
+    plan = _plan(QUERIES["ingest_aggregate_metrics"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_open_struct_row_stays_scan_simple(spark, sf_dir):
+    """The OPEN_STRUCT driver row is a scan + one global aggregate:
+    the dense/sparse split is pure projection (no shuffle of its own),
+    and the sparse-key JSON extraction stays in the same stage."""
+    plan = _plan(QUERIES["open_struct_dense_sparse"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial/final
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivfpq_encode_no_shuffle(spark, sf_dir):
+    """IVF-PQ encoding is one mapInPandas over the rows — adding
+    bucket/codes columns must not shuffle; scoring prunes to the probed
+    buckets before Python."""
+    import numpy as np
+
+    from pinot_spark.operators.ivfpq import ivfpq_encode, train_ivfpq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sample = np.array(
+        [np.asarray(r[0], float) for r in emb.select("embedding").limit(500).collect()]
+    )
+    model = train_ivfpq(sample, nlist=4, pq_m=8, seed=7, distance="cosine")
+    plan = _plan(ivfpq_encode(emb, "embedding", model))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
