@@ -30,6 +30,7 @@ def write_segments(
     partition_cols: list[str] | None = None,
     target_file_rows: int | None = None,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """Write a table as pruned/sorted parquet "segments".
 
@@ -47,6 +48,10 @@ def write_segments(
     if sort_cols:
         df = df.sortWithinPartitions(*[F.col(c) for c in (parts + sort_cols)])
     writer = df.write.mode(mode)
+    if compression:
+        # raw-forward-index codec choice (FieldConfig compressionCodec:
+        # LZ4/ZSTD/SNAPPY/GZIP...) — parquet applies it per column chunk
+        writer = writer.option("compression", compression)
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
     if parts:
@@ -168,3 +173,42 @@ def sample_segments(spark, path: str, num_segments: int) -> DataFrame:
         raise ValueError(f"no segment files under {path}")
     picked = files[: min(num_segments, len(files))]
     return spark.read.option("basePath", path).parquet(*picked)
+
+
+def segment_compression_stats(path: str) -> dict:
+    """Per-column compression statistics of a segment dir — the
+    CompressionStats*IngestionIntegrationTest surface (the controller's
+    table-size API reports reportedSizeInBytes + per-column compressed/
+    uncompressed sizes and ratios; compressionStatsEnabled).  Read from
+    parquet footers: column-chunk compressed/uncompressed byte totals.
+
+    Returns {"n_files", "total_bytes", "columns": {name:
+    {"compressed", "uncompressed", "ratio"}}}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for f in names:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                files.append(os.path.join(root, f))
+    cols: dict[str, dict] = {}
+    total = 0
+    for f in files:
+        total += os.path.getsize(f)
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                d = cols.setdefault(
+                    c.path_in_schema, {"compressed": 0, "uncompressed": 0}
+                )
+                d["compressed"] += c.total_compressed_size
+                d["uncompressed"] += c.total_uncompressed_size
+    for d in cols.values():
+        d["ratio"] = (
+            d["uncompressed"] / d["compressed"] if d["compressed"] else 1.0
+        )
+    return {"n_files": len(files), "total_bytes": total, "columns": cols}

@@ -3898,3 +3898,61 @@ def test_upsert_after_additional_segment_upload(upsertsuite):
         "WHERE playerId = 100"
     ))
     assert rows == [(100, 9999.0)]
+
+
+# ---------------------------------------------------------------------------
+# CompressionStatsOffline/RealtimeIngestionIntegrationTest +
+# BigNumberOfSegmentsTest residue — per-column compression statistics
+# from segment footers (the controller table-size API's
+# compressionStats object) and correctness over a many-tiny-segments
+# layout.  Engine: sources/segments.py write_segments(compression=...)
+# + segment_compression_stats.
+# ---------------------------------------------------------------------------
+
+
+def test_compression_stats_tracked(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.segments import (
+        segment_compression_stats,
+        write_segments,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id"),
+        # highly compressible raw text column
+        F.concat(F.lit("the quick brown fox " * 5), (F.col("id") % 7).cast("string")).alias("txt"),
+    )
+    out = {}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / codec)
+        write_segments(df.coalesce(2), p, compression=codec)
+        stats = segment_compression_stats(p)
+        assert stats["n_files"] >= 1 and stats["total_bytes"] > 0
+        assert "txt" in stats["columns"]
+        txt = stats["columns"]["txt"]
+        assert txt["compressed"] > 0 and txt["uncompressed"] > txt["compressed"]
+        assert txt["ratio"] > 2.0  # repeated text compresses hard
+        # the data itself round-trips regardless of codec
+        assert spark.read.parquet(p).count() == 5_000
+        out[codec] = txt["compressed"]
+    # zstd beats snappy on this corpus (the codec choice is real)
+    assert out["zstd"] < out["snappy"]
+
+
+def test_big_number_of_segments_count(spark, tmp_path):
+    """BigNumberOfSegmentsTest: a table fragmented into hundreds of
+    tiny segments still answers exactly."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.sources.segments import write_segments
+
+    n = 3_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 300).alias("seg")
+    )
+    p = str(tmp_path / "many")
+    write_segments(df.repartition(300, "seg"), p, target_file_rows=10)
+    got = spark.read.parquet(p)
+    assert got.count() == n
+    assert got.agg(F.sum("id")).first()[0] == n * (n - 1) // 2
