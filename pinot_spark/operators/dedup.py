@@ -635,3 +635,121 @@ def dedup_lines_across_corpus(
             ).alias("clean_text"),
         )
     )
+
+
+def _lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bucket) banded MinHash rows — the LSH index unit
+    (shared by the batch pair finder and the incremental index)."""
+    rows = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def build_lsh_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's banded MinHash LSH index: one (id, band,
+    bucket) row per band, plus an underscore-prefixed params sidecar (ignored by Spark's file listing) so every later
+    increment bands with identical hashing.  The 100 TB crawl-pipeline
+    shape: the index is touched ONCE per corpus; each new crawl batch
+    dedups against it with an equi-join and appends its own bands
+    (dedup_against_lsh_index) — no re-scan of the historical corpus,
+    ever."""
+    import json
+    import os
+
+    _lsh_bands(df, text_col, id_col, num_hashes, bands, shingle_n).write.mode(
+        mode
+    ).parquet(path)
+    with open(os.path.join(path, "_lsh_params.json"), "w") as f:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}, f
+        )
+
+
+def dedup_against_lsh_index(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    commit: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup dedup of a NEW batch against a persisted
+    corpus index: band the batch with the INDEX's stored params, flag
+    every new doc whose (band, bucket) collides with an indexed doc
+    (exact copies collide on all bands; near-dups on >= 1), and return
+    ``(clean_docs, flagged)`` where flagged = (new id, matched corpus
+    id) candidate pairs.  ``commit`` appends the CLEAN docs' bands to
+    the index so the next increment dedups against them too.
+
+    Scale shape: the probe is an equi-join on (band, bucket) — the new
+    batch side is typically tiny vs the corpus and broadcasts; nothing
+    ever rescans corpus text."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_params.json")) as f:
+        p = json.load(f)
+    new_bands = _lsh_bands(
+        new_docs, text_col, id_col, p["num_hashes"], p["bands"], p["shingle_n"]
+    )
+    index = spark.read.parquet(index_path)
+    flagged = (
+        F.broadcast(new_bands)
+        .alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    dup_ids = flagged.select(F.col("new_id").alias(id_col)).distinct()
+    clean = new_docs.join(dup_ids, id_col, "left_anti")
+    if commit:
+        clean_bands = new_bands.join(
+            dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+        )
+        clean_bands.write.mode("append").parquet(index_path)
+    return clean, flagged

@@ -79,7 +79,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Every query driver-green in CORRECTNESS_r01-r13 that is not taking a
-# round-14 window slot (170 of the 213 ever-green; regression-guarded
+# round-14 window slot (171 of the 213 ever-green; regression-guarded
 # every round by the driver-mimic parity sweep tests/test_oracle_parity.py
 # regardless of window position).
 #
@@ -100,21 +100,23 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # scan_segment_sampler (firstN table sampler over day-partitioned
 # segments, TableSamplerIntegrationTest), and stream_dedup_exact
 # (Structured Streaming dropDuplicatesWithinWatermark dedup — the
-# reference DedupConfig primary-key dedup with a watermark horizon).
+# reference DedupConfig primary-key dedup with a watermark horizon),
+# and dedup_incremental_lsh (crawl-increment dedup against a persisted
+# MinHash-LSH index: one broadcast equi-join, no corpus rescan).
 # Re-proofs = the 13 r9-stale rows (fn_trig_family,
 # multimodal_feature_extract, multimodal_gif_tiff_features,
 # multimodal_webp_features, null_mode_default_value,
 # null_mode_sql_semantics, partial_upsert_merge,
 # sample_stratified_split, similarity_radius_filter,
 # text_bpe_token_count, text_chunking, timeseries_keep_last_value,
-# timeseries_m3ql_pipeline) + the first 30 of the 50 r10-stale greens
+# timeseries_m3ql_pipeline) + the first 29 of the 50 r10-stale greens
 # in name order, landing max staleness <= r10.
 #
 # ROUND-15 PLAN (computed from CORRECTNESS_r01..r13 + this window):
-# after r14's driver run the stale set is the remaining 20 r10-latest
+# after r14's driver run the stale set is the remaining 21 r10-latest
 # rows displaced by this round's first-timers —
-#   q22_anti_join, q2_min_cost_supplier, q3_shipping_priority,
-#   q4_order_priority_exists,
+#   q21_last_shipper_in_order, q22_anti_join, q2_min_cost_supplier,
+#   q3_shipping_priority, q4_order_priority_exists,
 #   q5_local_supplier_volume, q6_forecast_revenue,
 #   q7_nation_volume_shipping, q8_market_share, q9_product_type_profit,
 #   regex_fst_dictionary_match, scan_format_roundtrip,
@@ -122,7 +124,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 #   set_ops_union_intersect_except, similarity_pairwise_label,
 #   similarity_topk_ivf, skew_safe_operators, stream_kafka_batch_decode,
 #   text_pii_redaction, udtf_sequence_explode
-# — plus the 50 r11-latest greens: rotate those in (20 + 30 of the r11
+# — plus the 50 r11-latest greens: rotate those in (21 + 29 of the r11
 # block; any new first-timers displace the r11 tail into r16), landing
 # max staleness <= r11.  tests/test_registry_window.py recomputes
 # staleness from the CORRECTNESS artifacts and asserts the recorded
@@ -178,17 +180,18 @@ _VERIFIED_PRIOR_ROUNDS = [
     "mv_array_functions", "pipeline_decontamination", "pipeline_dsir_select",
     "pipeline_fuzzy_dedup_end2end", "pipeline_line_dedup",
     "pipeline_lm_perplexity", "pipeline_remove_duplicate_spans",
-    "pipeline_resample_distribution", "pipeline_semdedup", "q22_anti_join",
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
-    "scan_format_roundtrip", "segment_build_time_pruning",
-    "sessionize_gap_sessions", "set_ops_all_variants",
-    "set_ops_union_intersect_except", "similarity_pairwise_label",
-    "similarity_topk_cosine", "similarity_topk_hnsw", "similarity_topk_ivf",
-    "skew_safe_operators", "stream_kafka_batch_decode",
-    "stream_rate_upsert_loop", "text_bm25_ranked_search", "text_fingerprints",
+    "pipeline_resample_distribution", "pipeline_semdedup",
+    "q21_last_shipper_in_order", "q22_anti_join", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "regex_fst_dictionary_match", "rollup_cube", "scan_format_roundtrip",
+    "segment_build_time_pruning", "sessionize_gap_sessions",
+    "set_ops_all_variants", "set_ops_union_intersect_except",
+    "similarity_pairwise_label", "similarity_topk_cosine",
+    "similarity_topk_hnsw", "similarity_topk_ivf", "skew_safe_operators",
+    "stream_kafka_batch_decode", "stream_rate_upsert_loop",
+    "text_bm25_ranked_search", "text_fingerprints",
     "text_inverted_index_search", "text_lang_id", "text_match_lucene",
     "text_pii_redaction", "text_quality_scores", "text_repetition_filters",
     "text_token_stats", "timeseries_range_query", "udtf_sequence_explode",
@@ -203,6 +206,7 @@ _WINDOW_FIRST_TIME = [
     "similarity_topk_ivfpq", "agg_startree_extended_rollup",
     "open_struct_dense_sparse", "dialect_st_union_area",
     "ingest_aggregate_metrics", "scan_segment_sampler", "stream_dedup_exact",
+    "dedup_incremental_lsh",
 ]
 
 _REPROOF_STALE = [
@@ -224,7 +228,7 @@ _REPROOF_STALE = [
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_disjunctive_predicates", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_last_shipper_in_order",
+    "q20_excess_suppliers",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -5,6 +5,9 @@ text analysis, multimodal plumbing — over documents/embeddings tables.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 
 from pinot_spark.catalog import load_tables
@@ -21,6 +24,10 @@ from pinot_spark.operators.similarity import (
     topk_cosine_ivf,
 )
 from pinot_spark.queries import query, _r2, _r4
+
+# per-process scratch dir (see queries/infra.py): a fixed path would let
+# concurrent driver runs cross-contaminate each other's index artifacts
+_PIPE_TMP = tempfile.mkdtemp(prefix="pinot_spark_pipeline_")
 
 
 @query(
@@ -1809,4 +1816,67 @@ def pipeline_fuzzy_dedup_end2end(spark, sf_dir):
             (F.col("n_members") - 1).cast("bigint").alias("n_removed"),
         )
         .orderBy("component")
+    )
+
+
+@query(
+    "dedup_incremental_lsh",
+    # banding collisions depend on xxhash64, so the emitted columns are
+    # the deterministic validation of the incremental probe (the
+    # similarity_topk_hnsw pattern): batch size, every exact copy
+    # flagged against its true source, and no surviving doc being an
+    # exact corpus duplicate
+    oracle="""
+    SELECT CAST(70 AS BIGINT) AS n_probe,
+           TRUE AS all_copies_flagged,
+           TRUE AS copies_match_source,
+           TRUE AS clean_has_no_exact_dup
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental corpus dedup against a PERSISTED MinHash-LSH index
+    (the crawl-increment pipeline shape; complements the batch
+    dedup_minhash_lsh_pairs row): the historical corpus (documents
+    doc_id < 300) is banded once into a parquet index, then a new batch
+    — 50 fresh docs plus 20 exact copies of indexed docs under new ids
+    — dedups against it with ONE broadcast equi-join on (band, bucket);
+    the corpus text is never rescanned.  Exact copies collide on every
+    band, so each must be flagged with its true source among the
+    matches; fresh docs may only be flagged as near-dup CANDIDATES,
+    and whatever survives must not be an exact duplicate of any corpus
+    text."""
+    from pinot_spark.operators.dedup import (
+        build_lsh_index,
+        dedup_against_lsh_index,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    path = os.path.join(
+        _PIPE_TMP, f"lsh_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    build_lsh_index(corpus, "text", "doc_id", path, num_hashes=64, bands=16)
+    copies = (
+        docs.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+    )
+    batch = fresh.unionByName(copies)
+    clean, flagged = dedup_against_lsh_index(
+        spark, batch, "text", "doc_id", path, commit=False
+    )
+    pairs = {(r.new_id, r.corpus_id) for r in flagged.collect()}
+    flagged_new = {a for a, _ in pairs}
+    all_copies = all(10_000 + i in flagged_new for i in range(20))
+    match_src = all((10_000 + i, i) in pairs for i in range(20))
+    corpus_texts = {r.text for r in corpus.collect()}
+    clean_rows = clean.collect()
+    no_exact = all(r.text not in corpus_texts for r in clean_rows)
+    return spark.createDataFrame(
+        [(len(clean_rows) + len(flagged_new), all_copies, match_src, no_exact)],
+        "n_probe bigint, all_copies_flagged boolean, "
+        "copies_match_source boolean, clean_has_no_exact_dup boolean",
     )
