@@ -3956,3 +3956,72 @@ def test_big_number_of_segments_count(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == n
     assert got.agg(F.sum("id")).first()[0] == n * (n - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# GroupByOptionsTest.java / GroupByTrimmingTest.java residue — group
+# trimming is an execution hint, never a semantics change: trim hints
+# are accepted and results stay exact, and LIMIT/OFFSET pagination over
+# DISTINCT / no-aggregate GROUP BY returns FULL pages at the correct
+# global ranks (the leaf-limit pushdown must fold the offset into the
+# fetch, not undercount).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def groupbysuite(spark):
+    spark.createDataFrame(
+        [(i % 5, i % 10) for i in range(500)], "i long, j long"
+    ).createOrReplaceTempView("GroupByOptionsTest")
+    return PinotEngine(spark)
+
+
+def test_groupby_trim_hints_results_exact(groupbysuite):
+    """testOrderByKeysIsPushedToFinalAggregationStage family: the trim
+    hints ride along and the grouped result is EXACT either way."""
+    base = (
+        "select {hint} i, j, count(*) as cnt from GroupByOptionsTest "
+        "group by i, j order by i, j limit 100"
+    )
+    want = _unq(groupbysuite, base.format(hint=""))
+    for hint in (
+        "/*+  aggOptions(is_enable_group_trim='false') */",
+        "/*+  aggOptions(is_enable_group_trim='true',num_groups_limit='100') */",
+        "/*+  aggOptions(is_enable_group_trim='true',group_trim_size='6',num_groups_limit='20') */",
+    ):
+        assert _unq(groupbysuite, base.format(hint=hint)) == want
+    assert len(want) == 10  # (i, j) pairs with i = j % 5 ⊂ 5x10 grid
+    for i, j, cnt in want:
+        assert cnt == 50 and i == j % 5
+
+
+def test_distinct_limit_offset_full_page(groupbysuite):
+    """testDistinctWithLimitAndOffsetReturnsFullCardinality: the
+    ordered page returns global ranks (m+1)..(m+n); the unordered page
+    still has the full requested cardinality."""
+    rows = _unq(groupbysuite, (
+        "select distinct j from GroupByOptionsTest order by j limit 3 offset 2"
+    ))
+    assert [r[0] for r in rows] == [2, 3, 4]
+    rows = _unq(groupbysuite, (
+        "select distinct j from GroupByOptionsTest order by j limit 3"
+    ))
+    assert [r[0] for r in rows] == [0, 1, 2]
+    rows = _unq(groupbysuite, (
+        "select distinct j from GroupByOptionsTest limit 3 offset 2"
+    ))
+    assert len(rows) == 3 and all(0 <= r[0] <= 9 for r in rows)
+    assert len({r[0] for r in rows}) == 3
+
+
+def test_groupby_no_aggregate_limit_offset_full_page(groupbysuite):
+    """testGroupByNoAggregateWithLimitOffsetAndTrimEquivalence: the
+    no-aggregate GROUP BY path pages exactly like DISTINCT."""
+    rows = _unq(groupbysuite, (
+        "select j from GroupByOptionsTest group by j order by j limit 3 offset 2"
+    ))
+    assert [r[0] for r in rows] == [2, 3, 4]
+    rows = _unq(groupbysuite, (
+        "select j from GroupByOptionsTest group by j limit 3 offset 2"
+    ))
+    assert len(rows) == 3 and all(0 <= r[0] <= 9 for r in rows)
