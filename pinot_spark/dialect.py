@@ -2256,7 +2256,7 @@ def _typed_columns(spark: SparkSession, sql: str, types: tuple) -> set[str]:
 
 
 _MAP_ACCESS_RE = re.compile(
-    r"\b([A-Za-z_]\w*)\s*\[\s*('(?:[^']|'')*'|\d+)\s*\]"
+    r"\b((?:[A-Za-z_]\w*\s*\.\s*)?)([A-Za-z_]\w*)\s*\[\s*('(?:[^']|'')*'|\d+)\s*\]"
 )
 # FieldSpec default DIMENSION null values (FieldSpec.java
 # DEFAULT_DIMENSION_NULL_VALUE_OF_*): a missing map key materializes the
@@ -2299,7 +2299,10 @@ def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
     def repl(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
             return m.group(0)
-        default = value_types.get(m.group(1).lower())
+        # group(1) is an optional table/alias qualifier — it must stay
+        # INSIDE the wrap ('t.m[k]' -> COALESCE(t.m[k], d), never
+        # 't.COALESCE(...)')
+        default = value_types.get(m.group(2).lower())
         if default is None:
             return m.group(0)
         return f"COALESCE({m.group(0)}, {default})"

@@ -4025,3 +4025,14 @@ def test_groupby_no_aggregate_limit_offset_full_page(groupbysuite):
         "select j from GroupByOptionsTest group by j limit 3 offset 2"
     ))
     assert len(rows) == 3 and all(0 <= r[0] <= 9 for r in rows)
+
+
+def test_mapfield_qualified_access_defaults(mapfield):
+    """Alias-qualified subscripts (t.stringMap['k']) wrap the WHOLE
+    qualified reference in the default materialization — a bare-name
+    wrap would detach the qualifier and fail analysis."""
+    rows = _unq(mapfield, (
+        "SELECT t.stringMap['k0'] AS s, t.intMap['kk'] AS miss "
+        "FROM MapFieldTypeTest t WHERE t.rid = 0"
+    ))
+    assert rows == [("null", _INT_MIN)]
