@@ -1819,11 +1819,17 @@ def rewrite_uuid_casts(sql: str) -> str:
     same row as ``uuidColumn = '<hex>'`` and
     ``uuidColumn = CAST('<dashed>' AS UUID)``).  UUID columns ingest in
     the same canonical form (sources/ingestion.canonicalize_uuid), so
-    equality is plain string equality afterwards."""
+    equality is plain string equality afterwards.  CAST text inside
+    string literals is never rewritten."""
+    spans = _literal_spans(sql)
     out = []
     i = 0
     while True:
         m = re.search(r"\bCAST\s*\(", sql[i:], re.IGNORECASE)
+        while m and any(a <= i + m.start() < b for a, b in spans):
+            i += m.end()
+            out.append(sql[i - m.end() : i])
+            m = re.search(r"\bCAST\s*\(", sql[i:], re.IGNORECASE)
         if not m:
             out.append(sql[i:])
             break
