@@ -3122,6 +3122,14 @@ _KNOWN_OPTIONS = {
     "VectorIndexConfig.distanceFunction surfaced as a query option",
     "skipupsert": "read raw rows of a registered upsert table instead "
     "of the latest-per-key view (QueryOptionsUtils skipUpsert)",
+    # DISTINCT work budgets (DistinctQueriesTest): the reference stops
+    # scanning at the budget and returns a PARTIAL result; this engine
+    # always computes the exact distinct set — ignoring a work-limiting
+    # hint can only improve the answer, never change correct results
+    "maxrowsindistinct": "accepted no-op: exact DISTINCT always "
+    "returned (the reference's partial-result scan budget)",
+    "maxrowswithoutchangeindistinct": "accepted no-op: exact DISTINCT "
+    "always returned (the no-change scan budget twin)",
 }
 
 

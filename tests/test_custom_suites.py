@@ -4036,3 +4036,20 @@ def test_mapfield_qualified_access_defaults(mapfield):
         "FROM MapFieldTypeTest t WHERE t.rid = 0"
     ))
     assert rows == [("null", _INT_MIN)]
+
+
+def test_distinct_budget_options_accepted_exact(groupbysuite):
+    """DistinctQueriesTest residue: maxRowsInDistinct /
+    maxRowsWithoutChangeInDistinct are scan budgets that make the
+    reference return PARTIAL results; this engine accepts them and
+    returns the exact distinct set — ignoring a work-limiting hint can
+    only improve the answer."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = _unq(groupbysuite, (
+            "SET maxRowsInDistinct=1; SET maxRowsWithoutChangeInDistinct=1; "
+            "SELECT DISTINCT j FROM GroupByOptionsTest ORDER BY j LIMIT 10000"
+        ))
+    assert [r[0] for r in rows] == list(range(10))  # exact, never partial
