@@ -2284,20 +2284,37 @@ def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
     Pinot's materialized defaultNullValue instead of SQL NULL
     (MapFieldTypeTest.java testQueries; Spark's native subscript
     returns NULL).  Array subscripts and non-map columns pass through
-    untouched — the wrap keys on the column's resolved Spark type."""
-    value_types: dict[str, str] = {}
-    for t in set(
-        re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
+    untouched — the wrap keys on the column's resolved Spark type, and
+    a QUALIFIED subscript resolves against that specific table's schema
+    (r14 ADVICE: a same-named array column of another joined table must
+    not inherit the map column's wrap)."""
+    kw = {
+        "where", "on", "group", "order", "having", "limit", "join",
+        "inner", "left", "right", "full", "cross", "using", "as",
+        "union", "except", "intersect", "natural", "semi", "anti",
+    }
+    value_types: dict[str, str] = {}  # name-only fallback (single-table)
+    by_qual: dict[str, dict[str, str]] = {}  # table/alias -> wrappable cols
+    for fm in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+        sql,
+        re.IGNORECASE,
     ):
+        t, alias = fm.group(1), fm.group(2)
         try:
             schema = spark.table(t).schema
         except Exception:
             continue
+        per: dict[str, str] = {}
         for f in schema.fields:
             if isinstance(f.dataType, T.MapType):
                 d = _MAP_DIM_DEFAULT_SQL.get(type(f.dataType.valueType))
                 if d is not None:
+                    per[f.name.lower()] = d
                     value_types[f.name.lower()] = d
+        by_qual[t.lower()] = per
+        if alias and alias.lower() not in kw:
+            by_qual[alias.lower()] = per
     if not value_types:
         return sql
     spans = _literal_spans(sql)
@@ -2307,8 +2324,14 @@ def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
             return m.group(0)
         # group(1) is an optional table/alias qualifier — it must stay
         # INSIDE the wrap ('t.m[k]' -> COALESCE(t.m[k], d), never
-        # 't.COALESCE(...)')
-        default = value_types.get(m.group(2).lower())
+        # 't.COALESCE(...)'), and when present it scopes resolution to
+        # THAT table's schema
+        qual = m.group(1).replace(" ", "").rstrip(".").lower()
+        name = m.group(2).lower()
+        if qual and qual in by_qual:
+            default = by_qual[qual].get(name)
+        else:
+            default = value_types.get(name)
         if default is None:
             return m.group(0)
         return f"COALESCE({m.group(0)}, {default})"
@@ -4953,9 +4976,15 @@ def rewrite_st_union_two_phase(sql: str) -> str:
     stmt = _parse_canonical_stmt(sql, allow_join=True)
     if stmt is None:
         return sql
-    if stmt["having"] and _search_outside_literals(
-        _ST_UNION_CALL_RE, stmt["having"]
+    if stmt["having"] and (
+        _search_outside_literals(_ST_UNION_CALL_RE, stmt["having"])
+        or _search_outside_literals(_BASIC_AGG_CALL_RE, stmt["having"])
     ):
+        # a native aggregate in HAVING (e.g. HAVING COUNT(*) > 5) must
+        # evaluate over BASE rows; re-emitting it on the outer
+        # partial-merge query would count <=FANOUT hash-bucket partials
+        # instead — fall back to the expression-level collect_list path
+        # (mirrors the mixed-split HAVING rejection above).
         return sql
     group = stmt["group"]
     keys = [g.strip() for g in _split_args(group)] if group else []

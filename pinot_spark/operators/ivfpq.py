@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import json
 import math
-import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -217,8 +216,13 @@ def build_ivfpq_index(
     model = train_ivfpq(sample, nlist, pq_m, pq_nbits, seed, distance)
     encoded = ivfpq_encode(df, vec_col, model)
     encoded.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    with open(os.path.join(path, "ivfpq_model.json"), "w") as f:
-        f.write(model.to_json())
+    # underscore prefix → Spark's file listing skips the sidecar; write
+    # through the Hadoop FS API so HDFS/S3A index paths work too
+    from pinot_spark.sources.fsutil import sidecar_path, write_text
+
+    write_text(
+        df.sparkSession, sidecar_path(path, "_ivfpq_model.json"), model.to_json()
+    )
     return model
 
 
@@ -377,7 +381,11 @@ def topk_ivfpq_indexed(
     """Query a build_ivfpq_index output: the bucket filter inside
     ivfpq_score lands on the PARTITION column, so non-probed inverted
     lists never reach the scan."""
-    with open(os.path.join(index_path, "ivfpq_model.json")) as f:
-        model = IvfPqModel.from_json(f.read())
+    from pinot_spark.sources.fsutil import exists, read_text, sidecar_path
+
+    side = sidecar_path(index_path, "_ivfpq_model.json")
+    if not exists(spark, side):  # pre-r15 indexes used the bare name
+        side = sidecar_path(index_path, "ivfpq_model.json")
+    model = IvfPqModel.from_json(read_text(spark, side))
     df = spark.read.parquet(index_path)
     return topk_ivfpq(df, model, query_vec, id_col, k=k, nprobe=nprobe, **kw)

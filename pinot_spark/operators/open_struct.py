@@ -131,11 +131,17 @@ class OpenStructLayout:
     sparse: list[str] = field(default_factory=list)
     sparse_types: dict[str, str] = field(default_factory=dict)
 
-    def key_column(self, df_or_none, key: str) -> Column:
+    def key_column(
+        self, df_or_none, key: str, expected_type: str | None = None
+    ) -> Column:
         """Resolve ``<column>['key']``: dense -> materialized column;
         sparse -> JSON extraction from the shared blob; unknown key ->
         typed NULL literal (the manifest short-circuit — a predicate on
-        it constant-folds to zero rows, no scan of the struct data)."""
+        it constant-folds to zero rows, no scan of the struct data).
+        ``expected_type`` types the unknown-key NULL so numeric
+        aggregates over it resolve like the dense/sparse paths would
+        have (r14 ADVICE: a bare string NULL makes SUM type-resolve
+        differently)."""
         if key in self.dense:
             return F.col(materialized_column_name(self.column, key))
         if key in self.sparse:
@@ -143,7 +149,7 @@ class OpenStructLayout:
             return F.get_json_object(
                 F.col(sparse_column_name(self.column)), f"$.{key}"
             ).cast(typ)
-        return F.lit(None).cast("string")
+        return F.lit(None).cast(expected_type or "string")
 
 
 def materialize_open_struct(

@@ -592,7 +592,17 @@ def stream_dedup_exact(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # a False return means the availableNow stream has NOT drained
+        # within the timeout — fail loudly instead of aggregating a
+        # partially-written sink into a silently-wrong answer
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_exact: availableNow stream did not finish "
+                "within 120s; sink is partial"
+            )
+        if q.exception() is not None:
+            raise q.exception()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     landed = spark.read.parquet(sink)

@@ -1839,8 +1839,9 @@ def dedup_incremental_lsh(spark, sf_dir):
     dedup_minhash_lsh_pairs row): the historical corpus (documents
     doc_id < 300) is banded once into a parquet index, then a new batch
     — 50 fresh docs plus 20 exact copies of indexed docs under new ids
-    — dedups against it with ONE broadcast equi-join on (band, bucket);
-    the corpus text is never rescanned.  Exact copies collide on every
+    — dedups against it with ONE equi-join on (band, bucket) whose
+    strategy AQE picks (broadcast for a small increment, shuffled hash
+    past the broadcast ceiling); the corpus text is never rescanned.  Exact copies collide on every
     band, so each must be flagged with its true source among the
     matches; fresh docs may only be flagged as near-dup CANDIDATES,
     and whatever survives must not be an exact duplicate of any corpus

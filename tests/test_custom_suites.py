@@ -3037,6 +3037,27 @@ def test_openstruct_manifest_short_circuit(openstruct):
     assert "LocalTableScan" in plan, plan
 
 
+def test_openstruct_unknown_key_typed_null(openstruct):
+    """r14 ADVICE: the unknown-key manifest short-circuit accepts an
+    expected type so numeric aggregates type-resolve exactly like the
+    dense/sparse paths would — SUM over an unknown long key is a
+    BIGINT NULL, not a string-typed double."""
+    import pyspark.sql.functions as F
+
+    out, layout = openstruct
+    agg = out.agg(
+        F.sum(layout.key_column(None, "never_ingested", "long")).alias("s")
+    )
+    assert dict(agg.dtypes)["s"] == "bigint"
+    assert agg.first().s is None
+    # default (no expected type) keeps the historical string NULL
+    assert dict(
+        out.select(
+            layout.key_column(None, "never_ingested").alias("x")
+        ).dtypes
+    )["x"] == "string"
+
+
 def test_openstruct_dense_key_queries(openstruct):
     """Dense-path residue: typed aggregates over materialized child
     columns match the fixture's closed forms."""
@@ -3367,6 +3388,25 @@ def test_mapfield_group_by(mapfield):
     assert rows[0] == ("null", _INT_MIN)
     for i in range(1, _MFT_N):
         assert rows[i] == (f"v{i}", i)
+
+
+def test_mapfield_qualified_resolution(mapfield, spark):
+    """r14 ADVICE: a QUALIFIED subscript resolves against that table's
+    own schema — an array column named like another table's map column
+    must not inherit the map wrap — wrapping an INT array element with
+    the string-map 'null' default would coerce it to STRING — while the
+    map side keeps its materialized default."""
+    spark.createDataFrame(
+        [(i, [i * 10, i * 10 + 1]) for i in range(3)],
+        "rid int, stringMap array<int>",
+    ).createOrReplaceTempView("MapFieldArrSide")
+    rows = _unq(mapfield, (
+        "SELECT m.stringMap['k0'] AS a, arr.stringMap[1] AS b "
+        "FROM MapFieldTypeTest m JOIN MapFieldArrSide arr ON m.rid = arr.rid "
+        "WHERE m.rid <= 1 ORDER BY m.rid LIMIT 10"
+    ))
+    assert rows[0] == ("null", 1)  # map default applies; array stays INT
+    assert rows[1] == ("v1", 11)
 
 
 def test_mapfield_filters(mapfield):

@@ -377,7 +377,84 @@ def test_incremental_lsh_index(spark, tmp_path):
     # may band-collide too — candidates, not verdicts)
     assert 2000 in {r.corpus_id for r in flagged2.collect()}
 
-    # plan shape: the probe is a broadcast equi-join, never cartesian
-    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    # plan shape: the probe is a single hash EQUI-join (AQE picks
+    # broadcast for a tiny increment, shuffle for a big one) — never
+    # cartesian, and never a FORCED broadcast hint (r14 verdict weak:
+    # an unconditional hint caps the increment at the broadcast ceiling).
+    # flagged2 (commit=False) still carries the join; the committed
+    # flagged is a checkpoint-pinned RDD scan by design.
+    plan = flagged2._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert any(
+        op in plan
+        for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan
+
+
+def test_incremental_lsh_probe_degrades_past_broadcast(spark, tmp_path):
+    """A larger-than-broadcast-threshold increment must still work: with
+    broadcast disabled entirely (simulating a probe above the ceiling)
+    the probe join degrades to a shuffled equi-join and the results are
+    unchanged — proving no broadcast hint is forced on the probe side."""
+    from pinot_spark.operators.dedup import (
+        build_lsh_index,
+        dedup_against_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus item {i} with sufficient shingle material {i * 17}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_big")
+    build_lsh_index(corpus, "text", "doc_id", path, num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(900, "corpus item 3 with sufficient shingle material 51"),
+         (901, "wholly novel writing that matches nothing indexed xyz")],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        clean, flagged = dedup_against_lsh_index(
+            spark, batch, "text", "doc_id", path, commit=False
+        )
+        assert {r.doc_id for r in clean.collect()} == {901}
+        assert (900, 3) in {(r.new_id, r.corpus_id) for r in flagged.collect()}
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_incremental_lsh_results_pinned_pre_commit(spark, tmp_path):
+    """ADVICE r14: with commit=True the returned clean/flagged frames
+    must reflect the PRE-commit index — evaluating them only AFTER the
+    append must not make the committed docs self-collide."""
+    from pinot_spark.operators.dedup import (
+        build_lsh_index,
+        dedup_against_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"seed document {i} holding plenty of shingles {i * 23}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_pin")
+    build_lsh_index(corpus, "text", "doc_id", path, num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(500, "fresh uncopied narrative about something else entirely aa"),
+         (501, "another fresh uncopied narrative on a third subject bb")],
+        "doc_id long, text string",
+    )
+    clean, flagged = dedup_against_lsh_index(
+        spark, batch, "text", "doc_id", path, commit=True
+    )
+    # deliberately evaluate ONLY after the commit has appended the bands
+    assert {r.doc_id for r in clean.collect()} == {500, 501}
+    assert flagged.count() == 0

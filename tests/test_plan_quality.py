@@ -755,6 +755,15 @@ def test_st_union_sql_two_phase_bounded(spark, sf_dir):
         "FROM st_union_gate_t GROUP BY k HAVING COUNT(*) > 0"
     )
     assert "__geo_union_fold(collect_list" in fb
+    # a native aggregate in HAVING alone (pure STUNION select) must ALSO
+    # fall back — the two-phase shape would evaluate COUNT(*) over
+    # <=fanout hash-bucket partials instead of base rows (r14 ADVICE)
+    fb2, _ = eng.translate(
+        "SELECT k, STUnion(ST_GeomFromText(wkt)) AS u "
+        "FROM st_union_gate_t GROUP BY k HAVING COUNT(*) > 5"
+    )
+    assert "__geo_union_fold(collect_list" in fb2, fb2
+    assert "__geo_union_agg" not in fb2, fb2
 
 
 def test_st_union_two_phase_matches_fallback(spark, sf_dir):
@@ -801,6 +810,17 @@ def test_st_union_two_phase_matches_fallback(spark, sf_dir):
         ).collect()
     }
     assert two == mixed == fb and len(two) == 2
+    # pure STUNION + native-agg HAVING (r14 ADVICE high): COUNT(*) must
+    # count BASE rows (group 0 has 8 rows, group 1 has 7), never the
+    # <=fanout partials the two-phase shape would expose
+    hv = {
+        r.k: r.u
+        for r in eng.sql(
+            "SELECT k, ST_AsText(STUnion(ST_GeomFromText(wkt))) AS u "
+            "FROM st_union_eq_t GROUP BY k HAVING COUNT(*) > 7"
+        ).collect()
+    }
+    assert set(hv) == {0} and hv[0] == two[0]
 
 
 def test_aggregate_metrics_partial_final(spark, sf_dir):
