@@ -1746,3 +1746,110 @@ def dialect_st_union_area(spark, sf_dir):
         [(round(float(area), 4), int(n_cells), float(area) == float(n_cells))],
         "union_area double, n_cells bigint, area_matches boolean",
     )
+
+
+@query(
+    "dialect_uuid_skipupsert",
+    oracle="""
+    WITH landing AS (
+        SELECT o_orderkey AS pk, 0 AS seq, o_totalprice AS val
+        FROM orders WHERE o_orderkey <= 400
+        UNION ALL
+        SELECT o_orderkey, 1, o_totalprice + 10
+        FROM orders WHERE o_orderkey <= 200
+    ),
+    latest AS (
+        SELECT pk, val FROM (
+            SELECT pk, val,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+            FROM landing) t
+        WHERE rn = 1
+    ),
+    uuids AS (SELECT pk, md5(CAST(pk AS VARCHAR)) AS u FROM latest),
+    probe AS (
+        SELECT md5(CAST((SELECT MIN(pk) FROM latest) AS VARCHAR)) AS pu
+    )
+    SELECT (SELECT COUNT(*) FROM landing) AS n_raw,
+           (SELECT COUNT(*) FROM latest) AS n_latest,
+           (SELECT round(sum(CAST(val AS DECIMAL(38,6))), 2)::DOUBLE
+            FROM latest) AS sum_latest,
+           (SELECT COUNT(*) FROM uuids, probe WHERE u = pu) AS n_uuid_eq,
+           (SELECT COUNT(*) FROM uuids, probe WHERE u <> pu) AS n_uuid_ne
+    """,
+)
+def dialect_uuid_skipupsert(spark, sf_dir):
+    """Round-14 dialect surface umbrella (r14 verdict item 3) — two
+    reference residues through the engine with an exact DuckDB mirror:
+
+    * upsert registry + ``skipUpsert`` (OfflineUpsertTableTest.java):
+      a two-version landing built from orders (keys <= 400 carry one
+      version, keys <= 200 a second with a higher comparison seq) is
+      registered as an upsert table; plain FROM resolves to the
+      latest-per-key view, ``SET skipUpsert=true`` reads raw rows, and
+      the summed latest values prove the right versions won.
+    * UUID value type (UuidBloomFilterTest.java): a canonical dash-less
+      md5-hex carrier column compared against the DASHED UPPERCASE
+      spelling through ``CAST(x AS UUID)`` — dialect.rewrite_uuid_casts
+      canonicalizes the literal so exactly one row matches equality and
+      the rest match inequality."""
+    import hashlib
+
+    eng = _engine(spark, sf_dir)
+    orders = spark.table("orders")
+    landing = (
+        orders.filter(F.col("o_orderkey") <= 400)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            F.lit(0).alias("seq"),
+            F.col("o_totalprice").alias("val"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") <= 200).select(
+                F.col("o_orderkey").alias("pk"),
+                F.lit(1).alias("seq"),
+                (F.col("o_totalprice") + 10).alias("val"),
+            )
+        )
+    )
+    landing.createOrReplaceTempView("UuidUpsertLanding")
+    eng.register_upsert_table(
+        "UuidUpsertLanding", keys=["pk"], comparison=["seq"]
+    )
+    n_raw = eng.sql(
+        "SET skipUpsert=true; SELECT COUNT(*) AS n FROM UuidUpsertLanding"
+    ).first().n
+    n_latest = eng.sql(
+        "SELECT COUNT(*) AS n FROM UuidUpsertLanding"
+    ).first().n
+    sum_latest = eng.sql(
+        "SELECT CAST(ROUNDDECIMAL(SUMPRECISION(val), 2) AS DOUBLE) AS s "
+        "FROM UuidUpsertLanding"
+    ).first().s
+    min_pk = eng.sql(
+        "SELECT MIN(pk) AS m FROM UuidUpsertLanding"
+    ).first().m
+    # UUID carrier: one canonical dash-less lowercase hex per latest key
+    spark.sql(
+        "SELECT DISTINCT pk, md5(CAST(pk AS STRING)) AS u "
+        "FROM UuidUpsertLanding"
+    ).createOrReplaceTempView("UuidCarrierT")
+    h = hashlib.md5(str(min_pk).encode()).hexdigest()
+    dashed_upper = (
+        f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}".upper()
+    )
+    n_uuid_eq = eng.sql(
+        "SELECT COUNT(*) AS n FROM UuidCarrierT "
+        f"WHERE u = CAST('{dashed_upper}' AS UUID)"
+    ).first().n
+    n_uuid_ne = eng.sql(
+        "SELECT COUNT(*) AS n FROM UuidCarrierT "
+        f"WHERE u <> CAST('{dashed_upper}' AS UUID)"
+    ).first().n
+    return spark.createDataFrame(
+        [(
+            int(n_raw), int(n_latest), float(sum_latest),
+            int(n_uuid_eq), int(n_uuid_ne),
+        )],
+        "n_raw bigint, n_latest bigint, sum_latest double, "
+        "n_uuid_eq bigint, n_uuid_ne bigint",
+    )

@@ -616,3 +616,76 @@ def stream_dedup_exact(spark, sf_dir):
         .withColumn("dedup_effective", F.lit(n_landed == n_distinct))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_text_match_realtime",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               list_contains(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             'vector') AS term_hit,
+               list_contains(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             'spark') AS spark_hit
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_match,
+           TRUE AS ingest_complete
+    FROM toks
+    WHERE term_hit AND NOT spark_hit
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_text_match_realtime(spark, sf_dir):
+    """TEXT_MATCH answered through the REALTIME ingest path
+    (TextIndicesRealtimeTest.java — the reference builds Lucene text
+    indexes on consuming segments and the query results must equal the
+    committed-segment answers): the documents table streams through a
+    Structured Streaming file source, lands via foreachBatch (the
+    consuming->committed segment handoff), and the same tokenized
+    predicate (operators/lucene.compile_predicate — 'vector AND NOT
+    spark') is evaluated over the landed table.  ``ingest_complete``
+    pins that the stream delivered every row, so the counts are the
+    batch answers exactly — the reference's realtime-equals-offline
+    invariant."""
+    from pinot_spark.catalog import ensure_runtime_confs
+    from pinot_spark.operators.lucene import compile_predicate
+
+    ensure_runtime_confs(spark)
+    t = load_tables(spark, sf_dir)
+    schema = t["documents"].schema
+    sink = tempfile.mkdtemp(prefix="pinot_spark_tm_sink_")
+    src_dir = tempfile.mkdtemp(prefix="pinot_spark_tm_src_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "stream_text_match_realtime: stream did not finish in 120s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(sink)
+    complete = landed.count() == t["documents"].count()
+    pred = compile_predicate("text", "vector AND NOT spark")
+    return (
+        landed.filter(pred)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_match"))
+        .withColumn("ingest_complete", F.lit(complete))
+        .orderBy("lang")
+    )

@@ -4093,3 +4093,133 @@ def test_distinct_budget_options_accepted_exact(groupbysuite):
             "SELECT DISTINCT j FROM GroupByOptionsTest ORDER BY j LIMIT 10000"
         ))
     assert [r[0] for r in rows] == list(range(10))  # exact, never partial
+
+
+# ---------------------------------------------------------------------------
+# TextIndicesRealtimeTest.java, MultiColumnRealtimeColMajorTextIndicesTest /
+# MultiColumnRealtimeRowMajorTextIndicesTest, MapFieldTypeRealtimeTest —
+# realtime (consuming-segment) variants of the batch suites above.  The
+# reference asserts the SAME query answers when the rows arrive through
+# the streaming ingest path, regardless of the consuming segment's
+# col-major vs row-major forward-index orientation.  Engine analog: the
+# fixture streams through a Structured Streaming file source
+# (availableNow — the bounded Kafka-topic drain), lands via foreachBatch
+# (the consuming->committed segment handoff), and every query runs
+# against the landed table; orientation is exercised by landing once
+# from a columnar (parquet) stream and once from a row-wise (JSON
+# lines) stream.
+# ---------------------------------------------------------------------------
+
+
+def _land_stream(spark, df, name, fmt="parquet"):
+    """Drain df's rows through a Structured-Streaming file source and
+    land them via foreachBatch; returns the landed DataFrame."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=f"rt_src_{name}_")
+    sink = tempfile.mkdtemp(prefix=f"rt_sink_{name}_")
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(src)
+        reader = spark.readStream.schema(df.schema).parquet(src)
+    else:  # row-major analog: one JSON document per row
+        df.write.mode("overwrite").json(src)
+        reader = spark.readStream.schema(df.schema).json(src)
+    q = (
+        reader.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), f"stream {name} did not drain in 120s"
+    return spark.read.parquet(sink)
+
+
+@pytest.fixture(scope="module")
+def textsuite_rt(textsuite, spark):
+    eng, n = textsuite
+    landed = _land_stream(
+        spark, spark.table("TextIndicesTest"), "text_rt"
+    )
+    landed.createOrReplaceTempView("TextIndicesRealtimeTest")
+    return eng, n
+
+
+def test_text_realtime_count_query(textsuite_rt):
+    """TextIndicesRealtimeTest.testTextSearchCountQuery: the phrase+AND
+    count through the realtime ingest path equals the batch answer."""
+    eng, n = textsuite_rt
+    got = _unq(eng, (
+        "SELECT COUNT(*) FROM TextIndicesRealtimeTest "
+        "WHERE TEXT_MATCH(skills, '\"machine learning\" AND spark')"
+    ))[0][0]
+    assert got == 4 * _SK_K
+
+
+def test_text_realtime_equals_offline(textsuite_rt):
+    """The realtime-equals-offline invariant over the suite's query
+    family: every TEXT_MATCH variant answers identically on the landed
+    (realtime) and in-memory (offline) tables."""
+    eng, n = textsuite_rt
+    queries = [
+        "SELECT COUNT(*) FROM {t} WHERE TEXT_MATCH(skills, '\"machine learning\"')",
+        ("SELECT COUNT(*) FROM {t} WHERE "
+         "TEXT_MATCH(skills, '\"distributed systems\" AND Java')"),
+        "SELECT COUNT(*) FROM {t} WHERE TEXT_MATCH(skills_case_sensitive, 'Java')",
+        "SELECT COUNT(*) FROM {t} WHERE TEXT_MATCH(nullable_skills, 'null')",
+        ("SELECT TEXT_MATCH(skills, '\"machine learning\"') AS m, COUNT(*) "
+         "FROM {t} GROUP BY m ORDER BY m"),
+    ]
+    for q in queries:
+        off = _unq(eng, q.format(t="TextIndicesTest"))
+        rt = _unq(eng, q.format(t="TextIndicesRealtimeTest"))
+        assert off == rt, q
+
+
+def test_multicolumn_realtime_col_vs_row_major(textsuite, spark):
+    """MultiColumnRealtimeColMajor/RowMajorTextIndicesTest: the landed
+    answers are identical whether the consuming stream delivered rows
+    columnar (parquet) or row-wise (JSON lines) — orientation is an
+    ingest layout detail, never a semantics one."""
+    eng, n = textsuite
+    base = spark.table("TextIndicesTest")
+    col_major = _land_stream(spark, base, "mc_col", fmt="parquet")
+    row_major = _land_stream(spark, base, "mc_row", fmt="json")
+    col_major.createOrReplaceTempView("McColMajorRT")
+    row_major.createOrReplaceTempView("McRowMajorRT")
+    for q in (
+        "SELECT COUNT(*) FROM {t} WHERE TEXT_MATCH(skills, 'spark')",
+        ("SELECT COUNT(*) FROM {t} WHERE TEXT_MATCH(skills, 'Java') "
+         "AND TEXT_MATCH(skills_case_sensitive, 'Java')"),
+    ):
+        a = _unq(eng, q.format(t="McColMajorRT"))
+        b = _unq(eng, q.format(t="McRowMajorRT"))
+        assert a == b and a[0][0] > 0, q
+    # the MV text column survives both orientations intact
+    assert (
+        col_major.selectExpr("size(skills_mv)").distinct().collect()
+        == row_major.selectExpr("size(skills_mv)").distinct().collect()
+    )
+
+
+def test_mapfield_realtime(mapfield, spark):
+    """MapFieldTypeRealtimeTest.testQueries: MAP-typed columns through
+    the streaming ingest path keep the materialized default-null
+    semantics — doc 0 still yields ('null', Integer.MIN_VALUE)."""
+    landed = _land_stream(
+        spark, spark.table("MapFieldTypeTest"), "map_rt"
+    )
+    landed.createOrReplaceTempView("MapFieldTypeRealtimeTest")
+    rows = _unq(mapfield, (
+        "SELECT stringMap['k0'] AS s, intMap['k0'] AS v "
+        "FROM MapFieldTypeRealtimeTest ORDER BY intMap['k0'] LIMIT 200"
+    ))
+    assert len(rows) == _MFT_N
+    assert rows[0] == ("null", _INT_MIN)
+    for i in range(1, _MFT_N):
+        assert rows[i] == (f"v{i}", i)
+    agg = _unq(mapfield, (
+        "SELECT MAX(intMap['k0']) AS a, MIN(intMap['k1']) AS b "
+        "FROM MapFieldTypeRealtimeTest"
+    ))[0]
+    assert agg == (_MFT_N - 1, _INT_MIN)
