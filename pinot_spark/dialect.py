@@ -3153,6 +3153,12 @@ _KNOWN_OPTIONS = {
     "returned (the reference's partial-result scan budget)",
     "maxrowswithoutchangeindistinct": "accepted no-op: exact DISTINCT "
     "always returned (the no-change scan budget twin)",
+    # RawForwardIndexWithDictionaryTest: SET skipIndexes='col=inverted'
+    # forces the reference's scan path; here index/encoding routing is
+    # Catalyst + Parquet's and answers are identical either way
+    "skipindexes": "accepted no-op: access-path selection is Catalyst/"
+    "Parquet's; results are encoding-independent "
+    "(RawForwardIndexWithDictionaryTest)",
 }
 
 

@@ -4223,3 +4223,273 @@ def test_mapfield_realtime(mapfield, spark):
         "FROM MapFieldTypeRealtimeTest"
     ))[0]
     assert agg == (_MFT_N - 1, _INT_MIN)
+
+
+# ---------------------------------------------------------------------------
+# RawForwardIndexWithDictionaryTest.java — a RAW-forward-encoded column
+# (with an explicit dictionary, optionally + inverted/range index) must
+# answer every query shape IDENTICALLY to the dictionary-encoded
+# baseline column carrying the same values.  Spark/Parquet analog: the
+# encoding axis is parquet dictionary encoding ON vs OFF (vs OFF+sorted,
+# whose row-group stats play the inverted/range-index pruning role);
+# the invariant is that filters, aggregations, GROUP BY, DISTINCT, IN,
+# MODE, and REGEXP_LIKE are encoding- and access-path-independent.
+# Fixture: 1000 rows, values 'value-(i%20)' / i%20 duplicated across
+# every column shape (the reference's deterministic dataset: each of
+# the 20 values appears 50 times).
+# ---------------------------------------------------------------------------
+
+_RF_ROWS = 1000
+_RF_UNIQ = 20
+
+
+@pytest.fixture(scope="module")
+def rawfwd(spark, tmp_path_factory):
+    rows = [
+        (
+            f"value-{i % _RF_UNIQ}", f"value-{i % _RF_UNIQ}",
+            f"value-{i % _RF_UNIQ}",
+            i % _RF_UNIQ, i % _RF_UNIQ, i % _RF_UNIQ, i % _RF_UNIQ,
+            (i * 2654435761) % 10_000, 1_600_000_000_000 + i,
+        )
+        for i in range(_RF_ROWS)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "dictDim string, rawDictDim string, rawDictInvDim string, "
+        "dictIntDim int, rawDictIntDim int, rawDictInvIntDim int, "
+        "rawDictRangeIntDim int, metric long, ts long",
+    )
+    base = tmp_path_factory.mktemp("rawfwd")
+    dict_p = str(base / "dict")
+    raw_p = str(base / "raw")
+    sorted_p = str(base / "rawsorted")
+    df.coalesce(1).write.mode("overwrite").parquet(dict_p)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(raw_p)
+    )
+    (
+        df.coalesce(1)
+        .sortWithinPartitions("rawDictInvIntDim", "rawDictRangeIntDim")
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(sorted_p)
+    )
+    views = {}
+    for name, p in (
+        ("RawFwdDictEnc", dict_p),
+        ("RawFwdRawEnc", raw_p),
+        ("RawFwdSortedEnc", sorted_p),
+    ):
+        spark.read.parquet(p).createOrReplaceTempView(name)
+        views[name] = p
+    return PinotEngine(spark), views
+
+
+def test_rawfwd_encodings_actually_differ(rawfwd):
+    """testSegmentMetadataHasDictionaryAndRawForwardIndex analog: the
+    parquet footers prove the two layouts really differ — the baseline
+    files dictionary-encode the dimension columns, the raw files use
+    PLAIN pages."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    _, views = rawfwd
+
+    def encodings(path, col):
+        f = glob.glob(path + "/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        return set(md.row_group(0).column(idx).encodings)
+
+    dict_enc = encodings(views["RawFwdDictEnc"], "rawDictDim")
+    raw_enc = encodings(views["RawFwdRawEnc"], "rawDictDim")
+    assert any("DICTIONARY" in e for e in dict_enc), dict_enc
+    assert not any("DICTIONARY" in e for e in raw_enc), raw_enc
+
+
+def test_rawfwd_equality_filter_same_results(rawfwd):
+    """testEqualityFilterReturnsSameResults (+WithSkipInvertedIndex):
+    per-value COUNT equality across every column shape and encoding;
+    skipIndexes is the documented access-path no-op."""
+    eng, views = rawfwd
+    for t in views:
+        for i in (0, 3, 7, 19):
+            v = f"value-{i}"
+            counts = {
+                col: _unq(eng, (
+                    f"SELECT COUNT(*) FROM {t} WHERE {col} = '{v}'"
+                ))[0][0]
+                for col in ("dictDim", "rawDictDim", "rawDictInvDim")
+            }
+            assert set(counts.values()) == {_RF_ROWS // _RF_UNIQ}, (t, counts)
+            iconts = {
+                col: _unq(eng, (
+                    f"SELECT COUNT(*) FROM {t} WHERE {col} = {i}"
+                ))[0][0]
+                for col in ("dictIntDim", "rawDictIntDim")
+            }
+            assert set(iconts.values()) == {_RF_ROWS // _RF_UNIQ}, (t, iconts)
+    got = _unq(eng, (
+        "SET skipIndexes='rawDictInvDim=inverted'; "
+        "SELECT COUNT(*) FROM RawFwdRawEnc WHERE rawDictInvDim = 'value-3'"
+    ))[0][0]
+    assert got == _RF_ROWS // _RF_UNIQ
+
+
+def test_rawfwd_regexp_and_inequality_same_results(rawfwd):
+    """testRegexpLike + testInequalityFilter: REGEXP_LIKE and !=/range
+    predicates answer identically on raw and dict columns."""
+    eng, views = rawfwd
+    for t in views:
+        r = [
+            _unq(eng, (
+                f"SELECT COUNT(*) FROM {t} "
+                f"WHERE REGEXP_LIKE({col}, 'value-1.*')"
+            ))[0][0]
+            for col in ("dictDim", "rawDictDim", "rawDictInvDim")
+        ]
+        # value-1, value-10..19 -> 11 of 20 values
+        assert r == [11 * (_RF_ROWS // _RF_UNIQ)] * 3, (t, r)
+        ne = [
+            _unq(eng, (
+                f"SELECT COUNT(*) FROM {t} WHERE {col} != 'value-3'"
+            ))[0][0]
+            for col in ("dictDim", "rawDictDim")
+        ]
+        assert ne == [_RF_ROWS - _RF_ROWS // _RF_UNIQ] * 2
+        rng = [
+            _unq(eng, (
+                f"SELECT COUNT(*) FROM {t} WHERE {col} > 5 AND {col} < 15"
+            ))[0][0]
+            for col in ("dictIntDim", "rawDictIntDim", "rawDictInvIntDim",
+                        "rawDictRangeIntDim")
+        ]
+        assert rng == [9 * (_RF_ROWS // _RF_UNIQ)] * 4, (t, rng)
+
+
+def test_rawfwd_mixed_predicates_same_results(rawfwd):
+    """testMixedInvertedEqAndRange + testAllPredicateTypesMixedWithRange:
+    per-predicate access-path decisions never change answers — explicit
+    non-zero expected counts defuse vacuous passes (the reference's
+    own guard)."""
+    eng, views = rawfwd
+    per = _RF_ROWS // _RF_UNIQ  # 50
+    cases = [
+        ("{c} = 7 OR ({c} > 12 AND {c} < 18)", 6 * per),
+        ("{c} = 7 AND {c} > 5", per),
+        ("{c} IN (1, 3, 5) OR ({c} >= 15 AND {c} < 19)", 7 * per),
+        ("{c} NOT IN (0, 1) AND {c} < 5", 3 * per),
+        ("{c} != 2 AND {c} >= 18", 2 * per),
+    ]
+    for t in views:
+        for tpl, expected in cases:
+            a = _unq(eng, (
+                f"SELECT COUNT(*) FROM {t} WHERE "
+                + tpl.format(c="dictIntDim")
+            ))[0][0]
+            b = _unq(eng, (
+                f"SELECT COUNT(*) FROM {t} WHERE "
+                + tpl.format(c="rawDictInvIntDim")
+            ))[0][0]
+            assert a == b == expected, (t, tpl, a, b)
+
+
+def test_rawfwd_groupby_distinct_mode_same_results(rawfwd):
+    """testGroupBy / testDistinct / testDistinctCount* / testMode /
+    testDistinctOnTransform / testAggregationWithGroupBy: the whole
+    aggregation surface is encoding-independent."""
+    eng, views = rawfwd
+    for t in views:
+        pairs = [("dictDim", "rawDictDim"), ("dictDim", "rawDictInvDim")]
+        for base, other in pairs:
+            g1 = _unq(eng, (
+                f"SELECT {base} AS k, COUNT(*) AS c, SUM(metric) AS s "
+                f"FROM {t} GROUP BY k ORDER BY k LIMIT 100"
+            ))
+            g2 = _unq(eng, (
+                f"SELECT {other} AS k, COUNT(*) AS c, SUM(metric) AS s "
+                f"FROM {t} GROUP BY k ORDER BY k LIMIT 100"
+            ))
+            assert g1 == g2 and len(g1) == _RF_UNIQ, (t, base, other)
+        d1 = _unq(eng, (
+            f"SELECT DISTINCT rawDictDim FROM {t} "
+            "ORDER BY rawDictDim LIMIT 100"
+        ))
+        assert len(d1) == _RF_UNIQ
+        dc = _unq(eng, (
+            "SELECT DISTINCTCOUNT(rawDictDim) AS dc, "
+            "DISTINCTCOUNTBITMAP(rawDictIntDim) AS dcb, "
+            "DISTINCTCOUNTHLL(dictIntDim) AS dch "
+            f"FROM {t} WHERE rawDictIntDim >= 10"
+        ))[0]
+        assert dc[0] == 10 and dc[1] == 10 and dc[2] > 0
+        # MODE over identical columns agrees (all values tie at 50; the
+        # reference returns the numeric MIN tie-break)
+        m = _unq(eng, (
+            f"SELECT MODE(dictIntDim) AS m1, MODE(rawDictIntDim) AS m2 "
+            f"FROM {t} WHERE dictIntDim >= 3"
+        ))[0]
+        assert m[0] == m[1]
+        tr = _unq(eng, (
+            f"SELECT DISTINCT UPPER(rawDictDim) AS u FROM {t} "
+            "WHERE rawDictIntDim < 2 ORDER BY u LIMIT 100"
+        ))
+        assert [r[0] for r in tr] == ["VALUE-0", "VALUE-1"]
+
+
+# ---------------------------------------------------------------------------
+# BigNumberOfSegmentsTest.java — many tiny segments with many columns:
+# metadata overhead must not break or slow correctness
+# (testCreateManySegments: SUM(i)+SUM(j)+SUM(d), COUNT(*) over
+# FILES_NO x RECORDS_NO rows, noDictionaryColumns on everything).
+# Spark analog: 200 single-row-group parquet files (scaled from the
+# reference's 1000 — same metadata-pressure shape, CI-friendly) read as
+# ONE table; the scan must pack the tiny files into far fewer Spark
+# partitions (files.maxPartitionBytes/openCostInBytes — the 100 TB
+# small-file answer) and the closed-form aggregates must be exact.
+# ---------------------------------------------------------------------------
+
+
+def test_big_number_of_segments(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    files_no, records_no, str_cols = 200, 5, 20
+    base = str(tmp_path_factory.mktemp("bigsegs") / "t")
+    strs = [f"str{i}" for i in range(records_no)]
+    rows = [
+        (f, d, float(d), float(d), 1_600_000_000_000 + (f * records_no + d) * 3600)
+        + tuple(strs[d] for _ in range(str_cols))
+        for f in range(files_no)
+        for d in range(records_no)
+    ]
+    schema = (
+        "i int, j long, f float, d double, ts long, "
+        + ", ".join(f"s{k} string" for k in range(str_cols))
+    )
+    df = spark.createDataFrame(rows, schema)
+    # one tiny file per "segment" (round-robin: hash-by-i would leave
+    # collision-empty buckets): the reference's FILES_NO avro inputs
+    df.repartition(files_no).write.mode("overwrite").parquet(base)
+    import glob
+
+    n_files = len(glob.glob(base + "/*.parquet"))
+    assert n_files >= files_no * 3 // 4, n_files  # really many tiny files
+    t = spark.read.parquet(base)
+    got = t.agg(
+        (F.sum("i") + F.sum("j") + F.sum("d")).alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    exp_sum = (
+        records_no * sum(range(files_no))  # sum(i)
+        + files_no * sum(range(records_no)) * 2  # sum(j) + sum(d)
+    )
+    assert got.n == files_no * records_no
+    assert got.s == exp_sum
+    # small-file packing: the scan must NOT schedule one task per tiny
+    # file — Spark packs by maxPartitionBytes/openCostInBytes
+    assert t.rdd.getNumPartitions() < n_files / 2, t.rdd.getNumPartitions()
