@@ -4493,3 +4493,60 @@ def test_big_number_of_segments(spark, tmp_path_factory):
     # small-file packing: the scan must NOT schedule one task per tiny
     # file — Spark packs by maxPartitionBytes/openCostInBytes
     assert t.rdd.getNumPartitions() < n_files / 2, t.rdd.getNumPartitions()
+
+
+# ---------------------------------------------------------------------------
+# CLPEncodingRealtimeTest.java — CLP-encoded log lines consumed through
+# the realtime ingest path: the logLine column ingests as the CLP
+# triple (logtype, dictionaryVars, encodedVars) plus a constant
+# ingestion-transform timestamp, and testValues counts
+# REGEXP_LIKE(logLine, '.*executor.*') over the consuming table.
+# Engine analog: clp_encode_df at ingest, the triple streamed and
+# landed via foreachBatch, clpDecode + REGEXP_LIKE batch-side — the
+# realtime count must equal both the planted count and the
+# batch-ingest count.
+# ---------------------------------------------------------------------------
+
+
+def test_clp_encoding_realtime(spark):
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.clp import clp_decode, clp_encode_df
+
+    n, n_exec = 200, 53
+    lines = []
+    for i in range(n):
+        if i < n_exec:
+            lines.append(
+                f"INFO Task {i} finished on executor exec-{i % 7} "
+                f"in {i * 3.5} ms"
+            )
+        else:
+            lines.append(
+                f"WARN Fetch failed for block shuffle_{i} after {i} retries"
+            )
+    base = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "rid int, logLine string"
+    )
+    encoded = clp_encode_df(base, "logLine").drop("logLine").withColumn(
+        # TransformConfig("timestampInEpoch", "1704067200000") analog
+        "timestampInEpoch", F.lit(1704067200000).cast("long")
+    )
+    landed = _land_stream(spark, encoded, "clp_rt")
+    assert landed.count() == n
+    assert landed.select(F.count_distinct("timestampInEpoch")).first()[0] == 1
+    decoded = landed.withColumn(
+        "logLine",
+        clp_decode("logLine_logtype", "logLine_dictionaryVars",
+                   "logLine_encodedVars"),
+    )
+    rt_count = decoded.filter(
+        F.regexp_like("logLine", F.lit(".*executor.*"))
+    ).count()
+    batch_count = base.filter(
+        F.regexp_like("logLine", F.lit(".*executor.*"))
+    ).count()
+    assert rt_count == batch_count == n_exec
+    # lossless roundtrip through the realtime path, not just countable
+    back = {r.rid: r.logLine for r in decoded.select("rid", "logLine").collect()}
+    assert back == {i: s for i, s in enumerate(lines)}

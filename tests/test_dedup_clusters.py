@@ -458,3 +458,32 @@ def test_incremental_lsh_results_pinned_pre_commit(spark, tmp_path):
     # deliberately evaluate ONLY after the commit has appended the bands
     assert {r.doc_id for r in clean.collect()} == {500, 501}
     assert flagged.count() == 0
+
+
+def test_lsh_index_file_scheme_roundtrip(spark, tmp_path):
+    """The LSH params sidecar rides the Hadoop FS API: building and
+    probing through an explicit file: scheme URI works end-to-end (the
+    HDFS/S3A persisted-index contract, exercised on the local FS)."""
+    from pinot_spark.operators.dedup import (
+        build_lsh_index,
+        dedup_against_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"scheme test document {i} with shingle material {i * 29}")
+         for i in range(25)],
+        "doc_id long, text string",
+    )
+    path = "file:" + str(tmp_path / "lsh_scheme")
+    build_lsh_index(corpus, "text", "doc_id", path, num_hashes=32, bands=8)
+    assert (tmp_path / "lsh_scheme" / "_lsh_params.json").exists()
+    batch = spark.createDataFrame(
+        [(700, "scheme test document 4 with shingle material 116"),
+         (701, "completely unrelated sentence about gardens and rivers")],
+        "doc_id long, text string",
+    )
+    clean, flagged = dedup_against_lsh_index(
+        spark, batch, "text", "doc_id", path, commit=True
+    )
+    assert {r.doc_id for r in clean.collect()} == {701}
+    assert (700, 4) in {(r.new_id, r.corpus_id) for r in flagged.collect()}

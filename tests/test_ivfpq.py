@@ -151,3 +151,46 @@ def test_indexed_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
     # the query vector's own bucket is always probed -> vec 0 found
     assert got[0].vec_id == 0
+
+
+def test_consolidated_index_file_scheme_roundtrip(spark, sf_dir, tmp_path):
+    """IvfFlatConsolidatedVectorTest analog (storeInSegmentFile=true —
+    the index payload lives WITH the segment data and the read path
+    resolves it from there): the model sidecar is written through the
+    Hadoop FS API under an explicit file: scheme URI, the probe reads
+    it back from the same URI, and the ANN result is distance-ascending
+    and non-negative — the suite's consolidated-reader assertions."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = "file:" + str(tmp_path / "ivf_consolidated")
+    build_ivfpq_index(
+        emb, "embedding", path, nlist=4, pq_m=8, seed=7, distance="l2"
+    )
+    # the sidecar carries the underscore prefix (Spark's listing skips it)
+    assert (tmp_path / "ivf_consolidated" / "_ivfpq_model.json").exists()
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    got = topk_ivfpq_indexed(spark, path, qvec, "vec_id", k=5, nprobe=4).collect()
+    assert len(got) == 5
+    dists = [r.distance for r in got]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    assert got[0].vec_id == 1  # the query's own vector is the nearest
+
+
+def test_legacy_bare_sidecar_still_reads(spark, sf_dir, tmp_path):
+    """Indexes built before the underscore rename carried
+    'ivfpq_model.json'; the reader must fall back to the bare name."""
+    import os
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = str(tmp_path / "ivf_legacy")
+    build_ivfpq_index(
+        emb, "embedding", path, nlist=4, pq_m=8, seed=7, distance="l2"
+    )
+    os.rename(
+        os.path.join(path, "_ivfpq_model.json"),
+        os.path.join(path, "ivfpq_model.json"),
+    )
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 2).select("embedding").first()[0]]
+    got = topk_ivfpq_indexed(spark, path, qvec, "vec_id", k=3, nprobe=4).collect()
+    assert got[0].vec_id == 2
