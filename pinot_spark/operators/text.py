@@ -582,3 +582,87 @@ def dsir_select(
             F.round("__score", 4).alias("score"),
         )
     )
+
+
+def _hash_bucket(tok: Column, n_buckets: int) -> Column:
+    """Engine-reproducible feature hashing: first 8 hex chars of md5,
+    parsed base-16, mod n_buckets.  md5 exists verbatim in Spark and
+    DuckDB, so oracle SQL can mirror the bucketing bit-for-bit (xxhash64
+    would be Spark-only)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _default_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1] from a bucket id —
+    the Weinberger hashing-trick demo model (a real model passes
+    weights_df instead): (b * 2654435761 % 2000001)/1e6 - 1."""
+    return (bucket * F.lit(2654435761) % 2000001) / F.lit(1000000.0) - 1.0
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "quality_score",
+    n_buckets: int = 4096,
+    weights_df: DataFrame | None = None,
+    id_col: str | None = None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear text-classifier scoring with the hashing
+    trick — the DCLM / fineweb-edu quality-filter shape: lowercase
+    alnum tokens hash into ``n_buckets`` features, the mean feature
+    weight (+bias) squashes through the rational sigmoid
+    ``0.5 + x / (2 (1 + |x|))`` into (0, 1).  Empty docs score 0.5.
+
+    Two execution paths, both 100 TB-shaped:
+
+    * ``weights_df=None`` — the deterministic demo model: weights are a
+      closed-form expression of the bucket id, so the WHOLE scorer is
+      one Column expression (zero joins, zero Python, whole-stage
+      codegen) and DuckDB can mirror it exactly for the driver oracle.
+    * ``weights_df=(bucket int, weight double)`` — a real trained
+      model: tokens explode, broadcast-join the (tiny) weight table,
+      and re-aggregate per doc (requires ``id_col``).  One shuffle
+      (the per-doc regroup); the weight side always broadcasts.
+
+    The rational squash replaces exp-based sigmoid deliberately: it is
+    monotone, bounded, and bit-reproducible across engines (libm exp
+    differs in final ulps between JVMs and C++ engines)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    if weights_df is None:
+        x = F.when(
+            F.size(toks) > 0,
+            F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + _default_weight(_hash_bucket(t, n_buckets)),
+            )
+            / F.size(toks)
+            + F.lit(bias),
+        ).otherwise(F.lit(0.0))
+        score = F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))
+        return df.withColumn(out_col, score)
+    if id_col is None:
+        raise ValueError("weights_df scoring needs id_col to regroup")
+    tok_rows = df.select(
+        id_col, F.explode(toks).alias("__tok")
+    ).withColumn("bucket", _hash_bucket(F.col("__tok"), n_buckets))
+    joined = tok_rows.join(F.broadcast(weights_df), "bucket", "left").na.fill(
+        {"weight": 0.0}
+    )
+    sums = joined.groupBy(id_col).agg(
+        F.sum("weight").alias("__wsum"), F.count("*").alias("__ntok")
+    )
+    out = df.join(sums, id_col, "left")
+    x = F.when(
+        F.col("__ntok") > 0, F.col("__wsum") / F.col("__ntok") + F.lit(bias)
+    ).otherwise(F.lit(0.0))
+    score = F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))
+    return out.withColumn(out_col, score).drop("__wsum", "__ntok")

@@ -91,18 +91,21 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # equality, UuidBloomFilterTest.java) and stream_text_match_realtime
 # (TEXT_MATCH through the Structured-Streaming ingest path with an
 # ingest-completeness pin — TextIndicesRealtimeTest.java's
-# realtime-equals-offline invariant).
+# realtime-equals-offline invariant) and text_classifier_quality
+# (fastText-style hashed linear classifier scoring, the DCLM/fineweb
+# quality-filter pipeline stage, operators/text.classifier_score with
+# a bit-exact DuckDB model mirror).
 # Re-proofs = the 21 r10-stale rows (q2-q9, q21/q22, regex_fst,
 # scan/segment/sessionize/set-ops/similarity/skew/stream/text_pii/udtf)
-# + the first 27 of the 50 r11-stale greens in name order
-# (agg_count_metadata_only .. grouping_sets), landing max staleness
+# + the first 26 of the 50 r11-stale greens in name order
+# (agg_count_metadata_only .. funnel_max_step), landing max staleness
 # <= r11.
 #
 # ROUND-16 PLAN (computed from CORRECTNESS_r01..r14 + this window):
-# after r15's driver run the stale set is the remaining 23 r11-latest
+# after r15's driver run the stale set is the remaining 24 r11-latest
 # rows displaced by this round's first-timers —
-#   having_clause, join_full_outer, join_lookup_dimension,
-#   join_non_equi_theta, join_right_outer,
+#   grouping_sets, having_clause, join_full_outer,
+#   join_lookup_dimension, join_non_equi_theta, join_right_outer,
 #   mv_all_match_exclusive_filter, mv_any_match_filter,
 #   mv_array_functions, pipeline_decontamination, rollup_cube,
 #   set_ops_all_variants, stream_rate_upsert_loop, unnest_explode,
@@ -110,8 +113,8 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 #   window_frame_exclude, window_lead_lag, window_percent_cume,
 #   window_range_frame, window_rank_topn_per_group, window_running_sum,
 #   window_sliding_rows_frame
-# — plus the 50 r12-latest greens: rotate those in (23 + 27 of the r12
-# block in name order, agg_bool_and_or .. fn_json_match_rewrite; any
+# — plus the 50 r12-latest greens: rotate those in (24 + 26 of the r12
+# block in name order, agg_bool_and_or .. fn_geo_point_family; any
 # new first-timers displace the r12 tail into r17), landing max
 # staleness <= r12.  tests/test_registry_window.py recomputes
 # staleness from the CORRECTNESS artifacts and asserts the recorded
@@ -157,7 +160,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "fn_string_family", "fn_text_match_like", "fn_trig_family",
     "fn_url_family", "funnel_complete_count", "funnel_match_step",
     "funnel_max_step_pandas", "funnel_step_duration_stats",
-    "gapfill_fill_default", "gapfill_fill_previous", "having_clause",
+    "gapfill_fill_default", "gapfill_fill_previous", "grouping_sets", "having_clause",
     "hybrid_table_time_boundary", "ingest_aggregate_metrics",
     "ingestion_pipeline_conform", "join_full_outer", "join_lookup_dimension",
     "join_non_equi_theta", "join_right_outer", "json_index_match",
@@ -193,6 +196,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 
 _WINDOW_FIRST_TIME = [
     "dialect_uuid_skipupsert", "stream_text_match_realtime",
+    "text_classifier_quality",
 ]
 
 _REPROOF_STALE = [
@@ -215,7 +219,6 @@ _REPROOF_STALE = [
     "distinct_select", "filtered_aggregation", "fn_ds_cpc_write",
     "fn_in_not_in_range", "fn_json_extract", "fn_regex_family",
     "fn_surface_ext", "fn_surface_udf_families", "funnel_max_step",
-    "grouping_sets",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -1881,3 +1881,70 @@ def dedup_incremental_lsh(spark, sf_dir):
         "n_probe bigint, all_copies_flagged boolean, "
         "copies_match_source boolean, clean_has_no_exact_dup boolean",
     )
+
+
+@query(
+    "text_classifier_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(ts) = 0 THEN 0.0
+                    ELSE list_reduce(
+                        list_transform(ts, t ->
+                            (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                             % 4096) * 2654435761 % 2000001 / 1000000.0
+                            - 1.0),
+                        (x, y) -> x + y) / len(ts)
+               END AS x
+        FROM toks
+    ),
+    q AS (
+        SELECT doc_id, lang, 0.5 + x / (2.0 * (1.0 + abs(x))) AS score
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score > 0.52 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           round(sum(CAST(round(score, 6) AS DECIMAL(38,12))), 4)::DOUBLE
+               AS sum_score
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+)
+def text_classifier_quality(spark, sf_dir):
+    """fastText-style hashed linear classifier scoring over documents
+    (operators/text.classifier_score — the DCLM / fineweb-edu quality-
+    filter pipeline stage): md5-bucket feature hashing, mean feature
+    weight, rational sigmoid.  The expression path is one whole-stage-
+    codegen Column (no joins, no Python), so the DuckDB oracle mirrors
+    the ENTIRE model bit-for-bit — per-lang doc counts, the >0.52 keep
+    count (the classifier-filter decision), and the order-independent
+    decimal-domain sum of per-doc scores."""
+    from pinot_spark.operators.text import classifier_score
+
+    t = load_tables(spark, sf_dir)
+    scored = classifier_score(t["documents"], "text", n_buckets=4096)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality_score") > 0.52, 1).otherwise(0)
+            ).cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum(
+                    F.round(F.col("quality_score"), 6).cast(
+                        "decimal(38,12)"
+                    )
+                ),
+                4,
+            ).cast("double").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )

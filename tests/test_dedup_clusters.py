@@ -487,3 +487,64 @@ def test_lsh_index_file_scheme_roundtrip(spark, tmp_path):
     )
     assert {r.doc_id for r in clean.collect()} == {701}
     assert (700, 4) in {(r.new_id, r.corpus_id) for r in flagged.collect()}
+
+
+# ---------------------------------------------------------------------------
+# classifier_score — fastText-style hashed linear classifier (round 15)
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_expression_path(spark):
+    """Demo-model semantics: deterministic score in (0,1), empty docs
+    score exactly 0.5, identical texts score identically, and the plan
+    is one whole-stage Column expression (no joins, no Python)."""
+    from pinot_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, ""), (4, "completely different words here")],
+        "doc_id int, text string",
+    )
+    out = classifier_score(df, "text")
+    got = {r.doc_id: r.quality_score for r in out.collect()}
+    assert got[1] == got[2]
+    assert got[3] == 0.5
+    assert all(0.0 < v < 1.0 for v in got.values())
+    assert got[1] != got[4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Join", "ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert marker not in plan, (marker, plan)
+
+
+def test_classifier_score_weights_table_path(spark):
+    """Trained-model path: a (bucket, weight) table broadcast-joins the
+    exploded tokens; hand-planted weights steer the score in the right
+    direction, unseen buckets weigh 0, and the join is a broadcast."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.text import _hash_bucket, classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad bad bad"), (3, "neutralzz")],
+        "doc_id int, text string",
+    )
+    buckets = {
+        r.w: r.b
+        for r in spark.createDataFrame([("good",), ("bad",)], "w string")
+        .select("w", _hash_bucket(F.col("w"), 4096).alias("b"))
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(int(buckets["good"]), 2.0), (int(buckets["bad"]), -2.0)],
+        "bucket bigint, weight double",
+    )
+    out = classifier_score(
+        df, "text", weights_df=weights, id_col="doc_id"
+    )
+    got = {r.doc_id: r.quality_score for r in out.collect()}
+    assert got[1] > 0.7          # mean weight +2 -> 0.5 + 2/6 ~ 0.833
+    assert got[2] < 0.3          # symmetric negative
+    assert got[3] == 0.5         # unseen bucket -> weight 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
