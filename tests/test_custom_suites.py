@@ -4550,3 +4550,179 @@ def test_clp_encoding_realtime(spark):
     # lossless roundtrip through the realtime path, not just countable
     back = {r.rid: r.logLine for r in decoded.select("rid", "logLine").collect()}
     assert back == {i: s for i, s in enumerate(lines)}
+
+
+# ---------------------------------------------------------------------------
+# MultiTopicRealtimeClusterIntegrationTest.java — ONE realtime table
+# consuming SEVERAL Kafka topics at once: each topic carries
+# RECORDS_PER_TOPIC rows with source='TOPIC_i' and values in a
+# per-topic range; the combined table must hold every topic's rows with
+# no loss and no leak between topics.  Engine analog: one streaming
+# query over the UNION of per-topic file-stream sources (the
+# multi-topic consumer), landed via foreachBatch into a single table.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def multitopic(spark):
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    n_topics, per_topic, val_range = 3, 500, 100
+    base_ts = 1_700_000_000_000
+    readers = []
+    for t in range(n_topics):
+        rows = [
+            (
+                t * per_topic + i,
+                f"TOPIC_{t}",
+                t * val_range + 1 + (i % val_range),
+                base_ts + (t * per_topic + i) * 1000,
+            )
+            for i in range(per_topic)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, source string, value int, ts long"
+        )
+        src = tempfile.mkdtemp(prefix=f"topic_{t}_")
+        df.write.mode("overwrite").parquet(src)
+        readers.append(spark.readStream.schema(df.schema).parquet(src))
+    combined = readers[0]
+    for r in readers[1:]:
+        combined = combined.union(r)
+    sink = tempfile.mkdtemp(prefix="multitopic_sink_")
+    q = (
+        combined.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    landed = spark.read.parquet(sink)
+    landed.createOrReplaceTempView("MultiTopicRealtimeTest")
+    return PinotEngine(spark), n_topics, per_topic, val_range
+
+
+def test_multitopic_counts_and_groups(multitopic):
+    """testTotalDocCount + testGroupBySource + testFilterBySource +
+    testCrossTopicQuery: every topic's rows land exactly once."""
+    eng, n_topics, per_topic, _ = multitopic
+    assert _unq(eng, (
+        "SELECT COUNT(*) AS n FROM MultiTopicRealtimeTest"
+    ))[0][0] == n_topics * per_topic
+    rows = _unq(eng, (
+        "SELECT source, COUNT(*) AS cnt FROM MultiTopicRealtimeTest "
+        "GROUP BY source ORDER BY source LIMIT 100"
+    ))
+    assert rows == [(f"TOPIC_{t}", per_topic) for t in range(n_topics)]
+    for t in range(n_topics):
+        assert _unq(eng, (
+            "SELECT COUNT(*) AS n FROM MultiTopicRealtimeTest "
+            f"WHERE source = 'TOPIC_{t}'"
+        ))[0][0] == per_topic
+    or_clause = " OR ".join(
+        f"source = 'TOPIC_{t}'" for t in range(n_topics)
+    )
+    assert _unq(eng, (
+        f"SELECT COUNT(*) AS n FROM MultiTopicRealtimeTest WHERE {or_clause}"
+    ))[0][0] == n_topics * per_topic
+
+
+def test_multitopic_value_ranges_no_leak(multitopic):
+    """testValueRangesBySource + testAggregationBySource +
+    testNoDataLeakBetweenTopics: per-topic value ranges stay intact and
+    disjoint after the multi-source union."""
+    eng, n_topics, per_topic, val_range = multitopic
+    prev_sum = None
+    for t in range(n_topics):
+        lo, hi = t * val_range + 1, (t + 1) * val_range
+        mn, mx = _unq(eng, (
+            "SELECT MIN(value) AS mn, MAX(value) AS mx "
+            f"FROM MultiTopicRealtimeTest WHERE source = 'TOPIC_{t}'"
+        ))[0]
+        assert (mn, mx) == (lo, hi)
+        leak = _unq(eng, (
+            "SELECT COUNT(*) AS n FROM MultiTopicRealtimeTest "
+            f"WHERE source = 'TOPIC_{t}' AND (value > {hi} OR value < {lo})"
+        ))[0][0]
+        assert leak == 0
+        s = _unq(eng, (
+            "SELECT SUM(value) AS s FROM MultiTopicRealtimeTest "
+            f"WHERE source = 'TOPIC_{t}'"
+        ))[0][0]
+        assert s > 0 and (prev_sum is None or s > prev_sum)
+        prev_sum = s
+
+
+# ---------------------------------------------------------------------------
+# RefreshSegmentMinionTest.java — the refresh minion rewrites segments
+# in place when the table schema/index config drifts, and queries see
+# the rewritten data/types afterwards.  Engine analog: the segment dir
+# is rewritten (the minion's job) and the cached catalog entry is
+# refreshed (REFRESH TABLE / refreshByPath — the server segment
+# reload); datatype widening (INT->LONG, INT->STRING) happens by
+# rewriting segments in the new schema, after which readers see the
+# widened types with values preserved.
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_segment_visibility(spark, tmp_path):
+    """testFirstSegmentRefresh / testMetadataPushRefresh residue: after
+    the segment dir is rewritten, a REFRESH makes the CACHED table
+    serve the new rows."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "refresh_seg")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("RefreshSegmentTest")
+    spark.catalog.cacheTable("RefreshSegmentTest")
+    assert spark.table("RefreshSegmentTest").count() == 100
+    # the minion refresh: segments rewritten with more rows
+    spark.range(250).withColumn("v", F.col("id") * 2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.catalog.refreshByPath(path)
+    assert spark.table("RefreshSegmentTest").count() == 250
+    spark.catalog.uncacheTable("RefreshSegmentTest")
+
+
+def test_refresh_datatype_widening(spark, tmp_path):
+    """testValidDatatypeChange: intCol INT->LONG and flightNum
+    INT->STRING — the refresh rewrites every segment in the updated
+    schema; afterwards the reader schema carries the widened types and
+    every value survives the rewrite."""
+    path = str(tmp_path / "refresh_types")
+    spark.createDataFrame(
+        [(i, 3000 + i) for i in range(50)], "intCol int, flightNum int"
+    ).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path)
+    assert dict(before.dtypes) == {"intCol": "int", "flightNum": "int"}
+    # the refresh task: rewrite segments under the updated schema
+    (
+        before.selectExpr(
+            "CAST(intCol AS LONG) AS intCol",
+            "CAST(flightNum AS STRING) AS flightNum",
+        )
+        .write.mode("overwrite")
+        .parquet(path + "_v2")
+    )
+    after = spark.read.parquet(path + "_v2")
+    assert dict(after.dtypes) == {"intCol": "bigint", "flightNum": "string"}
+    got = sorted((r.intCol, r.flightNum) for r in after.collect())
+    assert got == [(i, str(3000 + i)) for i in range(50)]
+    # INT->LONG is also a pure READER-side widening (no rewrite needed:
+    # parquet int32 upcasts at scan) — the reference's cheaper path
+    import pyspark.sql.types as T
+
+    widened = spark.read.schema(
+        T.StructType([
+            T.StructField("intCol", T.LongType()),
+            T.StructField("flightNum", T.IntegerType()),
+        ])
+    ).parquet(path)
+    assert dict(widened.dtypes)["intCol"] == "bigint"
+    assert widened.agg({"intCol": "sum"}).first()[0] == sum(range(50))
