@@ -8,9 +8,12 @@ half of the format:
   groups (entropy image), LZ77 with both the 120-entry 2D distance map
   and plain scan-line distances, and all four transforms (predictor's
   14 modes, color transform, subtract-green, color indexing including
-  sub-byte pixel packing). Lossy VP8 ('VP8 ' chunk) still raises
-  NotImplementedError by name — it is a different codec entirely
-  (entropy-coded DCT), reference: Pinot has no image codecs at all;
+  sub-byte pixel packing). Lossy VP8 ('VP8 ' chunk) RGB still raises
+  NotImplementedError by name (entropy-coded DCT; the RFC 6386 default
+  probability tables are not reproducible in this container), but its
+  literal-coded keyframe header parses fully (webp_lossy_info) and the
+  ALPH alpha plane — a headerless VP8L stream — decodes EXACTLY
+  (decode_webp_alpha). Reference: Pinot has no image codecs at all;
   this backs the LLM-pipeline multimodal operators like the other
   pure-stdlib codecs.
 - **encode_webp**: valid VP8L streams using literal coding plus a color
@@ -425,7 +428,9 @@ def _apply_color_transform(px: np.ndarray, cti: np.ndarray, bits: int) -> np.nda
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes → (H, W, 3) uint8 RGB. Lossless (VP8L) only; the
-    lossy 'VP8 ' codec raises NotImplementedError by name."""
+    lossy 'VP8 ' codec raises NotImplementedError by name (header
+    metadata and the exact alpha plane ARE available —
+    webp_lossy_info / decode_webp_alpha)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -453,6 +458,19 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    px = _decode_vp8l_body(br, w, h)
+    rgb = np.dstack(
+        [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF]
+    ).astype(np.uint8)
+    return rgb
+
+
+def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Transform loop + entropy image + inverse transforms — the VP8L
+    image stream AFTER the signature/dimension header.  Shared by the
+    main lossless image and the ALPH chunk's headerless alpha stream
+    (RFC 9649: the alpha image is a level-0 lossless stream of implicit
+    width x height).  Returns the (h, w) uint32 ARGB plane."""
     transforms = []
     palette = None
     packed_w = w
@@ -521,10 +539,7 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             px = _apply_color_transform(px, timg, bits)
         else:
             px = _apply_predictor(px, timg, bits)
-    rgb = np.dstack(
-        [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF]
-    ).astype(np.uint8)
-    return rgb
+    return px
 
 
 # ---------------------------------------------------------------------------
@@ -884,3 +899,216 @@ def _write_main_image(bw: _BitWriter, argb: "np.ndarray", cache_bits: int) -> No
         take = min(16, remaining)
         bw.write(rd.read(take), take)
         remaining -= take
+
+
+# ---------------------------------------------------------------------------
+# Lossy 'VP8 ' surface (RFC 6386): full DCT reconstruction stays a loud
+# NotImplementedError (the default probability tables — ~3000 exact byte
+# values — are not reproducible in this container), but everything the
+# spec literal-codes IS decoded: the uncompressed frame tag + dimensions
+# and the boolean-coded first-partition header through the quantizer
+# block (segmentation, loop filter, partition layout, quant indices).
+# The ALPH chunk is a different codec entirely — a headerless VP8L
+# lossless stream — and decodes EXACTLY through _decode_vp8l_body.
+# ---------------------------------------------------------------------------
+
+
+class _BoolDecoder:
+    """RFC 6386 §7 boolean arithmetic decoder (decode side only)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 2
+        self.value = (data[0] << 8 | data[1]) if len(data) >= 2 else 0
+        self.range = 255
+        self.bit_count = 0
+
+    def bool_(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big_split = split << 8
+        if self.value >= big_split:
+            ret = 1
+            self.range -= split
+            self.value -= big_split
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value = (self.value << 1) & 0xFFFF
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                if self.pos < len(self.data):
+                    self.value |= self.data[self.pos]
+                    self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bool_(128)
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.bool_(128) else v
+
+    def flagged_signed(self, n: int) -> int:
+        return self.signed(n) if self.bool_(128) else 0
+
+
+def webp_lossy_info(data: bytes) -> dict:
+    """Parse a lossy WebP's 'VP8 ' keyframe header (RFC 6386 §9):
+    dimensions + scaling, the reconstruction filter config, the token
+    partition layout, and the six quantizer indices — the metadata a
+    multimodal pipeline routes/filters on without pixel decoding.
+    Raises by name on interframes (a WebP 'VP8 ' chunk is always a
+    keyframe, so this only triggers on corrupt data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    payload = None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"VP8 ":
+            payload = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP has no 'VP8 ' (lossy) chunk")
+    tag0 = payload[0] | payload[1] << 8 | payload[2] << 16
+    keyframe = not (tag0 & 1)
+    if not keyframe:
+        raise NotImplementedError("VP8 interframe header (corrupt WebP?)")
+    if payload[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    first_part_len = tag0 >> 5
+    wraw = payload[6] | payload[7] << 8
+    hraw = payload[8] | payload[9] << 8
+    info = {
+        "keyframe": True,
+        "version": (tag0 >> 1) & 7,
+        "show_frame": bool((tag0 >> 4) & 1),
+        "width": wraw & 0x3FFF,
+        "height": hraw & 0x3FFF,
+        "horizontal_scale": wraw >> 14,
+        "vertical_scale": hraw >> 14,
+    }
+    bd = _BoolDecoder(payload[10 : 10 + first_part_len])
+    info["color_space"] = bd.literal(1)
+    info["clamping_type"] = bd.literal(1)
+    seg = bd.literal(1)
+    info["segmentation_enabled"] = bool(seg)
+    if seg:  # §9.3 — field order matters, values themselves unused here
+        update_map = bd.literal(1)
+        update_data = bd.literal(1)
+        if update_data:
+            bd.literal(1)  # abs vs delta
+            info["segment_quant_deltas"] = [bd.flagged_signed(7) for _ in range(4)]
+            info["segment_filter_deltas"] = [bd.flagged_signed(6) for _ in range(4)]
+        if update_map:
+            for _ in range(3):
+                if bd.bool_(128):
+                    bd.literal(8)
+    info["filter_type"] = "simple" if bd.literal(1) else "normal"
+    info["filter_level"] = bd.literal(6)
+    info["sharpness_level"] = bd.literal(3)
+    if bd.literal(1):  # loop-filter adjustments enabled
+        if bd.literal(1):  # deltas updated this frame
+            info["ref_lf_deltas"] = [bd.flagged_signed(6) for _ in range(4)]
+            info["mode_lf_deltas"] = [bd.flagged_signed(6) for _ in range(4)]
+    n_parts = 1 << bd.literal(2)
+    info["token_partitions"] = n_parts
+    info["y_ac_qi"] = bd.literal(7)
+    info["y_dc_delta"] = bd.flagged_signed(4)
+    info["y2_dc_delta"] = bd.flagged_signed(4)
+    info["y2_ac_delta"] = bd.flagged_signed(4)
+    info["uv_dc_delta"] = bd.flagged_signed(4)
+    info["uv_ac_delta"] = bd.flagged_signed(4)
+    info["refresh_entropy_probs"] = bool(bd.literal(1))
+    # token-partition byte sizes trail the first partition (§9.5)
+    sizes = []
+    p = 10 + first_part_len
+    for i in range(n_parts - 1):
+        sizes.append(
+            payload[p] | payload[p + 1] << 8 | payload[p + 2] << 16
+        )
+        p += 3
+    if n_parts >= 1:
+        sizes.append(len(payload) - p - sum(sizes))
+    info["partition_sizes"] = sizes
+    info["first_partition_size"] = first_part_len
+    return info
+
+
+def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
+    """Invert the WebP alpha pre-filter (RFC 9649 Alpha chunk F field):
+    1=horizontal, 2=vertical, 3=gradient; deltas add to the predictor
+    mod 256, row by row."""
+    if method == 0:
+        return a
+    h, w = a.shape
+    out = a.astype(np.int32).copy()
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif method == 1:  # horizontal: left (first column: above)
+                pred = out[y, x - 1] if x > 0 else out[y - 1, x]
+            elif method == 2:  # vertical: above (first row: left)
+                pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+            else:  # gradient
+                if y == 0:
+                    pred = out[y, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, x]
+                else:
+                    g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
+                    pred = min(255, max(0, g))
+            out[y, x] = (int(a[y, x]) + int(pred)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_webp_alpha(data: bytes) -> np.ndarray | None:
+    """Exact alpha plane of an extended (VP8X + ALPH) lossy WebP, or
+    None when the file carries no ALPH chunk.  Compression method 1 is
+    a HEADERLESS VP8L stream of implicit canvas dimensions — decoded by
+    the same engine as lossless images, so the result is bit-exact;
+    method 0 is raw bytes.  The pre-filter (horizontal/vertical/
+    gradient) inverts after decoding."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    alph = None
+    w = h = None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            w = int.from_bytes(payload[4:7], "little") + 1
+            h = int.from_bytes(payload[7:10], "little") + 1
+        elif tag == b"ALPH":
+            alph = payload
+        elif tag == b"VP8 " and w is None:
+            w = (payload[6] | payload[7] << 8) & 0x3FFF
+            h = (payload[8] | payload[9] << 8) & 0x3FFF
+        pos += 8 + size + (size & 1)
+    if alph is None:
+        return None
+    if w is None:
+        raise ValueError("ALPH without canvas dimensions")
+    hdr = alph[0]
+    compression = hdr & 0x03
+    filtering = (hdr >> 2) & 0x03
+    if compression == 0:
+        a = np.frombuffer(alph[1 : 1 + w * h], dtype=np.uint8).reshape(h, w)
+    elif compression == 1:
+        br = _BitReader(alph[1:])
+        argb = _decode_vp8l_body(br, w, h)
+        a = ((argb >> 8) & 0xFF).astype(np.uint8)  # alpha rides green
+    else:
+        raise ValueError(f"unknown ALPH compression method {compression}")
+    return _alpha_unfilter(a, filtering)

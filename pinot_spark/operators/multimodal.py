@@ -194,3 +194,58 @@ def audio_window_plan(
             F.col("window_start_ms") + F.lit(window_ms), F.coalesce(F.col("duration_ms"), F.lit(0))
         ).alias("window_end_ms"),
     )
+
+
+def lossy_webp_metadata(df: DataFrame) -> DataFrame:
+    """Routing/filter metadata for LOSSY WebP payloads without pixel
+    decoding: the RFC 6386 keyframe header fields (dimensions, quant
+    index, reconstruction-filter level, token-partition layout) plus
+    the EXACT alpha plane stats when an ALPH chunk is present (the
+    alpha stream is VP8L-coded — decoded bit-exactly by the lossless
+    engine; webpcodec.webp_lossy_info / decode_webp_alpha).  Full RGB
+    reconstruction remains the loud NotImplementedError boundary; this
+    gives a 100 TB media pipeline everything it needs to size, route,
+    quality-bucket, and mask lossy WebP before any heavy decode."""
+    out_schema = (
+        "media_id long, width int, height int, y_ac_qi int, "
+        "filter_level int, token_partitions int, has_alpha boolean, "
+        "alpha_mean double, parse_ok string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pinot_spark.functions.webpcodec import (
+            decode_webp_alpha,
+            webp_lossy_info,
+        )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    info = webp_lossy_info(bytes(payload))
+                    alpha = decode_webp_alpha(bytes(payload))
+                    rows.append(
+                        (
+                            int(mid), info["width"], info["height"],
+                            info["y_ac_qi"], info["filter_level"],
+                            info["token_partitions"],
+                            alpha is not None,
+                            float(alpha.mean()) if alpha is not None else None,
+                            "ok",
+                        )
+                    )
+                except (ValueError, IndexError, NotImplementedError):
+                    rows.append(
+                        (int(mid), None, None, None, None, None,
+                         None, None, "corrupt_or_unsupported")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "y_ac_qi",
+                    "filter_level", "token_partitions", "has_alpha",
+                    "alpha_mean", "parse_ok",
+                ],
+            )
+
+    return df.mapInPandas(_batches, schema=out_schema)

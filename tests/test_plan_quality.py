@@ -859,3 +859,16 @@ def test_ivfpq_encode_no_shuffle(spark, sf_dir):
     plan = _plan(ivfpq_encode(emb, "embedding", model))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_classifier_quality_row_one_agg_no_python(spark, sf_dir):
+    """The classifier-scoring row is scan -> score expression ->
+    partial/final aggregate: the whole model evaluates inside
+    whole-stage codegen (no Python stages, no joins) and the only
+    exchange is the per-lang regroup."""
+    plan = _plan(QUERIES["text_classifier_quality"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "Join",
+                   "CartesianProduct"):
+        assert marker not in plan, (marker, plan)
