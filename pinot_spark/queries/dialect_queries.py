@@ -1853,3 +1853,77 @@ def dialect_uuid_skipupsert(spark, sf_dir):
         "n_raw bigint, n_latest bigint, sum_latest double, "
         "n_uuid_eq bigint, n_uuid_ne bigint",
     )
+
+
+@query(
+    "dialect_map_vector_options",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey AS pk, o_totalprice AS v
+        FROM orders WHERE o_orderkey <= 100
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (
+        SELECT e.vec_id,
+               list_reduce(
+                   list_transform(
+                       list_zip(e.embedding, q.qv),
+                       p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (x, y) -> x + y) AS sql2
+        FROM embeddings e, q
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_map_rows,
+           (SELECT round(sum(CAST(v AS DECIMAL(38,6))), 2)::DOUBLE FROM m)
+               AS sum_v,
+           (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_missing_default,
+           (SELECT CAST(count(*) AS BIGINT) FROM d WHERE sql2 <= 12.5)
+               AS n_radius
+    """,
+)
+def dialect_map_vector_options(spark, sf_dir):
+    """Second round-14 dialect-surface umbrella (r14 verdict item 3):
+
+    * MAP default access (MapFieldTypeTest.java): a real MAP-typed view
+      built from orders; ``metrics['v']`` reads the stored value,
+      ``metrics['missing']`` materializes the DOUBLE dimension default
+      (-Infinity) for EVERY row — never SQL NULL — so the count of
+      rows at the default equals the row count exactly.
+    * vectorSimilarity query options (IvfFlatVectorTest
+      testThresholdSearch): ``SET vectorDistanceFunction='l2'`` ranks
+      by L2 and ``SET vectorDistanceThreshold`` cuts in SQUARED-L2
+      space; with topK = table size the count is exactly the radius
+      census, which DuckDB recomputes from the raw embeddings."""
+    eng = _engine(spark, sf_dir)
+    spark.sql(
+        "SELECT o_orderkey AS pk, map('v', o_totalprice) AS metrics "
+        "FROM orders WHERE o_orderkey <= 100"
+    ).createOrReplaceTempView("MapOptionsT")
+    n_map_rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM MapOptionsT"
+    ).first().n
+    sum_v = eng.sql(
+        "SELECT CAST(ROUNDDECIMAL(SUMPRECISION(metrics['v']), 2) AS DOUBLE)"
+        " AS s FROM MapOptionsT"
+    ).first().s
+    n_missing_default = eng.sql(
+        "SELECT COUNT(*) AS n FROM MapOptionsT "
+        "WHERE metrics['missing'] = CAST('-Infinity' AS DOUBLE)"
+    ).first().n
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_emb = emb.count()
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    arr = "ARRAY[" + ", ".join(repr(x) for x in qvec) + "]"
+    n_radius = eng.sql(
+        "SET vectorDistanceFunction='l2'; SET vectorDistanceThreshold=12.5; "
+        f"SELECT COUNT(*) AS n FROM embeddings "
+        f"WHERE vectorSimilarity(embedding, {arr}, {n_emb}) LIMIT 1"
+    ).first().n
+    return spark.createDataFrame(
+        [(int(n_map_rows), float(sum_v), int(n_missing_default), int(n_radius))],
+        "n_map_rows bigint, sum_v double, n_missing_default bigint, "
+        "n_radius bigint",
+    )

@@ -689,3 +689,60 @@ def stream_text_match_realtime(spark, sf_dir):
         .withColumn("ingest_complete", F.lit(complete))
         .orderBy("lang")
     )
+
+
+@query(
+    "scan_compression_stats",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_cols,
+           TRUE AS some_column_compresses,
+           TRUE AS none_ratio_is_1,
+           TRUE AS snappy_beats_none,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows
+    """,
+)
+def scan_compression_stats(spark, sf_dir):
+    """Per-column compression statistics from segment footers
+    (CompressionStats{Offline,Realtime}IngestionIntegrationTest — the
+    controller table-size API's compressionStats object): the events
+    table written once with snappy and once uncompressed; footer-derived
+    per-column compressed/uncompressed byte totals must show a real
+    compression win on at least one column (snappy may legitimately
+    EXPAND tiny dictionary-encoded pages by its framing overhead),
+    ratio EXACTLY 1 for the uncompressed codec, and a strictly smaller
+    total on-disk footprint for snappy — while the data reads back
+    complete (n_rows pins no row was lost to either codec)."""
+    from pinot_spark.sources.segments import (
+        segment_compression_stats,
+        write_segments,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "props")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    p_snappy = os.path.join(_TMP, f"cstats_snappy_{tag}")
+    p_none = os.path.join(_TMP, f"cstats_none_{tag}")
+    write_segments(ev, p_snappy, compression="snappy")
+    write_segments(ev, p_none, compression="none")
+    s = segment_compression_stats(p_snappy)
+    n = segment_compression_stats(p_none)
+    ratios_ok = (
+        max(c["ratio"] for c in s["columns"].values()) > 1.2
+        and len(s["columns"]) == 3
+    )
+    none_ok = all(
+        c["compressed"] == c["uncompressed"] for c in n["columns"].values()
+    )
+    snappy_total = sum(c["compressed"] for c in s["columns"].values())
+    none_total = sum(c["compressed"] for c in n["columns"].values())
+    n_rows = spark.read.parquet(p_snappy).count()
+    n_rows_none = spark.read.parquet(p_none).count()
+    return spark.createDataFrame(
+        [(
+            len(s["columns"]), ratios_ok, none_ok,
+            snappy_total < none_total,
+            n_rows if n_rows == n_rows_none else -1,
+        )],
+        "n_cols bigint, some_column_compresses boolean, none_ratio_is_1 boolean, "
+        "snappy_beats_none boolean, n_rows bigint",
+    )
