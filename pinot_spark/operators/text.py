@@ -666,3 +666,17 @@ def classifier_score(
     ).otherwise(F.lit(0.0))
     score = F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))
     return out.withColumn(out_col, score).drop("__wsum", "__ntok")
+
+
+def epoch_shuffle_key(
+    id_col: str | Column, seed: int = 0, epoch: int = 0
+) -> Column:
+    """Deterministic epoch-reshuffle key for training pipelines: a
+    stable pseudo-random TOTAL order from (id, seed, epoch) via md5 —
+    engine-reproducible (DuckDB mirrors it verbatim), partition-count
+    independent, and different every epoch.  Scale shape: ORDER BY the
+    key is one range shuffle; sharded training output uses
+    repartitionByRange(key) + sortWithinPartitions(key) instead of a
+    global sort."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(c.cast("string"), F.lit(f":{seed}:{epoch}")))

@@ -9,6 +9,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from pinot_spark.catalog import load_tables
 from pinot_spark.operators import text as T
@@ -1947,4 +1948,55 @@ def text_classifier_quality(spark, sf_dir):
             ).cast("double").alias("sum_score"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    WITH o1 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':7:1')), doc_id
+        ) AS pos
+        FROM documents
+    ),
+    o2 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':7:2')), doc_id
+        ) AS pos
+        FROM documents
+    )
+    SELECT o1.pos AS pos,
+           o1.doc_id AS doc_id_e1,
+           o2.doc_id AS doc_id_e2
+    FROM o1 JOIN o2 USING (pos)
+    WHERE pos <= 10 ORDER BY pos
+    """,
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch reshuffle (operators/text.epoch_shuffle_key)
+    — the training-loop requirement that every epoch visits the corpus
+    in a different but REPRODUCIBLE pseudo-random order, independent of
+    partitioning: md5(id:seed:epoch) totally orders the docs; the first
+    ten positions of epochs 1 and 2 are emitted side by side and DuckDB
+    recomputes both orders exactly (the e1/e2 columns differing in the
+    data is the epochs-actually-reshuffle evidence)."""
+    from pinot_spark.operators.text import epoch_shuffle_key
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+    w = lambda e: Window.orderBy(  # noqa: E731
+        epoch_shuffle_key("doc_id", seed=7, epoch=e), F.col("doc_id")
+    )
+    o1 = docs.withColumn("pos", F.row_number().over(w(1))).withColumnRenamed(
+        "doc_id", "doc_id_e1"
+    )
+    o2 = docs.withColumn("pos", F.row_number().over(w(2))).withColumnRenamed(
+        "doc_id", "doc_id_e2"
+    )
+    return (
+        o1.join(o2, "pos")
+        .filter(F.col("pos") <= 10)
+        .select("pos", "doc_id_e1", "doc_id_e2")
+        .orderBy("pos")
     )
