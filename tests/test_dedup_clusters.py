@@ -548,3 +548,28 @@ def test_classifier_score_weights_table_path(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_key_partition_independent(spark):
+    """The epoch-reshuffle order depends ONLY on (id, seed, epoch):
+    repartitioning must not change it, different epochs/seeds must."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.text import epoch_shuffle_key
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+
+    def order(frame, seed, epoch):
+        return [
+            r.doc_id
+            for r in frame.orderBy(
+                epoch_shuffle_key("doc_id", seed, epoch), "doc_id"
+            ).collect()
+        ]
+
+    base = order(df, 7, 1)
+    assert order(df.repartition(13), 7, 1) == base
+    assert order(df.coalesce(1), 7, 1) == base
+    assert order(df, 7, 2) != base
+    assert order(df, 8, 1) != base
+    assert sorted(base) == list(range(200))  # a permutation, no loss
