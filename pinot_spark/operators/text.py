@@ -680,3 +680,85 @@ def epoch_shuffle_key(
     global sort."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.md5(F.concat(c.cast("string"), F.lit(f":{seed}:{epoch}")))
+
+
+def gopher_c4_flags(df: DataFrame, text_col: str, prefix: str = "qf_") -> DataFrame:
+    """The Gopher + C4 document-quality rule set (the published
+    repetition/format filters every large pretraining pipeline applies
+    — Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2; fineweb/Dolma
+    call these gopher_quality_filter and c4_quality_filter):
+
+    Gopher rules — word count in [50, 100000], mean word length in
+    [3, 10], >=80% of words contain an alphabetic character,
+    symbol-to-word ratio (# and ellipsis) <= 0.1, <=90% of lines start
+    with a bullet, <=30% of lines end with an ellipsis.
+    C4 rules — no '{' (code), no 'lorem ipsum', no 'javascript' token.
+
+    Everything is a JVM Column expression over one split — zero Python,
+    zero shuffles, engine-reproducible (the driver oracle recomputes
+    every flag in DuckDB).  Adds ``<prefix>n_words``,
+    ``<prefix>mean_word_len``, the individual rule booleans, and the
+    conjunction ``<prefix>keep``."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    )
+    mean_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    frac_alpha = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    ) + (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).rlike("^[\\u2022\\-\\*]"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).rlike("(\\u2026|\\.\\.\\.)$"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    lc = F.lower(c)
+    rules = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "alpha_words_ok": frac_alpha >= 0.8,
+        "symbol_ratio_ok": symbol_ratio <= 0.1,
+        "bullet_lines_ok": bullet_frac <= 0.9,
+        "ellipsis_lines_ok": ellipsis_frac <= 0.3,
+        "no_curly_brace": ~lc.contains("{"),
+        "no_lorem_ipsum": ~lc.contains("lorem ipsum"),
+        "no_javascript": ~lc.contains("javascript"),
+    }
+    out = df.withColumn(f"{prefix}n_words", n_words).withColumn(
+        f"{prefix}mean_word_len", F.round(mean_len, 4)
+    )
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(f"{prefix}{name}", expr)
+        keep = keep & expr
+    return out.withColumn(f"{prefix}keep", keep)

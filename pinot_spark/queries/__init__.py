@@ -101,18 +101,21 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # subscript access on a real MAP-typed view + vectorSimilarity with
 # vectorDistanceFunction/vectorDistanceThreshold query options) and
 # pipeline_epoch_shuffle (deterministic md5 epoch-reshuffle ordering
-# for training loops, operators/text.epoch_shuffle_key).
+# for training loops, operators/text.epoch_shuffle_key) and
+# text_gopher_c4_filters (the published Gopher + C4 document-quality
+# rule set, operators/text.gopher_c4_flags, mirrored rule-for-rule in
+# DuckDB).
 # Re-proofs = the 21 r10-stale rows (q2-q9, q21/q22, regex_fst,
 # scan/segment/sessionize/set-ops/similarity/skew/stream/text_pii/udtf)
-# + the first 23 of the 50 r11-stale greens in name order
-# (agg_count_metadata_only .. fn_regex_family), landing max staleness
+# + the first 22 of the 50 r11-stale greens in name order
+# (agg_count_metadata_only .. fn_json_extract), landing max staleness
 # <= r11.
 #
 # ROUND-16 PLAN (computed from CORRECTNESS_r01..r14 + this window):
-# after r15's driver run the stale set is the remaining 27 r11-latest
+# after r15's driver run the stale set is the remaining 28 r11-latest
 # rows displaced by this round's first-timers —
-#   fn_surface_ext, fn_surface_udf_families, funnel_max_step,
-#   grouping_sets,
+#   fn_regex_family, fn_surface_ext, fn_surface_udf_families,
+#   funnel_max_step, grouping_sets,
 #   having_clause, join_full_outer, join_lookup_dimension,
 #   join_non_equi_theta, join_right_outer,
 #   mv_all_match_exclusive_filter, mv_any_match_filter,
@@ -122,8 +125,8 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 #   window_frame_exclude, window_lead_lag, window_percent_cume,
 #   window_range_frame, window_rank_topn_per_group, window_running_sum,
 #   window_sliding_rows_frame
-# — plus the 50 r12-latest greens: rotate those in (27 + 23 of the r12
-# block in name order, agg_bool_and_or .. fn_conditional_null; any
+# — plus the 50 r12-latest greens: rotate those in (28 + 22 of the r12
+# block in name order, agg_bool_and_or .. embedding_quantize_int8; any
 # new first-timers displace the r12 tail into r17), landing max
 # staleness <= r12.  tests/test_registry_window.py recomputes
 # staleness from the CORRECTNESS artifacts and asserts the recorded
@@ -166,7 +169,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "fn_exact_hash_parity", "fn_geo_contains", "fn_geo_point_family",
     "fn_groovy_inline", "fn_h3_grid", "fn_hash_family", "fn_ip_subnet_family",
     "fn_json_match_rewrite", "fn_map_family", "fn_math_family",
-    "fn_string_family", "fn_surface_ext", "fn_surface_udf_families",
+    "fn_regex_family", "fn_string_family", "fn_surface_ext", "fn_surface_udf_families",
     "fn_text_match_like",
     "fn_trig_family", "fn_url_family", "funnel_complete_count",
     "funnel_match_step", "funnel_max_step",
@@ -209,6 +212,7 @@ _WINDOW_FIRST_TIME = [
     "dialect_uuid_skipupsert", "stream_text_match_realtime",
     "text_classifier_quality", "scan_compression_stats",
     "dialect_map_vector_options", "pipeline_epoch_shuffle",
+    "text_gopher_c4_filters",
 ]
 
 _REPROOF_STALE = [
@@ -229,7 +233,7 @@ _REPROOF_STALE = [
     "dialect_lookup_transform", "dialect_raw_sketch_running",
     "dialect_raw_theta_timestamp_key", "dialect_rawhll_clearspring_wire",
     "distinct_select", "filtered_aggregation", "fn_ds_cpc_write",
-    "fn_in_not_in_range", "fn_json_extract", "fn_regex_family",
+    "fn_in_not_in_range", "fn_json_extract",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -2000,3 +2000,98 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         .select("pos", "doc_id_e1", "doc_id_e2")
         .orderBy("pos")
     )
+
+
+@query(
+    "text_gopher_c4_filters",
+    oracle="""
+    WITH base AS (
+        SELECT lang, text, lower(text) AS lc,
+               list_filter(string_split_regex(text, '\\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT lang,
+               len(words) AS n_words,
+               CASE WHEN len(words) > 0 THEN
+                   list_reduce(list_transform(words,
+                                              w -> CAST(len(w) AS DOUBLE)),
+                               (x, y) -> x + y) / len(words)
+               ELSE 0.0 END AS mean_len,
+               CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(words)
+               ELSE 0.0 END AS frac_alpha,
+               CASE WHEN len(words) > 0 THEN
+                   ((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '…', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                   / CAST(len(words) AS DOUBLE)
+               ELSE 0.0 END AS symbol_ratio,
+               NOT contains(lc, '{') AS no_curly,
+               NOT contains(lc, 'lorem ipsum') AS no_lorem,
+               NOT contains(lc, 'javascript') AS no_js
+        FROM base
+    ),
+    f AS (
+        SELECT lang,
+               (n_words BETWEEN 50 AND 100000) AS wc_ok,
+               (mean_len BETWEEN 3.0 AND 10.0) AS mwl_ok,
+               (frac_alpha >= 0.8) AS alpha_ok,
+               (symbol_ratio <= 0.1) AS sym_ok,
+               no_curly, no_lorem, no_js,
+               round(mean_len, 4) AS mwl
+        FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc_ok AND mwl_ok AND alpha_ok AND sym_ok
+                          AND no_curly AND no_lorem AND no_js
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_word_count_ok,
+           CAST(sum(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alpha_ok,
+           round(sum(CAST(mwl AS DECIMAL(38,12))), 2)::DOUBLE
+               AS sum_mean_word_len
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def text_gopher_c4_filters(spark, sf_dir):
+    """The Gopher + C4 published quality-rule set over documents
+    (operators/text.gopher_c4_flags — the gopher_quality_filter /
+    c4_quality_filter stage of fineweb/Dolma-class pipelines): word
+    count and mean-word-length bands, alphabetic-word fraction,
+    symbol-to-word ratio, bullet/ellipsis line fractions, and the C4
+    curly-brace / lorem-ipsum / javascript cuts — all JVM Column
+    expressions over one split, mirrored rule-for-rule in DuckDB.
+    The documents fixture has no newlines, so the line-fraction rules
+    pass uniformly there (exercised adversarially in the unit tests);
+    the emitted per-lang keep and rule counts pin the rest exactly."""
+    from pinot_spark.operators.text import gopher_c4_flags
+
+    t = load_tables(spark, sf_dir)
+    flagged = gopher_c4_flags(t["documents"], "text")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("qf_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum(F.when(F.col("qf_word_count_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_word_count_ok"),
+            F.sum(F.when(F.col("qf_alpha_words_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alpha_ok"),
+            F.round(
+                F.sum(F.col("qf_mean_word_len").cast("decimal(38,12)")), 2
+            )
+            .cast("double")
+            .alias("sum_mean_word_len"),
+        )
+        .orderBy("lang")
+    )

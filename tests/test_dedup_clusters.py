@@ -573,3 +573,48 @@ def test_epoch_shuffle_key_partition_independent(spark):
     assert order(df, 7, 2) != base
     assert order(df, 8, 1) != base
     assert sorted(base) == list(range(200))  # a permutation, no loss
+
+
+def test_gopher_c4_rules_individually(spark):
+    """Each Gopher/C4 rule fires on a purpose-built document and ONLY
+    that rule breaks its doc's keep (the others stay clean)."""
+    from pinot_spark.operators.text import gopher_c4_flags
+
+    good_words = ("alpha beta gamma delta " * 15).strip()  # 60 words
+    docs = {
+        "clean": good_words,
+        "too_short": "only four words here",
+        "numeric": ("123 456 " * 30).strip(),          # no alpha words
+        "symbols": ("word " * 53 + "# " * 7).strip(),  # ratio 7/60 > 0.1
+        "bullets": "\n".join("• item %d foo bar" % i for i in range(10))
+                   + "\n" + good_words,                # >90% bullet lines? 10/11
+        "ellipses": "\n".join("sentence %d trails off..." % i
+                              for i in range(4))
+                    + "\n" + good_words,               # 4/5 > 0.3
+        "code": good_words + " function() { return 1; }",
+        "lorem": good_words + " Lorem Ipsum dolor sit amet",
+        "js": good_words + " enable JavaScript to continue",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "name string, text string"
+    )
+    out = {r.name: r.asDict() for r in gopher_c4_flags(df, "text").collect()}
+    assert out["clean"]["qf_keep"]
+    assert not out["too_short"]["qf_word_count_ok"]
+    assert not out["numeric"]["qf_alpha_words_ok"]
+    assert not out["symbols"]["qf_symbol_ratio_ok"]
+    assert not out["bullets"]["qf_bullet_lines_ok"]
+    assert not out["ellipses"]["qf_ellipsis_lines_ok"]
+    assert not out["code"]["qf_no_curly_brace"]
+    assert not out["lorem"]["qf_no_lorem_ipsum"]
+    assert not out["js"]["qf_no_javascript"]
+    for bad in docs:
+        if bad != "clean":
+            assert not out[bad]["qf_keep"], bad
+    # the plan is pure Column algebra — no Python, no shuffle
+    plan = (
+        gopher_c4_flags(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "Exchange", "Join"):
+        assert marker not in plan, marker
