@@ -762,3 +762,32 @@ def gopher_c4_flags(df: DataFrame, text_col: str, prefix: str = "qf_") -> DataFr
         out = out.withColumn(f"{prefix}{name}", expr)
         keep = keep & expr
     return out.withColumn(f"{prefix}keep", keep)
+
+
+def save_classifier_weights(weights_df: DataFrame, path: str) -> None:
+    """Persist a trained (bucket, weight) classifier table next to the
+    data it scores: parquet for the table, an underscore-prefixed JSON
+    sidecar for the schema contract — written through the Hadoop FS API
+    (sources/fsutil) so HDFS/S3A model paths work like local ones."""
+    import json
+
+    from pinot_spark.sources.fsutil import sidecar_path, write_text
+
+    weights_df.select("bucket", "weight").write.mode("overwrite").parquet(path)
+    write_text(
+        weights_df.sparkSession,
+        sidecar_path(path, "_classifier_meta.json"),
+        json.dumps({"format": "hashed-linear", "columns": ["bucket", "weight"]}),
+    )
+
+
+def load_classifier_weights(spark, path: str) -> DataFrame:
+    from pinot_spark.sources.fsutil import exists, read_text, sidecar_path
+    import json
+
+    side = sidecar_path(path, "_classifier_meta.json")
+    if exists(spark, side):
+        meta = json.loads(read_text(spark, side))
+        if meta.get("format") != "hashed-linear":
+            raise ValueError(f"unknown classifier format {meta.get('format')!r}")
+    return spark.read.parquet(path)

@@ -618,3 +618,29 @@ def test_gopher_c4_rules_individually(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "Exchange", "Join"):
         assert marker not in plan, marker
+
+
+def test_classifier_weights_roundtrip_file_scheme(spark, tmp_path):
+    """Trained classifier weights persist and reload through a file:
+    scheme URI and score identically to the in-memory table."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.text import (
+        _hash_bucket,
+        classifier_score,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    b = spark.createDataFrame([("good",)], "w string").select(
+        _hash_bucket(F.col("w"), 4096).alias("b")
+    ).first().b
+    weights = spark.createDataFrame([(int(b), 2.0)], "bucket bigint, weight double")
+    path = "file:" + str(tmp_path / "clf")
+    save_classifier_weights(weights, path)
+    assert (tmp_path / "clf" / "_classifier_meta.json").exists()
+    loaded = load_classifier_weights(spark, path)
+    df = spark.createDataFrame([(1, "good good")], "doc_id int, text string")
+    a = classifier_score(df, "text", weights_df=weights, id_col="doc_id").first().quality_score
+    c = classifier_score(df, "text", weights_df=loaded, id_col="doc_id").first().quality_score
+    assert a == c and a > 0.7

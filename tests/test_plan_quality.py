@@ -872,3 +872,14 @@ def test_classifier_quality_row_one_agg_no_python(spark, sf_dir):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "Join",
                    "CartesianProduct"):
         assert marker not in plan, (marker, plan)
+
+
+def test_gopher_c4_row_one_agg_no_python(spark, sf_dir):
+    """The Gopher/C4 row is scan -> rule expressions -> partial/final
+    aggregate: every rule evaluates inside whole-stage codegen and the
+    only exchange is the per-lang regroup."""
+    plan = _plan(QUERIES["text_gopher_c4_filters"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "Join"):
+        assert marker not in plan, marker
