@@ -122,3 +122,43 @@ def test_rect_with_hole_containment_property(x0, y0, w, h, px, py):
     assert _point_in_rings(px, py, polys) == (in_shell and not in_hole)
     expected_area = w * h - (hx1 - hx0) * (hy1 - hy0)
     assert abs(_rings_area(polys) - expected_area) <= 1e-6 * max(1.0, expected_area)
+
+
+# ---------------------------------------------------------------------------
+# Round-15 text-pipeline operators: property tests (driver-side Column
+# evaluation through a 1-row DataFrame is slow under hypothesis, so the
+# properties evaluate the SAME expressions via spark.sql on literals).
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=15, deadline=None)
+def test_gopher_flags_total_on_arbitrary_text(spark, text):
+    """gopher_c4_flags never crashes and always yields a full row of
+    booleans + a keep verdict consistent with its conjuncts, for ANY
+    unicode input."""
+    from pinot_spark.operators.text import gopher_c4_flags
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = gopher_c4_flags(df, "text").first().asDict()
+    rules = [v for k, v in row.items()
+             if k.startswith("qf_") and isinstance(v, bool) and k != "qf_keep"]
+    assert row["qf_keep"] == all(rules)
+    assert row["qf_n_words"] >= 0
+    assert row["qf_mean_word_len"] >= 0.0
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=15, deadline=None)
+def test_classifier_score_bounded_on_arbitrary_text(spark, text):
+    """classifier_score stays strictly inside (0, 1) — 0.5 exactly for
+    token-free input — for ANY unicode input."""
+    from pinot_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame([(text,)], "text string")
+    s = classifier_score(df, "text").first().quality_score
+    assert 0.0 < s < 1.0
+    import re as _re
+
+    if not _re.findall(r"[a-z0-9]+", text.lower()):
+        assert s == 0.5
