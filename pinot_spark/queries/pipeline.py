@@ -1985,18 +1985,25 @@ def pipeline_epoch_shuffle(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id")
-    w = lambda e: Window.orderBy(  # noqa: E731
-        epoch_shuffle_key("doc_id", seed=7, epoch=e), F.col("doc_id")
-    )
-    o1 = docs.withColumn("pos", F.row_number().over(w(1))).withColumnRenamed(
-        "doc_id", "doc_id_e1"
-    )
-    o2 = docs.withColumn("pos", F.row_number().over(w(2))).withColumnRenamed(
-        "doc_id", "doc_id_e2"
-    )
+
+    def head10(epoch: int, out: str):
+        # distributed top-k on the shuffle key (TakeOrderedAndProject —
+        # never a global row_number window, whose SinglePartition
+        # exchange would serialize the whole corpus through one task);
+        # the row_number then ranks only the 10 survivors
+        k = epoch_shuffle_key("doc_id", seed=7, epoch=epoch)
+        top = (
+            docs.select(F.col("doc_id").alias(out), k.alias("__k"))
+            .orderBy("__k", out)
+            .limit(10)
+        )
+        return top.withColumn(
+            "pos", F.row_number().over(Window.orderBy("__k", out))
+        ).drop("__k")
+
     return (
-        o1.join(o2, "pos")
-        .filter(F.col("pos") <= 10)
+        head10(1, "doc_id_e1")
+        .join(head10(2, "doc_id_e2"), "pos")
         .select("pos", "doc_id_e1", "doc_id_e2")
         .orderBy("pos")
     )

@@ -883,3 +883,11 @@ def test_gopher_c4_row_one_agg_no_python(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "Join"):
         assert marker not in plan, marker
+
+
+def test_epoch_shuffle_row_takeordered_not_global_window(spark, sf_dir):
+    """The epoch-reshuffle row selects its head-10 with distributed
+    top-k (TakeOrderedAndProject) — the global row_number window shape
+    would serialize the whole corpus through one task."""
+    plan = _plan(QUERIES["pipeline_epoch_shuffle"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
