@@ -2292,6 +2292,7 @@ def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
         "where", "on", "group", "order", "having", "limit", "join",
         "inner", "left", "right", "full", "cross", "using", "as",
         "union", "except", "intersect", "natural", "semi", "anti",
+        "offset", "tablesample", "window", "lateral", "qualify",
     }
     value_types: dict[str, str] = {}  # name-only fallback (single-table)
     by_qual: dict[str, dict[str, str]] = {}  # table/alias -> wrappable cols
@@ -2328,8 +2329,13 @@ def rewrite_map_default_access(spark: SparkSession, sql: str) -> str:
         # THAT table's schema
         qual = m.group(1).replace(" ", "").rstrip(".").lower()
         name = m.group(2).lower()
-        if qual and qual in by_qual:
-            default = by_qual[qual].get(name)
+        if qual:
+            # a qualifier scopes resolution to THAT table's schema; an
+            # UNRESOLVABLE qualifier (subquery / derived-table alias)
+            # must pass through unwrapped — falling back to the global
+            # name map would re-introduce the r14 cross-table wrap bug
+            # for derived tables (r15 ADVICE)
+            default = by_qual.get(qual, {}).get(name)
         else:
             default = value_types.get(name)
         if default is None:

@@ -1050,24 +1050,33 @@ def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
     if method == 0:
         return a
     h, w = a.shape
+    if method == 1:
+        # horizontal: out[y,x] = (out[y,x-1] + a[y,x]) mod 256 with the
+        # first column chaining vertically — i.e. a 2-D prefix sum
+        # (cumsum down column 0, then cumsum along each row), mod 256
+        # once at the end since mod distributes over addition.  Values
+        # are <=255 so int64 cannot overflow below ~3.6e16 pixels.
+        b = a.astype(np.int64)
+        b[:, 0] = np.cumsum(b[:, 0])
+        return (np.cumsum(b, axis=1) & 0xFF).astype(np.uint8)
+    if method == 2:
+        # vertical is the transpose of horizontal: first row chains
+        # left-to-right, then cumsum down each column
+        b = a.astype(np.int64)
+        b[0, :] = np.cumsum(b[0, :])
+        return (np.cumsum(b, axis=0) & 0xFF).astype(np.uint8)
+    # gradient: the clamped predictor is order-dependent, not a prefix
+    # sum — row-at-a-time with a vectorized first row/column, the
+    # per-pixel clamp loop only over the interior
     out = a.astype(np.int32).copy()
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = 0
-            elif method == 1:  # horizontal: left (first column: above)
-                pred = out[y, x - 1] if x > 0 else out[y - 1, x]
-            elif method == 2:  # vertical: above (first row: left)
-                pred = out[y - 1, x] if y > 0 else out[y, x - 1]
-            else:  # gradient
-                if y == 0:
-                    pred = out[y, x - 1]
-                elif x == 0:
-                    pred = out[y - 1, x]
-                else:
-                    g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
-                    pred = min(255, max(0, g))
-            out[y, x] = (int(a[y, x]) + int(pred)) & 0xFF
+    out[0, :] = np.cumsum(out[0, :]) & 0xFF
+    out[:, 0] = np.cumsum(out[:, 0]) & 0xFF
+    for y in range(1, h):
+        row = out[y]
+        above = out[y - 1]
+        for x in range(1, w):
+            g = int(row[x - 1]) + int(above[x]) - int(above[x - 1])
+            row[x] = (int(a[y, x]) + min(255, max(0, g))) & 0xFF
     return out.astype(np.uint8)
 
 

@@ -2015,7 +2015,9 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     WITH base AS (
         SELECT lang, text, lower(text) AS lc,
                list_filter(string_split_regex(text, '\\s+'),
-                           w -> w <> '') AS words
+                           w -> w <> '') AS words,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '') AS lines
         FROM documents
     ),
     m AS (
@@ -2037,6 +2039,17 @@ def pipeline_epoch_shuffle(spark, sf_dir):
                     + (len(text) - len(replace(text, '...', ''))) / 3)
                    / CAST(len(words) AS DOUBLE)
                ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+                        AS DOUBLE) / len(lines)
+               ELSE 0.0 END AS bullet_frac,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(rtrim(l),
+                                                '(…|\\.\\.\\.)$')))
+                        AS DOUBLE) / len(lines)
+               ELSE 0.0 END AS ellipsis_frac,
                NOT contains(lc, '{') AS no_curly,
                NOT contains(lc, 'lorem ipsum') AS no_lorem,
                NOT contains(lc, 'javascript') AS no_js
@@ -2048,6 +2061,8 @@ def pipeline_epoch_shuffle(spark, sf_dir):
                (mean_len BETWEEN 3.0 AND 10.0) AS mwl_ok,
                (frac_alpha >= 0.8) AS alpha_ok,
                (symbol_ratio <= 0.1) AS sym_ok,
+               (bullet_frac <= 0.9) AS bullet_ok,
+               (ellipsis_frac <= 0.3) AS ellipsis_ok,
                no_curly, no_lorem, no_js,
                round(mean_len, 4) AS mwl
         FROM m
@@ -2055,6 +2070,7 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN wc_ok AND mwl_ok AND alpha_ok AND sym_ok
+                          AND bullet_ok AND ellipsis_ok
                           AND no_curly AND no_lorem AND no_js
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
            CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT)
@@ -2073,10 +2089,11 @@ def text_gopher_c4_filters(spark, sf_dir):
     count and mean-word-length bands, alphabetic-word fraction,
     symbol-to-word ratio, bullet/ellipsis line fractions, and the C4
     curly-brace / lorem-ipsum / javascript cuts — all JVM Column
-    expressions over one split, mirrored rule-for-rule in DuckDB.
-    The documents fixture has no newlines, so the line-fraction rules
-    pass uniformly there (exercised adversarially in the unit tests);
-    the emitted per-lang keep and rule counts pin the rest exactly."""
+    expressions over one split, mirrored rule-for-rule (all NINE rules,
+    including the two line-fraction rules) in DuckDB, so a fixture row
+    whose single line starts with a bullet or ends with an ellipsis
+    diverges loudly instead of silently; the emitted per-lang keep and
+    rule counts pin everything exactly."""
     from pinot_spark.operators.text import gopher_c4_flags
 
     t = load_tables(spark, sf_dir)

@@ -3409,6 +3409,39 @@ def test_mapfield_qualified_resolution(mapfield, spark):
     assert rows[1] == ("v1", 11)
 
 
+def test_mapfield_derived_table_alias_unwrapped(mapfield, spark):
+    """r15 ADVICE: a qualifier that resolves to NO base table (a
+    derived-table alias) must pass through UNWRAPPED — the old global
+    name-only fallback would wrap the array subscript with the map
+    table's 'null' default and coerce the INT element to STRING."""
+    spark.createDataFrame(
+        [(i, [i * 10, i * 10 + 1]) for i in range(3)],
+        "rid int, stringMap array<int>",
+    ).createOrReplaceTempView("MapFieldArrSide")
+    rows = _unq(mapfield, (
+        "SELECT m.stringMap['k0'] AS a, d.stringMap[1] AS b "
+        "FROM MapFieldTypeTest m "
+        "JOIN (SELECT rid, stringMap FROM MapFieldArrSide) d "
+        "ON m.rid = d.rid WHERE m.rid <= 1 ORDER BY m.rid LIMIT 10"
+    ))
+    assert rows[0] == ("null", 1)
+    assert rows[1] == ("v1", 11)
+    assert all(isinstance(r[1], int) for r in rows)
+
+
+def test_mapfield_offset_not_an_alias(mapfield, spark):
+    """r15 ADVICE kw stop-list: OFFSET/TABLESAMPLE/WINDOW after a table
+    name are clause keywords, never aliases — 'offset.stringMap[...]'
+    must not resolve against the map table's schema."""
+    from pinot_spark.dialect import rewrite_map_default_access
+
+    out = rewrite_map_default_access(
+        spark,
+        "SELECT offset.stringMap['k0'] FROM MapFieldTypeTest OFFSET 10",
+    )
+    assert "COALESCE" not in out
+
+
 def test_mapfield_filters(mapfield):
     """Filters: k1='v25' hits exactly doc 25; nonexistent keys match
     nothing (their default never equals a real value)."""
