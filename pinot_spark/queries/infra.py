@@ -7,7 +7,9 @@ window; prime candidates for the round-6 rotation.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -16,8 +18,10 @@ from pinot_spark.catalog import load_tables
 from pinot_spark.queries import dsum2, query
 
 # per-process scratch dir: a fixed path would let two concurrent driver
-# runs cross-contaminate each other's roundtrip artifacts
+# runs cross-contaminate each other's roundtrip artifacts; removed at
+# interpreter exit so repeated runs don't accrete /tmp litter
 _TMP = tempfile.mkdtemp(prefix="pinot_spark_infra_")
+atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
 
 
 @query(
@@ -368,7 +372,17 @@ def stream_rate_upsert_loop(spark, sf_dir):
         _await_sink_rows(spark, q, sink, want=500, timeout_s=60)
     finally:
         q.stop()
-    landed = spark.read.parquet(sink).where(F.col("seq") < 500)
+    # localCheckpoint materializes the landed rows into Spark block
+    # storage (eager), severing the plan's file dependency so the
+    # mkdtemp sink can be deleted instead of leaking per run
+    try:
+        landed = (
+            spark.read.parquet(sink)
+            .where(F.col("seq") < 500)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
     latest = upsert_view(landed, keys=["key"], comparison=["seq"])
     versions = landed.groupBy("key").agg(
         F.count_distinct("seq").alias("n_versions")
@@ -605,7 +619,11 @@ def stream_dedup_exact(spark, sf_dir):
             raise q.exception()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    landed = spark.read.parquet(sink)
+    try:
+        landed = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
     n_landed = landed.count()
     n_distinct = (
         t["events"].select("event_type", "user_id").distinct().count()
@@ -679,7 +697,11 @@ def stream_text_match_realtime(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    landed = spark.read.parquet(sink)
+    try:
+        landed = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
     complete = landed.count() == t["documents"].count()
     pred = compile_predicate("text", "vector AND NOT spark")
     return (
@@ -719,24 +741,33 @@ def scan_compression_stats(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("event_id", "event_type", "props")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    p_snappy = os.path.join(_TMP, f"cstats_snappy_{tag}")
-    p_none = os.path.join(_TMP, f"cstats_none_{tag}")
-    write_segments(ev, p_snappy, compression="snappy")
-    write_segments(ev, p_none, compression="none")
-    s = segment_compression_stats(p_snappy)
-    n = segment_compression_stats(p_none)
-    ratios_ok = (
-        max(c["ratio"] for c in s["columns"].values()) > 1.2
-        and len(s["columns"]) == 3
-    )
-    none_ok = all(
-        c["compressed"] == c["uncompressed"] for c in n["columns"].values()
-    )
-    snappy_total = sum(c["compressed"] for c in s["columns"].values())
-    none_total = sum(c["compressed"] for c in n["columns"].values())
-    n_rows = spark.read.parquet(p_snappy).count()
-    n_rows_none = spark.read.parquet(p_none).count()
+    # a PER-CALL unique dir (not a fixed path keyed by sf tag): two
+    # concurrent invocations — the driver gate and a pytest run share
+    # this machine — must never write/read the same segment dir
+    root = tempfile.mkdtemp(prefix="pinot_spark_cstats_")
+    p_snappy = os.path.join(root, "snappy")
+    p_none = os.path.join(root, "none")
+    try:
+        write_segments(ev, p_snappy, compression="snappy")
+        write_segments(ev, p_none, compression="none")
+        s = segment_compression_stats(p_snappy)
+        n = segment_compression_stats(p_none)
+        ratios_ok = (
+            max(c["ratio"] for c in s["columns"].values()) > 1.2
+            and len(s["columns"]) == 3
+        )
+        none_ok = all(
+            c["compressed"] == c["uncompressed"]
+            for c in n["columns"].values()
+        )
+        snappy_total = sum(c["compressed"] for c in s["columns"].values())
+        none_total = sum(c["compressed"] for c in n["columns"].values())
+        n_rows = spark.read.parquet(p_snappy).count()
+        n_rows_none = spark.read.parquet(p_none).count()
+    finally:
+        # everything above is EAGER (footer reads + counts), so the
+        # returned literal DataFrame has no file dependency left
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(
             len(s["columns"]), ratios_ok, none_ok,

@@ -5,7 +5,9 @@ text analysis, multimodal plumbing — over documents/embeddings tables.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -27,8 +29,10 @@ from pinot_spark.operators.similarity import (
 from pinot_spark.queries import query, _r2, _r4
 
 # per-process scratch dir (see queries/infra.py): a fixed path would let
-# concurrent driver runs cross-contaminate each other's index artifacts
+# concurrent driver runs cross-contaminate each other's index artifacts;
+# removed at interpreter exit so repeated runs don't accrete /tmp litter
 _PIPE_TMP = tempfile.mkdtemp(prefix="pinot_spark_pipeline_")
+atexit.register(shutil.rmtree, _PIPE_TMP, ignore_errors=True)
 
 
 @query(
