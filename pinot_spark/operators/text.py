@@ -682,6 +682,39 @@ def epoch_shuffle_key(
     return F.md5(F.concat(c.cast("string"), F.lit(f":{seed}:{epoch}")))
 
 
+def shard_training_output(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    key_col: str = "__shard_key",
+) -> DataFrame:
+    """Sharded, epoch-reshuffled training output — the recipe the
+    epoch_shuffle_key docstring prescribes, as an operator: attach the
+    deterministic md5 shuffle key, ``repartitionByRange(num_shards,
+    key)`` so shard files tile the keyspace, and
+    ``sortWithinPartitions(key, id)`` so rows inside each shard follow
+    the epoch order.  The id tiebreak makes the order total even if two
+    ids ever collided on the key.
+
+    Scale shape: ONE range shuffle (the partitioner samples shard
+    boundaries; no global sort, no SinglePartition exchange) — writing
+    the result yields num_shards files whose CONCATENATION in shard
+    order is exactly the epoch-(seed, epoch) total order, regardless of
+    the input's partitioning or num_shards (the determinism property
+    tests pin shard-count independence).  Downstream training loops
+    read shards in filename order and stream rows as-is."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    keyed = df.withColumn(
+        key_col, epoch_shuffle_key(id_col, seed=seed, epoch=epoch)
+    )
+    return keyed.repartitionByRange(
+        num_shards, F.col(key_col)
+    ).sortWithinPartitions(key_col, id_col)
+
+
 def gopher_c4_flags(df: DataFrame, text_col: str, prefix: str = "qf_") -> DataFrame:
     """The Gopher + C4 document-quality rule set (the published
     repetition/format filters every large pretraining pipeline applies

@@ -139,11 +139,13 @@ _VERIFIED_PRIOR_ROUNDS = [
     "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
     "dialect_raw_sketch_sliding", "dialect_raw_sketch_window",
     "dialect_raw_theta_bigint_key", "dialect_raw_theta_expr_key",
-    "dialect_raw_theta_mixed_split", "dialect_raw_theta_timestamp_key",
+    "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
+    "dialect_raw_theta_timestamp_key",
     "dialect_raw_ull_distinct", "dialect_rawhll_clearspring_wire",
     "dialect_st_union_area", "dialect_todatetime_roundtrip",
     "dialect_unnest_ordinality", "dialect_uuid_skipupsert",
-    "distinct_select", "events_time_bucket_agg", "filtered_aggregation",
+    "distinct_select", "embedding_quantize_int8",
+    "events_time_bucket_agg", "filtered_aggregation",
     "fn_binary_conversion", "fn_conditional_null", "fn_datetime_family",
     "fn_ds_cpc_read", "fn_ds_cpc_write", "fn_ds_freq_interop",
     "fn_ds_hll_interop", "fn_ds_kll_interop", "fn_ds_theta_interop",
@@ -194,6 +196,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 ]
 
 _WINDOW_FIRST_TIME = [
+    "scan_encoding_independence", "text_classifier_trained_weights",
 ]
 
 _REPROOF_STALE = [
@@ -215,7 +218,6 @@ _REPROOF_STALE = [
     "dedup_duplicate_clusters", "dedup_exact_documents",
     "dedup_ngram_jaccard_pairs", "dialect_distinct_count_over",
     "dialect_raw_theta_decimal_key", "dialect_raw_theta_join",
-    "dialect_raw_theta_scale", "embedding_quantize_int8",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -777,3 +777,160 @@ def scan_compression_stats(spark, sf_dir):
         "n_cols bigint, some_column_compresses boolean, none_ratio_is_1 boolean, "
         "snappy_beats_none boolean, n_rows bigint",
     )
+
+
+@query(
+    "scan_encoding_independence",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+           TRUE AS footer_proves_encodings,
+           TRUE AS encodings_agree,
+           (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+               AS n_types,
+           (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS seg_sum_id,
+           TRUE AS segments_packed,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE event_id % 2 = 0) AS n_topic_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE event_id % 2 = 1) AS n_topic_b,
+           TRUE AS topics_isolated
+    """,
+)
+def scan_encoding_independence(spark, sf_dir):
+    """Umbrella for three reference storage-layer invariants (the r15
+    suite-level residue, promoted to driver evidence):
+
+    * RawForwardIndexWithDictionaryTest.java — the SAME query answers
+      across a dictionary-encoded, a raw (PLAIN-page), and a raw+sorted
+      parquet layout of the events table, with parquet-footer proof the
+      layouts really differ (``footer_proves_encodings``): encoding is
+      an access-path choice, never a semantics choice.
+    * BigNumberOfSegmentsTest.java — the table fragmented into 200
+      tiny single-row-group files still aggregates exactly
+      (``seg_sum_id`` recomputed closed-form by the oracle) and the
+      scan PACKS the small files instead of scheduling a task per file
+      (``segments_packed``: read partitions < half the file count —
+      the 100 TB small-file answer, files.maxPartitionBytes).
+    * MultiTopicRealtimeClusterIntegrationTest.java — two disjoint
+      "topics" (event_id parity slices) landed in separate dirs and
+      read back as ONE union table keep per-source counts isolated
+      (``n_topic_a``/``n_topic_b`` recomputed by the oracle from the
+      base table) while the union total equals their sum.
+
+    Everything is computed EAGERLY into one literal row, so the
+    per-call scratch dir is deleted before returning."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="pinot_spark_encind_")
+    try:
+        p_dict = os.path.join(root, "dict")
+        p_raw = os.path.join(root, "raw")
+        p_sorted = os.path.join(root, "rawsorted")
+        ev.coalesce(1).write.mode("overwrite").parquet(p_dict)
+        (
+            ev.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(p_raw)
+        )
+        (
+            ev.coalesce(1)
+            .sortWithinPartitions("event_type", "event_id")
+            .write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(p_sorted)
+        )
+
+        def col_encodings(path: str, col: str) -> set[str]:
+            f = sorted(glob.glob(path + "/*.parquet"))[0]
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            return set(md.row_group(0).column(idx).encodings)
+
+        footer_ok = any(
+            "DICTIONARY" in e for e in col_encodings(p_dict, "event_type")
+        ) and not any(
+            "DICTIONARY" in e for e in col_encodings(p_raw, "event_type")
+        )
+
+        def answers(path: str):
+            d = spark.read.parquet(path)
+            per_type = sorted(
+                (r["event_type"], r["cnt"], r["s"])
+                for r in d.groupBy("event_type")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum("event_id").alias("s"),
+                )
+                .collect()
+            )
+            filt = d.where(
+                F.col("event_type").rlike("^[a-z_]+$")
+                & (F.col("event_id") % 7 == 0)
+            ).count()
+            n_types = (
+                d.select("event_type").distinct().count()
+            )
+            return (per_type, filt, n_types)
+
+        a_dict, a_raw, a_sorted = (
+            answers(p_dict), answers(p_raw), answers(p_sorted)
+        )
+        encodings_agree = a_dict == a_raw == a_sorted
+        n_rows = spark.read.parquet(p_dict).count()
+        n_types = a_dict[2]
+
+        # BigNumberOfSegments: 200 tiny files, exact closed-form agg +
+        # small-file packing
+        p_segs = os.path.join(root, "segs")
+        ev.repartition(200).write.mode("overwrite").parquet(p_segs)
+        n_files = len(glob.glob(p_segs + "/*.parquet"))
+        segs = spark.read.parquet(p_segs)
+        seg_sum_id = segs.agg(F.sum("event_id")).first()[0]
+        segments_packed = (
+            n_files >= 150
+            and segs.rdd.getNumPartitions() < n_files / 2
+            and segs.count() == n_rows
+        )
+
+        # MultiTopic union isolation: two disjoint parity slices land
+        # in separate dirs; the union table keeps per-source counts
+        p_a = os.path.join(root, "topic_a")
+        p_b = os.path.join(root, "topic_b")
+        ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(p_a)
+        ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(p_b)
+        union = (
+            spark.read.parquet(p_a).withColumn("source", F.lit("a"))
+        ).unionByName(
+            spark.read.parquet(p_b).withColumn("source", F.lit("b"))
+        )
+        per_src = {
+            r["source"]: r["cnt"]
+            for r in union.groupBy("source")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        n_a, n_b = per_src.get("a", 0), per_src.get("b", 0)
+        topics_isolated = (
+            n_a + n_b == n_rows
+            and union.where(
+                (F.col("source") == "a") & (F.col("event_id") % 2 == 1)
+            ).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n_rows, footer_ok, encodings_agree, n_types, seg_sum_id,
+            segments_packed, n_a, n_b, topics_isolated,
+        )],
+        "n_rows bigint, footer_proves_encodings boolean, "
+        "encodings_agree boolean, n_types bigint, seg_sum_id bigint, "
+        "segments_packed boolean, n_topic_a bigint, n_topic_b bigint, "
+        "topics_isolated boolean",
+    )

@@ -1956,6 +1956,111 @@ def text_classifier_quality(spark, sf_dir):
 
 
 @query(
+    "text_classifier_trained_weights",
+    oracle="""
+    WITH w AS (
+        SELECT b AS bucket,
+               ((b * 48271 + 11) % 2049) / 1024.0 - 1.0 AS weight
+        FROM range(4096) t(b)
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS tk
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 4096
+                   AS bucket
+        FROM toks
+    ),
+    sums AS (
+        SELECT tb.doc_id, sum(w.weight) AS wsum, count(*) AS ntok
+        FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
+    ),
+    q AS (
+        SELECT d.lang,
+               CASE WHEN s.ntok > 0 THEN s.wsum / s.ntok
+                    ELSE 0.0 END AS x
+        FROM documents d LEFT JOIN sums s USING (doc_id)
+    ),
+    sc AS (
+        SELECT lang, 0.5 + x / (2.0 * (1.0 + abs(x))) AS score FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score > 0.52 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           round(sum(CAST(round(score, 6) AS DECIMAL(38,12))), 4)::DOUBLE
+               AS sum_score
+    FROM sc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_classifier_trained_weights(spark, sf_dir):
+    """The TRAINED-weights classifier path (operators/text.
+    classifier_score ``weights_df`` branch — the shape a real fastText/
+    DCLM model takes at 100 TB): a (bucket, weight) model table is
+    persisted with save_classifier_weights (parquet + Hadoop-FS JSON
+    sidecar), reloaded, and scored via explode → BROADCAST-join the
+    tiny weight table → per-doc regroup.  The DuckDB oracle mirrors the
+    model as an explicit join, rule-for-rule.
+
+    Bit-reproducibility across engines and partition orders: the
+    weights are DYADIC (multiples of 1/1024, exactly representable in
+    binary), so every per-doc sum is exact no matter what order the
+    partial aggregates combine in — the one place a groupBy-sum of
+    doubles could drift between Spark and DuckDB."""
+    from pinot_spark.operators.text import (
+        classifier_score,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    t = load_tables(spark, sf_dir)
+    weights = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") * 48271 + 11) % 2049) / F.lit(1024.0) - 1.0).alias(
+            "weight"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="pinot_spark_clf_")
+    try:
+        path = os.path.join(root, "model")
+        save_classifier_weights(weights, path)
+        # localCheckpoint severs the file dependency so the model dir
+        # can be deleted before the (lazy) result is collected
+        loaded = load_classifier_weights(spark, path).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    scored = classifier_score(
+        t["documents"], "text", n_buckets=4096,
+        weights_df=loaded, id_col="doc_id",
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality_score") > 0.52, 1).otherwise(0)
+            ).cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum(
+                    F.round(F.col("quality_score"), 6).cast(
+                        "decimal(38,12)"
+                    )
+                ),
+                4,
+            ).cast("double").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "pipeline_epoch_shuffle",
     oracle="""
     WITH o1 AS (

@@ -575,6 +575,54 @@ def test_epoch_shuffle_key_partition_independent(spark):
     assert sorted(base) == list(range(200))  # a permutation, no loss
 
 
+def test_shard_training_output_shard_count_independent(spark):
+    """operators/text.shard_training_output: the concatenation of the
+    shards in shard order is EXACTLY the (seed, epoch) epoch order —
+    identical across shard counts and input partitionings — and the
+    plan is one range shuffle, never a global single-partition sort."""
+    import pyspark.sql.functions as F
+
+    from pinot_spark.operators.text import (
+        epoch_shuffle_key,
+        shard_training_output,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    expected = [
+        r.doc_id
+        for r in df.orderBy(
+            epoch_shuffle_key("doc_id", seed=7, epoch=3), "doc_id"
+        ).collect()
+    ]
+
+    def concat_order(frame, num_shards):
+        out = shard_training_output(
+            frame, "doc_id", num_shards, seed=7, epoch=3
+        )
+        rows = out.withColumn(
+            "pid", F.spark_partition_id()
+        ).select("pid", "doc_id").collect()
+        assert len({r.pid for r in rows}) == min(num_shards, 500)
+        # rows arrive per-partition in partition order from collect();
+        # stable-sort by pid only, preserving within-partition order
+        return [r.doc_id for r in sorted(rows, key=lambda r: r.pid)]
+
+    assert concat_order(df, 3) == expected
+    assert concat_order(df, 7) == expected
+    assert concat_order(df.repartition(13), 5) == expected
+    # scale shape: a range exchange, no SinglePartition global sort
+    plan = (
+        shard_training_output(df, "doc_id", 4, seed=7, epoch=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shard_training_output(df, "doc_id", 0)
+
+
 def test_gopher_c4_rules_individually(spark):
     """Each Gopher/C4 rule fires on a purpose-built document and ONLY
     that rule breaks its doc's keep (the others stay clean)."""

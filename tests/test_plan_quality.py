@@ -874,6 +874,17 @@ def test_classifier_quality_row_one_agg_no_python(spark, sf_dir):
         assert marker not in plan, (marker, plan)
 
 
+def test_classifier_trained_weights_broadcasts_model(spark, sf_dir):
+    """The trained-weights classifier path must BROADCAST the (tiny)
+    weight table into the exploded token stream — a shuffled join on
+    bucket would move the full token stream twice at 100 TB — and the
+    scoring pipeline stays JVM-side (no Python stages)."""
+    plan = _plan(QUERIES["text_classifier_trained_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert marker not in plan, (marker, plan)
+
+
 def test_gopher_c4_row_one_agg_no_python(spark, sf_dir):
     """The Gopher/C4 row is scan -> rule expressions -> partial/final
     aggregate: every rule evaluates inside whole-stage codegen and the
