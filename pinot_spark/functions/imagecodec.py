@@ -21,9 +21,9 @@ whose specifications need nothing beyond ``zlib`` (stdlib) and numpy:
 
 - **WebP lossless** (VP8L, RFC 9649): functions/webpcodec.py — full
   decoder (prefix codes, color cache, meta groups, LZ77, all four
-  transforms) + a literal/cache/run encoder. Lossy 'VP8 ' still raises
-  NotImplementedError by name (boolean-coder DCT codec) — the honest
-  boundary, format-specific instead of blanket.
+  transforms) + a literal/cache/run encoder. Lossy 'VP8 ' decodes
+  through functions/vp8codec.py (full RFC 6386 keyframe
+  reconstruction, byte-exact against libwebp).
 """
 
 from __future__ import annotations
@@ -249,7 +249,7 @@ def _decode_tiff(data: bytes) -> np.ndarray:
 def _decode_webp(data: bytes) -> np.ndarray:
     from pinot_spark.functions.webpcodec import decode_webp
 
-    # VP8L lossless decodes fully; lossy 'VP8 ' raises by name inside
+    # VP8L lossless AND lossy 'VP8 ' keyframes both decode fully
     return decode_webp(data)
 
 

@@ -8,10 +8,10 @@ half of the format:
   groups (entropy image), LZ77 with both the 120-entry 2D distance map
   and plain scan-line distances, and all four transforms (predictor's
   14 modes, color transform, subtract-green, color indexing including
-  sub-byte pixel packing). Lossy VP8 ('VP8 ' chunk) RGB still raises
-  NotImplementedError by name (entropy-coded DCT; the RFC 6386 default
-  probability tables are not reproducible in this container), but its
-  literal-coded keyframe header parses fully (webp_lossy_info) and the
+  sub-byte pixel packing). Lossy VP8 ('VP8 ' chunk) RGB decodes
+  through vp8codec.py (full RFC 6386 keyframe reconstruction,
+  byte-exact against libwebp — the round-15 boundary is closed); the
+  literal-coded keyframe header parses here (webp_lossy_info) and the
   ALPH alpha plane — a headerless VP8L stream — decodes EXACTLY
   (decode_webp_alpha). Reference: Pinot has no image codecs at all;
   this backs the LLM-pipeline multimodal operators like the other
@@ -427,10 +427,9 @@ def _apply_color_transform(px: np.ndarray, cti: np.ndarray, bits: int) -> np.nda
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → (H, W, 3) uint8 RGB. Lossless (VP8L) only; the
-    lossy 'VP8 ' codec raises NotImplementedError by name (header
-    metadata and the exact alpha plane ARE available —
-    webp_lossy_info / decode_webp_alpha)."""
+    """WebP bytes → (H, W, 3) uint8 RGB.  Lossless (VP8L) decodes
+    here; the lossy 'VP8 ' codec decodes through vp8codec (full
+    RFC 6386 keyframe reconstruction, byte-exact against libwebp)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -441,10 +440,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return _decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 decoding not implemented (boolean-coder DCT "
-                "codec); only VP8L lossless is supported"
-            )
+            from pinot_spark.functions.vp8codec import decode_webp_lossy
+
+            return decode_webp_lossy(data)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP has no VP8L chunk")
 
@@ -902,14 +900,14 @@ def _write_main_image(bw: _BitWriter, argb: "np.ndarray", cache_bits: int) -> No
 
 
 # ---------------------------------------------------------------------------
-# Lossy 'VP8 ' surface (RFC 6386): full DCT reconstruction stays a loud
-# NotImplementedError (the default probability tables — ~3000 exact byte
-# values — are not reproducible in this container), but everything the
-# spec literal-codes IS decoded: the uncompressed frame tag + dimensions
-# and the boolean-coded first-partition header through the quantizer
-# block (segmentation, loop filter, partition layout, quant indices).
-# The ALPH chunk is a different codec entirely — a headerless VP8L
-# lossless stream — and decodes EXACTLY through _decode_vp8l_body.
+# Lossy 'VP8 ' surface (RFC 6386): the metadata parse below reads the
+# uncompressed frame tag + dimensions and the boolean-coded
+# first-partition header through the quantizer block (segmentation,
+# loop filter, partition layout, quant indices).  Full keyframe
+# reconstruction lives in vp8codec.py (round 16: the probability-table
+# boundary closed — byte-exact against libwebp).  The ALPH chunk is a
+# different codec entirely — a headerless VP8L lossless stream — and
+# decodes EXACTLY through _decode_vp8l_body.
 # ---------------------------------------------------------------------------
 
 

@@ -3,9 +3,10 @@ with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
 The decode step is REAL for PNG/BMP/PPM/JPEG/GIF/TIFF/WebP-lossless
 (pure-stdlib codecs in functions/imagecodec.py + jpegcodec/gifcodec/
-tiffcodec/webpcodec); only lossy VP8 WebP raises NotImplementedError
-naming the codec. ``fake=True`` keeps the seeded content-hash decoder
-for plumbing tests on non-image payloads.
+tiffcodec/webpcodec) AND lossy VP8 WebP (functions/vp8codec.py,
+RFC 6386 keyframes, byte-exact against libwebp). ``fake=True`` keeps
+the seeded content-hash decoder for plumbing tests on non-image
+payloads.
 
 Scale design: mapInPandas streams Arrow record batches; binary payloads
 never round-trip through Python objects row-at-a-time. Batch size is
@@ -68,8 +69,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Real decode → FEATURE_DIM integer-luma thumbnail features.
     PNG/BMP/PPM/JPEG/GIF/TIFF/WebP-lossless are decoded with the
     pure-stdlib codecs (functions/imagecodec.py and the per-format
-    codec modules); only lossy VP8 WebP raises NotImplementedError by
-    name."""
+    codec modules), including lossy VP8 WebP keyframes
+    (functions/vp8codec.py)."""
     from pinot_spark.functions import imagecodec
 
     arr = imagecodec.decode(payload)
@@ -203,9 +204,9 @@ def lossy_webp_metadata(df: DataFrame) -> DataFrame:
     the EXACT alpha plane stats when an ALPH chunk is present (the
     alpha stream is VP8L-coded — decoded bit-exactly by the lossless
     engine; webpcodec.webp_lossy_info / decode_webp_alpha).  Full RGB
-    reconstruction remains the loud NotImplementedError boundary; this
-    gives a 100 TB media pipeline everything it needs to size, route,
-    quality-bucket, and mask lossy WebP before any heavy decode."""
+    reconstruction is ALSO available (functions/vp8codec.py) — this
+    metadata path stays because a 100 TB media pipeline sizes, routes,
+    quality-buckets, and masks lossy WebP before any heavy decode."""
     out_schema = (
         "media_id long, width int, height int, y_ac_qi int, "
         "filter_level int, token_partitions int, has_alpha boolean, "

@@ -131,28 +131,28 @@ def test_ppm_roundtrip_and_comments():
 
 
 def _lossy_webp() -> bytes:
-    """A minimal RIFF/WEBP container holding a (bogus) lossy 'VP8 '
-    chunk — the decoder must classify it decoder_unavailable, not
-    corrupt: the chunk is recognized, the codec is the named gap."""
-    import struct
+    """A real libwebp-encoded lossy WebP (round 16: the lossy codec is
+    implemented, so the dispatch path must DECODE it, not gap it)."""
+    import os
 
-    return (
-        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
-    )
+    p = os.path.join(os.path.dirname(__file__), "data",
+                     "fx_odd_33x21_q60.webp")
+    return open(p, "rb").read()
 
 
 def test_unsupported_formats_raise_with_name():
-    # lossless VP8L decodes since round 9; the LOSSY 'VP8 ' codec is
-    # the remaining named boundary
+    # lossless VP8L decodes since round 9, lossy 'VP8 ' since round 16;
+    # a CORRUPT lossy chunk (bad keyframe start code) raises ValueError
     import struct
 
-    lossy = (
+    corrupt = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(NotImplementedError, match="VP8"):
-        ic.decode(lossy)
+    with pytest.raises(ValueError):
+        ic.decode(corrupt)
+    # and a real lossy file decodes through the dispatcher
+    assert ic.decode(_lossy_webp()).shape == (21, 33, 3)
     # a RIFF/WEBP container with no image chunk at all is corrupt
     with pytest.raises(ValueError):
         ic.decode(b"RIFF\x00\x00\x00\x00WEBPrest")
@@ -200,8 +200,8 @@ def test_luma_features_integer_valued():
 
 def test_extract_features_real_decode(spark):
     """End-to-end: genuine PPM/PNG/JPEG payloads through the Arrow
-    mapInPandas path decode for real; a WebP magic payload reports the
-    decoder boundary and truncated JPEG bytes report corruption."""
+    mapInPandas path decode for real — including a real lossy WebP —
+    and truncated JPEG bytes report corruption."""
     from pinot_spark.functions.jpegcodec import encode_jpeg
     from pinot_spark.operators.multimodal import extract_features
 
@@ -226,7 +226,7 @@ def test_extract_features_real_decode(spark):
     assert out["m1"].decode_ok == "ok" and out["m2"].decode_ok == "ok"
     assert out["m1"].features == [float(x) for x in expect.flatten()]
     assert out["m1"].features == out["m2"].features  # same pixels, two containers
-    assert out["m3"].decode_ok == "decoder_unavailable"
+    assert out["m3"].decode_ok == "ok"  # lossy WebP decodes (round 16)
     # real JPEG decode: lossy, so features land near (not exactly on) the
     # lossless containers' values
     assert out["m4"].decode_ok == "ok"

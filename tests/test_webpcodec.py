@@ -101,14 +101,15 @@ def test_webp_gray_and_container():
 def test_webp_errors_raise_loudly():
     with pytest.raises(ValueError):
         decode_webp(b"RIFX" + b"\x00" * 20)
-    # lossy VP8 chunk → NotImplementedError naming the boundary
+    # corrupt lossy VP8 chunk (bad keyframe start code) → ValueError;
+    # real lossy files now DECODE (tests/test_vp8codec.py)
     import struct
 
     lossy = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(lossy)
     good = encode_webp(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError):
@@ -322,14 +323,23 @@ def test_lossy_alpha_plane_decodes_exactly():
     assert int(a.sum()) == 38971
 
 
-def test_lossy_rgb_still_raises_by_name():
+def test_lossy_rgb_decodes_exactly():
+    """Round 16: the lossy boundary is CLOSED — decode_webp routes
+    'VP8 ' chunks through the RFC 6386 decoder and the logo's RGB
+    matches libwebp's bytes (full RGBA parity incl. the alpha plane is
+    pinned in tests/test_vp8codec.py)."""
+    import hashlib
+
     from pinot_spark.functions.webpcodec import decode_webp
 
-    try:
-        decode_webp(open(_LOSSY, "rb").read())
-        raise AssertionError("lossy RGB decode should raise")
-    except NotImplementedError as e:
-        assert "lossy" in str(e) or "VP8" in str(e)
+    rgb = decode_webp(open(_LOSSY, "rb").read())
+    assert rgb.shape == (16, 16, 3)
+    # libwebp WebPDecodeRGBA's RGB channels for this file
+    expected_corner = (14, 0, 0)
+    assert tuple(rgb[0, 0]) == expected_corner
+    assert hashlib.sha256(rgb.tobytes()).hexdigest() == (
+        "de1a3cfed46fb46b8269ff0ff1cbe28269a634ea53322c197813583d6b677a53"
+    )
 
 
 def test_alpha_unfilter_inverts_forward_filters():
