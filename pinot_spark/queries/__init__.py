@@ -79,16 +79,23 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Every query driver-green in CORRECTNESS_r01-r15 that is not taking a
-# round-16 window slot (178 of the 228 ever-green = len(this list);
+# round-16 window slot (181 of the 228 ever-green = len(this list);
 # regression-guarded every round by the driver-mimic parity sweep
 # tests/test_oracle_parity.py regardless of window position).
 #
-# Round-16 window (executes the plan recorded in round 15): re-proofs =
-# the 28 r11-stale rows (fn_regex_family .. window_sliding_rows_frame)
-# + the first 22 of the 50 r12-stale greens in name order
-# (agg_bool_and_or .. embedding_quantize_int8), landing max staleness
-# <= r12.  First-timers registered this round displace the r12 tail
-# (the plan's own displacement rule, exercised in rounds 14-15).
+# Round-16 window (executes the plan recorded in round 15):
+# first-timers = scan_encoding_independence (rawfwd encoding-
+# independence + BigNumberOfSegments + MultiTopic isolation umbrella),
+# text_classifier_trained_weights (the weights_df broadcast-join
+# scoring path with a save/load roundtrip), and
+# multimodal_lossy_webp_decode (the RFC 6386 VP8 keyframe decoder,
+# libwebp-exact).  Re-proofs = the 28 r11-stale rows (fn_regex_family
+# .. window_sliding_rows_frame) + the first 19 of the 50 r12-stale
+# greens in name order (agg_bool_and_or ..
+# dialect_raw_theta_decimal_key) — the three first-timers displaced
+# the r12 tail (embedding_quantize_int8, dialect_raw_theta_scale,
+# dialect_raw_theta_join) per the plan's own displacement rule,
+# landing max staleness <= r12.
 #
 # ROUND-17 PLAN (computed from CORRECTNESS_r01..r15 + this window):
 # after r16's driver run the stale set is the remaining 28 r12-latest
@@ -139,6 +146,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
     "dialect_raw_sketch_sliding", "dialect_raw_sketch_window",
     "dialect_raw_theta_bigint_key", "dialect_raw_theta_expr_key",
+    "dialect_raw_theta_join",
     "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
     "dialect_raw_theta_timestamp_key",
     "dialect_raw_ull_distinct", "dialect_rawhll_clearspring_wire",
@@ -197,6 +205,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 
 _WINDOW_FIRST_TIME = [
     "scan_encoding_independence", "text_classifier_trained_weights",
+    "multimodal_lossy_webp_decode",
 ]
 
 _REPROOF_STALE = [
@@ -217,7 +226,7 @@ _REPROOF_STALE = [
     "asof_join_backward", "clp_encode_decode_roundtrip",
     "dedup_duplicate_clusters", "dedup_exact_documents",
     "dedup_ngram_jaccard_pairs", "dialect_distinct_count_over",
-    "dialect_raw_theta_decimal_key", "dialect_raw_theta_join",
+    "dialect_raw_theta_decimal_key",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

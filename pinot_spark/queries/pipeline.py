@@ -1325,6 +1325,90 @@ def multimodal_gif_tiff_features(spark, sf_dir):
     ).orderBy(F.col("media_id").cast("int"), "fmt")
 
 
+_LOSSY_FIXTURES = {
+    # real libwebp-encoded lossy WebP files (tests/data/fx_*.webp),
+    # embedded so the row is self-contained; the oracle's expected
+    # sums are libwebp's OWN decode of these bytes (WebPDecodeRGB),
+    # independently digest-pinned in tests/test_vp8codec.py
+    "odd_33x21_q60": (
+        "UklGRoIAAABXRUJQVlA4IHYAAAAwBACdASohABUAPqFAmEm9pCKhOrmYA7AUCWYA"
+        "nTLCRlApO+EBuS5n/xQA/vhoFIBjawsg+SwXY4CGOZw7pvxe89LXfHK5yL0Eiyb6"
+        "5GaRGkryKka9K0y8zb1wgh8YE63RitQBirA82nKTS6nF2jA7VtQ1wAAA"
+    ),
+    "gradient_64x48_q75": (
+        "UklGRjABAABXRUJQVlA4ICQBAAAwCgCdASpAADAAPpE8m0mloyKvKrgKAeASCWgt"
+        "gAlMgDkNfI8pTyWEAN4R/cf9YCd5hb7/WKG74iXSWIXKyAOPojf+rDEJWELvIlkS"
+        "3D16r60nk5IMGsjF0rAA/veUwy516artn1DXrE/RMmMz4VuAXB+IUqY1FjP4VgbdeU"
+        "/Fm3nP61c8kkBD6JD64c5F57NnA9roGhsgwXLFz4U15D917aFbh+o/H0eQ17Np7N"
+        "5c6TKWwZhAXs92uAnNwjX/+mbc1z09f4iKeXiIU4rhlAOw8WVVmk8GkFcgoKNUSV"
+        "SPIlXVujb+DC4NqkyHS0tMxOwAJyVfbmuGSoWr7c1z09f4iKeXiInxtOi3aSpYCV"
+        "DCNBS5VbC7+HvYmn0s/0VZjO6MqAAA"
+    ),
+}
+
+
+@query(
+    "multimodal_lossy_webp_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('gradient_64x48_q75', 64, 48,
+         CAST(351116 AS BIGINT), CAST(473508 AS BIGINT),
+         CAST(508882 AS BIGINT)),
+        ('odd_33x21_q60', 33, 21,
+         CAST(77711 AS BIGINT), CAST(76087 AS BIGINT),
+         CAST(54233 AS BIGINT))
+    ) AS t(media_id, width, height, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_lossy_webp_decode(spark, sf_dir):
+    """Lossy-WebP RGB decode through the multimodal Arrow path
+    (functions/vp8codec.py — the full RFC 6386 keyframe decoder,
+    round 16): two real libwebp-encoded files decode inside a
+    mapInPandas batch and the per-channel pixel sums must equal
+    libwebp's own WebPDecodeRGB output for the same bytes (the oracle
+    literals; byte-level digests are pinned in tests/test_vp8codec.py).
+    A single wrong probability-table entry or filter constant
+    desynchronizes the arithmetic decoder and every sum moves.
+
+    Scale shape: the decode is per-row Python inside Arrow batches —
+    the 100 TB multimodal pattern (no driver involvement, executor-
+    parallel); this row proves the plumbing AND the codec exactly."""
+    import base64
+
+    rows = [
+        (name, bytearray(base64.b64decode(b64)))
+        for name, b64 in sorted(_LOSSY_FIXTURES.items())
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    def decode_batch(batches):
+        import pandas as pd
+
+        from pinot_spark.functions.vp8codec import decode_webp_lossy
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rgb = decode_webp_lossy(bytes(payload))
+                s = rgb.reshape(-1, 3).astype("int64").sum(axis=0)
+                out.append(
+                    (mid, rgb.shape[1], rgb.shape[0],
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(
+        decode_batch,
+        "media_id string, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    ).orderBy("media_id")
+
+
 @query(
     "multimodal_webp_features",
     oracle="""
