@@ -79,7 +79,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Every query driver-green in CORRECTNESS_r01-r15 that is not taking a
-# round-16 window slot (181 of the 228 ever-green = len(this list);
+# round-16 window slot (182 of the 228 ever-green = len(this list);
 # regression-guarded every round by the driver-mimic parity sweep
 # tests/test_oracle_parity.py regardless of window position).
 #
@@ -87,15 +87,16 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # first-timers = scan_encoding_independence (rawfwd encoding-
 # independence + BigNumberOfSegments + MultiTopic isolation umbrella),
 # text_classifier_trained_weights (the weights_df broadcast-join
-# scoring path with a save/load roundtrip), and
+# scoring path with a save/load roundtrip),
 # multimodal_lossy_webp_decode (the RFC 6386 VP8 keyframe decoder,
-# libwebp-exact).  Re-proofs = the 28 r11-stale rows (fn_regex_family
-# .. window_sliding_rows_frame) + the first 19 of the 50 r12-stale
-# greens in name order (agg_bool_and_or ..
-# dialect_raw_theta_decimal_key) — the three first-timers displaced
-# the r12 tail (embedding_quantize_int8, dialect_raw_theta_scale,
-# dialect_raw_theta_join) per the plan's own displacement rule,
-# landing max staleness <= r12.
+# libwebp-exact), and pipeline_shard_output (range-sharded epoch-
+# shuffled training output).  Re-proofs = the 28 r11-stale rows
+# (fn_regex_family .. window_sliding_rows_frame) + the first 18 of
+# the 50 r12-stale greens in name order (agg_bool_and_or ..
+# dialect_distinct_count_over) — the four first-timers displaced the
+# r12 tail (embedding_quantize_int8, dialect_raw_theta_scale,
+# dialect_raw_theta_join, dialect_raw_theta_decimal_key) per the
+# plan's own displacement rule, landing max staleness <= r12.
 #
 # ROUND-17 PLAN (computed from CORRECTNESS_r01..r15 + this window):
 # after r16's driver run the stale set is the remaining 28 r12-latest
@@ -145,8 +146,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "dialect_query_hints", "dialect_raw_mv_sketch_grouped",
     "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
     "dialect_raw_sketch_sliding", "dialect_raw_sketch_window",
-    "dialect_raw_theta_bigint_key", "dialect_raw_theta_expr_key",
-    "dialect_raw_theta_join",
+    "dialect_raw_theta_bigint_key", "dialect_raw_theta_decimal_key",
+    "dialect_raw_theta_expr_key", "dialect_raw_theta_join",
     "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
     "dialect_raw_theta_timestamp_key",
     "dialect_raw_ull_distinct", "dialect_rawhll_clearspring_wire",
@@ -205,7 +206,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 
 _WINDOW_FIRST_TIME = [
     "scan_encoding_independence", "text_classifier_trained_weights",
-    "multimodal_lossy_webp_decode",
+    "multimodal_lossy_webp_decode", "pipeline_shard_output",
 ]
 
 _REPROOF_STALE = [
@@ -226,7 +227,6 @@ _REPROOF_STALE = [
     "asof_join_backward", "clp_encode_decode_roundtrip",
     "dedup_duplicate_clusters", "dedup_exact_documents",
     "dedup_ngram_jaccard_pairs", "dialect_distinct_count_over",
-    "dialect_raw_theta_decimal_key",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

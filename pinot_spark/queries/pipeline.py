@@ -2203,6 +2203,85 @@ def pipeline_epoch_shuffle(spark, sf_dir):
 
 
 @query(
+    "pipeline_shard_output",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           CAST(8 AS BIGINT) AS n_shards,
+           TRUE AS shards_all_nonempty,
+           TRUE AS within_shard_sorted,
+           TRUE AS boundaries_tile,
+           (SELECT doc_id FROM documents
+            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':11:2')), doc_id
+            LIMIT 1) AS first_doc_global_order
+    """,
+)
+def pipeline_shard_output(spark, sf_dir):
+    """Sharded training output (operators/text.shard_training_output —
+    the writer stage of an epoch-reshuffled training pipeline):
+    documents shard into 8 range partitions of the md5 epoch key with
+    in-shard ordering.  Driver evidence: every shard is non-empty and
+    internally sorted, shard key-ranges TILE (max key of shard i <
+    min key of shard i+1 — range partitioning, not hash), no row is
+    lost, and the first row of shard 0 is exactly the first document
+    of the (seed=11, epoch=2) global order, which DuckDB recomputes
+    from the md5 formula.  Scale shape: ONE range shuffle; per-shard
+    stats aggregate distributedly (groupBy on spark_partition_id), no
+    driver-side collect of data rows."""
+    from pinot_spark.operators.text import shard_training_output
+
+    t = load_tables(spark, sf_dir)
+    n_shards = 8
+    sharded = shard_training_output(
+        t["documents"].select("doc_id"), "doc_id", n_shards,
+        seed=11, epoch=2,
+    )
+    w = Window.partitionBy("__pid").orderBy("__pos")
+    per_row = (
+        sharded.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__pos",
+            F.monotonically_increasing_id(),  # ascends within partition
+        )
+        .withColumn("__prev", F.lag("__shard_key").over(w))
+    )
+    stats = (
+        per_row.groupBy("__pid")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("__shard_key").alias("kmin"),
+            F.max("__shard_key").alias("kmax"),
+            F.min_by("doc_id", "__pos").alias("first_doc"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("__prev") > F.col("__shard_key")),
+                    1,
+                ).otherwise(0)
+            ).alias("inversions"),
+        )
+        .orderBy("__pid")
+        .collect()
+    )
+    n_rows = sum(r["cnt"] for r in stats)
+    nonempty = len(stats) == n_shards and all(r["cnt"] > 0 for r in stats)
+    sorted_ok = all(r["inversions"] == 0 for r in stats)
+    tile_ok = all(
+        stats[i]["kmax"] < stats[i + 1]["kmin"]
+        for i in range(len(stats) - 1)
+    )
+    first_doc = stats[0]["first_doc"] if stats else None
+    return spark.createDataFrame(
+        [(
+            n_rows, len(stats), nonempty, sorted_ok, tile_ok,
+            int(first_doc),
+        )],
+        "n_rows bigint, n_shards bigint, shards_all_nonempty boolean, "
+        "within_shard_sorted boolean, boundaries_tile boolean, "
+        "first_doc_global_order bigint",
+    )
+
+
+@query(
     "text_gopher_c4_filters",
     oracle="""
     WITH base AS (
