@@ -279,3 +279,29 @@ def test_synthetic_streams_live_libwebp_parity():
         assert p, f"libwebp rejected fabricated stream {name}"
         gt = np.ctypeslib.as_array(p, shape=(h.value, w.value, 3)).copy()
         assert np.array_equal(decode_webp_lossy(data), gt), name
+
+
+def test_corrupt_input_never_escapes_handled_exceptions():
+    """100 TB media pipelines feed arbitrary bytes: byte-flipped and
+    truncated streams must either decode (arithmetic decoders are
+    robust-by-construction — garbage in, garbage pixels out) or raise
+    ValueError/IndexError, the types the multimodal operator layer
+    classifies as 'corrupt'.  Never another exception type, never a
+    hang (seeded; 150 mutations + 40 truncations run in ~seconds)."""
+    import random
+
+    base = open(os.path.join(_DATA, "fx_noise_80x56_q30.webp"), "rb").read()
+    rng = random.Random(99)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(12, len(b))] = rng.randrange(256)
+        try:
+            decode_webp_lossy(bytes(b))
+        except (ValueError, IndexError):
+            pass
+    for cut in range(12, len(base), 50):
+        try:
+            decode_webp_lossy(base[:cut])
+        except (ValueError, IndexError):
+            pass
