@@ -173,6 +173,75 @@ def resize_images(
     return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, channel int, window_idx int, n_samples int, "
+    "sum_abs bigint, peak int, zero_crossings int, decode_ok string"
+)
+
+
+def audio_features(
+    df: DataFrame, window_ms: int = 125, hop_ms: int | None = None
+) -> DataFrame:
+    """REAL audio decode + per-window feature extraction: WAV payloads
+    (functions/wavcodec.py, PCM8/16 any channel count) decode inside
+    Arrow batches; each (media, channel, hop window) emits EXACT
+    integer stats — sample count, sum of |s|, peak |s|, and
+    zero-crossing count (sign-bit flips, >=0 counted positive) — so a
+    SQL oracle can recompute every value from the source samples (no
+    float drift).  Undecodable payloads classify like the image path:
+    'decoder_unavailable' for named format boundaries, 'corrupt' for
+    malformed bytes.
+
+    Scale shape: mapInPandas over Arrow batches, per-row Python only
+    inside the batch; the window fan-out happens on the worker from
+    the decoded array (no exploded byte duplication through a
+    shuffle)."""
+    if hop_ms is None:
+        hop_ms = window_ms
+    from pinot_spark.functions.wavcodec import decode_wav
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except NotImplementedError:
+                    rows.append((mid, -1, -1, 0, 0, 0, 0,
+                                 "decoder_unavailable"))
+                    continue
+                except (ValueError, IndexError):
+                    rows.append((mid, -1, -1, 0, 0, 0, 0, "corrupt"))
+                    continue
+                win = max(1, rate * window_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                n = samples.shape[0]
+                for ch in range(samples.shape[1]):
+                    s = samples[:, ch].astype(np.int64)
+                    nonneg = s >= 0
+                    w_idx = 0
+                    for start in range(0, n, hop):
+                        seg = s[start : start + win]
+                        if len(seg) == 0:
+                            break
+                        nn = nonneg[start : start + win]
+                        rows.append((
+                            mid, ch, w_idx, int(len(seg)),
+                            int(np.abs(seg).sum()),
+                            int(np.abs(seg).max()),
+                            int((nn[1:] != nn[:-1]).sum()),
+                            "ok",
+                        ))
+                        w_idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "channel", "window_idx", "n_samples",
+                         "sum_abs", "peak", "zero_crossings", "decode_ok"],
+            )
+
+    return df.mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def audio_window_plan(
     df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
 ) -> DataFrame:

@@ -1410,6 +1410,85 @@ def multimodal_lossy_webp_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH grid AS (
+        SELECT m, c, w FROM range(4) t1(m)
+        CROSS JOIN range(2) t2(c) CROSS JOIN range(4) t3(w)
+    ),
+    segs AS (
+        SELECT m, c, w,
+               list_transform(range(1000), i ->
+                   ((m*7919 + (w*1000 + i)*104729 + c*31337) % 65521)
+                   - 32760) AS s
+        FROM grid
+    )
+    SELECT concat('aud', CAST(m AS VARCHAR)) AS media_id,
+           CAST(c AS INT) AS channel,
+           CAST(w AS INT) AS window_idx,
+           CAST(1000 AS INT) AS n_samples,
+           CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+               AS sum_abs,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+           CAST(list_sum(list_transform(range(999), i ->
+               CASE WHEN (s[i+2] >= 0) <> (s[i+1] >= 0)
+                    THEN 1 ELSE 0 END)) AS INT) AS zero_crossings,
+           'ok' AS decode_ok
+    FROM segs ORDER BY media_id, channel, window_idx
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode through the multimodal Arrow path
+    (functions/wavcodec.py + operators/multimodal.audio_features):
+    four stereo PCM16 WAV payloads are synthesized from an exact
+    integer formula, ENCODED to real RIFF/WAVE bytes, decoded back,
+    and hop-windowed into per-(media, channel, window) integer stats
+    — sample count, sum|s|, peak, zero crossings.  The DuckDB oracle
+    recomputes every stat from the generating formula directly, so the
+    WAV roundtrip must be value-transparent and the window fan-out
+    exact (the codec itself is additionally cross-validated against
+    CPython's stdlib wave module in tests/test_wavcodec.py).
+
+    Scale shape: payload synthesis and decode both live in mapInPandas
+    Arrow batches; the fan-out happens worker-side from the decoded
+    array — no byte duplication through a shuffle."""
+    from pinot_spark.operators.multimodal import audio_features
+
+    ids = spark.createDataFrame(
+        [(f"aud{m}", m) for m in range(4)], "media_id string, m int"
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinot_spark.functions.wavcodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for m in pdf["m"]:
+                i = np.arange(4000, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        ((m * 7919 + i * 104729 + c * 31337) % 65521)
+                        - 32760
+                        for c in (0, 1)
+                    ],
+                    axis=1,
+                ).astype(np.int16)
+                payloads.append(bytearray(encode_wav(frames, 8000)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id string, payload binary")
+    return (
+        audio_features(media, window_ms=125)
+        .orderBy("media_id", "channel", "window_idx")
+    )
+
+
+@query(
     "multimodal_webp_features",
     oracle="""
     WITH px AS (

@@ -1,0 +1,85 @@
+"""WAV codec — roundtrips + cross-validation against CPython's stdlib
+``wave`` module (an independent, always-present implementation of the
+same RIFF/WAVE spec)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from pinot_spark.functions.wavcodec import decode_wav, encode_wav
+
+
+def _sig(n, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, (n, ch), dtype=np.int64).astype(
+        np.int16
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 2, 4])
+def test_roundtrip_pcm16(ch):
+    s = _sig(997, ch, seed=ch)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+def test_mono_1d_input():
+    s = _sig(100, 1).ravel()
+    out, _ = decode_wav(encode_wav(s, 16000))
+    assert np.array_equal(out[:, 0], s)
+
+
+def test_stdlib_wave_reads_our_bytes():
+    s = _sig(500, 2, seed=7)
+    data = encode_wav(s, 44100)
+    w = wave.open(io.BytesIO(data))
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+        2, 2, 44100,
+    )
+    assert w.getnframes() == 500
+    frames = np.frombuffer(w.readframes(500), "<i2").reshape(-1, 2)
+    assert np.array_equal(frames, s)
+
+
+def test_our_decoder_reads_stdlib_wave_bytes():
+    s = _sig(300, 1, seed=9)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(22050)
+    w.writeframes(s.astype("<i2").tobytes())
+    w.close()
+    out, rate = decode_wav(buf.getvalue())
+    assert rate == 22050
+    assert np.array_equal(out, s)
+
+
+def test_pcm8_widens_losslessly():
+    raw = np.arange(256, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 256) + raw.tobytes()
+    )
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = decode_wav(data)
+    assert np.array_equal(out[:, 0], (raw.astype(np.int16) - 128) << 8)
+
+
+def test_unsupported_formats_raise_by_name():
+    s = _sig(10, 1)
+    data = bytearray(encode_wav(s, 8000))
+    data[20] = 3  # format tag -> IEEE_FLOAT
+    with pytest.raises(NotImplementedError, match="IEEE_FLOAT"):
+        decode_wav(bytes(data))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(40))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
