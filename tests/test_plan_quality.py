@@ -874,6 +874,18 @@ def test_classifier_quality_row_one_agg_no_python(spark, sf_dir):
         assert marker not in plan, (marker, plan)
 
 
+def test_multimodal_decode_rows_no_data_shuffle(spark, sf_dir):
+    """The lossy-WebP and audio decode rows keep payload bytes where
+    they are: decode happens in MapInPandas on the rows' home
+    partitions — the only exchange is the final presentation orderBy
+    (rangepartitioning), never a hashpartitioning of payloads."""
+    for name in ("multimodal_lossy_webp_decode", "multimodal_audio_features"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+
 def test_classifier_trained_weights_broadcasts_model(spark, sf_dir):
     """The trained-weights classifier path must BROADCAST the (tiny)
     weight table into the exploded token stream — a shuffled join on
