@@ -3997,7 +3997,9 @@ def test_compression_stats_tracked(spark, tmp_path):
         F.concat(F.lit("the quick brown fox " * 5), (F.col("id") % 7).cast("string")).alias("txt"),
     )
     out = {}
-    for codec in ("snappy", "zstd"):
+    # the full reference codec matrix (CompressionStats*IngestionTest
+    # covers LZ4/ZSTD/SNAPPY/GZIP); Spark bundles all four natively
+    for codec in ("snappy", "zstd", "gzip", "lz4"):
         p = str(tmp_path / codec)
         write_segments(df.coalesce(2), p, compression=codec)
         stats = segment_compression_stats(p)

@@ -83,3 +83,29 @@ def test_unsupported_formats_raise_by_name():
         decode_wav(b"RIFX" + bytes(40))
     with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_roundtrip_property():
+    """Hypothesis: ANY int16 sample array (any length, 1-4 channels,
+    any common rate) roundtrips sample-exact through encode/decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 2000),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        seed=st.integers(0, 2**31),
+    )
+    def prop(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, (n, ch), dtype=np.int64).astype(
+            np.int16
+        )
+        out, got_rate = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate
+        assert out.shape == (n, ch)
+        assert np.array_equal(out, s)
+
+    prop()
