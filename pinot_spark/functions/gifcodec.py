@@ -309,3 +309,150 @@ def encode_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → [(delay_ms, (H, W, 3) uint8 RGB canvas), ...]:
+    every frame COMPOSED onto the logical screen per the GIF89a
+    animation model — Graphic Control Extension delay (centiseconds),
+    transparency index (transparent pixels leave the canvas
+    untouched), and disposal methods 0/1 (keep), 2 (restore
+    background, rendered as black), 3 (restore previous canvas).
+    This is the REAL video decode path for the multimodal operators:
+    animated GIF is the one video container expressible losslessly in
+    pure stdlib."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            subs = []
+            while data[pos] != 0:
+                ln = data[pos]
+                subs.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:  # Graphic Control Extension
+                gpacked, delay_cs = subs[0][0], struct.unpack(
+                    "<H", subs[0][1:3]
+                )[0]
+                delay_ms = delay_cs * 10
+                disposal = (gpacked >> 2) & 0x07
+                transparent = subs[0][3] if gpacked & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", data[pos : pos + 9]
+        )
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), mcs)[: w * h], np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:
+            rows = _deinterlace(rows)
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = palette[np.minimum(rows, len(palette) - 1)]
+        if transparent is not None:
+            keep = rows != transparent
+            region[keep] = rgb[keep]
+        else:
+            region[:, :] = rgb[: region.shape[0], : region.shape[1]]
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore background
+            canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        delay_ms, disposal, transparent = 0, 0, None
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    return frames
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delays_ms: list[int], loop: int = 0
+) -> bytes:
+    """Full-canvas animated GIF89a writer: one GLOBAL palette over all
+    frames (≤256 distinct colors across the animation — lossless, same
+    contract as the still encoder), a NETSCAPE2.0 loop block, and a
+    Graphic Control Extension per frame carrying its delay (rounded to
+    the format's centisecond grid).  Frames are written full-canvas
+    with disposal 'none', so decode composition is exact."""
+    if len(frames) != len(delays_ms) or not frames:
+        raise ValueError("need equal nonzero frame/delay counts")
+    h, w = frames[0].shape[:2]
+    stack = np.stack([np.asarray(f, np.uint8) for f in frames])
+    if stack.shape[1:] != (h, w, 3):
+        raise ValueError("all frames must be (H, W, 3) and same size")
+    flat = stack.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"animation palette: {len(colors)} distinct colors > 256"
+        )
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << bits
+    palette = np.zeros((n_pal, 3), np.uint8)
+    palette[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    out += palette.tobytes()
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop)
+    out += b"\x00"
+    per_frame = inverse.reshape(len(frames), h, w).astype(np.uint8)
+    mcs = max(2, bits)
+    for f, delay in zip(per_frame, delays_ms):
+        out += b"\x21\xf9\x04" + bytes([0x00]) + struct.pack(
+            "<H", max(0, int(delay)) // 10
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
+        out.append(mcs)
+        lzw = _lzw_encode(f.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # image-data block terminator
+    out += b"\x3b"
+    return bytes(out)

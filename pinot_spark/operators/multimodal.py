@@ -242,6 +242,73 @@ def audio_features(
     return df.mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_SAMPLE_SCHEMA = (
+    "media_id string, sample_idx int, t_ms int, frame_idx int, "
+    "n_pixels int, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "decode_ok string"
+)
+
+
+def video_frame_sample_decode(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: animated-GIF payloads (the one video
+    container decodable losslessly in pure stdlib —
+    functions/gifcodec.decode_gif_frames, full GIF89a composition with
+    delays/transparency/disposal) decode inside Arrow batches; the
+    timeline is sampled every ``every_ms`` and each sample emits the
+    DISPLAYED frame's exact integer channel sums.  Payloads that are
+    not GIF or are malformed classify 'corrupt'; named codec
+    boundaries classify 'decoder_unavailable' — same contract as the
+    image/audio paths.
+
+    Scale shape: mapInPandas, frames never leave the worker; only the
+    per-sample stat rows shuffle."""
+    from pinot_spark.functions.gifcodec import decode_gif_frames
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_gif_frames(bytes(payload))
+                except NotImplementedError:
+                    rows.append((mid, -1, -1, -1, 0, 0, 0, 0,
+                                 "decoder_unavailable"))
+                    continue
+                except (ValueError, IndexError):
+                    rows.append((mid, -1, -1, -1, 0, 0, 0, 0, "corrupt"))
+                    continue
+                starts = []
+                t = 0
+                for delay, _ in frames:
+                    starts.append(t)
+                    t += max(delay, 10)  # 0-delay frames tick 10 ms
+                total = t
+                k = 0
+                while k * every_ms < total:
+                    tm = k * every_ms
+                    fi = max(
+                        i for i, s in enumerate(starts) if s <= tm
+                    )
+                    canvas = frames[fi][1].astype(np.int64)
+                    rows.append((
+                        mid, k, tm, fi,
+                        int(canvas.shape[0] * canvas.shape[1]),
+                        int(canvas[:, :, 0].sum()),
+                        int(canvas[:, :, 1].sum()),
+                        int(canvas[:, :, 2].sum()),
+                        "ok",
+                    ))
+                    k += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_idx", "t_ms", "frame_idx",
+                         "n_pixels", "sum_r", "sum_g", "sum_b",
+                         "decode_ok"],
+            )
+
+    return df.mapInPandas(_batches, schema=VIDEO_SAMPLE_SCHEMA)
+
+
 def audio_window_plan(
     df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
 ) -> DataFrame:

@@ -79,7 +79,7 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Every query driver-green in CORRECTNESS_r01-r15 that is not taking a
-# round-16 window slot (183 of the 228 ever-green = len(this list);
+# round-16 window slot (184 of the 228 ever-green = len(this list);
 # regression-guarded every round by the driver-mimic parity sweep
 # tests/test_oracle_parity.py regardless of window position).
 #
@@ -90,15 +90,17 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # scoring path with a save/load roundtrip),
 # multimodal_lossy_webp_decode (the RFC 6386 VP8 keyframe decoder,
 # libwebp-exact), pipeline_shard_output (range-sharded epoch-
-# shuffled training output), and multimodal_audio_features (real WAV
-# PCM decode + exact per-window stats).  Re-proofs = the 28 r11-stale
-# rows (fn_regex_family .. window_sliding_rows_frame) + the first 17
-# of the 50 r12-stale greens in name order (agg_bool_and_or ..
-# dedup_ngram_jaccard_pairs) — the five first-timers displaced the
-# r12 tail (embedding_quantize_int8, dialect_raw_theta_scale,
+# shuffled training output), multimodal_audio_features (real WAV
+# PCM decode + exact per-window stats), and
+# multimodal_video_frame_sample (real animated-GIF video decode +
+# timeline frame sampling).  Re-proofs = the 28 r11-stale rows
+# (fn_regex_family .. window_sliding_rows_frame) + the first 16 of
+# the 50 r12-stale greens in name order (agg_bool_and_or ..
+# dedup_exact_documents) — the six first-timers displaced the r12
+# tail (embedding_quantize_int8, dialect_raw_theta_scale,
 # dialect_raw_theta_join, dialect_raw_theta_decimal_key,
-# dialect_distinct_count_over) per the plan's own displacement rule,
-# landing max staleness <= r12.
+# dialect_distinct_count_over, dedup_ngram_jaccard_pairs) per the
+# plan's own displacement rule, landing max staleness <= r12.
 #
 # ROUND-17 PLAN (computed from CORRECTNESS_r01..r15 + this window):
 # after r16's driver run the stale set is the remaining 28 r12-latest
@@ -136,7 +138,7 @@ _VERIFIED_PRIOR_ROUNDS = [
     "cursor_result_table_pages", "dedup_embedding_cosine",
     "dedup_exact_substring", "dedup_first_per_key",
     "dedup_incremental_lsh", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets", "dialect_asof_join",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_buckets", "dialect_asof_join",
     "dialect_datetime_convert", "dialect_ddl_mv_roundtrip",
     "dialect_default_limit_selection", "dialect_distinct_count_over",
     "dialect_epoch_functions",
@@ -210,7 +212,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 _WINDOW_FIRST_TIME = [
     "scan_encoding_independence", "text_classifier_trained_weights",
     "multimodal_lossy_webp_decode", "pipeline_shard_output",
-    "multimodal_audio_features",
+    "multimodal_audio_features", "multimodal_video_frame_sample",
 ]
 
 _REPROOF_STALE = [
@@ -230,7 +232,7 @@ _REPROOF_STALE = [
     "agg_listagg_arrayagg", "agg_mv_variants", "agg_percentiles",
     "asof_join_backward", "clp_encode_decode_roundtrip",
     "dedup_duplicate_clusters", "dedup_exact_documents",
-    "dedup_ngram_jaccard_pairs", 
+    
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -1410,6 +1410,87 @@ def multimodal_lossy_webp_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH samples(sample_idx, t_ms, frame_idx) AS (
+        VALUES (0, 0, 0), (1, 100, 1), (2, 200, 2),
+               (3, 300, 3), (4, 400, 4), (5, 500, 4)
+    )
+    SELECT concat('vid', CAST(m AS VARCHAR)) AS media_id,
+           CAST(sample_idx AS INT) AS sample_idx,
+           CAST(t_ms AS INT) AS t_ms,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(192 AS INT) AS n_pixels,
+           CAST(192 * ((m*53 + frame_idx*17) % 256) AS BIGINT) AS sum_r,
+           CAST(192 * ((m*29 + frame_idx*41) % 256) AS BIGINT) AS sum_g,
+           CAST(192 * ((m*71 + frame_idx*13) % 256) AS BIGINT) AS sum_b,
+           'ok' AS decode_ok
+    FROM range(4) t(m) CROSS JOIN samples
+    ORDER BY media_id, sample_idx
+    """,
+)
+def multimodal_video_frame_sample(spark, sf_dir):
+    """REAL video frame sampling through the multimodal Arrow path
+    (functions/gifcodec.decode_gif_frames +
+    operators/multimodal.video_frame_sample_decode): four animated
+    GIFs — five 16x12 solid frames each, colors from an exact integer
+    formula, frame delays 40/80/120/160/200 ms — are ENCODED to real
+    GIF89a animations worker-side, decoded back frame by frame, and
+    sampled every 100 ms.  The DuckDB oracle recomputes each sample's
+    channel sums from the color formula and the closed-form
+    frame-at-time mapping (the cumulative-delay windows [0,40) [40,120)
+    [120,240) [240,400) [400,600) put samples 0..5 on frames
+    0,1,2,3,4,4), so the animation roundtrip, GCE delay handling, and
+    timeline sampling must all be value-exact.  Animation composition
+    semantics (transparency, disposal restore-background and
+    restore-previous) are adversarially pinned in
+    tests/test_gif_tiff_codecs.py.
+
+    Scale shape: payload synthesis and decode both live in mapInPandas
+    batches; only the per-sample stat rows leave the worker."""
+    from pinot_spark.operators.multimodal import video_frame_sample_decode
+
+    ids = spark.createDataFrame(
+        [(f"vid{m}", m) for m in range(4)], "media_id string, m int"
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinot_spark.functions.gifcodec import encode_gif_animation
+
+        for pdf in batches:
+            payloads = []
+            for m in pdf["m"]:
+                frames = [
+                    np.full(
+                        (12, 16, 3),
+                        (
+                            (m * 53 + f * 17) % 256,
+                            (m * 29 + f * 41) % 256,
+                            (m * 71 + f * 13) % 256,
+                        ),
+                        np.uint8,
+                    )
+                    for f in range(5)
+                ]
+                delays = [40 * (f + 1) for f in range(5)]
+                payloads.append(
+                    bytearray(encode_gif_animation(frames, delays))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id string, payload binary")
+    return (
+        video_frame_sample_decode(media, every_ms=100)
+        .orderBy("media_id", "sample_idx")
+    )
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     WITH grid AS (
