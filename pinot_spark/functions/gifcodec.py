@@ -153,6 +153,13 @@ def _interlace(rows: np.ndarray) -> np.ndarray:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → (H, W, 3) uint8 RGB (first image frame)."""
+    try:
+        return _decode_gif_body(data)
+    except struct.error as e:  # truncated header/descriptor bytes
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -321,6 +328,13 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     This is the REAL video decode path for the multimodal operators:
     animated GIF is the one video container expressible losslessly in
     pure stdlib."""
+    try:
+        return _decode_gif_frames_body(data)
+    except struct.error as e:  # truncated header/descriptor bytes
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_frames_body(data: bytes) -> list[tuple[int, np.ndarray]]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])

@@ -52,6 +52,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → ((n_frames, n_channels) int16 array, sample_rate).
     8-bit unsigned PCM is widened to int16 by centering (s - 128) << 8,
     the lossless embedding into the 16-bit domain."""
+    try:
+        return _decode_wav_body(data)
+    except struct.error as e:  # truncated chunk bytes
+        raise ValueError(f"truncated WAV: {e}") from e
+
+
+def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     pos = 12

@@ -233,3 +233,32 @@ def test_gif_animation_palette_boundary():
     many = rng.integers(0, 256, (2, 24, 24, 3)).astype(np.uint8)
     with pytest.raises(NotImplementedError, match="palette"):
         encode_gif_animation([many[0], many[1]], [10, 10])
+
+
+def test_gif_corrupt_input_exception_contract():
+    """Byte-flipped/truncated GIFs must decode or raise only
+    ValueError/IndexError (the operator layer's 'corrupt' types) —
+    struct.error from short descriptor reads normalizes to ValueError."""
+    import random
+
+    from pinot_spark.functions.gifcodec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = [np.full((8, 8, 3), (f * 40, 5, 9), np.uint8) for f in range(3)]
+    base = encode_gif_animation(frames, [20, 20, 20])
+    rng = random.Random(7)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(6, len(b))] = rng.randrange(256)
+        try:
+            decode_gif_frames(bytes(b))
+        except (ValueError, IndexError):
+            pass
+    for cut in range(0, len(base), 3):
+        try:
+            decode_gif_frames(base[:cut])
+        except (ValueError, IndexError):
+            pass

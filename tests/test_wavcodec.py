@@ -109,3 +109,26 @@ def test_roundtrip_property():
         assert np.array_equal(out, s)
 
     prop()
+
+
+def test_wav_corrupt_input_exception_contract():
+    """Byte-flipped/truncated WAVs decode or raise only ValueError/
+    IndexError/NotImplementedError (operator-classified types);
+    struct.error normalizes to ValueError."""
+    import random
+
+    base = encode_wav(np.arange(-400, 400, dtype=np.int16), 8000)
+    rng = random.Random(7)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(4, len(b))] = rng.randrange(256)
+        try:
+            decode_wav(bytes(b))
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+    for cut in range(0, len(base), 7):
+        try:
+            decode_wav(base[:cut])
+        except (ValueError, IndexError):
+            pass
