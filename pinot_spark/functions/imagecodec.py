@@ -266,7 +266,19 @@ _DECODERS = {
 
 def decode(data: bytes) -> np.ndarray:
     """Any supported container → (H, W, 3) uint8 RGB; NotImplementedError
-    names the format for containers needing external codec libraries."""
+    names the format for containers needing external codec libraries.
+
+    Exception contract (what the multimodal operator layer classifies):
+    a malformed payload raises ValueError or IndexError, NEVER a
+    parser-internal type — corrupt crawled media must mark the ROW
+    corrupt, not fail the executor task.  Fuzzing (round 16) showed
+    corrupt PNGs surface zlib.error (the dominant case) and corrupt
+    JPEGs can surface struct.error/KeyError/StopIteration from deep in
+    the entropy decoder; this boundary normalizes that named set to
+    ValueError, preserving the original type in the message."""
+    import struct as _struct
+    import zlib as _zlib
+
     fmt = sniff(data or b"")
     dec = _DECODERS.get(fmt)
     if dec is None:
@@ -274,7 +286,13 @@ def decode(data: bytes) -> np.ndarray:
             f"image format {fmt!r} requires a codec library not present in "
             "this container (supported: png, bmp, ppm, jpeg, gif, tiff, webp-lossless)"
         )
-    return dec(data)
+    try:
+        return dec(data)
+    except (_zlib.error, _struct.error, KeyError, StopIteration,
+            OverflowError) as e:
+        raise ValueError(
+            f"corrupt {fmt} payload ({type(e).__name__}: {e})"
+        ) from e
 
 
 def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:

@@ -89,6 +89,13 @@ def packbits_encode(data: bytes) -> bytes:
 
 def _read_ifd_value(data: bytes, endian: str, ftype: int, count: int, raw: bytes):
     size = _TYPE_SIZES.get(ftype, 1) * count
+    # a value array can never exceed the file itself — a corrupt count
+    # (u32, up to 4e9) would otherwise drive multi-GB format strings /
+    # list allocations below (round-16 fuzz: executor-hang bomb)
+    if size > len(data):
+        raise ValueError(
+            f"corrupt TIFF: IFD value size {size} exceeds file size"
+        )
     if size > 4:
         (offset,) = struct.unpack(endian + "I", raw)
         payload = data[offset : offset + size]
@@ -104,7 +111,16 @@ def _read_ifd_value(data: bytes, endian: str, ftype: int, count: int, raw: bytes
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Baseline TIFF bytes → (H, W, 3) uint8 RGB."""
+    """Baseline TIFF bytes → (H, W, 3) uint8 RGB.  Malformed payloads
+    raise ValueError/IndexError only (the multimodal operator layer's
+    corrupt-classification contract)."""
+    try:
+        return _decode_tiff_body(data)
+    except struct.error as e:  # truncated header/IFD bytes
+        raise ValueError(f"truncated TIFF: {e}") from e
+
+
+def _decode_tiff_body(data: bytes) -> np.ndarray:
     if data[:4] == b"II*\x00":
         endian = "<"
     elif data[:4] == b"MM\x00*":
@@ -118,9 +134,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
         e = ifd_off + 2 + 12 * i
         tag, ftype, count = struct.unpack(endian + "HHI", data[e : e + 8])
         tags[tag] = _read_ifd_value(data, endian, ftype, count, data[e + 8 : e + 12])
+    if _TAG_WIDTH not in tags or _TAG_HEIGHT not in tags:
+        raise ValueError("corrupt TIFF: missing width/height tags")
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
     spp = tags.get(_TAG_SPP, [1])[0]
+    # corrupt dimensions are an allocation bomb: a legitimate image
+    # cannot exceed the file's bytes by more than PackBits' max 128x
+    # expansion (plus slack for tiny files)
+    if w < 1 or h < 1 or spp < 1 or spp > 16:
+        raise ValueError(f"corrupt TIFF dimensions {w}x{h}x{spp}")
+    if w * h * spp > 128 * len(data) + 65536:
+        raise ValueError(
+            f"corrupt TIFF: {w}x{h}x{spp} impossible for a "
+            f"{len(data)}-byte file"
+        )
     bits = tags.get(_TAG_BITS, [8] * spp)
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
@@ -137,13 +165,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
     if planar != 1:
         raise NotImplementedError("TIFF planar configuration 2 not implemented")
+    if _TAG_STRIP_OFFSETS not in tags or _TAG_STRIP_COUNTS not in tags:
+        raise ValueError("corrupt TIFF: missing strip tables")
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags[_TAG_STRIP_COUNTS]
     rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    if rows_per_strip < 1:
+        raise ValueError("corrupt TIFF: rows_per_strip < 1")
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = data[off : off + cnt]
-        rows = min(rows_per_strip, h - si * rows_per_strip)
+        rows = max(0, min(rows_per_strip, h - si * rows_per_strip))
         if comp == 32773:
             strip = packbits_decode(strip, rows * w * spp)
         raw += strip

@@ -247,3 +247,49 @@ def test_resize_images_real_roundtrip(spark):
     assert row.resize_ok == "ok"
     back = ic.decode_png(bytes(row.payload))
     assert np.array_equal(back, arr[::2, ::2])
+
+
+def test_dispatch_corrupt_input_exception_contract():
+    """Round 16 fuzz finding: corrupt PNGs surfaced zlib.error, corrupt
+    JPEGs struct.error/KeyError/StopIteration, and corrupt TIFFs could
+    allocation-bomb via 4-billion IFD counts or bogus dimensions.  The
+    decode boundary must classify ALL malformed payloads as ValueError/
+    IndexError (or NotImplementedError for named format gaps) and stay
+    fast — crawled-media pipelines mark rows corrupt, they don't fail
+    executor tasks."""
+    import random
+    import time
+
+    from pinot_spark.functions.gifcodec import encode_gif
+    from pinot_spark.functions.jpegcodec import encode_jpeg
+    from pinot_spark.functions.tiffcodec import encode_tiff
+    from pinot_spark.functions.webpcodec import encode_webp
+
+    rng_np = np.random.default_rng(3)
+    img = rng_np.integers(0, 256, (12, 14, 3)).astype(np.uint8)
+    pal = (rng_np.integers(0, 4, (12, 14, 3)) * 60).astype(np.uint8)
+    payloads = {
+        "png": ic.encode_png(img),
+        "ppm": ic.encode_ppm(img),
+        "jpeg": encode_jpeg(img, 90),
+        "tiff": encode_tiff(img, packbits=True),
+        "webp": encode_webp(pal),
+        "gif": encode_gif(pal),
+    }
+    rng = random.Random(11)
+    for name, base in payloads.items():
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(2, len(b))] = rng.randrange(256)
+            t0 = time.time()
+            try:
+                ic.decode(bytes(b))
+            except (ValueError, IndexError, NotImplementedError):
+                pass
+            assert time.time() - t0 < 5.0, (name, "slow decode path")
+        for cut in range(0, len(base), max(1, len(base) // 20)):
+            try:
+                ic.decode(base[:cut])
+            except (ValueError, IndexError, NotImplementedError):
+                pass
