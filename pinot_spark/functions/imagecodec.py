@@ -100,8 +100,17 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[color]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
+    needed = h * (stride + 1)
+    # zlib's max ratio is ~1030x: dims demanding more output than the
+    # file could hold are corrupt, and capping the inflate at `needed`
+    # defuses decompression bombs (round-16 fuzz hardening)
+    if needed > 2048 * len(data) + 65536:
+        raise ValueError(
+            f"corrupt PNG: {w}x{h}x{ch} impossible for a "
+            f"{len(data)}-byte file"
+        )
+    raw = zlib.decompressobj().decompress(b"".join(idat), needed)
+    if len(raw) < needed:
         raise ValueError("PNG pixel data truncated")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -184,6 +193,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h)
     nch = bpp // 8
     row_bytes = (w * nch + 3) & ~3
+    # BMP is uncompressed: every pixel byte must exist in the file —
+    # corrupt header dims are an allocation bomb otherwise
+    if w <= 0 or h == 0:
+        raise ValueError(f"corrupt BMP dimensions {w}x{h}")
+    if pix_off + (h - 1) * row_bytes + w * nch > len(data):
+        raise ValueError("BMP pixel data truncated")
     px = np.zeros((h, w, 3), dtype=np.uint8)
     for y in range(h):
         row = np.frombuffer(data, np.uint8, w * nch, pix_off + y * row_bytes).reshape(w, nch)
