@@ -6,8 +6,9 @@ LLM-data-pipeline multimodal operators (operators/multimodal.py):
 decode / feature-extract / resize run REAL bytes for the three formats
 whose specifications need nothing beyond ``zlib`` (stdlib) and numpy:
 
-- **PNG** (W3C spec / RFC 2083): 8-bit gray / RGB / RGBA, non-interlaced,
-  all five scanline filters (None/Sub/Up/Average/Paeth).
+- **PNG** (W3C spec / RFC 2083): 8-bit gray / RGB / RGBA / paletted
+  (PLTE), non-interlaced, all five scanline filters
+  (None/Sub/Up/Average/Paeth).
 - **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB, bottom-up or
   top-down.
 - **PPM** (netpbm P6): binary RGB, maxval 255.
@@ -61,7 +62,7 @@ def sniff(data: bytes) -> str:
 # PNG
 # ---------------------------------------------------------------------------
 
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -78,7 +79,7 @@ def decode_png(data: bytes) -> np.ndarray:
     """PNG → (H, W, 3) uint8 RGB. 8-bit gray/RGB/RGBA, non-interlaced."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
-    pos, idat, header = 8, [], None
+    pos, idat, header, plte = 8, [], None, None
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         typ = data[pos + 4 : pos + 8]
@@ -86,6 +87,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
             header = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(
+                chunk[: (len(chunk) // 3) * 3], np.uint8
+            ).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -142,6 +147,10 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = cur.astype(np.int32)
     px = out.reshape(h, w, ch)
+    if color == 3:  # palette indices -> PLTE colors
+        if plte is None or len(plte) == 0:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        return plte[np.minimum(px[:, :, 0], len(plte) - 1)]
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     if ch == 4:

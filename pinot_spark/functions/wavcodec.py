@@ -24,6 +24,35 @@ import struct
 import numpy as np
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 expansion tables (the published CCITT reference
+    algorithm, the same math as CPython's audioop — cross-validated
+    byte-for-byte in tests/test_wavcodec.py): 256-entry uint8 →
+    int16 lookup for mu-law and A-law."""
+    ulaw = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        alaw[b] = t if (a & 0x80) else -t
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """(n_frames, n_channels) or (n_frames,) int16 array → WAV bytes
     (PCM16 LE, interleaved)."""
@@ -78,13 +107,22 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
     format_tag, n_ch, rate, _byte_rate, _block, bits = fmt
+    if format_tag in (6, 7):  # G.711 A-law / mu-law telephony audio
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with {bits}-bit samples")
+        table = _ALAW_TABLE if format_tag == 6 else _ULAW_TABLE
+        arr = table[
+            np.frombuffer(
+                frames[: (len(frames) // n_ch) * n_ch], np.uint8
+            )
+        ].reshape(-1, n_ch)
+        return arr, rate
     if format_tag != 1:
-        names = {3: "IEEE_FLOAT", 6: "ALAW", 7: "MULAW",
-                 2: "ADPCM", 0xFFFE: "EXTENSIBLE"}
+        names = {3: "IEEE_FLOAT", 2: "ADPCM", 0xFFFE: "EXTENSIBLE"}
         raise NotImplementedError(
             f"WAV format tag {format_tag} "
             f"({names.get(format_tag, 'unknown')}) not supported; "
-            "integer PCM only"
+            "integer PCM and G.711 only"
         )
     if n_ch < 1:
         raise ValueError("WAV with zero channels")

@@ -293,3 +293,46 @@ def test_dispatch_corrupt_input_exception_contract():
                 ic.decode(base[:cut])
             except (ValueError, IndexError, NotImplementedError):
                 pass
+
+
+def test_png_paletted_decode():
+    """Color-type-3 (paletted) PNG — ubiquitous in crawled web imagery
+    — decodes through PLTE mapping; out-of-range indices clamp instead
+    of crashing, and a missing PLTE raises ValueError."""
+    import struct
+    import zlib
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(t, p):
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    def build(with_plte=True, indices=None):
+        body = chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        )
+        if with_plte:
+            body += chunk(b"PLTE", pal.tobytes())
+        use = indices if indices is not None else raw
+        return (
+            b"\x89PNG\r\n\x1a\n" + body
+            + chunk(b"IDAT", zlib.compress(use)) + chunk(b"IEND", b"")
+        )
+
+    assert np.array_equal(ic.decode(build()), pal[idx])
+    # index beyond the palette clamps to the last entry
+    oob = b"".join(
+        b"\x00" + bytes([200] * w) for _ in range(h)
+    )
+    got = ic.decode(build(indices=oob))
+    assert (got == pal[-1]).all()
+    with pytest.raises(ValueError, match="PLTE"):
+        ic.decode(build(with_plte=False))

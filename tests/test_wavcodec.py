@@ -132,3 +132,38 @@ def test_wav_corrupt_input_exception_contract():
             decode_wav(base[:cut])
         except (ValueError, IndexError):
             pass
+
+
+def test_g711_decode_matches_audioop():
+    """mu-law and A-law expansion cross-validated against CPython's
+    audioop (an independent C implementation of the same ITU-T G.711
+    reference algorithm) over ALL 256 code bytes, then through a real
+    WAV container with the G.711 format tags."""
+    import audioop
+
+    raw = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(raw, 2), "<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(raw, 2), "<i2")
+
+    def g711_wav(tag, payload, ch=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        if len(payload) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out_u, rate = decode_wav(g711_wav(7, raw))
+    assert rate == 8000
+    assert np.array_equal(out_u[:, 0], want_u)
+    out_a, _ = decode_wav(g711_wav(6, raw))
+    assert np.array_equal(out_a[:, 0], want_a)
+    # stereo de-interleave on a G.711 stream
+    out2, _ = decode_wav(g711_wav(7, raw, ch=2))
+    assert out2.shape == (128, 2)
+    assert np.array_equal(out2.ravel(), want_u)
+    # float stays a loud named boundary
+    with pytest.raises(NotImplementedError, match="IEEE_FLOAT"):
+        decode_wav(g711_wav(3, raw))
