@@ -405,11 +405,15 @@ def _decode_gif_frames_body(data: bytes) -> list[tuple[int, np.ndarray]]:
         prev = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
         rgb = palette[np.minimum(rows, len(palette) - 1)]
+        # a frame descriptor extending past the logical screen is clipped
+        # (what most decoders render) in BOTH branches (r16 ADVICE: the
+        # transparent path previously raised on the shape mismatch)
+        rh, rw = region.shape[:2]
         if transparent is not None:
-            keep = rows != transparent
-            region[keep] = rgb[keep]
+            keep = rows[:rh, :rw] != transparent
+            region[keep] = rgb[:rh, :rw][keep]
         else:
-            region[:, :] = rgb[: region.shape[0], : region.shape[1]]
+            region[:, :] = rgb[:rh, :rw]
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore background
             canvas[top : top + h, left : left + w] = 0

@@ -107,6 +107,8 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
     format_tag, n_ch, rate, _byte_rate, _block, bits = fmt
+    if n_ch < 1:  # before any branch divides by n_ch (r16 ADVICE)
+        raise ValueError("WAV with zero channels")
     if format_tag in (6, 7):  # G.711 A-law / mu-law telephony audio
         if bits != 8:
             raise ValueError(f"G.711 WAV with {bits}-bit samples")
@@ -124,8 +126,6 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
             f"({names.get(format_tag, 'unknown')}) not supported; "
             "integer PCM and G.711 only"
         )
-    if n_ch < 1:
-        raise ValueError("WAV with zero channels")
     if bits == 16:
         arr = np.frombuffer(
             frames[: (len(frames) // (2 * n_ch)) * 2 * n_ch], "<i2"

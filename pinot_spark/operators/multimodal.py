@@ -216,6 +216,11 @@ def audio_features(
                 win = max(1, rate * window_ms // 1000)
                 hop = max(1, rate * hop_ms // 1000)
                 n = samples.shape[0]
+                if n == 0:
+                    # decoded-but-empty leaves a trace row (r16 ADVICE):
+                    # downstream joins can tell 'empty' from 'row lost'
+                    rows.append((mid, -1, -1, 0, 0, 0, 0, "empty"))
+                    continue
                 for ch in range(samples.shape[1]):
                     s = samples[:, ch].astype(np.int64)
                     nonneg = s >= 0

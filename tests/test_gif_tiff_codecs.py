@@ -262,3 +262,48 @@ def test_gif_corrupt_input_exception_contract():
             decode_gif_frames(base[:cut])
         except (ValueError, IndexError):
             pass
+
+
+def test_gif_oversized_frame_descriptor_clips_both_paths():
+    """A frame whose descriptor extends past the logical screen is
+    CLIPPED (what mainstream decoders render) on both the transparent
+    and opaque paths — the transparent path used to raise a
+    shape-mismatch IndexError (r16 ADVICE)."""
+    import struct
+
+    from pinot_spark.functions.gifcodec import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])
+
+    def build(trans):
+        out = bytearray(b"GIF89a")
+        # 3x3 logical screen, but the frame claims 4x4 at offset (1,1)
+        out += struct.pack("<HHBBB", 3, 3, 0x80 | 0x01, 0, 0) + pal
+        packed = 1 if trans is not None else 0
+        out.extend(
+            b"\x21\xf9\x04" + bytes([packed]) + struct.pack("<H", 5)
+            + bytes([trans if trans is not None else 0]) + b"\x00"
+        )
+        out.extend(b"\x2c" + struct.pack("<HHHHB", 1, 1, 4, 4, 0))
+        out.append(2)
+        lzw = _lzw_encode(bytes([1, 3] * 8), 2)  # green/transparent mix
+        out.append(len(lzw))
+        out.extend(lzw)
+        out.append(0)
+        out.extend(b"\x3b")
+        return bytes(out)
+
+    # opaque path: clipped write
+    fr = decode_gif_frames(build(None))
+    canvas = fr[0][1]
+    assert canvas.shape == (3, 3, 3)
+    assert (canvas[1, 1] == [0, 255, 0]).all()
+    # transparent path: same clipping, transparent indices keep canvas
+    fr_t = decode_gif_frames(build(3))
+    canvas_t = fr_t[0][1]
+    assert canvas_t.shape == (3, 3, 3)
+    assert (canvas_t[1, 1] == [0, 255, 0]).all()   # index 1 drawn
+    assert (canvas_t[1, 2] == [0, 0, 0]).all()     # index 3 transparent

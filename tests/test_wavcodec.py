@@ -134,16 +134,60 @@ def test_wav_corrupt_input_exception_contract():
             pass
 
 
+# ALL 256 expansion values for each G.711 law, generated once from
+# CPython's audioop C implementation (audioop.ulaw2lin/alaw2lin of
+# bytes(range(256)), int16 LE) and pinned inline — audioop is removed
+# in Python 3.13, so the independent ground truth lives here now.
+_AUDIOOP_ULAW_B64 = (
+    "hIKEhoSKhI6EkoSWhJqEnoSihKaEqoSuhLKEtoS6hL6EwYTDhMWEx4TJhMuEzYTPhN"
+    "GE04TVhNeE2YTbhN2E3wThBOIE4wTkBOUE5gTnBOgE6QTqBOsE7ATtBO4E7wTwxPBE"
+    "8cTxRPLE8kTzxPNE9MT0RPXE9UT2xPZE98T3RPik+OT4JPlk+aT55Pkk+mT6pPrk+i"
+    "T7ZPuk++T7JPxk/JT8tPzU/PT8FP00/VT9dP2U/bT91P30/RT+NP5U/nT+jP6c/qz+"
+    "vP7M/tz+7P78/gz/HP8s/zz/TP9c/2z/fP+I/5D/mP+g/6j/sP+4/8D/yP/Q/9j/4P"
+    "/o//D/+P8AAHx9fHl8dXxxfG18aXxlfGF8XXxZfFV8UXxNfEl8RXxBfD58PHw6fDh8"
+    "Nnw0fDJ8MHwufCx8KnwofCZ8JHwifCD8Hvwd/Bz8G/wa/Bn8GPwX/Bb8FfwU/BP8Ev"
+    "wR/BD8DzwPvA48DrwNPA28DDwMvAs8C7wKPAq8CTwJvAg8CLwHXAccB9wGnAZcBhwG"
+    "3AWcBVwFHAXcBJwEXAQcBNwDnANsA0wDLAMMA+wCzAKsAowCbAJMAiwCDALsAcwBrA"
+    "GMAXQBZAFUAUQBNAEkARQBBAH0AOQA1ADEALQApACUAIQAeABwAGgAYABYAFAASABA"
+    "ADgAMAAoACAAGAAQAAgAAAA="
+)
+_AUDIOOP_ALAW_B64 = (
+    "gOqA64DogOmA7oDvgOyA7YDigOOA4IDhgOaA54DkgOVA9cD1QPTA9ED3wPdA9sD2QP"
+    "HA8UDwwPBA88DzQPLA8gCqAK4AogCmALoAvgCyALYAigCOAIIAhgCaAJ4AkgCWANUA"
+    "1wDRANMA3QDfANkA2wDFAMcAwQDDAM0AzwDJAMuo/rj+iP6Y/uj++P7I/tj+KP44/g"
+    "j+GP5o/nj+SP5Y/qj/uP+I/5j/6P/4/8j/2P8o/zj/CP8Y/2j/eP9I/1j/oPrg+iD6"
+    "YPqg++D7IPtg+6D44Pgg+GD4oPng+SD5YPlQ/XD9EP0w/dD98P2Q/bD9UPxw/BD8MP"
+    "zQ/PD8kPyw/IAVgBSAF4AWgBGAEIATgBKAHYAcgB+AHoAZgBiAG4AawApACsALQAvA"
+    "CEAIwAlACcAOQA7AD0APwAxADMANQA0AVgBSAF4AWgBGAEIATgBKAHYAcgB+AHoAZg"
+    "BiAG4AagArACkALwAtACMAIQAnACUAOwA5AD8APQAzADEANwA1WAFIAXgBaAEYAQgB"
+    "OAEoAdgByAH4AegBmAGIAbgBqAFYAEgAeABoABgACAA4ACgA2ADIAPgA6ACYAIgAuA"
+    "CoAGAFIAXgBaAFYAQgBOAEoARgByAH4AegB2AGIAbgBqAGsAKQAvAC0AIwAhACcAJQ"
+    "ArADkAPwA9ADMAMQA3ADUAM="
+)
+
+
 def test_g711_decode_matches_audioop():
-    """mu-law and A-law expansion cross-validated against CPython's
-    audioop (an independent C implementation of the same ITU-T G.711
-    reference algorithm) over ALL 256 code bytes, then through a real
-    WAV container with the G.711 format tags."""
-    import audioop
+    """mu-law and A-law expansion cross-validated against the PINNED
+    output of CPython's audioop (an independent C implementation of the
+    same ITU-T G.711 reference algorithm; removed in Python 3.13, so
+    its 256-code outputs are frozen inline above) over ALL 256 code
+    bytes, then through a real WAV container with the G.711 tags."""
+    import base64
 
     raw = bytes(range(256))
-    want_u = np.frombuffer(audioop.ulaw2lin(raw, 2), "<i2")
-    want_a = np.frombuffer(audioop.alaw2lin(raw, 2), "<i2")
+    want_u = np.frombuffer(base64.b64decode(_AUDIOOP_ULAW_B64), "<i2")
+    want_a = np.frombuffer(base64.b64decode(_AUDIOOP_ALAW_B64), "<i2")
+    assert len(want_u) == len(want_a) == 256
+    try:  # if the interpreter still ships audioop, re-verify the pins
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        assert audioop.ulaw2lin(raw, 2) == want_u.tobytes()
+        assert audioop.alaw2lin(raw, 2) == want_a.tobytes()
+    except ImportError:
+        pass
 
     def g711_wav(tag, payload, ch=1, rate=8000):
         fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
@@ -167,3 +211,19 @@ def test_g711_decode_matches_audioop():
     # float stays a loud named boundary
     with pytest.raises(NotImplementedError, match="IEEE_FLOAT"):
         decode_wav(g711_wav(3, raw))
+
+
+def test_g711_zero_channel_raises_valueerror():
+    """A crafted zero-channel G.711 WAV raises ValueError (the
+    operator-classified 'corrupt' type), not ZeroDivisionError — the
+    n_ch check now runs before any branch divides by n_ch (r16
+    ADVICE)."""
+    for tag in (1, 6, 7):
+        fmt = struct.pack("<HHIIHH", tag, 0, 8000, 8000, 1, 8)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+        )
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="zero channels"):
+            decode_wav(data)
