@@ -997,12 +997,44 @@ def _fancy_upsample(u: np.ndarray, v: np.ndarray, w: int, hgt: int):
     return uf, vf
 
 
-def decode_webp_lossy(data: bytes, with_alpha: bool = False) -> np.ndarray:
+def decode_webp_lossy(
+    data: bytes, with_alpha: bool = False, prefer_native: bool = True
+) -> np.ndarray:
     """Full lossy-WebP decode: (H, W, 3) uint8 RGB (or (H, W, 4) RGBA
     when ``with_alpha``), byte-exact against libwebp's WebPDecodeRGB/
-    RGBA for keyframe files.  VP8 reconstruction per RFC 6386;
-    chroma upsampling + color conversion per libwebp's default
-    (fancy) output path."""
+    RGBA for keyframe files.
+
+    Hot path = the system libwebp via ctypes (webp_native.py) with a
+    deterministic sampled cross-check against this module's pure-
+    Python RFC 6386 reconstruction (the conformance oracle, ~1000×
+    slower — measured 11 s/megapixel round 16); the pure path runs
+    when the library is absent or rejects the bytes, so corrupt input
+    still raises the contract's classified error types.  Chroma
+    upsampling + color conversion per libwebp's default (fancy)
+    output path in both implementations."""
+    if prefer_native:
+        from pinot_spark.functions import webp_native
+
+        native = (
+            webp_native.decode_rgba(data)
+            if with_alpha
+            else webp_native.decode_rgb(data)
+        )
+        if native is not None:
+            if webp_native.should_crosscheck():
+                pure = _decode_webp_lossy_pure(data, with_alpha)
+                if not np.array_equal(pure, native):
+                    raise ValueError(
+                        "libwebp/pure-Python VP8 decoder disagreement "
+                        "(conformance cross-check failed)"
+                    )
+            return native
+    return _decode_webp_lossy_pure(data, with_alpha)
+
+
+def _decode_webp_lossy_pure(
+    data: bytes, with_alpha: bool = False
+) -> np.ndarray:
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     payload = None

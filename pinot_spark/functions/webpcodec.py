@@ -426,10 +426,39 @@ def _apply_color_transform(px: np.ndarray, cti: np.ndarray, bits: int) -> np.nda
     return out
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes → (H, W, 3) uint8 RGB.  Lossless (VP8L) decodes
-    here; the lossy 'VP8 ' codec decodes through vp8codec (full
-    RFC 6386 keyframe reconstruction, byte-exact against libwebp)."""
+def decode_webp(data: bytes, prefer_native: bool = True) -> np.ndarray:
+    """WebP bytes → (H, W, 3) uint8 RGB.
+
+    Hot path: the system libwebp via ctypes (functions/webp_native.py)
+    — the pure-Python decoders below are byte-exact but interpreter-
+    bound (~11 s/megapixel for VP8), which at 100 TB image scale is
+    the difference between a scan and a compute catastrophe.  The
+    pure-Python RFC 9649/6386 decoders remain the CONFORMANCE ORACLE:
+    a deterministic sample of native decodes (first + every 64th) is
+    re-decoded in pure Python and compared byte-for-byte; when the
+    library is absent or rejects the bytes, the pure path runs and
+    raises the contract's classified error types."""
+    if prefer_native:
+        from pinot_spark.functions import webp_native
+
+        rgb = webp_native.decode_rgb(data)
+        if rgb is not None:
+            if webp_native.should_crosscheck():
+                pure = _decode_webp_pure(data)
+                if not np.array_equal(pure, rgb):
+                    raise ValueError(
+                        "libwebp/pure-Python WebP decoder disagreement "
+                        "(conformance cross-check failed)"
+                    )
+            return rgb
+    return _decode_webp_pure(data)
+
+
+def _decode_webp_pure(data: bytes) -> np.ndarray:
+    """Pure-Python decode (the conformance oracle): lossless (VP8L)
+    decodes here; the lossy 'VP8 ' codec decodes through vp8codec
+    (full RFC 6386 keyframe reconstruction, byte-exact against
+    libwebp)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -442,7 +471,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8 ":
             from pinot_spark.functions.vp8codec import decode_webp_lossy
 
-            return decode_webp_lossy(data)
+            return decode_webp_lossy(data, prefer_native=False)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP has no VP8L chunk")
 

@@ -4,7 +4,11 @@ with typed metadata, processed in Arrow batches via ``mapInPandas``.
 The decode step is REAL for PNG/BMP/PPM/JPEG/GIF/TIFF/WebP-lossless
 (pure-stdlib codecs in functions/imagecodec.py + jpegcodec/gifcodec/
 tiffcodec/webpcodec) AND lossy VP8 WebP (functions/vp8codec.py,
-RFC 6386 keyframes, byte-exact against libwebp). ``fake=True`` keeps
+RFC 6386 keyframes, byte-exact against libwebp). WebP decode
+dispatches to the system libwebp via ctypes when present
+(functions/webp_native.py, ~1000× the pure-Python pixel throughput —
+the round-16 scale `weak`), with the pure-Python decoder retained as
+a deterministically-sampled conformance oracle. ``fake=True`` keeps
 the seeded content-hash decoder for plumbing tests on non-image
 payloads.
 

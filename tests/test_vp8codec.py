@@ -103,7 +103,7 @@ def test_yuv_planes_match_libwebp(name):
 def test_rgb_matches_libwebp(name):
     data = open(os.path.join(_DATA, name), "rb").read()
     _, _, rgb_d, shape = _EXPECT[name]
-    rgb = decode_webp_lossy(data)
+    rgb = decode_webp_lossy(data, prefer_native=False)
     assert rgb.shape == shape and rgb.dtype == np.uint8
     assert hashlib.sha256(rgb.tobytes()).hexdigest() == rgb_d
 
@@ -113,7 +113,7 @@ def test_python_logo_rgba_matches_libwebp():
     VP8X+ALPH+VP8): full RGBA — lossy RGB + the exact ALPH alpha
     plane — equals libwebp's WebPDecodeRGBA bytes."""
     data = open(os.path.join(_DATA, "python_lossy.webp"), "rb").read()
-    rgba = decode_webp_lossy(data, with_alpha=True)
+    rgba = decode_webp_lossy(data, with_alpha=True, prefer_native=False)
     assert rgba.shape == (16, 16, 4)
     assert hashlib.sha256(rgba.tobytes()).hexdigest() == (
         "15a25b0b3fa5403eed7c28dd64163ee7c284bb95a62147e88534eca87e2b4adc"
@@ -150,7 +150,7 @@ def test_live_libwebp_parity_when_available():
         w, h = ctypes.c_int(), ctypes.c_int()
         p = lib.WebPDecodeRGB(data, len(data), ctypes.byref(w), ctypes.byref(h))
         gt = np.ctypeslib.as_array(p, shape=(h.value, w.value, 3)).copy()
-        mine = decode_webp_lossy(data)
+        mine = decode_webp_lossy(data, prefer_native=False)
         assert np.array_equal(mine, gt), name
 
 
@@ -259,7 +259,7 @@ def test_synthetic_streams_decode_exactly(name):
         "the deterministic writer changed — regenerate ground truth "
         "against libwebp before repinning"
     )
-    rgb = decode_webp_lossy(data)
+    rgb = decode_webp_lossy(data, prefer_native=False)
     assert hashlib.sha256(rgb.tobytes()).hexdigest() == rgb_d
 
 
@@ -278,7 +278,7 @@ def test_synthetic_streams_live_libwebp_parity():
                               ctypes.byref(h))
         assert p, f"libwebp rejected fabricated stream {name}"
         gt = np.ctypeslib.as_array(p, shape=(h.value, w.value, 3)).copy()
-        assert np.array_equal(decode_webp_lossy(data), gt), name
+        assert np.array_equal(decode_webp_lossy(data, prefer_native=False), gt), name
 
 
 def test_corrupt_input_never_escapes_handled_exceptions():
@@ -296,12 +296,14 @@ def test_corrupt_input_never_escapes_handled_exceptions():
         b = bytearray(base)
         for _ in range(rng.randint(1, 6)):
             b[rng.randrange(12, len(b))] = rng.randrange(256)
-        try:
-            decode_webp_lossy(bytes(b))
-        except (ValueError, IndexError):
-            pass
+        for native in (True, False):  # dispatch path AND pure oracle
+            try:
+                decode_webp_lossy(bytes(b), prefer_native=native)
+            except (ValueError, IndexError):
+                pass
     for cut in range(12, len(base), 50):
-        try:
-            decode_webp_lossy(base[:cut])
-        except (ValueError, IndexError):
-            pass
+        for native in (True, False):
+            try:
+                decode_webp_lossy(base[:cut], prefer_native=native)
+            except (ValueError, IndexError):
+                pass
