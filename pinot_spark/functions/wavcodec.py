@@ -1,11 +1,12 @@
 """Pure-stdlib WAV (RIFF/WAVE) PCM codec — the audio half of the
 multimodal column mandate, real instead of stubbed.
 
-Scope: integer PCM, the format every large crawled-audio corpus
-normalizes to before feature extraction — 8-bit unsigned and 16-bit
-signed little-endian, any channel count and sample rate.  Compressed
-or float formats (IEEE float, A-law/mu-law, ADPCM, WAVE_FORMAT_
-EXTENSIBLE) raise NotImplementedError NAMING the format tag, the same
+Scope: integer PCM (8-bit unsigned, 16-bit signed LE, any channel
+count/rate), G.711 mu-law/A-law (format tags 7/6), and IMA/DVI ADPCM
+(format tag 0x11 — the published IMA algorithm, block-aligned WAV
+layout, decode vectorized across blocks).  Remaining compressed or
+float formats (IEEE float, MS-ADPCM, WAVE_FORMAT_EXTENSIBLE, MP3)
+raise NotImplementedError NAMING the format tag, the same
 loud-boundary convention as the image codecs.
 
 Cross-validated against CPython's stdlib ``wave`` module in both
@@ -52,6 +53,170 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM tables (the published IMA reference algorithm — the
+# same math as CPython's audioop adpcm2lin, cross-validated in
+# tests/test_wavcodec.py against its pinned output)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], np.int32)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32
+)
+
+
+def _ima_decode_nibbles(
+    nibbles: np.ndarray, predictor: np.ndarray, index: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-blocks IMA expansion: ``nibbles`` is
+    (n_blocks, n_samples) uint8; ``predictor``/``index`` are the
+    per-block initial states (mutated in place).  Returns
+    (n_blocks, n_samples) int16.  The sample loop is sequential (each
+    step's state feeds the next — inherent to ADPCM) but every block
+    decodes in lockstep, so throughput scales with block count, not
+    interpreter speed per sample."""
+    n_blocks, n_samples = nibbles.shape
+    out = np.empty((n_blocks, n_samples), np.int16)
+    np.clip(index, 0, 88, out=index)
+    for i in range(n_samples):
+        n = nibbles[:, i].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(n & 4, step, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 1, step >> 2, 0)
+        predictor += np.where(n & 8, -diff, diff)
+        np.clip(predictor, -32768, 32767, out=predictor)
+        out[:, i] = predictor
+        index += _IMA_INDEX[n]
+        np.clip(index, 0, 88, out=index)
+    return out
+
+
+def _decode_ima_adpcm(
+    frames: bytes, n_ch: int, block_align: int, n_frames: int | None
+) -> np.ndarray:
+    """IMA-ADPCM WAV data chunk → (n_frames, n_ch) int16.  Block
+    layout per the IMA WAV mapping: per channel a 4-byte header
+    (int16 initial sample, uint8 step index, reserved), then nibble
+    data interleaved in 4-byte groups per channel, LOW nibble first."""
+    if block_align < 4 * n_ch or block_align % 4:
+        raise ValueError(f"bad IMA-ADPCM block align {block_align}")
+    n_blocks = len(frames) // block_align
+    if n_blocks == 0:
+        return np.empty((0, n_ch), np.int16)
+    blk = np.frombuffer(
+        frames[: n_blocks * block_align], np.uint8
+    ).reshape(n_blocks, block_align)
+    hdr = blk[:, : 4 * n_ch].reshape(n_blocks, n_ch, 4)
+    predictor = (
+        hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    )
+    predictor = ((predictor + 32768) & 0xFFFF) - 32768  # sign-extend i16
+    index = hdr[:, :, 2].astype(np.int32)
+    if np.any(index > 88):
+        raise ValueError("IMA-ADPCM step index out of range")
+    data = blk[:, 4 * n_ch :]
+    # channel of data byte j: (j // 4) % n_ch
+    ch_of = (np.arange(data.shape[1]) // 4) % n_ch
+    spb = 1 + 2 * data.shape[1] // n_ch  # samples per block per channel
+    out = np.empty((n_blocks, spb, n_ch), np.int16)
+    for c in range(n_ch):
+        byts = data[:, ch_of == c]
+        nibs = np.empty((n_blocks, byts.shape[1] * 2), np.uint8)
+        nibs[:, 0::2] = byts & 0x0F
+        nibs[:, 1::2] = byts >> 4
+        pred_c = predictor[:, c].copy()
+        out[:, 0, c] = pred_c.astype(np.int16)
+        out[:, 1:, c] = _ima_decode_nibbles(
+            nibs, pred_c, index[:, c].copy()
+        )
+    samples = out.reshape(n_blocks * spb, n_ch)
+    if n_frames is not None and 0 <= n_frames < samples.shape[0]:
+        samples = samples[:n_frames]
+    return samples
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_frames: int = 505
+) -> bytes:
+    """(n_frames, n_channels) int16 → IMA-ADPCM WAV bytes (format tag
+    0x11, the standard block layout + a 'fact' chunk with the exact
+    frame count).  Encoder state (step index) carries across blocks
+    per channel, like reference encoders; each block header snapshots
+    it so blocks stay independently decodable."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_ch = arr.shape
+    if n_frames == 0:
+        raise ValueError("IMA-ADPCM encode needs at least one frame")
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 1 + multiple of 8")
+    block_align = 4 * n_ch + (block_frames - 1) // 2 * n_ch
+    idx = [0] * n_ch
+    blocks = []
+    for start in range(0, n_frames, block_frames):
+        seg = arr[start : start + block_frames]
+        if seg.shape[0] < block_frames:  # pad final block by repetition
+            pad = np.repeat(seg[-1:], block_frames - seg.shape[0], axis=0)
+            seg = np.vstack([seg, pad])
+        hdr = bytearray()
+        chunks = [bytearray() for _ in range(n_ch)]
+        for c in range(n_ch):
+            pred = int(seg[0, c])
+            hdr += struct.pack("<hBB", pred, idx[c], 0)
+            nibs = []
+            for s in seg[1:, c]:
+                step = int(_IMA_STEPS[idx[c]])
+                delta = int(s) - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                diff = step >> 3
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                    diff += step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                    diff += step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                    diff += step >> 2
+                pred += -diff if nib & 8 else diff
+                pred = max(-32768, min(32767, pred))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX[nib])))
+                nibs.append(nib)
+            for i in range(0, len(nibs), 2):
+                chunks[c].append(nibs[i] | (nibs[i + 1] << 4))
+        body = bytearray(hdr)
+        for off in range(0, len(chunks[0]), 4):
+            for c in range(n_ch):
+                body += chunks[c][off : off + 4]
+        assert len(body) == block_align
+        blocks.append(bytes(body))
+    data = b"".join(blocks)
+    spb = block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """(n_frames, n_channels) or (n_frames,) int16 array → WAV bytes
@@ -93,6 +258,7 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     frames = None
+    fact_frames = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -103,12 +269,18 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif tag == b"data":
             frames = payload
+        elif tag == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", payload[:4])
         pos += 8 + size + (size & 1)
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
     format_tag, n_ch, rate, _byte_rate, _block, bits = fmt
     if n_ch < 1:  # before any branch divides by n_ch (r16 ADVICE)
         raise ValueError("WAV with zero channels")
+    if format_tag == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA-ADPCM WAV with {bits}-bit samples")
+        return _decode_ima_adpcm(frames, n_ch, _block, fact_frames), rate
     if format_tag in (6, 7):  # G.711 A-law / mu-law telephony audio
         if bits != 8:
             raise ValueError(f"G.711 WAV with {bits}-bit samples")
@@ -120,11 +292,14 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
         ].reshape(-1, n_ch)
         return arr, rate
     if format_tag != 1:
-        names = {3: "IEEE_FLOAT", 2: "ADPCM", 0xFFFE: "EXTENSIBLE"}
+        names = {
+            3: "IEEE_FLOAT", 2: "MS_ADPCM", 0x55: "MP3",
+            0xFFFE: "EXTENSIBLE",
+        }
         raise NotImplementedError(
             f"WAV format tag {format_tag} "
             f"({names.get(format_tag, 'unknown')}) not supported; "
-            "integer PCM and G.711 only"
+            "integer PCM, G.711 and IMA-ADPCM only"
         )
     if bits == 16:
         arr = np.frombuffer(

@@ -258,27 +258,50 @@ VIDEO_SAMPLE_SCHEMA = (
 )
 
 
+def decode_video_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Container dispatch for video payloads → [(duration_ms, rgb)]:
+    animated GIF (functions/gifcodec.py, GIF89a composition) and
+    MJPEG-in-AVI (functions/avicodec.py, one baseline JPEG per 00dc
+    chunk).  Unrecognized containers raise ValueError; recognized
+    containers with unsupported codecs raise NotImplementedError by
+    name (MP4/H.264, non-MJPEG AVI)."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from pinot_spark.functions.gifcodec import decode_gif_frames
+
+        return decode_gif_frames(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from pinot_spark.functions.avicodec import decode_avi_frames
+
+        return decode_avi_frames(data)
+    if data[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV) — loud boundary
+        raise NotImplementedError(
+            "ISO-BMFF (MP4/MOV) containers not supported; "
+            "GIF and MJPEG-AVI only"
+        )
+    raise ValueError("unrecognized video container")
+
+
 def video_frame_sample_decode(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """REAL video frame sampling: animated-GIF payloads (the one video
-    container decodable losslessly in pure stdlib —
-    functions/gifcodec.decode_gif_frames, full GIF89a composition with
-    delays/transparency/disposal) decode inside Arrow batches; the
+    """REAL video frame sampling: animated-GIF and MJPEG-in-AVI
+    payloads (decode_video_frames: full GIF89a composition with
+    delays/transparency/disposal; AVI 00dc chunks through the baseline
+    JPEG decoder) decode inside Arrow batches; the
     timeline is sampled every ``every_ms`` and each sample emits the
     DISPLAYED frame's exact integer channel sums.  Payloads that are
-    not GIF or are malformed classify 'corrupt'; named codec
-    boundaries classify 'decoder_unavailable' — same contract as the
-    image/audio paths.
+    not a known container or are malformed classify 'corrupt'; named
+    codec boundaries classify 'decoder_unavailable' — same contract as
+    the image/audio paths.
 
     Scale shape: mapInPandas, frames never leave the worker; only the
     per-sample stat rows shuffle."""
-    from pinot_spark.functions.gifcodec import decode_gif_frames
+    decode_frames = decode_video_frames
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    frames = decode_gif_frames(bytes(payload))
+                    frames = decode_frames(bytes(payload))
                 except NotImplementedError:
                     rows.append((mid, -1, -1, -1, 0, 0, 0, 0,
                                  "decoder_unavailable"))
