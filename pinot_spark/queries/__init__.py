@@ -78,70 +78,72 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Every query driver-green in CORRECTNESS_r01-r15 that is not taking a
-# round-16 window slot (184 of the 228 ever-green = len(this list);
+# Every query driver-green in CORRECTNESS_r01-r16 that is not taking a
+# round-17 window slot (187 of the 234 ever-green = len(this list);
 # regression-guarded every round by the driver-mimic parity sweep
 # tests/test_oracle_parity.py regardless of window position).
 #
-# Round-16 window (executes the plan recorded in round 15):
-# first-timers = scan_encoding_independence (rawfwd encoding-
-# independence + BigNumberOfSegments + MultiTopic isolation umbrella),
-# text_classifier_trained_weights (the weights_df broadcast-join
-# scoring path with a save/load roundtrip),
-# multimodal_lossy_webp_decode (the RFC 6386 VP8 keyframe decoder,
-# libwebp-exact), pipeline_shard_output (range-sharded epoch-
-# shuffled training output), multimodal_audio_features (real WAV
-# PCM decode + exact per-window stats), and
-# multimodal_video_frame_sample (real animated-GIF video decode +
-# timeline frame sampling).  Re-proofs = the 28 r11-stale rows
-# (fn_regex_family .. window_sliding_rows_frame) + the first 16 of
-# the 50 r12-stale greens in name order (agg_bool_and_or ..
-# dedup_exact_documents) — the six first-timers displaced the r12
-# tail (embedding_quantize_int8, dialect_raw_theta_scale,
-# dialect_raw_theta_join, dialect_raw_theta_decimal_key,
-# dialect_distinct_count_over, dedup_ngram_jaccard_pairs) per the
-# plan's own displacement rule, landing max staleness <= r12.
+# Round-17 window (executes the plan recorded in round 16):
+# first-timers = codec_surface_umbrella (the post-freeze r16 surface:
+# G.711 mu/A-law closed-form in SQL over all 256 codes, paletted PNG,
+# gzip/lz4 segment codec matrix), multimodal_video_mjpeg_avi (the
+# first REAL-WORLD video container: MJPEG-in-AVI through the baseline
+# JPEG decoder, formula-exact oracle on the q100 constant-gray range),
+# and multimodal_audio_adpcm (IMA/DVI ADPCM WAV, format tag 0x11 —
+# audioop-cross-validated nibble math, pinned-literal oracle).
+# Re-proofs = ALL 34 r12-stale rows (the 28 named in the r16 plan + the
+# 6 displaced: dedup_ngram_jaccard_pairs, dialect_distinct_count_over,
+# dialect_raw_theta_decimal_key, dialect_raw_theta_join,
+# dialect_raw_theta_scale, embedding_quantize_int8) + the first 13 of
+# the 50 r13-stale greens in name order (agg_approx_distinct ..
+# agg_sum_array) — the three first-timers displaced the r13 tail per
+# the plan's displacement rule, landing max staleness <= r13.
 #
-# ROUND-17 PLAN (computed from CORRECTNESS_r01..r15 + this window):
-# after r16's driver run the stale set is the remaining 28 r12-latest
-# rows displaced by this round's first-timers or left out of the 22 —
-#   fn_conditional_null, fn_datetime_family, fn_geo_contains,
-#   fn_geo_point_family, fn_h3_grid, fn_hash_family,
-#   fn_ip_subnet_family, fn_json_match_rewrite, fn_map_family,
-#   fn_string_family, fn_text_match_like, fn_url_family,
-#   gapfill_fill_previous, hybrid_table_time_boundary,
-#   json_index_match, multimodal_resize_and_windows,
-#   pipeline_remove_duplicate_spans, similarity_topk_cosine,
-#   similarity_topk_hnsw, text_fingerprints,
-#   text_inverted_index_search, text_lang_id, text_match_lucene,
-#   text_quality_scores, text_repetition_filters, text_token_stats,
-#   timeseries_range_query, upsert_latest_per_key
-# (plus any r12-block rows this round's first-timers displaced) — plus
-# the 50 r13-latest greens: rotate those in (28+displaced + head of the
-# r13 block in name order, agg_approx_distinct .., to fill 50; any new
-# first-timers displace the r13 tail into r18), landing max staleness
-# <= r13.  tests/test_registry_window.py recomputes staleness from the
-# CORRECTNESS artifacts and asserts the recorded plan covers the
-# stalest rows (landing-aware since round 14).
+# ROUND-18 PLAN (computed from CORRECTNESS_r01..r16 + this window):
+# after r17's driver run the stale set is the remaining 37 r13-latest
+# rows —
+#   agg_sum_array_scale_path, agg_sum_precision_decimal,
+#   agg_theta_setop_distinct, agg_theta_sketch_distinct,
+#   colocated_bucketed_join, cursor_result_table_pages,
+#   dedup_embedding_cosine, dedup_first_per_key, dialect_funnel_max_step,
+#   dialect_geo_bytes_family, dialect_mv_distinct_scale,
+#   dialect_null_option, dialect_prebuilt_sketch_blobs,
+#   dialect_query_hints, dialect_raw_sketch_sliding,
+#   dialect_raw_theta_expr_key, dialect_raw_theta_mixed_split,
+#   dialect_todatetime_roundtrip, dialect_unnest_ordinality,
+#   events_time_bucket_agg, fn_binary_conversion, fn_ds_theta_interop,
+#   fn_exact_hash_parity, fn_groovy_inline, fn_math_family,
+#   funnel_complete_count, funnel_match_step, funnel_max_step_pandas,
+#   funnel_step_duration_stats, gapfill_fill_default,
+#   pipeline_dsir_select, pipeline_fuzzy_dedup_end2end,
+#   pipeline_line_dedup, pipeline_lm_perplexity,
+#   pipeline_resample_distribution, pipeline_semdedup,
+#   text_bm25_ranked_search
+# — rotate those in, plus the head of the 50 r14-latest greens in name
+# order to fill 50; any new first-timers displace the r14 tail into
+# r19, landing max staleness <= r14.  tests/test_registry_window.py
+# recomputes staleness from the CORRECTNESS artifacts and asserts the
+# recorded plan covers the stalest rows (landing-aware since round 14).
 
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_approx_distinct", "agg_basic_family", "agg_count_metadata_only",
-    "agg_distinct_family", "agg_distinctcount_mv_scale_path",
-    "agg_funnel_events_eval", "agg_funnel_max_step_window",
-    "agg_hll_sketch_union", "agg_mode", "agg_mv_grouped_percentile",
-    "agg_percentile_approx", "agg_raw_sketch_bytes", "agg_skew_kurt",
-    "agg_st_union_points", "agg_startree_extended_rollup",
-    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
-    "agg_sum_array_scale_path", "agg_sum_precision_decimal",
-    "agg_theta_setop_distinct", "agg_theta_sketch_distinct",
-    "case_when_projection", "colocated_bucketed_join", "cte_with_reuse",
-    "cursor_result_table_pages", "dedup_embedding_cosine",
+    "agg_basic_family", "agg_bool_and_or",
+    "agg_count_by_segment_partition", "agg_count_metadata_only",
+    "agg_distinct_family", "agg_exprminmax", "agg_firstlast_withtime",
+    "agg_fourth_moment", "agg_frequent_items", "agg_funnel_count",
+    "agg_histogram", "agg_idset_membership", "agg_listagg_arrayagg",
+    "agg_mv_variants", "agg_percentiles", "agg_raw_sketch_bytes",
+    "agg_startree_extended_rollup", "agg_sum_array_scale_path",
+    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
+    "agg_theta_sketch_distinct", "asof_join_backward",
+    "case_when_projection", "clp_encode_decode_roundtrip",
+    "colocated_bucketed_join", "cte_with_reuse",
+    "cursor_result_table_pages", "dedup_duplicate_clusters",
+    "dedup_embedding_cosine", "dedup_exact_documents",
     "dedup_exact_substring", "dedup_first_per_key",
     "dedup_incremental_lsh", "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs", "dedup_simhash_buckets", "dialect_asof_join",
+    "dedup_simhash_buckets", "dialect_asof_join",
     "dialect_datetime_convert", "dialect_ddl_mv_roundtrip",
-    "dialect_default_limit_selection", "dialect_distinct_count_over",
-    "dialect_epoch_functions",
+    "dialect_default_limit_selection", "dialect_epoch_functions",
     "dialect_fn_surface_ext", "dialect_funnel_count",
     "dialect_funnel_match_step", "dialect_funnel_max_step",
     "dialect_gapfill", "dialect_geo_bytes_family",
@@ -151,37 +153,35 @@ _VERIFIED_PRIOR_ROUNDS = [
     "dialect_query_hints", "dialect_raw_mv_sketch_grouped",
     "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
     "dialect_raw_sketch_sliding", "dialect_raw_sketch_window",
-    "dialect_raw_theta_bigint_key", "dialect_raw_theta_decimal_key",
-    "dialect_raw_theta_expr_key", "dialect_raw_theta_join",
-    "dialect_raw_theta_mixed_split", "dialect_raw_theta_scale",
-    "dialect_raw_theta_timestamp_key",
+    "dialect_raw_theta_bigint_key", "dialect_raw_theta_expr_key",
+    "dialect_raw_theta_mixed_split", "dialect_raw_theta_timestamp_key",
     "dialect_raw_ull_distinct", "dialect_rawhll_clearspring_wire",
     "dialect_st_union_area", "dialect_todatetime_roundtrip",
     "dialect_unnest_ordinality", "dialect_uuid_skipupsert",
-    "distinct_select", "embedding_quantize_int8",
-    "events_time_bucket_agg", "filtered_aggregation",
-    "fn_binary_conversion", "fn_conditional_null", "fn_datetime_family",
-    "fn_ds_cpc_read", "fn_ds_cpc_write", "fn_ds_freq_interop",
-    "fn_ds_hll_interop", "fn_ds_kll_interop", "fn_ds_theta_interop",
-    "fn_exact_hash_parity", "fn_geo_contains", "fn_geo_point_family",
-    "fn_groovy_inline", "fn_h3_grid", "fn_hash_family",
-    "fn_in_not_in_range", "fn_ip_subnet_family", "fn_json_extract",
-    "fn_json_match_rewrite", "fn_map_family", "fn_math_family",
-    "fn_string_family", "fn_text_match_like", "fn_trig_family",
-    "fn_url_family", "funnel_complete_count", "funnel_match_step",
-    "funnel_max_step_pandas", "funnel_step_duration_stats",
-    "gapfill_fill_default", "gapfill_fill_previous",
-    "hybrid_table_time_boundary", "ingest_aggregate_metrics",
-    "ingestion_pipeline_conform", "json_index_match",
-    "multimodal_feature_extract", "multimodal_gif_tiff_features",
-    "multimodal_resize_and_windows", "multimodal_webp_features",
-    "null_mode_default_value", "null_mode_sql_semantics",
-    "open_struct_dense_sparse", "partial_upsert_merge",
+    "distinct_select", "events_time_bucket_agg", "filtered_aggregation",
+    "fn_binary_conversion", "fn_ds_cpc_read", "fn_ds_cpc_write",
+    "fn_ds_freq_interop", "fn_ds_hll_interop", "fn_ds_kll_interop",
+    "fn_ds_theta_interop", "fn_exact_hash_parity", "fn_groovy_inline",
+    "fn_in_not_in_range", "fn_json_extract", "fn_math_family",
+    "fn_regex_family", "fn_surface_ext", "fn_surface_udf_families",
+    "fn_trig_family", "funnel_complete_count", "funnel_match_step",
+    "funnel_max_step", "funnel_max_step_pandas",
+    "funnel_step_duration_stats", "gapfill_fill_default", "grouping_sets",
+    "having_clause", "ingest_aggregate_metrics",
+    "ingestion_pipeline_conform", "join_full_outer",
+    "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
+    "multimodal_audio_features", "multimodal_feature_extract",
+    "multimodal_gif_tiff_features", "multimodal_lossy_webp_decode",
+    "multimodal_video_frame_sample", "multimodal_webp_features",
+    "mv_all_match_exclusive_filter", "mv_any_match_filter",
+    "mv_array_functions", "null_mode_default_value",
+    "null_mode_sql_semantics", "open_struct_dense_sparse",
+    "partial_upsert_merge", "pipeline_decontamination",
     "pipeline_dsir_select", "pipeline_epoch_shuffle",
     "pipeline_fuzzy_dedup_end2end", "pipeline_line_dedup",
     "pipeline_lm_perplexity", "pipeline_pack_sequences",
-    "pipeline_remove_duplicate_spans", "pipeline_resample_distribution",
-    "pipeline_semdedup", "q10_returned_items", "q11_important_parts",
+    "pipeline_resample_distribution", "pipeline_semdedup",
+    "pipeline_shard_output", "q10_returned_items", "q11_important_parts",
     "q12_late_shipment_priority", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
@@ -190,49 +190,51 @@ _VERIFIED_PRIOR_ROUNDS = [
     "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority_exists", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match",
+    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
     "sample_stratified_split", "scan_compression_stats",
-    "scan_format_roundtrip", "scan_segment_sampler",
-    "segment_build_time_pruning", "sessionize_gap_sessions",
+    "scan_encoding_independence", "scan_format_roundtrip",
+    "scan_segment_sampler", "segment_build_time_pruning",
+    "sessionize_gap_sessions", "set_ops_all_variants",
     "set_ops_union_intersect_except", "similarity_pairwise_label",
-    "similarity_radius_filter", "similarity_topk_cosine",
-    "similarity_topk_hnsw", "similarity_topk_ivf", "similarity_topk_ivfpq",
-    "skew_safe_operators", "stream_dedup_exact",
-    "stream_kafka_batch_decode", "stream_text_match_realtime",
-    "text_bm25_ranked_search", "text_bpe_token_count", "text_chunking",
-    "text_classifier_quality", "text_fingerprints",
-    "text_gopher_c4_filters", "text_inverted_index_search", "text_lang_id",
-    "text_match_lucene", "text_pii_redaction", "text_quality_scores",
-    "text_repetition_filters", "text_token_stats",
-    "timeseries_keep_last_value", "timeseries_m3ql_pipeline",
-    "timeseries_range_query", "udtf_sequence_explode",
-    "upsert_latest_per_key",
-]
-
-_WINDOW_FIRST_TIME = [
-    "scan_encoding_independence", "text_classifier_trained_weights",
-    "multimodal_lossy_webp_decode", "pipeline_shard_output",
-    "multimodal_audio_features", "multimodal_video_frame_sample",
-]
-
-_REPROOF_STALE = [
-    "fn_regex_family", "fn_surface_ext", "fn_surface_udf_families",
-    "funnel_max_step", "grouping_sets", "having_clause", "join_full_outer",
-    "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
-    "mv_all_match_exclusive_filter", "mv_any_match_filter",
-    "mv_array_functions", "pipeline_decontamination", "rollup_cube",
-    "set_ops_all_variants", "stream_rate_upsert_loop", "unnest_explode",
+    "similarity_radius_filter", "similarity_topk_ivf",
+    "similarity_topk_ivfpq", "skew_safe_operators", "stream_dedup_exact",
+    "stream_kafka_batch_decode", "stream_rate_upsert_loop",
+    "stream_text_match_realtime", "text_bm25_ranked_search",
+    "text_bpe_token_count", "text_chunking", "text_classifier_quality",
+    "text_classifier_trained_weights", "text_gopher_c4_filters",
+    "text_pii_redaction", "timeseries_keep_last_value",
+    "timeseries_m3ql_pipeline", "udtf_sequence_explode", "unnest_explode",
     "unnest_posexplode_zip", "values_literal", "window_first_last_ntile",
     "window_frame_exclude", "window_lead_lag", "window_percent_cume",
     "window_range_frame", "window_rank_topn_per_group",
-    "window_running_sum", "window_sliding_rows_frame", "agg_bool_and_or",
-    "agg_count_by_segment_partition", "agg_exprminmax",
-    "agg_firstlast_withtime", "agg_fourth_moment", "agg_frequent_items",
-    "agg_funnel_count", "agg_histogram", "agg_idset_membership",
-    "agg_listagg_arrayagg", "agg_mv_variants", "agg_percentiles",
-    "asof_join_backward", "clp_encode_decode_roundtrip",
-    "dedup_duplicate_clusters", "dedup_exact_documents",
-    
+    "window_running_sum", "window_sliding_rows_frame",
+]
+
+_WINDOW_FIRST_TIME = [
+    "codec_surface_umbrella", "multimodal_video_mjpeg_avi",
+    "multimodal_audio_adpcm",
+]
+
+_REPROOF_STALE = [
+    "dedup_ngram_jaccard_pairs", "dialect_distinct_count_over",
+    "dialect_raw_theta_decimal_key", "dialect_raw_theta_join",
+    "dialect_raw_theta_scale", "embedding_quantize_int8",
+    "fn_conditional_null", "fn_datetime_family", "fn_geo_contains",
+    "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
+    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
+    "fn_string_family", "fn_text_match_like", "fn_url_family",
+    "gapfill_fill_previous", "hybrid_table_time_boundary",
+    "json_index_match", "multimodal_resize_and_windows",
+    "pipeline_remove_duplicate_spans", "similarity_topk_cosine",
+    "similarity_topk_hnsw", "text_fingerprints",
+    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
+    "text_quality_scores", "text_repetition_filters", "text_token_stats",
+    "timeseries_range_query", "upsert_latest_per_key",
+    "agg_approx_distinct", "agg_distinctcount_mv_scale_path",
+    "agg_funnel_events_eval", "agg_funnel_max_step_window",
+    "agg_hll_sketch_union", "agg_mode", "agg_mv_grouped_percentile",
+    "agg_percentile_approx", "agg_skew_kurt", "agg_st_union_points",
+    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -934,3 +934,157 @@ def scan_encoding_independence(spark, sf_dir):
         "segments_packed boolean, n_topic_a bigint, n_topic_b bigint, "
         "topics_isolated boolean",
     )
+
+
+@query(
+    "codec_surface_umbrella",
+    oracle="""
+    WITH codes AS (SELECT CAST(range AS INT) AS b FROM range(256)),
+    mu AS (
+        SELECT b, 255 - b AS u,
+               (((255 - b) & 15) * 8 + 132)
+                   * CAST(pow(2, ((255 - b) & 112) >> 4) AS INT) AS t
+        FROM codes
+    ),
+    muval AS (
+        SELECT b, CASE WHEN (u & 128) != 0 THEN 132 - t
+                       ELSE t - 132 END AS v
+        FROM mu
+    ),
+    al AS (
+        SELECT b, xor(b, 85) AS a,
+               (xor(b, 85) & 112) >> 4 AS seg,
+               (xor(b, 85) & 15) * 16 AS base
+        FROM codes
+    ),
+    alval AS (
+        SELECT b, CASE WHEN (a & 128) != 0 THEN t ELSE -t END AS v
+        FROM (
+            SELECT b, a,
+                   CASE WHEN seg = 0 THEN base + 8
+                        WHEN seg = 1 THEN base + 264
+                        ELSE (base + 264)
+                             * CAST(pow(2, seg - 1) AS INT)
+                   END AS t
+            FROM al
+        )
+    ),
+    px AS (
+        SELECT (x * 5 + y * 11) % 64 AS i
+        FROM range(16) t1(x) CROSS JOIN range(16) t2(y)
+    )
+    SELECT (SELECT CAST(sum(v) AS BIGINT) FROM muval) AS g711_mu_sum,
+           (SELECT CAST(max(abs(v)) AS INT) FROM muval) AS g711_mu_peak,
+           (SELECT CAST(sum(v) AS BIGINT) FROM alval) AS g711_a_sum,
+           (SELECT CAST(max(abs(v)) AS INT) FROM alval) AS g711_a_peak,
+           (SELECT CAST(sum((i * 7) % 256) AS BIGINT) FROM px) AS png_sum_r,
+           (SELECT CAST(sum((i * 13) % 256) AS BIGINT) FROM px) AS png_sum_g,
+           (SELECT CAST(sum((i * 29) % 256) AS BIGINT) FROM px) AS png_sum_b,
+           TRUE AS gzip_compresses, TRUE AS lz4_compresses,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows
+    """,
+)
+def codec_surface_umbrella(spark, sf_dir):
+    """Umbrella driver row for the post-freeze round-16 surface (r16
+    verdict item #3): (1) G.711 mu-law AND A-law expansion — WAVs
+    carrying all 256 code bytes decode through functions/wavcodec.py
+    and the oracle recomputes the ITU-T expansion CLOSED-FORM in SQL
+    (sum + peak over the full code space pins every table entry);
+    (2) paletted PNG (color type 3) — a hand-built PLTE file from an
+    integer formula decodes through functions/imagecodec.py and the
+    oracle recomputes the channel sums from the palette formula;
+    (3) the gzip/lz4 segment codec matrix — the events table written
+    with gzip, lz4 and uncompressed must show a real footprint win for
+    BOTH codecs with zero row loss (footer-derived totals, same
+    methodology as scan_compression_stats).
+
+    Scale shape: the umbrella pattern — eager single-machine proof
+    emits one literal row; the codecs under proof run executor-side in
+    the multimodal rows, and the segment writers are ordinary
+    distributed parquet writes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pinot_spark.functions.imagecodec import decode as img_decode
+    from pinot_spark.functions.wavcodec import decode_wav
+    from pinot_spark.sources.segments import (
+        segment_compression_stats,
+        write_segments,
+    )
+
+    # --- G.711: all 256 codes through real WAV containers ---
+    raw = bytes(range(256))
+
+    def g711_wav(tag: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 256) + raw
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    mu, _ = decode_wav(g711_wav(7))
+    alaw, _ = decode_wav(g711_wav(6))
+    mu64 = mu[:, 0].astype(np.int64)
+    a64 = alaw[:, 0].astype(np.int64)
+
+    # --- paletted PNG: hand-built color-type-3 file ---
+    pal = bytes(
+        v for i in range(64)
+        for v in ((i * 7) % 256, (i * 13) % 256, (i * 29) % 256)
+    )
+    idx = np.fromfunction(
+        lambda y, x: (x * 5 + y * 11) % 64, (16, 16)
+    ).astype(np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(16))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = tag + body
+        return (
+            struct.pack(">I", len(body)) + c
+            + struct.pack(">I", zlib.crc32(c))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    rgb = img_decode(png).astype(np.int64)
+
+    # --- gzip/lz4 codec matrix on real segments ---
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "props")
+    root = tempfile.mkdtemp(prefix="pinot_spark_codecmx_")
+    try:
+        totals, counts = {}, {}
+        for codec in ("gzip", "lz4", "none"):
+            p = os.path.join(root, codec)
+            write_segments(ev, p, compression=codec)
+            st = segment_compression_stats(p)
+            totals[codec] = sum(
+                c["compressed"] for c in st["columns"].values()
+            )
+            counts[codec] = spark.read.parquet(p).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    n_rows = counts["none"] if len(set(counts.values())) == 1 else -1
+    return spark.createDataFrame(
+        [(
+            int(mu64.sum()), int(np.abs(mu64).max()),
+            int(a64.sum()), int(np.abs(a64).max()),
+            int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
+            int(rgb[:, :, 2].sum()),
+            totals["gzip"] < totals["none"],
+            totals["lz4"] < totals["none"],
+            n_rows,
+        )],
+        "g711_mu_sum bigint, g711_mu_peak int, g711_a_sum bigint, "
+        "g711_a_peak int, png_sum_r bigint, png_sum_g bigint, "
+        "png_sum_b bigint, gzip_compresses boolean, "
+        "lz4_compresses boolean, n_rows bigint",
+    )

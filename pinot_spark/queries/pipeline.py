@@ -2551,3 +2551,166 @@ def text_gopher_c4_filters(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "multimodal_video_mjpeg_avi",
+    oracle="""
+    WITH samples(sample_idx, t_ms, frame_idx) AS (
+        VALUES (0, 0, 0), (1, 250, 2), (2, 500, 5)
+    )
+    SELECT concat('avi', CAST(m AS VARCHAR)) AS media_id,
+           CAST(sample_idx AS INT) AS sample_idx,
+           CAST(t_ms AS INT) AS t_ms,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(768 AS INT) AS n_pixels,
+           CAST(768 * (82 + (m*53 + frame_idx*29) % 174) AS BIGINT)
+               AS sum_r,
+           CAST(768 * (82 + (m*53 + frame_idx*29) % 174) AS BIGINT)
+               AS sum_g,
+           CAST(768 * (82 + (m*53 + frame_idx*29) % 174) AS BIGINT)
+               AS sum_b,
+           'ok' AS decode_ok
+    FROM range(3) t(m) CROSS JOIN samples
+    ORDER BY media_id, sample_idx
+    """,
+)
+def multimodal_video_mjpeg_avi(spark, sf_dir):
+    """REAL-WORLD video container (r16 verdict item #4): MJPEG-in-AVI
+    through the multimodal Arrow path (functions/avicodec.py +
+    operators/multimodal.video_frame_sample_decode).  Three AVIs — six
+    32x24 constant-gray frames each, gray levels from an exact integer
+    formula confined to [82, 255] where baseline JPEG q100 roundtrips
+    constant blocks EXACTLY (pinned in tests/test_jpegcodec.py), at
+    10 fps — are encoded to real RIFF/AVI MJPEG worker-side (one
+    complete baseline JPEG per 00dc chunk), decoded back through the
+    container reader + JPEG decoder, and timeline-sampled every
+    250 ms.  The DuckDB oracle recomputes every channel sum from the
+    gray formula and the closed-form frame-at-time mapping (100 ms
+    frames put samples 0/250/500 ms on frames 0/2/5), so the AVI
+    chunk walk, stream-header fps math, JPEG roundtrip and sampling
+    must all be value-exact.  Container structure is independently
+    hand-parse-pinned in tests/test_avicodec.py.
+
+    Scale shape: synthesis and decode live in mapInPandas batches;
+    only per-sample stat rows leave the worker (1 presentation
+    exchange)."""
+    from pinot_spark.operators.multimodal import video_frame_sample_decode
+
+    ids = spark.createDataFrame(
+        [(f"avi{m}", m) for m in range(3)], "media_id string, m int"
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinot_spark.functions.avicodec import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for m in pdf["m"]:
+                frames = [
+                    np.full(
+                        (24, 32, 3),
+                        82 + (m * 53 + f * 29) % 174,
+                        np.uint8,
+                    )
+                    for f in range(6)
+                ]
+                payloads.append(
+                    bytearray(
+                        encode_avi_mjpeg(frames, fps_num=10, quality=100)
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id string, payload binary")
+    return (
+        video_frame_sample_decode(media, every_ms=250)
+        .orderBy("media_id", "sample_idx")
+    )
+
+
+def _adpcm_driver_signal(m: int) -> "np.ndarray":
+    """Deterministic integer triangle waves (no float trig — bit-exact
+    on every platform): period 100+7m samples, slope ~120/sample,
+    per-channel phase offset."""
+    import numpy as np
+
+    i = np.arange(2000, dtype=np.int64)
+    period = 100 + 7 * m
+    chans = []
+    for c in (0, 1):
+        phase = (i + 31 * c + 13 * m) % period
+        tri = np.abs(phase - period // 2) * (6000 // (period // 2)) - 3000
+        chans.append(tri)
+    return np.stack(chans, axis=1).astype(np.int16)
+
+
+@query(
+    "multimodal_audio_adpcm",
+    oracle="""
+    SELECT media_id, channel, window_idx, n_samples, sum_abs, peak,
+           zero_crossings, 'ok' AS decode_ok
+    FROM (VALUES
+        ('adp0', 0, 0, 1000, CAST(1501306 AS BIGINT), 3004, 20),
+        ('adp0', 0, 1, 1000, CAST(1500312 AS BIGINT), 3014, 20),
+        ('adp0', 1, 0, 1000, CAST(1499562 AS BIGINT), 3009, 20),
+        ('adp0', 1, 1, 1000, CAST(1500207 AS BIGINT), 3009, 20),
+        ('adp1', 0, 0, 1000, CAST(1498032 AS BIGINT), 3017, 19),
+        ('adp1', 0, 1, 1000, CAST(1508008 AS BIGINT), 3013, 19),
+        ('adp1', 1, 0, 1000, CAST(1518744 AS BIGINT), 3017, 19),
+        ('adp1', 1, 1, 1000, CAST(1523577 AS BIGINT), 3017, 18)
+    ) AS t(media_id, channel, window_idx, n_samples, sum_abs, peak,
+           zero_crossings)
+    ORDER BY media_id, channel, window_idx
+    """,
+)
+def multimodal_audio_adpcm(spark, sf_dir):
+    """COMPRESSED real-world audio (r16 verdict item #4): IMA/DVI
+    ADPCM WAV (format tag 0x11) through the multimodal Arrow path
+    (functions/wavcodec.py + operators/multimodal.audio_features).
+    Two stereo integer-triangle signals are ADPCM-encoded worker-side
+    (block-aligned IMA WAV layout with fact-chunk trimming), decoded
+    back, and hop-windowed into exact integer stats.  ADPCM is LOSSY,
+    so the oracle pins the decoded stats as literals — resting on the
+    codec's independent ground truth: the nibble expansion is
+    cross-validated whole-array against CPython's audioop C
+    implementation (digest-pinned for 3.13) in
+    tests/test_wavcodec.py, and a wrong step-table entry or index
+    clamp desynchronizes the predictor and every sum moves.
+
+    Scale shape: encode + decode + window fan-out all inside
+    mapInPandas batches (block-vectorized decode — the sample loop is
+    sequential per ADPCM's spec, but all blocks step in numpy
+    lockstep); only stat rows leave the worker."""
+    from pinot_spark.operators.multimodal import audio_features
+
+    ids = spark.createDataFrame(
+        [(f"adp{m}", m) for m in range(2)], "media_id string, m int"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from pinot_spark.functions.wavcodec import encode_wav_ima_adpcm
+
+        for pdf in batches:
+            payloads = [
+                bytearray(
+                    encode_wav_ima_adpcm(_adpcm_driver_signal(m), 8000)
+                )
+                for m in pdf["m"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id string, payload binary")
+    return (
+        audio_features(media, window_ms=125)
+        .orderBy("media_id", "channel", "window_idx")
+    )

@@ -235,3 +235,14 @@ def test_progressive_property_random_shapes():
             decode_jpeg(encode_jpeg(img, q)),
             decode_jpeg(encode_jpeg_progressive(img, q)),
         ), (h, w, q)
+
+
+def test_q100_constant_gray_exact_above_82():
+    """Baseline q100 roundtrips constant-gray blocks EXACTLY for every
+    level in [82, 255] (float-DCT rounding drifts some levels below 82
+    by -1) — the multimodal_video_mjpeg_avi driver row keys its
+    formula-exact oracle on this range, so a regression must surface
+    here first."""
+    for v in range(82, 256):
+        img = np.full((8, 8, 3), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, 100)), img), v
