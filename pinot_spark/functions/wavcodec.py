@@ -1,13 +1,15 @@
 """Pure-stdlib WAV (RIFF/WAVE) PCM codec — the audio half of the
 multimodal column mandate, real instead of stubbed.
 
-Scope: integer PCM (8-bit unsigned, 16-bit signed LE, any channel
-count/rate), G.711 mu-law/A-law (format tags 7/6), and IMA/DVI ADPCM
-(format tag 0x11 — the published IMA algorithm, block-aligned WAV
-layout, decode vectorized across blocks).  Remaining compressed or
-float formats (IEEE float, MS-ADPCM, WAVE_FORMAT_EXTENSIBLE, MP3)
-raise NotImplementedError NAMING the format tag, the same
-loud-boundary convention as the image codecs.
+Scope: integer PCM (8-bit unsigned; 16/24/32-bit signed LE — 24/32
+narrow to the int16 analysis domain by taking the top 16 bits), IEEE
+float 32/64 (format tag 3, [-1,1] scaled by 32767 round-half-even),
+G.711 mu-law/A-law (format tags 7/6), IMA/DVI ADPCM (format tag 0x11)
+and MS-ADPCM (format tag 2) — both ADPCM decoders vectorized across
+blocks — plus WAVE_FORMAT_EXTENSIBLE unwrapping (the SubFormat GUID
+names the real codec).  Remaining formats (MP3/AC3/WMA-in-WAV) raise
+NotImplementedError NAMING the format tag, the same loud-boundary
+convention as the image codecs.
 
 Cross-validated against CPython's stdlib ``wave`` module in both
 directions (tests/test_wavcodec.py): our writer's bytes parse back
@@ -143,6 +145,156 @@ def _decode_ima_adpcm(
     return samples
 
 
+# MS-ADPCM (WAV format tag 2) — the published Microsoft spec tables
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], np.int64
+)
+_MS_COEFFS = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64),
+     (240, 0), (460, -208), (392, -232)], np.int64
+)
+
+
+def _decode_ms_adpcm(
+    frames: bytes, n_ch: int, block_align: int, n_frames: int | None
+) -> np.ndarray:
+    """MS-ADPCM data chunk → (n_frames, n_ch) int16, vectorized across
+    blocks (same shape as the IMA decoder: the per-sample loop is
+    inherent, every block steps in numpy lockstep).  Block layout per
+    the Microsoft spec: per-channel predictor byte, then per-channel
+    int16 idelta, sample1, sample2; then nibbles HIGH-first, channels
+    alternating."""
+    hdr_len = 7 * n_ch
+    if block_align <= hdr_len:
+        raise ValueError(f"bad MS-ADPCM block align {block_align}")
+    n_blocks = len(frames) // block_align
+    if n_blocks == 0:
+        return np.empty((0, n_ch), np.int16)
+    blk = np.frombuffer(
+        frames[: n_blocks * block_align], np.uint8
+    ).reshape(n_blocks, block_align)
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return ((v + 32768) & 0xFFFF) - 32768
+
+    pred_idx = blk[:, :n_ch].astype(np.int64)
+    if np.any(pred_idx > 6):
+        raise ValueError("MS-ADPCM predictor index out of range")
+    o = n_ch
+    idelta = i16(blk[:, o : o + 2 * n_ch : 2], blk[:, o + 1 : o + 2 * n_ch : 2])
+    o += 2 * n_ch
+    samp1 = i16(blk[:, o : o + 2 * n_ch : 2], blk[:, o + 1 : o + 2 * n_ch : 2])
+    o += 2 * n_ch
+    samp2 = i16(blk[:, o : o + 2 * n_ch : 2], blk[:, o + 1 : o + 2 * n_ch : 2])
+    data = blk[:, hdr_len:]
+    nibs = np.empty((n_blocks, data.shape[1] * 2), np.uint8)
+    nibs[:, 0::2] = data >> 4  # HIGH nibble first (unlike IMA)
+    nibs[:, 1::2] = data & 0x0F
+    n_nib_ch = nibs.shape[1] // n_ch
+    spb = 2 + n_nib_ch
+    out = np.empty((n_blocks, spb, n_ch), np.int16)
+    c1 = _MS_COEFFS[pred_idx, 0]
+    c2 = _MS_COEFFS[pred_idx, 1]
+    out[:, 0, :] = samp2.astype(np.int16)  # sample2 is the EARLIER sample
+    out[:, 1, :] = samp1.astype(np.int16)
+    s1 = samp1.copy()
+    s2 = samp2.copy()
+    delta = idelta.copy()
+    for i in range(n_nib_ch):
+        for c in range(n_ch):
+            n = nibs[:, i * n_ch + c].astype(np.int64)
+            signed = n - ((n & 8) << 1)  # two's-complement 4-bit
+            pred = ((s1[:, c] * c1[:, c] + s2[:, c] * c2[:, c]) >> 8) \
+                + signed * delta[:, c]
+            np.clip(pred, -32768, 32767, out=pred)
+            out[:, 2 + i, c] = pred.astype(np.int16)
+            s2[:, c] = s1[:, c]
+            s1[:, c] = pred
+            delta[:, c] = np.maximum(16, (_MS_ADAPT[n] * delta[:, c]) >> 8)
+    samples = out.reshape(n_blocks * spb, n_ch)
+    if n_frames is not None and 0 <= n_frames < samples.shape[0]:
+        samples = samples[:n_frames]
+    return samples
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int, block_frames: int = 500
+) -> bytes:
+    """(n_frames, n_channels) int16 → MS-ADPCM WAV bytes (format tag
+    2).  Encoder uses coefficient pair 0 (256, 0) for every block —
+    a valid choice the spec leaves to the encoder; the decoder honors
+    whatever the header says — with the standard adaptive idelta."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_ch = arr.shape
+    if n_frames < 2:
+        raise ValueError("MS-ADPCM encode needs at least two frames")
+    if block_frames % 2:
+        raise ValueError("block_frames must be even")
+    n_nib_ch = block_frames - 2
+    block_align = 7 * n_ch + n_nib_ch * n_ch // 2
+    blocks = []
+    for start in range(0, n_frames, block_frames):
+        seg = arr[start : start + block_frames].astype(np.int64)
+        if seg.shape[0] < block_frames:
+            pad = np.repeat(seg[-1:], block_frames - seg.shape[0], axis=0)
+            seg = np.vstack([seg, pad])
+        hdr = bytearray(bytes([0]) * n_ch)  # predictor 0 per channel
+        deltas, s1s, s2s = [], [], []
+        for c in range(n_ch):
+            d0 = max(16, int(np.abs(np.diff(seg[:16, c])).mean() // 4))
+            deltas.append(d0)
+            s2s.append(int(seg[0, c]))
+            s1s.append(int(seg[1, c]))
+        for d in deltas:
+            hdr += struct.pack("<h", d)
+        for s in s1s:
+            hdr += struct.pack("<h", s)
+        for s in s2s:
+            hdr += struct.pack("<h", s)
+        nibbles = []
+        state = [
+            {"s1": s1s[c], "s2": s2s[c], "delta": deltas[c]}
+            for c in range(n_ch)
+        ]
+        for i in range(2, block_frames):
+            for c in range(n_ch):
+                st = state[c]
+                pred = (st["s1"] * 256 + st["s2"] * 0) >> 8
+                err = int(seg[i, c]) - pred
+                code = max(-8, min(7, int(round(err / st["delta"]))))
+                recon = pred + code * st["delta"]
+                recon = max(-32768, min(32767, recon))
+                nibbles.append(code & 0xF)
+                st["s2"] = st["s1"]
+                st["s1"] = recon
+                st["delta"] = max(
+                    16, (int(_MS_ADAPT[code & 0xF]) * st["delta"]) >> 8
+                )
+        body = bytearray(hdr)
+        for i in range(0, len(nibbles), 2):
+            body.append((nibbles[i] << 4) | nibbles[i + 1])
+        assert len(body) == block_align
+        blocks.append(bytes(body))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, n_ch, sample_rate,
+        sample_rate * block_align // block_frames, block_align, 4,
+        2, block_frames,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima_adpcm(
     samples: np.ndarray, sample_rate: int, block_frames: int = 505
 ) -> bytes:
@@ -257,6 +409,7 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     pos = 12
     fmt = None
+    fmt_extra = b""
     frames = None
     fact_frames = None
     while pos + 8 <= len(data):
@@ -267,6 +420,7 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt_extra = payload[16:]
         elif tag == b"data":
             frames = payload
         elif tag == b"fact" and size >= 4:
@@ -277,10 +431,23 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
     format_tag, n_ch, rate, _byte_rate, _block, bits = fmt
     if n_ch < 1:  # before any branch divides by n_ch (r16 ADVICE)
         raise ValueError("WAV with zero channels")
+    if format_tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE wraps the real format in the
+        # SubFormat GUID (first two bytes, LE) — how >16-bit and
+        # multichannel PCM usually ships
+        if len(fmt_extra) < 24:
+            raise ValueError("truncated EXTENSIBLE fmt extension")
+        (format_tag,) = struct.unpack("<H", fmt_extra[8:10])
+        if format_tag == 0xFFFE:
+            raise ValueError("EXTENSIBLE WAV wrapping itself")
     if format_tag == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise ValueError(f"IMA-ADPCM WAV with {bits}-bit samples")
         return _decode_ima_adpcm(frames, n_ch, _block, fact_frames), rate
+    if format_tag == 2:  # MS-ADPCM
+        if bits != 4:
+            raise ValueError(f"MS-ADPCM WAV with {bits}-bit samples")
+        return _decode_ms_adpcm(frames, n_ch, _block, fact_frames), rate
     if format_tag in (6, 7):  # G.711 A-law / mu-law telephony audio
         if bits != 8:
             raise ValueError(f"G.711 WAV with {bits}-bit samples")
@@ -291,21 +458,48 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
             )
         ].reshape(-1, n_ch)
         return arr, rate
+    if format_tag == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV with {bits}-bit samples")
+        width = bits // 8
+        arr = np.frombuffer(
+            frames[: (len(frames) // (width * n_ch)) * width * n_ch],
+            "<f4" if bits == 32 else "<f8",
+        ).reshape(-1, n_ch)
+        # [-1, 1] normalized float -> int16 analysis domain: clip then
+        # symmetric scale by 32767 with round-half-even (np.rint) —
+        # deterministic on every platform
+        clipped = np.clip(arr.astype(np.float64), -1.0, 1.0)
+        return np.rint(clipped * 32767.0).astype(np.int16), rate
     if format_tag != 1:
-        names = {
-            3: "IEEE_FLOAT", 2: "MS_ADPCM", 0x55: "MP3",
-            0xFFFE: "EXTENSIBLE",
-        }
+        names = {0x55: "MP3", 0x2000: "AC3", 0x161: "WMA"}
         raise NotImplementedError(
             f"WAV format tag {format_tag} "
             f"({names.get(format_tag, 'unknown')}) not supported; "
-            "integer PCM, G.711 and IMA-ADPCM only"
+            "integer PCM, IEEE float, G.711, IMA-ADPCM and MS-ADPCM only"
         )
     if bits == 16:
         arr = np.frombuffer(
             frames[: (len(frames) // (2 * n_ch)) * 2 * n_ch], "<i2"
         ).reshape(-1, n_ch)
         return arr.astype(np.int16), rate
+    if bits == 24:
+        # top 16 bits: the standard analysis-domain narrowing (PCM24's
+        # extra precision is below the int16 feature domain)
+        raw = np.frombuffer(
+            frames[: (len(frames) // (3 * n_ch)) * 3 * n_ch], np.uint8
+        ).reshape(-1, 3)
+        return (
+            (raw[:, 1].astype(np.int32)
+             | (raw[:, 2].astype(np.int32) << 8))
+            .astype(np.int16)
+            .reshape(-1, n_ch)
+        ), rate
+    if bits == 32:
+        arr = np.frombuffer(
+            frames[: (len(frames) // (4 * n_ch)) * 4 * n_ch], "<i4"
+        ).reshape(-1, n_ch)
+        return (arr >> 16).astype(np.int16), rate
     if bits == 8:
         arr = np.frombuffer(
             frames[: (len(frames) // n_ch) * n_ch], np.uint8

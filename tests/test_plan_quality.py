@@ -880,7 +880,8 @@ def test_multimodal_decode_rows_no_data_shuffle(spark, sf_dir):
     partitions — the only exchange is the final presentation orderBy
     (rangepartitioning), never a hashpartitioning of payloads."""
     for name in ("multimodal_lossy_webp_decode", "multimodal_audio_features",
-                 "multimodal_video_frame_sample"):
+                 "multimodal_video_frame_sample", "multimodal_video_mjpeg_avi",
+                 "multimodal_audio_adpcm"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "MapInPandas" in plan, name
         assert "Exchange hashpartitioning" not in plan, (name, plan)

@@ -76,8 +76,11 @@ def test_pcm8_widens_losslessly():
 def test_unsupported_formats_raise_by_name():
     s = _sig(10, 1)
     data = bytearray(encode_wav(s, 8000))
-    data[20] = 3  # format tag -> IEEE_FLOAT
-    with pytest.raises(NotImplementedError, match="IEEE_FLOAT"):
+    data[20] = 0x55  # format tag -> MP3
+    with pytest.raises(NotImplementedError, match="MP3"):
+        decode_wav(bytes(data))
+    data[20] = 3  # IEEE float DECODES now — but not at 16 bits
+    with pytest.raises(ValueError, match="IEEE-float"):
         decode_wav(bytes(data))
     with pytest.raises(ValueError):
         decode_wav(b"RIFX" + bytes(40))
@@ -208,8 +211,8 @@ def test_g711_decode_matches_audioop():
     out2, _ = decode_wav(g711_wav(7, raw, ch=2))
     assert out2.shape == (128, 2)
     assert np.array_equal(out2.ravel(), want_u)
-    # float stays a loud named boundary
-    with pytest.raises(NotImplementedError, match="IEEE_FLOAT"):
+    # 8-bit "float" is malformed, not a boundary (float decodes now)
+    with pytest.raises(ValueError, match="IEEE-float"):
         decode_wav(g711_wav(3, raw))
 
 
@@ -338,6 +341,130 @@ def test_ima_adpcm_corrupt_input_exception_contract():
         except (ValueError, IndexError, NotImplementedError):
             pass
     for cut in range(0, len(base), 61):
+        try:
+            decode_wav(base[:cut])
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Round 17 format widening: IEEE float, PCM 24/32, EXTENSIBLE, MS-ADPCM
+# ---------------------------------------------------------------------------
+
+
+def _wav(tag, n_ch, rate, bits, payload, extra=b""):
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_ch, rate, rate * n_ch * max(bits, 8) // 8,
+        n_ch * max(bits, 8) // 8, bits,
+    ) + extra
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_float32_wav_decodes_scaled():
+    """IEEE-float WAV (format 3): [-1,1] scales to int16 by 32767 with
+    round-half-even; out-of-range values clip."""
+    vals = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -7.5], np.float32)
+    out, rate = decode_wav(_wav(3, 1, 48000, 32, vals.astype("<f4").tobytes()))
+    assert rate == 48000
+    want = [0, 32767, -32767, 16384, -8192, 32767, -32767]
+    assert out[:, 0].tolist() == want
+    # float64 too
+    out64, _ = decode_wav(_wav(3, 1, 48000, 64, vals.astype("<f8").tobytes()))
+    assert np.array_equal(out64, out)
+
+
+def test_pcm24_and_pcm32_narrow_to_top16():
+    s24 = b"".join(
+        struct.pack("<i", v << 8)[:3] for v in (-32768, -1, 0, 1, 32767)
+    )
+    out, _ = decode_wav(_wav(1, 1, 44100, 24, s24))
+    assert out[:, 0].tolist() == [-32768, -1, 0, 1, 32767]
+    s32 = np.array(
+        [-32768 << 16, -65536, 0, 65536, 32767 << 16], "<i4"
+    ).tobytes()
+    out32, _ = decode_wav(_wav(1, 1, 44100, 32, s32))
+    assert out32[:, 0].tolist() == [-32768, -1, 0, 1, 32767]
+
+
+def test_extensible_wav_unwraps_subformat():
+    """WAVE_FORMAT_EXTENSIBLE: the SubFormat GUID's first two bytes
+    name the real codec — PCM16 and float32 both unwrap."""
+    s = _sig(64, 2, seed=5)
+    ext_pcm = struct.pack("<HHI", 22, 16, 3) + struct.pack("<H", 1) + bytes(14)
+    data = _wav(0xFFFE, 2, 8000, 16, s.astype("<i2").tobytes(), ext_pcm)
+    out, _ = decode_wav(data)
+    assert np.array_equal(out, s)
+    f = (s[:, :1].astype(np.float64) / 32767.0).astype("<f4")
+    ext_f = struct.pack("<HHI", 22, 32, 3) + struct.pack("<H", 3) + bytes(14)
+    outf, _ = decode_wav(_wav(0xFFFE, 1, 8000, 32, f.tobytes(), ext_f))
+    assert np.abs(outf.astype(int) - s[:, :1].astype(int)).max() <= 1
+    # truncated extension is malformed
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav(_wav(0xFFFE, 1, 8000, 16, s[:, 0].tobytes(), b"\x16\x00"))
+
+
+def test_ms_adpcm_hand_vector():
+    """Hand-computed MS-ADPCM block against the published spec math:
+    predictor pair 0 (256,0), idelta 16, samples (1000, 2000) then
+    nibbles +1 and -1: pred=s1=2000 -> 2016; delta=max(16,230*16>>8)=14->16;
+    next pred=2016 + (-1)*16 = 2000."""
+    from pinot_spark.functions.wavcodec import _decode_ms_adpcm
+
+    blk = (
+        bytes([0])                      # predictor idx
+        + struct.pack("<h", 16)         # idelta
+        + struct.pack("<h", 2000)       # sample1
+        + struct.pack("<h", 1000)       # sample2
+        + bytes([(1 << 4) | 0xF])       # nibbles +1, -1 (high first)
+    )
+    out = _decode_ms_adpcm(blk, 1, len(blk), None)
+    assert out[:, 0].tolist() == [1000, 2000, 2016, 2000]
+
+
+def test_ms_adpcm_wav_roundtrip_snr():
+    from pinot_spark.functions.wavcodec import encode_wav_ms_adpcm
+
+    t = np.arange(4000)
+    for ch in (1, 2):
+        sig = np.stack(
+            [
+                (3000 * np.sin(2 * np.pi * t / (60 + 17 * c))).astype(np.int16)
+                for c in range(ch)
+            ],
+            axis=1,
+        )
+        out, rate = decode_wav(encode_wav_ms_adpcm(sig, 8000))
+        assert rate == 8000 and out.shape == sig.shape
+        err = out.astype(np.int64) - sig.astype(np.int64)
+        snr = 10 * np.log10(
+            (sig.astype(np.int64) ** 2).mean() / max((err**2).mean(), 1e-9)
+        )
+        assert snr > 25, f"ch={ch} SNR {snr:.1f} dB"
+
+
+def test_ms_adpcm_corrupt_input_exception_contract():
+    import random
+
+    from pinot_spark.functions.wavcodec import encode_wav_ms_adpcm
+
+    sig = (1000 * np.sin(np.arange(2000) / 9)).astype(np.int16)
+    base = encode_wav_ms_adpcm(np.stack([sig, sig], axis=1), 8000)
+    rng = random.Random(5)
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(4, len(b))] = rng.randrange(256)
+        try:
+            decode_wav(bytes(b))
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+    for cut in range(0, len(base), 83):
         try:
             decode_wav(base[:cut])
         except (ValueError, IndexError, NotImplementedError):
