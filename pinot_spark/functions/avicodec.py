@@ -35,11 +35,17 @@ def encode_avi_mjpeg(
     fps_num: int = 10,
     fps_den: int = 1,
     quality: int = 90,
+    audio: "np.ndarray | None" = None,
+    audio_rate: int = 8000,
 ) -> bytes:
     """(H, W, 3) uint8 RGB frames → MJPEG AVI bytes at
     ``fps_num/fps_den`` frames per second.  Each frame is a complete
     baseline JPEG ``00dc`` chunk; an idx1 index is written (players
-    and our reader treat every MJPEG frame as a keyframe)."""
+    and our reader treat every MJPEG frame as a keyframe).
+
+    Optional ``audio`` ((n_frames, n_ch) int16) adds a second stream —
+    an 'auds' PCM16 track whose ``01wb`` chunks interleave with the
+    video per frame, the standard A/V mux shape."""
     from pinot_spark.functions.jpegcodec import encode_jpeg
 
     if not frames:
@@ -54,10 +60,11 @@ def encode_avi_mjpeg(
     max_size = max(len(p) for p in payloads)
     usec_per_frame = 1_000_000 * fps_den // fps_num
 
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
         "<14I", usec_per_frame, max_size * fps_num // max(fps_den, 1),
         0, 0x10,  # AVIF_HASINDEX
-        len(frames), 0, 1, max_size, w, h, 0, 0, 0, 0,
+        len(frames), 0, n_streams, max_size, w, h, 0, 0, 0, 0,
     )
     strh = (
         b"vids" + b"MJPG"
@@ -82,14 +89,49 @@ def encode_avi_mjpeg(
         return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    hdrl_body = chunk(b"avih", avih) + strl
+
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        aud = np.asarray(audio, np.int16)
+        if aud.ndim == 1:
+            aud = aud[:, None]
+        a_ch = aud.shape[1]
+        block = 2 * a_ch
+        a_strh = (
+            b"auds" + b"\x01\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII", 0, 0, 0, 0,
+                1, audio_rate, 0, aud.shape[0], 0, 0xFFFFFFFF, block,
+            )
+            + struct.pack("<4h", 0, 0, 0, 0)
+        )
+        a_strf = struct.pack(  # WAVEFORMATEX, PCM16
+            "<HHIIHH", 1, a_ch, audio_rate, audio_rate * block, block, 16
+        )
+        hdrl_body += lst(
+            b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf)
+        )
+        # split samples across video frames for interleaving
+        per = -(-aud.shape[0] // len(frames))  # ceil
+        audio_chunks = [
+            aud[i * per : (i + 1) * per].astype("<i2").tobytes()
+            for i in range(len(frames))
+        ]
+    hdrl = lst(b"hdrl", hdrl_body)
 
     movi_body = bytearray(b"movi")
     idx = bytearray()
-    for p in payloads:
+    for fi, p in enumerate(payloads):
         # idx1 offsets are relative to the 'movi' fourcc position
         idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(p))
         movi_body += chunk(b"00dc", p)
+        if audio_chunks and audio_chunks[fi]:
+            ab = audio_chunks[fi]
+            idx += b"01wb" + struct.pack(
+                "<III", 0x10, len(movi_body), len(ab)
+            )
+            movi_body += chunk(b"01wb", ab)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -164,3 +206,59 @@ def decode_avi_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
                 f"corrupt MJPEG frame ({type(e).__name__}: {e})"
             ) from e
     return out
+
+
+def decode_avi_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Demux the first 'auds' stream of an AVI → ((n_frames, n_ch)
+    int16, sample_rate) — the A/V-extraction half of a crawled-video
+    pipeline.  The stream's strf chunk IS a WAVEFORMATEX, so every
+    audio codec the WAV container supports (PCM 8/16/24/32, IEEE
+    float, G.711, IMA/MS-ADPCM, EXTENSIBLE) decodes here through the
+    same wavcodec dispatch; its NNwb chunks concatenate into the data
+    stream in movi order."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    audio_stream: int | None = None
+    strf: bytes | None = None
+    want_strf = False
+    chunks: list[bytes] = []
+    stream_no = -1
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal audio_stream, strf, want_strf, stream_no
+        for tag, off, size in _iter_chunks(data, pos, end):
+            if tag == b"LIST":
+                kind = data[off : off + 4]
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
+                    if kind == b"strl":
+                        stream_no += 1
+                        want_strf = False
+                    walk(off + 4, off + size)
+            elif tag == b"strh" and size >= 48:
+                if data[off : off + 4] == b"auds" and audio_stream is None:
+                    audio_stream = stream_no
+                    want_strf = True
+            elif tag == b"strf" and want_strf:
+                if size < 16:
+                    raise ValueError("truncated AVI audio strf")
+                strf = data[off : off + size]
+                want_strf = False
+            elif tag[2:4] == b"wb" and tag[:2].isdigit():
+                if audio_stream is not None and int(tag[:2]) == audio_stream:
+                    chunks.append(data[off : off + size])
+
+    walk(12, len(data))
+    if audio_stream is None or strf is None:
+        raise ValueError("AVI has no audio stream")
+    if not chunks:
+        raise ValueError("AVI audio stream has no data chunks")
+    from pinot_spark.functions.wavcodec import decode_wave_samples
+
+    fmt = struct.unpack("<HHIIHH", strf[:16])
+    try:
+        samples, rate = decode_wave_samples(
+            fmt, strf[18:], b"".join(chunks), None
+        )
+    except struct.error as e:
+        raise ValueError(f"truncated AVI audio stream: {e}") from e
+    return samples, rate

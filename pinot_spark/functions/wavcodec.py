@@ -428,6 +428,19 @@ def _decode_wav_body(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
+    return decode_wave_samples(fmt, fmt_extra, frames, fact_frames)
+
+
+def decode_wave_samples(
+    fmt: tuple,
+    fmt_extra: bytes,
+    frames: bytes,
+    fact_frames: int | None,
+) -> tuple[np.ndarray, int]:
+    """Decode a WAVEFORMATEX-described sample stream — shared by the
+    WAV container above and the AVI 'auds' stream demuxer
+    (functions/avicodec.decode_avi_audio), which carry the identical
+    fmt structure."""
     format_tag, n_ch, rate, _byte_rate, _block, bits = fmt
     if n_ch < 1:  # before any branch divides by n_ch (r16 ADVICE)
         raise ValueError("WAV with zero channels")

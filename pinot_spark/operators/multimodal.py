@@ -183,6 +183,26 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def decode_audio(data: bytes) -> "tuple[np.ndarray, int]":
+    """Container dispatch for audio payloads → ((n, n_ch) int16,
+    rate): WAV (functions/wavcodec.py — PCM 8/16/24/32, IEEE float,
+    G.711, IMA/MS-ADPCM, EXTENSIBLE) and the audio TRACK of an AVI
+    (functions/avicodec.decode_avi_audio — the A/V demux path, same
+    WAVEFORMATEX dispatch).  ISO-BMFF (MP4/M4A) stays a loud
+    boundary."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from pinot_spark.functions.avicodec import decode_avi_audio
+
+        return decode_avi_audio(data)
+    if data[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "ISO-BMFF (MP4/M4A) audio not supported; WAV and AVI only"
+        )
+    from pinot_spark.functions.wavcodec import decode_wav
+
+    return decode_wav(data)
+
+
 def audio_features(
     df: DataFrame, window_ms: int = 125, hop_ms: int | None = None
 ) -> DataFrame:
@@ -202,14 +222,13 @@ def audio_features(
     shuffle)."""
     if hop_ms is None:
         hop_ms = window_ms
-    from pinot_spark.functions.wavcodec import decode_wav
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    samples, rate = decode_wav(bytes(payload))
+                    samples, rate = decode_audio(bytes(payload))
                 except NotImplementedError:
                     rows.append((mid, -1, -1, 0, 0, 0, 0,
                                  "decoder_unavailable"))

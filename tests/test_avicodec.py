@@ -157,3 +157,70 @@ def test_video_operator_dispatches_avi_and_gif():
         decode_video_frames(b"\x00\x00\x00\x18ftypisom" + bytes(32))
     with pytest.raises(ValueError):
         decode_video_frames(b"not a video at all")
+
+
+# ---------------------------------------------------------------------------
+# A/V mux: audio track ('auds' PCM16 stream, 01wb chunks)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_audio_track_roundtrip():
+    """PCM16 audio muxed per-frame into the AVI demuxes back
+    sample-exact through the shared WAVEFORMATEX dispatch."""
+    from pinot_spark.functions.avicodec import decode_avi_audio
+
+    rng = np.random.default_rng(21)
+    aud = rng.integers(-32768, 32768, (4410, 2), dtype=np.int64).astype(
+        np.int16
+    )
+    data = encode_avi_mjpeg(
+        _frames(5), fps_num=10, quality=100, audio=aud, audio_rate=44100
+    )
+    out, rate = decode_avi_audio(data)
+    assert rate == 44100
+    assert np.array_equal(out, aud)
+    # the video stream still decodes unchanged
+    back = decode_avi_frames(data)
+    assert len(back) == 5 and np.array_equal(back[0][1], _frames(5)[0])
+
+
+def test_avi_audio_structural_interleave():
+    """01wb chunks interleave per video frame and appear in idx1."""
+    aud = np.arange(1000, dtype=np.int16)
+    data = encode_avi_mjpeg(
+        _frames(4), fps_num=10, quality=100, audio=aud, audio_rate=8000
+    )
+    # count interleaved chunk tags in movi order
+    order = []
+    pos = 0
+    while True:
+        i1 = data.find(b"00dc", pos)
+        i2 = data.find(b"01wb", pos)
+        nxt = min(x for x in (i1, i2) if x != -1) if (i1 != -1 or i2 != -1) else -1
+        if nxt == -1 or data[nxt - 8 : nxt - 4] == b"idx1":
+            break
+        order.append(data[nxt : nxt + 4])
+        pos = nxt + 4
+    # movi section: alternating dc/wb (idx1 repeats the tags afterwards)
+    assert order[:8] == [b"00dc", b"01wb"] * 4
+
+
+def test_avi_audio_missing_raises():
+    from pinot_spark.functions.avicodec import decode_avi_audio
+
+    with pytest.raises(ValueError, match="no audio stream"):
+        decode_avi_audio(encode_avi_mjpeg(_frames(2)))
+
+
+def test_audio_operator_dispatches_avi_track():
+    from pinot_spark.operators.multimodal import decode_audio
+
+    aud = (1000 * np.sin(np.arange(4000) / 7)).astype(np.int16)
+    data = encode_avi_mjpeg(
+        _frames(4), fps_num=10, quality=100, audio=aud, audio_rate=8000
+    )
+    out, rate = decode_audio(data)
+    assert rate == 8000 and out.shape == (4000, 1)
+    assert np.array_equal(out[:, 0], aud)
+    with pytest.raises(NotImplementedError, match="ISO-BMFF"):
+        decode_audio(b"\x00\x00\x00\x18ftypM4A " + bytes(16))
