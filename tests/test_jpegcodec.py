@@ -246,3 +246,32 @@ def test_q100_constant_gray_exact_above_82():
     for v in range(82, 256):
         img = np.full((8, 8, 3), v, np.uint8)
         assert np.array_equal(decode_jpeg(encode_jpeg(img, 100)), img), v
+
+
+def test_throughput_guard_realistic_frame():
+    """Wall-time bound at a realistic 640×360 frame: the table-driven
+    Huffman decode (round 17: peek-16 LUT + masked bit accumulator)
+    runs ~0.15 s here vs 2.8 s before — the bound catches an
+    order-of-magnitude regression of the entropy hot loop while
+    leaving headroom for loaded CI machines."""
+    import time
+
+    x = np.linspace(0, 4 * np.pi, 640)
+    y = np.linspace(0, 3 * np.pi, 360)
+    img = np.ascontiguousarray(
+        np.stack(
+            [
+                (127 + 120 * np.outer(np.sin(y + p), np.cos(x))).astype(
+                    np.uint8
+                )
+                for p in (0.0, 1.0, 2.0)
+            ],
+            axis=2,
+        )
+    )
+    data = encode_jpeg(img, 75)
+    t0 = time.monotonic()
+    out = decode_jpeg(data)
+    t = time.monotonic() - t0
+    assert out.shape == (360, 640, 3)
+    assert t < 1.5, f"baseline decode took {t:.2f}s"
