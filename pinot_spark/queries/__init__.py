@@ -89,19 +89,23 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # gzip/lz4 segment codec matrix), multimodal_video_mjpeg_avi (the
 # first REAL-WORLD video container: MJPEG-in-AVI through the baseline
 # JPEG decoder, formula-exact oracle on the q100 constant-gray range),
-# and multimodal_audio_adpcm (IMA/DVI ADPCM WAV, format tag 0x11 —
-# audioop-cross-validated nibble math, pinned-literal oracle).
+# multimodal_audio_adpcm (IMA/DVI ADPCM WAV, format tag 0x11 —
+# audioop-cross-validated nibble math, pinned-literal oracle), and
+# multimodal_av_demux_audio (the A/V demux path: a PCM16 'auds' track
+# muxed into an MJPEG AVI demuxes through audio_features with a
+# formula-exact oracle).
 # Re-proofs = ALL 34 r12-stale rows (the 28 named in the r16 plan + the
 # 6 displaced: dedup_ngram_jaccard_pairs, dialect_distinct_count_over,
 # dialect_raw_theta_decimal_key, dialect_raw_theta_join,
-# dialect_raw_theta_scale, embedding_quantize_int8) + the first 13 of
+# dialect_raw_theta_scale, embedding_quantize_int8) + the first 12 of
 # the 50 r13-stale greens in name order (agg_approx_distinct ..
-# agg_sum_array) — the three first-timers displaced the r13 tail per
+# agg_stats_family) — the four first-timers displaced the r13 tail per
 # the plan's displacement rule, landing max staleness <= r13.
 #
 # ROUND-18 PLAN (computed from CORRECTNESS_r01..r16 + this window):
-# after r17's driver run the stale set is the remaining 37 r13-latest
+# after r17's driver run the stale set is the remaining 38 r13-latest
 # rows —
+#   agg_sum_array,
 #   agg_sum_array_scale_path, agg_sum_precision_decimal,
 #   agg_theta_setop_distinct, agg_theta_sketch_distinct,
 #   colocated_bucketed_join, cursor_result_table_pages,
@@ -132,7 +136,8 @@ _VERIFIED_PRIOR_ROUNDS = [
     "agg_fourth_moment", "agg_frequent_items", "agg_funnel_count",
     "agg_histogram", "agg_idset_membership", "agg_listagg_arrayagg",
     "agg_mv_variants", "agg_percentiles", "agg_raw_sketch_bytes",
-    "agg_startree_extended_rollup", "agg_sum_array_scale_path",
+    "agg_startree_extended_rollup", "agg_sum_array",
+    "agg_sum_array_scale_path",
     "agg_sum_precision_decimal", "agg_theta_setop_distinct",
     "agg_theta_sketch_distinct", "asof_join_backward",
     "case_when_projection", "clp_encode_decode_roundtrip",
@@ -212,7 +217,7 @@ _VERIFIED_PRIOR_ROUNDS = [
 
 _WINDOW_FIRST_TIME = [
     "codec_surface_umbrella", "multimodal_video_mjpeg_avi",
-    "multimodal_audio_adpcm",
+    "multimodal_audio_adpcm", "multimodal_av_demux_audio",
 ]
 
 _REPROOF_STALE = [
@@ -234,7 +239,7 @@ _REPROOF_STALE = [
     "agg_funnel_events_eval", "agg_funnel_max_step_window",
     "agg_hll_sketch_union", "agg_mode", "agg_mv_grouped_percentile",
     "agg_percentile_approx", "agg_skew_kurt", "agg_st_union_points",
-    "agg_startree_rollup_route", "agg_stats_family", "agg_sum_array",
+    "agg_startree_rollup_route", "agg_stats_family",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE

@@ -2714,3 +2714,94 @@ def multimodal_audio_adpcm(spark, sf_dir):
         audio_features(media, window_ms=125)
         .orderBy("media_id", "channel", "window_idx")
     )
+
+
+@query(
+    "multimodal_av_demux_audio",
+    oracle="""
+    WITH grid AS (
+        SELECT m, c, w FROM range(2) t1(m)
+        CROSS JOIN range(2) t2(c) CROSS JOIN range(2) t3(w)
+    ),
+    segs AS (
+        SELECT m, c, w,
+               list_transform(range(1000), i ->
+                   ((m*4871 + (w*1000 + i)*75979 + c*24593) % 65521)
+                   - 32760) AS s
+        FROM grid
+    )
+    SELECT concat('av', CAST(m AS VARCHAR)) AS media_id,
+           CAST(c AS INT) AS channel,
+           CAST(w AS INT) AS window_idx,
+           CAST(1000 AS INT) AS n_samples,
+           CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+               AS sum_abs,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+           CAST(list_sum(list_transform(range(999), i ->
+               CASE WHEN (s[i+2] >= 0) <> (s[i+1] >= 0)
+                    THEN 1 ELSE 0 END)) AS INT) AS zero_crossings,
+           'ok' AS decode_ok
+    FROM segs ORDER BY media_id, channel, window_idx
+    """,
+)
+def multimodal_av_demux_audio(spark, sf_dir):
+    """A/V DEMUX (round 17): the audio TRACK of an MJPEG AVI decodes
+    through the multimodal Arrow path — two AVIs are muxed worker-side
+    (functions/avicodec.encode_avi_mjpeg: four MJPEG frames + a PCM16
+    stereo 'auds' stream whose 01wb chunks interleave per video
+    frame), then operators/multimodal.audio_features dispatches on the
+    RIFF/AVI magic and demuxes the audio stream
+    (avicodec.decode_avi_audio, the shared WAVEFORMATEX dispatch).
+    PCM16 is LOSSLESS, so the DuckDB oracle recomputes every window
+    stat from the generating integer formula — the mux, the chunk
+    interleave/reassembly and the window fan-out must all be
+    value-transparent.  Container structure and stream isolation are
+    independently pinned in tests/test_avicodec.py.
+
+    Scale shape: mux + demux + window fan-out all inside mapInPandas
+    batches; only stat rows leave the worker."""
+    from pinot_spark.operators.multimodal import audio_features
+
+    ids = spark.createDataFrame(
+        [(f"av{m}", m) for m in range(2)], "media_id string, m int"
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinot_spark.functions.avicodec import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for m in pdf["m"]:
+                i = np.arange(2000, dtype=np.int64)
+                aud = np.stack(
+                    [
+                        ((m * 4871 + i * 75979 + c * 24593) % 65521)
+                        - 32760
+                        for c in (0, 1)
+                    ],
+                    axis=1,
+                ).astype(np.int16)
+                frames = [
+                    np.full((16, 16, 3), 90 + 30 * f, np.uint8)
+                    for f in range(4)
+                ]
+                payloads.append(
+                    bytearray(
+                        encode_avi_mjpeg(
+                            frames, fps_num=10, quality=100,
+                            audio=aud, audio_rate=8000,
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id string, payload binary")
+    return (
+        audio_features(media, window_ms=125)
+        .orderBy("media_id", "channel", "window_idx")
+    )
