@@ -481,8 +481,15 @@ def decode_wave_samples(
         ).reshape(-1, n_ch)
         # [-1, 1] normalized float -> int16 analysis domain: clip then
         # symmetric scale by 32767 with round-half-even (np.rint) —
-        # deterministic on every platform
-        clipped = np.clip(arr.astype(np.float64), -1.0, 1.0)
+        # deterministic on every platform.  NaN/Inf (possible in
+        # crafted or corrupt files) map to 0/±32767 rather than hitting
+        # the undefined NaN->int cast
+        clipped = np.clip(
+            np.nan_to_num(
+                arr.astype(np.float64), nan=0.0, posinf=1.0, neginf=-1.0
+            ),
+            -1.0, 1.0,
+        )
         return np.rint(clipped * 32767.0).astype(np.int16), rate
     if format_tag != 1:
         names = {0x55: "MP3", 0x2000: "AC3", 0x161: "WMA"}

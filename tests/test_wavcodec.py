@@ -469,3 +469,13 @@ def test_ms_adpcm_corrupt_input_exception_contract():
             decode_wav(base[:cut])
         except (ValueError, IndexError, NotImplementedError):
             pass
+
+
+def test_float_wav_nan_inf_deterministic():
+    """NaN/±Inf in crafted float WAVs map to 0/±32767 — never the
+    undefined NaN→int cast (crawl-scale corrupt-input hardening)."""
+    vals = np.array(
+        [float("nan"), float("inf"), float("-inf"), 0.5], np.float32
+    )
+    out, _ = decode_wav(_wav(3, 1, 8000, 32, vals.astype("<f4").tobytes()))
+    assert out[:, 0].tolist() == [0, 32767, -32767, 16384]
