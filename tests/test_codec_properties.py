@@ -273,3 +273,81 @@ def test_gif_median_cut_quantization():
     pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
     exact = pal[rng.integers(0, 256, (40, 40))]
     assert np.array_equal(decode_gif(encode_gif(exact, quantize=True)), exact)
+
+
+def test_adpcm_roundtrip_properties():
+    """Hypothesis over both ADPCM codecs: ANY int16 signal (any
+    length/channel count) encodes to a valid WAV that decodes
+    deterministically with the exact input shape; block headers make
+    sample 0 of every block exact (IMA) / samples 0-1 exact (MS)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pinot_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(2, 3000),
+        ch=st.integers(1, 3),
+        seed=st.integers(0, 2**31),
+        codec=st.sampled_from(["ima", "ms"]),
+    )
+    def prop(n, ch, seed, codec):
+        rng = np.random.default_rng(seed)
+        # band-limited-ish: cumulative small steps (ADPCM's domain)
+        steps = rng.integers(-500, 501, (n, ch))
+        sig = np.clip(np.cumsum(steps, axis=0), -32768, 32767).astype(
+            np.int16
+        )
+        enc = encode_wav_ima_adpcm if codec == "ima" else encode_wav_ms_adpcm
+        data = enc(sig, 8000)
+        out1, rate = decode_wav(data)
+        out2, _ = decode_wav(data)
+        assert rate == 8000
+        assert out1.shape == sig.shape
+        assert np.array_equal(out1, out2)  # decode is deterministic
+        if codec == "ima":
+            assert np.array_equal(out1[0], sig[0])  # header sample exact
+        else:
+            assert np.array_equal(out1[:2], sig[:2])
+
+    prop()
+
+
+def test_ima_adpcm_blocks_decode_independently():
+    """Each IMA block re-seeds predictor+index in its header: decoding
+    a block's bytes alone equals its slice of the full decode (the
+    property that makes a 100 TB audio scan splittable mid-file)."""
+    import struct
+
+    from pinot_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(7)
+    sig = np.clip(
+        np.cumsum(rng.integers(-300, 301, (505 * 3, 2)), axis=0),
+        -32768, 32767,
+    ).astype(np.int16)
+    data = encode_wav_ima_adpcm(sig, 8000, block_frames=505)
+    full, _ = decode_wav(data)
+    # locate the data chunk and re-wrap each block as its own WAV
+    i = data.find(b"data")
+    (dsize,) = struct.unpack("<I", data[i + 4 : i + 8])
+    payload = data[i + 8 : i + 8 + dsize]
+    block_align = (505 - 1) // 2 * 2 + 4 * 2  # per encode layout
+    hdr = data[: i]
+    for b in range(3):
+        blk = payload[b * block_align : (b + 1) * block_align]
+        solo = (
+            hdr[: hdr.find(b"fact")]  # drop fact so no trim applies
+            + b"data" + struct.pack("<I", len(blk)) + blk
+        )
+        solo = b"RIFF" + struct.pack("<I", len(solo) - 8 + 4) + solo[8:]
+        out, _ = decode_wav(solo)
+        assert np.array_equal(out, full[b * 505 : (b + 1) * 505])
