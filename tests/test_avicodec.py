@@ -224,3 +224,30 @@ def test_audio_operator_dispatches_avi_track():
     assert np.array_equal(out[:, 0], aud)
     with pytest.raises(NotImplementedError, match="ISO-BMFF"):
         decode_audio(b"\x00\x00\x00\x18ftypM4A " + bytes(16))
+
+
+def test_avi_audio_corrupt_input_exception_contract():
+    """Byte-flipped/truncated AVIs through the AUDIO demuxer decode or
+    raise only the operator-classified types."""
+    import random
+
+    from pinot_spark.functions.avicodec import decode_avi_audio
+
+    aud = (900 * np.sin(np.arange(2000) / 11)).astype(np.int16)
+    base = encode_avi_mjpeg(
+        _frames(3), fps_num=10, quality=100, audio=aud, audio_rate=8000
+    )
+    rng = random.Random(29)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(12, len(b))] = rng.randrange(256)
+        try:
+            decode_avi_audio(bytes(b))
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+    for cut in range(0, len(base), 101):
+        try:
+            decode_avi_audio(base[:cut])
+        except (ValueError, IndexError, NotImplementedError):
+            pass

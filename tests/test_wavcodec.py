@@ -479,3 +479,24 @@ def test_float_wav_nan_inf_deterministic():
     )
     out, _ = decode_wav(_wav(3, 1, 8000, 32, vals.astype("<f4").tobytes()))
     assert out[:, 0].tolist() == [0, 32767, -32767, 16384]
+
+
+def test_float_wav_corrupt_input_exception_contract():
+    import random
+
+    vals = (np.sin(np.arange(500) / 9).astype(np.float32) * 0.8)
+    base = _wav(3, 2, 8000, 32, vals.astype("<f4").tobytes())
+    rng = random.Random(17)
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(4, len(b))] = rng.randrange(256)
+        try:
+            decode_wav(bytes(b))
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+    for cut in range(0, len(base), 53):
+        try:
+            decode_wav(base[:cut])
+        except (ValueError, IndexError, NotImplementedError):
+            pass
