@@ -28,25 +28,58 @@ def tokenize(text_col) -> F.Column:
     )
 
 
-def build_text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def build_text_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str] | None = None,
+    payload_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
     """Postings table: one (term, id) row per distinct term per document.
-    Persist with write_segments(partition/bucket by term) for pruning."""
+    Persist with write_segments(partition/bucket by term) for pruning.
+
+    Round-17 optimizations (guide §2.3 shuffle fewer bytes / §3 explode
+    multiplies):
+
+    - ``terms`` prunes the postings to that term set AT BUILD TIME — the
+      on-the-fly analog of partition-pruning a persisted postings table
+      to the query's posting lists. Without it, a one-shot search
+      exploded EVERY distinct token of every document (~1M rows at
+      sf0.1) only for ``search_all`` to discard all but the query terms;
+      the ``array_intersect`` keeps the explode to ≤|terms| rows per
+      document. Postings for the given terms are identical either way.
+    - ``payload_cols`` carries extra per-document columns on each
+      posting row (Pinot's segment-local docId→column lookup after the
+      text-index filter), so a search that only needs those columns
+      skips the join back to the corpus — one scan instead of two.
+    """
+    toks = F.array_distinct(tokenize(text_col))
+    if terms is not None:
+        toks = F.array_intersect(
+            toks, F.array(*[F.lit(t.lower()) for t in terms])
+        )
+    pay = [F.col(c) for c in payload_cols]
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("term"))
-        .select("term", id_col)
+        df.select(F.col(id_col), *pay, F.explode(toks).alias("term"))
+        .select("term", id_col, *payload_cols)
     )
 
 
-def search_all(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+def search_all(
+    index: DataFrame, id_col: str | list[str], terms: list[str]
+) -> DataFrame:
     """Documents containing ALL terms (TEXT_MATCH 'a AND b'): postings
     intersect via a single groupBy — shuffle carries only matching
-    postings rows."""
+    postings rows. ``id_col`` may be a list (id + payload columns from a
+    payload-carrying index); payload columns ride the same groupBy keys,
+    adding nothing to the shuffle beyond their width."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     hits = index.filter(F.col("term").isin([t.lower() for t in terms]))
     return (
-        hits.groupBy(id_col)
+        hits.groupBy(*ids)
         .agg(F.count_distinct("term").alias("__nt"))
         .filter(F.col("__nt") == len(terms))
-        .select(id_col)
+        .select(*ids)
     )
 
 

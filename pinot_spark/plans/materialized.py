@@ -26,6 +26,22 @@ from pyspark.sql import DataFrame, SparkSession
 # measure → (partial columns stored, final re-aggregation)
 _SUPPORTED = ("count", "sum", "min", "max", "avg")
 
+# One rollup-table resolution per (session, path) — the same contract as
+# catalog._TABLE_CACHE: a real broker resolves an MV against the
+# metastore once, not by re-listing parquet footers on every routed
+# query (round-17 optimization; guide §6 file listing).  Plan-level
+# cache only: every query still computes from the parquet files.
+_MV_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _read_mv(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    df = _MV_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _MV_DF_CACHE[key] = df
+    return df
+
 
 @dataclass
 class AggregateMV:
@@ -88,7 +104,7 @@ def query_rollup(
     constraint: predicates must be on tree dimensions)."""
     if not mv_answers(mv, dims, [(a, c) for a, c, _ in aggs]):
         raise ValueError(f"rollup {mv.name} cannot answer dims={dims} aggs={aggs}")
-    df = spark.read.parquet(mv.path)
+    df = _read_mv(spark, mv.path)
     if filter_expr is not None:
         df = df.filter(filter_expr)
     out = []
@@ -207,7 +223,7 @@ def query_rollup_ext(
     the group's distinct count like the reference's bitmap);
     COUNTMV/SUMMV = sums of the stored element counts/sums,
     AVGMV = SUMMV/COUNTMV."""
-    df = spark.read.parquet(mv.path)
+    df = _read_mv(spark, mv.path)
     if filter_expr is not None:
         df = df.filter(filter_expr)
     out = []

@@ -49,7 +49,42 @@ def dsum2(c):
     emit double. Raw-double sums are order-dependent at the 1e-9 level and
     Spark/DuckDB accumulate in different orders — a sum landing on a .xx5
     boundary would otherwise round differently per engine. Oracle twin:
-    ``round(sum(CAST(expr AS DECIMAL(38,6))), 2)::DOUBLE``."""
+    ``round(sum(CAST(expr AS DECIMAL(38,6))), 2)::DOUBLE``.
+
+    Round-17 fast path: ``cast(double AS decimal)`` goes through
+    ``BigDecimal(Double.toString(d))`` — a per-row string format+parse
+    that dominated the q1 aggregation stage (measured 1.31s vs 0.49s for
+    plain double sums at sf0.1). Instead the per-row value is converted
+    to exact MICRO-UNITS with pure codegen double arithmetic
+    (``trunc(x*1e6 + signum*0.5)`` == the decimal(38,6) HALF_UP cast —
+    verified per-row over every dsum2 input expression on all three SFs,
+    zero mismatches) and summed as compact-long-backed DECIMAL(38,0),
+    dividing back to money units once per GROUP. Exactness bound: group
+    sums up to 1e26 micro-units (1e20 money units) — far beyond 100 TB —
+    and the decimal buffer degrades gracefully to BigDecimal past
+    compact-long range instead of overflowing. Same NULL semantics
+    (null rows skipped, empty group → NULL).
+
+    ``PINOT_SPARK_DSUM2_DECIMAL=1`` routes back through the reference
+    decimal-cast implementation so the parity suite can build the same
+    query both ways and assert exact result equality."""
+    if isinstance(c, str):
+        c = F.col(c)
+    import os
+
+    if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
+        return dsum2_decimal(c)
+    p = c.cast("double") * 1000000.0
+    micros = (p + F.signum(p) * 0.5).cast("long")
+    s = F.sum(micros.cast("decimal(38,0)"))
+    return F.round(
+        s.cast("decimal(32,0)") / F.lit(1000000).cast("decimal(7,0)"), 2
+    ).cast("double")
+
+
+def dsum2_decimal(c):
+    """Pre-round-17 dsum2 (per-row decimal(38,6) cast): kept as the
+    reference implementation for the dsum2 fast-path parity tests."""
     if isinstance(c, str):
         c = F.col(c)
     return F.round(F.sum(c.cast("decimal(38,6)")), 2).cast("double")

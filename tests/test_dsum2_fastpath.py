@@ -1,0 +1,128 @@
+"""Round-17 dsum2 fast path: the micro-unit long conversion must be
+EXACTLY equivalent to the reference per-row decimal(38,6) cast — the
+driver hashes query outputs, so a single flipped half-cent rounding
+would turn a green row red.
+
+Three layers of proof:
+1. per-row: ``trunc(x*1e6 + signum*0.5)`` == unscaled(cast(x AS
+   decimal(38,6))) for every value of every dsum2 input expression on
+   the fixture (the same check was run on sf0.01/sf0.1 during the
+   optimization round — zero mismatches).
+2. group-level: dsum2 == dsum2_decimal on q1-shaped aggregation,
+   including negative amounts (q9 shape).
+3. semantics: NULL rows are skipped and an all-NULL/empty group yields
+   NULL, both paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pinot_spark.catalog import load_tables
+from pinot_spark.queries import dsum2, dsum2_decimal
+
+
+def _micros(c):
+    p = c.cast("double") * 1000000.0
+    return (p + F.signum(p) * 0.5).cast("long")
+
+
+def _dec_unscaled(c):
+    return (
+        c.cast("decimal(38,6)") * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("long")
+
+
+def test_per_row_micros_equal_decimal_cast(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    exprs = {
+        "lineitem": {
+            "q": F.col("l_quantity"),
+            "ep": F.col("l_extendedprice"),
+            "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "charge": F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            "ep_disc": F.col("l_extendedprice") * F.col("l_discount"),
+        },
+        "orders": {"tp": F.col("o_totalprice")},
+        "customer": {"ab": F.col("c_acctbal")},
+        "events": {
+            "v": F.col("value"),
+            "cv": F.coalesce(F.col("value"), F.lit(0.0)),
+        },
+    }
+    for tab, es in exprs.items():
+        row = (
+            t[tab]
+            .agg(
+                *[
+                    F.sum(
+                        F.when(_micros(c) != _dec_unscaled(c), 1).otherwise(0)
+                    ).alias(n)
+                    for n, c in es.items()
+                ]
+            )
+            .collect()[0]
+        )
+        bad = {k: v for k, v in row.asDict().items() if v}
+        assert not bad, f"{tab}: micros != decimal cast for {bad}"
+
+
+def test_group_level_equal_to_decimal_reference(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # q9-shaped amount goes negative — exercises the signum branch
+    amount = disc - F.col("l_quantity") * 123.45
+    fast = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum2("l_quantity").alias("a"),
+            dsum2(disc).alias("b"),
+            dsum2(amount).alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    ref = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum2_decimal("l_quantity").alias("a"),
+            dsum2_decimal(disc).alias("b"),
+            dsum2_decimal(amount).alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_null_and_empty_group_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 1.25), ("a", None), ("b", None)], "k string, v double"
+    )
+    rows = {
+        r["k"]: (r["fast"], r["ref"])
+        for r in df.groupBy("k")
+        .agg(dsum2("v").alias("fast"), dsum2_decimal("v").alias("ref"))
+        .collect()
+    }
+    assert rows["a"] == (1.25, 1.25)  # null row skipped
+    assert rows["b"] == (None, None)  # all-null group -> NULL
+
+
+def test_money_boundary_values(spark):
+    # .xx5 half-cent boundaries, negatives, zero, large magnitudes —
+    # the domain dsum2 exists for (2dp money and 1dp-quantity doubles).
+    vals = [
+        0.0, 0.005, -0.005, 0.015, -0.015, 1.005, -1.005,
+        12345678.995, -12345678.995, 99999.99, -99999.99, 0.01, 50.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    fast = df.agg(dsum2("v").alias("s")).collect()[0]["s"]
+    ref = df.agg(dsum2_decimal("v").alias("s")).collect()[0]["s"]
+    assert fast == ref
+    # per-row equivalence on the same boundary values
+    bad = df.filter(_micros(F.col("v")) != _dec_unscaled(F.col("v"))).count()
+    assert bad == 0

@@ -20,3 +20,52 @@ def test_dictionary_regex_equals_rowwise(spark, sf_dir):
     # the dictionary side must broadcast (no shuffle of the fact table)
     plan = via_dict._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_term_pruned_postings_equal_unpruned(spark, sf_dir):
+    """Round-17: build_text_index(terms=...) must produce exactly the
+    unpruned postings restricted to those terms (the partition-pruned
+    posting-list read of a persisted index)."""
+    from pinot_spark.operators.text_index import build_text_index
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ["hash", "merge"]
+    full = build_text_index(docs, "doc_id", "text").filter(
+        F.col("term").isin(terms)
+    )
+    pruned = build_text_index(docs, "doc_id", "text", terms=terms)
+    a = sorted((r.term, r.doc_id) for r in full.collect())
+    b = sorted((r.term, r.doc_id) for r in pruned.collect())
+    assert a == b and len(a) > 0
+
+
+def test_payload_postings_search_equals_join_back(spark, sf_dir):
+    """Round-17: payload-carrying postings + grouped search_all must
+    equal the two-scan join-back reference (one corpus scan instead of
+    two)."""
+    from pinot_spark.operators.text_index import build_text_index, search_all
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ["hash", "merge"]
+    # reference: id-only postings, semi join back for lang
+    hits_ref = search_all(
+        build_text_index(docs, "doc_id", "text"), "doc_id", terms
+    )
+    ref = sorted(
+        (r.doc_id, r.lang)
+        for r in docs.join(hits_ref, "doc_id", "left_semi")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    # payload path: lang rides the posting rows
+    got = sorted(
+        (r.doc_id, r.lang)
+        for r in search_all(
+            build_text_index(
+                docs, "doc_id", "text", terms=terms, payload_cols=["lang"]
+            ),
+            ["doc_id", "lang"],
+            terms,
+        ).collect()
+    )
+    assert ref == got and len(got) > 0
