@@ -74,12 +74,23 @@ def dsum2(c):
 
     if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
         return dsum2_decimal(c)
-    p = c.cast("double") * 1000000.0
-    micros = (p + F.signum(p) * 0.5).cast("long")
-    s = F.sum(micros.cast("decimal(38,0)"))
+    s = F.sum(_micros(c).cast("decimal(38,0)"))
     return F.round(
         s.cast("decimal(32,0)") / F.lit(1000000).cast("decimal(7,0)"), 2
     ).cast("double")
+
+
+def _micros(c):
+    """Exact micro-units of ``cast(c AS decimal(38,6))`` as a long,
+    via codegen double arithmetic. NaN/±Inf become NULL exactly like the
+    decimal cast does (ANSI is on: a bare double→long cast would raise
+    instead — tests/test_dsum2_fastpath.py pins the skip). A finite
+    |value| > ~9.2e12 money units overflows the long and raises loudly
+    under ANSI rather than silently corrupting — outside any money
+    domain, and the decimal reference path remains for such schemas."""
+    p = c.cast("double") * 1000000.0
+    p = F.when(~F.isnan(p) & (F.abs(p) != F.lit(float("inf"))), p)
+    return (p + F.signum(p) * 0.5).cast("long")
 
 
 def dsum2_decimal(c):
@@ -88,6 +99,25 @@ def dsum2_decimal(c):
     if isinstance(c, str):
         c = F.col(c)
     return F.round(F.sum(c.cast("decimal(38,6)")), 2).cast("double")
+
+
+def dsum2_distinct(c):
+    """DISTINCT variant of the dsum2 fast path: the micros conversion is
+    a bijection onto the decimal(38,6) values (per-row equality verified
+    exhaustively, tests/test_dsum2_fastpath.py), so DISTINCT over micros
+    equals DISTINCT over the decimal casts and the sums agree exactly.
+    Oracle twin: ``round(sum(DISTINCT CAST(expr AS DECIMAL(38,6))), 2)
+    ::DOUBLE``."""
+    if isinstance(c, str):
+        c = F.col(c)
+    import os
+
+    if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
+        return F.round(F.sum_distinct(c.cast("decimal(38,6)")), 2).cast("double")
+    s = F.sum_distinct(_micros(c).cast("decimal(38,0)"))
+    return F.round(
+        s.cast("decimal(32,0)") / F.lit(1000000).cast("decimal(7,0)"), 2
+    ).cast("double")
 
 
 # populate the registry

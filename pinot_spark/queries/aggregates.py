@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pinot_spark.catalog import load_tables
-from pinot_spark.queries import query, _r2, _r4, dsum2
+from pinot_spark.queries import query, _r2, _r4, dsum2, dsum2_distinct
 
 
 @query(
@@ -61,7 +61,7 @@ def agg_distinct_family(spark, sf_dir):
     return t["lineitem"].agg(
         F.count_distinct("l_suppkey").alias("dc_supp"),
         F.count_distinct(F.concat("l_returnflag", "l_linestatus")).alias("dc_flagstatus"),
-        F.round(F.sum_distinct(F.col("l_quantity").cast("decimal(38,6)")), 2).cast("double").alias("dsum_qty"),
+        dsum2_distinct("l_quantity").alias("dsum_qty"),
         F.expr("round(avg(DISTINCT l_quantity), 4)").alias("davg_qty"),
     )
 

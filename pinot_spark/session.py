@@ -39,6 +39,15 @@ DEFAULT_CONFS = {
     # also truncates nanos to its micro-precision TIMESTAMP).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # PySpark 4's per-API-call error-context capture wraps EVERY
+    # DataFrame/Column call with a stack walk plus extra py4j round
+    # trips (conf read + PySparkCurrentOrigin set/clear) — measured
+    # ~30% of every query-BUILD (q1: 156→109 ms, asof: 218→114 ms,
+    # ~0.5 s per bench run summed). Pure driver-side Python overhead at
+    # any scale and any core count; a production broker runs with
+    # debug-context capture off (round-17 optimization, guide §1.2
+    # per-task work applied to the driver).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

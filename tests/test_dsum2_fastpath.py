@@ -126,3 +126,16 @@ def test_money_boundary_values(spark):
     # per-row equivalence on the same boundary values
     bad = df.filter(_micros(F.col("v")) != _dec_unscaled(F.col("v"))).count()
     assert bad == 0
+
+
+def test_nan_inf_skipped_like_decimal_cast(spark):
+    # ANSI mode is on: the decimal(38,6) cast turns NaN/±Inf into NULL
+    # (skipped by SUM); the micros fast path must do the same rather
+    # than raise on the double->long cast.
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),), (2.5,)],
+        "v double",
+    )
+    fast = df.agg(dsum2("v").alias("s")).collect()[0]["s"]
+    ref = df.agg(dsum2_decimal("v").alias("s")).collect()[0]["s"]
+    assert fast == ref == 2.5
