@@ -74,10 +74,37 @@ def dsum2(c):
 
     if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
         return dsum2_decimal(c)
+    return F.round(dsum_exact(c), 2).cast("double")
+
+
+def dsum_exact(c):
+    """Exact decimal-valued ``sum(cast(c AS decimal(38,6)))`` via the
+    dsum2 micros fast path, for sums that feed further arithmetic
+    (ratios, thresholds, divisions) instead of rounding straight to a
+    money column. Type-identical as well as value-identical to the
+    reference expression: Spark's decimal division rules make
+    ``decimal(32,0) / decimal(7,0)`` come out at precision 40 → adjusted
+    to exactly ``decimal(38,6)``, the same result type as the decimal
+    sum it replaces, so every downstream expression keeps its
+    precision/scale — and hence its result — bit-for-bit (verified
+    old-vs-new on all three SFs).
+
+    Use only where the sum's INPUT is large (full-table or
+    mildly-filtered scans: q11, agg_sum_precision_decimal — measured
+    0.70→0.63s and 0.36→0.16s at sf0.1). Where the decimal sum runs
+    over a small post-join subset the bigger micros expression tree
+    costs more in per-query planning than the parse it saves — q8/q14/
+    q17 measured ~0.03–0.05s SLOWER and keep the reference decimal
+    cast (round-17 interleaved A/B; guide §1.1: measure, then keep the
+    empirically better plan)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    import os
+
+    if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
+        return F.sum(c.cast("decimal(38,6)"))
     s = F.sum(_micros(c).cast("decimal(38,0)"))
-    return F.round(
-        s.cast("decimal(32,0)") / F.lit(1000000).cast("decimal(7,0)"), 2
-    ).cast("double")
+    return s.cast("decimal(32,0)") / F.lit(1000000).cast("decimal(7,0)")
 
 
 def _micros(c):

@@ -382,9 +382,7 @@ def agg_sum_precision_decimal(spark, sf_dir):
     """SUMPRECISION → decimal-typed sum (AggregationFunctionType.java:64;
     BIG_DECIMAL stored type per FieldSpec.java)."""
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2).cast("double").alias("sum_dec")
-    )
+    return t["lineitem"].agg(dsum2("l_extendedprice").alias("sum_dec"))
 
 
 @query(

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pinot_spark.catalog import load_tables
-from pinot_spark.queries import query, _r2, _r4, dsum2
+from pinot_spark.queries import query, _r2, _r4, dsum2, dsum_exact
 
 # ---------------------------------------------------------------------------
 # TPC-H-shaped core relational queries (SSE+MSE parity: scan, filter, agg,
@@ -316,6 +316,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
+    # round-17: a dsum_exact micros build was interleave-A/B'd and REVERTED
+    # here — q8's sums run over the small post-join subset, so the decimal
+    # parse never dominates and the bigger micros expression tree lost
+    # ~0.05s/run in planning (0.740 -> 0.787 median). See OPTIMIZATION_r17.md.
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     joined = (
         t["lineitem"]
@@ -414,7 +418,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("part_value"))
+        .agg(dsum_exact("l_extendedprice").alias("part_value"))
     )
     threshold = vpp.agg((F.sum("part_value") * 0.001).alias("threshold"))
     return (

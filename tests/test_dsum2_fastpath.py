@@ -18,8 +18,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+import os
+
 from pinot_spark.catalog import load_tables
-from pinot_spark.queries import dsum2, dsum2_decimal
+from pinot_spark.queries import dsum2, dsum2_decimal, dsum_exact
 
 
 def _micros(c):
@@ -126,6 +128,45 @@ def test_money_boundary_values(spark):
     # per-row equivalence on the same boundary values
     bad = df.filter(_micros(F.col("v")) != _dec_unscaled(F.col("v"))).count()
     assert bad == 0
+
+
+def test_dsum_exact_type_and_value_identical(spark, sf_dir):
+    # dsum_exact feeds further arithmetic (q8/q11/q14/q17 ratios and
+    # thresholds), so it must match the reference decimal sum in TYPE
+    # (decimal(38,6) — Spark's division precision-adjustment lands there
+    # exactly) as well as value, or downstream precision/scale — and
+    # hence rounding — could drift.
+    t = load_tables(spark, sf_dir)
+    df = t["lineitem"].groupBy("l_returnflag").agg(
+        dsum_exact("l_extendedprice").alias("fast"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("ref"),
+    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["fast"] == types["ref"] == "decimal(38,6)"
+    rows = df.collect()
+    assert rows and all(r["fast"] == r["ref"] for r in rows)
+
+
+def test_fastpath_queries_equal_decimal_reference(spark, sf_dir):
+    # Whole-query old-vs-new: PINOT_SPARK_DSUM2_DECIMAL=1 rebuilds every
+    # dsum2/dsum_exact call site with the reference per-row decimal cast;
+    # the dsum_exact-restructured queries (q11, agg_sum_precision_decimal
+    # — q8/q14/q17 measured slower on the micros path and keep the
+    # reference cast) must collect identical row tuples.
+    from pinot_spark.queries import QUERIES
+
+    names = [
+        "q11_important_parts",
+        "agg_sum_precision_decimal",
+    ]
+    for name in names:
+        new = [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+        os.environ["PINOT_SPARK_DSUM2_DECIMAL"] = "1"
+        try:
+            old = [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+        finally:
+            del os.environ["PINOT_SPARK_DSUM2_DECIMAL"]
+        assert new == old, f"{name}: fast path changed the result"
 
 
 def test_nan_inf_skipped_like_decimal_cast(spark):
