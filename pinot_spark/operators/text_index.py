@@ -52,12 +52,28 @@ def build_text_index(
       posting row (Pinot's segment-local docId→column lookup after the
       text-index filter), so a search that only needs those columns
       skips the join back to the corpus — one scan instead of two.
+    - when ``terms`` is given (and no term is empty), the raw
+      split feeds ``array_intersect`` directly: intersect already
+      de-duplicates and drops every token outside the term set —
+      including the empty strings ``tokenize``'s length filter exists
+      for — so the per-document ``array_distinct`` pass and the
+      higher-order length-filter lambda are pure overhead (guide §1.2
+      per-task work; interleaved A/B at sf0.1: 0.743 → 0.598 s median
+      on text_inverted_index_search, postings proved identical).
     """
-    toks = F.array_distinct(tokenize(text_col))
-    if terms is not None:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if terms is not None and all(t.lower() for t in terms):
         toks = F.array_intersect(
-            toks, F.array(*[F.lit(t.lower()) for t in terms])
+            F.split(F.lower(c), r"[^a-z0-9]+"),
+            F.array(*[F.lit(t.lower()) for t in terms]),
         )
+    elif terms is not None:
+        toks = F.array_intersect(
+            F.array_distinct(tokenize(text_col)),
+            F.array(*[F.lit(t.lower()) for t in terms]),
+        )
+    else:
+        toks = F.array_distinct(tokenize(text_col))
     pay = [F.col(c) for c in payload_cols]
     return (
         df.select(F.col(id_col), *pay, F.explode(toks).alias("term"))

@@ -69,3 +69,50 @@ def test_payload_postings_search_equals_join_back(spark, sf_dir):
         ).collect()
     )
     assert ref == got and len(got) > 0
+
+
+def test_term_pruned_rawsplit_fastpath_edge_cases(spark, sf_dir):
+    """Round-17 closing: with terms given, the raw split feeds
+    array_intersect directly (no array_distinct, no length>0 lambda).
+    Intersect must absorb both passes: duplicates collapse, empty tokens
+    and out-of-set tokens drop, NULL text yields no postings — identical
+    to the safe tokenize+distinct path on pathological inputs."""
+    from pinot_spark.operators.text_index import build_text_index, tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash merge"),           # duplicates
+            (2, "  ,,hash!! "),               # empty boundary tokens
+            (3, None),                        # NULL text
+            (4, ""),                          # empty text
+            (5, "HASH Merge hAsH"),           # case folding
+            (6, "smash hashing"),             # substrings must NOT match
+            (7, "a-b_c hash,merge.hash"),     # punctuation splits
+        ],
+        ["doc_id", "text"],
+    )
+    terms = ["Hash", "merge"]  # caller-side case handled by .lower()
+    safe = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct(tokenize("text")),
+                    F.array(*[F.lit(t.lower()) for t in terms]),
+                )
+            ).alias("term"),
+        )
+        .select("term", "doc_id")
+    )
+    fast = build_text_index(docs, "doc_id", "text", terms=terms)
+    a = sorted((r.term, r.doc_id) for r in safe.collect())
+    b = sorted((r.term, r.doc_id) for r in fast.collect())
+    assert a == b
+    assert b == [
+        ("hash", 1), ("hash", 2), ("hash", 5), ("hash", 7),
+        ("merge", 1), ("merge", 5), ("merge", 7),
+    ]
+    # degenerate empty term routes to the safe path and still prunes
+    with_empty = build_text_index(docs, "doc_id", "text", terms=["hash", ""])
+    c = sorted((r.term, r.doc_id) for r in with_empty.collect())
+    assert c == [("hash", 1), ("hash", 2), ("hash", 5), ("hash", 7)]
