@@ -116,3 +116,38 @@ def test_term_pruned_rawsplit_fastpath_edge_cases(spark, sf_dir):
     with_empty = build_text_index(docs, "doc_id", "text", terms=["hash", ""])
     c = sorted((r.term, r.doc_id) for r in with_empty.collect())
     assert c == [("hash", 1), ("hash", 2), ("hash", 5), ("hash", 7)]
+
+
+def test_search_all_count_star_equals_distinct_reference(spark, sf_dir):
+    """Round-17 closing: search_all counts postings with count(*) (the
+    index is distinct on (term, id) by construction). Must equal the
+    count_distinct reference on the real corpus, and the physical plan
+    must NOT contain the two-phase distinct-aggregate shape (an extra
+    Exchange per search)."""
+    from pinot_spark.operators.text_index import build_text_index, search_all
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ["hash", "merge"]
+    index = build_text_index(docs, "doc_id", "text", terms=terms)
+    got = search_all(index, "doc_id", terms)
+    # reference: explicit distinct-count intersect over the same index
+    ref = (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("__nt"))
+        .filter(F.col("__nt") == len(terms))
+        .select("doc_id")
+    )
+    # capture the plan BEFORE collect: the post-AQE explain repeats the
+    # plan (Final + Initial sections) and would double the exchange count
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "simple"
+    )
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(r.doc_id for r in ref.collect())
+    assert a == b and len(a) > 0
+    assert "count(distinct" not in plan.lower()
+    # exactly the one partial/final aggregation exchange — the two-phase
+    # distinct rewrite would add a second
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
