@@ -50,7 +50,13 @@ _RUNTIME_CONFS = {
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Apply engine-required, runtime-settable confs to a foreign session."""
+    """Apply engine-required, runtime-settable confs to a foreign session.
+
+    Deliberately NOT memoized (round-17 note): the contract — pinned by
+    tests/test_vanilla_session.py — is that confs stripped or changed on
+    the session between calls are re-applied at the next load_tables.
+    The cost is 4 conf-probe py4j round trips per builder call (~1.5 ms),
+    which is not worth weakening the driver-session guarantee for."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:

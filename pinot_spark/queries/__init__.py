@@ -68,12 +68,18 @@ def dsum2(c):
     ``PINOT_SPARK_DSUM2_DECIMAL=1`` routes back through the reference
     decimal-cast implementation so the parity suite can build the same
     query both ways and assert exact result equality."""
-    if isinstance(c, str):
-        c = F.col(c)
     import os
 
     if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
         return dsum2_decimal(c)
+    if isinstance(c, str):
+        # Builder-side fast path (round-17, guide §1.2 applied to the
+        # driver): a string input (column name or SQL expression) builds
+        # the WHOLE micros-sum tree in one F.expr py4j round trip instead
+        # of ~29 Column-API round trips (~12 ms per call measured). The
+        # parsed tree is expression-identical to the Column build —
+        # pinned per-row and group-level by tests/test_dsum2_fastpath.py.
+        return F.expr(f"CAST(round({_dsum_exact_sql(c)}, 2) AS DOUBLE)")
     return F.round(dsum_exact(c), 2).cast("double")
 
 
@@ -97,10 +103,12 @@ def dsum_exact(c):
     q17 measured ~0.03–0.05s SLOWER and keep the reference decimal
     cast (round-17 interleaved A/B; guide §1.1: measure, then keep the
     empirically better plan)."""
-    if isinstance(c, str):
-        c = F.col(c)
     import os
 
+    if isinstance(c, str) and not os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
+        return F.expr(_dsum_exact_sql(c))
+    if isinstance(c, str):
+        c = F.expr(c)  # may be an expression string, not just a name
     if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
         return F.sum(c.cast("decimal(38,6)"))
     s = F.sum(_micros(c).cast("decimal(38,0)"))
@@ -120,11 +128,32 @@ def _micros(c):
     return (p + F.signum(p) * 0.5).cast("long")
 
 
+def _micros_sql(e: str) -> str:
+    """SQL text of ``_micros`` over expression text ``e`` — the same
+    tree the Column build produces, parsed JVM-side in one round trip
+    (structural reuse of the Column objects and textual repetition here
+    denote the identical Catalyst tree; codegen CSEs both)."""
+    p = f"(CAST(({e}) AS DOUBLE) * 1000000.0D)"
+    g = (
+        f"(CASE WHEN (NOT isnan({p})) AND (abs({p}) != CAST('Infinity' AS DOUBLE))"
+        f" THEN {p} END)"
+    )
+    return f"CAST(({g} + (signum({g}) * 0.5D)) AS LONG)"
+
+
+def _dsum_exact_sql(e: str) -> str:
+    """SQL text of ``dsum_exact``'s micros-sum over expression text ``e``."""
+    return (
+        f"(CAST(sum(CAST({_micros_sql(e)} AS DECIMAL(38,0))) AS DECIMAL(32,0))"
+        f" / CAST(1000000 AS DECIMAL(7,0)))"
+    )
+
+
 def dsum2_decimal(c):
     """Pre-round-17 dsum2 (per-row decimal(38,6) cast): kept as the
     reference implementation for the dsum2 fast-path parity tests."""
     if isinstance(c, str):
-        c = F.col(c)
+        c = F.expr(c)  # may be an expression string, not just a name
     return F.round(F.sum(c.cast("decimal(38,6)")), 2).cast("double")
 
 
@@ -135,10 +164,15 @@ def dsum2_distinct(c):
     equals DISTINCT over the decimal casts and the sums agree exactly.
     Oracle twin: ``round(sum(DISTINCT CAST(expr AS DECIMAL(38,6))), 2)
     ::DOUBLE``."""
-    if isinstance(c, str):
-        c = F.col(c)
     import os
 
+    if isinstance(c, str) and not os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
+        return F.expr(
+            f"CAST(round((CAST(sum(DISTINCT CAST({_micros_sql(c)} AS DECIMAL(38,0)))"
+            f" AS DECIMAL(32,0)) / CAST(1000000 AS DECIMAL(7,0))), 2) AS DOUBLE)"
+        )
+    if isinstance(c, str):
+        c = F.expr(c)  # may be an expression string, not just a name
     if os.environ.get("PINOT_SPARK_DSUM2_DECIMAL"):
         return F.round(F.sum_distinct(c.cast("decimal(38,6)")), 2).cast("double")
     s = F.sum_distinct(_micros(c).cast("decimal(38,0)"))

@@ -92,17 +92,32 @@ def q10_returned_items(spark, sf_dir):
 )
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13: LEFT OUTER join with join-condition filter + nested agg
-    (BaseJoinOperator.java:314 LEFT)."""
+    (BaseJoinOperator.java:314 LEFT).
+
+    Round-17: orders is aggregated to (o_custkey, count) BEFORE the left
+    join, so the join carries one row per ordering customer instead of
+    every order row; unmatched customers coalesce to 0 — exactly the
+    count(o_orderkey)-over-left-join value. Equivalent because
+    count(o_orderkey) per c_custkey only ever counts that customer's own
+    matched order rows; like the old shape's groupBy(c_custkey), this
+    relies on c_custkey being the (non-null) customer PK — the TPC-H
+    contract (guide §2.3 aggregate before you shuffle; interleaved
+    same-JVM A/B at sf0.1: 0.524 → 0.465 s median, faster in 8/8 pairs;
+    rows + schema proved identical on all three SFs)."""
     t = load_tables(spark, sf_dir)
+    per_cust_orders = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("__n"))
+    )
     per_cust = (
         t["customer"]
-        .join(
-            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left",
+        .join(per_cust_orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("c_count"),
         )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
@@ -157,22 +172,32 @@ def q14_promo_revenue(spark, sf_dir):
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18: IN-subquery over grouped HAVING → semi join against an
     aggregate (PinotJoinToDynamicBroadcastRule analog: Spark broadcasts
-    the tiny filtered key set)."""
+    the tiny filtered key set).
+
+    Round-17: the outer query's group key contains o_orderkey, so every
+    output group IS one qualifying order and its total_qty equals the
+    per-order sum the HAVING subquery already computes. Both sums are
+    therefore produced in ONE lineitem aggregation and carried through
+    the joins — the second lineitem scan, the detail join and the final
+    re-aggregation disappear (guide §1.2 remove passes: 2 lineitem
+    passes → 1). Equivalent on any data where o_orderkey is the orders
+    PK and c_custkey the customer PK (the TPC-H contract; with
+    duplicated PK rows the reference shape would double-count the very
+    same groups). Interleaved same-JVM A/B at sf0.1: 0.960 → 0.854 s
+    median, faster in 8/8 pairs; rows proved order-identical on all
+    three SFs."""
     t = load_tables(spark, sf_dir)
-    big = (
+    per_order = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(F.sum("l_quantity").alias("q"), dsum2("l_quantity").alias("total_qty"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "total_qty")
     )
     return (
         t["orders"]
-        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(per_order, "o_orderkey")
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum2("l_quantity").alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",

@@ -43,8 +43,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     single HashAggregate pair, shipdate filter pushed to parquet.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # dsum2 inputs as SQL text: the whole micros-sum parses in one py4j
+    # round trip per aggregate (see dsum2) — same Catalyst tree as the
+    # Column build.
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -83,7 +86,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum2(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(dsum2("l_extendedprice * l_discount").alias("revenue"))
     )
 
 
@@ -115,7 +118,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum2("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -162,7 +165,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum2("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -277,7 +280,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum2("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 

@@ -180,3 +180,63 @@ def test_nan_inf_skipped_like_decimal_cast(spark):
     fast = df.agg(dsum2("v").alias("s")).collect()[0]["s"]
     ref = df.agg(dsum2_decimal("v").alias("s")).collect()[0]["s"]
     assert fast == ref == 2.5
+
+
+def test_expr_string_path_equals_column_path(spark, sf_dir):
+    """Round-17 builder-side fast path: a STRING input to dsum2/dsum_exact/
+    dsum2_distinct builds the identical micros tree via one F.expr parse.
+    Pin per-row bit-equality of the parsed _micros_sql against the
+    Column-built _micros over real data + a NaN/Inf/NULL/.xx5 frame, and
+    group-level equality of the three helpers both ways."""
+    from pinot_spark.queries import (
+        _micros as _micros_col,
+        _micros_sql,
+        dsum2 as d2,
+        dsum_exact,
+        dsum2_distinct,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    exprs = {
+        "l_quantity": F.col("l_quantity"),
+        "l_extendedprice * (1 - l_discount)": F.col("l_extendedprice")
+        * (1 - F.col("l_discount")),
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)": F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")),
+        "l_extendedprice * l_discount": F.col("l_extendedprice") * F.col("l_discount"),
+    }
+    for s, c in exprs.items():
+        bad = li.agg(
+            F.sum(
+                F.when(F.expr(_micros_sql(s)).eqNullSafe(_micros_col(c)), 0).otherwise(1)
+            )
+        ).collect()[0][0]
+        assert bad == 0, f"expr path differs from column path for {s!r}"
+
+    edge = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),), (None,),
+         (1.2345675,), (-1.2345675,), (0.005,), (-0.005,), (0.0,), (-0.0,)],
+        "x double",
+    )
+    bad = edge.agg(
+        F.sum(
+            F.when(F.expr(_micros_sql("x")).eqNullSafe(_micros_col(F.col("x"))), 0).otherwise(1)
+        )
+    ).collect()[0][0]
+    assert bad == 0
+
+    # group-level: string input vs Column input, all three helpers
+    row = li.groupBy("l_returnflag").agg(
+        d2("l_extendedprice * (1 - l_discount)").alias("s_str"),
+        d2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s_col"),
+        dsum_exact("l_extendedprice").alias("e_str"),
+        dsum_exact(F.col("l_extendedprice")).alias("e_col"),
+        dsum2_distinct("l_quantity").alias("dd_str"),
+        dsum2_distinct(F.col("l_quantity")).alias("dd_col"),
+    ).collect()
+    for r in row:
+        assert r["s_str"] == r["s_col"]
+        assert r["e_str"] == r["e_col"]
+        assert r["dd_str"] == r["dd_col"]

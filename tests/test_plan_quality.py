@@ -916,3 +916,23 @@ def test_epoch_shuffle_row_takeordered_not_global_window(spark, sf_dir):
     would serialize the whole corpus through one task."""
     plan = _plan(QUERIES["pipeline_epoch_shuffle"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """Round-17: the HAVING-subquery sum and the output total_qty come
+    from ONE lineitem aggregation carried through the joins — a second
+    lineitem scan + detail join + re-aggregation would read the fact
+    table twice at 100 TB for a value the first pass already holds."""
+    plan = _plan(QUERIES["q18_large_volume_customer"](spark, sf_dir))
+    assert plan.count("lineitem") >= 1
+    assert plan.count("Scan parquet") == 3, plan.count("Scan parquet")  # lineitem + orders + customer, once each
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q13_orders_aggregated_before_join(spark, sf_dir):
+    """Round-17: per-customer order counts aggregate BELOW the left join
+    (keys=[o_custkey...]), so the join carries one row per ordering
+    customer instead of every order row (guide: aggregate before you
+    shuffle)."""
+    plan = _plan(QUERIES["q13_customer_distribution"](spark, sf_dir))
+    assert "HashAggregate(keys=[o_custkey" in plan, plan
