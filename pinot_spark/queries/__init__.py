@@ -204,169 +204,161 @@ from pinot_spark.queries import advanced  # noqa: E402,F401
 # anything unverified but not listed follows in original order.
 # ---------------------------------------------------------------------------
 
-# Every query driver-green in CORRECTNESS_r01-r16 that is not taking a
-# round-17 window slot (187 of the 234 ever-green = len(this list);
+# Every query driver-green in CORRECTNESS_r01-r17 that is not taking a
+# round-18 window slot (188 of the 238 ever-green = len(this list);
 # regression-guarded every round by the driver-mimic parity sweep
 # tests/test_oracle_parity.py regardless of window position).
 #
-# Round-17 window (executes the plan recorded in round 16):
-# first-timers = codec_surface_umbrella (the post-freeze r16 surface:
-# G.711 mu/A-law closed-form in SQL over all 256 codes, paletted PNG,
-# gzip/lz4 segment codec matrix), multimodal_video_mjpeg_avi (the
-# first REAL-WORLD video container: MJPEG-in-AVI through the baseline
-# JPEG decoder, formula-exact oracle on the q100 constant-gray range),
-# multimodal_audio_adpcm (IMA/DVI ADPCM WAV, format tag 0x11 —
-# audioop-cross-validated nibble math, pinned-literal oracle), and
-# multimodal_av_demux_audio (the A/V demux path: a PCM16 'auds' track
-# muxed into an MJPEG AVI demuxes through audio_features with a
-# formula-exact oracle).
-# Re-proofs = ALL 34 r12-stale rows (the 28 named in the r16 plan + the
-# 6 displaced: dedup_ngram_jaccard_pairs, dialect_distinct_count_over,
-# dialect_raw_theta_decimal_key, dialect_raw_theta_join,
-# dialect_raw_theta_scale, embedding_quantize_int8) + the first 12 of
-# the 50 r13-stale greens in name order (agg_approx_distinct ..
-# agg_stats_family) — the four first-timers displaced the r13 tail per
-# the plan's displacement rule, landing max staleness <= r13.
+# Round-18 window (executes the ROUND-18 PLAN recorded in round 17):
+# no first-timers — round 18 is an optimization round and adds no new
+# queries. Re-proofs = ALL 38 remaining r13-latest greens (the list the
+# r17 plan named verbatim) + the first 12 of the 50 r14-latest greens
+# in name order (agg_basic_family .. dialect_raw_theta_bigint_key),
+# landing max staleness <= r14.
 #
-# ROUND-18 PLAN (computed from CORRECTNESS_r01..r16 + this window):
-# after r17's driver run the stale set is the remaining 38 r13-latest
+# ROUND-19 PLAN (computed from CORRECTNESS_r01..r17 + this window):
+# after r18's driver run the stale set is the remaining 38 r14-latest
 # rows —
-#   agg_sum_array,
-#   agg_sum_array_scale_path, agg_sum_precision_decimal,
-#   agg_theta_setop_distinct, agg_theta_sketch_distinct,
-#   colocated_bucketed_join, cursor_result_table_pages,
-#   dedup_embedding_cosine, dedup_first_per_key, dialect_funnel_max_step,
-#   dialect_geo_bytes_family, dialect_mv_distinct_scale,
-#   dialect_null_option, dialect_prebuilt_sketch_blobs,
-#   dialect_query_hints, dialect_raw_sketch_sliding,
-#   dialect_raw_theta_expr_key, dialect_raw_theta_mixed_split,
-#   dialect_todatetime_roundtrip, dialect_unnest_ordinality,
-#   events_time_bucket_agg, fn_binary_conversion, fn_ds_theta_interop,
-#   fn_exact_hash_parity, fn_groovy_inline, fn_math_family,
-#   funnel_complete_count, funnel_match_step, funnel_max_step_pandas,
-#   funnel_step_duration_stats, gapfill_fill_default,
-#   pipeline_dsir_select, pipeline_fuzzy_dedup_end2end,
-#   pipeline_line_dedup, pipeline_lm_perplexity,
-#   pipeline_resample_distribution, pipeline_semdedup,
-#   text_bm25_ranked_search
-# — rotate those in, plus the head of the 50 r14-latest greens in name
-# order to fill 50; any new first-timers displace the r14 tail into
-# r19, landing max staleness <= r14.  tests/test_registry_window.py
-# recomputes staleness from the CORRECTNESS artifacts and asserts the
-# recorded plan covers the stalest rows (landing-aware since round 14).
+#   dialect_raw_ull_distinct, dialect_st_union_area, fn_ds_cpc_read,
+#   fn_ds_freq_interop, fn_ds_hll_interop, fn_ds_kll_interop,
+#   fn_trig_family, ingest_aggregate_metrics, ingestion_pipeline_conform,
+#   multimodal_feature_extract, multimodal_gif_tiff_features,
+#   multimodal_webp_features, null_mode_default_value,
+#   null_mode_sql_semantics, open_struct_dense_sparse,
+#   partial_upsert_merge, pipeline_pack_sequences, q10_returned_items,
+#   q11_important_parts, q12_late_shipment_priority,
+#   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+#   q16_supplier_part_counts, q17_small_quantity_revenue,
+#   q18_large_volume_customer, q19_disjunctive_predicates,
+#   q1_pricing_summary, q20_excess_suppliers, sample_stratified_split,
+#   scan_segment_sampler, similarity_radius_filter,
+#   similarity_topk_ivfpq, stream_dedup_exact, text_bpe_token_count,
+#   text_chunking, timeseries_keep_last_value, timeseries_m3ql_pipeline
+# — rotate those in, plus the head of the 50 r15-latest greens in name
+# order (agg_count_metadata_only, agg_raw_sketch_bytes,
+# case_when_projection, cte_with_reuse, ...) to fill 50; any new
+# first-timers displace the r15 tail into r20, landing max staleness
+# <= r15.  tests/test_registry_window.py recomputes
+# staleness from the CORRECTNESS artifacts and asserts the recorded
+# plan covers the stalest rows (landing-aware since round 14).
 
 _VERIFIED_PRIOR_ROUNDS = [
-    "agg_basic_family", "agg_bool_and_or",
+    "agg_approx_distinct", "agg_bool_and_or",
     "agg_count_by_segment_partition", "agg_count_metadata_only",
-    "agg_distinct_family", "agg_exprminmax", "agg_firstlast_withtime",
-    "agg_fourth_moment", "agg_frequent_items", "agg_funnel_count",
-    "agg_histogram", "agg_idset_membership", "agg_listagg_arrayagg",
-    "agg_mv_variants", "agg_percentiles", "agg_raw_sketch_bytes",
-    "agg_startree_extended_rollup", "agg_sum_array",
-    "agg_sum_array_scale_path",
-    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
-    "agg_theta_sketch_distinct", "asof_join_backward",
-    "case_when_projection", "clp_encode_decode_roundtrip",
-    "colocated_bucketed_join", "cte_with_reuse",
-    "cursor_result_table_pages", "dedup_duplicate_clusters",
-    "dedup_embedding_cosine", "dedup_exact_documents",
-    "dedup_exact_substring", "dedup_first_per_key",
-    "dedup_incremental_lsh", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets", "dialect_asof_join",
+    "agg_distinctcount_mv_scale_path", "agg_exprminmax",
+    "agg_firstlast_withtime", "agg_fourth_moment",
+    "agg_frequent_items", "agg_funnel_count", "agg_funnel_events_eval",
+    "agg_funnel_max_step_window", "agg_histogram",
+    "agg_hll_sketch_union", "agg_idset_membership",
+    "agg_listagg_arrayagg", "agg_mode", "agg_mv_grouped_percentile",
+    "agg_mv_variants", "agg_percentile_approx", "agg_percentiles",
+    "agg_raw_sketch_bytes", "agg_skew_kurt", "agg_st_union_points",
+    "agg_startree_rollup_route", "agg_stats_family",
+    "asof_join_backward", "case_when_projection",
+    "clp_encode_decode_roundtrip", "codec_surface_umbrella",
+    "cte_with_reuse", "dedup_duplicate_clusters",
+    "dedup_exact_documents", "dedup_exact_substring",
+    "dedup_ngram_jaccard_pairs", "dialect_asof_join",
     "dialect_datetime_convert", "dialect_ddl_mv_roundtrip",
-    "dialect_default_limit_selection", "dialect_epoch_functions",
-    "dialect_fn_surface_ext", "dialect_funnel_count",
-    "dialect_funnel_match_step", "dialect_funnel_max_step",
-    "dialect_gapfill", "dialect_geo_bytes_family",
+    "dialect_default_limit_selection", "dialect_distinct_count_over",
+    "dialect_epoch_functions", "dialect_funnel_count",
+    "dialect_funnel_match_step", "dialect_gapfill",
     "dialect_lookup_transform", "dialect_map_vector_options",
-    "dialect_mv_distinct_scale", "dialect_null_option",
-    "dialect_pinot_agg_names", "dialect_prebuilt_sketch_blobs",
-    "dialect_query_hints", "dialect_raw_mv_sketch_grouped",
-    "dialect_raw_sketch_running", "dialect_raw_sketch_scale",
-    "dialect_raw_sketch_sliding", "dialect_raw_sketch_window",
-    "dialect_raw_theta_bigint_key", "dialect_raw_theta_expr_key",
-    "dialect_raw_theta_mixed_split", "dialect_raw_theta_timestamp_key",
-    "dialect_raw_ull_distinct", "dialect_rawhll_clearspring_wire",
-    "dialect_st_union_area", "dialect_todatetime_roundtrip",
-    "dialect_unnest_ordinality", "dialect_uuid_skipupsert",
-    "distinct_select", "events_time_bucket_agg", "filtered_aggregation",
-    "fn_binary_conversion", "fn_ds_cpc_read", "fn_ds_cpc_write",
-    "fn_ds_freq_interop", "fn_ds_hll_interop", "fn_ds_kll_interop",
-    "fn_ds_theta_interop", "fn_exact_hash_parity", "fn_groovy_inline",
-    "fn_in_not_in_range", "fn_json_extract", "fn_math_family",
-    "fn_regex_family", "fn_surface_ext", "fn_surface_udf_families",
-    "fn_trig_family", "funnel_complete_count", "funnel_match_step",
-    "funnel_max_step", "funnel_max_step_pandas",
-    "funnel_step_duration_stats", "gapfill_fill_default", "grouping_sets",
-    "having_clause", "ingest_aggregate_metrics",
+    "dialect_raw_sketch_running", "dialect_raw_theta_decimal_key",
+    "dialect_raw_theta_join", "dialect_raw_theta_scale",
+    "dialect_raw_theta_timestamp_key", "dialect_raw_ull_distinct",
+    "dialect_rawhll_clearspring_wire", "dialect_st_union_area",
+    "dialect_uuid_skipupsert", "distinct_select",
+    "embedding_quantize_int8", "filtered_aggregation",
+    "fn_conditional_null", "fn_datetime_family", "fn_ds_cpc_read",
+    "fn_ds_cpc_write", "fn_ds_freq_interop", "fn_ds_hll_interop",
+    "fn_ds_kll_interop", "fn_geo_contains", "fn_geo_point_family",
+    "fn_h3_grid", "fn_hash_family", "fn_in_not_in_range",
+    "fn_ip_subnet_family", "fn_json_extract", "fn_json_match_rewrite",
+    "fn_map_family", "fn_regex_family", "fn_string_family",
+    "fn_surface_ext", "fn_surface_udf_families", "fn_text_match_like",
+    "fn_trig_family", "fn_url_family", "funnel_max_step",
+    "gapfill_fill_previous", "grouping_sets", "having_clause",
+    "hybrid_table_time_boundary", "ingest_aggregate_metrics",
     "ingestion_pipeline_conform", "join_full_outer",
     "join_lookup_dimension", "join_non_equi_theta", "join_right_outer",
-    "multimodal_audio_features", "multimodal_feature_extract",
-    "multimodal_gif_tiff_features", "multimodal_lossy_webp_decode",
-    "multimodal_video_frame_sample", "multimodal_webp_features",
-    "mv_all_match_exclusive_filter", "mv_any_match_filter",
-    "mv_array_functions", "null_mode_default_value",
-    "null_mode_sql_semantics", "open_struct_dense_sparse",
-    "partial_upsert_merge", "pipeline_decontamination",
-    "pipeline_dsir_select", "pipeline_epoch_shuffle",
-    "pipeline_fuzzy_dedup_end2end", "pipeline_line_dedup",
-    "pipeline_lm_perplexity", "pipeline_pack_sequences",
-    "pipeline_resample_distribution", "pipeline_semdedup",
-    "pipeline_shard_output", "q10_returned_items", "q11_important_parts",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "json_index_match", "multimodal_audio_adpcm",
+    "multimodal_audio_features", "multimodal_av_demux_audio",
+    "multimodal_feature_extract", "multimodal_gif_tiff_features",
+    "multimodal_lossy_webp_decode", "multimodal_resize_and_windows",
+    "multimodal_video_frame_sample", "multimodal_video_mjpeg_avi",
+    "multimodal_webp_features", "mv_all_match_exclusive_filter",
+    "mv_any_match_filter", "mv_array_functions",
+    "null_mode_default_value", "null_mode_sql_semantics",
+    "open_struct_dense_sparse", "partial_upsert_merge",
+    "pipeline_decontamination", "pipeline_epoch_shuffle",
+    "pipeline_pack_sequences", "pipeline_remove_duplicate_spans",
+    "pipeline_shard_output", "q10_returned_items",
+    "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_disjunctive_predicates", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_last_shipper_in_order", "q22_anti_join",
-    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q20_excess_suppliers", "q21_last_shipper_in_order",
+    "q22_anti_join", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "regex_fst_dictionary_match", "rollup_cube",
+    "q6_forecast_revenue", "q7_nation_volume_shipping",
+    "q8_market_share", "q9_product_type_profit",
+    "regex_fst_dictionary_match", "rollup_cube",
     "sample_stratified_split", "scan_compression_stats",
     "scan_encoding_independence", "scan_format_roundtrip",
     "scan_segment_sampler", "segment_build_time_pruning",
     "sessionize_gap_sessions", "set_ops_all_variants",
     "set_ops_union_intersect_except", "similarity_pairwise_label",
-    "similarity_radius_filter", "similarity_topk_ivf",
-    "similarity_topk_ivfpq", "skew_safe_operators", "stream_dedup_exact",
-    "stream_kafka_batch_decode", "stream_rate_upsert_loop",
-    "stream_text_match_realtime", "text_bm25_ranked_search",
+    "similarity_radius_filter", "similarity_topk_cosine",
+    "similarity_topk_hnsw", "similarity_topk_ivf",
+    "similarity_topk_ivfpq", "skew_safe_operators",
+    "stream_dedup_exact", "stream_kafka_batch_decode",
+    "stream_rate_upsert_loop", "stream_text_match_realtime",
     "text_bpe_token_count", "text_chunking", "text_classifier_quality",
-    "text_classifier_trained_weights", "text_gopher_c4_filters",
-    "text_pii_redaction", "timeseries_keep_last_value",
-    "timeseries_m3ql_pipeline", "udtf_sequence_explode", "unnest_explode",
-    "unnest_posexplode_zip", "values_literal", "window_first_last_ntile",
-    "window_frame_exclude", "window_lead_lag", "window_percent_cume",
-    "window_range_frame", "window_rank_topn_per_group",
-    "window_running_sum", "window_sliding_rows_frame",
+    "text_classifier_trained_weights", "text_fingerprints",
+    "text_gopher_c4_filters", "text_inverted_index_search",
+    "text_lang_id", "text_match_lucene", "text_pii_redaction",
+    "text_quality_scores", "text_repetition_filters",
+    "text_token_stats", "timeseries_keep_last_value",
+    "timeseries_m3ql_pipeline", "timeseries_range_query",
+    "udtf_sequence_explode", "unnest_explode", "unnest_posexplode_zip",
+    "upsert_latest_per_key", "values_literal",
+    "window_first_last_ntile", "window_frame_exclude",
+    "window_lead_lag", "window_percent_cume", "window_range_frame",
+    "window_rank_topn_per_group", "window_running_sum",
+    "window_sliding_rows_frame",
 ]
 
-_WINDOW_FIRST_TIME = [
-    "codec_surface_umbrella", "multimodal_video_mjpeg_avi",
-    "multimodal_audio_adpcm", "multimodal_av_demux_audio",
-]
+_WINDOW_FIRST_TIME: list[str] = []
 
 _REPROOF_STALE = [
-    "dedup_ngram_jaccard_pairs", "dialect_distinct_count_over",
-    "dialect_raw_theta_decimal_key", "dialect_raw_theta_join",
-    "dialect_raw_theta_scale", "embedding_quantize_int8",
-    "fn_conditional_null", "fn_datetime_family", "fn_geo_contains",
-    "fn_geo_point_family", "fn_h3_grid", "fn_hash_family",
-    "fn_ip_subnet_family", "fn_json_match_rewrite", "fn_map_family",
-    "fn_string_family", "fn_text_match_like", "fn_url_family",
-    "gapfill_fill_previous", "hybrid_table_time_boundary",
-    "json_index_match", "multimodal_resize_and_windows",
-    "pipeline_remove_duplicate_spans", "similarity_topk_cosine",
-    "similarity_topk_hnsw", "text_fingerprints",
-    "text_inverted_index_search", "text_lang_id", "text_match_lucene",
-    "text_quality_scores", "text_repetition_filters", "text_token_stats",
-    "timeseries_range_query", "upsert_latest_per_key",
-    "agg_approx_distinct", "agg_distinctcount_mv_scale_path",
-    "agg_funnel_events_eval", "agg_funnel_max_step_window",
-    "agg_hll_sketch_union", "agg_mode", "agg_mv_grouped_percentile",
-    "agg_percentile_approx", "agg_skew_kurt", "agg_st_union_points",
-    "agg_startree_rollup_route", "agg_stats_family",
+    "agg_sum_array", "agg_sum_array_scale_path",
+    "agg_sum_precision_decimal", "agg_theta_setop_distinct",
+    "agg_theta_sketch_distinct", "colocated_bucketed_join",
+    "cursor_result_table_pages", "dedup_embedding_cosine",
+    "dedup_first_per_key", "dialect_funnel_max_step",
+    "dialect_geo_bytes_family", "dialect_mv_distinct_scale",
+    "dialect_null_option", "dialect_prebuilt_sketch_blobs",
+    "dialect_query_hints", "dialect_raw_sketch_sliding",
+    "dialect_raw_theta_expr_key", "dialect_raw_theta_mixed_split",
+    "dialect_todatetime_roundtrip", "dialect_unnest_ordinality",
+    "events_time_bucket_agg", "fn_binary_conversion",
+    "fn_ds_theta_interop", "fn_exact_hash_parity", "fn_groovy_inline",
+    "fn_math_family", "funnel_complete_count", "funnel_match_step",
+    "funnel_max_step_pandas", "funnel_step_duration_stats",
+    "gapfill_fill_default", "pipeline_dsir_select",
+    "pipeline_fuzzy_dedup_end2end", "pipeline_line_dedup",
+    "pipeline_lm_perplexity", "pipeline_resample_distribution",
+    "pipeline_semdedup", "text_bm25_ranked_search", "agg_basic_family",
+    "agg_distinct_family", "agg_startree_extended_rollup",
+    "dedup_incremental_lsh", "dedup_minhash_lsh_pairs",
+    "dedup_simhash_buckets", "dialect_fn_surface_ext",
+    "dialect_pinot_agg_names", "dialect_raw_mv_sketch_grouped",
+    "dialect_raw_sketch_scale", "dialect_raw_sketch_window",
+    "dialect_raw_theta_bigint_key",
 ]
+
 
 _WINDOW_PRIORITY = _WINDOW_FIRST_TIME + _REPROOF_STALE
 
