@@ -84,6 +84,17 @@ def main() -> None:
     spread = round(
         sum(max(t) - min(t) for t in iterations.values() if t), 3
     )
+    # Prove the CPUS contract in the output itself (additive keys only —
+    # the comparison contract on metric/value/queries is unchanged):
+    # `cpus` echoes $SPARK_GRAFT_CPUS, `master`/`parallelism` report what
+    # the SparkContext actually runs with, so a scaling probe can verify
+    # the core count was honored rather than inferring it from ratios.
+    # NOTE for interpreting low-vs-high-core ratios: every sf0.1 fixture
+    # table is a single parquet row group (read-only, driver-generated),
+    # so scans are one task at ANY core count; flat ratios measure the
+    # fixture layout, not plan serialism (see OPTIMIZATION_r17/18.md).
+    sc = spark.sparkContext
+    cpus = os.environ["SPARK_GRAFT_CPUS"]
     print(
         json.dumps(
             {
@@ -95,6 +106,9 @@ def main() -> None:
                 "iters_per_query": iters,
                 "iterations": iterations,
                 "spread_total": spread,
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "master": sc.master,
+                "parallelism": sc.defaultParallelism,
             }
         )
     )
