@@ -122,7 +122,19 @@ def _micros(c):
     instead — tests/test_dsum2_fastpath.py pins the skip). A finite
     |value| > ~9.2e12 money units overflows the long and raises loudly
     under ANSI rather than silently corrupting — outside any money
-    domain, and the decimal reference path remains for such schemas."""
+    domain, and the decimal reference path remains for such schemas.
+
+    Equivalence domain (round-18 ulp-neighborhood characterization,
+    tests/test_dsum2_fastpath.py::test_adversarial_*): exact match with
+    the decimal cast for every double whose shortest decimal repr has
+    <= 6 fractional digits at |value| <= ~1e9 money units — which
+    covers all money/quantity schemas and every declared dsum2 call
+    site (swept exhaustively on all three SFs, zero mismatches).
+    OUTSIDE that domain the two sides can differ: a shortest repr
+    landing a half-micro boundary with >= 7 fractional digits (e.g.
+    1.0000025) deviates by exactly +-1 micro, and exact-cent values
+    past ~1e9 money units by a few micros (float product ulp > 0.5).
+    Schemas with such values must use ``dsum2_decimal``."""
     p = c.cast("double") * 1000000.0
     p = F.when(~F.isnan(p) & (F.abs(p) != F.lit(float("inf"))), p)
     return (p + F.signum(p) * 0.5).cast("long")
