@@ -65,31 +65,93 @@ def asof_join(
     right = right.filter(F.col(right_time).isNotNull())
     for k in on:
         right = right.filter(F.col(k).isNotNull())
-    l_tagged = left.select(
-        *[F.col(c) for c in left.columns],
-        F.col(left_time).alias(_T),
-        F.lit(1).alias(_TAG),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(payload, out_names)],
+
+    # Round-18 slim shape (guide §2.3 project before the exchange): when
+    # the two time columns share a dtype, the LEFT's own time column
+    # doubles as the union's sort column (right_time is renamed into it
+    # pre-union) and the matched right_time payload is rebuilt after the
+    # shuffle as last(time over right rows) — so neither a separate
+    # __asof_t column nor a right-time payload column crosses the
+    # exchange, and the final select reuses the tag attribute instead of
+    # aliasing a copy of it.  For the benched events asof this cuts the
+    # exchanged row from 8 fields to 6 (plans/r18/asof_join_backward_*).
+    # Any projection placed after the window would be pushed below the
+    # exchange by Catalyst and re-widen the row, which is why the slim
+    # shape avoids reconstruction projections entirely; with differing
+    # time dtypes the union would coerce the left column's type (and a
+    # post-filter cast back could not be placed above the exchange), so
+    # that case keeps the proven explicit-__asof_t shape below.
+    same_time_type = (
+        left.schema[left_time].dataType == right.schema[right_time].dataType
+        and left_time not in on
     )
-    r_tagged = right.select(
-        *[F.col(c) for c in on],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
-        F.col(right_time).alias(_T),
-        F.lit(0 if right_first else 2).alias(_TAG),
-        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
-    ).select(*left.columns, _T, _TAG, *out_names)
+    if same_time_type:
+        tcol = left_time
+        carry_payload = [c for c in payload if c != right_time]
+        carry_out = [c + suffix for c in carry_payload]
+        l_tagged = left.select(
+            *[F.col(c) for c in left.columns],
+            F.lit(1).alias(_TAG),
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(n)
+                for c, n in zip(carry_payload, carry_out)
+            ],
+        )
+        r_tagged = right.select(
+            *[F.col(c) for c in on],
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in on and c != left_time
+            ],
+            F.col(right_time).alias(tcol),
+            F.lit(0 if right_first else 2).alias(_TAG),
+            *[F.col(c).alias(n) for c, n in zip(carry_payload, carry_out)],
+        )
+    else:
+        tcol = _T
+        carry_payload = payload
+        carry_out = out_names
+        l_tagged = left.select(
+            *[F.col(c) for c in left.columns],
+            F.col(left_time).alias(_T),
+            F.lit(1).alias(_TAG),
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(n)
+                for c, n in zip(payload, out_names)
+            ],
+        )
+        r_tagged = right.select(
+            *[F.col(c) for c in on],
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in on
+            ],
+            F.col(right_time).alias(_T),
+            F.lit(0 if right_first else 2).alias(_TAG),
+            *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+        )
 
     unioned = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
-        order = [F.col(_T).asc_nulls_first(), F.col(_TAG).asc()]
+        order = [F.col(tcol).asc_nulls_first(), F.col(_TAG).asc()]
     else:
-        order = [F.col(_T).desc_nulls_first(), F.col(_TAG).asc()]
+        order = [F.col(tcol).desc_nulls_first(), F.col(_TAG).asc()]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
-    filled = unioned.select(
-        *left.columns,
-        F.col(_TAG).alias(_TAG),
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
-    )
+    outs = []
+    for c, n in zip(payload, out_names):
+        if c == right_time and same_time_type:
+            outs.append(
+                F.last(
+                    F.when(F.col(_TAG) != 1, F.col(tcol)), ignorenulls=True
+                )
+                .over(w)
+                .alias(n)
+            )
+        else:
+            outs.append(F.last(n, ignorenulls=True).over(w).alias(n))
+    filled = unioned.select(*left.columns, F.col(_TAG), *outs)
     return filled.filter(F.col(_TAG) == 1).drop(_TAG)

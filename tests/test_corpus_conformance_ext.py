@@ -766,3 +766,31 @@ def test_direct_aggregate_object_intermediate(spark):
         "DISTINCTCOUNTHLLPLUS(user_id) FILTER (WHERE amount > 1000) AS dc "
         "FROM dai_tbl").collect()[0]
     assert (row.s, row.c, row.dc) == (None, 0, 0)
+
+
+def test_asof_join_mismatched_time_dtypes(spark):
+    """The round-18 slim asof shape only applies when left/right time
+    dtypes match; this pins the explicit-__asof_t fallback: int left
+    time vs bigint right time must still match DuckDB-ASOF semantics
+    and keep each side's output dtype."""
+    from pinot_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "L1"), ("a", 10, "L2"), ("b", 7, "L3")],
+        "k string, t int, lv string",
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 1.0), ("a", 9, 2.0), ("b", 8, 3.0)],
+        "k string, rt long, rv double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        direction="backward", strict=False,
+    )
+    assert dict(out.dtypes)["t"] == "int" and dict(out.dtypes)["rt"] == "bigint"
+    rows = {(r["k"], r["t"]): (r["rt"], r["rv"]) for r in out.collect()}
+    assert rows == {
+        ("a", 5): (4, 1.0),
+        ("a", 10): (9, 2.0),
+        ("b", 7): (None, None),
+    }

@@ -936,3 +936,13 @@ def test_q13_orders_aggregated_before_join(spark, sf_dir):
     shuffle)."""
     plan = _plan(QUERIES["q13_customer_distribution"](spark, sf_dir))
     assert "HashAggregate(keys=[o_custkey" in plan, plan
+
+
+def test_asof_slim_union_no_redundant_time_column(spark, sf_dir):
+    """Round-18 asof slim shape: with matching time dtypes the left's
+    own time column doubles as the union sort column, so no separate
+    __asof_t attribute (nor a duplicated tag copy) crosses the window
+    exchange — the benched events asof shuffles 6 fields, not 8."""
+    plan = _plan(QUERIES["asof_join_backward"](spark, sf_dir))
+    assert "Window" in plan and "Union" in plan
+    assert "__asof_t#" not in plan, "slim path inactive: __asof_t shuffled"
