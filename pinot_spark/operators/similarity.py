@@ -73,6 +73,28 @@ def _query_lit(query_vec: list[float]) -> Column:
     return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
 
 
+def _cosine_sim_sql(vec_col: str, vals: list[float], qnorm: float) -> str:
+    """SQL text of ``dot_product(vec_col, vals) / (vector_norm(vec_col)
+    * qnorm)`` — the same Catalyst tree the Column build produces,
+    parsed JVM-side in ONE py4j round trip instead of ~20 lambda-tree
+    Column calls (round-18, guide §1.2 applied to the driver; the same
+    pattern as dsum2's ``_micros_sql``). ``repr(float)`` round-trips
+    every finite double exactly and ``D`` pins the literal type, so the
+    parsed expression is bit-identical to the Column-built one (pinned
+    by tests/test_query_lit_expr.py::test_topk_cosine_sql_path)."""
+    ident = "`" + vec_col.replace("`", "``") + "`"
+    arr = "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+    dot = (
+        f"aggregate(zip_with({ident}, {arr}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    norm = (
+        f"sqrt(aggregate(transform({ident}, x ->"
+        " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    return f"({dot} / ({norm} * {repr(qnorm)}D))"
+
+
 def topk_cosine(
     df: DataFrame,
     vec_col: str,
@@ -86,9 +108,17 @@ def topk_cosine(
     a single pass; TakeOrderedAndProject keeps only k rows per partition
     before the final merge, so no full sort/shuffle of the table.
     """
-    q = _query_lit(query_vec)
-    qnorm = math.sqrt(sum(float(v) * float(v) for v in query_vec))
-    sim = (dot_product(vec_col, q) / (vector_norm(vec_col) * F.lit(qnorm))).alias("sim")
+    vals = [float(v) for v in query_vec]
+    qnorm = math.sqrt(sum(v * v for v in vals))
+    if (
+        isinstance(vec_col, str)
+        and math.isfinite(qnorm)
+        and all(math.isfinite(v) for v in vals)
+    ):
+        sim = F.expr(_cosine_sim_sql(vec_col, vals, qnorm))
+    else:  # non-finite values have no SQL literal form: Column build
+        q = _query_lit(query_vec)
+        sim = dot_product(vec_col, q) / (vector_norm(vec_col) * F.lit(qnorm))
     return (
         df.select(F.col(id_col), F.round(sim, 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))

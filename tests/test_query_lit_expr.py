@@ -61,13 +61,41 @@ def test_topk_cosine_same_result_as_lit_build(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     fast = topk_cosine(emb, "embedding", "vec_id", qvec, k=10).collect()
-    # reference: same operator with the element-wise literal forced
+    # reference: the Column-built sim expression (the pre-r18 shape),
+    # element-wise lit literal and all
     import pinot_spark.operators.similarity as S
 
-    orig = S._query_lit
-    try:
-        S._query_lit = lambda v: F.array(*[F.lit(float(x)) for x in v])
-        ref = topk_cosine(emb, "embedding", "vec_id", qvec, k=10).collect()
-    finally:
-        S._query_lit = orig
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in qvec))
+    sim = S.dot_product("embedding", q) / (S.vector_norm("embedding") * F.lit(qnorm))
+    ref = (
+        emb.select(F.col("vec_id"), F.round(sim, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
     assert fast == ref
+
+
+def test_topk_cosine_sql_path(spark, sf_dir):
+    """Round-18: the single-F.expr cosine-sim rendering must be
+    bit-identical to the Column-built expression on EVERY corpus row
+    (not just the top-k), including the unrounded sim."""
+    from pinot_spark.catalog import load_tables
+    import pinot_spark.operators.similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    fast = F.expr(S._cosine_sim_sql("embedding", qvec, qnorm))
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    ref = S.dot_product("embedding", q) / (S.vector_norm("embedding") * F.lit(qnorm))
+    bad = emb.select(
+        fast.alias("f"), ref.alias("r")
+    ).filter(
+        # bit-level: NaN==NaN and -0.0 != 0.0 both handled by <=> on
+        # doubles? <=> treats NaN equal and -0.0 == 0.0 — add a sign
+        # check via 1/x to distinguish the zero signs
+        ~(F.expr("f <=> r") & F.expr("(1.0D / f) <=> (1.0D / r)"))
+    ).count()
+    assert bad == 0
