@@ -12,6 +12,10 @@ import pytest
 
 from pinot_spark.dialect import FUNCTION_MAP, PinotEngine, PinotSqlError
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 REF_AGG = (
     "/root/reference/pinot-segment-spi/src/main/java/org/apache/pinot/"
     "segment/spi/AggregationFunctionType.java"

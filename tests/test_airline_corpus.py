@@ -24,6 +24,10 @@ import pytest
 
 from pinot_spark.dialect import PinotEngine
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 _RES = "/root/reference/pinot-integration-tests/src/test/resources"
 _QFILE = f"{_RES}/On_Time_On_Time_Performance_2014_100k_subset.test_queries_200.sql"
 _SCHEMA = f"{_RES}/On_Time_On_Time_Performance_2014_100k_subset_nonulls.schema"

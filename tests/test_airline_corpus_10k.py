@@ -18,6 +18,10 @@ import pytest
 from test_airline_corpus import QUERIES as Q200
 from test_airline_corpus import _RES, build_table, check_airline_query
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 _QFILE_10K = f"{_RES}/On_Time_On_Time_Performance_2014_100k_subset.test_queries_10K.sql"
 
 

@@ -19,6 +19,10 @@ import pytest
 
 from pinot_spark.dialect import PinotEngine
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 
 def _eng(spark):
     return PinotEngine(spark, default_limit=1000)

@@ -37,6 +37,10 @@ from pinot_spark.operators.cs_hll import (
     _java_double_str,
 )
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 _VEC = json.load(
     open(os.path.join(os.path.dirname(__file__), "data", "cs_hll_vectors.json"))
 )

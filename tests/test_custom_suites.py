@@ -22,6 +22,10 @@ import pytest
 
 from pinot_spark.dialect import PinotEngine
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 # Spark simpleString -> Pinot ResultTable type name
 # (pinot-common DataSchema.ColumnDataType)
 _PINOT_TYPE = {

@@ -11,6 +11,10 @@ from pyspark.sql.types import ArrayType, MapType
 from pinot_spark import queries as Q
 from tests.conftest import assert_same_rows
 
+# Round-18 fast-tier split: this suite is a long-running sweep; the
+# default tier (pytest.ini addopts) skips it — run with -m "" for all.
+pytestmark = pytest.mark.slow
+
 
 def _pairs():
     return sorted(Q.ORACLE.keys())
