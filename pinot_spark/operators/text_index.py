@@ -82,7 +82,10 @@ def build_text_index(
 
 
 def search_all(
-    index: DataFrame, id_col: str | list[str], terms: list[str]
+    index: DataFrame,
+    id_col: str | list[str],
+    terms: list[str],
+    distinct_postings: bool = True,
 ) -> DataFrame:
     """Documents containing ALL terms (TEXT_MATCH 'a AND b'): postings
     intersect via a single groupBy — shuffle carries only matching
@@ -90,21 +93,25 @@ def search_all(
     payload-carrying index); payload columns ride the same groupBy keys,
     adding nothing to the shuffle beyond their width.
 
-    Counts with plain ``count(*)``, NOT ``count_distinct(term)``:
-    ``build_text_index`` emits each (term, id) posting at most once (a
-    posting list holds one docId per term — array_distinct or
-    array_intersect dedups before the explode), and a distinct aggregate
-    here would plan as Spark's two-phase distinct shape, one extra
-    Exchange per search (guide §2.4: a distinct on already-unique data
-    is a removable shuffle; round-17 closing A/B at sf0.1:
-    0.964 → 0.813 s median on text_inverted_index_search). A postings
-    table NOT built by ``build_text_index`` must be distinct on
-    (term, id) — matching any real posting-list layout."""
+    PRECONDITION (``distinct_postings=True``, the default): ``index`` is
+    distinct on (term, id). Counts then use plain ``count(*)``, NOT
+    ``count_distinct(term)``: ``build_text_index`` emits each (term, id)
+    posting at most once (a posting list holds one docId per term —
+    array_distinct or array_intersect dedups before the explode), and a
+    distinct aggregate here would plan as Spark's two-phase distinct
+    shape, one extra Exchange per search (guide §2.4: a distinct on
+    already-unique data is a removable shuffle; round-17 closing A/B at
+    sf0.1: 0.964 → 0.813 s median on text_inverted_index_search). For a
+    postings table NOT built by ``build_text_index`` that may hold
+    duplicate (term, id) rows, pass ``distinct_postings=False`` to get
+    the duplicate-safe ``count_distinct(term)`` intersection instead
+    (one extra exchange, correct on any input)."""
     ids = [id_col] if isinstance(id_col, str) else list(id_col)
     hits = index.filter(F.col("term").isin([t.lower() for t in terms]))
+    nt = F.count("*") if distinct_postings else F.count_distinct("term")
     return (
         hits.groupBy(*ids)
-        .agg(F.count("*").alias("__nt"))
+        .agg(nt.alias("__nt"))
         .filter(F.col("__nt") == len(terms))
         .select(*ids)
     )

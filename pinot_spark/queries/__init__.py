@@ -65,6 +65,12 @@ def dsum2(c):
     compact-long range instead of overflowing. Same NULL semantics
     (null rows skipped, empty group → NULL).
 
+    Signature note (ADVICE r17): a STRING argument is SQL EXPRESSION
+    TEXT spliced verbatim into the generated sum (that is what makes the
+    one-round-trip build possible), not a quoted column name — a column
+    whose name needs backtick quoting must be passed as a Column or as
+    pre-quoted text.
+
     ``PINOT_SPARK_DSUM2_DECIMAL=1`` routes back through the reference
     decimal-cast implementation so the parity suite can build the same
     query both ways and assert exact result equality."""

@@ -151,3 +151,26 @@ def test_search_all_count_star_equals_distinct_reference(spark, sf_dir):
     # distinct rewrite would add a second
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_search_all_distinct_postings_false_duplicate_safe(spark):
+    """ADVICE r17: an externally-built postings table with duplicate
+    (term, id) rows must not false-positive through the count(*)
+    intersection — distinct_postings=False routes to the duplicate-safe
+    count_distinct(term) shape."""
+    from pinot_spark.operators.text_index import search_all
+
+    postings = spark.createDataFrame(
+        # doc 1 has 'hash' twice and no 'merge' → must NOT match
+        [("hash", 1), ("hash", 1), ("hash", 2), ("merge", 2)],
+        "term string, id int",
+    )
+    fast = {r["id"] for r in search_all(postings, "id", ["hash", "merge"]).collect()}
+    safe = {
+        r["id"]
+        for r in search_all(
+            postings, "id", ["hash", "merge"], distinct_postings=False
+        ).collect()
+    }
+    assert safe == {2}
+    assert fast == {1, 2}  # documents the precondition violation mode
